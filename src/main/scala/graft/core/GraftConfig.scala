@@ -1,0 +1,109 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Loader configuration. Mirrors the reference's config surface
+  * (reference: target_hdfs/target.py:19-46, README.md:31-44):
+  * the parent `destination_path` is replaced by `hdfs_destination_path`
+  * (required), plus `hdfs_block_size_limit` and `skip_existing_files`.
+  *
+  * @param hdfsDestinationPath root output dir; each stream writes to
+  *                            `{root}/{streamName}`
+  * @param hdfsBlockSizeLimit  optional size string ("128M"); when absent the
+  *                            append cutoff is 85% of `dfs.blocksize`
+  * @param skipExistingFiles   disables the append-file preload
+  * @param compressionMethod   gzip (default) | snappy | zstd | brotli
+  * @param maxBatchSize        records buffered per drain (default 10000)
+  * @param maxTableSizeMb      max buffered MB before flush (default 800)
+  * @param partitionCols       hive partition columns; when set, the append
+  *                            preload is disabled (reference sinks.py:38)
+  * @param extraFields         "k=v,..." constant columns appended to records
+  * @param extraFieldsTypes    "k=string|integer,..." types for extraFields
+  * @param flatteningMaxDepth  nested-object flatten depth bound
+  */
+final case class GraftConfig(
+    hdfsDestinationPath: String,
+    hdfsBlockSizeLimit: Option[String] = None,
+    skipExistingFiles: Boolean = false,
+    compressionMethod: String = "gzip",
+    maxBatchSize: Int = 10000,
+    maxTableSizeMb: Int = 800,
+    partitionCols: Seq[String] = Seq.empty,
+    extraFields: Option[String] = None,
+    extraFieldsTypes: Option[String] = None,
+    flatteningMaxDepth: Int = 10) {
+
+  require(Set("gzip", "snappy", "zstd", "brotli")(compressionMethod),
+    s"unsupported compression: $compressionMethod")
+
+  def blockSizeLimitBytes: Option[Long] =
+    hdfsBlockSizeLimit.map(SizeParser.convertSizeToBytes)
+
+  def streamDir(streamName: String): String =
+    s"${hdfsDestinationPath.stripSuffix("/")}/$streamName"
+
+  /** Parsed `extra_fields` with types applied from `extra_fields_types`.
+    * Both must list the same keys (reference target-parquet semantics). */
+  def parsedExtraFields: Seq[(String, String, String)] = {
+    def kv(s: String): Seq[(String, String)] =
+      s.split(",").filter(_.nonEmpty).toSeq.map { p =>
+        val Array(k, v) = p.split("=", 2)
+        (k, v)
+      }
+    val vals = extraFields.map(kv).getOrElse(Seq.empty)
+    val types = extraFieldsTypes.map(kv).getOrElse(Seq.empty).toMap
+    vals.map { case (k, v) =>
+      val t = types.getOrElse(k,
+        throw new InvalidConfigException(s"extra field '$k' has no declared type"))
+      if (!Set("string", "integer")(t))
+        throw new InvalidConfigException(s"unsupported extra field type: $t")
+      (k, v, t)
+    }
+  }
+}
+
+object GraftConfig {
+  private val mapper = new ObjectMapper()
+
+  def fromJson(json: String): GraftConfig = {
+    val n = mapper.readTree(json)
+    def str(k: String): Option[String] =
+      Option(n.get(k)).filterNot(_.isNull).map(_.asText())
+    GraftConfig(
+      hdfsDestinationPath = str("hdfs_destination_path").getOrElse(
+        throw new InvalidConfigException("hdfs_destination_path is required")),
+      hdfsBlockSizeLimit = str("hdfs_block_size_limit"),
+      skipExistingFiles = str("skip_existing_files").exists(_.toBoolean),
+      compressionMethod = str("compression_method").getOrElse("gzip"),
+      maxBatchSize = str("max_batch_size").map(_.toInt).getOrElse(10000),
+      maxTableSizeMb = str("max_pyarrow_table_size").map(_.toInt).getOrElse(800),
+      partitionCols = Option(n.get("partition_cols")).filterNot(_.isNull)
+        .map { pc =>
+          if (pc.isArray) (0 until pc.size()).map(pc.get(_).asText())
+          else pc.asText().split(",").filter(_.nonEmpty).toSeq
+        }.getOrElse(Seq.empty),
+      extraFields = str("extra_fields"),
+      extraFieldsTypes = str("extra_fields_types"),
+      flatteningMaxDepth =
+        str("flattening_max_depth").map(_.toInt).getOrElse(10))
+  }
+
+  /** `--about`-style config introspection (reference target.py:19-46): the
+    * inherited `destination_path` is removed and the three HDFS properties
+    * appended. */
+  def aboutJson: String =
+    """{
+      |  "properties": {
+      |    "hdfs_destination_path": {"type": "string", "required": true},
+      |    "hdfs_block_size_limit": {"type": ["string", "null"]},
+      |    "skip_existing_files": {"type": "boolean", "default": false},
+      |    "compression_method": {"type": "string", "default": "gzip"},
+      |    "max_pyarrow_table_size": {"type": "integer", "default": 800},
+      |    "max_batch_size": {"type": "integer", "default": 10000},
+      |    "partition_cols": {"type": ["array", "string", "null"]},
+      |    "extra_fields": {"type": ["string", "null"]},
+      |    "extra_fields_types": {"type": ["string", "null"]},
+      |    "flattening_max_depth": {"type": "integer", "default": 10}
+      |  }
+      |}""".stripMargin
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row, attach the right row with the
+  * greatest `rightTs <= leftTs` among rows sharing the join key (the classic
+  * "latest known value at event time" operator; DuckDB `ASOF JOIN`, kdb `aj`).
+  *
+  * Spark has no built-in as-of join, and a naive theta-join
+  * (`l.ts >= r.ts` + argmax) explodes to a cartesian per key. This
+  * implementation is the scalable formulation: union both sides tagged,
+  * single shuffle on the key, per-partition sort by (ts, side), then a
+  * running `last(value, ignoreNulls)` window — O(n log n) per key group,
+  * one shuffle total, no join blow-up. At 100 TB this is the same access
+  * pattern as a sort-merge join and benefits from AQE skew splitting.
+  *
+  * Tie semantics: a right row with `rightTs == leftTs` IS visible to that
+  * left row (>= semantics, right sorts before left at equal ts).
+  * Determinism: callers must make the right side unique per (key, ts) —
+  * pre-aggregate otherwise (multiple right rows at the same key+ts would make
+  * "which one wins" order-dependent, as in any as-of engine).
+  */
+object AsOfJoin {
+
+  def joinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightValues: Seq[String]): DataFrame = {
+    require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    val keyAliases = leftKeys.indices.map(i => s"__asof_k$i")
+
+    val lTagged = left.select(
+      leftKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
+        col(leftTs).as("__asof_ts"),
+        lit(1).as("__asof_side"),
+        struct(left.columns.map(col).toSeq: _*).as("__asof_row")) ++
+        rightValues.map(v =>
+          lit(null).cast(right.schema(v).dataType).as(s"__asof_v_$v")): _*)
+
+    val rTagged = right.select(
+      rightKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
+        col(rightTs).as("__asof_ts"),
+        lit(0).as("__asof_side"),
+        lit(null).cast(lTagged.schema("__asof_row").dataType).as("__asof_row")) ++
+        rightValues.map(v => col(v).as(s"__asof_v_$v")): _*)
+
+    val w = Window
+      .partitionBy(keyAliases.map(col): _*)
+      .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = lTagged.unionByName(rTagged)
+      .select(col("__asof_side") +: col("__asof_row") +:
+        rightValues.map(v =>
+          last(col(s"__asof_v_$v"), ignoreNulls = true).over(w).as(v)): _*)
+      .filter(col("__asof_side") === 1)
+
+    filled.select(col("__asof_row.*") +: rightValues.map(col): _*)
+  }
+}

@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark DataFrame program plus (optionally) the
+  * equivalent ANSI SQL the driver runs in DuckDB over the same parquet
+  * tables. Column names must match exactly between the two (the driver's
+  * compare sorts columns by name before hashing). `oracle = None` marks
+  * operators whose semantics are not SQL-expressible (probabilistic /
+  * loader-side); those get a weaker rows-only check.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Tables {
+  /** All testdata tables are single parquet files `{dir}/{name}.parquet`. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with `ts` normalized to a microsecond timestamp. The file
+    * stores TIMESTAMP(NANOS), which Spark only reads as a nanos-since-epoch
+    * long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by all our
+    * session builders); `ts div 1000` keeps integer precision (a double
+    * division would lose sub-second bits past 2^53). DuckDB oracles must
+    * `CAST(ts AS TIMESTAMP)` for the same truncation.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+}
