@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  *  - `bruteForceTopK`: exact cosine top-k of every query against the full
+  *    corpus. The corpus side is broadcast when small; the general shape is a
+  *    cartesian per query — correctness baseline only.
+  *  - `rpLshTopK`: the scale path. A random-hyperplane bucket id (sign bits
+  *    of `numPlanes` fixed projections) is computed per vector; the search
+  *    joins only within equal buckets, collapsing the cartesian to
+  *    per-bucket blocks (expected corpus/2^planes per bucket). Bucket
+  *    hyperplanes are deterministic integer-arithmetic constructions, so the
+  *    whole operator is oracle-checkable — recall vs brute force is measured
+  *    in tests, not assumed.
+  *
+  * Cosine is a sequential IEEE fold (see [[graft.functions.VectorExprs]]):
+  * bit-identical across engines, so rank ordering never diverges.
+  */
+object Similarity {
+
+  /** Exact top-k: for each row of `queries`, the k nearest corpus rows by
+    * cosine (excluding self-matches by id), ranked desc with id tiebreak. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(sparkCosine("qv", "cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Vectors annotated with their random-projection LSH bucket. */
+  def withBucket(emb: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, dim: Int): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      expr(sparkRpBucket(vecCol, numPlanes, dim)).as("bucket"))
+
+  /** ANN top-k searching only within the query's LSH bucket. */
+  def rpLshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val b = withBucket(emb, idCol, vecCol, numPlanes, dim)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    b.select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
+      .join(b.select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("bucket").as("nbucket")),
+        col("bucket") === col("nbucket") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr(sparkCosine("qv", "cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine >= threshold (rounded to 4
+    * decimals so the compare sits on an exact grid; the data's nearest pair
+    * to the default 0.45 threshold is 5.5e-4 away). */
+  def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.45): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    e.select(col("id").as("id_a"), col("v").as("qv"))
+      .join(e.select(col("id").as("id_b"), col("v").as("cv")),
+        col("id_a") < col("id_b"))
+      .filter(round(expr(sparkCosine("qv", "cv")), 4) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+}

