@@ -20,6 +20,8 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * @param extraFields         "k=v,..." constant columns appended to records
   * @param extraFieldsTypes    "k=string|integer,..." types for extraFields
   * @param flatteningMaxDepth  nested-object flatten depth bound
+  * @param streamMaps          per-stream column mappings (rename / derive /
+  *                            drop / filter) — see [[graft.loader.StreamMaps]]
   */
 final case class GraftConfig(
     hdfsDestinationPath: String,
@@ -31,7 +33,8 @@ final case class GraftConfig(
     partitionCols: Seq[String] = Seq.empty,
     extraFields: Option[String] = None,
     extraFieldsTypes: Option[String] = None,
-    flatteningMaxDepth: Int = 10) {
+    flatteningMaxDepth: Int = 10,
+    streamMaps: Map[String, Map[String, Option[String]]] = Map.empty) {
 
   require(Set("gzip", "snappy", "zstd", "brotli")(compressionMethod),
     s"unsupported compression: $compressionMethod")
@@ -85,7 +88,23 @@ object GraftConfig {
       extraFields = str("extra_fields"),
       extraFieldsTypes = str("extra_fields_types"),
       flatteningMaxDepth =
-        str("flattening_max_depth").map(_.toInt).getOrElse(10))
+        str("flattening_max_depth").map(_.toInt).getOrElse(10),
+      streamMaps = Option(n.get("stream_maps")).filterNot(_.isNull).map { sm =>
+        val out = scala.collection.mutable.Map.empty[String, Map[String, Option[String]]]
+        val streams = sm.fieldNames()
+        while (streams.hasNext) {
+          val st = streams.next()
+          val m = sm.get(st)
+          val inner = scala.collection.mutable.Map.empty[String, Option[String]]
+          val cols = m.fieldNames()
+          while (cols.hasNext) {
+            val c = cols.next()
+            inner(c) = if (m.get(c).isNull) None else Some(m.get(c).asText())
+          }
+          out(st) = inner.toMap
+        }
+        out.toMap
+      }.getOrElse(Map.empty))
   }
 
   /** `--about`-style config introspection (reference target.py:19-46): the

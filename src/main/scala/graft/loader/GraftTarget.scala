@@ -1,0 +1,52 @@
+package graft.loader
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.SparkSession
+import graft.core.GraftConfig
+
+/** CLI entry point — Singer target parity (reference: target_hdfs
+  * `target-hdfs --config c.json < messages.jsonl`, plus `--about` /
+  * `--version` introspection, target.py:19-52).
+  *
+  * Stdin is spooled to a temp file so the record plane is read through a
+  * splittable Spark text source rather than a driver loop; the final STATE
+  * message is echoed to stdout only after all sinks have committed
+  * (at-least-once, exactly like the reference's drain-then-echo).
+  */
+object GraftTarget {
+  val Version = "0.1.0"
+
+  def main(args: Array[String]): Unit = {
+    if (args.contains("--version")) { println(Version); return }
+    if (args.contains("--about")) { println(GraftConfig.aboutJson); return }
+
+    val configPath = args.sliding(2).collectFirst {
+      case Array("--config", p) => p
+    }.getOrElse(sys.error("usage: GraftTarget --config <config.json> [< messages.jsonl]"))
+    val config = GraftConfig.fromJson(
+      new String(Files.readAllBytes(Paths.get(configPath)), "UTF-8"))
+
+    val input = args.sliding(2).collectFirst { case Array("--input", p) => p }
+      .getOrElse {
+        val tmp = Files.createTempFile("singer-", ".jsonl")
+        Files.copy(System.in, tmp, StandardCopyOption.REPLACE_EXISTING)
+        tmp.toString
+      }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-target")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val result = SingerLoader.loadFile(spark, input, config)
+      // state echo AFTER successful commit = at-least-once checkpoint
+      result.lastState.foreach(println)
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft.loader
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+import graft.core.GraftConfig
+
+/** Per-stream parquet sink: one instance per Singer stream, writing to
+  * `{hdfs_destination_path}/{stream}` (reference: target_hdfs/sinks.py:27-29).
+  *
+  * Write paths:
+  *  - partitioned (`partition_cols` set) or `skip_existing_files`: plain
+  *    `append` write — Spark's `FileCommitProtocol` provides the staged
+  *    commit the reference hand-rolled; the compaction preload is disabled
+  *    exactly as in the reference (sinks.py:38).
+  *  - default: the compaction path — preload the newest small file
+  *    ([[Compaction.readMostRecentFile]]), union it with the batch
+  *    (columnar UNION ALL, `unionByName`), rewrite as a single file with an
+  *    atomic replace. The schema gate throws [[graft.core.SchemaChangedException]]
+  *    on any drift.
+  */
+class ParquetSink(spark: SparkSession, config: GraftConfig,
+    val streamName: String, val streamSchema: StructType) {
+
+  val dir: String = config.streamDir(streamName)
+
+  private val compactionEnabled =
+    config.partitionCols.isEmpty && !config.skipExistingFiles
+
+  def write(batch: DataFrame): Unit = {
+    val preload =
+      if (compactionEnabled)
+        Compaction.readMostRecentFile(spark, dir, streamSchema,
+          Compaction.blockSizeLimit(spark, config.blockSizeLimitBytes))
+      else None
+
+    preload match {
+      case Some((existing, path)) =>
+        val combined = existing.unionByName(batch)
+        Compaction.writeSingleFile(spark, combined, path, config.compressionMethod)
+      case None =>
+        if (config.partitionCols.nonEmpty) {
+          batch.write.mode("append")
+            .partitionBy(config.partitionCols: _*)
+            .option("compression", config.compressionMethod)
+            .parquet(dir)
+        } else {
+          // new single file in the stream dir (named like the reference's
+          // uuid parquet files, unique per flush)
+          val name = s"part-${java.util.UUID.randomUUID()}.parquet"
+          Compaction.writeSingleFile(spark, batch, new Path(dir, name),
+            config.compressionMethod)
+        }
+    }
+  }
+}

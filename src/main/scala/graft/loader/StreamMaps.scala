@@ -1,0 +1,33 @@
+package graft.loader
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Singer-SDK-style stream maps (reference capability `stream-maps`,
+  * meltano.yml:18): config-driven inline rename / filter / derive / drop of
+  * stream properties, applied before the sink.
+  *
+  * Mapping format per stream:
+  *   - `"__filter__" -> <boolean SQL expr>` keeps only matching records
+  *   - `col -> null` drops the column
+  *   - `col -> <SQL expr>` adds/replaces the column (plain rename is
+  *     `new -> old_name`)
+  *
+  * Everything compiles to `filter`/`withColumn`/`drop` projections, so
+  * Catalyst still prunes and pushes down through the mapped plan.
+  */
+object StreamMaps {
+  val FilterKey = "__filter__"
+
+  def apply(df: DataFrame, mapping: Map[String, Option[String]]): DataFrame = {
+    val filtered = mapping.get(FilterKey).flatten match {
+      case Some(cond) => df.filter(expr(cond))
+      case None       => df
+    }
+    mapping.view.filterKeys(_ != FilterKey).toSeq.sortBy(_._1)
+      .foldLeft(filtered) {
+        case (acc, (name, Some(e))) => acc.withColumn(name, expr(e))
+        case (acc, (name, None))    => acc.drop(name)
+      }
+  }
+}

@@ -104,8 +104,10 @@ object Dedup {
     * and recall-tested against [[ngramNearDups]] in the test suite. */
   def minhashCandidatesXx(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // pmod keeps hashes inside the prime field (ANSI mode would overflow
+    // on 64-bit products otherwise)
     val sh = docs.select(col(idCol).as("id"),
-        expr(s"transform(split($textCol, ' '), w -> xxhash64(w))").as("wh"))
+        expr(s"transform(split($textCol, ' '), w -> pmod(xxhash64(w), ${graft.functions.HashExprs.P}))").as("wh"))
       .select(col("id"), expr(sparkShingles("wh")).as("sh"))
     val bands = sh
       .select(col("id"), expr(sparkMinhash("sh")).as("mh"))

@@ -46,16 +46,34 @@ object Similarity {
     emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       expr(sparkRpBucket(vecCol, numPlanes, dim)).as("bucket"))
 
-  /** ANN top-k searching only within the query's LSH bucket. */
+  /** ANN top-k searching only within the query's LSH bucket(s).
+    *
+    * `tables` independent hash tables (disjoint plane sets) trade compute
+    * for recall the standard way: a candidate pair only needs to collide in
+    * ONE table. Each table is a separate equi-join on its bucket id (shuffle
+    * hash join — never a cartesian), unioned and deduplicated before
+    * scoring, so the plan stays shuffle-bounded at any corpus size. */
   def rpLshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 4, dim: Int = 64): DataFrame = {
-    val b = withBucket(emb, idCol, vecCol, numPlanes, dim)
+      numPlanes: Int = 4, dim: Int = 64, tables: Int = 1): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withBuckets = (0 until tables).foldLeft(e) { (df, t) =>
+      // table t uses planes [t*numPlanes, (t+1)*numPlanes): offset the plane
+      // index by passing a shifted plane range through the bucket expr
+      df.withColumn(s"bucket_$t",
+        expr(sparkRpBucketOffset("v", numPlanes, dim, t * numPlanes)))
+    }
+    val candidates = (0 until tables).map { t =>
+      withBuckets.select(col("id").as("query_id"), col(s"bucket_$t").as("bk"))
+        .join(withBuckets.select(col("id").as("neighbor_id"),
+          col(s"bucket_$t").as("bk2")),
+          col("bk") === col("bk2") && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _).distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    b.select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
-      .join(b.select(col("id").as("neighbor_id"), col("v").as("cv"),
-        col("bucket").as("nbucket")),
-        col("bucket") === col("nbucket") && col("query_id") =!= col("neighbor_id"))
+    candidates
+      .join(e.select(col("id"), col("v").as("qv")), col("query_id") === col("id")).drop("id")
+      .join(e.select(col("id"), col("v").as("cv")), col("neighbor_id") === col("id")).drop("id")
       .withColumn("cos", expr(sparkCosine("qv", "cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

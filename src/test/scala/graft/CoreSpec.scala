@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+class CoreSpec extends AnyFunSuite {
+
+  // size-parser semantics mirror reference utils/__init__.py:4-22
+  test("size parser converts K/M/G case-insensitively") {
+    assert(SizeParser.convertSizeToBytes("1K") === 1024L)
+    assert(SizeParser.convertSizeToBytes("200m") === 200L * 1024 * 1024)
+    assert(SizeParser.convertSizeToBytes("2G") === 2L * 1024 * 1024 * 1024)
+  }
+
+  test("size parser matches only the prefix (200MB parses as 200M)") {
+    assert(SizeParser.convertSizeToBytes("200MB") === 200L * 1024 * 1024)
+  }
+
+  test("size parser rejects unitless and malformed strings") {
+    intercept[InvalidConfigException](SizeParser.convertSizeToBytes("123"))
+    intercept[InvalidConfigException](SizeParser.convertSizeToBytes("abc"))
+  }
+
+  test("config parses extra fields with declared types") {
+    val cfg = GraftConfig(hdfsDestinationPath = "/x",
+      extraFields = Some("a=1,b=two"),
+      extraFieldsTypes = Some("a=integer,b=string"))
+    assert(cfg.parsedExtraFields === Seq(("a", "1", "integer"), ("b", "two", "string")))
+  }
+
+  test("config rejects extra field without a type") {
+    val cfg = GraftConfig(hdfsDestinationPath = "/x", extraFields = Some("a=1"))
+    intercept[InvalidConfigException](cfg.parsedExtraFields)
+  }
+
+  test("config json parsing + stream maps") {
+    val cfg = GraftConfig.fromJson(
+      """{"hdfs_destination_path": "/out", "compression_method": "snappy",
+         |"partition_cols": "lang,source",
+         |"stream_maps": {"t": {"renamed": "col1", "col1": null, "__filter__": "col1 > 1"}}}""".stripMargin)
+    assert(cfg.compressionMethod === "snappy")
+    assert(cfg.partitionCols === Seq("lang", "source"))
+    assert(cfg.streamMaps("t")("renamed") === Some("col1"))
+    assert(cfg.streamMaps("t")("col1") === None)
+  }
+
+  test("singer message parse dispatches all four types") {
+    assert(SingerMessage.parse("""{"type":"SCHEMA","stream":"s","schema":{"properties":{}},"key_properties":["a"]}""")
+      .asInstanceOf[SchemaMessage].keyProperties === Seq("a"))
+    assert(SingerMessage.parse("""{"type":"RECORD","stream":"s","record":{"a":1}}""")
+      .asInstanceOf[RecordMessage].recordJson === """{"a":1}""")
+    assert(SingerMessage.parse("""{"type":"STATE","value":{"x":2}}""")
+      .asInstanceOf[StateMessage].valueJson === """{"x":2}""")
+    assert(SingerMessage.parse("""{"type":"ACTIVATE_VERSION","stream":"s","version":7}""")
+      .asInstanceOf[ActivateVersionMessage].version === 7L)
+  }
+}

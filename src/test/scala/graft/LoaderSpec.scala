@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.core.GraftConfig
+import graft.loader.SingerLoader
+
+/** End-to-end loader tests over the FIXTURES.md Singer messages. */
+class LoaderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def tmpDir(): String = Files.createTempDirectory("graft-loader").toString
+
+  val fixture = Seq(
+    """{"type": "SCHEMA", "stream": "t", "schema": {"type": "object", "properties": {"col1": {"type": ["integer", "null"]}, "col2": {"type": ["string", "null"]}, "col3": {"type": ["boolean", "null"]}}}, "key_properties": ["col1"]}""",
+    """{"type": "RECORD", "stream": "t", "record": {"col1": 1, "col2": "a", "col3": true}}""",
+    """{"type": "RECORD", "stream": "t", "record": {"col1": 2, "col2": "b", "col3": false}}""",
+    """{"type": "RECORD", "stream": "t", "record": {"col1": 3, "col2": "c", "col3": true}}""",
+    """{"type": "STATE", "value": {"bookmarks": {"t": {"replication_key_value": 3}}}}""")
+
+  def writeFixture(lines: Seq[String]): String = {
+    val f = Files.createTempFile("singer", ".jsonl")
+    Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("canonical 3-column stream loads with typed schema and state") {
+    val out = tmpDir()
+    val result = SingerLoader.loadFile(spark, writeFixture(fixture),
+      GraftConfig(hdfsDestinationPath = out))
+    assert(result.streams === Seq("t"))
+    assert(result.lastState.exists(_.contains("replication_key_value")))
+    val back = spark.read.parquet(s"$out/t")
+    assert(back.count() === 3)
+    assert(back.schema === StructType(Seq(
+      StructField("col1", LongType), StructField("col2", StringType),
+      StructField("col3", BooleanType))))
+  }
+
+  test("nested records are flattened; arrays JSON-stringified") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      """{"type": "SCHEMA", "stream": "n", "schema": {"type": "object", "properties": {"id": {"type": "integer"}, "user": {"type": "object", "properties": {"name": {"type": "string"}, "address": {"type": "object", "properties": {"city": {"type": "string"}}}}}, "tags": {"type": "array", "items": {"type": "string"}}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "n", "record": {"id": 1, "user": {"name": "ann", "address": {"city": "lisbon"}}, "tags": ["x", "y"]}}""")),
+      GraftConfig(hdfsDestinationPath = out))
+    val back = spark.read.parquet(s"$out/n")
+    assert(back.columns.toSeq === Seq("id", "user__name", "user__address__city", "tags"))
+    assert(back.collect().head.getString(3) === """["x","y"]""")
+  }
+
+  test("extra fields are appended with declared types") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(fixture),
+      GraftConfig(hdfsDestinationPath = out,
+        extraFields = Some("source=fixture,run=7"),
+        extraFieldsTypes = Some("source=string,run=integer")))
+    val back = spark.read.parquet(s"$out/t")
+    assert(back.schema("run").dataType === LongType)
+    assert(back.select("source").distinct().collect().head.getString(0) === "fixture")
+  }
+
+  test("partition_cols produces hive layout") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(fixture),
+      GraftConfig(hdfsDestinationPath = out, partitionCols = Seq("col3")))
+    val dirs = new java.io.File(s"$out/t").listFiles().map(_.getName).filter(_.startsWith("col3="))
+    assert(dirs.toSet === Set("col3=true", "col3=false"))
+  }
+
+  test("stream maps rename/derive/drop/filter") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(fixture),
+      GraftConfig(hdfsDestinationPath = out,
+        streamMaps = Map("t" -> Map(
+          "__filter__" -> Some("col1 > 1"),
+          "doubled" -> Some("col1 * 2"),
+          "col2" -> None))))
+    val back = spark.read.parquet(s"$out/t")
+    assert(back.columns.toSeq.sorted === Seq("col1", "col3", "doubled"))
+    assert(back.count() === 2)
+    assert(back.selectExpr("sum(doubled)").collect().head.getLong(0) === 10L)
+  }
+
+  test("multiple streams demux to separate dirs") {
+    val out = tmpDir()
+    val result = SingerLoader.loadFile(spark, writeFixture(Seq(
+      """{"type": "SCHEMA", "stream": "a", "schema": {"type": "object", "properties": {"x": {"type": "integer"}}}}""",
+      """{"type": "SCHEMA", "stream": "b", "schema": {"type": "object", "properties": {"y": {"type": "string"}}}}""",
+      """{"type": "RECORD", "stream": "a", "record": {"x": 1}}""",
+      """{"type": "RECORD", "stream": "b", "record": {"y": "z"}}""",
+      """{"type": "RECORD", "stream": "a", "record": {"x": 2}}""")),
+      GraftConfig(hdfsDestinationPath = out))
+    assert(result.streams.toSet === Set("a", "b"))
+    assert(spark.read.parquet(s"$out/a").count() === 2)
+    assert(spark.read.parquet(s"$out/b").count() === 1)
+  }
+}

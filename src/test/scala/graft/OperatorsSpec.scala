@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Dedup, Similarity}
+
+/** Operator semantics + LSH quality, measured against brute force on the
+  * sf0.001 testdata. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+  def docs = spark.read.parquet(s"$sf/documents.parquet")
+  def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("as-of join picks latest right row at-or-before left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (2L, 5L), (3L, 20L)).toDF("id", "ts")
+    val right = Seq((100L, 10L, "a"), (100L, 15L, "b")).toDF("k", "ts", "v")
+      .withColumnRenamed("ts", "rts")
+    val l = left.withColumn("k", lit(100L))
+    val out = AsOfJoin.joinBackward(l, right,
+      Seq("k"), Seq("k"), "ts", "rts", Seq("v"))
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a")   // ts=10 matches rts=10 (>= semantics)
+    assert(out(2L) === null)  // nothing at-or-before ts=5
+    assert(out(3L) === "b")   // latest at-or-before 20 is 15
+  }
+
+  test("minhash LSH finds every near-dup pair the brute-force oracle finds") {
+    val brute = Dedup.ngramNearDups(docs, "doc_id", "text", 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "testdata should contain near-dups")
+    // verification step makes LSH ⊆ brute; recall is the real metric
+    assert(lsh.subsetOf(brute))
+    val recall = lsh.size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recall $recall (found ${lsh.size}/${brute.size})")
+  }
+
+  test("xxhash64 minhash candidates also cover the brute-force pairs") {
+    val brute = Dedup.ngramNearDups(docs, "doc_id", "text", 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidatesXx(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(cand.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"xx candidate recall $recall")
+  }
+
+  test("simhash: exact duplicates collide, fingerprints discriminate") {
+    import spark.implicits._
+    val fps = Dedup.simhashFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.values.toSet.size > 50, "fingerprints should spread")
+    // duplicate the corpus under shifted ids: every (id, id+100000) pair has
+    // identical text => identical simhash and token set => must be found
+    val dup = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val pairs = Dedup.simhashNearDups(docs.select("doc_id", "text").unionByName(dup),
+        "doc_id", "text", 0, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = docs.count()
+    val selfPairs = pairs.count { case (a, b) => b == a + 100000 }
+    assert(selfPairs === nDocs)
+  }
+
+  test("rp-lsh ANN: multi-table raises recall vs single table") {
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recallOf(tables: Int): Double = {
+      val lsh = Similarity.rpLshTopK(emb, "vec_id", "embedding", 3, 4, 64, tables)
+        .filter(col("rank") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      brute.count { case (q, n) => lsh.get(q).contains(n) }.toDouble / brute.size
+    }
+    val r1 = recallOf(1); val r3 = recallOf(3)
+    assert(r3 > r1, s"multi-table recall $r3 should beat single-table $r1")
+    assert(r3 >= 0.35, s"3-table rank-1 recall $r3")
+  }
+
+  test("exact dedup keeps one row per key") {
+    val doubled = docs.unionByName(docs)
+    val out = Dedup.exact(doubled, Seq("text"), "doc_id")
+    assert(out.count() === docs.count())
+    assert(out.agg(max("copies")).collect().head.getLong(0) === 2L)
+  }
+}
