@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   /** Every declared query, across all families. */
-  def all: Seq[Q] = Relational.defs ++ Scalar.defs ++ Extensions.defs
+  def all: Seq[Q] =
+    Relational.defs ++ Scalar.defs ++ Extensions.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.core.GraftConfig
+import graft.loader.SingerLoader
+
+/** Structured-Streaming front end for the Singer loader: a file-source
+  * stream of JSONL feeds `foreachBatch`, each micro-batch running the exact
+  * batch dataflow ([[SingerLoader.load]]) — flatten, stream maps, extra
+  * fields, compaction write. The checkpoint directory plays the reference's
+  * STATE role (at-least-once commit of consumed input), which is precisely
+  * the reference's delivery contract (SURVEY §3.1 step 6).
+  *
+  * The reference's streaming is unwindowed pass-through with bounded
+  * buffers; micro-batches bound memory the same way (`maxFilesPerTrigger`).
+  * Event-time windowing, when wanted, composes on the *loaded* tables — see
+  * [[WindowedAgg]].
+  */
+object StreamingLoader {
+
+  def start(spark: SparkSession, inputDir: String, config: GraftConfig,
+      checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", 16)
+      .text(inputDir)
+    val writer = lines.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import batch.sparkSession.implicits._
+        SingerLoader.load(batch.sparkSession, batch.as[String], config)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+}
+
+/** Event-time windowed aggregation with watermarking — the streaming-side
+  * operator surface (tumbling/sliding windows, late-data drop). */
+object WindowedAgg {
+
+  /** Tumbling-window counts/sums per key with a watermark; late rows beyond
+    * `lateness` are dropped by Spark's state eviction. */
+  def tumblingCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("total_value"))
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.core.GraftConfig
+import graft.streaming.{StreamingLoader, WindowedAgg}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming loader ingests singer files through foreachBatch") {
+    val in = Files.createTempDirectory("graft-stream-in").toString
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    Files.write(java.nio.file.Paths.get(s"$in/batch1.jsonl"), Seq(
+      """{"type": "SCHEMA", "stream": "t", "schema": {"type": "object", "properties": {"col1": {"type": "integer"}, "col2": {"type": "string"}}}}""",
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 1, "col2": "a"}}""",
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 2, "col2": "b"}}""").mkString("\n").getBytes)
+
+    val q = StreamingLoader.start(spark, in, GraftConfig(hdfsDestinationPath = out),
+      ckpt, availableNow = true)
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$out/t").count() === 2)
+  }
+
+  test("tumbling window with watermark aggregates event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = WindowedAgg.tumblingCounts(df, "ts", "event_type", "10 minutes", "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first two windows
+    mem.addData((ts(40), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_type, n, total_value FROM win_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows.contains(("click", 2L, 3.0)))
+    assert(rows.contains(("view", 1L, 5.0)))
+  }
+}
