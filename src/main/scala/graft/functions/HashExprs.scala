@@ -63,11 +63,28 @@ object HashExprs {
     "array(" + bands.mkString(",\n      ") + ")"
   }
 
-  /** 16-bit simhash over the (frequency-weighted) word-hash array. */
-  def sparkSimhash(wh: String): String =
-    s"""aggregate(sequence(0, 15), 0L, (acc, b) ->
-       |  acc + IF(2 * size(filter($wh, h -> (h div shiftleft(1L, b)) % 2 = 1))
-       |           > size($wh), shiftleft(1L, b), 0L))""".stripMargin
+  /** SimHash configuration: 30 usable bits (hashes live mod P < 2^30),
+    * banded into 5 six-bit chunks. Pigeonhole: any pair within Hamming
+    * distance 4 shares at least one unchanged chunk, so chunk-equality
+    * candidates are COMPLETE for ham<=4 — banding is a pure speedup, not an
+    * approximation. */
+  val SimhashBits = 30
+  val SimhashChunks = 5
+  val SimhashChunkBits = 6
+  val SimhashMaxHamming = 4
+
+  /** simhash over a hash-array column: bit b of the fingerprint is the
+    * majority vote of bit b across the array's hashes. */
+  def sparkSimhash(arr: String): String =
+    s"""aggregate(sequence(0, ${SimhashBits - 1}), 0L, (acc, b) ->
+       |  acc + IF(2 * size(filter($arr, h -> (h div shiftleft(1L, b)) % 2 = 1))
+       |           > size($arr), shiftleft(1L, b), 0L))""".stripMargin
+
+  /** fingerprint -> array of banded chunk keys (chunk index mixed in). */
+  def sparkSimhashChunks(f: String): String =
+    "array(" + (0 until SimhashChunks).map { j =>
+      s"((($f div ${1L << (j * SimhashChunkBits)}) % ${1L << SimhashChunkBits}) * $SimhashChunks + $j)"
+    }.mkString(", ") + ")"
 
   // --------------------------------------------------------------- DuckDB
   def duckCharHash(s: String): String =
@@ -98,9 +115,14 @@ object HashExprs {
     "[" + bands.mkString(",\n      ") + "]"
   }
 
-  def duckSimhash(wh: String): String =
-    s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16), b ->
-       |  CASE WHEN 2 * len(list_filter($wh, h -> (h // (1::BIGINT << b)) % 2 = 1))
-       |            > len($wh) THEN (1::BIGINT << b) ELSE 0::BIGINT END)),
+  def duckSimhash(arr: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, $SimhashBits), b ->
+       |  CASE WHEN 2 * len(list_filter($arr, h -> (h // (1::BIGINT << b)) % 2 = 1))
+       |            > len($arr) THEN (1::BIGINT << b) ELSE 0::BIGINT END)),
        |  (acc, x) -> acc + x)""".stripMargin
+
+  def duckSimhashChunks(f: String): String =
+    "[" + (0 until SimhashChunks).map { j =>
+      s"((($f // ${1L << (j * SimhashChunkBits)}) % ${1L << SimhashChunkBits}) * $SimhashChunks + $j)"
+    }.mkString(", ") + "]"
 }

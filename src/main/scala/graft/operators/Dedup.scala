@@ -35,6 +35,21 @@ object Dedup {
         expr(sparkWordHashes(textCol)).as("wh"))
       .select(col("id"), expr(sparkShingles("wh")).as("sh"))
 
+  /** Materialize a sketch table before joins touch it. Two reasons, both
+    * load-bearing at scale:
+    * 1. sketch tables are read multiple times (candidate join + verify) —
+    *    recomputing interpreted higher-order-function hash chains per pass
+    *    costs more than the cache;
+    * 2. an InMemoryRelation is an optimizer barrier: without it,
+    *    InferFiltersFromConstraints derives `isnotnull(<join key>)` and
+    *    pushes it below the projections, INLINING the whole hash-expression
+    *    chain into an interpreted per-row filter with every intermediate
+    *    array reference re-expanded (observed: >100x blowup — 9+ min for a
+    *    1000-doc corpus vs <1 s materialized).
+    * At 100 TB the equivalent move is writing the sketch table to storage
+    * once; MEMORY_AND_DISK is the single-job analog. */
+  private def materialized(df: DataFrame): DataFrame = df.persist()
+
   /** Jaccard(a, b) >= num/den as pure integer comparison. */
   private def jaccardGe(num: Int, den: Int) = {
     val inter = size(array_intersect(col("sa"), col("sb")))
@@ -46,7 +61,7 @@ object Dedup {
     * shingle Jaccard >= num/den. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       num: Int = 7, den: Int = 10): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol)
+    val sh = materialized(shingleTable(docs, idCol, textCol))
     val bands = sh
       .select(col("id"), expr(sparkMinhash("sh")).as("mh"))
       .select(col("id"), explode(expr(sparkBands("mh"))).as("bv"))
@@ -62,40 +77,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Brute-force n-gram Jaccard near-dup pairs — quadratic baseline. */
+  /** Exact n-gram Jaccard near-dup pairs via an inverted-index join: explode
+    * shingles, self-join on the shingle, count co-occurrences = intersection
+    * size, then filter on the integer Jaccard inequality. Identical output
+    * to the naive all-pairs comparison, but the cartesian collapses to
+    * per-shingle blocks — a shuffle-bounded plan that survives corpus
+    * growth (cost = Σ df(shingle)^2, tiny when shingles are discriminative).
+    * At web scale, drop stop-shingles first via `maxShingleDf`: a shingle in
+    * k docs contributes k^2 join rows and near-universal shingles carry no
+    * dedup signal. */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
-      num: Int = 7, den: Int = 10): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol)
-    sh.select(col("id").as("id_a"), col("sh").as("sa"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sb")),
-        col("id_a") < col("id_b"))
-      .filter(jaccardGe(num, den))
+      num: Int = 7, den: Int = 10, maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = materialized(shingleTable(docs, idCol, textCol))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val exFiltered = maxShingleDf match {
+      case Some(maxDf) =>
+        val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("s"))
+        ex.join(rare, "s")
+      case None => ex
+    }
+    val inter = exFiltered.as("a")
+      .join(exFiltered.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
       .select(col("id_a"), col("id_b"))
   }
 
-  /** id -> 16-bit simhash fingerprint over frequency-weighted word hashes. */
+  /** id -> 30-bit simhash fingerprint over the doc's distinct shingle-hash
+    * set. Shingle-level (not unigram) simhash: on narrow shared vocabularies
+    * unigram frequency profiles barely differ between documents, while
+    * shingle sets stay discriminative. */
   def simhashFingerprints(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"),
-        expr(sparkWordHashes(textCol)).as("wh"))
-      .select(col("id"), expr(sparkSimhash("wh")).as("simhash"))
+    shingleTable(docs, idCol, textCol)
+      .select(col("id"), expr(sparkSimhash("sh")).as("simhash"))
 
-  /** SimHash candidate pairs within `maxHamming`, verified by distinct-token
-    * Jaccard >= num/den. The Hamming prefilter is what scales: fingerprints
-    * are single longs, so the candidate join is tiny compared to shingle
-    * arrays. */
+  /** SimHash near-dup pairs: banded chunk join for candidates (COMPLETE for
+    * Hamming <= [[graft.functions.HashExprs.SimhashMaxHamming]] by
+    * pigeonhole — see HashExprs), Hamming filter on the single-long
+    * fingerprints, then exact shingle-Jaccard verification. The candidate
+    * join carries only (id, chunk-key): narrow rows, shuffle-bounded, no
+    * cartesian anywhere. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 2, num: Int = 1, den: Int = 2): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
-        expr(sparkWordHashes(textCol)).as("whf"))
-      .select(col("id"), array_distinct(col("whf")).as("wh"),
-        expr(sparkSimhash("whf")).as("f"))
-    val pairs = base.select(col("id").as("id_a"), col("wh").as("sa"), col("f").as("fa"))
-      .join(base.select(col("id").as("id_b"), col("wh").as("sb"), col("f").as("fb")),
-        col("id_a") < col("id_b"))
-      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= maxHamming)
+      maxHamming: Int = SimhashMaxHamming, num: Int = 1, den: Int = 2): DataFrame = {
+    val sh = materialized(shingleTable(docs, idCol, textCol))
+    val fp = materialized(sh.select(col("id"), expr(sparkSimhash("sh")).as("f")))
+    val chunks = fp.select(col("id"), col("f"),
+      explode(expr(sparkSimhashChunks("f"))).as("ck"))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"), col("a.ck") === col("b.ck") && col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.f").bitwiseXOR(col("b.f"))) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("id"), col("sh").as("sa")), cand("id_a") === col("id")).drop("id")
+      .join(sh.select(col("id"), col("sh").as("sb")), cand("id_b") === col("id"))
       .filter(jaccardGe(num, den))
-    pairs.select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Scale-path MinHash candidates using Spark's native xxhash64 for word
@@ -109,7 +153,8 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
         expr(s"transform(split($textCol, ' '), w -> pmod(xxhash64(w), ${graft.functions.HashExprs.P}))").as("wh"))
       .select(col("id"), expr(sparkShingles("wh")).as("sh"))
-    val bands = sh
+    val shMat = materialized(sh)
+    val bands = shMat
       .select(col("id"), expr(sparkMinhash("sh")).as("mh"))
       .select(col("id"), explode(expr(sparkBands("mh"))).as("bv"))
     bands.as("a")

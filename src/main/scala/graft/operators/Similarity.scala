@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorExprs._
+import graft.functions.VecDot.vecDot
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
@@ -28,12 +29,16 @@ object Similarity {
     * cosine (excluding self-matches by id), ranked desc with id tiebreak. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms are hoisted to one computation per VECTOR (not per pair);
+    // cos = dot/(nrm_a*nrm_b) is the identical IEEE op sequence
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", expr(sparkCosine("qv", "cv")))
+      .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -56,12 +61,15 @@ object Similarity {
   def rpLshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 4, dim: Int = 64, tables: Int = 1): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // persist: bucket ids are consumed by `tables` self-joins, and the
+    // materialization barrier keeps the optimizer from inlining the bucket
+    // HOF chains into pushed-down isnotnull filters (see Dedup.materialized)
     val withBuckets = (0 until tables).foldLeft(e) { (df, t) =>
       // table t uses planes [t*numPlanes, (t+1)*numPlanes): offset the plane
       // index by passing a shifted plane range through the bucket expr
       df.withColumn(s"bucket_$t",
         expr(sparkRpBucketOffset("v", numPlanes, dim, t * numPlanes)))
-    }
+    }.persist()
     val candidates = (0 until tables).map { t =>
       withBuckets.select(col("id").as("query_id"), col(s"bucket_$t").as("bk"))
         .join(withBuckets.select(col("id").as("neighbor_id"),
@@ -69,12 +77,15 @@ object Similarity {
           col("bk") === col("bk2") && col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"))
     }.reduce(_ unionByName _).distinct()
+    val withNorm = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v")))).persist()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     candidates
-      .join(e.select(col("id"), col("v").as("qv")), col("query_id") === col("id")).drop("id")
-      .join(e.select(col("id"), col("v").as("cv")), col("neighbor_id") === col("id")).drop("id")
-      .withColumn("cos", expr(sparkCosine("qv", "cv")))
+      .join(withNorm.select(col("id"), col("v").as("qv"), col("nrm").as("qn")),
+        col("query_id") === col("id")).drop("id")
+      .join(withNorm.select(col("id"), col("v").as("cv"), col("nrm").as("cn")),
+        col("neighbor_id") === col("id")).drop("id")
+      .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
@@ -86,11 +97,12 @@ object Similarity {
     * to the default 0.45 threshold is 5.5e-4 away). */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.45): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    e.select(col("id").as("id_a"), col("v").as("qv"))
-      .join(e.select(col("id").as("id_b"), col("v").as("cv")),
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
+    e.select(col("id").as("id_a"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(e.select(col("id").as("id_b"), col("v").as("cv"), col("nrm").as("cn")),
         col("id_a") < col("id_b"))
-      .filter(round(expr(sparkCosine("qv", "cv")), 4) >= threshold)
+      .filter(round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 }

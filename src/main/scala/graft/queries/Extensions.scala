@@ -58,18 +58,22 @@ object Extensions {
     Q("text_simhash", (s, d) =>
       Dedup.simhashFingerprints(t(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id"),
-      Some(s"""WITH wh AS (SELECT doc_id, ${H.duckWordHashes("text")} AS wh FROM documents)
-        |SELECT doc_id, ${H.duckSimhash("wh")} AS simhash FROM wh""".stripMargin)),
+      Some(s"""$docsSql
+        |SELECT doc_id, ${H.duckSimhash("sh")} AS simhash FROM sh""".stripMargin)),
 
     Q("dedup_simhash", (s, d) =>
-      Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text", 2, 1, 2),
-      Some(s"""WITH whf AS (SELECT doc_id, ${H.duckWordHashes("text")} AS whf FROM documents),
-        |base AS (SELECT doc_id, list_distinct(whf) AS wh, ${H.duckSimhash("whf")} AS f FROM whf)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM base a JOIN base b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.f, b.f)) <= 2
-        |  AND len(list_intersect(a.wh, b.wh)) * 2
-        |      >= (len(a.wh) + len(b.wh) - len(list_intersect(a.wh, b.wh))) * 1""".stripMargin)),
+      Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text"),
+      Some(s"""$docsSql,
+        |fp AS (SELECT doc_id, ${H.duckSimhash("sh")} AS f FROM sh),
+        |ck AS (SELECT doc_id, f, unnest(${H.duckSimhashChunks("f")}) AS ck FROM fp),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM ck a JOIN ck b ON a.ck = b.ck AND a.doc_id < b.doc_id
+        |         WHERE bit_count(xor(a.f, b.f)) <= ${H.SimhashMaxHamming})
+        |SELECT id_a, id_b
+        |FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+        |          JOIN sh sb ON cand.id_b = sb.doc_id
+        |WHERE len(list_intersect(sa.sh, sb.sh)) * 2
+        |      >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 1""".stripMargin)),
 
     Q("dedup_embed", (s, d) =>
       Similarity.cosineNearDups(t(s, d, "embeddings"), "vec_id", "embedding", 0.45),
