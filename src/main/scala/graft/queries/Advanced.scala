@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TypedAggregators
+
+/** Remaining query-surface coverage: user-defined typed aggregation (UDAF),
+  * exact percentiles, sketch aggregates, pivot. */
+object Advanced {
+  import Tables.t
+
+  def defs: Seq[Q] = Seq(
+    // typed Aggregator through the untyped UDAF surface; math mirrors in SQL
+    Q("q28_typed_agg", (s, d) => {
+      val sumsq = udaf(TypedAggregators.SumOfSquares)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(round(sumsq(col("l_quantity")), 2).as("sum_qty_sq"),
+          count(lit(1)).as("n"))
+    }, Some("""
+      SELECT l_returnflag AS rflag,
+             round(sum(l_quantity * l_quantity), 2) AS sum_qty_sq,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // exact median over integer-scaled values: midpoint interpolation is
+    // exact (x.0 / x.5), so engines agree bit-for-bit after x10 scaling
+    Q("q29_percentile", (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus").as("lstatus"))
+        .agg(
+          expr("CAST(percentile(CAST(l_quantity * 100 AS BIGINT), 0.5D) * 10 AS BIGINT)")
+            .as("median_qty_x1000"),
+          expr("CAST(percentile(CAST(l_quantity * 100 AS BIGINT), 0.25D) * 10 AS BIGINT)")
+            .as("p25_qty_x1000")),
+      Some("""
+        SELECT l_linestatus AS lstatus,
+               CAST(quantile_cont(CAST(l_quantity * 100 AS BIGINT), 0.5) * 10 AS BIGINT) AS median_qty_x1000,
+               CAST(quantile_cont(CAST(l_quantity * 100 AS BIGINT), 0.25) * 10 AS BIGINT) AS p25_qty_x1000
+        FROM lineitem GROUP BY l_linestatus""")),
+
+    // HLL++ sketch count — no oracle (sketch internals are engine-specific);
+    // driver records the weaker rows-only check, and the ScalaTest suite
+    // asserts the estimate lands within the documented error bound
+    Q("q30_approx_distinct", (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("rflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
+      None),
+
+    // pivot: one output column per o_orderstatus value
+    Q("q31_pivot", (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(round(sum(col("o_totalprice")), 2)),
+      Some("""
+        SELECT o_orderpriority AS priority,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+        FROM orders GROUP BY o_orderpriority""")))
+}
