@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native evaluators for the text-sketch chain (word hashes → shingles →
+  * minhash / simhash). Each expression computes EXACTLY the same integer
+  * math as its SQL builder in [[HashExprs]] (and therefore the DuckDB
+  * oracle) — these exist purely because Spark evaluates higher-order
+  * functions interpreted, one virtual call per lambda step; a tight JVM
+  * loop in `eval` is 50-100x faster. `CodegenFallback` is fine here: the
+  * per-row work (hundreds of characters) dwarfs the single boxed call, the
+  * loop itself is JIT-compiled.
+  *
+  * Semantics parity notes (each mirrors its HOF equivalent):
+  * - `WordHashes` = `transform(split(text, ' '), w -> aggregate(split(w,''),...))`:
+  *   split on single space keeps empty tokens (hash 0); BMP code points.
+  * - `ShingleHashes` = first-occurrence-order distinct 3-gram combine;
+  *   `[null]` for <3 words.
+  * - `MinHashSig` skips null shingles like `array_min`.
+  * - `SimHash` counts bit-votes over non-null elements but sizes over all,
+  *   like `size(filter(...))` vs `size(arr)`.
+  */
+object HashNative {
+  import HashExprs.{P, SimhashBits, perms}
+
+  private def col(e: Expression): Column = GraftColumnBridge.column(e)
+
+  def wordHashes(text: Column): Column =
+    col(WordHashes(GraftColumnBridge.expression(text)))
+  def shingleHashes(wh: Column): Column =
+    col(ShingleHashes(GraftColumnBridge.expression(wh)))
+  def minhashSig(sh: Column): Column =
+    col(MinHashSig(GraftColumnBridge.expression(sh)))
+  def simhash(sh: Column): Column =
+    col(SimHash(GraftColumnBridge.expression(sh)))
+
+  case class WordHashes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val words = s.split(" ", -1)
+      val out = new Array[Any](words.length)
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        var acc = 0L
+        var j = 0
+        while (j < w.length) {
+          acc = (acc * 31 + w.charAt(j).toLong) % P
+          j += 1
+        }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class ShingleHashes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override protected def nullSafeEval(input: Any): Any = {
+      val wh = input.asInstanceOf[ArrayData]
+      val n = wh.numElements()
+      if (n < 3) return new GenericArrayData(Array[Any](null))
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i <= n - 3) {
+        val h = ((wh.getLong(i) * 31 + wh.getLong(i + 1)) % P * 31 +
+          wh.getLong(i + 2)) % P
+        seen.add(h)
+        i += 1
+      }
+      val out = new Array[Any](seen.size())
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class MinHashSig(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    private val as = perms.map(_._1).toArray
+    private val bs = perms.map(_._2).toArray
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override protected def nullSafeEval(input: Any): Any = {
+      val sh = input.asInstanceOf[ArrayData]
+      val n = sh.numElements()
+      val out = new Array[Any](as.length)
+      var p = 0
+      while (p < as.length) {
+        val a = as(p); val b = bs(p)
+        var min = Long.MaxValue
+        var any = false
+        var i = 0
+        while (i < n) {
+          if (!sh.isNullAt(i)) {
+            val v = (a * sh.getLong(i) + b) % P
+            if (v < min) { min = v; any = true }
+          }
+          i += 1
+        }
+        out(p) = if (any) min else null
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class SimHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val sh = input.asInstanceOf[ArrayData]
+      val n = sh.numElements()
+      val ones = new Array[Int](SimhashBits)
+      var i = 0
+      while (i < n) {
+        if (!sh.isNullAt(i)) {
+          val h = sh.getLong(i)
+          var b = 0
+          while (b < SimhashBits) {
+            ones(b) += (((h >>> b) & 1L)).toInt
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var f = 0L
+      var b = 0
+      while (b < SimhashBits) {
+        if (2 * ones(b) > n) f |= (1L << b)
+        b += 1
+      }
+      f
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+}

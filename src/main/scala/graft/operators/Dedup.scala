@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.HashExprs._
+import graft.functions.HashNative
 
 /** Deduplication operators for large-scale text corpora.
   *
@@ -32,8 +33,8 @@ object Dedup {
   /** id -> distinct word-3-shingle hash array. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
-        expr(sparkWordHashes(textCol)).as("wh"))
-      .select(col("id"), expr(sparkShingles("wh")).as("sh"))
+        HashNative.wordHashes(col(textCol)).as("wh"))
+      .select(col("id"), HashNative.shingleHashes(col("wh")).as("sh"))
 
   /** Materialize a sketch table before joins touch it. Two reasons, both
     * load-bearing at scale:
@@ -63,7 +64,7 @@ object Dedup {
       num: Int = 7, den: Int = 10): DataFrame = {
     val sh = materialized(shingleTable(docs, idCol, textCol))
     val bands = sh
-      .select(col("id"), expr(sparkMinhash("sh")).as("mh"))
+      .select(col("id"), HashNative.minhashSig(col("sh")).as("mh"))
       .select(col("id"), explode(expr(sparkBands("mh"))).as("bv"))
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
@@ -116,7 +117,7 @@ object Dedup {
   def simhashFingerprints(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     shingleTable(docs, idCol, textCol)
-      .select(col("id"), expr(sparkSimhash("sh")).as("simhash"))
+      .select(col("id"), HashNative.simhash(col("sh")).as("simhash"))
 
   /** SimHash near-dup pairs: banded chunk join for candidates (COMPLETE for
     * Hamming <= [[graft.functions.HashExprs.SimhashMaxHamming]] by
@@ -127,7 +128,7 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = SimhashMaxHamming, num: Int = 1, den: Int = 2): DataFrame = {
     val sh = materialized(shingleTable(docs, idCol, textCol))
-    val fp = materialized(sh.select(col("id"), expr(sparkSimhash("sh")).as("f")))
+    val fp = materialized(sh.select(col("id"), HashNative.simhash(col("sh")).as("f")))
     val chunks = fp.select(col("id"), col("f"),
       explode(expr(sparkSimhashChunks("f"))).as("ck"))
     val cand = chunks.as("a")
@@ -152,10 +153,10 @@ object Dedup {
     // on 64-bit products otherwise)
     val sh = docs.select(col(idCol).as("id"),
         expr(s"transform(split($textCol, ' '), w -> pmod(xxhash64(w), ${graft.functions.HashExprs.P}))").as("wh"))
-      .select(col("id"), expr(sparkShingles("wh")).as("sh"))
+      .select(col("id"), HashNative.shingleHashes(col("wh")).as("sh"))
     val shMat = materialized(sh)
     val bands = shMat
-      .select(col("id"), expr(sparkMinhash("sh")).as("mh"))
+      .select(col("id"), HashNative.minhashSig(col("sh")).as("mh"))
       .select(col("id"), explode(expr(sparkBands("mh"))).as("bv"))
     bands.as("a")
       .join(bands.as("b"), col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))

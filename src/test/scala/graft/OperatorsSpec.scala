@@ -78,6 +78,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3 >= 0.35, s"3-table rank-1 recall $r3")
   }
 
+  test("native hash expressions match the HOF SQL formulations bit-for-bit") {
+    import graft.functions.{HashExprs, HashNative}
+    val whNative = docs.select(col("doc_id"),
+      HashNative.wordHashes(col("text")).as("x"))
+    val whHof = docs.select(col("doc_id"),
+      expr(HashExprs.sparkWordHashes("text")).as("x"))
+    assert(whNative.except(whHof).count() === 0)
+    assert(whHof.except(whNative).count() === 0)
+
+    val base = docs.select(col("doc_id"),
+      expr(HashExprs.sparkWordHashes("text")).as("wh"))
+      .select(col("doc_id"), expr(HashExprs.sparkShingles("wh")).as("sh"))
+    val shNative = docs.select(col("doc_id"),
+      HashNative.shingleHashes(HashNative.wordHashes(col("text"))).as("sh"))
+    assert(shNative.except(base).count() === 0)
+
+    val sigHof = base.select(col("doc_id"), expr(HashExprs.sparkMinhash("sh")).as("x"))
+    val sigNative = shNative.select(col("doc_id"), HashNative.minhashSig(col("sh")).as("x"))
+    assert(sigNative.except(sigHof).count() === 0)
+
+    val simHof = base.select(col("doc_id"), expr(HashExprs.sparkSimhash("sh")).as("x"))
+    val simNative = shNative.select(col("doc_id"), HashNative.simhash(col("sh")).as("x"))
+    assert(simNative.except(simHof).count() === 0)
+  }
+
   test("exact dedup keeps one row per key") {
     val doubled = docs.unionByName(docs)
     val out = Dedup.exact(doubled, Seq("text"), "doc_id")
