@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-distribution operators for cluster scale: bucketed co-located
+  * joins and salted skew joins. On local[32] these are exercised by tests
+  * that assert the *plan shape* (no shuffle for bucketed joins; identical
+  * results for salted joins) — the properties that matter at 1000
+  * executors.
+  */
+object Distribution {
+
+  /** Write `df` as a bucketed, sorted table. Repeated joins/aggregations on
+    * `bucketCols` then read pre-partitioned data: no exchange on either
+    * side — the bucketing metadata replaces the shuffle. This is the
+    * batch-ingest analog of the loader's partitioned write, aimed at join
+    * keys instead of pruning predicates. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Inner equi-join with salt-and-replicate skew mitigation: the skewed
+    * side's rows are spread across `factor` sub-keys (uniform per-row
+    * salt), the dim side is replicated `factor` times. Hot keys fan out to
+    * `factor` tasks instead of one straggler. Result set is identical to
+    * the plain join; AQE's skew-join handles the same problem adaptively,
+    * this is the explicit form for when statistics miss (e.g. a first
+    * pass over unprofiled data). */
+  def saltedJoin(skewed: DataFrame, dim: DataFrame, key: String,
+      factor: Int): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(factor.toLong)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor.toLong - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** True iff the physical plan of `df` contains a shuffle exchange —
+    * test/diagnostic hook for the co-location guarantees above. */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString().contains("Exchange hashpartitioning")
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Streaming-side dedup + custom state.
+  *
+  * The Singer delivery contract is at-least-once (STATE echo after commit —
+  * SURVEY §3.1 step 6): a crash between write and state echo replays
+  * records. `dedupWithinWatermark` drops those replays inside the watermark
+  * horizon with bounded state — the streaming counterpart of
+  * [[graft.operators.Dedup.exact]].
+  */
+object StreamingDedup {
+
+  /** Exact streaming dedup on key columns with watermark-bounded state.
+    * State size is O(keys within the lateness horizon), not O(stream). */
+  def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      lateness: String): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  final case class KeyCount(key: String, n: Long)
+
+  /** Custom-state surface (`mapGroupsWithState`): running per-key event
+    * counts across micro-batches. The state is one long per key — the
+    * minimal stateful-operator shape on which session windows, CDC upserts,
+    * and incremental sketches are all built. */
+  def runningCounts(events: DataFrame, keyCol: String): Dataset[KeyCount] = {
+    implicit val enc: Encoder[KeyCount] = Encoders.product[KeyCount]
+    implicit val se: Encoder[Long] = Encoders.scalaLong
+    implicit val ke: Encoder[String] = Encoders.STRING
+    events.select(col(keyCol).cast("string"))
+      .as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, KeyCount] {
+        (key: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          KeyCount(key, n)
+      }
+  }
+}

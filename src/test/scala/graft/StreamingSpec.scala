@@ -25,6 +25,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/t").count() === 2)
   }
 
+  test("streaming dedup drops at-least-once replay duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("event_id", "ts")
+    val dedup = graft.streaming.StreamingDedup
+      .dedupWithinWatermark(df, Seq("event_id"), "ts", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    mem.addData((1L, ts(1)), (2L, ts(2)), (1L, ts(1)))   // dup in batch
+    q.processAllAvailable()
+    mem.addData((2L, ts(2)), (3L, ts(3)))                // replay across batch
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT event_id FROM dedup_out").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("mapGroupsWithState keeps running per-key counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val counts = graft.streaming.StreamingDedup
+      .runningCounts(mem.toDF().toDF("k"), "k")
+    val q = counts.toDF().writeStream.format("memory").queryName("rc_out")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData("a", "a", "b")
+    q.processAllAvailable()
+    mem.addData("a", "b", "c")
+    q.processAllAvailable()
+    // last update per key wins
+    val last = spark.sql("SELECT key, max(n) FROM rc_out GROUP BY key").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(last === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
   test("tumbling window with watermark aggregates event time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
