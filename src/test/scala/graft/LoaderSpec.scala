@@ -82,6 +82,27 @@ class LoaderSpec extends AnyFunSuite {
     assert(back.selectExpr("sum(doubled)").collect().head.getLong(0) === 10L)
   }
 
+  test("driver documents table round-trips through the Singer pipeline") {
+    // FIXTURES.md §2: dump a real testdata table as Singer JSONL (inline
+    // SCHEMA + one RECORD per row), ingest it, compare to the direct read
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val schema =
+      """{"type": "SCHEMA", "stream": "documents", "schema": {"type": "object", "properties": {
+        |"doc_id": {"type": ["integer", "null"]}, "text": {"type": ["string", "null"]},
+        |"lang": {"type": ["string", "null"]}, "source": {"type": ["string", "null"]},
+        |"n_chars": {"type": ["integer", "null"]}}}}""".stripMargin.replaceAll("\n", "")
+    val records = docs.toJSON.collect().map(r =>
+      s"""{"type": "RECORD", "stream": "documents", "record": $r}""")
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(schema +: records.toSeq),
+      GraftConfig(hdfsDestinationPath = out))
+    val back = spark.read.parquet(s"$out/documents")
+    assert(back.schema === docs.schema)
+    assert(back.count() === docs.count())
+    assert(back.except(docs).count() === 0)
+    assert(docs.except(back).count() === 0)
+  }
+
   test("multiple streams demux to separate dirs") {
     val out = tmpDir()
     val result = SingerLoader.loadFile(spark, writeFixture(Seq(
