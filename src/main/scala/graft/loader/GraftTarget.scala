@@ -33,6 +33,7 @@ object GraftTarget {
         tmp.toString
       }
 
+    val hadSession = SparkSession.getActiveSession.isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-target")
@@ -47,6 +48,6 @@ object GraftTarget {
       val result = SingerLoader.loadFile(spark, input, config)
       // state echo AFTER successful commit = at-least-once checkpoint
       result.lastState.foreach(println)
-    } finally spark.stop()
+    } finally if (!hadSession) spark.stop() // don't kill a caller's session
   }
 }

@@ -47,6 +47,17 @@ object Advanced {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
       None),
 
+    // generator/table-function surface: one output row per input token
+    Q("q32_posexplode", (s, d) =>
+      t(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "token"),
+      Some("""
+        SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
+               i -> {'pos': i - 1, 'token': string_split(text, ' ')[i]}), recursive := true)
+        FROM documents WHERE doc_id < 50""")),
+
     // pivot: one output column per o_orderstatus value
     Q("q31_pivot", (s, d) =>
       t(s, d, "orders")

@@ -51,4 +51,15 @@ object WindowedAgg {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("total_value"))
+
+  /** Session windows: gap-based grouping per key — a session closes after
+    * `gap` of per-key silence (watermark advancing past it). */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n"))
 }

@@ -63,6 +63,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(last === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("session windows close after gap silence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "user")
+    val agg = graft.streaming.WindowedAgg.sessionCounts(df, "ts", "user", "5 minutes", "1 minute")
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // one session (1,2,4), silence, another session (20)
+    mem.addData((ts(1), "u"), (ts(2), "u"), (ts(4), "u"), (ts(20), "u"))
+    q.processAllAvailable()
+    mem.addData((ts(50), "u")) // advance watermark to close both sessions
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT n FROM sess_out").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(rows.toSeq === Seq(1L, 3L))
+  }
+
+  test("graft target CLI loads a file end-to-end") {
+    val in = Files.createTempFile("cli", ".jsonl")
+    Files.write(in, Seq(
+      """{"type": "SCHEMA", "stream": "t", "schema": {"type": "object", "properties": {"x": {"type": "integer"}}}}""",
+      """{"type": "RECORD", "stream": "t", "record": {"x": 5}}""",
+      """{"type": "STATE", "value": {"done": true}}""").mkString("\n").getBytes)
+    val out = Files.createTempDirectory("cli-out").toString
+    val cfg = Files.createTempFile("cfg", ".json")
+    Files.write(cfg, s"""{"hdfs_destination_path": "$out"}""".getBytes)
+    graft.loader.GraftTarget.main(Array(
+      "--config", cfg.toString, "--input", in.toString))
+    assert(spark.read.parquet(s"$out/t").count() === 1)
+    assert(!spark.sparkContext.isStopped, "CLI must not stop the caller's session")
+  }
+
   test("tumbling window with watermark aggregates event time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
