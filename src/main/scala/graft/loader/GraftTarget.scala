@@ -26,28 +26,42 @@ object GraftTarget {
     val config = GraftConfig.fromJson(
       new String(Files.readAllBytes(Paths.get(configPath)), "UTF-8"))
 
-    val input = args.sliding(2).collectFirst { case Array("--input", p) => p }
-      .getOrElse {
-        val tmp = Files.createTempFile("singer-", ".jsonl")
-        Files.copy(System.in, tmp, StandardCopyOption.REPLACE_EXISTING)
-        tmp.toString
-      }
+    val explicitInput = args.sliding(2).collectFirst { case Array("--input", p) => p }
+    val spooled = explicitInput.isEmpty
+    val input = explicitInput.getOrElse {
+      val tmp = Files.createTempFile("singer-", ".jsonl")
+      Files.copy(System.in, tmp, StandardCopyOption.REPLACE_EXISTING)
+      tmp.toString
+    }
 
-    val hadSession = SparkSession.getActiveSession.isDefined
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-target")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Session ownership: reuse a live caller session untouched (no conf
+    // mutation, no stop); otherwise create our own and stop it when done.
+    // getActiveSession is thread-local, getDefaultSession is the global
+    // fallback getOrCreate would reuse — check both, and filter stopped
+    // contexts so a stopped-but-registered session doesn't fool the guard.
+    val prior = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .filter(s => !s.sparkContext.isStopped)
+    val spark = prior.getOrElse {
+      val s = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .appName("graft-target")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
     try {
       val result = SingerLoader.loadFile(spark, input, config)
       // state echo AFTER successful commit = at-least-once checkpoint
       result.lastState.foreach(println)
-    } finally if (!hadSession) spark.stop() // don't kill a caller's session
+    } finally {
+      if (prior.isEmpty) spark.stop()
+      if (spooled) Files.deleteIfExists(Paths.get(input))
+    }
   }
 }

@@ -91,8 +91,13 @@ class StreamingSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("cli-out").toString
     val cfg = Files.createTempFile("cfg", ".json")
     Files.write(cfg, s"""{"hdfs_destination_path": "$out"}""".getBytes)
+    // materialize the shared session BEFORE main so the ownership guard is
+    // actually exercised (lazy init after main would make this vacuous)
+    val shufflePartsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     graft.loader.GraftTarget.main(Array(
       "--config", cfg.toString, "--input", in.toString))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === shufflePartsBefore,
+      "CLI must not reconfigure the caller's session")
     assert(spark.read.parquet(s"$out/t").count() === 1)
     assert(!spark.sparkContext.isStopped, "CLI must not stop the caller's session")
   }
