@@ -160,6 +160,51 @@ object Extensions {
     Q("text_fingerprint", (s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint("text").as("fp")),
-      Some(s"""SELECT doc_id, ${H.duckCharHash("text")} AS fp FROM documents"""))
+      Some(s"""SELECT doc_id, ${H.duckCharHash("text")} AS fp FROM documents""")),
+
+    // deterministic hash-based sampling / train-test split: membership is a
+    // pure function of content, so the same split reproduces on any cluster,
+    // any partitioning, any run — the property random() sampling lacks
+    Q("text_sample", (s, d) =>
+      t(s, d, "documents")
+        .filter(TextAnalysis.fingerprint("text") % 10 === 0)
+        .select(col("doc_id")),
+      Some(s"""SELECT doc_id FROM documents WHERE ${H.duckCharHash("text")} % 10 = 0""")),
+
+    // corpus-wide n-gram frequency: explode word 3-grams, count, top-20
+    Q("text_ngram_counts", (s, d) =>
+      t(s, d, "documents")
+        .select(expr(
+          """explode(CASE WHEN size(split(text, ' ')) >= 3 THEN
+            |  transform(sequence(1, size(split(text, ' ')) - 2),
+            |    i -> concat(element_at(split(text, ' '), i), ' ',
+            |                element_at(split(text, ' '), i + 1), ' ',
+            |                element_at(split(text, ' '), i + 2)))
+            |ELSE array() END""".stripMargin + ")").as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc)
+        .limit(20),
+      Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT unnest(CASE WHEN len(w) >= 3 THEN
+                list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END) AS ngram FROM w)
+        SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+        ORDER BY n DESC, ngram ASC LIMIT 20""")),
+
+    // regex feature extraction (vowel-start/-end tokens, email/url hits) —
+    // the filter-feature shape used for corpus quality gates
+    Q("text_regex", (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        expr("size(filter(split(text, ' '), t -> t rlike '^[aeiou]'))").as("n_vowel_start"),
+        expr("size(filter(split(text, ' '), t -> t rlike '[aeiou]$'))").as("n_vowel_end"),
+        expr("size(filter(split(text, ' '), t -> t rlike '^[a-z0-9.]+@[a-z0-9.]+$'))").as("n_emails")),
+      Some("""
+        SELECT doc_id,
+          len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[aeiou]'))) AS n_vowel_start,
+          len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[aeiou]$'))) AS n_vowel_end,
+          len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[a-z0-9.]+@[a-z0-9.]+$'))) AS n_emails
+        FROM documents"""))
   )
 }
