@@ -44,8 +44,43 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+
+    // Loader ingest benchmark: the reference IS a loader (single-threaded
+    // Python Singer target), so ingest throughput is the directly comparable
+    // number. Replay the events table as Singer JSONL through the full
+    // pipeline (parse -> type -> flatten -> parquet write).
+    val loaderSecs = try {
+      import org.apache.spark.sql.functions._
+      val inDir = java.nio.file.Files.createTempDirectory("bench-singer")
+      val outDir = java.nio.file.Files.createTempDirectory("bench-singer-out")
+      val events = spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", col("ts").cast("string"))
+      val nRows = events.count()
+      val schemaLine =
+        """{"type": "SCHEMA", "stream": "events", "schema": {"type": "object", "properties": {
+          |"event_id": {"type": ["integer", "null"]}, "ts": {"type": ["string", "null"]},
+          |"user_id": {"type": ["integer", "null"]}, "event_type": {"type": ["string", "null"]},
+          |"value": {"type": ["number", "null"]}, "props": {"type": ["string", "null"]}}}}"""
+          .stripMargin.replaceAll("\n", "")
+      events.selectExpr(
+        """concat('{"type": "RECORD", "stream": "events", "record": ', to_json(struct(*)), '}') AS value""")
+        .write.mode("overwrite").text(inDir.toString)
+      java.nio.file.Files.writeString(
+        inDir.resolve("0_schema.jsonl"), schemaLine + "\n")
+      val t0 = System.nanoTime()
+      graft.loader.SingerLoader.loadFile(spark, inDir.toString,
+        graft.core.GraftConfig(hdfsDestinationPath = outDir.toString,
+          compressionMethod = "snappy", skipExistingFiles = true))
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(s"[bench] loader ingested $nRows rows in $dt s (${(nRows / dt).toInt} rows/s)")
+      dt
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] loader bench failed: ${e.getMessage}"); -1.0
+    }
+
+    val all = results :+ ("loader_singer_ingest" -> loaderSecs)
+    val qs = all.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = all.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
