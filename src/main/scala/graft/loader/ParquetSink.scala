@@ -28,6 +28,8 @@ class ParquetSink(spark: SparkSession, config: GraftConfig,
     config.partitionCols.isEmpty && !config.skipExistingFiles
 
   def write(batch: DataFrame): Unit = {
+    // schema-only stream (no records): the reference writes no file either
+    if (batch.isEmpty) return
     val preload =
       if (compactionEnabled)
         Compaction.readMostRecentFile(spark, dir, streamSchema,

@@ -63,6 +63,14 @@ object SingerLoader {
       get_json_object(col("value"), "$.record").as("record"))
       .filter(col("t") === "RECORD")
 
+    // records for a stream with no SCHEMA are a protocol violation
+    // (singer-sdk raises on RECORD-before-SCHEMA; so do we)
+    val orphan = routed.select(col("stream")).distinct().collect()
+      .map(_.getString(0)).filterNot(schemas.contains)
+    if (orphan.nonEmpty)
+      throw new InvalidConfigException(
+        s"RECORD messages for streams with no SCHEMA: ${orphan.mkString(", ")}")
+
     schemas.values.foreach { sm =>
       val nested = JsonSchemaConverter.toStructType(sm.schemaJson)
       val records = routed.filter(col("stream") === sm.stream)

@@ -103,6 +103,24 @@ class LoaderSpec extends AnyFunSuite {
     assert(docs.except(back).count() === 0)
   }
 
+  test("schema-only stream loads cleanly and writes nothing") {
+    val out = tmpDir()
+    val result = SingerLoader.loadFile(spark, writeFixture(Seq(
+      """{"type": "SCHEMA", "stream": "empty", "schema": {"type": "object", "properties": {"x": {"type": "integer"}}}}""")),
+      GraftConfig(hdfsDestinationPath = out))
+    assert(result.streams === Seq("empty"))
+    assert(!new java.io.File(s"$out/empty").exists())
+  }
+
+  test("records before any schema raise a protocol error") {
+    val out = tmpDir()
+    intercept[graft.core.InvalidConfigException] {
+      SingerLoader.loadFile(spark, writeFixture(Seq(
+        """{"type": "RECORD", "stream": "ghost", "record": {"x": 1}}""")),
+        GraftConfig(hdfsDestinationPath = out))
+    }
+  }
+
   test("multiple streams demux to separate dirs") {
     val out = tmpDir()
     val result = SingerLoader.loadFile(spark, writeFixture(Seq(
