@@ -31,7 +31,33 @@ object AsOfJoin {
       rightKeys: Seq[String],
       leftTs: String,
       rightTs: String,
-      rightValues: Seq[String]): DataFrame = {
+      rightValues: Seq[String]): DataFrame =
+    joinDirectional(left, right, leftKeys, rightKeys, leftTs, rightTs,
+      rightValues, backward = true)
+
+  /** Forward as-of join: the right row with the SMALLEST `rightTs >= leftTs`
+    * per key (the "next known value" operator). Same single-shuffle
+    * union+window plan, sorted descending. */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightValues: Seq[String]): DataFrame =
+    joinDirectional(left, right, leftKeys, rightKeys, leftTs, rightTs,
+      rightValues, backward = false)
+
+  private def joinDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightValues: Seq[String],
+      backward: Boolean): DataFrame = {
     require(leftKeys.length == rightKeys.length, "key arity mismatch")
     val keyAliases = leftKeys.indices.map(i => s"__asof_k$i")
 
@@ -50,9 +76,10 @@ object AsOfJoin {
         lit(null).cast(lTagged.schema("__asof_row").dataType).as("__asof_row")) ++
         rightValues.map(v => col(v).as(s"__asof_v_$v")): _*)
 
+    val tsOrder = if (backward) col("__asof_ts").asc else col("__asof_ts").desc
     val w = Window
       .partitionBy(keyAliases.map(col): _*)
-      .orderBy(col("__asof_ts").asc, col("__asof_side").asc)
+      .orderBy(tsOrder, col("__asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = lTagged.unionByName(rTagged)

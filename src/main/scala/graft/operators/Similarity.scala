@@ -94,15 +94,35 @@ object Similarity {
 
   /** Near-duplicate pairs by embedding cosine >= threshold (rounded to 4
     * decimals so the compare sits on an exact grid; the data's nearest pair
-    * to the default 0.45 threshold is 5.5e-4 away). */
+    * to the default 0.45 threshold is 5.5e-4 away).
+    *
+    * Exact all-pairs is inherently O(n²) compute, but the JOIN need not be a
+    * broadcast nested loop: rows are assigned to `blocks` buckets and each
+    * unordered block pair becomes one equi-join key, so the cartesian is
+    * distributed across `blocks*(blocks+1)/2` hash-join tasks — ~`blocks`-x
+    * row replication buys a plan with no broadcast of the full corpus and no
+    * single straggler task, which is what survives a 1000-executor scale-up.
+    * Every unordered row pair lands in exactly one block-pair bucket, so no
+    * distinct is needed.
+    */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.45): DataFrame = {
+      threshold: Double = 0.45, blocks: Int = 8): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
-    e.select(col("id").as("id_a"), col("v").as("qv"), col("nrm").as("qn"))
-      .join(e.select(col("id").as("id_b"), col("v").as("cv"), col("nrm").as("cn")),
-        col("id_a") < col("id_b"))
-      .filter(round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4) >= threshold)
-      .select(col("id_a"), col("id_b"))
+      .withColumn("blk", pmod(col("id"), lit(blocks)))
+    // left emits (blk, j) for j in [blk, blocks); right emits (i, blk) for
+    // i in [0, blk] — pair (p, q<=p swapped) meets in bucket (min, max) once
+    val lhs = e.select(col("id").as("id_l"), col("v").as("lv"), col("nrm").as("ln"),
+      col("blk").as("bi"), explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
+    val rhs = e.select(col("id").as("id_r"), col("v").as("rv"), col("nrm").as("rn"),
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
+    lhs.join(rhs, Seq("bi", "bj"))
+      // diagonal buckets (bi == bj) see both arrangements of a pair — keep
+      // one; off-diagonal buckets see exactly one arrangement
+      .filter(col("bi") =!= col("bj") || col("id_l") < col("id_r"))
+      .filter(col("id_l") =!= col("id_r"))
+      .filter(round(vecDot(col("lv"), col("rv")) / (col("ln") * col("rn")), 4) >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
   }
 }

@@ -174,12 +174,14 @@ object Extensions {
     // corpus-wide n-gram frequency: explode word 3-grams, count, top-20
     Q("text_ngram_counts", (s, d) =>
       t(s, d, "documents")
+        // split once per row; the transform references `w`, not the split
+        .select(split(col("text"), " ").as("w"))
         .select(expr(
-          """explode(CASE WHEN size(split(text, ' ')) >= 3 THEN
-            |  transform(sequence(1, size(split(text, ' ')) - 2),
-            |    i -> concat(element_at(split(text, ' '), i), ' ',
-            |                element_at(split(text, ' '), i + 1), ' ',
-            |                element_at(split(text, ' '), i + 2)))
+          """explode(CASE WHEN size(w) >= 3 THEN
+            |  transform(sequence(1, size(w) - 2),
+            |    i -> concat(element_at(w, i), ' ',
+            |                element_at(w, i + 1), ' ',
+            |                element_at(w, i + 2)))
             |ELSE array() END""".stripMargin + ")").as("ngram"))
         .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("ngram").asc)

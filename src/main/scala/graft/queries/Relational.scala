@@ -277,5 +277,23 @@ object Relational {
       FROM events e ASOF LEFT JOIN
         (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
          FROM orders GROUP BY o_custkey, o_orderdate) o
-        ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate""")))
+        ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate""")),
+
+    Q("q33_asof_forward", (s, d) => {
+      val e = Tables.events(s, d)
+      val o = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.operators.AsOfJoin.joinForward(
+        e.select(col("event_id"), col("user_id"), col("ts")), o,
+        leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightValues = Seq("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey"))
+    }, Some("""
+      SELECT event_id, o.o_orderkey AS o_orderkey
+      FROM events e ASOF LEFT JOIN
+        (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+         FROM orders GROUP BY o_custkey, o_orderdate) o
+        ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) <= o.o_orderdate""")))
 }

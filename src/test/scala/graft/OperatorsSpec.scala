@@ -103,6 +103,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(simNative.except(simHof).count() === 0)
   }
 
+  test("blocked cosine all-pairs equals a naive theta-join computation") {
+    import graft.functions.VecDot.vecDot
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+      sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+    val naive = e.select(col("id").as("id_a"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(e.select(col("id").as("id_b"), col("v").as("cv"), col("nrm").as("cn")),
+        col("id_a") < col("id_b"))
+      .filter(round(vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4) >= 0.4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.4, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(blocked.length === blocked.toSet.size, "no duplicate pairs")
+    assert(blocked.toSet === naive)
+  }
+
+  test("forward as-of join picks earliest right row at-or-after left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (2L, 16L), (3L, 20L)).toDF("id", "ts")
+      .withColumn("k", lit(100L))
+    val right = Seq((100L, 10L, "a"), (100L, 15L, "b")).toDF("k", "rts", "v")
+    val out = AsOfJoin.joinForward(left, right,
+      Seq("k"), Seq("k"), "ts", "rts", Seq("v"))
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a")   // ts=10 matches rts=10 (<= semantics)
+    assert(out(2L) === null)  // nothing at-or-after ts=16
+    assert(out(3L) === null)
+  }
+
   test("exact dedup keeps one row per key") {
     val doubled = docs.unionByName(docs)
     val out = Dedup.exact(doubled, Seq("text"), "doc_id")
