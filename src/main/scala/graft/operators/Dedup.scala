@@ -143,6 +143,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over near-dup pairs: every document is labeled
+    * with the minimum doc id reachable through the pair graph (its cluster
+    * id); fuzzy dedup keeps `id == cluster` rows. Iterative min-label
+    * propagation — each round is one join + aggregate (the Pregel pattern on
+    * DataFrames), converging in graph-diameter rounds; near-dup clusters are
+    * shallow (duplicates of a common source), so rounds stay single-digit at
+    * any corpus size. The loop is driver-controlled but all data movement is
+    * distributed; labels persist per round and converge by an exact
+    * changed-count check.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    // bidirectional edges; isolated nodes keep their own label
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("id"), col("id").as("cluster")).persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min(col("cluster")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .persist()
+      val changed = updated.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Fuzzy dedup end-to-end: MinHash-LSH near-dup pairs -> connected
+    * components -> per-doc (cluster, is_kept). */
+  def fuzzyDedup(docs: DataFrame, idCol: String, textCol: String,
+      num: Int = 7, den: Int = 10): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, num, den)
+    connectedComponents(docs.select(col(idCol).as("id")), pairs)
+      .select(col("id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_kept"))
+  }
+
   /** Scale-path MinHash candidates using Spark's native xxhash64 for word
     * hashing — same plan shape as [[minhashNearDups]] with a cheaper,
     * codegen'd hash. Not oracle-checkable (DuckDB has no xxhash64); benched

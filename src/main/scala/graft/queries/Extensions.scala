@@ -23,6 +23,20 @@ object Extensions {
     s"""WITH wh AS (SELECT doc_id, ${H.duckWordHashes("text")} AS wh FROM documents),
        |sh AS (SELECT doc_id, ${H.duckShingles("wh")} AS sh FROM wh)""".stripMargin
 
+  /** The MinHash-LSH pair pipeline as a reusable CTE chain ending in
+    * `pairs(id_a, id_b)` — shared by dedup_minhash and dedup_clusters. */
+  private val minhashPairCtes =
+    s"""$docsSql,
+       |mh AS (SELECT doc_id, ${H.duckMinhash("sh")} AS mh FROM sh),
+       |bands AS (SELECT doc_id, unnest(${H.duckBands("mh")}) AS bv FROM mh),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.bv = b.bv AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT id_a, id_b
+       |  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+       |            JOIN sh sb ON cand.id_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.sh, sb.sh)) * 10
+       |        >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7)""".stripMargin
+
   def defs: Seq[Q] = Seq(
     // ---- dedup family -------------------------------------------------
     Q("dedup_exact", (s, d) => {
@@ -36,16 +50,24 @@ object Extensions {
 
     Q("dedup_minhash", (s, d) =>
       Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text", 7, 10),
-      Some(s"""$docsSql,
-        |mh AS (SELECT doc_id, ${H.duckMinhash("sh")} AS mh FROM sh),
-        |bands AS (SELECT doc_id, unnest(${H.duckBands("mh")}) AS bv FROM mh),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |         FROM bands a JOIN bands b ON a.bv = b.bv AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b
-        |FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
-        |          JOIN sh sb ON cand.id_b = sb.doc_id
-        |WHERE len(list_intersect(sa.sh, sb.sh)) * 10
-        |      >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7""".stripMargin)),
+      Some(s"""$minhashPairCtes
+        |SELECT id_a, id_b FROM pairs""".stripMargin)),
+
+    // pairs -> duplicate clusters -> survivors: connected components via
+    // min-label propagation (Spark) vs transitive closure (DuckDB recursive
+    // CTE) — independent algorithms, identical fixpoint
+    Q("dedup_clusters", (s, d) =>
+      Dedup.fuzzyDedup(t(s, d, "documents"), "doc_id", "text", 7, 10),
+      Some(s"""${minhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS id, min(dst) AS cluster,
+        |       (src = min(dst)) AS is_kept
+        |FROM reach GROUP BY src""".stripMargin)),
 
     Q("dedup_ngram", (s, d) =>
       Dedup.ngramNearDups(t(s, d, "documents"), "doc_id", "text", 7, 10),

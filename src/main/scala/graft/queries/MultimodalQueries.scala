@@ -20,6 +20,31 @@ object MultimodalQueries {
              'unknown' AS format
       FROM documents""")),
 
+    // the loader end-to-end AS an oracle-checked query: replay documents as
+    // Singer JSONL through parse -> type -> flatten -> parquet, read the
+    // landed table back; a hash match against the source table proves the
+    // ingest path is content-faithful
+    Q("q34_loader_roundtrip", (s, d) => {
+      val docs = t(s, d, "documents")
+      val in = java.nio.file.Files.createTempFile("rt-singer", ".jsonl")
+      val out = java.nio.file.Files.createTempDirectory("rt-out").toString
+      val schemaLine =
+        """{"type": "SCHEMA", "stream": "documents", "schema": {"type": "object", "properties": {
+          |"doc_id": {"type": ["integer", "null"]}, "text": {"type": ["string", "null"]},
+          |"lang": {"type": ["string", "null"]}, "source": {"type": ["string", "null"]},
+          |"n_chars": {"type": ["integer", "null"]}}}}"""
+          .stripMargin.replaceAll("\n", "")
+      val records = docs.toJSON.collect().map(r =>
+        s"""{"type": "RECORD", "stream": "documents", "record": $r}""")
+      java.nio.file.Files.write(in,
+        (schemaLine +: records.toSeq).mkString("\n").getBytes("UTF-8"))
+      graft.loader.SingerLoader.loadFile(s, in.toString,
+        graft.core.GraftConfig(hdfsDestinationPath = out,
+          compressionMethod = "snappy", skipExistingFiles = true))
+      java.nio.file.Files.deleteIfExists(in)
+      s.read.parquet(s"$out/documents")
+    }, Some("SELECT * FROM documents")),
+
     // frame sampling: every 64th byte, max 8 "frames" — deterministic byte
     // positions; output is frame count + first-frame byte (array<binary>
     // itself isn't hash-comparable across engines)
