@@ -158,7 +158,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = nodes.select(col("id"), col("id").as("cluster")).persist()
+    // only nodes touching an edge need propagation; singletons (the vast
+    // majority of a near-dup graph) are their own cluster by definition
+    val connected = edges.select(col("src").as("id")).distinct().persist()
+    val singletons = nodes.select(col("id"))
+      .join(connected, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    var labels = connected.select(col("id"), col("id").as("cluster")).persist()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -176,7 +182,7 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
-    labels
+    labels.unionByName(singletons)
   }
 
   /** Fuzzy dedup end-to-end: MinHash-LSH near-dup pairs -> connected
