@@ -3,7 +3,7 @@ package graft.loader
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
-import graft.core.SchemaChangedException
+import graft.core.{CanNotUploadFileException, SchemaChangedException}
 
 /** HDFS small-file compaction policy: when a stream flushes, instead of
   * always creating a new file, the most recent file in the stream dir is
@@ -71,11 +71,18 @@ object Compaction {
     }
   }
 
-  /** Write `df` as exactly ONE parquet file at `target`, atomically:
-    * stage into `{target}_new_tmp/`, then rename the single part file over
-    * `target` (last-writer-wins replace, like the reference's `_new` +
-    * `hdfs.move`). `coalesce(1)` structurally guarantees the reference's
-    * single-append invariant. */
+  /** Write `df` as exactly ONE parquet file at `target`: stage into
+    * `{target}_new_tmp/`, then rename the single part file over `target`
+    * (last-writer-wins replace, like the reference's `_new` + `hdfs.move`,
+    * reference utils/hdfs.py:56-73). `coalesce(1)` structurally guarantees
+    * the reference's single-append invariant.
+    *
+    * Failure safety: delete/rename return values are CHECKED — on any
+    * failure the staged file (which holds the union of old+new rows) is
+    * left in place and an exception raised, so committed data is never
+    * silently lost. Like the reference's delete+move pair, the window
+    * between delete and rename is not atomic; a crash there leaves the
+    * staged copy recoverable under `_new_tmp`. */
   def writeSingleFile(spark: SparkSession, df: DataFrame, target: Path,
       compression: String): Unit = {
     val hfs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -87,8 +94,12 @@ object Compaction {
       .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
     require(parts.length == 1,
       s"expected exactly one staged part file, found ${parts.length}")
-    if (hfs.exists(target)) hfs.delete(target, false)
-    hfs.rename(parts.head.getPath, target)
+    if (hfs.exists(target) && !hfs.delete(target, false))
+      throw new CanNotUploadFileException(
+        s"could not delete $target before replace; staged data kept at $staging")
+    if (!hfs.rename(parts.head.getPath, target))
+      throw new CanNotUploadFileException(
+        s"rename ${parts.head.getPath} -> $target failed; staged data kept at $staging")
     hfs.delete(staging, true)
   }
 }

@@ -10,14 +10,23 @@ import graft.schema.{Flattener, JsonSchemaConverter}
   *
   * Control plane (SCHEMA / STATE / ACTIVATE_VERSION — a handful of lines)
   * is parsed on the driver; the record plane never leaves the executors:
-  * records are routed by `get_json_object` on the raw line, parsed with
-  * `from_json` against the stream's converted `StructType`, flattened and
-  * projected as pure Catalyst expressions, and written by the parquet
-  * writer. There is no per-record driver loop anywhere, so the same code
-  * handles a 60-line fixture and a 100 TB replay: parallelism is the number
-  * of input splits, and the only shuffle is the optional repartition by
-  * `partition_cols` (which exists to produce one file per partition value
-  * instead of files × tasks).
+  * records are routed by `get_json_object` on the raw line (one parse pass,
+  * persisted so the per-stream writes re-read the routed cache instead of
+  * rescanning raw input), parsed with `from_json` against the stream's
+  * converted `StructType`, flattened and projected as pure Catalyst
+  * expressions, and written by the parquet writer. No per-record driver
+  * loop anywhere: parallelism is the number of input splits, and the only
+  * shuffle is the optional repartition by `partition_cols`.
+  *
+  * Protocol strictness (singer-sdk parity): lines without a `type`, RECORDs
+  * without a payload, RECORDs for undeclared streams, and conflicting
+  * SCHEMAs for one stream within a batch all raise instead of dropping data.
+  *
+  * Ordering semantics for batch replay: Spark's file source packs splits by
+  * size, not emission order, so "last STATE wins" is defined per-batch, not
+  * per-line. That is safe for the at-least-once contract (an older state
+  * only causes extra replay, never loss); in-batch schema evolution is
+  * rejected loudly rather than resolved by an order guess.
   *
   * The reference's count/size buffering knobs (`max_batch_size`,
   * `max_pyarrow_table_size` — A8/A10) bound *loader memory*, a concern
@@ -29,60 +38,85 @@ object SingerLoader {
   final case class LoadResult(
       streams: Seq[String],
       lastState: Option[String],
-      activateVersions: Seq[ActivateVersionMessage])
+      activateVersions: Seq[ActivateVersionMessage],
+      schemas: Map[String, SchemaMessage])
 
   /** Load a Singer JSONL file (batch replay of a tap's output). */
   def loadFile(spark: SparkSession, path: String, config: GraftConfig): LoadResult =
     load(spark, spark.read.textFile(path), config)
 
-  def load(spark: SparkSession, lines: Dataset[String],
-      config: GraftConfig): LoadResult = {
-    // ---- control plane: tiny, driver-side ----
-    // (collect order = partition order = file offset order for text sources,
-    // so SCHEMA/STATE sequencing is preserved)
-    val control = lines.toDF("value")
-      .filter(length(trim(col("value"))) > 0 &&
-        get_json_object(col("value"), "$.type") =!= "RECORD")
-      .collect()
-      .map(r => SingerMessage.parse(r.getString(0)))
+  /** @param knownSchemas schemas carried over from earlier batches (the
+    *                     streaming path: one SCHEMA message, then record-only
+    *                     appends across triggers) */
+  def load(spark: SparkSession, lines: Dataset[String], config: GraftConfig,
+      knownSchemas: Map[String, SchemaMessage] = Map.empty): LoadResult = {
+    // one parse pass over the input, cached for every consumer below
+    val routed = lines.toDF("value")
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"),
+        get_json_object(col("value"), "$.type").as("t"),
+        get_json_object(col("value"), "$.stream").as("stream"),
+        get_json_object(col("value"), "$.record").as("record"))
+      .persist()
+    try {
+      // ---- protocol validation (one aggregation job) ----
+      val probe = routed.agg(
+        max(when(col("t").isNull, col("value"))).as("untyped"),
+        max(when(col("t") === "RECORD" && col("record").isNull, col("value")))
+          .as("null_record")).collect().head
+      if (probe.getString(0) != null)
+        throw new InvalidConfigException(
+          s"line without a Singer 'type': ${probe.getString(0).take(200)}")
+      if (probe.getString(1) != null)
+        throw new InvalidConfigException(
+          s"RECORD message without a record payload: ${probe.getString(1).take(200)}")
 
-    val schemas = scala.collection.mutable.LinkedHashMap.empty[String, SchemaMessage]
-    var lastState: Option[String] = None
-    val activates = Seq.newBuilder[ActivateVersionMessage]
-    control.foreach {
-      case sm: SchemaMessage          => schemas(sm.stream) = sm
-      case st: StateMessage           => lastState = Some(st.valueJson)
-      case av: ActivateVersionMessage => activates += av
-      case _                          =>
-    }
+      // ---- control plane: tiny, driver-side ----
+      val control = routed.filter(col("t") =!= "RECORD")
+        .select(col("value")).collect()
+        .map(r => SingerMessage.parse(r.getString(0)))
 
-    // ---- record plane: fully distributed per stream ----
-    val routed = lines.toDF("value").select(
-      get_json_object(col("value"), "$.type").as("t"),
-      get_json_object(col("value"), "$.stream").as("stream"),
-      get_json_object(col("value"), "$.record").as("record"))
-      .filter(col("t") === "RECORD")
+      val schemas = scala.collection.mutable.LinkedHashMap.empty[String, SchemaMessage]
+      knownSchemas.foreach { case (k, v) => schemas(k) = v }
+      var lastState: Option[String] = None
+      val activates = Seq.newBuilder[ActivateVersionMessage]
+      control.foreach {
+        case sm: SchemaMessage =>
+          // in-batch schema evolution: reject loudly (file-split order is
+          // size-based, so "which SCHEMA came last" is not well-defined)
+          if (schemas.get(sm.stream).exists(_.schemaJson != sm.schemaJson))
+            throw new SchemaChangedException(
+              s"conflicting SCHEMA messages for stream '${sm.stream}' in one batch")
+          schemas(sm.stream) = sm
+        case st: StateMessage           => lastState = Some(st.valueJson)
+        case av: ActivateVersionMessage => activates += av
+        case _                          =>
+      }
 
-    // records for a stream with no SCHEMA are a protocol violation
-    // (singer-sdk raises on RECORD-before-SCHEMA; so do we)
-    val orphan = routed.select(col("stream")).distinct().collect()
-      .map(_.getString(0)).filterNot(schemas.contains)
-    if (orphan.nonEmpty)
-      throw new InvalidConfigException(
-        s"RECORD messages for streams with no SCHEMA: ${orphan.mkString(", ")}")
+      // records for a stream with no SCHEMA are a protocol violation
+      // (singer-sdk raises on RECORD-before-SCHEMA; so do we)
+      val orphan = routed.filter(col("t") === "RECORD")
+        .select(col("stream")).distinct().collect()
+        .map(_.getString(0)).filterNot(schemas.contains)
+      if (orphan.nonEmpty)
+        throw new InvalidConfigException(
+          s"RECORD messages for streams with no SCHEMA: ${orphan.mkString(", ")}")
 
-    schemas.values.foreach { sm =>
-      val nested = JsonSchemaConverter.toStructType(sm.schemaJson)
-      val records = routed.filter(col("stream") === sm.stream)
-        .select(from_json(col("record"), nested,
-          Map("mode" -> "FAILFAST")).as("r"))
-        .select(col("r.*"))
-      val transformed = transform(records, sm.stream, config)
-      new ParquetSink(spark, config, sm.stream, transformed.schema)
-        .write(transformed)
-    }
+      // ---- record plane: fully distributed per stream ----
+      schemas.values.foreach { sm =>
+        val nested = JsonSchemaConverter.toStructType(sm.schemaJson)
+        val records = routed
+          .filter(col("t") === "RECORD" && col("stream") === sm.stream)
+          .select(from_json(col("record"), nested,
+            Map("mode" -> "FAILFAST")).as("r"))
+          .select(col("r.*"))
+        val transformed = transform(records, sm.stream, config)
+        new ParquetSink(spark, config, sm.stream, transformed.schema)
+          .write(transformed)
+      }
 
-    LoadResult(schemas.keys.toSeq, lastState, activates.result())
+      LoadResult(schemas.keys.toSeq, lastState, activates.result(), schemas.toMap)
+    } finally routed.unpersist()
   }
 
   /** The per-stream projection pipeline: flatten → stream maps → extra

@@ -59,6 +59,9 @@ object AsOfJoin {
       rightValues: Seq[String],
       backward: Boolean): DataFrame = {
     require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    val collisions = rightValues.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightValues collide with left columns: ${collisions.mkString(", ")} — alias them first")
     val keyAliases = leftKeys.indices.map(i => s"__asof_k$i")
 
     val lTagged = left.select(

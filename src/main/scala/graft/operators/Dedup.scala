@@ -51,6 +51,20 @@ object Dedup {
     * once; MEMORY_AND_DISK is the single-job analog. */
   private def materialized(df: DataFrame): DataFrame = df.persist()
 
+  /** Eagerly materialize a (small) operator result, then release the
+    * intermediate sketch caches it was built from — sketch tables are only
+    * needed while the candidate+verify plan runs, and CacheManager holds
+    * persisted plans until explicit unpersist (a long-lived session calling
+    * dedup repeatedly would otherwise accumulate caches without bound). The
+    * returned frame stays persisted: it is the operator's output (pair /
+    * label tables, orders of magnitude smaller than the corpus). */
+  private def finalized(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** Jaccard(a, b) >= num/den as pure integer comparison. */
   private def jaccardGe(num: Int, den: Int) = {
     val inter = size(array_intersect(col("sa"), col("sb")))
@@ -70,12 +84,12 @@ object Dedup {
       .join(bands.as("b"), col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
+    finalized(cand
       .join(sh.select(col("id"), col("sh").as("sa")), cand("id_a") === col("id"))
       .drop("id")
       .join(sh.select(col("id"), col("sh").as("sb")), cand("id_b") === col("id"))
       .filter(jaccardGe(num, den))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")), sh)
   }
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted-index join: explode
@@ -103,11 +117,11 @@ object Dedup {
       .join(exFiltered.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    finalized(inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")), sh)
   }
 
   /** id -> 30-bit simhash fingerprint over the doc's distinct shingle-hash
@@ -136,11 +150,11 @@ object Dedup {
       .filter(bit_count(col("a.f").bitwiseXOR(col("b.f"))) <= maxHamming)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
+    finalized(cand
       .join(sh.select(col("id"), col("sh").as("sa")), cand("id_a") === col("id")).drop("id")
       .join(sh.select(col("id"), col("sh").as("sb")), cand("id_b") === col("id"))
       .filter(jaccardGe(num, den))
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")), sh, fp)
   }
 
   /** Connected components over near-dup pairs: every document is labeled
@@ -167,7 +181,8 @@ object Dedup {
     var labels = connected.select(col("id"), col("id").as("cluster")).persist()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id")).agg(min(col("cluster")).as("nmin"))
@@ -182,7 +197,12 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
-    labels.unionByName(singletons)
+    if (!converged)
+      // wrong labels are worse than no labels: an unconverged return would
+      // silently mark several members of one true cluster as survivors
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds")
+    finalized(labels.unionByName(singletons), edges, connected, labels)
   }
 
   /** Fuzzy dedup end-to-end: MinHash-LSH near-dup pairs -> connected
@@ -210,9 +230,9 @@ object Dedup {
     val bands = shMat
       .select(col("id"), HashNative.minhashSig(col("sh")).as("mh"))
       .select(col("id"), explode(expr(sparkBands("mh"))).as("bv"))
-    bands.as("a")
+    finalized(bands.as("a")
       .join(bands.as("b"), col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .distinct(), shMat)
   }
 }

@@ -51,11 +51,17 @@ object Multimodal {
 
   /** Deterministic byte sampling: every `stride`-th byte of the payload,
     * bounded to `maxFrames` — the plumbing shape of video frame-sampling
-    * (slice positions are where a real demuxer would seek). */
+    * (slice positions are where a real demuxer would seek). Frame count is
+    * ceil(len/stride) capped at maxFrames, so every sampled position lies
+    * strictly inside the payload (no phantom empty frames when stride
+    * divides the length) and empty payloads produce empty frame lists. */
   def frameSample(df: DataFrame, binCol: String, stride: Int,
       maxFrames: Int): DataFrame =
     df.withColumn("frames", expr(
-      s"transform(sequence(0, least(int(length($binCol) / $stride), ${maxFrames - 1})), i -> substring($binCol, i * $stride + 1, 1))"))
+      s"""CASE WHEN length($binCol) = 0 OR $binCol IS NULL THEN CAST(array() AS ARRAY<BINARY>)
+         |ELSE transform(
+         |  sequence(0, least(int((length($binCol) + ${stride - 1}) div $stride) - 1, ${maxFrames - 1})),
+         |  i -> substring($binCol, i * $stride + 1, 1)) END""".stripMargin))
 
   /** Partition-local batch "decode" + feature extraction. The iterator shape
     * (consume a partition's rows as one batch stream, emit fixed-width

@@ -25,6 +25,15 @@ import graft.functions.VecDot.vecDot
   */
 object Similarity {
 
+  /** Materialize the (small) result, then release intermediate caches —
+    * see [[Dedup]] for rationale. */
+  private def finalized(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** Exact top-k: for each row of `queries`, the k nearest corpus rows by
     * cosine (excluding self-matches by id), ranked desc with id tiebreak. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
@@ -80,7 +89,7 @@ object Similarity {
     val withNorm = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v")))).persist()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates
+    finalized(candidates
       .join(withNorm.select(col("id"), col("v").as("qv"), col("nrm").as("qn")),
         col("query_id") === col("id")).drop("id")
       .join(withNorm.select(col("id"), col("v").as("cv"), col("nrm").as("cn")),
@@ -89,7 +98,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 6).as("cos"))
+        round(col("cos"), 6).as("cos")), withBuckets, withNorm)
   }
 
   /** Near-duplicate pairs by embedding cosine >= threshold (rounded to 4

@@ -56,7 +56,7 @@ object MultimodalQueries {
           ascii(element_at(col("frames"), 1).cast("string")).as("first_frame_byte"))
     }, Some("""
       SELECT doc_id,
-             least(octet_length(encode(text)) // 64, 7) + 1 AS n_frames,
+             least((octet_length(encode(text)) + 63) // 64, 8) AS n_frames,
              ascii(text[1]) AS first_frame_byte
       FROM documents""")))
 }

@@ -25,15 +25,49 @@ object StreamingLoader {
     val lines = spark.readStream
       .option("maxFilesPerTrigger", 16)
       .text(inputDir)
+    // SCHEMA messages arrive once, records keep flowing: carry schemas
+    // across micro-batches AND across restarts (committed batches never
+    // replay from the checkpoint, so an in-memory cache alone would lose the
+    // SCHEMA on restart — it is persisted as Singer SCHEMA lines next to the
+    // checkpoint, the streaming analog of the reference's per-stream sink
+    // registry).
+    val schemaCache = scala.collection.mutable.LinkedHashMap.empty[String, graft.core.SchemaMessage]
+    loadSchemaRegistry(checkpointDir).foreach(sm => schemaCache(sm.stream) = sm)
     val writer = lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import batch.sparkSession.implicits._
-        SingerLoader.load(batch.sparkSession, batch.as[String], config)
+        val result = SingerLoader.load(batch.sparkSession, batch.as[String],
+          config, knownSchemas = schemaCache.toMap)
+        schemaCache ++= result.schemas
+        saveSchemaRegistry(checkpointDir, schemaCache.values.toSeq)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
+  }
+
+  private def registryPath(checkpointDir: String) =
+    java.nio.file.Paths.get(checkpointDir, "graft-schemas.jsonl")
+
+  private[streaming] def loadSchemaRegistry(checkpointDir: String): Seq[graft.core.SchemaMessage] = {
+    val p = registryPath(checkpointDir)
+    if (!java.nio.file.Files.exists(p)) Seq.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map(graft.core.SingerMessage.parse)
+      .collect { case sm: graft.core.SchemaMessage => sm }
+  }
+
+  private[streaming] def saveSchemaRegistry(checkpointDir: String,
+      schemas: Seq[graft.core.SchemaMessage]): Unit = {
+    val lines = schemas.map { sm =>
+      val keys = sm.keyProperties.map(k => "\"" + k + "\"").mkString("[", ",", "]")
+      s"""{"type": "SCHEMA", "stream": "${sm.stream}", "schema": ${sm.schemaJson}, "key_properties": $keys}"""
+    }
+    java.nio.file.Files.write(registryPath(checkpointDir),
+      lines.mkString("\n").getBytes("UTF-8"))
   }
 }
 

@@ -44,8 +44,18 @@ class MultimodalSpec extends AnyFunSuite {
     val df = Seq((1L, bytes)).toDF("id", "media")
     val frames = Multimodal.frameSample(df, "media", 100, 8)
       .select(col("frames")).collect().head.getSeq[Array[Byte]](0)
-    assert(frames.length === 4) // offsets 0,100,200,300->clamped
+    assert(frames.length === 3) // ceil(300/100) = offsets 0,100,200 — no phantom frame
     assert(frames.head.head === 0.toByte)
     assert(frames(1).head === 100.toByte)
+    // stride divides length exactly: still no empty trailing frame
+    val exact = Multimodal.frameSample(
+      Seq((1L, Array.tabulate(200)(_.toByte))).toDF("id", "media"), "media", 100, 8)
+      .select(col("frames")).collect().head.getSeq[Array[Byte]](0)
+    assert(exact.length === 2)
+    assert(exact.forall(_.length === 1))
+    // maxFrames cap
+    val capped = Multimodal.frameSample(df, "media", 10, 8)
+      .select(col("frames")).collect().head.getSeq[Array[Byte]](0)
+    assert(capped.length === 8)
   }
 }

@@ -25,6 +25,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/t").count() === 2)
   }
 
+  test("schemas survive across record-only batches and restarts") {
+    val in = Files.createTempDirectory("graft-stream-in2").toString
+    val out = Files.createTempDirectory("graft-stream-out2").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt2").toString
+    val cfg = GraftConfig(hdfsDestinationPath = out)
+    Files.write(java.nio.file.Paths.get(s"$in/f1.jsonl"), Seq(
+      """{"type": "SCHEMA", "stream": "t", "schema": {"type": "object", "properties": {"x": {"type": "integer"}}}}""",
+      """{"type": "RECORD", "stream": "t", "record": {"x": 1}}""").mkString("\n").getBytes)
+    val q1 = StreamingLoader.start(spark, in, cfg, ckpt, availableNow = true)
+    q1.awaitTermination(60000)
+    // restart with a record-only file: the SCHEMA came in an earlier,
+    // already-committed batch and must come from the persisted registry
+    Files.write(java.nio.file.Paths.get(s"$in/f2.jsonl"), Seq(
+      """{"type": "RECORD", "stream": "t", "record": {"x": 2}}""",
+      """{"type": "RECORD", "stream": "t", "record": {"x": 3}}""").mkString("\n").getBytes)
+    val q2 = StreamingLoader.start(spark, in, cfg, ckpt, availableNow = true)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(s"$out/t").count() === 3)
+  }
+
   test("streaming dedup drops at-least-once replay duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
