@@ -83,6 +83,19 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/t").count() === 2)
   }
 
+  test("compression methods write readable parquet") {
+    // brotli needs a codec jar the Spark distribution doesn't ship; the
+    // config accepts it for reference parity but local write support is
+    // gzip/snappy/zstd
+    for (codec <- Seq("gzip", "snappy", "zstd")) {
+      val root = Files.createTempDirectory(s"graft-codec-$codec").toString
+      val sink = new ParquetSink(spark,
+        GraftConfig(hdfsDestinationPath = root, compressionMethod = codec), "t", schema)
+      sink.write(mkDf((1, "a", true)))
+      assert(spark.read.parquet(s"$root/t").count() === 1, codec)
+    }
+  }
+
   test("most recent file selection is max-by mtime") {
     val root = Files.createTempDirectory("graft-compact4").toString
     val fs = Compaction.fs(spark, root)
