@@ -26,7 +26,6 @@ object MultimodalQueries {
     // ingest path is content-faithful
     Q("q34_loader_roundtrip", (s, d) => {
       val docs = t(s, d, "documents")
-      val in = java.nio.file.Files.createTempFile("rt-singer", ".jsonl")
       val out = java.nio.file.Files.createTempDirectory("rt-out").toString
       val schemaLine =
         """{"type": "SCHEMA", "stream": "documents", "schema": {"type": "object", "properties": {
@@ -34,14 +33,17 @@ object MultimodalQueries {
           |"lang": {"type": ["string", "null"]}, "source": {"type": ["string", "null"]},
           |"n_chars": {"type": ["integer", "null"]}}}}"""
           .stripMargin.replaceAll("\n", "")
-      val records = docs.toJSON.collect().map(r =>
-        s"""{"type": "RECORD", "stream": "documents", "record": $r}""")
-      java.nio.file.Files.write(in,
-        (schemaLine +: records.toSeq).mkString("\n").getBytes("UTF-8"))
-      graft.loader.SingerLoader.loadFile(s, in.toString,
+      // distributed dump: records written by executors, only the one-line
+      // SCHEMA file comes from the driver — no collect at any scale
+      val spool = java.nio.file.Files.createTempDirectory("rt-spool").toString
+      docs.selectExpr(
+        """concat('{"type": "RECORD", "stream": "documents", "record": ', to_json(struct(*)), '}') AS value""")
+        .write.mode("overwrite").text(spool)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(spool, "0_schema.jsonl"), schemaLine + "\n")
+      graft.loader.SingerLoader.loadFile(s, spool,
         graft.core.GraftConfig(hdfsDestinationPath = out,
           compressionMethod = "snappy", skipExistingFiles = true))
-      java.nio.file.Files.deleteIfExists(in)
       s.read.parquet(s"$out/documents")
     }, Some("SELECT * FROM documents")),
 
