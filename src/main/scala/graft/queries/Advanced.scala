@@ -47,6 +47,20 @@ object Advanced {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
       None),
 
+    // event-time tumbling window as a batch aggregation — the same
+    // window() operator Structured Streaming uses, epoch-aligned, so the
+    // oracle is DuckDB's time_bucket
+    Q("q35_tumbling_window", (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value")),
+      Some("""
+        SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2""")),
+
     // generator/table-function surface: one output row per input token
     Q("q32_posexplode", (s, d) =>
       t(s, d, "documents")
