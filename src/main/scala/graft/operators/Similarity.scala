@@ -50,7 +50,7 @@ object Similarity {
       .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         round(col("cos"), 6).as("cos"))
   }
 
@@ -97,7 +97,7 @@ object Similarity {
       .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         round(col("cos"), 6).as("cos")), withBuckets, withNorm)
   }
 

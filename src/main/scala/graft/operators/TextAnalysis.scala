@@ -17,7 +17,7 @@ import graft.functions.HashExprs
 object TextAnalysis {
 
   /** Whitespace token count. */
-  def tokenCount(text: String): Column = size(split(col(text), " "))
+  def tokenCount(text: String): Column = size(split(col(text), " ")).cast("long")
 
   /** Mean token length ×10^4 as exact integer arithmetic:
     * (chars - spaces) * 10^4 div tokens. */

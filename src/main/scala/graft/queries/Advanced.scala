@@ -66,7 +66,8 @@ object Advanced {
       t(s, d, "documents")
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .toDF("doc_id", "pos", "token"),
+        .toDF("doc_id", "pos", "token")
+        .withColumn("pos", col("pos").cast("long")),
       Some("""
         SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) + 1),
                i -> {'pos': i - 1, 'token': string_split(text, ' ')[i]}), recursive := true)

@@ -221,9 +221,9 @@ object Extensions {
     // the filter-feature shape used for corpus quality gates
     Q("text_regex", (s, d) =>
       t(s, d, "documents").select(col("doc_id"),
-        expr("size(filter(split(text, ' '), t -> t rlike '^[aeiou]'))").as("n_vowel_start"),
-        expr("size(filter(split(text, ' '), t -> t rlike '[aeiou]$'))").as("n_vowel_end"),
-        expr("size(filter(split(text, ' '), t -> t rlike '^[a-z0-9.]+@[a-z0-9.]+$'))").as("n_emails")),
+        expr("CAST(size(filter(split(text, ' '), t -> t rlike '^[aeiou]')) AS BIGINT)").as("n_vowel_start"),
+        expr("CAST(size(filter(split(text, ' '), t -> t rlike '[aeiou]$')) AS BIGINT)").as("n_vowel_end"),
+        expr("CAST(size(filter(split(text, ' '), t -> t rlike '^[a-z0-9.]+@[a-z0-9.]+$')) AS BIGINT)").as("n_emails")),
       Some("""
         SELECT doc_id,
           len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[aeiou]'))) AS n_vowel_start,

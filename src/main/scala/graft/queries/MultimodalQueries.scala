@@ -14,7 +14,7 @@ object MultimodalQueries {
       val bin = t(s, d, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("media"))
       Multimodal.withMediaMeta(bin, "media")
-        .select(col("doc_id"), col("byte_len"), col("format"))
+        .select(col("doc_id"), col("byte_len").cast("long").as("byte_len"), col("format"))
     }, Some("""
       SELECT doc_id, octet_length(encode(text)) AS byte_len,
              'unknown' AS format
@@ -54,7 +54,7 @@ object MultimodalQueries {
       val bin = t(s, d, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("media"))
       Multimodal.frameSample(bin, "media", 64, 8)
-        .select(col("doc_id"), size(col("frames")).as("n_frames"),
+        .select(col("doc_id"), size(col("frames")).cast("long").as("n_frames"),
           ascii(element_at(col("frames"), 1).cast("string")).as("first_frame_byte"))
     }, Some("""
       SELECT doc_id,

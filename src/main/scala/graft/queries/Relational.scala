@@ -131,7 +131,7 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       o.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
     }, Some("""
       SELECT o_custkey, o_orderkey, rn FROM (
         SELECT o_custkey, o_orderkey,

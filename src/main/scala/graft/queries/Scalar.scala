@@ -21,7 +21,7 @@ object Scalar {
     Q("q20_string_funcs", (s, d) =>
       t(s, d, "customer").select(col("c_custkey"),
         upper(col("c_name")).as("uname"),
-        length(col("c_name")).as("name_len"),
+        length(col("c_name")).cast("long").as("name_len"),
         substring(col("c_name"), 1, 8).as("name_prefix"),
         concat(col("c_mktsegment"), lit("_"), col("c_nationkey").cast(StringType)).as("seg_nation"),
         regexp_replace(col("c_name"), "[0-9]", "#").as("masked")),
@@ -34,11 +34,11 @@ object Scalar {
 
     Q("q21_date_funcs", (s, d) =>
       t(s, d, "orders")
-        .groupBy(year(col("o_orderdate")).as("y"),
-          month(col("o_orderdate")).as("m"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
         .agg(count(lit(1)).as("n"),
-          min(dayofmonth(col("o_orderdate"))).as("first_day"),
-          max(datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))).as("max_days_since")),
+          min(dayofmonth(col("o_orderdate"))).cast("long").as("first_day"),
+          max(datediff(col("o_orderdate"), lit("1995-01-01").cast(DateType))).cast("long").as("max_days_since")),
       Some("""
         SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n,
                min(day(o_orderdate)) AS first_day,
