@@ -19,6 +19,13 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: String): Column = size(split(col(text), " ")).cast("long")
 
+  /** BPE-ish subword token count: letter runs, digit runs, and punctuation
+    * runs each count as one token (the pre-tokenization split every BPE
+    * vocabulary starts from). ASCII classes only, so the Java and RE2
+    * dialects agree. */
+  def bpeTokenCount(text: String): Column =
+    expr(s"CAST(size(regexp_extract_all($text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)) AS BIGINT)")
+
   /** Mean token length ×10^4 as exact integer arithmetic:
     * (chars - spaces) * 10^4 div tokens. */
   def avgTokenLenX1e4(text: String): Column =

@@ -136,9 +136,11 @@ object Extensions {
     Q("text_tokens", (s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount("text").as("n_tokens"),
+        TextAnalysis.bpeTokenCount("text").as("n_bpe_tokens"),
         TextAnalysis.avgTokenLenX1e4("text").as("avg_token_len_x1e4")),
       Some("""
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS n_bpe_tokens,
                ((length(text) - (len(string_split(text, ' ')) - 1)) * 10000)
                  // len(string_split(text, ' ')) AS avg_token_len_x1e4
         FROM documents""")),

@@ -44,6 +44,16 @@ class CoreSpec extends AnyFunSuite {
     assert(cfg.streamMaps("t")("col1") === None)
   }
 
+  test("--about exposes the config schema with hdfs properties") {
+    val about = GraftConfig.aboutJson
+    assert(about.contains("hdfs_destination_path"))
+    assert(about.contains("hdfs_block_size_limit"))
+    assert(about.contains("skip_existing_files"))
+    assert(!about.contains("\"destination_path\"")) // parent key removed
+    // must be valid JSON
+    SingerMessage.parseJson(about)
+  }
+
   test("singer message parse dispatches all four types") {
     assert(SingerMessage.parse("""{"type":"SCHEMA","stream":"s","schema":{"properties":{}},"key_properties":["a"]}""")
       .asInstanceOf[SchemaMessage].keyProperties === Seq("a"))
