@@ -19,6 +19,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *                            preload is disabled (reference sinks.py:38)
   * @param extraFields         "k=v,..." constant columns appended to records
   * @param extraFieldsTypes    "k=string|integer,..." types for extraFields
+  * @param maxRecordsPerFile   cap rows per written file (0 = writer default);
+  *                            the Spark-native realization of the reference's
+  *                            file-sizing intent behind max_batch_size /
+  *                            max_pyarrow_table_size
   * @param flatteningMaxDepth  nested-object flatten depth bound
   * @param streamMaps          per-stream column mappings (rename / derive /
   *                            drop / filter) — see [[graft.loader.StreamMaps]]
@@ -31,6 +35,7 @@ final case class GraftConfig(
     maxBatchSize: Int = 10000,
     maxTableSizeMb: Int = 800,
     partitionCols: Seq[String] = Seq.empty,
+    maxRecordsPerFile: Long = 0,
     extraFields: Option[String] = None,
     extraFieldsTypes: Option[String] = None,
     flatteningMaxDepth: Int = 10,
@@ -80,6 +85,7 @@ object GraftConfig {
       compressionMethod = str("compression_method").getOrElse("gzip"),
       maxBatchSize = str("max_batch_size").map(_.toInt).getOrElse(10000),
       maxTableSizeMb = str("max_pyarrow_table_size").map(_.toInt).getOrElse(800),
+      maxRecordsPerFile = str("max_records_per_file").map(_.toLong).getOrElse(0L),
       partitionCols = Option(n.get("partition_cols")).filterNot(_.isNull)
         .map { pc =>
           if (pc.isArray) (0 until pc.size()).map(pc.get(_).asText())
@@ -119,6 +125,7 @@ object GraftConfig {
       |    "compression_method": {"type": "string", "default": "gzip"},
       |    "max_pyarrow_table_size": {"type": "integer", "default": 800},
       |    "max_batch_size": {"type": "integer", "default": 10000},
+      |    "max_records_per_file": {"type": "integer", "default": 0},
       |    "partition_cols": {"type": ["array", "string", "null"]},
       |    "extra_fields": {"type": ["string", "null"]},
       |    "extra_fields_types": {"type": ["string", "null"]},

@@ -42,10 +42,12 @@ class ParquetSink(spark: SparkSession, config: GraftConfig,
         Compaction.writeSingleFile(spark, combined, path, config.compressionMethod)
       case None =>
         if (config.partitionCols.nonEmpty) {
-          batch.write.mode("append")
+          val writer = batch.write.mode("append")
             .partitionBy(config.partitionCols: _*)
             .option("compression", config.compressionMethod)
-            .parquet(dir)
+          (if (config.maxRecordsPerFile > 0)
+             writer.option("maxRecordsPerFile", config.maxRecordsPerFile)
+           else writer).parquet(dir)
         } else {
           // new single file in the stream dir (named like the reference's
           // uuid parquet files, unique per flush)

@@ -103,6 +103,17 @@ class LoaderSpec extends AnyFunSuite {
     assert(docs.except(back).count() === 0)
   }
 
+  test("max_records_per_file splits partitioned output files") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(fixture),
+      GraftConfig(hdfsDestinationPath = out, partitionCols = Seq("col3"),
+        maxRecordsPerFile = 1))
+    // col3=true holds 2 rows -> must split into 2 files
+    val files = new java.io.File(s"$out/t/col3=true").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files === 2)
+  }
+
   test("schema-only stream loads cleanly and writes nothing") {
     val out = tmpDir()
     val result = SingerLoader.loadFile(spark, writeFixture(Seq(
