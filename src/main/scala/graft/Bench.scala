@@ -38,10 +38,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm-up: parquet scan + shuffle + codegen paths
+    // warm-up: JIT/codegen via a scan+shuffle, plus one count per table so
+    // footer parsing and OS page-cache effects don't bill to whichever
+    // query happens to touch a table first
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
 
