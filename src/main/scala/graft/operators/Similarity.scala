@@ -101,6 +101,56 @@ object Similarity {
         round(col("cos"), 6).as("cos")), withBuckets, withNorm)
   }
 
+  /** IVF-style ANN: a coarse quantizer assigns every vector to the cell of
+    * its nearest seed vector (the first `nCells` ids serve as seeds — a
+    * deterministic, averaging-free quantizer, so every step stays bit-exact
+    * against the oracle; classic k-means centroids would inject
+    * summation-order float noise). Search compares queries only against
+    * vectors in the same cell.
+    *
+    * Scale shape: assignment is a broadcast join against `nCells` seeds
+    * (seeds are tiny by construction); search is an equi-join on cell id —
+    * both shuffle-bounded, no cartesian. Recall improves with more probes
+    * (assign to top-`nprobe` cells instead of 1) exactly like FAISS IVF;
+    * here the probe count is the assignment rank cutoff. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCells: Int = 8, nprobe: Int = 1): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
+    val seeds = e.filter(col("id") < nCells)
+      .select(col("id").as("cell"), col("v").as("sv"), col("nrm").as("sn"))
+    val aw = Window.partitionBy(col("id"))
+      .orderBy(col("scos").desc, col("cell").asc)
+    // queries probe their top-nprobe cells, corpus vectors index into their
+    // single best cell (standard IVF asymmetry)
+    val assign = e.crossJoin(broadcast(seeds))
+      .withColumn("scos", vecDot(col("v"), col("sv")) / (col("nrm") * col("sn")))
+      .withColumn("arank", row_number().over(aw))
+      .select(col("id"), col("cell"), col("arank"))
+      .persist()
+    // distinct candidate id pairs first (multi-probe can reach the same
+    // neighbor through several cells), then score each pair exactly once
+    val candidates = assign.filter(col("arank") <= nprobe)
+      .select(col("id").as("query_id"), col("cell"))
+      .join(assign.filter(col("arank") === 1)
+        .select(col("id").as("neighbor_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    finalized(candidates
+      .join(e.select(col("id"), col("v").as("qv"), col("nrm").as("qn")),
+        col("query_id") === col("id")).drop("id")
+      .join(e.select(col("id"), col("v").as("cv"), col("nrm").as("cn")),
+        col("neighbor_id") === col("id")).drop("id")
+      .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cos")), assign)
+  }
+
   /** Near-duplicate pairs by embedding cosine >= threshold (rounded to 4
     * decimals so the compare sits on an exact grid; the data's nearest pair
     * to the default 0.45 threshold is 5.5e-4 away).

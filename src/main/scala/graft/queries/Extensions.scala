@@ -132,6 +132,28 @@ object Extensions {
         |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
         |FROM scored WHERE rank <= 3""".stripMargin)),
 
+    Q("sim_ivf", (s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 3, nCells = 8, nprobe = 2),
+      Some(s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+        |seeds AS (SELECT id AS cell, v AS sv FROM e WHERE id < 8),
+        |assign AS (SELECT id, cell,
+        |    row_number() OVER (PARTITION BY id ORDER BY scos DESC, cell ASC) AS arank
+        |  FROM (SELECT e.id, s.cell, ${V.duckCosine("e.v", "s.sv")} AS scos
+        |        FROM e CROSS JOIN seeds s)),
+        |cand AS (SELECT DISTINCT p.id AS query_id, n.id AS neighbor_id
+        |  FROM (SELECT id, cell FROM assign WHERE arank <= 2) p
+        |  JOIN (SELECT id, cell FROM assign WHERE arank = 1) n ON p.cell = n.cell
+        |  WHERE p.id <> n.id),
+        |scored AS (SELECT query_id, neighbor_id,
+        |    ${V.duckCosine("a.v", "b.v")} AS cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY ${V.duckCosine("a.v", "b.v")} DESC, neighbor_id ASC) AS rank
+        |  FROM cand JOIN e a ON cand.query_id = a.id
+        |            JOIN e b ON cand.neighbor_id = b.id)
+        |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+        |FROM scored WHERE rank <= 3""".stripMargin)),
+
     // ---- text analysis ------------------------------------------------
     Q("text_tokens", (s, d) =>
       t(s, d, "documents").select(col("doc_id"),

@@ -103,6 +103,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(simNative.except(simHof).count() === 0)
   }
 
+  test("ivf ANN: more probes raise rank-1 recall") {
+    val brute = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recallOf(nprobe: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 3, 8, nprobe)
+        .filter(col("rank") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      brute.count { case (q, n) => ivf.get(q).contains(n) }.toDouble / brute.size
+    }
+    val r1 = recallOf(1); val r3 = recallOf(3)
+    assert(r3 >= r1, s"nprobe=3 recall $r3 should not trail nprobe=1 $r1")
+    assert(r3 >= 0.3, s"nprobe=3 rank-1 recall $r3")
+  }
+
   test("blocked cosine all-pairs equals a naive theta-join computation") {
     import graft.functions.VecDot.vecDot
     val e = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
