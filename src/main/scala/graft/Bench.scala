@@ -85,8 +85,12 @@ object Bench {
 
     val all = results :+ ("loader_singer_ingest" -> loaderSecs)
     val qs = all.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = all.collect { case (k, v) if v < 0 => s""""$k"""" }
+    // any failure poisons the headline number (-1 sentinel, JSON-safe) so a
+    // partially broken build can never look faster than a working one
+    val total =
+      if (failed.nonEmpty) -1.0 else all.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,7 +22,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * @param maxRecordsPerFile   cap rows per written file (0 = writer default);
   *                            the Spark-native realization of the reference's
   *                            file-sizing intent behind max_batch_size /
-  *                            max_pyarrow_table_size
+  *                            max_pyarrow_table_size. Honored on every path
+  *                            that may emit multiple files; a compaction
+  *                            rewrite (append into a loaded small file) is
+  *                            single-file by contract and ignores it
   * @param flatteningMaxDepth  nested-object flatten depth bound
   * @param streamMaps          per-stream column mappings (rename / derive /
   *                            drop / filter) — see [[graft.loader.StreamMaps]]

@@ -48,6 +48,16 @@ class ParquetSink(spark: SparkSession, config: GraftConfig,
           (if (config.maxRecordsPerFile > 0)
              writer.option("maxRecordsPerFile", config.maxRecordsPerFile)
            else writer).parquet(dir)
+        } else if (config.maxRecordsPerFile > 0) {
+          // file-sizing requested and no append target loaded: a multi-file
+          // append write honors maxRecordsPerFile (the reference's
+          // single-append invariant only constrains flushes that LOADED an
+          // HDFS append file — sinks.py:50-54; fresh flushes may emit many
+          // files, as write_to_dataset does)
+          batch.write.mode("append")
+            .option("compression", config.compressionMethod)
+            .option("maxRecordsPerFile", config.maxRecordsPerFile)
+            .parquet(dir)
         } else {
           // new single file in the stream dir (named like the reference's
           // uuid parquet files, unique per flush)

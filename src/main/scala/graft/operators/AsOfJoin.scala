@@ -64,20 +64,26 @@ object AsOfJoin {
       s"rightValues collide with left columns: ${collisions.mkString(", ")} — alias them first")
     val keyAliases = leftKeys.indices.map(i => s"__asof_k$i")
 
+    // All right values travel as ONE struct so the window's last(..., ignoreNulls)
+    // picks a single matched right row atomically: its per-column NULLs are
+    // preserved, and every value column provably comes from the same row
+    // (per-column fill would mix rows and skip NULL values).
+    val vsType = org.apache.spark.sql.types.StructType(
+      rightValues.map(v => right.schema(v)))
+
     val lTagged = left.select(
       leftKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
         col(leftTs).as("__asof_ts"),
         lit(1).as("__asof_side"),
-        struct(left.columns.map(col).toSeq: _*).as("__asof_row")) ++
-        rightValues.map(v =>
-          lit(null).cast(right.schema(v).dataType).as(s"__asof_v_$v")): _*)
+        struct(left.columns.map(col).toSeq: _*).as("__asof_row"),
+        lit(null).cast(vsType).as("__asof_vs")): _*)
 
     val rTagged = right.select(
       rightKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
         col(rightTs).as("__asof_ts"),
         lit(0).as("__asof_side"),
-        lit(null).cast(lTagged.schema("__asof_row").dataType).as("__asof_row")) ++
-        rightValues.map(v => col(v).as(s"__asof_v_$v")): _*)
+        lit(null).cast(lTagged.schema("__asof_row").dataType).as("__asof_row"),
+        struct(rightValues.map(col): _*).as("__asof_vs")): _*)
 
     val tsOrder = if (backward) col("__asof_ts").asc else col("__asof_ts").desc
     val w = Window
@@ -86,11 +92,11 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = lTagged.unionByName(rTagged)
-      .select(col("__asof_side") +: col("__asof_row") +:
-        rightValues.map(v =>
-          last(col(s"__asof_v_$v"), ignoreNulls = true).over(w).as(v)): _*)
+      .select(col("__asof_side"), col("__asof_row"),
+        last(col("__asof_vs"), ignoreNulls = true).over(w).as("__asof_vs"))
       .filter(col("__asof_side") === 1)
 
-    filled.select(col("__asof_row.*") +: rightValues.map(col): _*)
+    filled.select(col("__asof_row.*") +:
+      rightValues.map(v => col(s"__asof_vs.$v").as(v)): _*)
   }
 }

@@ -35,9 +35,13 @@ object Similarity {
   }
 
   /** Exact top-k: for each row of `queries`, the k nearest corpus rows by
-    * cosine (excluding self-matches by id), ranked desc with id tiebreak. */
+    * cosine (excluding self-matches by id), ranked desc with id tiebreak.
+    *
+    * `broadcastCorpus` forces the hint only when the caller KNOWS the corpus
+    * fits in memory; the default lets AQE / autoBroadcastJoinThreshold pick,
+    * degrading to a shuffled nested-loop instead of an OOM on a big corpus. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
+      vecCol: String, k: Int, broadcastCorpus: Boolean = false): DataFrame = {
     // norms are hoisted to one computation per VECTOR (not per pair);
     // cos = dot/(nrm_a*nrm_b) is the identical IEEE op sequence
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -46,7 +50,8 @@ object Similarity {
       sqrt(vecDot(col(vecCol), col(vecCol))).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    q.join(broadcast(c), col("query_id") =!= col("neighbor_id"))
+    q.join(if (broadcastCorpus) broadcast(c) else c,
+        col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -108,7 +108,7 @@ object Extensions {
     Q("sim_topk", (s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e,
-        "vec_id", "embedding", 5)
+        "vec_id", "embedding", 5, broadcastCorpus = true)
     }, Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
       |scored AS (SELECT query_id, neighbor_id,

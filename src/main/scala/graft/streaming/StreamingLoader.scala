@@ -32,7 +32,9 @@ object StreamingLoader {
     // checkpoint, the streaming analog of the reference's per-stream sink
     // registry).
     val schemaCache = scala.collection.mutable.LinkedHashMap.empty[String, graft.core.SchemaMessage]
-    loadSchemaRegistry(checkpointDir).foreach(sm => schemaCache(sm.stream) = sm)
+    val hadoopConf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    loadSchemaRegistry(checkpointDir, hadoopConf).foreach(sm => schemaCache(sm.stream) = sm)
     val writer = lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -40,34 +42,52 @@ object StreamingLoader {
         val result = SingerLoader.load(batch.sparkSession, batch.as[String],
           config, knownSchemas = schemaCache.toMap)
         schemaCache ++= result.schemas
-        saveSchemaRegistry(checkpointDir, schemaCache.values.toSeq)
+        saveSchemaRegistry(checkpointDir, hadoopConf, schemaCache.values.toSeq)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
 
+  // The registry lives NEXT TO the checkpoint on whatever filesystem hosts it
+  // (HDFS, S3A, local, …) — resolved through the Hadoop FileSystem API like
+  // the checkpoint itself, never java.nio (which would silently point at a
+  // nonexistent local path for hdfs:// URIs and break restart recovery).
   private def registryPath(checkpointDir: String) =
-    java.nio.file.Paths.get(checkpointDir, "graft-schemas.jsonl")
+    new org.apache.hadoop.fs.Path(checkpointDir, "graft-schemas.jsonl")
 
-  private[streaming] def loadSchemaRegistry(checkpointDir: String): Seq[graft.core.SchemaMessage] = {
+  private[streaming] def loadSchemaRegistry(checkpointDir: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Seq[graft.core.SchemaMessage] = {
     val p = registryPath(checkpointDir)
-    if (!java.nio.file.Files.exists(p)) Seq.empty
-    else scala.jdk.CollectionConverters.ListHasAsScala(
-      java.nio.file.Files.readAllLines(p)).asScala.toSeq
-      .filter(_.nonEmpty)
-      .map(graft.core.SingerMessage.parse)
-      .collect { case sm: graft.core.SchemaMessage => sm }
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val text = try {
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      } finally in.close()
+      text.linesIterator.toSeq
+        .filter(_.nonEmpty)
+        .map(graft.core.SingerMessage.parse)
+        .collect { case sm: graft.core.SchemaMessage => sm }
+    }
   }
 
   private[streaming] def saveSchemaRegistry(checkpointDir: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration,
       schemas: Seq[graft.core.SchemaMessage]): Unit = {
     val lines = schemas.map { sm =>
       val keys = sm.keyProperties.map(k => "\"" + k + "\"").mkString("[", ",", "]")
       s"""{"type": "SCHEMA", "stream": "${sm.stream}", "schema": ${sm.schemaJson}, "key_properties": $keys}"""
     }
-    java.nio.file.Files.write(registryPath(checkpointDir),
-      lines.mkString("\n").getBytes("UTF-8"))
+    val p = registryPath(checkpointDir)
+    val fs = p.getFileSystem(hadoopConf)
+    // Staged write + rename so a crash mid-write never truncates the registry.
+    val tmp = new org.apache.hadoop.fs.Path(checkpointDir, "graft-schemas.jsonl._tmp")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 }
 

@@ -147,6 +147,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) === null)
   }
 
+  test("as-of join returns the matched row's values atomically, NULLs included") {
+    import spark.implicits._
+    val left = Seq((1L, 20L)).toDF("id", "ts").withColumn("k", lit(100L))
+    // matched row (rts=15) has v=NULL but w set; an older row has v set —
+    // DuckDB ASOF semantics: BOTH values must come from the rts=15 row
+    val right = Seq(
+      (100L, 10L, Option("old_v"), Option("old_w")),
+      (100L, 15L, None, Option("new_w"))).toDF("k", "rts", "v", "w")
+    val row = AsOfJoin.joinBackward(left, right,
+      Seq("k"), Seq("k"), "ts", "rts", Seq("v", "w"))
+      .select("v", "w").collect().head
+    assert(row.isNullAt(0), "matched row's NULL v must be preserved")
+    assert(row.getString(1) === "new_w")
+  }
+
   test("exact dedup keeps one row per key") {
     val doubled = docs.unionByName(docs)
     val out = Dedup.exact(doubled, Seq("text"), "doc_id")
