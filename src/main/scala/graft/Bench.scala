@@ -47,6 +47,26 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // family warm-ups on 64-row samples: the sketch/vector operators run
+    // hand-written eval loops (HashNative, VecDot) and multi-stage plans
+    // whose first execution pays JIT + generated-class loading — steady-state
+    // throughput is what the bench is after, so pay that cost here once
+    try {
+      import graft.operators.{Dedup, Similarity}
+      val wd = spark.read.parquet(s"$sfDir/documents.parquet").limit(64).cache()
+      val we = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64).cache()
+      wd.count(); we.count()
+      Dedup.fuzzyDedup(wd, "doc_id", "text", 7, 10).unpersist()
+      Dedup.simhashNearDups(wd, "doc_id", "text").unpersist()
+      Dedup.ngramNearDups(wd, "doc_id", "text", 7, 10).unpersist()
+      Similarity.cosineNearDups(we, "vec_id", "embedding", 0.45)
+        .write.format("noop").mode("overwrite").save()
+      Similarity.rpLshTopK(we, "vec_id", "embedding", 3, 4, 64).unpersist()
+      Similarity.ivfTopK(we, "vec_id", "embedding", 3, 8, 2).unpersist()
+      wd.unpersist(); we.unpersist()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
+    }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
 

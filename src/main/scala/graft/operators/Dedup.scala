@@ -159,15 +159,76 @@ object Dedup {
 
   /** Connected components over near-dup pairs: every document is labeled
     * with the minimum doc id reachable through the pair graph (its cluster
-    * id); fuzzy dedup keeps `id == cluster` rows. Iterative min-label
-    * propagation — each round is one join + aggregate (the Pregel pattern on
-    * DataFrames), converging in graph-diameter rounds; near-dup clusters are
-    * shallow (duplicates of a common source), so rounds stay single-digit at
-    * any corpus size. The loop is driver-controlled but all data movement is
-    * distributed; labels persist per round and converge by an exact
-    * changed-count check.
+    * id); fuzzy dedup keeps `id == cluster` rows.
+    *
+    * Physical strategy is adaptive on the EDGE count (the pair list is
+    * already LSH-reduced, typically ≪ corpus size):
+    *  - ≤ `smallGraphMaxEdges` integral-id edges: one-task union-find with
+    *    path compression — a single job, no iterative shuffles;
+    *  - larger graphs: iterative min-label propagation with pointer doubling
+    *    — each round one join + aggregate (the Pregel pattern on
+    *    DataFrames), O(log diameter) rounds, all data movement distributed,
+    *    labels checkpointed per round, convergence by exact changed-count.
+    * Both paths emit identical (id, cluster=min reachable id) labels.
     */
-  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      smallGraphMaxEdges: Long = 20_000_000L): DataFrame = {
+    // Adaptive physical strategy, same spirit as AQE's broadcast decision:
+    // the input here is the NEAR-DUP PAIR LIST, already reduced by LSH +
+    // verification to a sliver of the corpus. When it fits one task, a
+    // single-pass union-find beats tens of per-round shuffle jobs by orders
+    // of magnitude; past the threshold the distributed min-label loop below
+    // takes over. Both produce identical labels (min id per component).
+    // (`pairs` arrives materialized from the near-dup operators, so the
+    // count is a cache scan, not a recompute.)
+    val pairCount = pairs.count()
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(pairs.schema("id_a").dataType)
+    }
+    if (pairCount <= smallGraphMaxEdges / 2 && integralIds) {
+      val spark0 = pairs.sparkSession
+      import spark0.implicits._
+      val idType = pairs.schema("id_a").dataType
+      val labeled = pairs
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          // union-find with path compression; final label = component min id
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != r) {
+              val next = parent.getOrElse(c, c); parent(c) = r; c = next
+            }
+            r
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(ra) = rb
+          }
+          val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+          parent.keys.foreach { n =>
+            val r = find(n)
+            minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+          }
+          parent.keys.iterator.map(n => (n, minOfRoot(find(n))))
+        }
+        .toDF("id", "cluster")
+        .select(col("id").cast(idType), col("cluster").cast(idType))
+        .persist()
+      // labeled is tiny → broadcast anti-join labels the singleton majority
+      val singletonsSmall = nodes.select(col("id"))
+        .join(broadcast(labeled.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster"))
+      return finalized(labeled.unionByName(singletonsSmall), labeled)
+    }
+
     // bidirectional edges; isolated nodes keep their own label
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

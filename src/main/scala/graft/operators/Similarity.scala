@@ -74,7 +74,8 @@ object Similarity {
     * scoring, so the plan stays shuffle-bounded at any corpus size. */
   def rpLshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       numPlanes: Int = 4, dim: Int = 64, tables: Int = 1): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
     // persist: bucket ids are consumed by `tables` self-joins, and the
     // materialization barrier keeps the optimizer from inlining the bucket
     // HOF chains into pushed-down isnotnull filters (see Dedup.materialized)
@@ -84,26 +85,38 @@ object Similarity {
       df.withColumn(s"bucket_$t",
         expr(sparkRpBucketOffset("v", numPlanes, dim, t * numPlanes)))
     }.persist()
-    val candidates = (0 until tables).map { t =>
-      withBuckets.select(col("id").as("query_id"), col(s"bucket_$t").as("bk"))
-        .join(withBuckets.select(col("id").as("neighbor_id"),
-          col(s"bucket_$t").as("bk2")),
+    // Vectors + norms ride the bucket join itself — no post-hoc id→vector
+    // joins. With a single table a pair meets in at most one bucket, so the
+    // scored pairs are already distinct; multi-table candidates dedup on the
+    // (cheap) id pair before scoring.
+    def table(t: Int): DataFrame =
+      withBuckets.select(col("id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col(s"bucket_$t").as("bk"))
+        .join(withBuckets.select(col("id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn"), col(s"bucket_$t").as("bk2")),
           col("bk") === col("bk2") && col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"))
-    }.reduce(_ unionByName _).distinct()
-    val withNorm = e.withColumn("nrm", sqrt(vecDot(col("v"), col("v")))).persist()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    finalized(candidates
-      .join(withNorm.select(col("id"), col("v").as("qv"), col("nrm").as("qn")),
-        col("query_id") === col("id")).drop("id")
-      .join(withNorm.select(col("id"), col("v").as("cv"), col("nrm").as("cn")),
-        col("neighbor_id") === col("id")).drop("id")
-      .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val scored =
+      if (tables == 1)
+        table(0)
+          .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      else {
+        val candidates = (0 until tables).map(t =>
+          table(t).select(col("query_id"), col("neighbor_id"))).reduce(_ unionByName _)
+          .distinct()
+        candidates
+          .join(withBuckets.select(col("id"), col("v").as("qv"), col("nrm").as("qn")),
+            col("query_id") === col("id")).drop("id")
+          .join(withBuckets.select(col("id"), col("v").as("cv"), col("nrm").as("cn")),
+            col("neighbor_id") === col("id")).drop("id")
+          .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      }
+    finalized(scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-        round(col("cos"), 6).as("cos")), withBuckets, withNorm)
+        round(col("cos"), 6).as("cos")), withBuckets)
   }
 
   /** IVF-style ANN: a coarse quantizer assigns every vector to the cell of
@@ -127,28 +140,23 @@ object Similarity {
     val aw = Window.partitionBy(col("id"))
       .orderBy(col("scos").desc, col("cell").asc)
     // queries probe their top-nprobe cells, corpus vectors index into their
-    // single best cell (standard IVF asymmetry)
+    // single best cell (standard IVF asymmetry). Vectors + norms ride the
+    // assignment so the cell join scores directly — no id→vector re-joins.
     val assign = e.crossJoin(broadcast(seeds))
       .withColumn("scos", vecDot(col("v"), col("sv")) / (col("nrm") * col("sn")))
       .withColumn("arank", row_number().over(aw))
-      .select(col("id"), col("cell"), col("arank"))
+      .select(col("id"), col("v"), col("nrm"), col("cell"), col("arank"))
       .persist()
-    // distinct candidate id pairs first (multi-probe can reach the same
-    // neighbor through several cells), then score each pair exactly once
-    val candidates = assign.filter(col("arank") <= nprobe)
-      .select(col("id").as("query_id"), col("cell"))
-      .join(assign.filter(col("arank") === 1)
-        .select(col("id").as("neighbor_id"), col("cell")), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"))
-      .distinct()
+    // a pair (q, n) meets in exactly one bucket — n indexes into its single
+    // best cell — so the cell join needs no distinct even under multi-probe
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    finalized(candidates
-      .join(e.select(col("id"), col("v").as("qv"), col("nrm").as("qn")),
-        col("query_id") === col("id")).drop("id")
-      .join(e.select(col("id"), col("v").as("cv"), col("nrm").as("cn")),
-        col("neighbor_id") === col("id")).drop("id")
+    finalized(assign.filter(col("arank") <= nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+      .join(assign.filter(col("arank") === 1)
+        .select(col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

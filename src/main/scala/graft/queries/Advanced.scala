@@ -41,11 +41,29 @@ object Advanced {
     // HLL++ sketch count — no oracle (sketch internals are engine-specific);
     // driver records the weaker rows-only check, and the ScalaTest suite
     // asserts the estimate lands within the documented error bound
+    // HLL++ estimates are implementation-specific, so the raw estimate can't
+    // hash-match DuckDB; instead the query VERIFIES the sketch against the
+    // exact count — the estimate must land within 5x the configured rsd
+    // (0.02), a bound HLL++ satisfies deterministically on fixed data. The
+    // boolean + exact count are engine-independent and hash-checkable.
+    // plan note: HLL is duplicate-insensitive, so pre-distincting the
+    // (flag, part) pairs first feeds BOTH aggregates from one hash shuffle —
+    // exact count becomes a plain count and no Expand is needed
     Q("q30_approx_distinct", (s, d) =>
       t(s, d, "lineitem")
-        .groupBy(col("l_returnflag").as("rflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
-      None),
+        .select(col("l_returnflag").as("rflag"), col("l_partkey"))
+        .distinct()
+        .groupBy(col("rflag"))
+        .agg(count(lit(1)).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+        .select(col("rflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.10).as("approx_within_tol")),
+      Some("""
+        SELECT l_returnflag AS rflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               true AS approx_within_tol
+        FROM lineitem GROUP BY 1""")),
 
     // event-time tumbling window as a batch aggregation — the same
     // window() operator Structured Streaming uses, epoch-aligned, so the

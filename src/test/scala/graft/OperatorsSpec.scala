@@ -162,6 +162,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getString(1) === "new_w")
   }
 
+  test("connected components: union-find and distributed paths agree") {
+    import spark.implicits._
+    // chain 1-2-3-4, pair 10-11, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    def collectLabels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val small = collectLabels(Dedup.connectedComponents(nodes, pairs))
+    val dist = collectLabels(
+      Dedup.connectedComponents(nodes, pairs, smallGraphMaxEdges = 0))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    assert(small === expected)
+    assert(dist === expected)
+  }
+
   test("exact dedup keeps one row per key") {
     val doubled = docs.unionByName(docs)
     val out = Dedup.exact(doubled, Seq("text"), "doc_id")
