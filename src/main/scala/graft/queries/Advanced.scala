@@ -38,9 +38,6 @@ object Advanced {
                CAST(quantile_cont(CAST(l_quantity * 100 AS BIGINT), 0.25) * 10 AS BIGINT) AS p25_qty_x1000
         FROM lineitem GROUP BY l_linestatus""")),
 
-    // HLL++ sketch count — no oracle (sketch internals are engine-specific);
-    // driver records the weaker rows-only check, and the ScalaTest suite
-    // asserts the estimate lands within the documented error bound
     // HLL++ estimates are implementation-specific, so the raw estimate can't
     // hash-match DuckDB; instead the query VERIFIES the sketch against the
     // exact count — the estimate must land within 5x the configured rsd

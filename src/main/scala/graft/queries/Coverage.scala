@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.functions.{HashExprs => H}
+
+/** Round-2 query-surface widening: grouping sets, RANGE window frames,
+  * correlated scalar subqueries, quantile binning, positional window
+  * functions, sessionization, sliding event-time windows, PII scrubbing,
+  * and stratified deterministic sampling.
+  *
+  * Scale notes: every query here is a single hash-shuffle (or pure
+  * projection) plan — no cartesians, no driver-side loops. Sessionization is
+  * the classic lag+cumsum formulation (one window shuffle per user key);
+  * sliding windows fan each row out to exactly windowLen/slide buckets.
+  */
+object Coverage {
+  import Tables.t
+
+  def defs: Seq[Q] = Seq(
+
+    // GROUPING SETS — finer than rollup/cube (q14/q15): an explicit lattice.
+    // NULL group markers are coalesced to sentinels so the hash compare
+    // can't confuse "grouped-out" with a genuinely NULL key.
+    Q("q36_grouping_sets", (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""
+        SELECT coalesce(l_returnflag, '*') AS rflag,
+               coalesce(l_linestatus, '*') AS lstatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+    }, Some("""
+      SELECT coalesce(l_returnflag, '*') AS rflag,
+             coalesce(l_linestatus, '*') AS lstatus,
+             count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")),
+
+    // RANGE window frame over integer epoch-days: a 30-day trailing revenue
+    // sum per customer — value-based frames are the other half of the window
+    // surface (q9 covered ROWS frames)
+    Q("q37_range_frame", (s, d) => {
+      val o = t(s, d, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od"))
+        .rangeBetween(-30, 0)
+      o.select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("od"),
+          col("o_totalprice"))
+        .withColumn("trailing_30d", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_orderkey"), col("o_custkey"), col("trailing_30d"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+      FROM orders""")),
+
+    // correlated scalar subquery — Catalyst decorrelates it to an agg+join;
+    // the query surface (not the plan) is what's being covered
+    Q("q38_correlated_subquery", (s, d) => {
+      t(s, d, "part").createOrReplaceTempView("part_corr")
+      s.sql("""
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part_corr p1
+        WHERE p_retailprice > 1.2 * (SELECT avg(p_retailprice)
+                                     FROM part_corr p2
+                                     WHERE p2.p_brand = p1.p_brand)""")
+    }, Some("""
+      SELECT p_partkey, p_brand, p_retailprice
+      FROM part p1
+      WHERE p_retailprice > 1.2 * (SELECT avg(p_retailprice)
+                                   FROM part p2
+                                   WHERE p2.p_brand = p1.p_brand)""")),
+
+    // ntile quantile binning (deterministic: total order via custkey tiebreak)
+    Q("q39_ntile", (s, d) => {
+      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      t(s, d, "customer")
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+    }, Some("""
+      WITH deciles AS (
+        SELECT c_acctbal,
+               ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+        FROM customer)
+      SELECT decile, count(*) AS n,
+             min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+      FROM deciles GROUP BY decile""")),
+
+    // positional window functions: first/last/nth over an unbounded frame
+    Q("q40_first_last", (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_orderpriority").as("priority"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .distinct()
+    }, Some("""
+      SELECT DISTINCT o_orderpriority AS priority,
+        first_value(o_orderkey) OVER w AS first_key,
+        last_value(o_orderkey) OVER w AS last_key,
+        nth_value(o_orderkey, 2) OVER w AS second_key
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
+    // sessionization: a session breaks after >30 min of per-user silence —
+    // lag + cumulative-sum-of-breaks, the batch analog of session_window
+    // (whose streaming form is covered in StreamingSpec)
+    Q("q41_sessionize", (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(byUser) > 1800L * 1000000L
+            || lag(col("us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("brk")).over(cum))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, us,
+          CASE WHEN us - lag(us) OVER w > 1800 * 1000000
+                 OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)),
+      sessions AS (
+        SELECT user_id, us,
+          CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx, count(*) AS n_events,
+             min(us) AS start_us, max(us) AS end_us
+      FROM sessions GROUP BY user_id, session_idx""")),
+
+    // sliding event-time window (12h length, 6h slide): each event lands in
+    // exactly two epoch-aligned windows — the batch form of the streaming
+    // sliding-window aggregation
+    Q("q42_sliding_window", (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "12 hours", "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n")),
+      Some("""
+        WITH fanout AS (
+          SELECT unnest([time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)),
+                         time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) - INTERVAL 6 HOUR])
+                   AS window_start,
+                 event_type
+          FROM events)
+        SELECT window_start, event_type, count(*) AS n
+        FROM fanout GROUP BY 1, 2""")),
+
+    // PII scrubbing: global regexp redaction (emails, then digit runs) with
+    // per-doc redaction counts — the quality-gate shape of corpus cleaning
+    Q("text_pii_scrub", (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0)) AS BIGINT)")
+          .as("n_emails"),
+        regexp_replace(
+          regexp_replace(col("text"), "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>").as("scrubbed")),
+      Some("""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+               regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                              '[0-9]+', '<NUM>', 'g') AS scrubbed
+        FROM documents""")),
+
+    // stratified deterministic sampling: per-language keep rates, membership
+    // a pure function of content hash — reproducible on any cluster/run,
+    // unlike random() sampling (same property as text_sample, per stratum)
+    Q("text_stratified", (s, d) =>
+      t(s, d, "documents")
+        .filter(TextAnalysis.fingerprint("text") % 100 <
+          when(col("lang") === "en", 50).otherwise(10))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled")),
+      Some(s"""
+        SELECT lang, count(*) AS n_sampled
+        FROM documents
+        WHERE ${H.duckCharHash("text")} % 100 <
+              CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        GROUP BY lang"""))
+  )
+}
