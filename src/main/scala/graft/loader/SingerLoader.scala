@@ -50,13 +50,14 @@ object SingerLoader {
     *                     appends across triggers) */
   def load(spark: SparkSession, lines: Dataset[String], config: GraftConfig,
       knownSchemas: Map[String, SchemaMessage] = Map.empty): LoadResult = {
-    // one parse pass over the input, cached for every consumer below
+    // one parse pass over the input, cached for every consumer below —
+    // json_tuple extracts all three routing fields from a SINGLE json parse
+    // (three get_json_object calls would each re-parse the line)
     val routed = lines.toDF("value")
       .filter(length(trim(col("value"))) > 0)
       .select(col("value"),
-        get_json_object(col("value"), "$.type").as("t"),
-        get_json_object(col("value"), "$.stream").as("stream"),
-        get_json_object(col("value"), "$.record").as("record"))
+        json_tuple(col("value"), "type", "stream", "record"))
+      .toDF("value", "t", "stream", "record")
       .persist()
     try {
       // ---- protocol validation (one aggregation job) ----

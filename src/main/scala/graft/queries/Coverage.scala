@@ -184,6 +184,35 @@ object Coverage {
                               '[0-9]+', '<NUM>', 'g') AS scrubbed
         FROM documents""")),
 
+    // ordered string aggregation (deterministic: explicit sort before concat)
+    Q("q43_string_agg", (s, d) =>
+      t(s, d, "nation")
+        .groupBy(col("n_regionkey").as("regionkey"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n")),
+      Some("""
+        SELECT n_regionkey AS regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n
+        FROM nation GROUP BY n_regionkey""")),
+
+    // argmin/argmax aggregates (min_by/max_by). Ties on acctbal exist at
+    // sf0.1, so the ordering key packs (cents, custkey) into one BIGINT —
+    // exact integer math, deterministic in both engines (DuckDB's arg_min
+    // accepts only scalar keys)
+    Q("q44_minmax_by", (s, d) => {
+      val key = (expr("CAST(round(c_acctbal * 100) AS BIGINT)") * 10000000L
+        + col("c_custkey"))
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(min_by(col("c_custkey"), key).as("poorest_key"),
+          max_by(col("c_custkey"), key).as("richest_key"))
+    }, Some("""
+      SELECT c_mktsegment AS segment,
+             arg_min(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS poorest_key,
+             arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest_key
+      FROM customer GROUP BY c_mktsegment""")),
+
     // stratified deterministic sampling: per-language keep rates, membership
     // a pure function of content hash — reproducible on any cluster/run,
     // unlike random() sampling (same property as text_sample, per stratum)
