@@ -164,37 +164,95 @@ object Similarity {
         round(col("cos"), 6).as("cos")), assign)
   }
 
+  /** One side of a block pair: every (id, vector, norm) in the block,
+    * transposed to primitive arrays so the kernel loop never boxes.
+    * (Not `private`: the deserializer is codegen'd in Catalyst's package and
+    * needs constructor access.) */
+  final case class VecBlock(bi: Int, bj: Int, side: Int,
+      ids: Array[Long], vecs: Array[Array[Float]], nrms: Array[Double])
+
   /** Near-duplicate pairs by embedding cosine >= threshold (rounded to 4
     * decimals so the compare sits on an exact grid; the data's nearest pair
     * to the default 0.45 threshold is 5.5e-4 away).
     *
-    * Exact all-pairs is inherently O(n²) compute, but the JOIN need not be a
-    * broadcast nested loop: rows are assigned to `blocks` buckets and each
-    * unordered block pair becomes one equi-join key, so the cartesian is
-    * distributed across `blocks*(blocks+1)/2` hash-join tasks — ~`blocks`-x
-    * row replication buys a plan with no broadcast of the full corpus and no
-    * single straggler task, which is what survives a 1000-executor scale-up.
-    * Every unordered row pair lands in exactly one block-pair bucket, so no
-    * distinct is needed.
+    * Exact all-pairs is inherently O(n²) compute. The DISTRIBUTION is a
+    * block decomposition: rows hash into `blocks` buckets, every unordered
+    * block pair becomes one equi-join key, so the cartesian spreads over
+    * `blocks*(blocks+1)/2` tasks with ~`blocks/2`-x row replication and no
+    * full-corpus broadcast — the shape that survives a 1000-executor
+    * scale-up (`blocks` scales so a block pair fits an executor's memory).
+    * The COMPUTE per block pair is a tight primitive-array kernel
+    * (`mapPartitions`-class imperative code, the GEMM analog): materializing
+    * 2M joined rows of 2x64 floats through UnsafeRow costs more than the
+    * dot products themselves, so each task loops over two decoded float
+    * blocks and emits only qualifying pairs. Same integer/IEEE op sequence
+    * as the expression form — oracle-exact.
     */
   def cosineNearDups(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.45, blocks: Int = 8): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val spark0 = emb.sparkSession
+    import spark0.implicits._
+    val idType = emb.schema(idCol).dataType
+    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
-      .withColumn("blk", pmod(col("id"), lit(blocks)))
+      .withColumn("blk", pmod(col("id"), lit(blocks)).cast("int"))
+    // per-block packed vectors (one grouped row per block)
+    val packed = e.groupBy(col("blk"))
+      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("items"))
+      .select(col("blk"),
+        expr("transform(items, x -> x.id)").as("ids"),
+        expr("transform(items, x -> x.v)").as("vecs"),
+        expr("transform(items, x -> x.nrm)").as("nrms"))
     // left emits (blk, j) for j in [blk, blocks); right emits (i, blk) for
     // i in [0, blk] — pair (p, q<=p swapped) meets in bucket (min, max) once
-    val lhs = e.select(col("id").as("id_l"), col("v").as("lv"), col("nrm").as("ln"),
-      col("blk").as("bi"), explode(sequence(col("blk"), lit(blocks - 1))).as("bj"))
-    val rhs = e.select(col("id").as("id_r"), col("v").as("rv"), col("nrm").as("rn"),
-      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"))
-    lhs.join(rhs, Seq("bi", "bj"))
-      // diagonal buckets (bi == bj) see both arrangements of a pair — keep
-      // one; off-diagonal buckets see exactly one arrangement
-      .filter(col("bi") =!= col("bj") || col("id_l") < col("id_r"))
-      .filter(col("id_l") =!= col("id_r"))
-      .filter(round(vecDot(col("lv"), col("rv")) / (col("ln") * col("rn")), 4) >= threshold)
-      .select(least(col("id_l"), col("id_r")).as("id_a"),
-        greatest(col("id_l"), col("id_r")).as("id_b"))
+    val lhs = packed.select(col("blk").as("bi"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("bj"),
+      lit(0).as("side"), col("ids"), col("vecs"), col("nrms"))
+    val rhs = packed.select(
+      explode(sequence(lit(0), col("blk"))).as("bi"), col("blk").as("bj"),
+      lit(1).as("side"), col("ids"), col("vecs"), col("nrms"))
+    val pairsLong = lhs.unionByName(rhs).as[VecBlock]
+      .groupByKey(b => (b.bi, b.bj))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[VecBlock]) =>
+        val (bi, bj) = key
+        val sides = it.toArray.sortBy(_.side)
+        // an off-diagonal bucket with one side missing (empty block) has no
+        // cross pairs; a nonempty diagonal bucket always carries both rows
+        if (sides.length < 2 && bi != bj) Iterator.empty
+        else {
+        val a = sides.head
+        val b = if (sides.length > 1) sides(1) else a
+        val out = Seq.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < a.ids.length) {
+          val av = a.vecs(i); val an = a.nrms(i); val aid = a.ids(i)
+          var j = 0
+          while (j < b.ids.length) {
+            val bid = b.ids(j)
+            // diagonal buckets see both arrangements of a pair — keep one
+            if (if (bi == bj) aid < bid else aid != bid) {
+              val bv = b.vecs(j)
+              var acc = 0.0
+              var k = 0
+              val n = math.min(av.length, bv.length)
+              while (k < n) {
+                acc += av(k).toDouble * bv(k).toDouble
+                k += 1
+              }
+              // same rounding as the SQL form: HALF_UP on BigDecimal
+              val cos = BigDecimal(acc / (an * b.nrms(j)))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (cos >= threshold)
+                out += ((math.min(aid, bid), math.max(aid, bid)))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+        }
+      }
+      .toDF("id_a", "id_b")
+    pairsLong.select(col("id_a").cast(idType), col("id_b").cast(idType))
   }
 }
