@@ -154,6 +154,48 @@ object Extensions {
         |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
         |FROM scored WHERE rank <= 3""".stripMargin)),
 
+    // kNN weak labeling: each query takes the majority label of its 3
+    // nearest neighbors (ties: most votes, then smallest label) — the
+    // label-propagation shape of training-data curation
+    Q("sim_knn_label", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings")
+      val topk = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50), e,
+        "vec_id", "embedding", 3, broadcastCorpus = true)
+      val votes = topk
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("label").asc)
+      votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+    }, Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |scored AS (SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY ${V.duckCosine("qv", "cv")} DESC, neighbor_id ASC) AS rank
+      |  FROM q JOIN c ON query_id <> neighbor_id),
+      |votes AS (SELECT query_id, n.label, count(*) AS votes
+      |  FROM scored JOIN embeddings n ON scored.neighbor_id = n.vec_id
+      |  WHERE rank <= 3 GROUP BY 1, 2)
+      |SELECT query_id, label AS pred_label, votes FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY votes DESC, label ASC) AS rn FROM votes)
+      |WHERE rn = 1""".stripMargin)),
+
+    // per-vector norm + sign-bit quantization (8-plane code): the embedding
+    // hygiene projection (norm filter + compact code) of a vector pipeline
+    Q("sim_norm_quantize", (s, d) =>
+      t(s, d, "embeddings").select(col("vec_id"),
+        round(sqrt(graft.functions.VecDot.vecDot(col("embedding"), col("embedding"))), 6).as("l2_norm"),
+        expr(V.sparkRpBucket("embedding", 8, 64)).as("code8")),
+      Some(s"""SELECT vec_id,
+        |  round(SQRT(${V.duckDot("embedding", "embedding")}), 6) AS l2_norm,
+        |  ${V.duckRpBucket("embedding", 8, 64)} AS code8
+        |FROM embeddings""".stripMargin)),
+
     // ---- text analysis ------------------------------------------------
     Q("text_tokens", (s, d) =>
       t(s, d, "documents").select(col("doc_id"),
