@@ -92,20 +92,24 @@ object Dedup {
       .select(col("id_a"), col("id_b")), sh)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via an inverted-index join: explode
-    * shingles, self-join on the shingle, count co-occurrences = intersection
+  /** Exact n-gram Jaccard near-dup pairs via an inverted index: explode
+    * shingles, build per-shingle postings lists, emit each co-occurring doc
+    * pair from a tight kernel loop, count co-occurrences = intersection
     * size, then filter on the integer Jaccard inequality. Identical output
     * to the naive all-pairs comparison, but the cartesian collapses to
-    * per-shingle blocks — a shuffle-bounded plan that survives corpus
-    * growth (cost = Σ df(shingle)^2, tiny when shingles are discriminative).
-    * At web scale, drop stop-shingles first via `maxShingleDf`: a shingle in
-    * k docs contributes k^2 join rows and near-universal shingles carry no
-    * dedup signal. */
+    * per-shingle blocks — one groupBy shuffle, then Σ C(df,2) emitted pairs
+    * (a self-JOIN on the shingle computes the same set but materializes
+    * twice the rows through the join machinery). At web scale, drop
+    * stop-shingles first via `maxShingleDf`: a shingle in k docs contributes
+    * k² pairs and near-universal shingles carry no dedup signal. */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
       num: Int = 7, den: Int = 10, maxShingleDf: Option[Int] = None): DataFrame = {
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val idType = docs.schema(idCol).dataType
     val sh = materialized(shingleTable(docs, idCol, textCol))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val ex = sh.select(col("id").cast("long").as("id"), explode(col("sh")).as("s"))
     val exFiltered = maxShingleDf match {
       case Some(maxDf) =>
         val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -113,10 +117,28 @@ object Dedup {
         ex.join(rare, "s")
       case None => ex
     }
-    val inter = exFiltered.as("a")
-      .join(exFiltered.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // postings list per shingle; singleton shingles generate no pairs and
+    // are dropped before the kernel ever sees them
+    val pairs = exFiltered.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids")).as[Array[Long]]
+      .flatMap { ids =>
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+          ids.length * (ids.length - 1) / 2)
+        var i = 0
+        while (i < ids.length) {
+          var j = i + 1
+          while (j < ids.length) { out += ((ids(i), ids(j))); j += 1 }
+          i += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b")
+    val inter = pairs.groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"), col("inter"))
     finalized(inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
