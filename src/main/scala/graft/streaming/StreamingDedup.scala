@@ -23,6 +23,17 @@ object StreamingDedup {
 
   final case class KeyCount(key: String, n: Long)
 
+  /** Stream-static enrichment: a streaming frame joined to a bounded
+    * dimension table. The static side is broadcast (dimensions are small by
+    * definition), so each micro-batch enriches executor-locally — no
+    * per-batch shuffle, no state. This is the canonical streaming join: the
+    * stream-stream variant (watermarked, stateful) only pays off when BOTH
+    * sides are unbounded. */
+  def enrich(stream: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String, joinType: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), joinType)
+      .drop(dim(dimKey))
+
   /** Custom-state surface (`mapGroupsWithState`): running per-key event
     * counts across micro-batches. The state is one long per key — the
     * minimal stateful-operator shape on which session windows, CDC upserts,

@@ -64,6 +64,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("stream-static enrichment broadcast-joins each micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val mem = MemoryStream[(Long, Long)]
+    val enriched = graft.streaming.StreamingDedup
+      .enrich(mem.toDF().toDF("event_id", "cust_id"), dim, "cust_id", "cust_id")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((10L, 1L), (11L, 2L), (12L, 9L)) // 9 has no dim row
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_id, tier FROM enrich_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.stop()
+    assert(rows === Map(10L -> "gold", 11L -> "silver", 12L -> null))
+  }
+
   test("mapGroupsWithState keeps running per-key counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
