@@ -213,6 +213,25 @@ object Coverage {
              arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest_key
       FROM customer GROUP BY c_mktsegment""")),
 
+    // map-type construction + access + introspection (the MapType third of
+    // the complex-type surface; arrays are covered by q26/q32, structs by
+    // the flattener)
+    Q("q45_map_funcs", (s, d) => {
+      val m = map(lit("status"), col("o_orderstatus"),
+        lit("priority"), col("o_orderpriority"))
+      t(s, d, "orders").select(col("o_orderkey"),
+        element_at(m, "status").as("status"),
+        size(map_keys(m)).cast("long").as("n_keys"),
+        concat_ws(",", sort_array(map_keys(m))).as("keys_sorted"))
+    }, Some("""
+      SELECT o_orderkey,
+             list_extract(map_extract(m, 'status'), 1) AS status,
+             cardinality(m) AS n_keys,
+             array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
+      FROM (SELECT o_orderkey,
+              map(['status','priority'], [o_orderstatus, o_orderpriority]) AS m
+            FROM orders)""")),
+
     // stratified deterministic sampling: per-language keep rates, membership
     // a pure function of content hash — reproducible on any cluster/run,
     // unlike random() sampling (same property as text_sample, per stratum)
