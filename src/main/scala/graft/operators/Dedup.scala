@@ -101,7 +101,8 @@ object Dedup {
     * (a self-JOIN on the shingle computes the same set but materializes
     * twice the rows through the join machinery). At web scale, drop
     * stop-shingles first via `maxShingleDf`: a shingle in k docs contributes
-    * k² pairs and near-universal shingles carry no dedup signal. */
+    * k² pairs and near-universal shingles carry no dedup signal.
+    * Ids must be integral (they travel through the kernel as longs). */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
       num: Int = 7, den: Int = 10, maxShingleDf: Option[Int] = None): DataFrame = {
     val spark0 = docs.sparkSession

@@ -213,6 +213,23 @@ object Coverage {
              arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest_key
       FROM customer GROUP BY c_mktsegment""")),
 
+    // multiset set-ops (ALL variants keep duplicates — q11/q12 cover the
+    // distinct forms): customers seen as order-placers twice vs once
+    Q("q46_setops_all", (s, d) => {
+      val o = t(s, d, "orders")
+      val highPri = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val bigVal = o.filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey"))
+      highPri.intersectAll(bigVal).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_both"))
+    }, Some("""
+      SELECT o_custkey, count(*) AS n_both FROM (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+      GROUP BY o_custkey""")),
+
     // map-type construction + access + introspection (the MapType third of
     // the complex-type surface; arrays are covered by q26/q32, structs by
     // the flattener)
