@@ -13,6 +13,9 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *                            append cutoff is 85% of `dfs.blocksize`
   * @param skipExistingFiles   disables the append-file preload
   * @param compressionMethod   gzip (default) | snappy | zstd | brotli
+  *                            (reference parity: README.md:37; brotli needs
+  *                            the brotli-codec jar on the cluster classpath —
+  *                            validated here, resolved at write time)
   * @param maxBatchSize        records buffered per drain (default 10000)
   * @param maxTableSizeMb      max buffered MB before flush (default 800)
   * @param partitionCols       hive partition columns; when set, the append

@@ -114,6 +114,18 @@ class LoaderSpec extends AnyFunSuite {
     assert(files === 2)
   }
 
+  test("max_records_per_file splits non-partitioned fresh flushes too") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(fixture),
+      GraftConfig(hdfsDestinationPath = out, skipExistingFiles = true,
+        maxRecordsPerFile = 1))
+    val dir = new java.io.File(s"$out/t")
+    val files = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files > 1, "file-sizing must apply to the fresh-flush path")
+    // and the data still round-trips
+    assert(spark.read.parquet(dir.toString).count() === 3)
+  }
+
   test("schema-only stream loads cleanly and writes nothing") {
     val out = tmpDir()
     val result = SingerLoader.loadFile(spark, writeFixture(Seq(
