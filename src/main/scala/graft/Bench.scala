@@ -95,7 +95,8 @@ object Bench {
       val t0 = System.nanoTime()
       graft.loader.SingerLoader.loadFile(spark, inDir.toString,
         graft.core.GraftConfig(hdfsDestinationPath = outDir.toString,
-          compressionMethod = "snappy", skipExistingFiles = true))
+          compressionMethod = "snappy", skipExistingFiles = true,
+          maxRecordsPerFile = 10000))
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(s"[bench] loader ingested $nRows rows in $dt s (${(nRows / dt).toInt} rows/s)")
       dt

@@ -43,7 +43,8 @@ object MultimodalQueries {
         java.nio.file.Paths.get(spool, "0_schema.jsonl"), schemaLine + "\n")
       graft.loader.SingerLoader.loadFile(s, spool,
         graft.core.GraftConfig(hdfsDestinationPath = out,
-          compressionMethod = "snappy", skipExistingFiles = true))
+          compressionMethod = "snappy", skipExistingFiles = true,
+          maxRecordsPerFile = 10000))
       s.read.parquet(s"$out/documents")
     }, Some("SELECT * FROM documents")),
 
