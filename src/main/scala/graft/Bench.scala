@@ -63,6 +63,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       Similarity.rpLshTopK(we, "vec_id", "embedding", 3, 4, 64).unpersist()
       Similarity.ivfTopK(we, "vec_id", "embedding", 3, 8, 2).unpersist()
+      // regex machinery + window/as-of stages (each ~1.5-2 s on first touch)
+      import org.apache.spark.sql.functions._
+      wd.select(regexp_replace(col("text"), "[0-9]+", "#").as("a"),
+          expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)").as("b"),
+          expr("text rlike '^[aeiou]'").as("c"))
+        .write.format("noop").mode("overwrite").save()
+      val wo = spark.read.parquet(s"$sfDir/orders.parquet").limit(64)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      graft.operators.AsOfJoin.joinBackward(
+          wd.select(col("doc_id"), lit(1L).as("k"),
+            lit(java.sql.Date.valueOf("1995-01-01")).as("d")),
+          wo.select(lit(1L).as("k"), col("o_orderdate"), col("o_orderkey")),
+          Seq("k"), Seq("k"), "d", "o_orderdate", Seq("o_orderkey"))
+        .write.format("noop").mode("overwrite").save()
       wd.unpersist(); we.unpersist()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
