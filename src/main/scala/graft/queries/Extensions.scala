@@ -283,6 +283,66 @@ object Extensions {
         SELECT ngram, count(*) AS n FROM g GROUP BY ngram
         ORDER BY n DESC, ngram ASC LIMIT 20""")),
 
+    // duplicated-span counting (the memorization-risk metric of corpus
+    // curation): per doc, how many of its distinct 3-gram shingles occur in
+    // at least one other document — reuses the dedup inverted index
+    Q("text_dup_spans", (s, d) => {
+      val sh = Dedup.shingleTable(t(s, d, "documents"), "doc_id", "text")
+      val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+        .filter(col("s").isNotNull)
+      val df = ex.groupBy(col("s"))
+        .agg(countDistinct(col("id")).as("ndocs"))
+      ex.join(df, "s")
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+    }, Some(s"""$docsSql,
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |exn AS (SELECT doc_id, s FROM ex WHERE s IS NOT NULL),
+      |df AS (SELECT s, count(DISTINCT doc_id) AS ndocs FROM exn GROUP BY s)
+      |SELECT exn.doc_id AS doc_id, count(*) AS n_spans,
+      |       CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      |FROM exn JOIN df ON exn.s = df.s
+      |GROUP BY exn.doc_id""".stripMargin)),
+
+    // C4-style quality filter chain: length bounds, symbol ratio, stopword
+    // presence — keep/drop with a deterministic first-failure reason, the
+    // composite gate shape every corpus pipeline ends with
+    Q("text_filter_pipeline", (s, d) => {
+      val nChars = length(col("text"))
+      val nTokens = size(split(col("text"), " "))
+      val nStop = expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'and')))")
+      val symbolRatioHigh = // non-alnum-space chars * 10 > chars
+        (nChars - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))) * 10 > nChars
+      val reason = when(nChars < 100, "too_short")
+        .when(nChars > 5000, "too_long")
+        .when(nTokens < 20, "too_few_tokens")
+        .when(symbolRatioHigh, "symbol_heavy")
+        .when(nStop === 0, "no_stopwords")
+        .otherwise("kept")
+      t(s, d, "documents")
+        .select(col("doc_id"), reason.as("reason"),
+          (reason === "kept").as("is_kept"))
+    }, Some("""
+      SELECT doc_id,
+        CASE WHEN length(text) < 100 THEN 'too_short'
+             WHEN length(text) > 5000 THEN 'too_long'
+             WHEN len(string_split(text, ' ')) < 20 THEN 'too_few_tokens'
+             WHEN (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) * 10
+                  > length(text) THEN 'symbol_heavy'
+             WHEN len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the', 'a', 'of', 'and'))) = 0 THEN 'no_stopwords'
+             ELSE 'kept' END AS reason,
+        (CASE WHEN length(text) < 100 THEN 'too_short'
+             WHEN length(text) > 5000 THEN 'too_long'
+             WHEN len(string_split(text, ' ')) < 20 THEN 'too_few_tokens'
+             WHEN (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) * 10
+                  > length(text) THEN 'symbol_heavy'
+             WHEN len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the', 'a', 'of', 'and'))) = 0 THEN 'no_stopwords'
+             ELSE 'kept' END = 'kept') AS is_kept
+      FROM documents""")),
+
     // regex feature extraction (vowel-start/-end tokens, email/url hits) —
     // the filter-feature shape used for corpus quality gates
     Q("text_regex", (s, d) =>
