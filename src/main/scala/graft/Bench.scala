@@ -78,6 +78,10 @@ object Bench {
           Seq("k"), Seq("k"), "d", "o_orderdate", Seq("o_orderkey"))
         .write.format("noop").mode("overwrite").save()
       wd.unpersist(); we.unpersist()
+      // drop EVERY cache the warm-ups pinned (some operators return a
+      // projection over their internal persisted frame, so a targeted
+      // unpersist on the return value would miss the cache entry)
+      spark.catalog.clearCache()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
     }

@@ -41,23 +41,18 @@ class ParquetSink(spark: SparkSession, config: GraftConfig,
         val combined = existing.unionByName(batch)
         Compaction.writeSingleFile(spark, combined, path, config.compressionMethod)
       case None =>
-        if (config.partitionCols.nonEmpty) {
-          val writer = batch.write.mode("append")
-            .partitionBy(config.partitionCols: _*)
+        if (config.partitionCols.nonEmpty || config.maxRecordsPerFile > 0) {
+          // multi-file append write: hive-partitioned and/or file-sized
+          // flushes may emit many files (the reference's single-append
+          // invariant only constrains flushes that LOADED an HDFS append
+          // file — sinks.py:50-54; write_to_dataset also emits many)
+          var writer = batch.write.mode("append")
             .option("compression", config.compressionMethod)
-          (if (config.maxRecordsPerFile > 0)
-             writer.option("maxRecordsPerFile", config.maxRecordsPerFile)
-           else writer).parquet(dir)
-        } else if (config.maxRecordsPerFile > 0) {
-          // file-sizing requested and no append target loaded: a multi-file
-          // append write honors maxRecordsPerFile (the reference's
-          // single-append invariant only constrains flushes that LOADED an
-          // HDFS append file — sinks.py:50-54; fresh flushes may emit many
-          // files, as write_to_dataset does)
-          batch.write.mode("append")
-            .option("compression", config.compressionMethod)
-            .option("maxRecordsPerFile", config.maxRecordsPerFile)
-            .parquet(dir)
+          if (config.partitionCols.nonEmpty)
+            writer = writer.partitionBy(config.partitionCols: _*)
+          if (config.maxRecordsPerFile > 0)
+            writer = writer.option("maxRecordsPerFile", config.maxRecordsPerFile)
+          writer.parquet(dir)
         } else {
           // new single file in the stream dir (named like the reference's
           // uuid parquet files, unique per flush)

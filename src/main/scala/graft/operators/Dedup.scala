@@ -36,6 +36,13 @@ object Dedup {
         HashNative.wordHashes(col(textCol)).as("wh"))
       .select(col("id"), HashNative.shingleHashes(col("wh")).as("sh"))
 
+  /** Whether ids of this type survive a lossless round-trip through Long
+    * (the pair kernels and the union-find path carry ids as longs). */
+  private[operators] def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(dt)
+  }
+
   /** Materialize a sketch table before joins touch it. Two reasons, both
     * load-bearing at scale:
     * 1. sketch tables are read multiple times (candidate join + verify) —
@@ -108,9 +115,16 @@ object Dedup {
     val spark0 = docs.sparkSession
     import spark0.implicits._
     val idType = docs.schema(idCol).dataType
+    require(integralType(idType),
+      s"ngramNearDups requires an integral id column, got $idType " +
+        "(ids travel through the pair kernel as longs)")
     val sh = materialized(shingleTable(docs, idCol, textCol))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    // the NULL sentinel shingle (docs with <3 words) carries no dedup signal
+    // and must not key a postings group — NULL-keyed grouping would pair
+    // every short doc with every other short doc
     val ex = sh.select(col("id").cast("long").as("id"), explode(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
     val exFiltered = maxShingleDf match {
       case Some(maxDf) =>
         val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -119,21 +133,19 @@ object Dedup {
       case None => ex
     }
     // postings list per shingle; singleton shingles generate no pairs and
-    // are dropped before the kernel ever sees them
+    // are dropped before the kernel ever sees them. Pairs are emitted
+    // LAZILY (iterator, no buffer): a stop-shingle's C(df,2) pairs stream
+    // through the downstream partial aggregation instead of materializing
+    // in task memory
     val pairs = exFiltered.groupBy(col("s"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(col("ids")).as[Array[Long]]
       .flatMap { ids =>
-        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
-          ids.length * (ids.length - 1) / 2)
-        var i = 0
-        while (i < ids.length) {
-          var j = i + 1
-          while (j < ids.length) { out += ((ids(i), ids(j))); j += 1 }
-          i += 1
-        }
-        out
+        for {
+          i <- ids.indices.iterator
+          j <- Iterator.range(i + 1, ids.length)
+        } yield (ids(i), ids(j))
       }
       .toDF("id_a", "id_b")
     val inter = pairs.groupBy(col("id_a"), col("id_b"))
@@ -205,12 +217,7 @@ object Dedup {
     // (`pairs` arrives materialized from the near-dup operators, so the
     // count is a cache scan, not a recompute.)
     val pairCount = pairs.count()
-    val integralIds = {
-      import org.apache.spark.sql.types._
-      Seq[DataType](ByteType, ShortType, IntegerType, LongType)
-        .contains(pairs.schema("id_a").dataType)
-    }
-    if (pairCount <= smallGraphMaxEdges / 2 && integralIds) {
+    if (pairCount <= smallGraphMaxEdges / 2 && integralType(pairs.schema("id_a").dataType)) {
       val spark0 = pairs.sparkSession
       import spark0.implicits._
       val idType = pairs.schema("id_a").dataType

@@ -193,6 +193,9 @@ object Similarity {
     val spark0 = emb.sparkSession
     import spark0.implicits._
     val idType = emb.schema(idCol).dataType
+    require(graft.operators.Dedup.integralType(idType),
+      s"cosineNearDups requires an integral id column, got $idType " +
+        "(ids travel through the block kernel as longs)")
     val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
       .withColumn("blk", pmod(col("id"), lit(blocks)).cast("int"))

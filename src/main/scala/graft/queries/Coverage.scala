@@ -40,7 +40,10 @@ object Coverage {
 
     // RANGE window frame over integer epoch-days: a 30-day trailing revenue
     // sum per customer — value-based frames are the other half of the window
-    // surface (q9 covered ROWS frames)
+    // surface (q9 covered ROWS frames). Money is summed as EXACT integer
+    // cents: engines combine sliding-frame sums in different orders
+    // (re-accumulation vs segment trees), so float sums are a last-ulp hash
+    // hazard; integer sums are order-independent.
     Q("q37_range_frame", (s, d) => {
       val o = t(s, d, "orders")
       val w = Window.partitionBy(col("o_custkey"))
@@ -48,15 +51,15 @@ object Coverage {
         .rangeBetween(-30, 0)
       o.select(col("o_orderkey"), col("o_custkey"),
           datediff(col("o_orderdate"), lit("1970-01-01")).as("od"),
-          col("o_totalprice"))
-        .withColumn("trailing_30d", round(sum(col("o_totalprice")).over(w), 2))
-        .select(col("o_orderkey"), col("o_custkey"), col("trailing_30d"))
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .withColumn("trailing_30d_cents", sum(col("cents")).over(w))
+        .select(col("o_orderkey"), col("o_custkey"), col("trailing_30d_cents"))
     }, Some("""
       SELECT o_orderkey, o_custkey,
-             round(sum(o_totalprice) OVER (
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                PARTITION BY o_custkey
                ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
-               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_30d_cents
       FROM orders""")),
 
     // correlated scalar subquery — Catalyst decorrelates it to an agg+join;

@@ -82,12 +82,15 @@ object StreamingLoader {
     }
     val p = registryPath(checkpointDir)
     val fs = p.getFileSystem(hadoopConf)
-    // Staged write + rename so a crash mid-write never truncates the registry.
+    // Staged write + ATOMIC overwrite-rename (FileContext, not
+    // FileSystem.rename): delete-then-rename would open a crash window with
+    // no registry at all, and FileSystem.rename signals failure by returning
+    // false rather than throwing.
     val tmp = new org.apache.hadoop.fs.Path(checkpointDir, "graft-schemas.jsonl._tmp")
     val out = fs.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hadoopConf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }
 

@@ -162,6 +162,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(row.getString(1) === "new_w")
   }
 
+  test("short docs (<3 words, NULL shingle sentinel) never pair as near-dups") {
+    import spark.implicits._
+    val short = Seq((1L, "hi there"), (2L, "buy now"), (3L, "ok"),
+      (4L, "a b c d e f g"), (5L, "a b c d e f g")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramNearDups(short, "doc_id", "text", 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the genuinely identical long docs pair; the NULL sentinel from
+    // the three short docs must not key a postings group
+    assert(pairs === Set((4L, 5L)))
+  }
+
   test("connected components: union-find and distributed paths agree") {
     import spark.implicits._
     // chain 1-2-3-4, pair 10-11, singleton 20
