@@ -132,10 +132,16 @@ object Similarity {
     * (assign to top-`nprobe` cells instead of 1) exactly like FAISS IVF;
     * here the probe count is the assignment rank cutoff. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCells: Int = 8, nprobe: Int = 1): DataFrame = {
+      nCells: Int = 0, nprobe: Int = 1): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
-    val seeds = e.filter(col("id") < nCells)
+    // nCells = 0 → auto-size to ~sqrt(N) (the standard IVF nlist rule):
+    // fixed cell COUNT makes cell SIZE grow linearly and per-cell scoring
+    // quadratic in the corpus; sqrt keeps candidates/query ~ sqrt(N)*nprobe
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+    val seeds = e.filter(col("id") < cells)
       .select(col("id").as("cell"), col("v").as("sv"), col("nrm").as("sn"))
     val aw = Window.partitionBy(col("id"))
       .orderBy(col("scos").desc, col("cell").asc)

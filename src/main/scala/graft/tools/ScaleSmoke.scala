@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-up smoke: replicate the sf0.1 tables 10x (ids offset so
+  * keys stay distinct) and compare operator runtimes against the 1x run.
+  * A scalable plan should grow ~linearly (ratio ≈ 10 for scan-bound work,
+  * less when fixed costs dominate); a quadratic or driver-bound plan shows
+  * a blow-up ratio. Run: `sbt "runMain graft.tools.ScaleSmoke"`.
+  *
+  * This is a plan-shape check, not a benchmark — the driver's BENCH uses
+  * real testdata; this synthesizes volume only to expose asymptotics.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{AsOfJoin, Dedup, Similarity}
+
+    def rep(name: String, idCols: Seq[String]): DataFrame = {
+      val base = spark.read.parquet(s"$sfDir/$name.parquet")
+      val ids = idCols.toSet
+      (0 until copies).map { c =>
+        idCols.foldLeft(base) { (df, k) =>
+          df.withColumn(k, col(k) + lit(c.toLong * 100000000L))
+        }
+      }.reduce(_ unionByName _)
+    }
+
+    def time(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $label%-28s $dt%7.2f s")
+      dt
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // 1x inputs (warm both code paths and page cache first)
+    val l1 = spark.read.parquet(s"$sfDir/lineitem.parquet"); l1.count()
+    val o1 = spark.read.parquet(s"$sfDir/orders.parquet"); o1.count()
+    val d1 = spark.read.parquet(s"$sfDir/documents.parquet"); d1.count()
+    val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet"); e1.count()
+    // 10x inputs, materialized to strip the union/offset from the timings
+    val l10 = rep("lineitem", Seq("l_orderkey")).persist(); l10.count()
+    val o10 = rep("orders", Seq("o_orderkey", "o_custkey")).persist(); o10.count()
+    val d10 = rep("documents", Seq("doc_id")).persist(); d10.count()
+    val e10 = rep("embeddings", Seq("vec_id")).persist(); e10.count()
+
+    def aggJoin(l: DataFrame, o: DataFrame): DataFrame =
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+
+    def asof(o: DataFrame): DataFrame = {
+      val r = o.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.joinBackward(
+        o.select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          col("o_orderdate").as("ts")),
+        r, Seq("c"), Seq("o_custkey"), "ts", "o_orderdate", Seq("o_orderkey"))
+    }
+
+    val cases: Seq[(String, DataFrame => Unit, DataFrame, DataFrame)] = Seq()
+    val results = Seq(
+      ("groupBy_agg", time("groupBy_agg 1x")(noop(l1.groupBy("l_returnflag").agg(sum("l_quantity")))),
+        time("groupBy_agg 10x")(noop(l10.groupBy("l_returnflag").agg(sum("l_quantity"))))),
+      ("join_agg", time("join_agg 1x")(noop(aggJoin(l1, o1))),
+        time("join_agg 10x")(noop(aggJoin(l10, o10)))),
+      ("asof_join", time("asof_join 1x")(noop(asof(o1))),
+        time("asof_join 10x")(noop(asof(o10)))),
+      ("minhash_pairs", time("minhash_pairs 1x")(Dedup.minhashNearDups(d1, "doc_id", "text", 7, 10).unpersist()),
+        time("minhash_pairs 10x")(Dedup.minhashNearDups(d10, "doc_id", "text", 7, 10).unpersist())),
+      ("fuzzy_dedup", time("fuzzy_dedup 1x")(noop(Dedup.fuzzyDedup(d1, "doc_id", "text", 7, 10))),
+        time("fuzzy_dedup 10x")(noop(Dedup.fuzzyDedup(d10, "doc_id", "text", 7, 10)))),
+      ("cosine_neardups", time("cosine_neardups 1x")(noop(Similarity.cosineNearDups(e1, "vec_id", "embedding", 0.45))),
+        // 10x rows => 100x pairs; blocks scale with corpus so tasks stay bounded
+        time("cosine_neardups 10x")(noop(Similarity.cosineNearDups(e10, "vec_id", "embedding", 0.45, blocks = 24)))),
+      // nCells auto-sizes to sqrt(N) — with a FIXED cell count this op went
+      // quadratic at 10x (measured 20x ratio before the adaptive default)
+      ("ivf_topk", time("ivf_topk 1x")(Similarity.ivfTopK(e1, "vec_id", "embedding", 3, nprobe = 2).unpersist()),
+        time("ivf_topk 10x")(Similarity.ivfTopK(e10, "vec_id", "embedding", 3, nprobe = 2).unpersist())))
+
+    println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
+    results.foreach { case (n, a, b) =>
+      println(f"$n%-18s $a%8.2f $b%8.2f ${b / a}%7.1f") }
+    spark.stop()
+  }
+}
