@@ -73,17 +73,26 @@ object Similarity {
     * hash join — never a cartesian), unioned and deduplicated before
     * scoring, so the plan stays shuffle-bounded at any corpus size. */
   def rpLshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 4, dim: Int = 64, tables: Int = 1): DataFrame = {
+      numPlanes: Int = 0, dim: Int = 64, tables: Int = 1): DataFrame = {
+    // numPlanes = 0 → auto-size so the expected bucket holds ~64 vectors
+    // (planes ~ log2(N/64)): a FIXED plane count lets bucket sizes — and the
+    // within-bucket join — grow linearly with the corpus, i.e. quadratic
+    // total work. More planes trade recall for compute exactly like a
+    // larger IVF nlist; multi-table search buys the recall back.
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else math.min(24, math.max(4,
+        math.ceil(math.log(emb.count().toDouble / 64) / math.log(2)).toInt))
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
     // persist: bucket ids are consumed by `tables` self-joins, and the
     // materialization barrier keeps the optimizer from inlining the bucket
     // HOF chains into pushed-down isnotnull filters (see Dedup.materialized)
     val withBuckets = (0 until tables).foldLeft(e) { (df, t) =>
-      // table t uses planes [t*numPlanes, (t+1)*numPlanes): offset the plane
+      // table t uses planes [t*planes, (t+1)*planes): offset the plane
       // index by passing a shifted plane range through the bucket expr
       df.withColumn(s"bucket_$t",
-        expr(sparkRpBucketOffset("v", numPlanes, dim, t * numPlanes)))
+        expr(sparkRpBucketOffset("v", planes, dim, t * planes)))
     }.persist()
     // Vectors + norms ride the bucket join itself — no post-hoc id→vector
     // joins. With a single table a pair meets in at most one bucket, so the

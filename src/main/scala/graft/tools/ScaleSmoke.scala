@@ -89,7 +89,10 @@ object ScaleSmoke {
       // nCells auto-sizes to sqrt(N) — with a FIXED cell count this op went
       // quadratic at 10x (measured 20x ratio before the adaptive default)
       ("ivf_topk", time("ivf_topk 1x")(Similarity.ivfTopK(e1, "vec_id", "embedding", 3, nprobe = 2).unpersist()),
-        time("ivf_topk 10x")(Similarity.ivfTopK(e10, "vec_id", "embedding", 3, nprobe = 2).unpersist())))
+        time("ivf_topk 10x")(Similarity.ivfTopK(e10, "vec_id", "embedding", 3, nprobe = 2).unpersist())),
+      // numPlanes auto-sizes to log2(N/64) for the same reason
+      ("rp_lsh_topk", time("rp_lsh_topk 1x")(Similarity.rpLshTopK(e1, "vec_id", "embedding", 3).unpersist()),
+        time("rp_lsh_topk 10x")(Similarity.rpLshTopK(e10, "vec_id", "embedding", 3).unpersist())))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
     results.foreach { case (n, a, b) =>
