@@ -39,6 +39,10 @@ object HashNative {
     col(MinHashSig(GraftColumnBridge.expression(sh)))
   def simhash(sh: Column): Column =
     col(SimHash(GraftColumnBridge.expression(sh)))
+  /** 64-bit simhash (bit votes over all 64 bits of the input hashes) —
+    * the wide-fingerprint scale variant, no DuckDB oracle. */
+  def simhash64(sh: Column): Column =
+    col(SimHash(GraftColumnBridge.expression(sh), bits = 64))
 
   case class WordHashes(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -118,19 +122,19 @@ object HashNative {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
-  case class SimHash(child: Expression)
+  case class SimHash(child: Expression, bits: Int = SimhashBits)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(input: Any): Any = {
       val sh = input.asInstanceOf[ArrayData]
       val n = sh.numElements()
-      val ones = new Array[Int](SimhashBits)
+      val ones = new Array[Int](bits)
       var i = 0
       while (i < n) {
         if (!sh.isNullAt(i)) {
           val h = sh.getLong(i)
           var b = 0
-          while (b < SimhashBits) {
+          while (b < bits) {
             ones(b) += (((h >>> b) & 1L)).toInt
             b += 1
           }
@@ -139,12 +143,12 @@ object HashNative {
       }
       var f = 0L
       var b = 0
-      while (b < SimhashBits) {
+      while (b < bits) {
         if (2 * ones(b) > n) f |= (1L << b)
         b += 1
       }
       f
     }
-    override protected def withNewChildInternal(c: Expression) = copy(c)
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 }

@@ -72,9 +72,14 @@ object Dedup {
     out
   }
 
-  /** Jaccard(a, b) >= num/den as pure integer comparison. */
+  /** Jaccard(a, b) >= num/den as pure integer comparison. The NULL sentinel
+    * (docs with <3 words) must never count as a shared shingle: Spark's
+    * array_intersect matches NULL to NULL (DuckDB's list_intersect does
+    * not), so NULLs are stripped from one side before intersecting — two
+    * short docs then have intersection 0 over union 2 and never pair. */
   private def jaccardGe(num: Int, den: Int) = {
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    val inter = size(array_intersect(
+      expr("filter(sa, x -> x IS NOT NULL)"), col("sb")))
     val union = size(col("sa")) + size(col("sb")) - inter
     inter * den >= union * num
   }
@@ -173,7 +178,15 @@ object Dedup {
     * pigeonhole — see HashExprs), Hamming filter on the single-long
     * fingerprints, then exact shingle-Jaccard verification. The candidate
     * join carries only (id, chunk-key): narrow rows, shuffle-bounded, no
-    * cartesian anywhere. */
+    * cartesian anywhere.
+    *
+    * Scale envelope: the 30-bit/5-chunk oracle-exact configuration gives
+    * 64 values per chunk position, so expected bucket size grows N/64 —
+    * fine to ~10^5 docs, quadratic beyond. The 100 TB path widens the
+    * fingerprint (64-bit, e.g. xxhash64-fed bit votes) so chunk keys carry
+    * 12-13 bits each — same plan shape, buckets stay bounded; like
+    * [[minhashCandidatesXx]] that variant trades the DuckDB oracle for a
+    * recall test against the exact operators. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = SimhashMaxHamming, num: Int = 1, den: Int = 2): DataFrame = {
     val sh = materialized(shingleTable(docs, idCol, textCol))
@@ -323,6 +336,39 @@ object Dedup {
     connectedComponents(docs.select(col(idCol).as("id")), pairs)
       .select(col("id"), col("cluster"),
         (col("id") === col("cluster")).as("is_kept"))
+  }
+
+  /** Scale-path SimHash: 64-bit fingerprints (shingle hashes re-scattered
+    * through xxhash64 so all 64 bit positions carry signal), Hamming cutoff
+    * 8 (the 30-bit variant's 4/30 fraction, rescaled), candidates from a
+    * 9-chunk × 7-bit banded join. Per chunk position there are 128 values
+    * (vs 64 for the 30-bit variant) and the higher-resolution fingerprint
+    * separates non-dups better, so candidate volume and bucket growth both
+    * improve while the plan shape is identical. Completeness for
+    * Hamming <= 8 holds by pigeonhole: <=8 differing bits spread over 9
+    * disjoint chunk regions leave at least one chunk equal (bit 63 sits
+    * outside every chunk; a difference there only raises the Hamming
+    * distance, never hides a qualifying pair). Not oracle-checkable
+    * (xxhash64); recall-tested against [[simhashNearDups]] in the suite. */
+  def simhashNearDupsXx(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8, num: Int = 1, den: Int = 2): DataFrame = {
+    val sh = materialized(shingleTable(docs, idCol, textCol))
+    val fp = materialized(sh.select(col("id"),
+      HashNative.simhash64(expr("transform(sh, h -> xxhash64(h))")).as("f")))
+    val chunkExprs = (0 until 9).map(j =>
+      s"(shiftrightunsigned(f, ${j * 7}) & 127) * 9 + $j").mkString(", ")
+    val chunks = fp.select(col("id"), col("f"),
+      explode(expr(s"array($chunkExprs)")).as("ck"))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"), col("a.ck") === col("b.ck") && col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.f").bitwiseXOR(col("b.f"))) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    finalized(cand
+      .join(sh.select(col("id"), col("sh").as("sa")), cand("id_a") === col("id")).drop("id")
+      .join(sh.select(col("id"), col("sh").as("sb")), cand("id_b") === col("id"))
+      .filter(jaccardGe(num, den))
+      .select(col("id_a"), col("id_b")), sh, fp)
   }
 
   /** Scale-path MinHash candidates using Spark's native xxhash64 for word

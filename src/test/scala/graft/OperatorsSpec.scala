@@ -166,11 +166,27 @@ class OperatorsSpec extends AnyFunSuite {
     import spark.implicits._
     val short = Seq((1L, "hi there"), (2L, "buy now"), (3L, "ok"),
       (4L, "a b c d e f g"), (5L, "a b c d e f g")).toDF("doc_id", "text")
-    val pairs = Dedup.ngramNearDups(short, "doc_id", "text", 7, 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the genuinely identical long docs pair; the NULL sentinel must
+    // neither key a postings group (ngram) nor survive Jaccard verification
+    // (simhash variants — Spark's array_intersect matches NULL to NULL)
+    assert(pairs(Dedup.ngramNearDups(short, "doc_id", "text", 7, 10)) === Set((4L, 5L)))
+    assert(pairs(Dedup.simhashNearDups(short, "doc_id", "text")) === Set((4L, 5L)))
+    assert(pairs(Dedup.simhashNearDupsXx(short, "doc_id", "text")) === Set((4L, 5L)))
+    assert(pairs(Dedup.minhashNearDups(short, "doc_id", "text", 7, 10)) === Set((4L, 5L)))
+  }
+
+  test("64-bit simhash scale variant finds what the oracle-exact simhash finds") {
+    val exact = Dedup.simhashNearDups(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // only the genuinely identical long docs pair; the NULL sentinel from
-    // the three short docs must not key a postings group
-    assert(pairs === Set((4L, 5L)))
+    val wide = Dedup.simhashNearDupsXx(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // both verify by the same exact Jaccard; the wide fingerprint's bit
+    // scatter differs, so compare post-verification recall
+    val recall = exact.intersect(wide).size.toDouble / exact.size
+    assert(recall >= 0.9, s"wide-simhash recall $recall vs exact simhash")
   }
 
   test("connected components: union-find and distributed paths agree") {
