@@ -92,7 +92,10 @@ object ScaleSmoke {
         time("ivf_topk 10x")(Similarity.ivfTopK(e10, "vec_id", "embedding", 3, nprobe = 2).unpersist())),
       // numPlanes auto-sizes to log2(N/64) for the same reason
       ("rp_lsh_topk", time("rp_lsh_topk 1x")(Similarity.rpLshTopK(e1, "vec_id", "embedding", 3).unpersist()),
-        time("rp_lsh_topk 10x")(Similarity.rpLshTopK(e10, "vec_id", "embedding", 3).unpersist())))
+        time("rp_lsh_topk 10x")(Similarity.rpLshTopK(e10, "vec_id", "embedding", 3).unpersist())),
+      // 64-bit fingerprint: 9x7-bit bands keep buckets ~N/128
+      ("simhash_xx", time("simhash_xx 1x")(Dedup.simhashNearDupsXx(d1, "doc_id", "text").unpersist()),
+        time("simhash_xx 10x")(Dedup.simhashNearDupsXx(d10, "doc_id", "text").unpersist())))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
     results.foreach { case (n, a, b) =>
