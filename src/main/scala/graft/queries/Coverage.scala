@@ -216,6 +216,25 @@ object Coverage {
              arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest_key
       FROM customer GROUP BY c_mktsegment""")),
 
+    // IN-subquery with NULLs in the value list — three-valued logic makes
+    // this a classic engine-divergence trap (NULL members must not match,
+    // and must not turn IN into UNKNOWN for present members)
+    Q("q47_in_subquery", (s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_in")
+      t(s, d, "orders").createOrReplaceTempView("orders_in")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer_in
+        WHERE c_custkey IN (SELECT CASE WHEN o_totalprice > 400000
+                                        THEN o_custkey END
+                            FROM orders_in)""")
+    }, Some("""
+      SELECT c_custkey, c_mktsegment
+      FROM customer
+      WHERE c_custkey IN (SELECT CASE WHEN o_totalprice > 400000
+                                      THEN o_custkey END
+                          FROM orders)""")),
+
     // multiset set-ops (ALL variants keep duplicates — q11/q12 cover the
     // distinct forms): customers seen as order-placers twice vs once
     Q("q46_setops_all", (s, d) => {
