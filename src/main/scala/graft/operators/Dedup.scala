@@ -190,7 +190,12 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = SimhashMaxHamming, num: Int = 1, den: Int = 2): DataFrame = {
     val sh = materialized(shingleTable(docs, idCol, textCol))
-    val fp = materialized(sh.select(col("id"), HashNative.simhash(col("sh")).as("f")))
+    // docs with no real shingles (<3 words) all collapse to the same
+    // degenerate fingerprint; excluding them BEFORE the chunk join avoids a
+    // quadratic candidate flood that verification would only reject later
+    val fp = materialized(sh
+      .filter(expr("exists(sh, x -> x IS NOT NULL)"))
+      .select(col("id"), HashNative.simhash(col("sh")).as("f")))
     val chunks = fp.select(col("id"), col("f"),
       explode(expr(sparkSimhashChunks("f"))).as("ck"))
     val cand = chunks.as("a")
@@ -353,8 +358,11 @@ object Dedup {
   def simhashNearDupsXx(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8, num: Int = 1, den: Int = 2): DataFrame = {
     val sh = materialized(shingleTable(docs, idCol, textCol))
-    val fp = materialized(sh.select(col("id"),
-      HashNative.simhash64(expr("transform(sh, h -> xxhash64(h))")).as("f")))
+    // exclude no-shingle docs before the chunk join (see simhashNearDups)
+    val fp = materialized(sh
+      .filter(expr("exists(sh, x -> x IS NOT NULL)"))
+      .select(col("id"),
+        HashNative.simhash64(expr("transform(sh, h -> xxhash64(h))")).as("f")))
     val chunkExprs = (0 until 9).map(j =>
       s"(shiftrightunsigned(f, ${j * 7}) & 127) * 9 + $j").mkString(", ")
     val chunks = fp.select(col("id"), col("f"),

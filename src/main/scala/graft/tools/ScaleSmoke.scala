@@ -71,7 +71,6 @@ object ScaleSmoke {
         r, Seq("c"), Seq("o_custkey"), "ts", "o_orderdate", Seq("o_orderkey"))
     }
 
-    val cases: Seq[(String, DataFrame => Unit, DataFrame, DataFrame)] = Seq()
     val results = Seq(
       ("groupBy_agg", time("groupBy_agg 1x")(noop(l1.groupBy("l_returnflag").agg(sum("l_quantity")))),
         time("groupBy_agg 10x")(noop(l10.groupBy("l_returnflag").agg(sum("l_quantity"))))),
