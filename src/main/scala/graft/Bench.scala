@@ -69,6 +69,19 @@ object Bench {
           expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)").as("b"),
           expr("text rlike '^[aeiou]'").as("c"))
         .write.format("noop").mode("overwrite").save()
+      // JSON-parse machinery (JsonToStructs / JacksonParser / get_json_object
+      // path classes + their codegen): round-2 billed this class-load to the
+      // first JSON query (q23 0.65→3.0 s, q26 2.5→8.3 s regressions)
+      val we2 = spark.read.parquet(s"$sfDir/events.parquet").limit(64)
+      we2.select(
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType)))).as("j"),
+          get_json_object(col("props"), "$.source").as("g"),
+          json_tuple(col("props"), "source"),
+          schema_of_json(lit("""{"a":1}""")).as("s"),
+          to_json(struct(col("event_id"))).as("t"))
+        .write.format("noop").mode("overwrite").save()
       val wo = spark.read.parquet(s"$sfDir/orders.parquet").limit(64)
         .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
       graft.operators.AsOfJoin.joinBackward(
@@ -129,7 +142,17 @@ object Bench {
     // partially broken build can never look faster than a working one
     val total =
       if (failed.nonEmpty) -1.0 else all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","failed":${failed.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfDir"}"""
+    // durable copy: round-2's stdout tail was truncated mid-JSON, losing the
+    // dedup timings and the headline total ("parsed": null in BENCH_r02)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
+    // the JSON line is the FINAL stdout line (after spark.stop() so no late
+    // executor chatter can interleave past it and defeat tail-capture)
+    println(json)
   }
 }

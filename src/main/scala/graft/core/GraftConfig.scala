@@ -29,6 +29,9 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *                            that may emit multiple files; a compaction
   *                            rewrite (append into a loaded small file) is
   *                            single-file by contract and ignores it
+  * @param validateRecords     enforce JSON-Schema `required` properties and
+  *                            non-null `key_properties` per RECORD (singer-sdk
+  *                            record validation; default on, as in the SDK)
   * @param flatteningMaxDepth  nested-object flatten depth bound
   * @param streamMaps          per-stream column mappings (rename / derive /
   *                            drop / filter) — see [[graft.loader.StreamMaps]]
@@ -44,6 +47,7 @@ final case class GraftConfig(
     maxRecordsPerFile: Long = 0,
     extraFields: Option[String] = None,
     extraFieldsTypes: Option[String] = None,
+    validateRecords: Boolean = true,
     flatteningMaxDepth: Int = 10,
     streamMaps: Map[String, Map[String, Option[String]]] = Map.empty) {
 
@@ -99,6 +103,7 @@ object GraftConfig {
         }.getOrElse(Seq.empty),
       extraFields = str("extra_fields"),
       extraFieldsTypes = str("extra_fields_types"),
+      validateRecords = str("validate_records").forall(_.toBoolean),
       flatteningMaxDepth =
         str("flattening_max_depth").map(_.toInt).getOrElse(10),
       streamMaps = Option(n.get("stream_maps")).filterNot(_.isNull).map { sm =>
@@ -135,6 +140,7 @@ object GraftConfig {
       |    "partition_cols": {"type": ["array", "string", "null"]},
       |    "extra_fields": {"type": ["string", "null"]},
       |    "extra_fields_types": {"type": ["string", "null"]},
+      |    "validate_records": {"type": "boolean", "default": true},
       |    "flattening_max_depth": {"type": "integer", "default": 10}
       |  }
       |}""".stripMargin

@@ -16,3 +16,10 @@ class CanNotUploadFileException(msg: String) extends RuntimeException(msg)
 /** Raised for malformed configuration values (e.g. a size string without a
   * unit — reference: target_hdfs/utils/__init__.py:19-20). */
 class InvalidConfigException(msg: String) extends IllegalArgumentException(msg)
+
+/** Raised when a RECORD violates its stream's declared JSON-Schema
+  * constraints: a `required` property is absent from the record, or a
+  * `key_properties` column is NULL. Mirrors the singer-sdk record
+  * validation the reference inherits (exercised by its standard suite,
+  * reference: tests/test_core.py:26-33). */
+class RecordValidationException(msg: String) extends RuntimeException(msg)

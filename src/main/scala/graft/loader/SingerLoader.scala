@@ -56,8 +56,8 @@ object SingerLoader {
     val routed = lines.toDF("value")
       .filter(length(trim(col("value"))) > 0)
       .select(col("value"),
-        json_tuple(col("value"), "type", "stream", "record"))
-      .toDF("value", "t", "stream", "record")
+        json_tuple(col("value"), "type", "stream", "record", "version"))
+      .toDF("value", "t", "stream", "record", "version")
       .persist()
     try {
       // ---- protocol validation (one aggregation job) ----
@@ -95,29 +95,80 @@ object SingerLoader {
       }
 
       // records for a stream with no SCHEMA are a protocol violation
-      // (singer-sdk raises on RECORD-before-SCHEMA; so do we)
-      val orphan = routed.filter(col("t") === "RECORD")
-        .select(col("stream")).distinct().collect()
-        .map(_.getString(0)).filterNot(schemas.contains)
+      // (singer-sdk raises on RECORD-before-SCHEMA; so do we); the same
+      // per-stream pass notes which streams carry RECORD-level `version`
+      // stamps (full-table replication), so stamping below is data-driven
+      val perStream = routed.filter(col("t") === "RECORD")
+        .groupBy(col("stream"))
+        .agg(max(col("version").isNotNull).as("versioned")).collect()
+      val orphan = perStream.map(_.getString(0)).filterNot(schemas.contains)
       if (orphan.nonEmpty)
         throw new InvalidConfigException(
           s"RECORD messages for streams with no SCHEMA: ${orphan.mkString(", ")}")
+      val versionedStreams =
+        perStream.filter(_.getBoolean(1)).map(_.getString(0)).toSet
 
       // ---- record plane: fully distributed per stream ----
       schemas.values.foreach { sm =>
+        if (config.validateRecords) validateStream(routed, sm)
         val nested = JsonSchemaConverter.toStructType(sm.schemaJson)
-        val records = routed
+        val raw = routed
           .filter(col("t") === "RECORD" && col("stream") === sm.stream)
-          .select(from_json(col("record"), nested,
-            Map("mode" -> "FAILFAST")).as("r"))
-          .select(col("r.*"))
+        val records =
+          if (versionedStreams(sm.stream))
+            // full-table replication: RECORDs carry a message-level `version`;
+            // stamp it so ACTIVATE_VERSION can purge superseded rows
+            // (singer-sdk inherited semantics, reference target.py:51-52)
+            raw.select(from_json(col("record"), nested,
+                Map("mode" -> "FAILFAST")).as("r"),
+                col("version").cast("long").as("_sdc_table_version"))
+              .select(col("r.*"), col("_sdc_table_version"))
+          else
+            raw.select(from_json(col("record"), nested,
+                Map("mode" -> "FAILFAST")).as("r"))
+              .select(col("r.*"))
         val transformed = transform(records, sm.stream, config)
         new ParquetSink(spark, config, sm.stream, transformed.schema)
           .write(transformed)
       }
 
-      LoadResult(schemas.keys.toSeq, lastState, activates.result(), schemas.toMap)
+      // ACTIVATE_VERSION: after the batch's records are committed, purge
+      // rows of superseded versions from each activated stream dir
+      val acts = activates.result()
+      acts.foreach { av =>
+        VersionPurge.activate(spark, config, av.stream, av.version)
+      }
+
+      LoadResult(schemas.keys.toSeq, lastState, acts, schemas.toMap)
     } finally routed.unpersist()
+  }
+
+  /** JSON-Schema record validation (singer-sdk parity, reference standard
+    * suite tests/test_core.py:26-33): every RECORD must *contain* each
+    * `required` property (present-but-null is valid when the type union
+    * admits "null" — `json_object_keys` gives exact presence semantics,
+    * where a post-parse NULL check could not tell missing from null), and
+    * every `key_properties` column must be non-NULL (it is the primary
+    * key). One counting aggregation over the already-persisted routed
+    * cache — streams that declare no constraints skip the pass entirely. */
+  private def validateStream(routed: DataFrame, sm: SchemaMessage): Unit = {
+    val required = JsonSchemaConverter.requiredFields(sm.schemaJson)
+    val violations: Seq[org.apache.spark.sql.Column] =
+      required.map(f =>
+        !array_contains(expr("json_object_keys(record)"), lit(f))) ++
+      sm.keyProperties.map(k => get_json_object(col("record"), s"$$['$k']").isNull)
+    if (violations.isEmpty) return
+    val bad = violations.reduce(_ || _)
+    val v = routed
+      .filter(col("t") === "RECORD" && col("stream") === sm.stream)
+      .agg(count(when(bad, 1)).as("n"),
+        max(when(bad, col("record"))).as("example")).collect().head
+    if (v.getLong(0) > 0)
+      throw new RecordValidationException(
+        s"stream '${sm.stream}': ${v.getLong(0)} record(s) violate the " +
+          s"declared schema (required: ${required.mkString(",")}; " +
+          s"key_properties: ${sm.keyProperties.mkString(",")}); " +
+          s"example: ${Option(v.getString(1)).getOrElse("").take(300)}")
   }
 
   /** The per-stream projection pipeline: flatten → stream maps → extra

@@ -19,6 +19,16 @@ object JsonSchemaConverter {
   def toStructType(schemaJson: String): StructType =
     toStructType(SingerMessage.parseJson(schemaJson))
 
+  /** Top-level `required` property names of a JSON schema (empty when the
+    * schema declares none). `required` means *presence* — a present-but-null
+    * value is valid when the property's type union admits "null". */
+  def requiredFields(schemaJson: String): Seq[String] = {
+    val node = SingerMessage.parseJson(schemaJson)
+    Option(node.get("required")).filter(_.isArray)
+      .map(r => (0 until r.size()).map(r.get(_).asText()))
+      .getOrElse(Seq.empty)
+  }
+
   def toStructType(node: JsonNode): StructType = {
     val props = Option(node.get("properties")).getOrElse(
       throw new InvalidConfigException("JSON schema has no 'properties'"))

@@ -144,6 +144,93 @@ class LoaderSpec extends AnyFunSuite {
     }
   }
 
+  val requiredSchema =
+    """{"type": "SCHEMA", "stream": "r", "schema": {"type": "object", "required": ["id", "name"], "properties": {"id": {"type": "integer"}, "name": {"type": ["string", "null"]}}}, "key_properties": ["id"]}"""
+
+  test("record missing a required property raises") {
+    val ex = intercept[graft.core.RecordValidationException] {
+      SingerLoader.loadFile(spark, writeFixture(Seq(
+        requiredSchema,
+        """{"type": "RECORD", "stream": "r", "record": {"id": 1, "name": "ok"}}""",
+        """{"type": "RECORD", "stream": "r", "record": {"id": 2}}""")),
+        GraftConfig(hdfsDestinationPath = tmpDir()))
+    }
+    assert(ex.getMessage.contains("1 record(s)"))
+  }
+
+  test("empty record {} for a stream with required keys raises, not all-NULL load") {
+    intercept[graft.core.RecordValidationException] {
+      SingerLoader.loadFile(spark, writeFixture(Seq(
+        requiredSchema,
+        """{"type": "RECORD", "stream": "r", "record": {}}""")),
+        GraftConfig(hdfsDestinationPath = tmpDir()))
+    }
+  }
+
+  test("required property present-but-null is valid when type admits null") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      requiredSchema,
+      """{"type": "RECORD", "stream": "r", "record": {"id": 1, "name": null}}""")),
+      GraftConfig(hdfsDestinationPath = out))
+    assert(spark.read.parquet(s"$out/r").count() === 1)
+  }
+
+  test("NULL key property raises even without a required list") {
+    intercept[graft.core.RecordValidationException] {
+      SingerLoader.loadFile(spark, writeFixture(Seq(
+        fixture.head, // key_properties: ["col1"], no required
+        """{"type": "RECORD", "stream": "t", "record": {"col1": null, "col2": "x", "col3": true}}""")),
+        GraftConfig(hdfsDestinationPath = tmpDir()))
+    }
+  }
+
+  test("validate_records=false loads constraint-violating batches untouched") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      requiredSchema,
+      """{"type": "RECORD", "stream": "r", "record": {"id": 2}}""")),
+      GraftConfig(hdfsDestinationPath = out, validateRecords = false))
+    assert(spark.read.parquet(s"$out/r").count() === 1)
+  }
+
+  val versionedSchema =
+    """{"type": "SCHEMA", "stream": "v", "schema": {"type": "object", "properties": {"id": {"type": "integer"}}}, "key_properties": ["id"]}"""
+
+  test("ACTIVATE_VERSION purges rows of superseded table versions") {
+    val out = tmpDir()
+    // full-table sync #1: version 1
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      versionedSchema,
+      """{"type": "RECORD", "stream": "v", "record": {"id": 1}, "version": 1}""",
+      """{"type": "RECORD", "stream": "v", "record": {"id": 2}, "version": 1}""",
+      """{"type": "ACTIVATE_VERSION", "stream": "v", "version": 1}""")),
+      GraftConfig(hdfsDestinationPath = out, skipExistingFiles = true))
+    assert(spark.read.parquet(s"$out/v").count() === 2)
+    // full-table sync #2: version 2 re-syncs only id=2; activate drops v1 rows
+    val result = SingerLoader.loadFile(spark, writeFixture(Seq(
+      versionedSchema,
+      """{"type": "RECORD", "stream": "v", "record": {"id": 2}, "version": 2}""",
+      """{"type": "ACTIVATE_VERSION", "stream": "v", "version": 2}""")),
+      GraftConfig(hdfsDestinationPath = out, skipExistingFiles = true))
+    assert(result.activateVersions.map(_.version) === Seq(2L))
+    val back = spark.read.parquet(s"$out/v")
+    assert(back.count() === 1)
+    assert(back.select("id").collect().head.getLong(0) === 2L)
+    assert(back.columns.contains("_sdc_table_version"))
+  }
+
+  test("ACTIVATE_VERSION on an unversioned stream keeps all rows") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(fixture),
+      GraftConfig(hdfsDestinationPath = out))
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      fixture.head,
+      """{"type": "ACTIVATE_VERSION", "stream": "t", "version": 99}""")),
+      GraftConfig(hdfsDestinationPath = out))
+    assert(spark.read.parquet(s"$out/t").count() === 3)
+  }
+
   test("multiple streams demux to separate dirs") {
     val out = tmpDir()
     val result = SingerLoader.loadFile(spark, writeFixture(Seq(
