@@ -111,14 +111,24 @@ object Dedup {
     * to the naive all-pairs comparison, but the cartesian collapses to
     * per-shingle blocks — one groupBy shuffle, then Σ C(df,2) emitted pairs
     * (a self-JOIN on the shingle computes the same set but materializes
-    * twice the rows through the join machinery). At web scale, drop
-    * stop-shingles first via `maxShingleDf`: a shingle in k docs contributes
-    * k² pairs and near-universal shingles carry no dedup signal.
+    * twice the rows through the join machinery).
+    *
+    * `maxShingleDf` (default ON at 1000): shingles appearing in more than
+    * this many docs are dropped from CANDIDATE generation — a shingle in k
+    * docs contributes C(k,2) kernel pairs, so one near-universal shingle
+    * would dominate shuffle+CPU at web scale while carrying no dedup
+    * signal. Capped candidates are verified by exact Jaccard over the FULL
+    * shingle arrays, so the cap cannot alter any emitted pair's score; the
+    * only contract is that true near-dups share at least one sub-cap
+    * shingle (guaranteed in practice: near-dup docs share most of their
+    * shingles, and a >70%-Jaccard pair sharing only >1000-df shingles
+    * cannot exist below corpus sizes where banding applies anyway).
+    * `None` opts out: every co-occurring pair is scored by pure
+    * intersection counting with no second pass over the arrays.
     * Ids must be integral (they travel through the kernel as longs). */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
-      num: Int = 7, den: Int = 10, maxShingleDf: Option[Int] = None): DataFrame = {
-    val spark0 = docs.sparkSession
-    import spark0.implicits._
+      num: Int = 7, den: Int = 10,
+      maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
     val idType = docs.schema(idCol).dataType
     require(integralType(idType),
       s"ngramNearDups requires an integral id column, got $idType " +
@@ -130,19 +140,43 @@ object Dedup {
     // every short doc with every other short doc
     val ex = sh.select(col("id").cast("long").as("id"), explode(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-    val exFiltered = maxShingleDf match {
+    maxShingleDf match {
       case Some(maxDf) =>
+        // scale path: candidates from sub-cap shingles only, exact verify
         val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf).select(col("s"))
-        ex.join(rare, "s")
-      case None => ex
+        val cand = postingsPairs(ex.join(rare, "s")).distinct()
+          .select(col("id_a").cast(idType).as("id_a"),
+            col("id_b").cast(idType).as("id_b"))
+        finalized(cand
+          .join(sh.select(col("id"), col("sh").as("sa")), cand("id_a") === col("id"))
+          .drop("id")
+          .join(sh.select(col("id"), col("sh").as("sb")), cand("id_b") === col("id"))
+          .filter(jaccardGe(num, den))
+          .select(col("id_a"), col("id_b")), sh)
+      case None =>
+        // exact-count path: co-occurrence count IS the intersection size
+        val inter = postingsPairs(ex).groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+          .select(col("id_a").cast(idType).as("id_a"),
+            col("id_b").cast(idType).as("id_b"), col("inter"))
+        finalized(inter
+          .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+          .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+          .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
+          .select(col("id_a"), col("id_b")), sh)
     }
-    // postings list per shingle; singleton shingles generate no pairs and
-    // are dropped before the kernel ever sees them. Pairs are emitted
-    // LAZILY (iterator, no buffer): a stop-shingle's C(df,2) pairs stream
-    // through the downstream partial aggregation instead of materializing
-    // in task memory
-    val pairs = exFiltered.groupBy(col("s"))
+  }
+
+  /** Co-occurring doc pairs from per-shingle postings lists. Pairs are
+    * emitted LAZILY (iterator, no buffer): a high-df shingle's C(df,2)
+    * pairs stream through the downstream aggregation instead of
+    * materializing in task memory; singleton shingles are dropped before
+    * the kernel ever sees them. */
+  private def postingsPairs(ex: DataFrame): DataFrame = {
+    val spark0 = ex.sparkSession
+    import spark0.implicits._
+    ex.groupBy(col("s"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(col("ids")).as[Array[Long]]
@@ -153,15 +187,6 @@ object Dedup {
         } yield (ids(i), ids(j))
       }
       .toDF("id_a", "id_b")
-    val inter = pairs.groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("id_a").cast(idType).as("id_a"),
-        col("id_b").cast(idType).as("id_b"), col("inter"))
-    finalized(inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
-      .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
-      .select(col("id_a"), col("id_b")), sh)
   }
 
   /** id -> 30-bit simhash fingerprint over the doc's distinct shingle-hash

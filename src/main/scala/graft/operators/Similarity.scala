@@ -129,11 +129,14 @@ object Similarity {
   }
 
   /** IVF-style ANN: a coarse quantizer assigns every vector to the cell of
-    * its nearest seed vector (the first `nCells` ids serve as seeds — a
+    * its nearest seed vector (the `nCells` SMALLEST ids serve as seeds — a
     * deterministic, averaging-free quantizer, so every step stays bit-exact
     * against the oracle; classic k-means centroids would inject
-    * summation-order float noise). Search compares queries only against
-    * vectors in the same cell.
+    * summation-order float noise). Rank-based seed selection works for any
+    * id domain — sparse, hashed or negative ids still yield exactly
+    * `nCells` seeds, where a naive `id < nCells` filter would silently
+    * under-seed (worst case zero seeds → empty result). Search compares
+    * queries only against vectors in the same cell.
     *
     * Scale shape: assignment is a broadcast join against `nCells` seeds
     * (seeds are tiny by construction); search is an equi-join on cell id —
@@ -150,7 +153,10 @@ object Similarity {
     val cells =
       if (nCells > 0) nCells
       else math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
-    val seeds = e.filter(col("id") < cells)
+    // top-k by id, not a filter: planned as TakeOrderedAndProject (per-
+    // partition heap + driver merge of `cells` rows — no global sort); the
+    // result is broadcast below anyway, so the √N-row collect is free
+    val seeds = e.orderBy(col("id")).limit(cells)
       .select(col("id").as("cell"), col("v").as("sv"), col("nrm").as("sn"))
     val aw = Window.partitionBy(col("id"))
       .orderBy(col("scos").desc, col("cell").asc)

@@ -136,7 +136,7 @@ object Extensions {
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         k = 3, nCells = 8, nprobe = 2),
       Some(s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-        |seeds AS (SELECT id AS cell, v AS sv FROM e WHERE id < 8),
+        |seeds AS (SELECT id AS cell, v AS sv FROM e ORDER BY id LIMIT 8),
         |assign AS (SELECT id, cell,
         |    row_number() OVER (PARTITION BY id ORDER BY scos DESC, cell ASC) AS arank
         |  FROM (SELECT e.id, s.cell, ${V.duckCosine("e.v", "s.sv")} AS scos

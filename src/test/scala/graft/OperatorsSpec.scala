@@ -47,6 +47,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"xx candidate recall $recall")
   }
 
+  test("stop-shingle cap changes no answers: capped output = uncapped output") {
+    // default cap (1000) vs exact-count opt-out on the real corpus: the cap
+    // prunes candidate generation only, verification is exact, so outputs
+    // must be identical when every true pair shares >= 1 sub-cap shingle
+    val capped = Dedup.ngramNearDups(docs, "doc_id", "text", 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramNearDups(docs, "doc_id", "text", 7, 10, maxShingleDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(capped === exact)
+  }
+
+  test("aggressive stop-shingle cap keeps recall while pruning universal shingles") {
+    import spark.implicits._
+    // every doc shares one universal sentence (df = 12 > cap = 2); docs 1/2
+    // are near-identical beyond it. With cap=2 the universal shingles are
+    // pruned from candidates, yet (1,2) still pairs through its rare
+    // shingles and is scored by FULL-array Jaccard.
+    val common = "shared boilerplate header repeated on every single document in this corpus"
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"
+    val rows = Seq(
+      (1L, s"$common $base oscar papa"),
+      (2L, s"$common $base oscar quebec")) ++
+      (3L to 12L).map(i => (i, s"$common unique$i word$i token$i extra$i more$i filler$i"))
+    val df = rows.toDF("doc_id", "text")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairSet(Dedup.ngramNearDups(df, "doc_id", "text", 1, 2, maxShingleDf = Some(2)))
+    val exact = pairSet(Dedup.ngramNearDups(df, "doc_id", "text", 1, 2, maxShingleDf = None))
+    assert(exact.contains((1L, 2L)))
+    assert(capped === exact, "cap-on output must cover every true near-dup pair")
+  }
+
   test("simhash: exact duplicates collide, fingerprints discriminate") {
     import spark.implicits._
     val fps = Dedup.simhashFingerprints(docs, "doc_id", "text")
@@ -116,6 +149,20 @@ class OperatorsSpec extends AnyFunSuite {
     val r1 = recallOf(1); val r3 = recallOf(3)
     assert(r3 >= r1, s"nprobe=3 recall $r3 should not trail nprobe=1 $r1")
     assert(r3 >= 0.3, s"nprobe=3 rank-1 recall $r3")
+  }
+
+  test("ivf seeding is rank-based: sparse ids get the full seed set") {
+    // ids shifted to a sparse domain (id*1000+7): the old `id < nCells`
+    // filter would find a single seed (7) and degenerate to one cell; rank
+    // seeding must produce structurally identical results under the mapping
+    val dense = Similarity.ivfTopK(emb, "vec_id", "embedding", 3, 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sparse = emb.select((col("vec_id") * 1000 + 7).as("vec_id"), col("embedding"))
+    val sp = Similarity.ivfTopK(sparse, "vec_id", "embedding", 3, 8, 2)
+      .collect().map(r => ((r.getLong(0) - 7) / 1000, (r.getLong(1) - 7) / 1000,
+        r.getLong(2))).toSet
+    assert(dense.nonEmpty)
+    assert(sp === dense)
   }
 
   test("blocked cosine all-pairs equals a naive theta-join computation") {
