@@ -17,13 +17,23 @@ object Distribution {
     * batch-ingest analog of the loader's partitioned write, aimed at join
     * keys instead of pruning predicates. */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // an orphaned warehouse dir (a previous session's in-memory catalog
+    // lost the table entry; the location survived) blocks CREATE TABLE —
+    // drop both the entry and any leftover location before writing
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** Inner equi-join with salt-and-replicate skew mitigation: the skewed
     * side's rows are spread across `factor` sub-keys (uniform per-row

@@ -76,6 +76,40 @@ object Advanced {
                event_type, count(*) AS n, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2""")),
 
+    // streaming-vs-batch equivalence: the SAME tumbling-window aggregation
+    // as q35, but executed by Structured Streaming (parquet file source,
+    // AvailableNow trigger, memory sink, complete mode) — the incremental
+    // engine must produce byte-identical results to the batch plan, checked
+    // against the identical DuckDB oracle. Complete mode because a finite
+    // replay's final window never crosses the watermark in append mode.
+    Q("q49_stream_batch_parity", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sch = t(s, d, "events").schema
+      // the file streaming source monitors DIRECTORIES; testdata tables are
+      // single files, so stage a symlink into a temp dir (no data copy)
+      val dir = java.nio.file.Files.createTempDirectory("q49-events")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val raw = s.readStream.schema(sch).parquet(dir.toString)
+      val ev = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+      val q = graft.streaming.WindowedAgg
+        .tumblingCounts(ev, "ts", "event_type", "6 hours", "1 hour")
+        .writeStream.format("memory").queryName("q49_stream")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q49_stream")
+        .select(col("window_start"), col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+    }, Some("""
+        SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2""")),
+
     // generator/table-function surface: one output row per input token
     Q("q32_posexplode", (s, d) =>
       t(s, d, "documents")

@@ -285,6 +285,36 @@ object Coverage {
         FROM documents
         WHERE ${H.duckCharHash("text")} % 100 <
               CASE WHEN lang = 'en' THEN 50 ELSE 10 END
-        GROUP BY lang"""))
+        GROUP BY lang""")),
+
+    // bucketed co-located join: both fact tables are written bucketed+sorted
+    // on the join key, so the SMJ (forced via merge hint — at oracle scale
+    // the optimizer would otherwise broadcast) reads pre-partitioned,
+    // pre-sorted buckets with NO exchange and NO sort on either side; the
+    // only shuffle left is the final groupBy. Result must equal the plain
+    // join byte-for-byte — DistributionSpec asserts the no-exchange plan
+    // shape on this exact query. Money summed as exact integer cents
+    // (order-independent across engines).
+    Q("q48_bucketed_join", (s, d) => {
+      import graft.operators.Distribution
+      Distribution.writeBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")),
+        "graft_l_bkt", Seq("l_orderkey"), 8)
+      Distribution.writeBucketed(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        "graft_o_bkt", Seq("o_orderkey"), 8)
+      s.table("graft_l_bkt").hint("merge")
+        .join(s.table("graft_o_bkt").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+            .as("rev_cents"))
+    }, Some("""
+      SELECT year(o_orderdate) AS yr, count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1"""))
   )
 }

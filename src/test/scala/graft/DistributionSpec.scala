@@ -28,6 +28,28 @@ class DistributionSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q48_bucketed_join plan has no exchange and no sort on the join keys") {
+    val q48 = SparkEntry.queries("q48_bucketed_join")(spark, sf)
+    val plan = q48.queryExecution.executedPlan.toString()
+    // the only allowed exchange is the final groupBy(yr); the join itself
+    // must ride the bucketing (no hashpartitioning on either join key, and
+    // the SMJ's sort order comes from the bucket sortBy, not a Sort node)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"lineitem side must not shuffle:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"orders side must not shuffle:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"merge hint must force SMJ:\n$plan")
+    // and the answer matches the plain join over raw parquet
+    val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+          .as("rev_cents"))
+    assert(q48.except(raw).count() === 0 && raw.except(q48).count() === 0)
+  }
+
   test("salted join returns identical results to plain join") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_custkey")
