@@ -71,7 +71,73 @@ object ScaleSmoke {
         r, Seq("c"), Seq("o_custkey"), "ts", "o_orderdate", Seq("o_orderkey"))
     }
 
+    // ---- loader path: multi-stream Singer ingest at 1x and 10x ----
+    // events replayed as Singer JSONL demuxed into two streams; the ingest
+    // plan (route -> validate -> from_json -> flatten -> write) must scale
+    // with input size, not stream count x input size
+    val evBase = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("string"))
+    def singerDump(copies: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory("smoke-singer")
+      val rep = (0 until copies).map(c =>
+          evBase.withColumn("event_id", col("event_id") + lit(c.toLong * 100000000L)))
+        .reduce(_ unionByName _)
+      rep.selectExpr(
+        """concat('{"type": "RECORD", "stream": "', CASE WHEN event_id % 2 = 0 THEN 'ev_a' ELSE 'ev_b' END, '", "record": ', to_json(struct(*)), '}') AS value""")
+        .write.mode("overwrite").text(dir.toString)
+      val props = """{"event_id": {"type": ["integer", "null"]}, "ts": {"type": ["string", "null"]},
+        |"user_id": {"type": ["integer", "null"]}, "event_type": {"type": ["string", "null"]},
+        |"value": {"type": ["number", "null"]}, "props": {"type": ["string", "null"]}}"""
+        .stripMargin.replaceAll("\n", "")
+      val schemas = Seq("ev_a", "ev_b").map(s =>
+        s"""{"type": "SCHEMA", "stream": "$s", "schema": {"type": "object", "properties": $props}}""")
+      java.nio.file.Files.writeString(
+        dir.resolve("0_schema.jsonl"), schemas.mkString("", "\n", "\n"))
+      dir.toString
+    }
+    def ingest(in: String): Unit =
+      graft.loader.SingerLoader.loadFile(spark, in,
+        graft.core.GraftConfig(
+          hdfsDestinationPath = java.nio.file.Files
+            .createTempDirectory("smoke-out").toString,
+          compressionMethod = "snappy", skipExistingFiles = true,
+          maxRecordsPerFile = 500000))
+    val in1 = singerDump(1)
+    val in10 = singerDump(copies)
+
+    // ---- compaction admission: cost per flush must stay O(1) as the
+    // stream dir accumulates files (admission reads ONE file's status and
+    // rewrites at most one sub-limit file; a small limit forces rotation)
+    val flushInput = {
+      val dir = java.nio.file.Files.createTempDirectory("smoke-flush")
+      evBase.limit(5000).selectExpr(
+        """concat('{"type": "RECORD", "stream": "ev_a", "record": ', to_json(struct(*)), '}') AS value""")
+        .coalesce(1).write.mode("overwrite").text(dir.toString)
+      val props = """{"event_id": {"type": ["integer", "null"]}, "ts": {"type": ["string", "null"]},
+        |"user_id": {"type": ["integer", "null"]}, "event_type": {"type": ["string", "null"]},
+        |"value": {"type": ["number", "null"]}, "props": {"type": ["string", "null"]}}"""
+        .stripMargin.replaceAll("\n", "")
+      java.nio.file.Files.writeString(dir.resolve("0_schema.jsonl"),
+        s"""{"type": "SCHEMA", "stream": "ev_a", "schema": {"type": "object", "properties": $props}}""" + "\n")
+      dir.toString
+    }
+    val flushDest = java.nio.file.Files.createTempDirectory("smoke-flush-out").toString
+    val flushCfg = graft.core.GraftConfig(hdfsDestinationPath = flushDest,
+      hdfsBlockSizeLimit = Some("512K"), compressionMethod = "snappy")
+    val flushTimes = (1 to 12).map { i =>
+      time(s"compaction_flush #$i") {
+        graft.loader.SingerLoader.loadFile(spark, flushInput, flushCfg)
+      }
+    }
+    val flushFirst = flushTimes.take(3).sum / 3
+    val flushLast = flushTimes.takeRight(3).sum / 3
+
     val results = Seq(
+      ("loader_ingest", time("loader_ingest 1x")(ingest(in1)),
+        time("loader_ingest 10x")(ingest(in10))),
+      // ratio here is last-3-flushes / first-3-flushes on a GROWING dir —
+      // O(1) admission means ~1.0, not 10
+      ("compaction_flush", flushFirst, flushLast),
       ("groupBy_agg", time("groupBy_agg 1x")(noop(l1.groupBy("l_returnflag").agg(sum("l_quantity")))),
         time("groupBy_agg 10x")(noop(l10.groupBy("l_returnflag").agg(sum("l_quantity"))))),
       ("join_agg", time("join_agg 1x")(noop(aggJoin(l1, o1))),
