@@ -61,8 +61,14 @@ object Compaction {
     val hfs = fs(spark, dir)
     mostRecentFile(hfs, dir).filter(_.getLen < limit).map { status =>
       val df = spark.read.parquet(status.getPath.toString)
-      val existing = df.schema.map(f => (f.name, f.dataType))
-      val incoming = expectedSchema.map(f => (f.name, f.dataType))
+      // the version stamp is loader-internal bookkeeping, not tap schema: a
+      // stream moving between versioned and unversioned replication must
+      // not read as schema drift (the sink NULL-aligns the column at union)
+      def comparable(s: StructType) = s
+        .filterNot(_.name == VersionPurge.SdcTableVersionCol)
+        .map(f => (f.name, f.dataType))
+      val existing = comparable(df.schema)
+      val incoming = comparable(expectedSchema)
       if (existing != incoming) {
         throw new SchemaChangedException(
           s"schema changed for ${status.getPath}: file has $existing, stream has $incoming")

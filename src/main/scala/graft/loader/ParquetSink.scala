@@ -38,7 +38,16 @@ class ParquetSink(spark: SparkSession, config: GraftConfig,
 
     preload match {
       case Some((existing, path)) =>
-        val combined = existing.unionByName(batch)
+        // the schema gate ignores the internal version stamp; align it here
+        // so a stream moving between versioned and unversioned replication
+        // unions cleanly (missing side reads as NULL = "never versioned")
+        val c = VersionPurge.SdcTableVersionCol
+        import org.apache.spark.sql.functions.lit
+        val e2 = if (!existing.columns.contains(c) && batch.columns.contains(c))
+          existing.withColumn(c, lit(null).cast("long")) else existing
+        val b2 = if (existing.columns.contains(c) && !batch.columns.contains(c))
+          batch.withColumn(c, lit(null).cast("long")) else batch
+        val combined = e2.unionByName(b2)
         Compaction.writeSingleFile(spark, combined, path, config.compressionMethod)
       case None =>
         if (config.partitionCols.nonEmpty || config.maxRecordsPerFile > 0) {

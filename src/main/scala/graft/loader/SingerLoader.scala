@@ -121,8 +121,8 @@ object SingerLoader {
             // (singer-sdk inherited semantics, reference target.py:51-52)
             raw.select(from_json(col("record"), nested,
                 Map("mode" -> "FAILFAST")).as("r"),
-                col("version").cast("long").as("_sdc_table_version"))
-              .select(col("r.*"), col("_sdc_table_version"))
+                col("version").cast("long").as(VersionPurge.SdcTableVersionCol))
+              .select(col("r.*"), col(VersionPurge.SdcTableVersionCol))
           else
             raw.select(from_json(col("record"), nested,
                 Map("mode" -> "FAILFAST")).as("r"))

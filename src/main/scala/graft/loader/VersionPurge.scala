@@ -28,6 +28,13 @@ import graft.core.{CanNotUploadFileException, GraftConfig}
   */
 object VersionPurge {
 
+  /** Internal bookkeeping column stamped on versioned-replication batches.
+    * Excluded from the compaction schema-drift gate (a tap switching
+    * full-table -> incremental must not trip SchemaChangedException over
+    * loader-internal state); NULL means "never part of versioned
+    * replication" and is kept conservatively by the purge. */
+  val SdcTableVersionCol = "_sdc_table_version"
+
   def activate(spark: SparkSession, config: GraftConfig, stream: String,
       version: Long): Unit = {
     val dir = config.streamDir(stream)
@@ -38,14 +45,33 @@ object VersionPurge {
     // mergeSchema: files written before versioned replication began lack the
     // stamp column; their rows read as NULL and are kept
     val df = spark.read.option("mergeSchema", "true").parquet(dir)
-    if (!df.columns.contains("_sdc_table_version")) return
+    if (!df.columns.contains(SdcTableVersionCol)) return
 
     val keep = df.filter(
-      col("_sdc_table_version").isNull || col("_sdc_table_version") >= version)
+      col(SdcTableVersionCol).isNull || col(SdcTableVersionCol) >= version)
 
     val tmp = new Path(dirPath.getParent, dirPath.getName + "__purge_tmp")
     val old = new Path(dirPath.getParent, dirPath.getName + "__purge_old")
-    var w = keep.write.mode("overwrite")
+
+    if (keep.isEmpty) {
+      // nothing survives: a rewrite would commit a data-file-less dir that
+      // breaks schema inference on the next read — remove the stream dir
+      // instead (missing dir == empty stream everywhere in the loader),
+      // staged through the same rename so a crash never loses the original
+      if (hfs.exists(old) && !hfs.delete(old, true))
+        throw new CanNotUploadFileException(s"could not clear stale $old")
+      if (!hfs.rename(dirPath, old))
+        throw new CanNotUploadFileException(s"rename $dirPath -> $old failed")
+      if (!hfs.delete(old, true))
+        System.err.println(s"[activate] WARN: could not delete $old (superseded data left behind)")
+      return
+    }
+
+    // the filter inherits one partition per input split; without coalesce the
+    // rewrite would explode a compacted single-file dir into one file per
+    // partition — keep the output file count bounded by the input's
+    val keepCoalesced = keep.coalesce(math.max(1, df.inputFiles.length))
+    var w = keepCoalesced.write.mode("overwrite")
       .option("compression", config.compressionMethod)
     if (config.partitionCols.nonEmpty) w = w.partitionBy(config.partitionCols: _*)
     if (config.maxRecordsPerFile > 0)
@@ -62,6 +88,7 @@ object VersionPurge {
       throw new CanNotUploadFileException(
         s"rename $tmp -> $dirPath failed; original restored, rewrite kept at $tmp")
     }
-    hfs.delete(old, true)
+    if (!hfs.delete(old, true))
+      System.err.println(s"[activate] WARN: could not delete $old (superseded data left behind)")
   }
 }

@@ -14,9 +14,11 @@ import graft.functions.HashNative
   *    shuffle-on-band-key (each doc emits `Bands` short keys), so the
   *    quadratic all-pairs comparison collapses to per-bucket joins; exact
   *    Jaccard verification runs only on candidates. No driver-side state.
-  *  - `ngramNearDups`: brute-force all-pairs verification — quadratic;
-  *    correctness baseline for small corpora and the verifier of the LSH
-  *    variant's recall in tests.
+  *  - `ngramNearDups`: EXACT n-gram Jaccard via an inverted index (no
+  *    cartesian, but Σ C(df,2) pair emissions); the correctness baseline
+  *    that verifies the LSH variants' recall in tests. An opt-in
+  *    stop-shingle cap bounds the pair blow-up at scale (see its doc for
+  *    the recall caveat that keeps it opt-in).
   *  - `simhashNearDups`: constant-size fingerprint (single long), candidate
   *    filter by Hamming distance, verified by token Jaccard.
   *
@@ -113,22 +115,24 @@ object Dedup {
     * (a self-JOIN on the shingle computes the same set but materializes
     * twice the rows through the join machinery).
     *
-    * `maxShingleDf` (default ON at 1000): shingles appearing in more than
-    * this many docs are dropped from CANDIDATE generation — a shingle in k
-    * docs contributes C(k,2) kernel pairs, so one near-universal shingle
-    * would dominate shuffle+CPU at web scale while carrying no dedup
-    * signal. Capped candidates are verified by exact Jaccard over the FULL
-    * shingle arrays, so the cap cannot alter any emitted pair's score; the
-    * only contract is that true near-dups share at least one sub-cap
-    * shingle (guaranteed in practice: near-dup docs share most of their
-    * shingles, and a >70%-Jaccard pair sharing only >1000-df shingles
-    * cannot exist below corpus sizes where banding applies anyway).
-    * `None` opts out: every co-occurring pair is scored by pure
-    * intersection counting with no second pass over the arrays.
+    * `maxShingleDf` (default OFF): when set, shingles appearing in more
+    * than this many docs are dropped from CANDIDATE generation — a shingle
+    * in k docs contributes C(k,2) kernel pairs, so one near-universal
+    * shingle would dominate shuffle+CPU at web scale while carrying no
+    * dedup signal. Capped candidates are verified by exact Jaccard over the
+    * FULL shingle arrays, so the cap cannot alter any emitted pair's score
+    * — but it CAN miss pairs: a near-dup cluster larger than the cap
+    * (heavily replicated boilerplate) has every shared shingle above the
+    * cap and silently produces zero candidates. That missed-cluster mode is
+    * why the cap is opt-in for scale call sites that accept it (route such
+    * corpora through `exact`/`minhashNearDups` first, which dissolve the
+    * giant clusters the cap would miss). With `None` (the default), every
+    * co-occurring pair is scored by pure intersection counting with no
+    * second pass over the arrays — exact output, Σ C(df,2) cost.
     * Ids must be integral (they travel through the kernel as longs). */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
       num: Int = 7, den: Int = 10,
-      maxShingleDf: Option[Int] = Some(1000)): DataFrame = {
+      maxShingleDf: Option[Int] = None): DataFrame = {
     val idType = docs.schema(idCol).dataType
     require(integralType(idType),
       s"ngramNearDups requires an integral id column, got $idType " +

@@ -19,14 +19,22 @@ object Distribution {
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       numBuckets: Int): Unit = {
     val spark = df.sparkSession
-    // an orphaned warehouse dir (a previous session's in-memory catalog
-    // lost the table entry; the location survived) blocks CREATE TABLE —
-    // drop both the entry and any leftover location before writing
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // <warehouse>/<name> below assumes an unqualified managed-table name; a
+    // db-qualified name would resolve to the wrong path and risk deleting an
+    // unrelated directory
+    require(!table.contains("."),
+      s"writeBucketed takes an unqualified table name, got '$table'")
+    if (spark.catalog.tableExists(table)) {
+      // catalog-managed: DROP removes both the entry and its real location
+      spark.sql(s"DROP TABLE `$table`")
+    } else {
+      // true orphan only: a previous session's in-memory catalog lost the
+      // entry but the warehouse dir survived and would block CREATE TABLE
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)

@@ -88,9 +88,15 @@ object Advanced {
       // the file streaming source monitors DIRECTORIES; testdata tables are
       // single files, so stage a symlink into a temp dir (no data copy)
       val dir = java.nio.file.Files.createTempDirectory("q49-events")
+      // absolute target: a relative data-dir argument would otherwise yield
+      // a broken relative symlink (source sees no files -> empty result);
+      // deleteOnExit in registration order dir-then-link so the link goes
+      // first and the dir is empty when its turn comes
+      dir.toFile.deleteOnExit()
+      val link = dir.resolve("events.parquet")
+      link.toFile.deleteOnExit()
       java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+        link, java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
       val raw = s.readStream.schema(sch).parquet(dir.toString)
       val ev = raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>

@@ -220,6 +220,48 @@ class LoaderSpec extends AnyFunSuite {
     assert(back.columns.contains("_sdc_table_version"))
   }
 
+  test("versioned then unversioned batches compact without tripping the schema gate") {
+    val out = tmpDir()
+    // sync #1 is versioned (stamps _sdc_table_version); compaction ENABLED
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      versionedSchema,
+      """{"type": "RECORD", "stream": "v", "record": {"id": 1}, "version": 1}""")),
+      GraftConfig(hdfsDestinationPath = out))
+    // sync #2 has no message-level versions (tap switched full-table ->
+    // incremental): the compaction preload must not read the internal stamp
+    // column as schema drift, and the union must NULL-fill it
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      versionedSchema,
+      """{"type": "RECORD", "stream": "v", "record": {"id": 2}}""")),
+      GraftConfig(hdfsDestinationPath = out))
+    val back = spark.read.parquet(s"$out/v").orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(back(0).getLong(1) === 1L)    // stamped in sync #1
+    assert(back(1).isNullAt(1))          // never versioned -> NULL stamp
+  }
+
+  test("ACTIVATE_VERSION that purges every row removes the stream dir cleanly") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      versionedSchema,
+      """{"type": "RECORD", "stream": "v", "record": {"id": 1}, "version": 1}""",
+      """{"type": "ACTIVATE_VERSION", "stream": "v", "version": 1}""")),
+      GraftConfig(hdfsDestinationPath = out, skipExistingFiles = true))
+    // version 2 re-syncs nothing: the keep-set is empty, so the dir must be
+    // removed (not committed with zero data files, which breaks later reads)
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      versionedSchema,
+      """{"type": "ACTIVATE_VERSION", "stream": "v", "version": 2}""")),
+      GraftConfig(hdfsDestinationPath = out, skipExistingFiles = true))
+    assert(!new java.io.File(s"$out/v").exists())
+    // and the stream loads fresh afterwards
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      versionedSchema,
+      """{"type": "RECORD", "stream": "v", "record": {"id": 3}, "version": 3}""")),
+      GraftConfig(hdfsDestinationPath = out, skipExistingFiles = true))
+    assert(spark.read.parquet(s"$out/v").count() === 1)
+  }
+
   test("ACTIVATE_VERSION on an unversioned stream keeps all rows") {
     val out = tmpDir()
     SingerLoader.loadFile(spark, writeFixture(fixture),

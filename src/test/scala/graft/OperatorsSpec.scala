@@ -48,10 +48,10 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("stop-shingle cap changes no answers: capped output = uncapped output") {
-    // default cap (1000) vs exact-count opt-out on the real corpus: the cap
+    // scale cap (1000) vs exact-count default on the real corpus: the cap
     // prunes candidate generation only, verification is exact, so outputs
     // must be identical when every true pair shares >= 1 sub-cap shingle
-    val capped = Dedup.ngramNearDups(docs, "doc_id", "text", 7, 10)
+    val capped = Dedup.ngramNearDups(docs, "doc_id", "text", 7, 10, maxShingleDf = Some(1000))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Dedup.ngramNearDups(docs, "doc_id", "text", 7, 10, maxShingleDf = None)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
