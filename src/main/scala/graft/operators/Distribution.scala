@@ -63,4 +63,42 @@ object Distribution {
     * test/diagnostic hook for the co-location guarantees above. */
   def hasShuffle(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString().contains("Exchange hashpartitioning")
+
+  /** Write `df` z-ordered on two non-negative integer dimensions: rows are
+    * range-partitioned and sorted by the Morton interleave of
+    * (`xCol`, `yCol`), so every output file covers a compact 2-D tile and
+    * its parquet footer min/max stats prune on BOTH dimensions. A linear
+    * `sortBy(x)` layout answers x-ranges well but scans every file for a
+    * y-range; the z-order layout bounds file touches for either (and for
+    * boxes). `targetFiles` bounds the output file count — at cluster scale
+    * set it from data volume / desired file size, not task count.
+    *
+    * The morton key is a pure codegen'd expression
+    * ([[graft.functions.ZOrderExprs]]); the write is one range exchange
+    * (sampled bounds) + per-partition sort — the same cost as any
+    * global-sort write. */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+      path: String, targetFiles: Int): Unit = {
+    val keyed = df.withColumn("__z",
+      expr(graft.functions.ZOrderExprs.sparkMorton2(xCol, yCol)))
+    keyed
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file [min, max] envelopes of `cols` for the parquet files under
+    * `path` — the data-skipping evidence a z-order layout is judged by.
+    * Computed from the rows themselves via `_metadata.file_path` grouping
+    * (equivalent to footer stats for these single-block files). */
+  def fileEnvelopes(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(min(cols.head).as(s"min_${cols.head}"),
+        max(cols.head).as(s"max_${cols.head}"),
+        min(cols(1)).as(s"min_${cols(1)}"),
+        max(cols(1)).as(s"max_${cols(1)}"))
 }

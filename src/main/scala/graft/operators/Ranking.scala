@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics document scoring: TF-IDF feature extraction and BM25
+  * ranking — the relevance/quality-weighting stage of a training-data
+  * pipeline (boilerplate down-weighting, query-anchored corpus slicing).
+  *
+  * Plan shape at scale: one explode of the token stream, one
+  * `groupBy(doc, term)` for term frequencies (map-side combined), one
+  * `groupBy(term)` for document frequencies, and a broadcast of the
+  * corpus-level aggregates (N, avgdl — two scalars; per-term df rides the
+  * tf table). No cartesian, no driver loops; the per-doc top-k is a
+  * partitioned window over the scored rows.
+  *
+  * Scoring runs in doubles; the standard formulas (sklearn-smoothed TF-IDF,
+  * Robertson BM25 k1=1.2 b=0.75) are kept verbatim, and outputs are rounded
+  * at 6 decimals for cross-engine comparison.
+  */
+object Ranking {
+
+  /** Per-(doc, term) raw term counts from whitespace tokens. */
+  private def termFreq(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-`topN` TF-IDF terms per document (ties: lexicographic term).
+    * `idf = ln((N + 1) / (df + 1)) + 1` (sklearn smoothing — never
+    * negative, never divides by zero), `score = tf * idf`.
+    * Output: `(doc, term, tf, score)` with score rounded at 6 decimals. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    val tf = termFreq(docs, idCol, textCol)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    val scored = tf.join(df, "term")
+      .withColumn("score",
+        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("doc"), col("term"), col("tf"), col("rank").cast("long").as("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** BM25 scores for a fixed set of query terms: the top-`topN` documents
+    * per term. `k1 = 1.2`, `b = 0.75`,
+    * `idf = ln(1 + (N - df + 0.5) / (df + 0.5))` (Robertson; positive),
+    * `score = idf * tf (k1 + 1) / (tf + k1 (1 - b + b dl / avgdl))`.
+    * Document length and avgdl are whitespace token counts. */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withLen = docs.select(col(idCol).as("doc"),
+      col(textCol).as("text"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val n = withLen.count()
+    // avgdl as an exact rational: sum(dl) / N computed in one double
+    // division (NOT a mean of doubles — summation order must not matter)
+    val sumDl = withLen.agg(sum(col("dl"))).head().getLong(0)
+    val tf = withLen
+      .select(col("doc"), col("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("score",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") * n / sumDl.toDouble)))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("term"), col("doc"), col("tf"),
+        col("rank").cast("long").as("rank"),
+        round(col("score"), 6).as("score"))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SketchExprs, ZOrderExprs}
+import graft.operators.{BloomPrune, Graph, Ranking, Sketches}
+
+/** Round-4 scale operators: bloom-filter join reduction, Count-Min sketch
+  * frequency estimation, TF-IDF / BM25 corpus scoring, Z-order layout keys,
+  * and integer-exact PageRank. Each query is the correctness anchor for an
+  * operator whose real payoff is at cluster scale (pruned shuffles, bounded
+  * sketch state, data-skipping layouts, iterative joins without lineage
+  * blow-up).
+  */
+object ScaleOps {
+  import Tables.t
+
+  def defs: Seq[Q] = Seq(
+    // bloom-pruned star join: the dimension predicate (1-URGENT, ~20%
+    // selective) builds a bloom filter over its join keys; fact rows that
+    // cannot join are dropped BEFORE the exchange. No false negatives, the
+    // join removes false positives, so the result equals the plain join —
+    // which is exactly what the oracle runs.
+    Q("q50_bloom_join", (s, d) => {
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      BloomPrune.prunedJoin(t(s, d, "lineitem"), "l_orderkey", dim,
+          "o_orderkey", expectedItems = 100000L, numBits = 800000L)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+            .as("rev_cents"))
+    }, Some("""
+      SELECT year(o_orderdate) AS yr, count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1""")),
+
+    // Count-Min sketch: 4x64 counter table built in one distributed
+    // aggregate; estimates for the top-20 users join the probe cells against
+    // the sketch. 150 users in 64 buckets collide by design — the oracle
+    // builds the SAME sketch (shared constants), so estimates including
+    // collisions match bit-exactly, and the CMS no-undercount invariant is a
+    // checked output column.
+    Q("q51_cms_freq", (s, d) => {
+      val ev = t(s, d, "events")
+      val sketch = Sketches.cmsBuild(ev, "user_id")
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id").asc).limit(20)
+      Sketches.cmsEstimate(top, "user_id", sketch)
+        .select(col("user_id"), col("n"), col("est"),
+          (col("est") >= col("n")).as("never_undercounts"))
+    }, Some(s"""
+      WITH cms AS (
+        ${SketchExprs.duckCmsTable("events", "user_id")}),
+      top AS (SELECT user_id, count(*) AS n FROM events
+              GROUP BY 1 ORDER BY n DESC, user_id ASC LIMIT 20),
+      probes AS (SELECT user_id, n,
+          unnest(${SketchExprs.duckProbeCells("user_id")}, recursive := true)
+        FROM top)
+      SELECT user_id, n, min(cnt) AS est, min(cnt) >= n AS never_undercounts
+      FROM probes JOIN cms USING (ri, bucket)
+      GROUP BY user_id, n""")),
+
+    // TF-IDF: top-3 terms per document (sklearn-smoothed idf). Floating
+    // point, but both engines evaluate the identical expression tree on the
+    // identical integers, so the 6-decimal rounding is stable. Integer
+    // sub-expressions are cast to DOUBLE explicitly in the oracle — DuckDB
+    // fractional literals are DECIMAL, and decimal division would round
+    // differently than the double division Spark performs.
+    Q("text_tfidf", (s, d) =>
+      Ranking.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)
+        .withColumnRenamed("doc", "doc_id"),
+      Some("""
+        WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                          FROM documents) GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        scored AS (SELECT doc_id, term, tf,
+            tf * (ln((n + 1)::DOUBLE / (df + 1)::DOUBLE) + 1.0::DOUBLE) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN nn),
+        ranked AS (SELECT doc_id, term, tf, score,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term ASC) AS rank
+          FROM scored)
+        SELECT doc_id, term, tf, rank, round(score, 6) AS score
+        FROM ranked WHERE rank <= 3""")),
+
+    // BM25 (k1=1.2, b=0.75) for three fixed query terms: top-10 docs per
+    // term. Arithmetic order mirrored operator-for-operator; constants are
+    // spelled as the same literals on both sides (1.2 + 1.0, never 2.2 —
+    // the doubles differ).
+    Q("text_bm25", (s, d) =>
+      Ranking.bm25TopDocs(t(s, d, "documents"), "doc_id", "text",
+        Seq("join", "vector", "window"), 10)
+        .withColumnRenamed("doc", "doc_id"),
+      Some("""
+        WITH dls AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+                            text FROM documents),
+        nn AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM dls),
+        tf AS (SELECT doc_id, dl, t AS term, count(*) AS tf
+               FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS t
+                     FROM dls)
+               WHERE t IN ('join', 'vector', 'window') GROUP BY 1, 2, 3),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        scored AS (SELECT term, doc_id, tf,
+            ln(1.0::DOUBLE + (n::DOUBLE - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+              * tf * (1.2::DOUBLE + 1.0::DOUBLE)
+              / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                  + 0.75::DOUBLE * dl * n / sumdl::DOUBLE)) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN nn),
+        ranked AS (SELECT term, doc_id, tf, score,
+            row_number() OVER (PARTITION BY term
+              ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scored)
+        SELECT term, doc_id, tf, rank, round(score, 6) AS score
+        FROM ranked WHERE rank <= 10""")),
+
+    // Z-order key: morton interleave of (partkey, suppkey) — the layout
+    // key behind writeZOrdered's data-skipping (file-envelope evidence in
+    // DistributionSpec); here the bit math itself is oracle-checked.
+    Q("q52_zorder_key", (s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .withColumn("z",
+          expr(ZOrderExprs.sparkMorton2("l_partkey", "l_suppkey"))),
+      Some(s"""
+        SELECT DISTINCT l_partkey, l_suppkey,
+               ${ZOrderExprs.duckMorton2("l_partkey", "l_suppkey")} AS z
+        FROM lineitem""")),
+
+    // integer-exact PageRank, 3 damped rounds over the bipartite
+    // part <-> supplier co-occurrence graph. The oracle unrolls the same
+    // three iterations with identical integer division order, so ranks match
+    // exactly — no floating-point reduction-order hazard by construction.
+    Q("q53_pagerank", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val fwd = li.select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges, iters = 3)
+        .select(col("id").as("node"), col("rank").as("rank_scaled"))
+    }, Some {
+      // DuckDB sums BIGINT into HUGEINT — cast every aggregate/derived rank
+      // back to BIGINT so the compare sees the same integer type Spark emits
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS m
+           |  FROM edges e JOIN r${i - 1} r ON e.src = r.id
+           |               JOIN deg d ON e.src = d.src
+           |  GROUP BY 1),
+           |r$i AS (SELECT n.id,
+           |    CAST(p.tp + (85 * coalesce(c.m, 0)) // 100 AS BIGINT) AS rank
+           |  FROM nodes n CROSS JOIN params p
+           |  LEFT JOIN c$i c ON n.id = c.id)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH e0 AS (SELECT DISTINCT l_partkey AS src,
+                         l_suppkey + 10000000 AS dst FROM lineitem),
+      edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+      params AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS unit,
+                        CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT) AS tp
+                 FROM nodes),
+      r0 AS (SELECT id, unit AS rank FROM nodes CROSS JOIN params),
+      $iterCtes
+      SELECT id AS node, rank AS rank_scaled FROM r3"""
+    }))
+}
