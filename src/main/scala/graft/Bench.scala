@@ -90,6 +90,19 @@ object Bench {
           wo.select(lit(1L).as("k"), col("o_orderdate"), col("o_orderkey")),
           Seq("k"), Seq("k"), "d", "o_orderdate", Seq("o_orderkey"))
         .write.format("noop").mode("overwrite").save()
+      // round-4 families: iterative graph loop, bloom scalar-subquery,
+      // window-ranked scoring (each pays codegen/class-load on first touch)
+      val wg = spark.range(0, 64L)
+        .select(col("id").as("src"), ((col("id") + 1) % 64).as("dst"))
+      // 3 rounds: the nested-round plan generates different codegen classes
+      // than a single round, and first-touch JIT of that shape costs ~3 s
+      graft.operators.Graph.pageRank(wg, 3, edgesDistinct = true)
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.BloomPrune.prune(wo, "o_custkey",
+          wo.select(col("o_custkey").as("k")), "k", 1000L, 8000L)
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Ranking.tfIdfTopTerms(wd, "doc_id", "text", 2)
+        .write.format("noop").mode("overwrite").save()
       wd.unpersist(); we.unpersist()
       // drop EVERY cache the warm-ups pinned (some operators return a
       // projection over their internal persisted frame, so a targeted
@@ -99,13 +112,19 @@ object Bench {
       System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
+    // optional arg: comma-separated query subset (iteration aid — the
+    // driver always runs the full set)
+    val subset = args.headOption.map(_.split(",").toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => subset.forall(_.contains(n)))
+    val results = names.map(n => n -> materialize(n))
 
     // Loader ingest benchmark: the reference IS a loader (single-threaded
     // Python Singer target), so ingest throughput is the directly comparable
     // number. Replay the events table as Singer JSONL through the full
     // pipeline (parse -> type -> flatten -> parquet write).
-    val loaderSecs = try {
+    val loaderSecs = if (!subset.forall(_.contains("loader_singer_ingest"))) 0.0
+    else try {
       import org.apache.spark.sql.functions._
       val inDir = java.nio.file.Files.createTempDirectory("bench-singer")
       val outDir = java.nio.file.Files.createTempDirectory("bench-singer-out")
@@ -135,7 +154,9 @@ object Bench {
       System.err.println(s"[bench] loader bench failed: ${e.getMessage}"); -1.0
     }
 
-    val all = results :+ ("loader_singer_ingest" -> loaderSecs)
+    val all =
+      if (!subset.forall(_.contains("loader_singer_ingest"))) results
+      else results :+ ("loader_singer_ingest" -> loaderSecs)
     // millisecond precision keeps the line ~2.3 KB: the driver tail-captures
     // only the last few KB of stdout, and full-precision doubles pushed the
     // line past that window (BENCH_r03 "parsed": null with the JSON's front

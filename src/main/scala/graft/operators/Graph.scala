@@ -38,13 +38,35 @@ object Graph {
     * DataFrame jobs). */
   def pageRank(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("id")).distinct()
-      .unionByName(e.select(col("dst").as("id")).distinct())
-      .distinct().localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      edgesDistinct: Boolean = false,
+      broadcastDegrees: Boolean = true): DataFrame = {
+    // static frames are CACHED (lazy, reused every round); only the evolving
+    // rank is checkpointed, and only every few rounds — an eager checkpoint
+    // per round would serialize the loop into iters separate jobs
+    val raw = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    // dedup is semantics (parallel edges must not double-weight) but it is
+    // the most expensive shuffle here — callers that construct provably
+    // distinct edge lists (e.g. mirrored distinct pairs) skip it
+    val deduped = if (edgesDistinct) raw else raw.distinct()
+    // pre-partition on the per-round join key: the cached partitioning is
+    // reused by every iteration's join, so only the (small) rank side
+    // moves — the edge list never re-shuffles after this
+    // fold the out-degree onto each edge up front so each round is a single
+    // join. NOT a window: WindowExec sorts its input on the partition keys,
+    // a full sort of the edge list; the aggregate+join below reuses the
+    // repartition. `broadcastDegrees` fits graphs whose distinct-source
+    // count broadcasts comfortably (one row per source); disable it for
+    // billion-node graphs and the join stays co-located on src anyway.
+    val part = deduped.repartition(col("src"))
+    val deg = part.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = part
+      .join(if (broadcastDegrees) broadcast(deg) else deg, "src")
+      .cache()
+    // every node has an out-edge (operator requirement), so the distinct
+    // sources ARE the node set — no need to union in the dst side
+    val nodes = e.select(col("src").as("id")).distinct().cache()
 
     val n = nodes.count()
     require(n > 0, "pageRank on an empty graph")
@@ -53,10 +75,9 @@ object Graph {
     val unit = scale / n
     val teleport = (dampDen - dampNum) * unit / dampDen
 
-    var rank = nodes.select(col("id"), lit(unit).as("rank")).localCheckpoint()
-    for (_ <- 0 until iters) {
+    var rank = nodes.select(col("id"), lit(unit).as("rank"))
+    for (i <- 0 until iters) {
       val contrib = e.join(rank, e("src") === rank("id"))
-        .join(deg, "src")
         .select(col("dst").as("id"),
           expr("`rank` div outdeg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("m"))
@@ -64,8 +85,14 @@ object Graph {
         .select(col("id"),
           (lit(teleport) +
             expr(s"$dampNum * coalesce(m, 0L) div $dampDen")).as("rank"))
-        .localCheckpoint()
+      // truncate lineage before the plan tree grows superlinear (driver
+      // planning time, not data volume, kills long iterative loops)
+      if ((i + 1) % 4 == 0 && i != iters - 1) rank = rank.localCheckpoint()
     }
-    rank
+    // one eager materialization hands back a dependency-free result, so the
+    // caches can be released immediately
+    val result = rank.localCheckpoint()
+    e.unpersist(); nodes.unpersist()
+    result
   }
 }

@@ -138,11 +138,18 @@ object ScaleOps {
     // exactly — no floating-point reduction-order hazard by construction.
     Q("q53_pagerank", (s, d) => {
       val li = t(s, d, "lineitem")
+      // distinct BEFORE mirroring (half the rows through the dedup shuffle),
+      // and mirror via explode rather than self-union — a union would
+      // recompute the distinct once per branch. The mirrored set of a
+      // distinct disjoint-id pair set is itself distinct, so the operator
+      // can skip its own dedup pass.
       val fwd = li.select(col("l_partkey").as("src"),
-        (col("l_suppkey") + 10000000L).as("dst"))
-      val edges = fwd.unionByName(
-        fwd.select(col("dst").as("src"), col("src").as("dst")))
-      Graph.pageRank(edges, iters = 3)
+        (col("l_suppkey") + 10000000L).as("dst")).distinct()
+      val edges = fwd.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      Graph.pageRank(edges, iters = 3, edgesDistinct = true)
         .select(col("id").as("node"), col("rank").as("rank_scaled"))
     }, Some {
       // DuckDB sums BIGINT into HUGEINT — cast every aggregate/derived rank
