@@ -25,7 +25,8 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.operators.{AsOfJoin, Dedup, Similarity}
+    import graft.operators.{AsOfJoin, BloomPrune, Dedup, Graph, Ranking,
+      Similarity, Sketches}
 
     def rep(name: String, idCols: Seq[String]): DataFrame = {
       val base = spark.read.parquet(s"$sfDir/$name.parquet")
@@ -105,6 +106,22 @@ object ScaleSmoke {
     val in1 = singerDump(1)
     val in10 = singerDump(copies)
 
+    // round-4 inputs: a graph that grows in nodes AND edges needs the
+    // part/supp keys offset (l10 offsets only l_orderkey), and the CMS
+    // build needs a replicated events table
+    val lg10 = rep("lineitem", Seq("l_partkey", "l_suppkey")).persist()
+    lg10.count()
+    val ev1 = spark.read.parquet(s"$sfDir/events.parquet"); ev1.count()
+    val ev10 = rep("events", Seq("event_id", "user_id")).persist(); ev10.count()
+    def edgesOf(li: DataFrame): DataFrame = {
+      val fwd = li.select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 100000000000L).as("dst")).distinct()
+      fwd.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
+
     // ---- compaction admission: cost per flush must stay O(1) as the
     // stream dir accumulates files (admission reads ONE file's status and
     // rewrites at most one sub-limit file; a small limit forces rotation)
@@ -160,7 +177,30 @@ object ScaleSmoke {
         time("rp_lsh_topk 10x")(Similarity.rpLshTopK(e10, "vec_id", "embedding", 3).unpersist())),
       // 64-bit fingerprint: 9x7-bit bands keep buckets ~N/128
       ("simhash_xx", time("simhash_xx 1x")(Dedup.simhashNearDupsXx(d1, "doc_id", "text").unpersist()),
-        time("simhash_xx 10x")(Dedup.simhashNearDupsXx(d10, "doc_id", "text").unpersist())))
+        time("simhash_xx 10x")(Dedup.simhashNearDupsXx(d10, "doc_id", "text").unpersist())),
+      // ---- round-4 operators ----
+      // graph grows 10x in BOTH nodes and edges (part/supp keys offset)
+      ("pagerank_3iter",
+        time("pagerank_3iter 1x")(
+          noop(Graph.pageRank(edgesOf(l1), 3, edgesDistinct = true))),
+        time("pagerank_3iter 10x")(
+          noop(Graph.pageRank(edgesOf(lg10), 3, edgesDistinct = true)))),
+      ("bloom_pruned_join", time("bloom_pruned_join 1x") {
+        val dim = o1.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        noop(BloomPrune.prunedJoin(l1, "l_orderkey", dim, "o_orderkey",
+          1000000L, 8000000L).groupBy().count())
+      }, time("bloom_pruned_join 10x") {
+        val dim = o10.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        noop(BloomPrune.prunedJoin(l10, "l_orderkey", dim, "o_orderkey",
+          1000000L, 8000000L).groupBy().count())
+      }),
+      // sketch size is FIXED (4x64 counters) — build must be scan-bound
+      ("cms_build", time("cms_build 1x")(noop(Sketches.cmsBuild(ev1, "user_id"))),
+        time("cms_build 10x")(noop(Sketches.cmsBuild(ev10, "user_id")))),
+      ("tfidf_top3", time("tfidf_top3 1x")(noop(Ranking.tfIdfTopTerms(d1, "doc_id", "text", 3))),
+        time("tfidf_top3 10x")(noop(Ranking.tfIdfTopTerms(d10, "doc_id", "text", 3)))))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
     results.foreach { case (n, a, b) =>
