@@ -2,8 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{SketchExprs, ZOrderExprs}
-import graft.operators.{BloomPrune, Graph, Ranking, Sketches}
+import graft.functions.{SketchExprs, ZOrderExprs, VectorExprs => V}
+import graft.operators.{BloomPrune, Dedup, Graph, KMeans, Ranking, Similarity,
+  Sketches}
 
 /** Round-4 scale operators: bloom-filter join reduction, Count-Min sketch
   * frequency estimation, TF-IDF / BM25 corpus scoring, Z-order layout keys,
@@ -176,5 +177,69 @@ object ScaleOps {
       r0 AS (SELECT id, unit AS rank FROM nodes CROSS JOIN params),
       $iterCtes
       SELECT id AS node, rank AS rank_scaled FROM r3"""
-    }))
+    }),
+
+    // exact-integer Lloyd k-means (k=8, 2 centroid updates + final assign):
+    // vectors scaled to integer units once, distances are integer squared
+    // L2, centroid means use floor division — bit-identical across engines
+    // and partitionings by construction, so the oracle replays the same
+    // algorithm in SQL.
+    Q("q54_kmeans", (s, d) =>
+      KMeans.assign(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster")),
+    Some {
+      val dist = (x: String, c: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> ($x[i] - $c[i]) * ($x[i] - $c[i])))"
+      val rounds = (1 to 2).map { i =>
+        s"""a$i AS (SELECT id, xs, cid FROM (
+           |  SELECT s.id, s.xs, c.cid,
+           |    row_number() OVER (PARTITION BY s.id
+           |      ORDER BY ${dist("s.xs", "c.cs")} ASC, c.cid ASC) AS rn
+           |  FROM s CROSS JOIN c${i - 1} c) WHERE rn = 1),
+           |c$i AS (SELECT cid, list(v ORDER BY dim) AS cs FROM (
+           |  SELECT a.cid, t.i AS dim,
+           |    CAST(sum(a.xs[t.i]) // count(*) AS BIGINT) AS v
+           |  FROM a$i a CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2)
+           |  GROUP BY cid)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH s AS (SELECT vec_id AS id,
+            list_transform(embedding,
+              v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS xs
+          FROM embeddings),
+      c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, xs AS cs
+             FROM s ORDER BY id LIMIT 8),
+      $rounds,
+      afinal AS (SELECT id, cid FROM (
+        SELECT s.id, c.cid,
+          row_number() OVER (PARTITION BY s.id
+            ORDER BY ${dist("s.xs", "c.cs")} ASC, c.cid ASC) AS rn
+        FROM s CROSS JOIN c2 c) WHERE rn = 1)
+      SELECT id AS vec_id, cid AS cluster FROM afinal"""
+    }),
+
+    // semantic dedup end-to-end: embedding-cosine near-dup pairs -> graph
+    // clustering -> per-vector (cluster, is_kept) — the same composition as
+    // the text-side fuzzyDedup, over the vector space instead. The oracle
+    // closes the pair graph with a recursive CTE.
+    Q("dedup_embed_clusters", (s, d) => {
+      val e = t(s, d, "embeddings")
+      val pairs = Similarity.cosineNearDups(e, "vec_id", "embedding", 0.45)
+      Dedup.connectedComponents(e.select(col("vec_id").as("id")), pairs)
+        .select(col("id"), col("cluster"),
+          (col("id") === col("cluster")).as("is_kept"))
+    }, Some(s"""
+      WITH RECURSIVE p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(${V.duckCosine("a.embedding", "b.embedding")}, 4) >= 0.45),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+      reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS id, min(dst) AS cluster, (src = min(dst)) AS is_kept
+      FROM reach GROUP BY src""")))
 }

@@ -3,7 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BloomPrune, Distribution, Graph, Ranking, Sketches}
+import graft.operators.{BloomPrune, Distribution, Graph, KMeans, Ranking,
+  Sketches}
 import graft.functions.ZOrderExprs
 
 class ScaleOpsSpec extends AnyFunSuite {
@@ -116,6 +117,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     // boundaries come from sampling whose seed depends on rdd id (session
     // history), so allow boundary smear — the claim is vs lf = 16
     assert(zf <= 12, s"z-order touched $zf of 16 files — no skipping win")
+  }
+
+  // ---- k-means ---------------------------------------------------------
+  test("integer k-means is bit-identical across partitionings and covers all ids") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = KMeans.assign(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every vector labeled exactly once, clusters in range
+    assert(a.size === emb.count())
+    assert(a.values.forall(c => c >= 0 && c < 4))
+    assert(a.values.toSet.size > 1, "degenerate single-cluster result")
+    // same input shuffled into a different partitioning => same labels
+    // (this is the property float centroid means cannot give)
+    val b = KMeans.assign(emb.repartition(7), "vec_id", "embedding",
+        k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
   }
 
   // ---- PageRank --------------------------------------------------------
