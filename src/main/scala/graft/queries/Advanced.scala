@@ -84,25 +84,7 @@ object Advanced {
     // replay's final window never crosses the watermark in append mode.
     Q("q49_stream_batch_parity", (s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      val sch = t(s, d, "events").schema
-      // the file streaming source monitors DIRECTORIES; testdata tables are
-      // single files, so stage a symlink into a temp dir (no data copy)
-      val dir = java.nio.file.Files.createTempDirectory("q49-events")
-      // absolute target: a relative data-dir argument would otherwise yield
-      // a broken relative symlink (source sees no files -> empty result);
-      // deleteOnExit in registration order dir-then-link so the link goes
-      // first and the dir is empty when its turn comes
-      dir.toFile.deleteOnExit()
-      val link = dir.resolve("events.parquet")
-      link.toFile.deleteOnExit()
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$d/events.parquet").toAbsolutePath)
-      val raw = s.readStream.schema(sch).parquet(dir.toString)
-      val ev = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
-      }
+      val ev = Tables.eventsStream(s, d)
       val q = graft.streaming.WindowedAgg
         .tumblingCounts(ev, "ts", "event_type", "6 hours", "1 hour")
         .writeStream.format("memory").queryName("q49_stream")

@@ -35,4 +35,33 @@ object Tables {
       case _ => raw
     }
   }
+
+  /** Stage `{dir}/{name}.parquet` behind a temp directory symlink — the
+    * file streaming source monitors DIRECTORIES, and the testdata tables
+    * are single files. Absolute target (a relative data dir would produce
+    * a broken relative symlink); both paths registered for exit cleanup,
+    * link before dir so the dir is empty when its turn comes. */
+  def stagedStreamDir(dir: String, name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"stream-$name")
+    d.toFile.deleteOnExit()
+    val link = d.resolve(s"$name.parquet")
+    link.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(s"$dir/$name.parquet").toAbsolutePath)
+    d.toString
+  }
+
+  /** `events` as a STREAMING frame with `ts` normalized to microseconds —
+    * the streaming analog of [[events]]. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sch = t(spark, dir, "events").schema
+    val raw = spark.readStream.schema(sch)
+      .parquet(stagedStreamDir(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
 }

@@ -241,5 +241,46 @@ object ScaleOps {
         UNION
         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
       SELECT src AS id, min(dst) AS cluster, (src = min(dst)) AS is_kept
-      FROM reach GROUP BY src""")))
+      FROM reach GROUP BY src""")),
+
+    // stream-STREAM inner interval join (both sides unbounded, watermarked
+    // state bounded by lateness + bound), replayed via AvailableNow and
+    // checked against the identical batch join — the parity contract that
+    // makes the streaming operator trustworthy. Even/odd event ids split
+    // the events table into the two "independent" streams.
+    Q("q55_stream_join", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      // every 5th user: the parity contract needs the operator exercised,
+      // not the full event volume — stream-stream state is the costliest
+      // stateful operator and the bench should not be dominated by it
+      def side(tag: String, parity: Int) =
+        Tables.eventsStream(s, d)
+          .filter(col("event_id") % 2 === parity && col("user_id") % 5 === 0)
+          .select(col("event_id").as(s"${tag}_id"),
+            col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"))
+      val joined = graft.streaming.StreamingDedup.intervalJoin(
+        side("a", 0), side("b", 1), "a_user", "b_user", "a_ts", "b_ts",
+        lateness = "1 hour", bound = "30 minutes")
+      // each micro-batch commits one state-store pair PER shuffle partition
+      // per join side; at this volume 8 stores beat 32 (store open/commit
+      // is the fixed cost, not row throughput) — scoped to this query and
+      // restored, since the setting binds at stream start
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
+          .writeStream.format("memory").queryName("q55_stream")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      s.table("q55_stream")
+    }, Some("""
+      WITH a AS (SELECT event_id AS a_id, user_id, CAST(ts AS TIMESTAMP) AS a_ts
+                 FROM events WHERE event_id % 2 = 0 AND user_id % 5 = 0),
+           b AS (SELECT event_id AS b_id, user_id, CAST(ts AS TIMESTAMP) AS b_ts
+                 FROM events WHERE event_id % 2 = 1 AND user_id % 5 = 0)
+      SELECT a_id, b_id, a.user_id AS user_id
+      FROM a JOIN b ON a.user_id = b.user_id
+       AND b_ts >= a_ts - INTERVAL 30 MINUTE
+       AND b_ts <= a_ts + INTERVAL 30 MINUTE""")))
 }

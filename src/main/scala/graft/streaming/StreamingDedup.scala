@@ -34,6 +34,28 @@ object StreamingDedup {
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), joinType)
       .drop(dim(dimKey))
 
+  /** Stream-stream inner join on a key within a symmetric event-time
+    * interval: `|leftTs - rightTs| <= bound`. Both sides carry watermarks,
+    * so the join state each side buffers is limited to
+    * `lateness + bound` of event time — the condition every unbounded
+    * stream-stream join needs to avoid unbounded state (without the time
+    * bound Spark would have to keep EVERY past row of both streams). Inner
+    * semantics: match rows are emitted as they pair up; the watermark only
+    * governs state eviction, so a full replay produces exactly the batch
+    * join's result (checked by the q55 parity oracle).
+    *
+    * Column names must be pre-disambiguated by the caller (streaming frames
+    * can't be dealiased after the fact the way static ones can). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      lateness: String, bound: String): DataFrame =
+    left.withWatermark(leftTs, lateness)
+      .join(right.withWatermark(rightTs, lateness),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bound") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"))
+
   /** Custom-state surface (`mapGroupsWithState`): running per-key event
     * counts across micro-batches. The state is one long per key — the
     * minimal stateful-operator shape on which session windows, CDC upserts,

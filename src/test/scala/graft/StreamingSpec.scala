@@ -159,4 +159,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("click", 2L, 3.0)))
     assert(rows.contains(("view", 1L, 5.0)))
   }
+
+  test("stream-stream interval join pairs rows within the time bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memB = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val a = memA.toDF().toDF("a_id", "a_user", "a_ts")
+    val b = memB.toDF().toDF("b_id", "b_user", "b_ts")
+    val joined = graft.streaming.StreamingDedup.intervalJoin(
+      a, b, "a_user", "b_user", "a_ts", "b_ts",
+      lateness = "1 hour", bound = "10 minutes")
+    val q = joined.select("a_id", "b_id")
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode(OutputMode.Append()).start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    memA.addData((1L, 7L, ts(10)), (2L, 7L, ts(30)), (3L, 8L, ts(10)))
+    memB.addData((11L, 7L, ts(15)), (12L, 7L, ts(50)), (13L, 9L, ts(10)))
+    q.processAllAvailable()
+    val pairs = spark.sql("SELECT a_id, b_id FROM sj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    // (1,11): same user, 5 min apart — in; (2,11) 15 min — out;
+    // (2,12) 20 min — out; (3,*) user 8 never matches user 9
+    assert(pairs === Set((1L, 11L)))
+  }
 }
