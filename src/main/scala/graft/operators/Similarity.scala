@@ -73,16 +73,22 @@ object Similarity {
     * hash join — never a cartesian), unioned and deduplicated before
     * scoring, so the plan stays shuffle-bounded at any corpus size. */
   def rpLshTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      numPlanes: Int = 0, dim: Int = 64, tables: Int = 1): DataFrame = {
+      numPlanes: Int = 0, dim: Int = 64, tables: Int = 1,
+      knownCount: Long = 0L): DataFrame = {
     // numPlanes = 0 → auto-size so the expected bucket holds ~64 vectors
     // (planes ~ log2(N/64)): a FIXED plane count lets bucket sizes — and the
     // within-bucket join — grow linearly with the corpus, i.e. quadratic
     // total work. More planes trade recall for compute exactly like a
     // larger IVF nlist; multi-table search buys the recall back.
+    // `knownCount` skips the sizing pass — at scale, pass the row count
+    // from catalog/file statistics instead of paying a full scan here
     val planes =
       if (numPlanes > 0) numPlanes
-      else math.min(24, math.max(4,
-        math.ceil(math.log(emb.count().toDouble / 64) / math.log(2)).toInt))
+      else {
+        val n = if (knownCount > 0) knownCount else emb.count()
+        math.min(24, math.max(4,
+          math.ceil(math.log(n.toDouble / 64) / math.log(2)).toInt))
+      }
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
     // persist: bucket ids are consumed by `tables` self-joins, and the
@@ -144,15 +150,19 @@ object Similarity {
     * (assign to top-`nprobe` cells instead of 1) exactly like FAISS IVF;
     * here the probe count is the assignment rank cutoff. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCells: Int = 0, nprobe: Int = 1): DataFrame = {
+      nCells: Int = 0, nprobe: Int = 1, knownCount: Long = 0L): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
     // nCells = 0 → auto-size to ~sqrt(N) (the standard IVF nlist rule):
     // fixed cell COUNT makes cell SIZE grow linearly and per-cell scoring
     // quadratic in the corpus; sqrt keeps candidates/query ~ sqrt(N)*nprobe
+    // `knownCount` skips the sizing pass (see rpLshTopK)
     val cells =
       if (nCells > 0) nCells
-      else math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      else {
+        val n = if (knownCount > 0) knownCount else emb.count()
+        math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      }
     // top-k by id, not a filter: planned as TakeOrderedAndProject (per-
     // partition heap + driver merge of `cells` rows — no global sort); the
     // result is broadcast below anyway, so the √N-row collect is free

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{SketchExprs, ZOrderExprs, VectorExprs => V}
-import graft.operators.{BloomPrune, Dedup, Graph, KMeans, Ranking, Similarity,
-  Sketches}
+import graft.operators.{BloomPrune, Dedup, Graph, IntervalJoin, KMeans,
+  Ranking, Similarity, Sketches}
 
 /** Round-4 scale operators: bloom-filter join reduction, Count-Min sketch
   * frequency estimation, TF-IDF / BM25 corpus scoring, Z-order layout keys,
@@ -282,5 +282,35 @@ object ScaleOps {
       SELECT a_id, b_id, a.user_id AS user_id
       FROM a JOIN b ON a.user_id = b.user_id
        AND b_ts >= a_ts - INTERVAL 30 MINUTE
-       AND b_ts <= a_ts + INTERVAL 30 MINUTE""")))
+       AND b_ts <= a_ts + INTERVAL 30 MINUTE""")),
+
+    // interval-OVERLAP join via bin-join decomposition: each 2-hour event
+    // interval explodes into 4-hour bins, candidates come from an equi-join
+    // on (user, bin), the exact predicate filters, and the later-start bin
+    // rule emits each pair exactly once — no theta/nested-loop join, no
+    // dedup shuffle. The oracle runs the plain theta join.
+    Q("q56_interval_join", (s, d) => {
+      def side(tag: String, parity: Int) =
+        Tables.events(s, d)
+          .filter(col("event_id") % 2 === parity)
+          .select(col("event_id").as(s"${tag}_id"),
+            col("user_id").as(s"${tag}_user"),
+            unix_micros(col("ts")).as(s"${tag}_s"),
+            (unix_micros(col("ts")) + 7200000000L).as(s"${tag}_e"))
+      IntervalJoin.overlap(side("a", 0), side("b", 1),
+          "a_user", "b_user", "a_s", "a_e", "b_s", "b_e",
+          binWidth = 14400000000L)
+        .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
+    }, Some("""
+      WITH a AS (SELECT event_id AS a_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS a_s,
+                   epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS a_e
+                 FROM events WHERE event_id % 2 = 0),
+           b AS (SELECT event_id AS b_id, user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS b_s,
+                   epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS b_e
+                 FROM events WHERE event_id % 2 = 1)
+      SELECT a_id, b_id, a.user_id AS user_id
+      FROM a JOIN b ON a.user_id = b.user_id
+       AND b_s <= a_e AND a_s <= b_e""")))
 }

@@ -119,6 +119,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(zf <= 12, s"z-order touched $zf of 16 files — no skipping win")
   }
 
+  // ---- interval-overlap join ------------------------------------------
+  test("bin-join overlap equals the theta join, one row per pair") {
+    import spark.implicits._
+    val a = Seq((1L, 7L, 0L, 100L), (2L, 7L, 50L, 400L), (3L, 8L, 0L, 10L))
+      .toDF("a_id", "a_user", "a_s", "a_e")
+    val b = Seq((11L, 7L, 90L, 120L), (12L, 7L, 380L, 390L), (13L, 8L, 11L, 20L),
+      (14L, 9L, 0L, 1000L)).toDF("b_id", "b_user", "b_s", "b_e")
+    // binWidth 16: several intervals span many bins — the later-start rule
+    // must still emit each overlapping pair exactly once
+    val got = graft.operators.IntervalJoin.overlap(a, b,
+        "a_user", "b_user", "a_s", "a_e", "b_s", "b_e", binWidth = 16L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    val want = a.join(b, $"a_user" === $"b_user" &&
+        $"b_s" <= $"a_e" && $"a_s" <= $"b_e")
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+    // (1,11) overlap at 90-100; (2,11) 90-120∩50-400; (2,12) inside;
+    // (3,13) touch? 11 > 10 -> no; (14) user 9 never joins
+    assert(want === Seq((1L, 11L), (2L, 11L), (2L, 12L)))
+  }
+
   // ---- k-means ---------------------------------------------------------
   test("integer k-means is bit-identical across partitionings and covers all ids") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
