@@ -312,5 +312,46 @@ object ScaleOps {
                  FROM events WHERE event_id % 2 = 1)
       SELECT a_id, b_id, a.user_id AS user_id
       FROM a JOIN b ON a.user_id = b.user_id
-       AND b_s <= a_e AND a_s <= b_e""")))
+       AND b_s <= a_e AND a_s <= b_e""")),
+
+    // per-source document cap (C4/RefinedWeb-style "limit docs per domain"):
+    // keep at most 10 docs per source, chosen by content-hash order — a
+    // deterministic pseudo-random sample that reproduces on any cluster,
+    // any partitioning, any run (same property as text_sample, per group)
+    Q("text_cap_per_source", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fp = graft.operators.TextAnalysis.fingerprint("text")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(fp.asc, col("doc_id").asc)
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("source"))
+    }, Some(s"""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY ${graft.functions.HashExprs.duckCharHash("text")} ASC,
+                     doc_id ASC) AS rn
+        FROM documents)
+      WHERE rn <= 10""")),
+
+    // null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL-keyed
+    // group joins too — the one join variant plain equality can't express
+    // (NULL = NULL is NULL, silently dropping the whole group)
+    Q("q57_nullsafe_join", (s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      // derived self-join: rename the aggregate side's key or Spark cannot
+      // attribute the ambiguous `seg` between parent and child
+      val segCounts = cust.groupBy(col("seg")).agg(count(lit(1)).as("seg_n"))
+        .withColumnRenamed("seg", "seg2")
+      cust.join(segCounts, col("seg") <=> col("seg2"))
+        .select(col("c_custkey"), col("seg"), col("seg_n"))
+    }, Some("""
+      WITH c AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+                 FROM customer),
+      sc AS (SELECT seg, count(*) AS seg_n FROM c GROUP BY seg)
+      SELECT c.c_custkey, c.seg, sc.seg_n
+      FROM c JOIN sc ON c.seg IS NOT DISTINCT FROM sc.seg""")))
 }
