@@ -353,5 +353,26 @@ object ScaleOps {
                  FROM customer),
       sc AS (SELECT seg, count(*) AS seg_n FROM c GROUP BY seg)
       SELECT c.c_custkey, c.seg, sc.seg_n
-      FROM c JOIN sc ON c.seg IS NOT DISTINCT FROM sc.seg""")))
+      FROM c JOIN sc ON c.seg IS NOT DISTINCT FROM sc.seg""")),
+
+    // top-k per group as a bounded AGGREGATE (typed Aggregator, k-element
+    // buffer): map tasks emit at most k candidates per group BEFORE the
+    // exchange, where the window formulation shuffles and sorts every row.
+    // Same output as row_number() <= k — which is exactly what the oracle
+    // (and the plan-shape spec's window twin) runs.
+    Q("q58_topk_group", (s, d) => {
+      val topk = udaf(graft.functions.TypedAggregators.TopK(3))
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("tk"))
+        .select(col("priority"), posexplode(col("tk")).as(Seq("r0", "item")))
+        .select(col("priority"), (col("r0") + 1).cast("long").as("rank"),
+          col("item.id").as("o_orderkey"), col("item.key").as("o_totalprice"))
+    }, Some("""
+      SELECT o_orderpriority AS priority, rank, o_orderkey, o_totalprice
+      FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+            FROM orders)
+      WHERE rank <= 3""")))
 }

@@ -119,6 +119,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(zf <= 12, s"z-order touched $zf of 16 files — no skipping win")
   }
 
+  // ---- bounded top-k aggregate ----------------------------------------
+  test("TopK aggregate equals the window formulation and plans as an aggregate") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.udaf
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val topk = udaf(graft.functions.TypedAggregators.TopK(5))
+    val viaAgg = o.groupBy(col("o_orderpriority"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("tk"))
+      .select(col("o_orderpriority"), explode(col("tk")).as("item"))
+      .select(col("o_orderpriority"), col("item.id"), col("item.key"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val viaWindow = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaAgg === viaWindow)
+    // plan shape: partial aggregation (map-side top-k), and NO window/sort
+    // over the full input
+    val plan = o.groupBy(col("o_orderpriority"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("tk"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_topk") || plan.contains("ObjectHashAggregate"),
+      s"expected partial aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"must not plan a window:\n$plan")
+  }
+
   // ---- interval-overlap join ------------------------------------------
   test("bin-join overlap equals the theta join, one row per pair") {
     import spark.implicits._
