@@ -374,5 +374,22 @@ object ScaleOps {
               row_number() OVER (PARTITION BY o_orderpriority
                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
             FROM orders)
-      WHERE rank <= 3""")))
+      WHERE rank <= 3""")),
+
+    // column profiling in one pass (single agg; distinct counts share one
+    // Expand) — the data-quality/drift gate of a production pipeline
+    Q("q59_profile", (s, d) =>
+      graft.operators.Profile.summarize(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+      Some {
+        val per = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority").map { c =>
+          s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+             |  count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_s,
+             |  CAST(max($c) AS VARCHAR) AS max_s FROM orders""".stripMargin
+        }
+        per.mkString("\n  UNION ALL ")
+      }))
 }

@@ -113,6 +113,26 @@ object ScaleSmoke {
     lg10.count()
     val ev1 = spark.read.parquet(s"$sfDir/events.parquet"); ev1.count()
     val ev10 = rep("events", Seq("event_id", "user_id")).persist(); ev10.count()
+    def intervalPairs(ev: DataFrame): DataFrame = {
+      def side(tag: String, parity: Int) = {
+        val base = ev.filter(col("event_id") % 2 === parity)
+        val tsUs = base.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+          case _ => unix_micros(col("ts"))
+        }
+        base.select(col("event_id").as(s"${tag}_id"),
+          col("user_id").as(s"${tag}_user"), tsUs.as(s"${tag}_s"),
+          (tsUs + 7200000000L).as(s"${tag}_e"))
+      }
+      graft.operators.IntervalJoin.overlap(side("a", 0), side("b", 1),
+        "a_user", "b_user", "a_s", "a_e", "b_s", "b_e", 14400000000L)
+        .select(col("a_id"), col("b_id"))
+    }
+    def topkAgg(o: DataFrame): DataFrame = {
+      val topk = udaf(graft.functions.TypedAggregators.TopK(5))
+      o.groupBy(col("o_orderpriority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("tk"))
+    }
     def edgesOf(li: DataFrame): DataFrame = {
       val fwd = li.select(col("l_partkey").as("src"),
         (col("l_suppkey") + 100000000000L).as("dst")).distinct()
@@ -200,7 +220,15 @@ object ScaleSmoke {
       ("cms_build", time("cms_build 1x")(noop(Sketches.cmsBuild(ev1, "user_id"))),
         time("cms_build 10x")(noop(Sketches.cmsBuild(ev10, "user_id")))),
       ("tfidf_top3", time("tfidf_top3 1x")(noop(Ranking.tfIdfTopTerms(d1, "doc_id", "text", 3))),
-        time("tfidf_top3 10x")(noop(Ranking.tfIdfTopTerms(d10, "doc_id", "text", 3)))))
+        time("tfidf_top3 10x")(noop(Ranking.tfIdfTopTerms(d10, "doc_id", "text", 3)))),
+      // bin-join: candidates are equi-join rows, so 10x input (with 10x
+      // users — ids offset) must scale ~linearly, not quadratically
+      ("interval_join", time("interval_join 1x")(noop(intervalPairs(ev1))),
+        time("interval_join 10x")(noop(intervalPairs(ev10)))),
+      // bounded aggregate: map-side top-k keeps the exchange at k rows per
+      // task per group regardless of input volume
+      ("topk_group_agg", time("topk_group_agg 1x")(noop(topkAgg(o1))),
+        time("topk_group_agg 10x")(noop(topkAgg(o10)))))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
     results.foreach { case (n, a, b) =>
