@@ -33,6 +33,11 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *                            non-null `key_properties` per RECORD (singer-sdk
   *                            record validation; default on, as in the SDK)
   * @param flatteningMaxDepth  nested-object flatten depth bound
+  * @param addRecordMetadata   stamp the singer-sdk `_sdc_*` lineage columns
+  *                            on every record (extracted_at from the
+  *                            message, received/batched/sync_started wall
+  *                            clocks, an opaque monotonic sequence, and
+  *                            deleted_at passed through from the record)
   * @param streamMaps          per-stream column mappings (rename / derive /
   *                            drop / filter) — see [[graft.loader.StreamMaps]]
   */
@@ -49,6 +54,7 @@ final case class GraftConfig(
     extraFieldsTypes: Option[String] = None,
     validateRecords: Boolean = true,
     flatteningMaxDepth: Int = 10,
+    addRecordMetadata: Boolean = false,
     streamMaps: Map[String, Map[String, Option[String]]] = Map.empty) {
 
   require(Set("gzip", "snappy", "zstd", "brotli")(compressionMethod),
@@ -106,6 +112,7 @@ object GraftConfig {
       validateRecords = str("validate_records").forall(_.toBoolean),
       flatteningMaxDepth =
         str("flattening_max_depth").map(_.toInt).getOrElse(10),
+      addRecordMetadata = str("add_record_metadata").exists(_.toBoolean),
       streamMaps = Option(n.get("stream_maps")).filterNot(_.isNull).map { sm =>
         val out = scala.collection.mutable.Map.empty[String, Map[String, Option[String]]]
         val streams = sm.fieldNames()
@@ -141,7 +148,8 @@ object GraftConfig {
       |    "extra_fields": {"type": ["string", "null"]},
       |    "extra_fields_types": {"type": ["string", "null"]},
       |    "validate_records": {"type": "boolean", "default": true},
-      |    "flattening_max_depth": {"type": "integer", "default": 10}
+      |    "flattening_max_depth": {"type": "integer", "default": 10},
+      |    "add_record_metadata": {"type": "boolean", "default": false}
       |  }
       |}""".stripMargin
 }

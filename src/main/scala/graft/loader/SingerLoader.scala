@@ -56,9 +56,13 @@ object SingerLoader {
     val routed = lines.toDF("value")
       .filter(length(trim(col("value"))) > 0)
       .select(col("value"),
-        json_tuple(col("value"), "type", "stream", "record", "version"))
-      .toDF("value", "t", "stream", "record", "version")
+        json_tuple(col("value"), "type", "stream", "record", "version",
+          "time_extracted"))
+      .toDF("value", "t", "stream", "record", "version", "te")
       .persist()
+    // one wall-clock stamp per load, shared by every stream (singer-sdk's
+    // sync_started_at); only meaningful when add_record_metadata is on
+    val syncStartedAt = new java.sql.Timestamp(System.currentTimeMillis())
     try {
       // ---- protocol validation (one aggregation job) ----
       val probe = routed.agg(
@@ -114,19 +118,33 @@ object SingerLoader {
         val nested = JsonSchemaConverter.toStructType(sm.schemaJson)
         val raw = routed
           .filter(col("t") === "RECORD" && col("stream") === sm.stream)
-        val records =
-          if (versionedStreams(sm.stream))
-            // full-table replication: RECORDs carry a message-level `version`;
-            // stamp it so ACTIVATE_VERSION can purge superseded rows
-            // (singer-sdk inherited semantics, reference target.py:51-52)
-            raw.select(from_json(col("record"), nested,
-                Map("mode" -> "FAILFAST")).as("r"),
-                col("version").cast("long").as(VersionPurge.SdcTableVersionCol))
-              .select(col("r.*"), col(VersionPurge.SdcTableVersionCol))
-          else
-            raw.select(from_json(col("record"), nested,
-                Map("mode" -> "FAILFAST")).as("r"))
-              .select(col("r.*"))
+        // non-record columns stamped alongside the parsed payload:
+        //  - `_sdc_table_version` when the stream is version-stamped
+        //    (full-table replication; ACTIVATE_VERSION purges by it —
+        //    singer-sdk inherited semantics, reference target.py:51-52)
+        //  - the singer-sdk `add_record_metadata` family when configured:
+        //    extracted_at comes from the message (deterministic),
+        //    received/batched/sync_started are wall-clock lineage stamps,
+        //    and the sequence is an opaque per-load monotonic id (the SDK
+        //    uses consumption-time epoch-millis — equally opaque)
+        val extras = Seq.newBuilder[(String, org.apache.spark.sql.Column)]
+        if (versionedStreams(sm.stream))
+          extras += VersionPurge.SdcTableVersionCol -> col("version").cast("long")
+        if (config.addRecordMetadata) {
+          extras += "_sdc_extracted_at" -> col("te").cast("timestamp")
+          extras += "_sdc_received_at" -> current_timestamp()
+          extras += "_sdc_batched_at" -> current_timestamp()
+          extras += "_sdc_sync_started_at" -> lit(syncStartedAt)
+          extras += "_sdc_sequence" -> monotonically_increasing_id()
+          extras += "_sdc_deleted_at" ->
+            get_json_object(col("record"), "$._sdc_deleted_at").cast("timestamp")
+        }
+        val extraCols = extras.result()
+        val records = raw
+          .select(from_json(col("record"), nested,
+            Map("mode" -> "FAILFAST")).as("r") +:
+            extraCols.map { case (n, c) => c.as(n) }: _*)
+          .select(col("r.*") +: extraCols.map(p => col(p._1)): _*)
         val transformed = transform(records, sm.stream, config)
         new ParquetSink(spark, config, sm.stream, transformed.schema)
           .write(transformed)

@@ -262,6 +262,33 @@ class LoaderSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/v").count() === 1)
   }
 
+  test("add_record_metadata stamps the _sdc_* lineage columns") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      fixture.head,
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 1, "col2": "a", "col3": true}, "time_extracted": "2024-02-03T04:05:06.000000Z"}""",
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 2, "col2": "b", "col3": false}, "time_extracted": "2024-02-03T04:05:07.000000Z"}""")),
+      GraftConfig(hdfsDestinationPath = out, addRecordMetadata = true))
+    val back = spark.read.parquet(s"$out/t").orderBy("col1")
+    val cols = back.columns.toSet
+    for (c <- Seq("_sdc_extracted_at", "_sdc_received_at", "_sdc_batched_at",
+        "_sdc_sync_started_at", "_sdc_sequence", "_sdc_deleted_at"))
+      assert(cols.contains(c), s"missing $c in ${cols.mkString(",")}")
+    val rows = back.collect()
+    // extracted_at is deterministic from the message
+    assert(rows(0).getAs[java.sql.Timestamp]("_sdc_extracted_at").toInstant
+      === java.time.Instant.parse("2024-02-03T04:05:06Z"))
+    // wall-clock stamps present; sequence values distinct; no delete stamp
+    assert(rows.forall(r => r.getAs[java.sql.Timestamp]("_sdc_received_at") != null))
+    assert(rows.map(_.getAs[Long]("_sdc_sequence")).distinct.length === 2)
+    assert(rows.forall(_.isNullAt(rows(0).fieldIndex("_sdc_deleted_at"))))
+    // and the columns do NOT appear when the config is off (default)
+    val out2 = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(fixture),
+      GraftConfig(hdfsDestinationPath = out2))
+    assert(!spark.read.parquet(s"$out2/t").columns.exists(_.startsWith("_sdc_")))
+  }
+
   test("ACTIVATE_VERSION on an unversioned stream keeps all rows") {
     val out = tmpDir()
     SingerLoader.loadFile(spark, writeFixture(fixture),
