@@ -18,12 +18,19 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** `(col_name, n_nonnull, n_nulls, n_distinct, min_s, max_s)` per
-    * requested column. */
-  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * requested column. `exactDistinct = false` swaps the distinct counts
+    * for HLL++ estimates (2% rsd) — the 100 TB path: exact multi-column
+    * distincts expand the input once per column through the shuffle, while
+    * the sketches keep the pass fully map-side-combined. */
+  def summarize(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile of zero columns")
+    def distinctAgg(c: String) =
+      if (exactDistinct) countDistinct(col(c))
+      else approx_count_distinct(col(c), 0.02)
     val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"__n_$c"),
-        countDistinct(col(c)).as(s"__d_$c"),
+        distinctAgg(c).as(s"__d_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }

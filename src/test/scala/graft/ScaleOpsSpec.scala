@@ -119,6 +119,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(zf <= 12, s"z-order touched $zf of 16 files — no skipping win")
   }
 
+  // ---- profiling scale path -------------------------------------------
+  test("approx profile matches exact within HLL tolerance") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val cols = Seq("o_orderkey", "o_orderstatus")
+    val exact = graft.operators.Profile.summarize(o, cols)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = graft.operators.Profile.summarize(o, cols, exactDistinct = false)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    for (c <- cols)
+      assert(math.abs(approx(c) - exact(c)) <= math.max(2L, exact(c) / 10),
+        s"$c: approx ${approx(c)} vs exact ${exact(c)}")
+  }
+
   // ---- bounded top-k aggregate ----------------------------------------
   test("TopK aggregate equals the window formulation and plans as an aggregate") {
     import org.apache.spark.sql.expressions.Window
