@@ -391,5 +391,43 @@ object ScaleOps {
              |  CAST(max($c) AS VARCHAR) AS max_s FROM orders""".stripMargin
         }
         per.mkString("\n  UNION ALL ")
-      }))
+      }),
+
+    // join-key skew report: per-key cardinality extremes and the top heavy
+    // keys — the diagnostic that decides between a plain shuffle join,
+    // AQE skew handling, and Distribution.saltedJoin. Integer outputs only
+    // (counts and exact keys), so the oracle is hash-exact.
+    Q("q60_skew_report", (s, d) => {
+      val sizes = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      val top = sizes.orderBy(col("n").desc, col("l_orderkey").asc).limit(5)
+        .select(lit("top_key").as("kind"),
+          col("l_orderkey").as("key"), col("n"))
+      val stats = sizes.agg(
+          max(col("n")).as("max_n"), count(lit(1)).as("n_keys"),
+          sum(col("n")).as("total"))
+        .select(lit("summary").as("kind"), col("max_n").as("key"),
+          // average group size scaled x100, floor — exact integer
+          expr("total * 100 div n_keys").as("n"))
+      top.unionByName(stats)
+    }, Some("""
+      WITH sizes AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+      SELECT 'top_key' AS kind, l_orderkey AS key, n FROM (
+        SELECT l_orderkey, n FROM sizes ORDER BY n DESC, l_orderkey ASC LIMIT 5)
+      UNION ALL
+      SELECT 'summary', max(n),
+             CAST((CAST(sum(n) AS BIGINT) * 100) // count(*) AS BIGINT)
+      FROM sizes""")),
+
+    // fixed-width histogram over an integer measure (doc length): the
+    // distribution fingerprint of corpus curation dashboards
+    Q("q61_histogram", (s, d) =>
+      t(s, d, "documents")
+        .groupBy(expr("n_chars div 500").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi")),
+      Some("""
+        SELECT n_chars // 500 AS bin, count(*) AS n,
+               min(n_chars) AS lo, max(n_chars) AS hi
+        FROM documents GROUP BY 1""")))
 }

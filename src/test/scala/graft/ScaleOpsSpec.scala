@@ -119,6 +119,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(zf <= 12, s"z-order touched $zf of 16 files — no skipping win")
   }
 
+  // ---- plan hygiene ----------------------------------------------------
+  test("q50 plan: dim filter pushed to parquet, bloom probe on the fact scan") {
+    val plan = SparkEntry.queries("q50_bloom_join")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)]"),
+      s"dim predicate must reach the parquet scan:\n$plan")
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    assert(plan.contains("partial_bloom_filter_agg"),
+      s"bloom build must be a distributed partial aggregate:\n$plan")
+  }
+
   // ---- profiling scale path -------------------------------------------
   test("approx profile matches exact within HLL tolerance") {
     val o = spark.read.parquet(s"$sf/orders.parquet")
