@@ -47,7 +47,12 @@ object TypedAggregators {
     private def bound(xs: Seq[TopKItem]): Seq[TopKItem] =
       xs.sorted(ord).take(k)
     def zero: Seq[TopKItem] = Seq.empty
-    def reduce(b: Seq[TopKItem], x: TopKItem): Seq[TopKItem] = bound(b :+ x)
+    // the buffer is kept sorted (zero is, and bound() re-sorts), so when it
+    // is full the common case — a row no better than the current k-th —
+    // is a single comparison with no allocation
+    def reduce(b: Seq[TopKItem], x: TopKItem): Seq[TopKItem] =
+      if (b.length >= k && ord.compare(x, b.last) >= 0) b
+      else bound(b :+ x)
     def merge(a: Seq[TopKItem], b: Seq[TopKItem]): Seq[TopKItem] = bound(a ++ b)
     def finish(r: Seq[TopKItem]): Seq[TopKItem] = r
     def bufferEncoder: Encoder[Seq[TopKItem]] =

@@ -26,9 +26,13 @@ object ZOrderExprs {
     1 -> 0x5555555555555555L)
 
   /** Bit-spread `v`'s low 31 bits into even positions. `shl(e, n)` spells a
-    * left shift in the target dialect; `&` and `|` are shared operators. */
-  private def spread(v: String, shl: (String, Int) => String): String =
-    steps.foldLeft(s"($v & 2147483647)") { case (acc, (sh, mask)) =>
+    * left shift in the target dialect; `&` and `|` are shared operators.
+    * The seed casts to BIGINT explicitly: for an int32 column Spark's
+    * shiftleft stays in 32-bit arithmetic and the first spread step would
+    * wrap before the 64-bit masks apply (values >= 2^15 corrupt silently). */
+  private def spread(v: String, shl: (String, Int) => String,
+      toBigint: String => String): String =
+    steps.foldLeft(s"(${toBigint(v)} & 2147483647)") { case (acc, (sh, mask)) =>
       s"(($acc | ${shl(acc, sh)}) & $mask)"
     }
 
@@ -37,12 +41,14 @@ object ZOrderExprs {
     * The two spread values occupy disjoint bit sets, so `|` merges them. */
   def sparkMorton2(x: String, y: String): String = {
     val shl = (e: String, n: Int) => s"shiftleft($e, $n)"
-    s"(${spread(x, shl)} | shiftleft(${spread(y, shl)}, 1))"
+    val big = (e: String) => s"CAST($e AS BIGINT)"
+    s"(${spread(x, shl, big)} | shiftleft(${spread(y, shl, big)}, 1))"
   }
 
   // --------------------------------------------------------------- DuckDB
   def duckMorton2(x: String, y: String): String = {
     val shl = (e: String, n: Int) => s"($e << $n)"
-    s"(${spread(x, shl)} | (${spread(y, shl)} << 1))"
+    val big = (e: String) => s"CAST($e AS BIGINT)"
+    s"(${spread(x, shl, big)} | (${spread(y, shl, big)} << 1))"
   }
 }

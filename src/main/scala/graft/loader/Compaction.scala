@@ -61,11 +61,11 @@ object Compaction {
     val hfs = fs(spark, dir)
     mostRecentFile(hfs, dir).filter(_.getLen < limit).map { status =>
       val df = spark.read.parquet(status.getPath.toString)
-      // the version stamp is loader-internal bookkeeping, not tap schema: a
-      // stream moving between versioned and unversioned replication must
-      // not read as schema drift (the sink NULL-aligns the column at union)
+      // _sdc_* stamps are loader-internal bookkeeping, not tap schema: a
+      // stream toggling versioned replication or add_record_metadata must
+      // not read as schema drift (the sink NULL-aligns the columns at union)
       def comparable(s: StructType) = s
-        .filterNot(_.name == VersionPurge.SdcTableVersionCol)
+        .filterNot(f => VersionPurge.isLoaderInternal(f.name))
         .map(f => (f.name, f.dataType))
       val existing = comparable(df.schema)
       val incoming = comparable(expectedSchema)

@@ -38,16 +38,19 @@ class ParquetSink(spark: SparkSession, config: GraftConfig,
 
     preload match {
       case Some((existing, path)) =>
-        // the schema gate ignores the internal version stamp; align it here
-        // so a stream moving between versioned and unversioned replication
-        // unions cleanly (missing side reads as NULL = "never versioned")
-        val c = VersionPurge.SdcTableVersionCol
+        // the schema gate ignores loader-internal _sdc_* stamps; align them
+        // here so a stream toggling versioned replication or
+        // add_record_metadata unions cleanly (the side missing a stamp
+        // reads it as NULL, typed from the side that has it)
         import org.apache.spark.sql.functions.lit
-        val e2 = if (!existing.columns.contains(c) && batch.columns.contains(c))
-          existing.withColumn(c, lit(null).cast("long")) else existing
-        val b2 = if (existing.columns.contains(c) && !batch.columns.contains(c))
-          batch.withColumn(c, lit(null).cast("long")) else batch
-        val combined = e2.unionByName(b2)
+        def align(target: org.apache.spark.sql.DataFrame,
+            source: org.apache.spark.sql.DataFrame) =
+          source.schema.fields
+            .filter(f => VersionPurge.isLoaderInternal(f.name) &&
+              !target.columns.contains(f.name))
+            .foldLeft(target)((df, f) =>
+              df.withColumn(f.name, lit(null).cast(f.dataType)))
+        val combined = align(existing, batch).unionByName(align(batch, existing))
         Compaction.writeSingleFile(spark, combined, path, config.compressionMethod)
       case None =>
         if (config.partitionCols.nonEmpty || config.maxRecordsPerFile > 0) {

@@ -140,11 +140,18 @@ object SingerLoader {
             get_json_object(col("record"), "$._sdc_deleted_at").cast("timestamp")
         }
         val extraCols = extras.result()
+        // a tap may DECLARE loader-stamped columns in its schema (log-based
+        // taps declare _sdc_deleted_at); the stamp wins — drop the parsed
+        // twin from the record expansion or the write dies on a duplicate
+        // column name
+        val stamped = extraCols.map(_._1).toSet
+        val recordFields = nested.fieldNames.toSeq.filterNot(stamped)
+          .map(f => col(s"r.`$f`").as(f))
         val records = raw
           .select(from_json(col("record"), nested,
             Map("mode" -> "FAILFAST")).as("r") +:
             extraCols.map { case (n, c) => c.as(n) }: _*)
-          .select(col("r.*") +: extraCols.map(p => col(p._1)): _*)
+          .select(recordFields ++ extraCols.map(p => col(p._1)): _*)
         val transformed = transform(records, sm.stream, config)
         new ParquetSink(spark, config, sm.stream, transformed.schema)
           .write(transformed)

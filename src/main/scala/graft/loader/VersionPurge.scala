@@ -35,6 +35,13 @@ object VersionPurge {
     * replication" and is kept conservatively by the purge. */
   val SdcTableVersionCol = "_sdc_table_version"
 
+  /** Loader-internal lineage/bookkeeping columns (the version stamp plus
+    * the `add_record_metadata` family). Their presence is a function of
+    * loader CONFIG, not tap schema, so the compaction schema-drift gate
+    * ignores them and the preload union NULL-aligns them — toggling the
+    * config between syncs must never read as schema drift. */
+  def isLoaderInternal(name: String): Boolean = name.startsWith("_sdc_")
+
   def activate(spark: SparkSession, config: GraftConfig, stream: String,
       version: Long): Unit = {
     val dir = config.streamDir(stream)

@@ -93,12 +93,13 @@ object Distribution {
     * Computed from the rows themselves via `_metadata.file_path` grouping
     * (equivalent to footer stats for these single-block files). */
   def fileEnvelopes(spark: SparkSession, path: String,
-      cols: Seq[String]): DataFrame =
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileEnvelopes of zero columns")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     spark.read.parquet(path)
       .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
       .groupBy(col("file"))
-      .agg(min(cols.head).as(s"min_${cols.head}"),
-        max(cols.head).as(s"max_${cols.head}"),
-        min(cols(1)).as(s"min_${cols(1)}"),
-        max(cols(1)).as(s"max_${cols(1)}"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

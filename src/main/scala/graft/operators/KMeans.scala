@@ -53,7 +53,7 @@ object KMeans {
         .select(col("id"), col("xs"), col("cid"))
     }
 
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val a = assignTo(centroids)
       // integer centroid mean with FLOOR semantics (DuckDB's `//`): Spark's
       // `div` truncates toward zero, which differs on negative sums, so the
@@ -69,6 +69,12 @@ object KMeans {
         .groupBy(col("cid"))
         .agg(expr("transform(array_sort(collect_list(struct(dim, v))), p -> p.v)")
           .as("cs"))
+      // truncate lineage every couple of rounds: each level nests a
+      // crossJoin + window + two aggregations, and unchecked nesting blows
+      // up driver planning time (the centroid frame is k rows — the
+      // checkpoint is cheap)
+      if ((i + 1) % 2 == 0 && i != iters - 1)
+        centroids = centroids.localCheckpoint()
     }
     val result = assignTo(centroids)
       .select(col("id"), col("cid").as("cluster"))

@@ -60,10 +60,12 @@ object Ranking {
     val withLen = docs.select(col(idCol).as("doc"),
       col(textCol).as("text"),
       size(split(col(textCol), " ")).cast("long").as("dl"))
-    val n = withLen.count()
-    // avgdl as an exact rational: sum(dl) / N computed in one double
-    // division (NOT a mean of doubles — summation order must not matter)
-    val sumDl = withLen.agg(sum(col("dl"))).head().getLong(0)
+    // N and Σdl in ONE pre-pass (each is a full scan at corpus scale);
+    // avgdl stays an exact rational: sum(dl) / N in one double division
+    // (NOT a mean of doubles — summation order must not matter)
+    val statsRow = withLen.agg(count(lit(1)), sum(col("dl"))).head()
+    val n = statsRow.getLong(0)
+    val sumDl = statsRow.getLong(1)
     val tf = withLen
       .select(col("doc"), col("dl"),
         explode(split(col("text"), " ")).as("term"))

@@ -20,10 +20,17 @@ import graft.functions.SketchExprs
   */
 object Sketches {
 
-  /** Build the CMS table for `df[keyExpr]`. `keyExpr` must yield a
-    * non-negative BIGINT < [[SketchExprs.P]]. */
+  /** Keys are reduced into `[0, P)` before hashing — arbitrary longs
+    * (xxhash64-derived ids, negatives) would overflow `a*k` and wrap to
+    * negative buckets, silently breaking the no-undercount invariant.
+    * In-range keys pass through unchanged, so the oracle SQL can keep
+    * hashing the raw column. */
+  private def inRange(keyExpr: String) =
+    pmod(expr(keyExpr).cast("long"), lit(SketchExprs.P))
+
+  /** Build the CMS table for `df[keyExpr]`. */
   def cmsBuild(df: DataFrame, keyExpr: String): DataFrame =
-    df.select(expr(keyExpr).cast("long").as("k"))
+    df.select(inRange(keyExpr).as("k"))
       .select(explode(expr(SketchExprs.sparkCmsCells("k"))).as("c"))
       .groupBy(col("c.ri").as("ri"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -34,7 +41,7 @@ object Sketches {
   def cmsEstimate(probes: DataFrame, keyExpr: String,
       sketch: DataFrame): DataFrame = {
     val cells = probes
-      .withColumn("__k", expr(keyExpr).cast("long"))
+      .withColumn("__k", inRange(keyExpr))
       .withColumn("c", explode(expr(SketchExprs.sparkCmsCells("__k"))))
       .select(probes.columns.map(col) :+ col("c.ri").as("ri") :+
         col("c.bucket").as("bucket"): _*)

@@ -289,6 +289,37 @@ class LoaderSpec extends AnyFunSuite {
     assert(!spark.read.parquet(s"$out2/t").columns.exists(_.startsWith("_sdc_")))
   }
 
+  test("tap-declared _sdc_deleted_at coexists with add_record_metadata (stamp wins)") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      """{"type": "SCHEMA", "stream": "t", "schema": {"type": "object", "properties": {"col1": {"type": ["integer", "null"]}, "_sdc_deleted_at": {"type": ["string", "null"]}}}}""",
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 1, "_sdc_deleted_at": "2024-05-06T07:08:09.000000Z"}}""")),
+      GraftConfig(hdfsDestinationPath = out, addRecordMetadata = true))
+    val back = spark.read.parquet(s"$out/t")
+    assert(back.columns.count(_ == "_sdc_deleted_at") === 1)
+    // the record's value flows through the stamp (read from the raw JSON)
+    assert(back.head().getAs[java.sql.Timestamp]("_sdc_deleted_at").toInstant
+      === java.time.Instant.parse("2024-05-06T07:08:09Z"))
+  }
+
+  test("toggling add_record_metadata between syncs compacts without schema drift") {
+    val out = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      fixture.head,
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 1, "col2": "a", "col3": true}}""")),
+      GraftConfig(hdfsDestinationPath = out, addRecordMetadata = true))
+    // second sync with metadata OFF must union into the same file: the six
+    // _sdc_* columns are loader-internal and NULL-align, not schema drift
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      fixture.head,
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 2, "col2": "b", "col3": false}}""")),
+      GraftConfig(hdfsDestinationPath = out))
+    val back = spark.read.parquet(s"$out/t").orderBy("col1").collect()
+    assert(back.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(back(0).getAs[java.sql.Timestamp]("_sdc_received_at") != null)
+    assert(back(1).isNullAt(back(1).fieldIndex("_sdc_received_at")))
+  }
+
   test("ACTIVATE_VERSION on an unversioned stream keeps all rows") {
     val out = tmpDir()
     SingerLoader.loadFile(spark, writeFixture(fixture),

@@ -91,6 +91,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
     assert(z.toSeq === Seq(ref(0, 0), ref(0, 3), ref(3, 0), ref(5, 5),
       ref(123456, 654321)))
+    // int32 inputs must spread in 64-bit arithmetic: without the BIGINT
+    // seed cast, shiftleft stays 32-bit and values >= 2^15 wrap silently
+    val zi = Seq((123456L, 654321L)).toDF("xl", "yl")
+      .select(col("xl").cast("int").as("x"), col("yl").cast("int").as("y"))
+      .withColumn("z", expr(ZOrderExprs.sparkMorton2("x", "y")))
+      .select("z").as[Long].head()
+    assert(zi === ref(123456, 654321))
   }
 
   test("z-order layout skips more files than linear sort on the trailing dim") {
