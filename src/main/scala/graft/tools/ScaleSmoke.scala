@@ -228,7 +228,12 @@ object ScaleSmoke {
       // bounded aggregate: map-side top-k keeps the exchange at k rows per
       // task per group regardless of input volume
       ("topk_group_agg", time("topk_group_agg 1x")(noop(topkAgg(o1))),
-        time("topk_group_agg 10x")(noop(topkAgg(o10)))))
+        time("topk_group_agg 10x")(noop(topkAgg(o10)))),
+      // k fixed, corpus 10x: the per-round crossJoin grows linearly in rows
+      ("kmeans_2iter", time("kmeans_2iter 1x")(
+          noop(graft.operators.KMeans.assign(e1, "vec_id", "embedding", 8, 2))),
+        time("kmeans_2iter 10x")(
+          noop(graft.operators.KMeans.assign(e10, "vec_id", "embedding", 8, 2)))))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
     results.foreach { case (n, a, b) =>

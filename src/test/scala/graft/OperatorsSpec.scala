@@ -47,6 +47,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"xx candidate recall $recall")
   }
 
+  test("stop-shingle cap MISSES clusters larger than the cap (documented mode)") {
+    import spark.implicits._
+    // 12 near-identical docs: every shared shingle has df = 12 > cap = 10,
+    // so cap-on candidate generation finds NOTHING — the documented
+    // missed-cluster failure mode that keeps the cap opt-in (route such
+    // corpora through exact/minhash dedup first)
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0L until 12L).map(i => (i, s"$text word$i")).toDF("doc_id", "text")
+    val capped = Dedup.ngramNearDups(docs, "doc_id", "text", 7, 10,
+      maxShingleDf = Some(10)).count()
+    val exact = Dedup.ngramNearDups(docs, "doc_id", "text", 7, 10,
+      maxShingleDf = None).count()
+    assert(capped === 0L, "cap-on must miss the over-cap cluster entirely")
+    assert(exact === 66L, "exact path must emit all C(12,2) pairs")
+  }
+
   test("stop-shingle cap changes no answers: capped output = uncapped output") {
     // scale cap (1000) vs exact-count default on the real corpus: the cap
     // prunes candidate generation only, verification is exact, so outputs

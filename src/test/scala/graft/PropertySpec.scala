@@ -123,4 +123,46 @@ class PropertySpec extends AnyFunSuite {
       Flattener.flattenedSchema(once) == once
     })
   }
+
+  // ---- bounded top-k aggregator (pure merge laws) ------------------------
+
+  test("TopK: any reduce/merge partitioning equals global sort.take(k)") {
+    import graft.functions.{TopKItem, TypedAggregators}
+    val items = Gen.listOf(Gen.zip(
+      Gen.choose(-100.0, 100.0), Gen.choose(0L, 50L)).map(TopKItem.tupled))
+    val ks = Gen.choose(1, 6)
+    check(Prop.forAll(items, ks, Gen.choose(1, 5)) { (xs, k, parts) =>
+      val agg = TypedAggregators.TopK(k)
+      // split the input arbitrarily into `parts` partial buffers, reduce
+      // each, then merge — must equal one global reduce, must equal the
+      // sorted prefix
+      val groups = xs.zipWithIndex.groupBy(_._2 % parts).values
+        .map(_.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      val merged = groups.foldLeft(agg.zero)(agg.merge)
+      val global = xs.foldLeft(agg.zero)(agg.reduce)
+      val expected = xs.sortBy(t => (-t.key, t.id)).take(k)
+      merged == expected && global == expected
+    })
+  }
+
+  // ---- morton interleave -------------------------------------------------
+
+  test("morton spread: codes are unique and order-preserving on each axis") {
+    // bijectivity surrogate (no Spark session in this suite): the reference
+    // interleave used by ScaleOpsSpec must be injective and monotone per
+    // axis — the properties file-skipping relies on
+    def ref(x: Long, y: Long): Long = {
+      var r = 0L
+      for (b <- 0 until 31)
+        r |= (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+      r
+    }
+    val coords = Gen.choose(0L, Int.MaxValue.toLong)
+    check(Prop.forAll(coords, coords, coords, coords) { (x1, y1, x2, y2) =>
+      val inj = (x1 == x2 && y1 == y2) == (ref(x1, y1) == ref(x2, y2))
+      val monoX = x1 == x2 || (ref(x1, y1) < ref(x2, y1)) == (x1 < x2)
+      val monoY = y1 == y2 || (ref(x1, y1) < ref(x1, y2)) == (y1 < y2)
+      inj && monoX && monoY
+    })
+  }
 }
