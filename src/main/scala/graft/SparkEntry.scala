@@ -12,7 +12,8 @@ object SparkEntry {
   /** Every declared query, across all families. */
   def all: Seq[Q] =
     Relational.defs ++ Scalar.defs ++ Advanced.defs ++ Coverage.defs ++
-      Extensions.defs ++ MultimodalQueries.defs ++ ScaleOps.defs
+      Extensions.defs ++ MultimodalQueries.defs ++ ScaleOps.defs ++
+      Surface.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

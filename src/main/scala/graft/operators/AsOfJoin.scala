@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** @param tolerance maximum allowed `leftTs - rightTs` (backward) or
+    *                   `rightTs - leftTs` (forward) for a match, in the ts
+    *                   columns' own units — matches further away resolve to
+    *                   NULL (pandas merge_asof `tolerance`). Requires
+    *                   numeric ts columns (convert timestamps with
+    *                   `unix_micros` first); `None` = unbounded lookback. */
   def joinBackward(
       left: DataFrame,
       right: DataFrame,
@@ -31,9 +37,10 @@ object AsOfJoin {
       rightKeys: Seq[String],
       leftTs: String,
       rightTs: String,
-      rightValues: Seq[String]): DataFrame =
+      rightValues: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
     joinDirectional(left, right, leftKeys, rightKeys, leftTs, rightTs,
-      rightValues, backward = true)
+      rightValues, backward = true, tolerance)
 
   /** Forward as-of join: the right row with the SMALLEST `rightTs >= leftTs`
     * per key (the "next known value" operator). Same single-shuffle
@@ -45,9 +52,10 @@ object AsOfJoin {
       rightKeys: Seq[String],
       leftTs: String,
       rightTs: String,
-      rightValues: Seq[String]): DataFrame =
+      rightValues: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
     joinDirectional(left, right, leftKeys, rightKeys, leftTs, rightTs,
-      rightValues, backward = false)
+      rightValues, backward = false, tolerance)
 
   private def joinDirectional(
       left: DataFrame,
@@ -57,8 +65,15 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       rightValues: Seq[String],
-      backward: Boolean): DataFrame = {
+      backward: Boolean,
+      tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    tolerance.foreach { t =>
+      require(t >= 0, s"tolerance must be non-negative, got $t")
+      require(right.schema(rightTs).dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType],
+        "tolerance requires numeric ts columns (convert timestamps with unix_micros)")
+    }
     val collisions = rightValues.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"rightValues collide with left columns: ${collisions.mkString(", ")} — alias them first")
@@ -68,8 +83,12 @@ object AsOfJoin {
     // picks a single matched right row atomically: its per-column NULLs are
     // preserved, and every value column provably comes from the same row
     // (per-column fill would mix rows and skip NULL values).
-    val vsType = org.apache.spark.sql.types.StructType(
-      rightValues.map(v => right.schema(v)))
+    // with a tolerance, the matched right ts rides the struct so the
+    // post-fill filter can null out matches beyond the window
+    val vsFields = rightValues.map(v => right.schema(v)) ++
+      tolerance.map(_ => org.apache.spark.sql.types.StructField(
+        "__asof_mts", right.schema(rightTs).dataType))
+    val vsType = org.apache.spark.sql.types.StructType(vsFields)
 
     val lTagged = left.select(
       leftKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++ Seq(
@@ -83,7 +102,9 @@ object AsOfJoin {
         col(rightTs).as("__asof_ts"),
         lit(0).as("__asof_side"),
         lit(null).cast(lTagged.schema("__asof_row").dataType).as("__asof_row"),
-        struct(rightValues.map(col): _*).as("__asof_vs")): _*)
+        struct(rightValues.map(col) ++
+          tolerance.map(_ => col(rightTs).as("__asof_mts")): _*)
+          .as("__asof_vs")): _*)
 
     val tsOrder = if (backward) col("__asof_ts").asc else col("__asof_ts").desc
     val w = Window
@@ -91,10 +112,20 @@ object AsOfJoin {
       .orderBy(tsOrder, col("__asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = lTagged.unionByName(rTagged)
-      .select(col("__asof_side"), col("__asof_row"),
+    val filled0 = lTagged.unionByName(rTagged)
+      .select(col("__asof_side"), col("__asof_row"), col("__asof_ts"),
         last(col("__asof_vs"), ignoreNulls = true).over(w).as("__asof_vs"))
       .filter(col("__asof_side") === 1)
+
+    // tolerance: a match further from the left ts than `t` reads as no
+    // match (the whole struct nulls atomically, like an unmatched row)
+    val filled = tolerance.fold(filled0) { t =>
+      val dist =
+        if (backward) col("__asof_ts") - col("__asof_vs.__asof_mts")
+        else col("__asof_vs.__asof_mts") - col("__asof_ts")
+      filled0.withColumn("__asof_vs",
+        when(dist <= t, col("__asof_vs")))
+    }
 
     filled.select(col("__asof_row.*") +:
       rightValues.map(v => col(s"__asof_vs.$v").as(v)): _*)

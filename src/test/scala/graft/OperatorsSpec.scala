@@ -26,6 +26,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) === "b")   // latest at-or-before 20 is 15
   }
 
+  test("as-of tolerance nulls out matches beyond the lookback window") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (2L, 100L), (3L, 16L)).toDF("id", "ts")
+      .withColumn("k", lit(100L))
+    val right = Seq((100L, 10L, "a"), (100L, 15L, "b")).toDF("k", "ts", "v")
+      .withColumnRenamed("ts", "rts")
+    val out = AsOfJoin.joinBackward(left, right,
+      Seq("k"), Seq("k"), "ts", "rts", Seq("v"), tolerance = Some(5L))
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a")   // distance 0 <= 5
+    assert(out(2L) === null)  // latest match (rts=15) is 85 away: nulled
+    assert(out(3L) === "b")   // distance 1 <= 5
+    // unbounded behaves as before
+    val unb = AsOfJoin.joinBackward(left, right,
+      Seq("k"), Seq("k"), "ts", "rts", Seq("v"))
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(unb(2L) === "b")
+  }
+
   test("minhash LSH finds every near-dup pair the brute-force oracle finds") {
     val brute = Dedup.ngramNearDups(docs, "doc_id", "text", 7, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
