@@ -124,5 +124,60 @@ object Surface {
       SELECT min(doc_id) AS kept_id, count(*) AS copies
       FROM doubled
       GROUP BY trim(regexp_replace(regexp_replace(lower(text),
-        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""")))
+        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""")),
+
+    // outer explode: rows whose array is empty SURVIVE with a NULL element
+    // (plain explode drops them — the silent-row-loss trap of generators)
+    Q("q66_explode_outer", (s, d) =>
+      t(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        // tokens longer than 8 chars; many docs have none -> empty arrays
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) > 8)").as("longw"))
+        .select(col("doc_id"), explode_outer(col("longw")).as("token")),
+      Some("""
+        WITH w AS (SELECT doc_id,
+            list_filter(string_split(text, ' '), t -> length(t) > 8) AS longw
+          FROM documents WHERE doc_id < 50)
+        SELECT doc_id, unnest(CASE WHEN len(longw) = 0
+                 THEN [NULL::VARCHAR] ELSE longw END) AS token
+        FROM w""")),
+
+    // map higher-order functions: transform_values / map_filter /
+    // map_concat introspection over a built map
+    Q("q67_map_hof", (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          map(lit("price_cents"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+            lit("custkey"), col("o_custkey")).as("m"))
+        .select(col("o_orderkey"),
+          expr("transform_values(m, (k, v) -> v * 2)['custkey']").as("cust2"),
+          expr("cardinality(map_filter(m, (k, v) -> v > 100000))").cast("long")
+            .as("n_big"),
+          expr("array_join(map_keys(m), ',')").as("keys_csv")),
+      Some("""
+        WITH m AS (SELECT o_orderkey,
+            map(['price_cents', 'custkey'],
+                [CAST(round(o_totalprice * 100) AS BIGINT), o_custkey]) AS m
+          FROM orders WHERE o_orderkey < 500)
+        SELECT o_orderkey,
+               (map_values(m)[2]) * 2 AS cust2,
+               len(list_filter(map_values(m), v -> v > 100000)) AS n_big,
+               array_to_string(map_keys(m), ',') AS keys_csv
+        FROM m""")),
+
+    // sequence generation + date arithmetic: one row per month an order's
+    // year spans (generator over computed ranges)
+    Q("q68_sequence", (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          explode(expr(
+            "sequence(1, month(o_orderdate))")).as("m"))
+        .withColumn("m", col("m").cast("long")),
+      Some("""
+        SELECT o_orderkey, unnest(range(1, month(o_orderdate) + 1)) AS m
+        FROM orders WHERE o_orderkey < 200""")))
 }
