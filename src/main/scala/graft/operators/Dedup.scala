@@ -79,7 +79,7 @@ object Dedup {
     * array_intersect matches NULL to NULL (DuckDB's list_intersect does
     * not), so NULLs are stripped from one side before intersecting — two
     * short docs then have intersection 0 over union 2 and never pair. */
-  private def jaccardGe(num: Int, den: Int) = {
+  private[operators] def jaccardGe(num: Int, den: Int) = {
     val inter = size(array_intersect(
       expr("filter(sa, x -> x IS NOT NULL)"), col("sb")))
     val union = size(col("sa")) + size(col("sb")) - inter

@@ -25,7 +25,7 @@ object Extensions {
 
   /** The MinHash-LSH pair pipeline as a reusable CTE chain ending in
     * `pairs(id_a, id_b)` — shared by dedup_minhash and dedup_clusters. */
-  private val minhashPairCtes =
+  private[queries] val minhashPairCtes =
     s"""$docsSql,
        |mh AS (SELECT doc_id, ${H.duckMinhash("sh")} AS mh FROM sh),
        |bands AS (SELECT doc_id, unnest(${H.duckBands("mh")}) AS bv FROM mh),

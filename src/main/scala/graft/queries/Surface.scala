@@ -179,5 +179,22 @@ object Surface {
         .withColumn("m", col("m").cast("long")),
       Some("""
         SELECT o_orderkey, unnest(range(1, month(o_orderdate) + 1)) AS m
-        FROM orders WHERE o_orderkey < 200""")))
+        FROM orders WHERE o_orderkey < 200""")),
+
+    // incremental dedup against a persisted fingerprint index: the corpus
+    // is processed as two batches; the union of per-batch outputs must
+    // equal the one-shot minhash dedup of the whole corpus — which is
+    // exactly the oracle (same CTE chain as dedup_minhash)
+    Q("dedup_incremental", (s, d) => {
+      import graft.operators.IncrementalDedup
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("inc-index")
+      dir.toFile.deleteOnExit()
+      val b1 = IncrementalDedup.processBatch(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", dir.toString)
+      val b2 = IncrementalDedup.processBatch(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", dir.toString)
+      b1.unionByName(b2)
+    }, Some(s"""${Extensions.minhashPairCtes}
+      |SELECT id_a, id_b FROM pairs""".stripMargin)))
 }

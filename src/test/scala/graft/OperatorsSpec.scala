@@ -26,6 +26,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L) === "b")   // latest at-or-before 20 is 15
   }
 
+  test("incremental dedup over batches equals one-shot minhash dedup") {
+    val full = Dedup.minhashNearDups(docs, "doc_id", "text", 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("inc-test").toString
+    // three uneven batches; each output must only involve its own batch
+    val cuts = Seq(
+      docs.filter(col("doc_id") < 100),
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 180),
+      docs.filter(col("doc_id") >= 180))
+    val incremental = cuts.flatMap(b =>
+      graft.operators.IncrementalDedup.processBatch(b, "doc_id", "text", dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))).toSet
+    assert(incremental === full)
+    // the index accumulated all three batches
+    assert(spark.read.parquet(s"$dir/shingles").count() === docs.count())
+  }
+
   test("as-of tolerance nulls out matches beyond the lookback window") {
     import spark.implicits._
     val left = Seq((1L, 10L), (2L, 100L), (3L, 16L)).toDF("id", "ts")
