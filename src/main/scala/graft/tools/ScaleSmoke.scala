@@ -233,7 +233,30 @@ object ScaleSmoke {
       ("kmeans_2iter", time("kmeans_2iter 1x")(
           noop(graft.operators.KMeans.assign(e1, "vec_id", "embedding", 8, 2))),
         time("kmeans_2iter 10x")(
-          noop(graft.operators.KMeans.assign(e10, "vec_id", "embedding", 8, 2)))))
+          noop(graft.operators.KMeans.assign(e10, "vec_id", "embedding", 8, 2)))),
+      // the incremental-dedup claim: a FIXED batch against a 10x-bigger
+      // index must cost ~the same (batch-bands x collision-rate, never
+      // corpus size) — the ratio here compares same-batch/1x-index vs
+      // same-batch/10x-index, so ~1.0 is the win condition
+      ("inc_dedup_fixed_batch", {
+        val dir1 = java.nio.file.Files.createTempDirectory("smoke-inc1").toString
+        graft.operators.IncrementalDedup.processBatch(
+          d1, "doc_id", "text", dir1).unpersist()
+        val batch = d1.limit(500)
+        time("inc_dedup vs 1x index")(noop(
+          graft.operators.IncrementalDedup.processBatch(
+            batch.withColumn("doc_id", col("doc_id") + 900000000L),
+            "doc_id", "text", dir1)))
+      }, {
+        val dir10 = java.nio.file.Files.createTempDirectory("smoke-inc10").toString
+        graft.operators.IncrementalDedup.processBatch(
+          d10, "doc_id", "text", dir10).unpersist()
+        val batch = d1.limit(500)
+        time("inc_dedup vs 10x index")(noop(
+          graft.operators.IncrementalDedup.processBatch(
+            batch.withColumn("doc_id", col("doc_id") + 900000000L),
+            "doc_id", "text", dir10)))
+      }))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
     results.foreach { case (n, a, b) =>
