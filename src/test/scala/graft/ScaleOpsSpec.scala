@@ -216,6 +216,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("k-means assignment plans as a hash aggregate, not a window or sort") {
+    // the per-round argmin must be a map-side-combinable TRUE hash
+    // aggregate: row_number().over(Window.partitionBy(id)) shuffles AND
+    // sorts k× the corpus every round, and min_by over a struct ordering
+    // silently degrades to SortAggregate (struct is not a mutable buffer
+    // type) — same local sort cost (mirror of the q58 top-k plan test)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = KMeans.assignmentRound(emb, "vec_id", "embedding", k = 4)
+      .queryExecution.executedPlan.toString
+    // everything above the BroadcastExchange is the N×k streamed path; the
+    // build side below it ranks the k seed rows (k rows total — a window
+    // there is a constant-cost detail, not a scale hazard)
+    val streamedPath = plan.split("BroadcastExchange")(0)
+    assert(!streamedPath.contains("Window"),
+      s"k-means argmin must not plan a window:\n$plan")
+    assert(!streamedPath.contains("SortAggregate"),
+      s"k-means argmin must not degrade to SortAggregate:\n$plan")
+    assert(streamedPath.contains("HashAggregate"),
+      s"expected a hash aggregate in the assignment:\n$plan")
+  }
+
   // ---- PageRank --------------------------------------------------------
   test("integer pagerank: 2-cycle stays uniform, star concentrates rank") {
     import spark.implicits._
