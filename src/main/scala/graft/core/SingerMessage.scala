@@ -35,6 +35,24 @@ final case class ActivateVersionMessage(stream: String, version: Long)
   val messageType = "ACTIVATE_VERSION"
 }
 
+/** Singer-SDK `BATCH` message (SDK 0.35.x, inherited by the reference via
+  * its singer-sdk dependency — reference pyproject.toml:15): instead of
+  * inline RECORDs, the tap ships a manifest of already-encoded files. The
+  * SDK's `Target` reads the manifest files and routes their rows through the
+  * same per-stream sink path as RECORD messages.
+  *
+  * `encoding.format` is `jsonl` (one record-JSON per line);
+  * `encoding.compression` `gzip` means the files carry a `.gz` suffix
+  * (Hadoop's text source decodes by extension, so the loader needs no
+  * special handling beyond validating the declared combination). */
+final case class BatchMessage(
+    stream: String,
+    format: String,
+    compression: String,
+    manifest: Seq[String]) extends SingerMessage {
+  val messageType = "BATCH"
+}
+
 object SingerMessage {
   private val mapper = new ObjectMapper()
 
@@ -62,6 +80,22 @@ object SingerMessage {
       case "ACTIVATE_VERSION" =>
         ActivateVersionMessage(node.get("stream").asText(),
           Option(node.get("version")).map(_.asLong()).getOrElse(0L))
+      case "BATCH" =>
+        val enc = Option(node.get("encoding"))
+        val format = enc.flatMap(e => Option(e.get("format")))
+          .map(_.asText()).getOrElse("jsonl")
+        val compression = enc.flatMap(e => Option(e.get("compression")))
+          .map(_.asText()).getOrElse("none")
+        val manifest = Option(node.get("manifest")).map { m =>
+          (0 until m.size()).map(m.get(_).asText())
+        }.getOrElse(Seq.empty)
+        if (format != "jsonl")
+          throw new InvalidConfigException(
+            s"unsupported BATCH encoding format '$format' (only jsonl)")
+        if (compression != "none" && compression != "gzip")
+          throw new InvalidConfigException(
+            s"unsupported BATCH compression '$compression' (none | gzip)")
+        BatchMessage(node.get("stream").asText(), format, compression, manifest)
       case other =>
         throw new InvalidConfigException(s"unknown Singer message type: $other")
     }

@@ -65,26 +65,32 @@ object SingerLoader {
     val syncStartedAt = new java.sql.Timestamp(System.currentTimeMillis())
     try {
       // ---- protocol validation (one aggregation job) ----
+      val knownTypes =
+        Seq("RECORD", "SCHEMA", "STATE", "ACTIVATE_VERSION", "BATCH")
       val probe = routed.agg(
         max(when(col("t").isNull, col("value"))).as("untyped"),
         max(when(col("t") === "RECORD" && col("record").isNull, col("value")))
-          .as("null_record")).collect().head
+          .as("null_record"),
+        max(when(!col("t").isin(knownTypes: _*), col("t")))
+          .as("unknown_type")).collect().head
       if (probe.getString(0) != null)
         throw new InvalidConfigException(
           s"line without a Singer 'type': ${probe.getString(0).take(200)}")
       if (probe.getString(1) != null)
         throw new InvalidConfigException(
           s"RECORD message without a record payload: ${probe.getString(1).take(200)}")
+      if (probe.getString(2) != null)
+        throw new InvalidConfigException(
+          s"unknown Singer message type: ${probe.getString(2)}")
 
-      // ---- control plane: tiny, driver-side ----
-      val control = routed.filter(col("t") =!= "RECORD")
-        .select(col("value")).collect()
-        .map(r => SingerMessage.parse(r.getString(0)))
+      // ---- control plane: reduced to a BOUNDED set before collect ----
+      val control = controlMessages(routed)
 
       val schemas = scala.collection.mutable.LinkedHashMap.empty[String, SchemaMessage]
       knownSchemas.foreach { case (k, v) => schemas(k) = v }
       var lastState: Option[String] = None
       val activates = Seq.newBuilder[ActivateVersionMessage]
+      val batches = Seq.newBuilder[BatchMessage]
       control.foreach {
         case sm: SchemaMessage =>
           // in-batch schema evolution: reject loudly (file-split order is
@@ -95,8 +101,14 @@ object SingerLoader {
           schemas(sm.stream) = sm
         case st: StateMessage           => lastState = Some(st.valueJson)
         case av: ActivateVersionMessage => activates += av
+        case bm: BatchMessage           => batches += bm
         case _                          =>
       }
+      val batchesByStream = batches.result().groupBy(_.stream)
+      val batchOrphans = batchesByStream.keys.filterNot(schemas.contains)
+      if (batchOrphans.nonEmpty)
+        throw new InvalidConfigException(
+          s"BATCH messages for streams with no SCHEMA: ${batchOrphans.mkString(", ")}")
 
       // records for a stream with no SCHEMA are a protocol violation
       // (singer-sdk raises on RECORD-before-SCHEMA; so do we); the same
@@ -114,10 +126,32 @@ object SingerLoader {
 
       // ---- record plane: fully distributed per stream ----
       schemas.values.foreach { sm =>
+        // JSON-Schema validation covers inline RECORDs; BATCH files are
+        // tap-encoded bulk payloads and bypass per-record validation
+        // (singer-sdk parity: batch mode skips record-level processing)
         if (config.validateRecords) validateStream(routed, sm)
         val nested = JsonSchemaConverter.toStructType(sm.schemaJson)
-        val raw = routed
+        val inline = routed
           .filter(col("t") === "RECORD" && col("stream") === sm.stream)
+          .select(col("record"), col("version"), col("te"))
+        // BATCH manifests: each referenced file is JSONL with one record
+        // payload per line (gzip decoded by extension in Hadoop's text
+        // source). Unioned BEFORE from_json so batch rows flow through the
+        // identical parse → flatten → stream-maps → extra-fields path as
+        // inline RECORDs (q69_batch_ingest asserts byte-identical output) —
+        // batch rows just carry no message-level version/time_extracted.
+        val raw = batchesByStream.get(sm.stream) match {
+          case Some(bms) =>
+            val files = bms.flatMap(_.manifest)
+            if (files.isEmpty) inline
+            else inline.unionByName(
+              spark.read.textFile(files: _*).toDF("record")
+                .filter(length(trim(col("record"))) > 0)
+                .select(col("record"),
+                  lit(null).cast("string").as("version"),
+                  lit(null).cast("string").as("te")))
+          case None => inline
+        }
         // non-record columns stamped alongside the parsed payload:
         //  - `_sdc_table_version` when the stream is version-stamped
         //    (full-table replication; ACTIVATE_VERSION purges by it —
@@ -166,6 +200,34 @@ object SingerLoader {
 
       LoadResult(schemas.keys.toSeq, lastState, acts, schemas.toMap)
     } finally routed.unpersist()
+  }
+
+  /** Control-plane reduction to a BOUNDED collect. A protocol-conformant
+    * tap emits a handful of control lines, but nothing stops one from
+    * emitting STATE after every record (some do) — collecting every
+    * non-RECORD line verbatim would OOM the driver on a large replay.
+    * Reduce distributively first: STATE collapses to the single last
+    * message in input order (`monotonically_increasing_id` follows the
+    * partition order that already defines this batch's "last STATE wins"
+    * semantics — see the ordering note in the class doc), and
+    * SCHEMA / ACTIVATE_VERSION / BATCH collapse to their first-seen
+    * DISTINCT lines (a tap re-emitting its SCHEMA before every record
+    * collapses to one row per distinct schema; in-batch conflict detection
+    * needs exactly the distinct set). Collected volume is
+    * O(distinct control lines) + 1, independent of input length. */
+  private[graft] def controlMessages(
+      routed: DataFrame): Seq[SingerMessage] = {
+    val ordered = routed.filter(col("t") =!= "RECORD")
+      .select(col("value"), col("t"),
+        monotonically_increasing_id().as("ord"))
+    val lastState = ordered.filter(col("t") === "STATE")
+      .agg(max_by(col("value"), col("ord")).as("value"))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
+    val rest = ordered.filter(col("t") =!= "STATE")
+      .groupBy(col("value")).agg(min(col("ord")).as("ord"))
+      .orderBy(col("ord")).select(col("value"))
+      .collect().map(_.getString(0)).toSeq
+    (rest ++ lastState).map(SingerMessage.parse)
   }
 
   /** JSON-Schema record validation (singer-sdk parity, reference standard

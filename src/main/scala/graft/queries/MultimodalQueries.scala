@@ -48,6 +48,39 @@ object MultimodalQueries {
       s.read.parquet(s"$out/documents")
     }, Some("SELECT * FROM documents")),
 
+    // the Singer BATCH surface AS an oracle-checked query: spool documents
+    // as raw JSONL batch files (executor-written, driver only lists the
+    // spool dir for the manifest), feed one SCHEMA + one BATCH message, and
+    // read the landed table back — a hash match against the source proves
+    // manifest ingest is byte-faithful to the RECORD path (q34 proves the
+    // RECORD path against the same oracle)
+    Q("q69_batch_ingest", (s, d) => {
+      val docs = t(s, d, "documents")
+      val out = java.nio.file.Files.createTempDirectory("batch-out").toString
+      val spool = java.nio.file.Files.createTempDirectory("batch-spool").toString
+      docs.selectExpr("to_json(struct(*)) AS value")
+        .write.mode("overwrite").text(spool)
+      val manifest = new java.io.File(spool).listFiles()
+        .filter(_.getName.startsWith("part-"))
+        .map(f => "file://" + f.getAbsolutePath).sorted
+      val schemaLine =
+        """{"type": "SCHEMA", "stream": "documents", "schema": {"type": "object", "properties": {
+          |"doc_id": {"type": ["integer", "null"]}, "text": {"type": ["string", "null"]},
+          |"lang": {"type": ["string", "null"]}, "source": {"type": ["string", "null"]},
+          |"n_chars": {"type": ["integer", "null"]}}}}"""
+          .stripMargin.replaceAll("\n", "")
+      val batchLine =
+        s"""{"type": "BATCH", "stream": "documents", "encoding": {"format": "jsonl", "compression": "none"}, "manifest": ${manifest.map("\"" + _ + "\"").mkString("[", ", ", "]")}}"""
+      val ctl = java.nio.file.Files.createTempDirectory("batch-ctl")
+      java.nio.file.Files.writeString(ctl.resolve("input.jsonl"),
+        schemaLine + "\n" + batchLine + "\n")
+      graft.loader.SingerLoader.loadFile(s, ctl.toString,
+        graft.core.GraftConfig(hdfsDestinationPath = out,
+          compressionMethod = "snappy", skipExistingFiles = true,
+          maxRecordsPerFile = 10000))
+      s.read.parquet(s"$out/documents")
+    }, Some("SELECT * FROM documents")),
+
     // frame sampling: every 64th byte, max 8 "frames" — deterministic byte
     // positions; output is frame count + first-frame byte (array<binary>
     // itself isn't hash-comparable across engines)

@@ -393,6 +393,46 @@ object ScaleOps {
         per.mkString("\n  UNION ALL ")
       }),
 
+    // the 100 TB profile path as the bench headline: HLL++ distinct
+    // estimates keep the pass fully map-side-combined (no Expand — exact
+    // multi-column distincts replicate every input row once per profiled
+    // column through the shuffle). HLL values aren't reproducible across
+    // engines, so the oracle checks them q30-style: the estimate must land
+    // within 10% of the exact count (rsd is 0.02), which the oracle mirrors
+    // as literal `true`. The exact counts for that comparison come from
+    // four single-column aggregates — each a column-pruned scan with an
+    // ordinary 2-phase distinct, cheaper here than one Expand×4 pass; at
+    // scale the validation runs once per drift audit while production
+    // profiling uses the HLL pass alone (q59 keeps the exact path as the
+    // hash-exact oracle anchor).
+    Q("q59b_profile_hll", (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      val orders = t(s, d, "orders")
+      val hll = graft.operators.Profile.summarize(orders, cols,
+        exactDistinct = false)
+      val exacts = cols.map(c =>
+          orders.agg(countDistinct(col(c)).as("exact_d"))
+            .select(lit(c).as("col_name"), col("exact_d")))
+        .reduce(_.unionByName(_))
+      hll.join(exacts, "col_name")
+        .select(col("col_name"), col("n_nonnull"), col("n_nulls"),
+          col("min_s"), col("max_s"),
+          (abs(col("n_distinct") - col("exact_d")) <=
+            col("exact_d") * 0.10).as("distinct_within_tol"))
+    },
+    Some {
+      val per = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+           |  count(*) - count($c) AS n_nulls,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s,
+           |  true AS distinct_within_tol FROM orders""".stripMargin
+      }
+      per.mkString("\n  UNION ALL ")
+    }),
+
     // join-key skew report: per-key cardinality extremes and the top heavy
     // keys — the diagnostic that decides between a plain shuffle join,
     // AQE skew handling, and Distribution.saltedJoin. Integer outputs only

@@ -344,4 +344,88 @@ class LoaderSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/a").count() === 2)
     assert(spark.read.parquet(s"$out/b").count() === 1)
   }
+
+  // ---- Singer BATCH messages (singer-sdk 0.35 inherited surface) --------
+
+  test("BATCH manifest files (jsonl + jsonl.gz) ingest identically to inline RECORDs") {
+    val dir = Files.createTempDirectory("graft-batch")
+    val f1 = dir.resolve("part1.jsonl")
+    Files.write(f1, Seq(
+      """{"col1": 10, "col2": "x", "col3": true}""",
+      """{"col1": 11, "col2": "y", "col3": false}""").mkString("\n").getBytes("UTF-8"))
+    val f2 = dir.resolve("part2.jsonl.gz")
+    val gz = new java.util.zip.GZIPOutputStream(Files.newOutputStream(f2))
+    gz.write("""{"col1": 12, "col2": "z", "col3": true}""".getBytes("UTF-8"))
+    gz.close()
+
+    val outBatch = tmpDir()
+    val rBatch = SingerLoader.loadFile(spark, writeFixture(Seq(
+      fixture.head,
+      s"""{"type": "BATCH", "stream": "t", "encoding": {"format": "jsonl", "compression": "none"}, "manifest": ["file://$f1"]}""",
+      s"""{"type": "BATCH", "stream": "t", "encoding": {"format": "jsonl", "compression": "gzip"}, "manifest": ["file://$f2"]}""",
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 1, "col2": "a", "col3": true}}""")),
+      GraftConfig(hdfsDestinationPath = outBatch))
+    assert(rBatch.streams === Seq("t"))
+
+    // the same four records fed inline must produce identical rows + schema
+    val outInline = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(Seq(
+      fixture.head,
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 10, "col2": "x", "col3": true}}""",
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 11, "col2": "y", "col3": false}}""",
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 12, "col2": "z", "col3": true}}""",
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 1, "col2": "a", "col3": true}}""")),
+      GraftConfig(hdfsDestinationPath = outInline))
+    val a = spark.read.parquet(s"$outBatch/t")
+    val b = spark.read.parquet(s"$outInline/t")
+    assert(a.schema === b.schema)
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      b.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("BATCH for a stream with no SCHEMA raises") {
+    val err = intercept[graft.core.InvalidConfigException] {
+      SingerLoader.loadFile(spark, writeFixture(Seq(
+        """{"type": "BATCH", "stream": "ghost", "encoding": {"format": "jsonl", "compression": "none"}, "manifest": ["/nope.jsonl"]}""")),
+        GraftConfig(hdfsDestinationPath = tmpDir()))
+    }
+    assert(err.getMessage.contains("ghost"))
+  }
+
+  test("BATCH with an unsupported encoding raises") {
+    import graft.core.{InvalidConfigException, SingerMessage}
+    val e1 = intercept[InvalidConfigException](SingerMessage.parse(
+      """{"type": "BATCH", "stream": "t", "encoding": {"format": "parquet"}, "manifest": []}"""))
+    assert(e1.getMessage.contains("format"))
+    val e2 = intercept[InvalidConfigException](SingerMessage.parse(
+      """{"type": "BATCH", "stream": "t", "encoding": {"format": "jsonl", "compression": "zstd"}, "manifest": []}"""))
+    assert(e2.getMessage.contains("compression"))
+  }
+
+  // ---- control-plane boundedness ---------------------------------------
+
+  test("1M STATE lines reduce to a bounded collect with last-state-wins intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 1000000L
+    val states = spark.range(n)
+      .map(i => s"""{"type": "STATE", "value": {"n": $i}}""")
+    val head = spark.createDataset(Seq(
+      fixture.head,
+      """{"type": "RECORD", "stream": "t", "record": {"col1": 1, "col2": "a", "col3": true}}"""))
+    val lines = head.union(states)
+
+    // the distributive reduction must collect O(distinct control lines),
+    // not one row per STATE: 1 schema + 1 surviving state = 2 messages
+    val routed = lines.toDF("value")
+      .select(col("value"),
+        get_json_object(col("value"), "$.type").as("t"))
+    assert(SingerLoader.controlMessages(routed).size === 2)
+
+    // end-to-end: the LAST state in input order wins
+    val result = SingerLoader.load(spark, lines,
+      GraftConfig(hdfsDestinationPath = tmpDir()))
+    assert(result.lastState.exists(_.contains((n - 1).toString)))
+    assert(result.streams === Seq("t"))
+  }
 }
