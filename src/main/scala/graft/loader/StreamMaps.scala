@@ -15,18 +15,24 @@ import org.apache.spark.sql.functions._
   *
   * Everything compiles to `filter`/`withColumn`/`drop` projections, so
   * Catalyst still prunes and pushes down through the mapped plan.
+  *
+  * Expressions are Spark SQL by default; Python/simpleeval-dialect
+  * expressions from ported meltano configs (`record['a'] + '!'`,
+  * `x if c else y`) are detected and translated by [[SimpleEvalShim]], so
+  * the common reference-config forms run unmodified.
   */
 object StreamMaps {
   val FilterKey = "__filter__"
 
   def apply(df: DataFrame, mapping: Map[String, Option[String]]): DataFrame = {
+    def compile(e: String) = expr(SimpleEvalShim.maybeTranslate(e))
     val filtered = mapping.get(FilterKey).flatten match {
-      case Some(cond) => df.filter(expr(cond))
+      case Some(cond) => df.filter(compile(cond))
       case None       => df
     }
     mapping.view.filterKeys(_ != FilterKey).toSeq.sortBy(_._1)
       .foldLeft(filtered) {
-        case (acc, (name, Some(e))) => acc.withColumn(name, expr(e))
+        case (acc, (name, Some(e))) => acc.withColumn(name, compile(e))
         case (acc, (name, None))    => acc.drop(name)
       }
   }

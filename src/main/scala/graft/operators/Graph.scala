@@ -36,11 +36,34 @@ object Graph {
     * `localCheckpoint`ed each round so the logical plan stays flat across
     * iterations (lineage growth, not data volume, is what kills iterative
     * DataFrame jobs). */
+  /** Fold each source's out-degree onto its edges so every pagerank round
+    * is a single join. NOT a window: WindowExec sorts its input on the
+    * partition keys, a full sort of the edge list; this aggregate+join
+    * reuses the input's partitioning on `src` (repartitioned, cached, or
+    * bucketed). `broadcastDegrees` fits graphs whose distinct-source count
+    * broadcasts comfortably (one row per source); disable it for
+    * billion-node graphs and the join stays co-located on src anyway. */
+  def withDegrees(part: DataFrame, broadcastDegrees: Boolean): DataFrame = {
+    val deg = part.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    part.join(if (broadcastDegrees) broadcast(deg) else deg, "src")
+  }
+
+  /** One pagerank round's mass flow: each source's rank split integrally
+    * across its out-edges, summed per destination. Exposed so plan tests
+    * can assert the per-round shape (with a bucketed edge table the edge
+    * side of the join carries NO exchange — only the rank frame moves). */
+  def contributions(e: DataFrame, rank: DataFrame): DataFrame =
+    e.join(rank, e("src") === rank("id"))
+      .select(col("dst").as("id"),
+        expr("`rank` div outdeg").as("c"))
+      .groupBy(col("id")).agg(sum(col("c")).as("m"))
+
   def pageRank(edges: DataFrame, iters: Int,
       scale: Long = 1000000000000L,
       dampNum: Long = 85L, dampDen: Long = 100L,
       edgesDistinct: Boolean = false,
-      broadcastDegrees: Boolean = true): DataFrame = {
+      broadcastDegrees: Boolean = true,
+      prePartitioned: Boolean = false): DataFrame = {
     // static frames are CACHED (lazy, reused every round); only the evolving
     // rank is checkpointed, and only every few rounds — an eager checkpoint
     // per round would serialize the loop into iters separate jobs
@@ -52,18 +75,14 @@ object Graph {
     val deduped = if (edgesDistinct) raw else raw.distinct()
     // pre-partition on the per-round join key: the cached partitioning is
     // reused by every iteration's join, so only the (small) rank side
-    // moves — the edge list never re-shuffles after this
-    // fold the out-degree onto each edge up front so each round is a single
-    // join. NOT a window: WindowExec sorts its input on the partition keys,
-    // a full sort of the edge list; the aggregate+join below reuses the
-    // repartition. `broadcastDegrees` fits graphs whose distinct-source
-    // count broadcasts comfortably (one row per source); disable it for
-    // billion-node graphs and the join stays co-located on src anyway.
-    val part = deduped.repartition(col("src"))
-    val deg = part.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = part
-      .join(if (broadcastDegrees) broadcast(deg) else deg, "src")
-      .cache()
+    // moves — the edge list never re-shuffles after this. When the caller
+    // reads a table bucketed on src (`Distribution.writeBucketed`), the
+    // scan already delivers that partitioning and `prePartitioned = true`
+    // makes the FIRST materialization exchange-free too (the long cast
+    // below is erased by SimplifyCasts for long columns, so the bucketed
+    // partitioning survives the projection).
+    val part = if (prePartitioned) deduped else deduped.repartition(col("src"))
+    val e = withDegrees(part, broadcastDegrees).cache()
     // every node has an out-edge (operator requirement), so the distinct
     // sources ARE the node set — no need to union in the dst side
     val nodes = e.select(col("src").as("id")).distinct().cache()
@@ -77,10 +96,7 @@ object Graph {
 
     var rank = nodes.select(col("id"), lit(unit).as("rank"))
     for (i <- 0 until iters) {
-      val contrib = e.join(rank, e("src") === rank("id"))
-        .select(col("dst").as("id"),
-          expr("`rank` div outdeg").as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("m"))
+      val contrib = contributions(e, rank)
       rank = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(teleport) +

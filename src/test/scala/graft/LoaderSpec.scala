@@ -82,6 +82,53 @@ class LoaderSpec extends AnyFunSuite {
     assert(back.selectExpr("sum(doubled)").collect().head.getLong(0) === 10L)
   }
 
+  test("python-dialect stream maps match their SQL-dialect equivalents") {
+    // the simpleeval shim (SURVEY §2A stream-maps, singer-sdk dialect):
+    // a meltano config written against the reference must produce the same
+    // output as the engine's native SQL dialect
+    def load(maps: Map[String, Option[String]]): Map[Long, (String, Boolean)] = {
+      val out = tmpDir()
+      SingerLoader.loadFile(spark, writeFixture(fixture),
+        GraftConfig(hdfsDestinationPath = out,
+          streamMaps = Map("t" -> maps)))
+      spark.read.parquet(s"$out/t")
+        .select("col1", "tagged", "flag").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    }
+    val py = load(Map(
+      "__filter__" -> Some("record['col1'] != 2"),
+      // string concat via +, conditional via infix if/else, None/True
+      "tagged" -> Some("record['col2'] + '!' if record['col1'] == 1 else str(record['col1'])"),
+      "flag" -> Some("True if record['col3'] else False")))
+    val sql = load(Map(
+      "__filter__" -> Some("col1 <> 2"),
+      "tagged" -> Some("IF(col1 = 1, CONCAT(col2, '!'), CAST(col1 AS STRING))"),
+      "flag" -> Some("IF(col3, TRUE, FALSE)")))
+    assert(py === sql)
+    assert(py === Map(1L -> ("a!", true), 3L -> ("3", true)))
+  }
+
+  test("simpleeval shim: translation forms and passthrough") {
+    import graft.loader.SimpleEvalShim.{maybeTranslate, translate}
+    def norm(s: String) = translate(s).replaceAll("\\s+", "")
+    // rename/copy
+    assert(translate("record['user name']") === "`user name`")
+    // concat folds the whole + chain; numeric + stays arithmetic
+    assert(norm("record['a'] + '-' + record['b']") === "CONCAT(`a`,'-',`b`)")
+    assert(norm("record['a'] + record['b']") === "`a`+`b`")
+    // nested conditional (right-associative), comparisons, None
+    assert(norm("'lo' if record['n'] < 10 else 'hi' if record['n'] < 100 else None")
+      === "IF(`n`<10,'lo',IF(`n`<100,'hi',NULL))")
+    // casts
+    assert(norm("int(record['x']) + 1") === "CAST(`x`ASBIGINT)+1")
+    // SQL stays SQL
+    assert(maybeTranslate("concat(col2, '!')") === "concat(col2, '!')")
+    assert(maybeTranslate("IF(col1 = 1, 'x', 'y')") === "IF(col1 = 1, 'x', 'y')")
+    // unsupported constructs fail loudly instead of mis-translating
+    assertThrows[IllegalArgumentException](translate("[x for x in record]"))
+    assertThrows[IllegalArgumentException](translate("record.pop('a')"))
+  }
+
   test("driver documents table round-trips through the Singer pipeline") {
     // FIXTURES.md §2: dump a real testdata table as Singer JSONL (inline
     // SCHEMA + one RECORD per row), ingest it, compare to the direct read

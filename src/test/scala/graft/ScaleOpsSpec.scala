@@ -257,4 +257,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     // mass conservation: within integer-division slack of total scale
     assert(math.abs(ranks.values.sum - 1000000000000L) < 100L)
   }
+
+  test("bucketed edges: per-round pagerank plan has no exchange above the edge scan") {
+    // the Graph doc claims a src-bucketed edge table eliminates the edge
+    // shuffle entirely (not just amortizes it behind a cache) — prove it on
+    // the per-round contributions plan. Broadcast is disabled so the
+    // rank join takes the SMJ path it would at cluster scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val fwd = li.select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst")).distinct()
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      Distribution.writeBucketed(edges, "edges_pr", Seq("src"), 4)
+      val scan = spark.table("edges_pr")
+      val e = Graph.withDegrees(scan, broadcastDegrees = true)
+      val rank = scan.select(col("src").as("id")).distinct()
+        .select(col("id"), lit(1000000L).as("rank"))
+      val plan = Graph.contributions(e, rank)
+        .queryExecution.executedPlan.toString()
+      // the edge side must ride the bucketing: hash exchanges are allowed
+      // only for the rank frame (co-partition with the buckets) and the
+      // final per-destination aggregate — never over the bucketed scan
+      assert(plan.contains("Bucketed: true"), s"scan must be bucketed:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(src"),
+        s"edge side must not shuffle:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 2,
+        s"expected at most rank + dst-agg exchanges, got $exchanges:\n$plan")
+      // and the bucketed loop returns exactly the repartition path's ranks
+      val viaBucketed = Graph.pageRank(scan, 2,
+          edgesDistinct = true, prePartitioned = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaPlain = Graph.pageRank(edges, 2, edgesDistinct = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaBucketed === viaPlain)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
