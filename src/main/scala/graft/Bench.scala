@@ -129,8 +129,11 @@ object Bench {
       val wg = spark.range(0, 64L)
         .select(col("id").as("src"), ((col("id") + 1) % 64).as("dst"))
       // 3 rounds: the nested-round plan generates different codegen classes
-      // than a single round, and first-touch JIT of that shape costs ~3 s
-      graft.operators.Graph.pageRank(wg, 3, edgesDistinct = true)
+      // than a single round, and first-touch JIT of that shape costs ~3 s.
+      // Flags MUST mirror q53's call — broadcastRank plans broadcast hash
+      // joins whose generated classes share nothing with the SMJ path
+      graft.operators.Graph.pageRank(wg, 3, edgesDistinct = true,
+          broadcastRank = true)
         .write.format("noop").mode("overwrite").save()
       graft.operators.BloomPrune.prune(wo, "o_custkey",
           wo.select(col("o_custkey").as("k")), "k", 1000L, 8000L)

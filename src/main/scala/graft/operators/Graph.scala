@@ -63,7 +63,8 @@ object Graph {
       dampNum: Long = 85L, dampDen: Long = 100L,
       edgesDistinct: Boolean = false,
       broadcastDegrees: Boolean = true,
-      prePartitioned: Boolean = false): DataFrame = {
+      prePartitioned: Boolean = false,
+      broadcastRank: Boolean = false): DataFrame = {
     // static frames are CACHED (lazy, reused every round); only the evolving
     // rank is checkpointed, and only every few rounds — an eager checkpoint
     // per round would serialize the loop into iters separate jobs
@@ -81,7 +82,12 @@ object Graph {
     // makes the FIRST materialization exchange-free too (the long cast
     // below is erased by SimplifyCasts for long columns, so the bucketed
     // partitioning survives the projection).
-    val part = if (prePartitioned) deduped else deduped.repartition(col("src"))
+    // broadcastRank makes the per-round join a broadcast hash join, which
+    // streams ANY partitioning — pre-partitioning the edges would be a full
+    // shuffle that buys nothing, so skip it on that path too
+    val part =
+      if (prePartitioned || broadcastRank) deduped
+      else deduped.repartition(col("src"))
     val e = withDegrees(part, broadcastDegrees).cache()
     // every node has an out-edge (operator requirement), so the distinct
     // sources ARE the node set — no need to union in the dst side
@@ -94,10 +100,21 @@ object Graph {
     val unit = scale / n
     val teleport = (dampDen - dampNum) * unit / dampDen
 
+    // `broadcastRank`: the rank table is one row per NODE while the edge
+    // list is one row per EDGE — for graphs with high average degree (or
+    // just node counts that broadcast comfortably) shipping the rank to the
+    // edges replaces the per-round sort-merge join (full sort of the edge
+    // list + shuffle of the rank) with a broadcast hash join over the
+    // cached edge partitions: the only per-round exchange left is the
+    // map-side-combined contribution aggregate (≤ one row per node per
+    // task). Same results bit-identically — only the join strategy moves.
+    // Off by default: at billion-node scale the rank no longer broadcasts
+    // and the co-partitioned SMJ path is the right shape.
+    def hinted(df: DataFrame) = if (broadcastRank) broadcast(df) else df
     var rank = nodes.select(col("id"), lit(unit).as("rank"))
     for (i <- 0 until iters) {
-      val contrib = contributions(e, rank)
-      rank = nodes.join(contrib, Seq("id"), "left")
+      val contrib = contributions(e, hinted(rank))
+      rank = nodes.join(hinted(contrib), Seq("id"), "left")
         .select(col("id"),
           (lit(teleport) +
             expr(s"$dampNum * coalesce(m, 0L) div $dampDen")).as("rank"))

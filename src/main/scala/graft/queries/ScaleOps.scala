@@ -150,7 +150,10 @@ object ScaleOps {
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      Graph.pageRank(edges, iters = 3, edgesDistinct = true)
+      // broadcastRank: the part+supplier node set is ~200x smaller than the
+      // edge list — the rank rides a broadcast, edges never sort or move
+      Graph.pageRank(edges, iters = 3, edgesDistinct = true,
+          broadcastRank = true)
         .select(col("id").as("node"), col("rank").as("rank_scaled"))
     }, Some {
       // DuckDB sums BIGINT into HUGEINT — cast every aggregate/derived rank
