@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-surface plan guardrail: every declared query's physical plan is
+  * built (sf0.001) and screened for the shapes that kill 100 TB runs. A
+  * new query — or a refactor of a shared operator — that plans a cartesian
+  * product or an unexpected nested-loop join fails here, not in
+  * production. This automates the plan audit (`graft.tools.PlanAudit`) as
+  * a regression gate; per-operator plan *assertions* (bucketed join rides
+  * bucketing, k-means argmin is a hash aggregate, …) live in their
+  * operator specs.
+  */
+class PlanGuardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Queries allowed a BroadcastNestedLoopJoin, each for a documented
+    * reason: the build side is bounded (a broadcastable constant-size
+    * frame), so the nested loop never touches an unbounded pair space.
+    */
+  val bnljAllowed: Map[String, String] = Map(
+    // non-equi range predicate over a filtered, broadcast dim — BNLJ IS
+    // the right physical shape for a theta join with a tiny build side
+    "q18_range_join" -> "theta join, broadcast dim side",
+    // labeled exact baselines: the all-pairs score IS the semantics, and
+    // the broadcast side is the bounded query/probe set
+    "sim_topk" -> "brute-force exact baseline (labeled)",
+    "sim_knn_label" -> "bounded labeled query set vs corpus",
+    // index-build stages join each vector to k≈sqrt(N) broadcast seeds /
+    // probe cells; the data-to-data path stays an equi-join on cell id
+    "sim_ivf" -> "seed/probe assignment vs broadcast sqrt(N) seeds")
+
+  test("no query plans a cartesian product or an unlisted nested-loop join") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sf).queryExecution.executedPlan.toString()
+          catch { case e: Throwable =>
+            fail(s"$name: plan construction failed: ${e.getMessage}")
+          }
+        val cartesian =
+          if (plan.contains("CartesianProduct"))
+            Some(s"$name: CartesianProduct in plan") else None
+        val bnlj =
+          if (plan.contains("BroadcastNestedLoopJoin") &&
+              !bnljAllowed.contains(name))
+            Some(s"$name: BroadcastNestedLoopJoin not on the allow-list")
+          else None
+        cartesian ++ bnlj
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
