@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming-side dedup + custom state.
   *
@@ -60,6 +60,94 @@ object StreamingDedup {
     * counts across micro-batches. The state is one long per key — the
     * minimal stateful-operator shape on which session windows, CDC upserts,
     * and incremental sketches are all built. */
+  /** Open-session state: epoch-millis bounds + event count. */
+  final case class OpenSession(startMs: Long, lastMs: Long, n: Long)
+
+  /** A closed session as emitted downstream. `closed_by` is `"gap"` when
+    * the inactivity gap expired (including via event-time timeout) and
+    * `"cap"` when the max-duration cap split a continuously-active key. */
+  final case class ClosedSession(key: String, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, closed_by: String)
+
+  /** Event-time sessionization with a MAX-DURATION CAP, via
+    * `flatMapGroupsWithState` + `EventTimeTimeout` — the custom-state shape
+    * the built-in `session_window` cannot express: a key that never goes
+    * quiet (bots, monitors) would otherwise grow one session forever, so
+    * sessions are force-closed once they span `maxDuration` of event time.
+    *
+    * Emission is append-only and closed-sessions-only: a session closes
+    * either inline (a row arrives past the gap / over the cap) or by the
+    * event-time timeout once the watermark passes `last + gap` — so every
+    * session is emitted exactly once, and state per key is one
+    * [[OpenSession]] (bounded by key cardinality, evicted on timeout).
+    *
+    * At scale this is one shuffle on the key into the state store, state
+    * O(active keys within the watermark horizon) — the same shape as the
+    * built-in session window, with the cap policy added. Durations are
+    * `"<n> <unit>"` strings (ms/seconds/minutes/hours).
+    */
+  def cappedSessions(events: DataFrame, keyCol: String, tsCol: String,
+      gap: String, maxDuration: String, lateness: String): Dataset[ClosedSession] = {
+    val gapMs = durationMs(gap)
+    val capMs = durationMs(maxDuration)
+    require(gapMs > 0 && capMs > 0, "gap and maxDuration must be positive")
+    implicit val stEnc: Encoder[OpenSession] = Encoders.product[OpenSession]
+    implicit val outEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val rowEnc: Encoder[(String, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP)
+    def close(key: String, s: OpenSession, why: String) = ClosedSession(
+      key, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
+      s.n, why)
+    events
+      .select(col(keyCol).cast("string").as("_1"),
+        col(tsCol).cast("timestamp").as("_2"))
+      .withWatermark("_2", lateness)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new rows: the gap expired
+            val done = close(key, state.get, "gap")
+            state.remove()
+            Iterator.single(done)
+          } else {
+            // fold this batch's rows (event-time order) into the open
+            // session; emit every session they close
+            val out = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            for (t <- rows.map(_._2.getTime).toArray.sorted) cur match {
+              case None => cur = Some(OpenSession(t, t, 1))
+              case Some(s) if t - s.lastMs > gapMs =>
+                out += close(key, s, "gap"); cur = Some(OpenSession(t, t, 1))
+              case Some(s) if t - s.startMs > capMs =>
+                out += close(key, s, "cap"); cur = Some(OpenSession(t, t, 1))
+              case Some(s) =>
+                cur = Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.n + 1))
+            }
+            val open = cur.get
+            state.update(open)
+            state.setTimeoutTimestamp(open.lastMs + gapMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  private[streaming] def durationMs(s: String): Long = {
+    val parts = s.trim.split("\\s+")
+    require(parts.length == 2, s"duration must be '<n> <unit>', got '$s'")
+    val v = parts(0).toLong
+    parts(1).toLowerCase match {
+      case "ms" | "millisecond" | "milliseconds" => v
+      case "second" | "seconds"                  => v * 1000L
+      case "minute" | "minutes"                  => v * 60000L
+      case "hour" | "hours"                      => v * 3600000L
+      case u => throw new IllegalArgumentException(s"unknown duration unit '$u'")
+    }
+  }
+
   def runningCounts(events: DataFrame, keyCol: String): Dataset[KeyCount] = {
     implicit val enc: Encoder[KeyCount] = Encoders.product[KeyCount]
     implicit val se: Encoder[Long] = Encoders.scalaLong

@@ -119,6 +119,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(1L, 3L))
   }
 
+  test("flatMapGroupsWithState capped sessions: gap close, cap split, timeout eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("user", "ts")
+    val sessions = graft.streaming.StreamingDedup
+      .cappedSessions(df, "user", "ts", gap = "5 minutes",
+        maxDuration = "12 minutes", lateness = "1 minute")
+    val q = sessions.toDF().writeStream.format("memory").queryName("caps_out")
+      .outputMode(OutputMode.Append()).start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // "a": events every 4 min from 0 to 16 — gap never expires, but the
+    //      12-minute cap must split at the row that stretches past it
+    // "b": 1, 3, then silence — must close by event-time timeout
+    mem.addData(
+      (("a", ts(0))), (("a", ts(4))), (("a", ts(8))), (("a", ts(12))),
+      (("a", ts(16))),
+      (("b", ts(1))), (("b", ts(3))))
+    q.processAllAvailable()
+    // advance the watermark far past b's last+gap so the timeout fires
+    mem.addData((("c", ts(40))))
+    q.processAllAvailable()
+    mem.addData((("c", ts(41))))   // extra batch: timeouts fire on the next trigger
+    q.processAllAvailable()
+    val rows = spark.sql(
+        "SELECT key, session_start, session_end, n_events, closed_by FROM caps_out")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getString(4)))
+    q.stop()
+    val a = rows.filter(_._1 == "a")
+    val b = rows.filter(_._1 == "b")
+    // a: [0..12] capped when the 16-min row arrived (16-0 > 12), new open
+    //    session at 16 stays in state (not yet emitted — watermark at 40
+    //    does pass 16+5, so it may ALSO have timed out by now; accept both)
+    assert(a.exists(s => s._2 === ts(0) && s._3 === ts(12) && s._4 === 4L &&
+      s._5 === "cap"), s"missing capped a-session in ${a.mkString(";")}")
+    // b: closed by timeout with both events and closed_by = gap
+    assert(b === Array(("b", ts(1), ts(3), 2L, "gap")),
+      s"unexpected b sessions: ${b.mkString(";")}")
+  }
+
   test("graft target CLI loads a file end-to-end") {
     val in = Files.createTempFile("cli", ".jsonl")
     Files.write(in, Seq(
