@@ -243,7 +243,10 @@ object SimpleEvalShim {
             .append(" AS ").append(CastFns(f)).append(")")
         case t =>
           val s = t match {
-            case Str(body) => "'" + body.replace("'", "''") + "'"
+            // backslash-escape, not quote-doubling: Spark's default parser
+            // reads 'it''s' as TWO adjacent literals ("it" ++ "s")
+            case Str(body) =>
+              "'" + body.replace("\\", "\\\\").replace("'", "\\'") + "'"
             case Col(name) => "`" + name.replace("`", "``") + "`"
             case Num(x) => x
             case Op("==") => "="

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the `ANALYZE TABLE` analog a large-scale pipeline
@@ -45,4 +45,55 @@ object Profile {
     }
     one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
   }
+
+  // ---- incremental profiling against a persisted sketch index ----------
+  //
+  // The streaming/batch-append analog of `summarize` (and the profiling
+  // counterpart of [[IncrementalDedup]]): each ingested batch contributes
+  // one Datasketches-HLL sketch + exact null/nonnull counts per column
+  // (a few KB per batch), and the corpus-wide profile is a MERGE of the
+  // persisted sketches — never a rescan of prior batches. At 100 TB this
+  // is the only viable shape for "distinct user_ids to date": the index
+  // grows by O(cols) rows per batch while the data grows by terabytes,
+  // and HLL union is exact w.r.t. the sketch semantics (no accuracy decay
+  // from merging, unlike sampling).
+
+  /** Sketch one batch's `cols` into `indexDir` (append-only parquet).
+    * One row per column: `(col_name, sketch, n_nonnull, n_nulls)`.
+    * Columns outside the HLL-supported types (int/long/string/binary) are
+    * sketched on their canonical string form — distinctness of string
+    * representations, which matches the merged estimate's contract. */
+  def sketchBatch(df: DataFrame, cols: Seq[String], indexDir: String): Unit = {
+    require(cols.nonEmpty, "sketch of zero columns")
+    import org.apache.spark.sql.types._
+    def sketchSql(c: String) = df.schema(c).dataType match {
+      case IntegerType | LongType | StringType | BinaryType => s"`$c`"
+      case _ => s"CAST(`$c` AS STRING)"
+    }
+    val aggs = count(lit(1)).as("__total") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__n_$c"),
+        expr(s"hll_sketch_agg(${sketchSql(c)}, 12)").as(s"__sk_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"__sk_$c").as("sketch"),
+        col(s"__n_$c").as("n_nonnull"),
+        (col("__total") - col(s"__n_$c")).as("n_nulls"))
+    }
+    one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+      .coalesce(1)
+      .write.mode("append").parquet(indexDir)
+  }
+
+  /** Corpus-wide profile from the persisted index alone:
+    * `(col_name, n_nonnull, n_nulls, n_distinct_est)`. Cost is
+    * O(batches x cols) index rows — independent of corpus size. */
+  def mergedProfile(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(indexDir)
+      .groupBy(col("col_name"))
+      .agg(sum(col("n_nonnull")).as("n_nonnull"),
+        sum(col("n_nulls")).as("n_nulls"),
+        expr("hll_sketch_estimate(hll_union_agg(sketch, false))")
+          .as("n_distinct_est"))
 }

@@ -436,6 +436,44 @@ object ScaleOps {
       per.mkString("\n  UNION ALL ")
     }),
 
+    // incremental profiling: each batch persists one Datasketches-HLL
+    // sketch + exact null/nonnull counts per column; the corpus profile is
+    // a MERGE of the persisted sketches, never a rescan of prior batches
+    // (the profiling analog of dedup_incremental — index grows O(cols) per
+    // batch while the data grows unbounded). Here orders is ingested as
+    // two interleaved halves; the merged estimate must agree with the
+    // exact whole-table distinct within HLL tolerance (oracle mirrors the
+    // boolean q30-style), and the exact counters must sum exactly.
+    Q("q59c_profile_incremental", (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority")
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft-profidx")
+      dir.toFile.deleteOnExit()
+      graft.operators.Profile.sketchBatch(
+        orders.filter(col("o_orderkey") % 2 === 0), cols, dir.toString)
+      graft.operators.Profile.sketchBatch(
+        orders.filter(col("o_orderkey") % 2 === 1), cols, dir.toString)
+      val merged = graft.operators.Profile.mergedProfile(s, dir.toString)
+      val exacts = cols.map(c =>
+          orders.agg(countDistinct(col(c)).as("exact_d"))
+            .select(lit(c).as("col_name"), col("exact_d")))
+        .reduce(_.unionByName(_))
+      merged.join(exacts, "col_name")
+        .select(col("col_name"), col("n_nonnull"), col("n_nulls"),
+          (abs(col("n_distinct_est") - col("exact_d")) <=
+            col("exact_d") * 0.10).as("distinct_within_tol"))
+    },
+    Some {
+      val per = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+           |  count(*) - count($c) AS n_nulls,
+           |  true AS distinct_within_tol FROM orders""".stripMargin
+      }
+      per.mkString("\n  UNION ALL ")
+    }),
+
     // join-key skew report: per-key cardinality extremes and the top heavy
     // keys — the diagnostic that decides between a plain shuffle join,
     // AQE skew handling, and Distribution.saltedJoin. Integer outputs only

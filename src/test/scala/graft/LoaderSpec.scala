@@ -129,6 +129,40 @@ class LoaderSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](translate("record.pop('a')"))
   }
 
+  test("simpleeval shim: every translation parses as Spark SQL and is a fixpoint") {
+    import graft.loader.SimpleEvalShim.{maybeTranslate, translate}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // structured generator over the supported subset: record access,
+    // string/num literals (incl. quotes needing escapes), + chains,
+    // comparisons, nested conditionals
+    val ident = Gen.oneOf("a", "col1", "user name", "x_y")
+    val strLit = Gen.oneOf("!", "-", "hi there", "it's", "a\\b")
+      .map(s => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+    val atom = Gen.oneOf(
+      ident.map(i => s"record['$i']"),
+      strLit,
+      Gen.choose(0, 999).map(_.toString))
+    val chain = for { a <- atom; b <- atom; c <- atom }
+      yield s"$a + $b + $c"
+    val cmp = for { a <- atom; b <- atom;
+        op <- Gen.oneOf("==", "!=", "<", ">=") } yield s"$a $op $b"
+    val ternary = for { a <- Gen.oneOf(atom, chain); c <- cmp;
+        b <- atom } yield s"$a if $c else $b"
+    val nested = for { t <- ternary; c <- cmp; b <- atom }
+      yield s"$t if $c else $b"
+    val anyExpr = Gen.oneOf(atom, chain, cmp, ternary, nested)
+    val parser = spark.sessionState.sqlParser
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(anyExpr) { e =>
+        val sql = translate(e)
+        parser.parseExpression(sql)   // throws on unparseable output
+        // translated output carries no python markers left to re-fire on
+        maybeTranslate(sql) == sql
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("driver documents table round-trips through the Singer pipeline") {
     // FIXTURES.md §2: dump a real testdata table as Singer JSONL (inline
     // SCHEMA + one RECORD per row), ingest it, compare to the direct read

@@ -150,6 +150,26 @@ class ScaleOpsSpec extends AnyFunSuite {
         s"$c: approx ${approx(c)} vs exact ${exact(c)}")
   }
 
+  test("incremental profile: merged sketches are duplicate-insensitive") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-profidx-t").toString
+    // OVERLAPPING batches: rows with o_orderkey in [1500, 3000] are
+    // sketched twice — the HLL union must not double-count their values
+    // (counters DO sum per batch; they assume batches partition the
+    // corpus, which append-ingest guarantees)
+    val b1 = o.filter(col("o_orderkey") <= 3000)
+    val b2 = o.filter(col("o_orderkey") >= 1500)
+    graft.operators.Profile.sketchBatch(b1, Seq("o_custkey"), dir)
+    graft.operators.Profile.sketchBatch(b2, Seq("o_custkey"), dir)
+    val m = graft.operators.Profile.mergedProfile(spark, dir).collect().head
+    val exact = o.filter(col("o_orderkey") <= 3000 || col("o_orderkey") >= 1500)
+      .agg(countDistinct(col("o_custkey"))).head.getLong(0)
+    val est = m.getAs[Long]("n_distinct_est")
+    assert(math.abs(est - exact) <= math.max(2L, exact / 10),
+      s"merged estimate $est vs exact $exact")
+    assert(m.getAs[Long]("n_nonnull") === b1.count() + b2.count())
+  }
+
   // ---- bounded top-k aggregate ----------------------------------------
   test("TopK aggregate equals the window formulation and plans as an aggregate") {
     import org.apache.spark.sql.expressions.Window
