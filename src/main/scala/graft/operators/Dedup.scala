@@ -172,6 +172,45 @@ object Dedup {
     }
   }
 
+  /** Benchmark decontamination: per corpus doc, the count of distinct
+    * shingles it shares with ANY document of `evalDocs` (an evaluation /
+    * benchmark set), and a flag at `minShared`. The standard LLM-pipeline
+    * gate against train-on-test leakage: n-gram overlap, not exact match,
+    * so paraphrased or partially quoted benchmark items still trip it.
+    *
+    * Scale shape: the eval set is small by definition (benchmarks are
+    * ~10^4-10^5 items) — its distinct shingle set ships as a broadcast
+    * and the corpus side is ONE shingle explode + broadcast semi-join +
+    * per-doc count, no corpus-corpus pairing anywhere. For eval sets too
+    * big to broadcast, `broadcastEval = false` degrades to a shuffle
+    * equi-join on the shingle hash — same row counts, same result.
+    *
+    * Returns one row per corpus doc: `(<idCol>, shared_shingles,
+    * is_contaminated)` — zero-overlap docs included (the common case;
+    * the output is a gate, not a report). */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, minShared: Int = 3,
+      broadcastEval: Boolean = true): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val evSh0 = shingleTable(evalDocs, idCol, textCol)
+      .select(explode(col("sh")).as("s"))
+      .filter(col("s").isNotNull).distinct()
+    val evSh = if (broadcastEval) broadcast(evSh0) else evSh0
+    // distinct (doc, shingle) before the join so the per-doc count IS the
+    // distinct-intersection size (a doc repeating one contaminated shingle
+    // must not inflate its score)
+    val cs = shingleTable(corpus, idCol, textCol)
+      .select(col("id"), explode(col("sh")).as("s"))
+      .filter(col("s").isNotNull).distinct()
+    val hits = cs.join(evSh, "s")
+      .groupBy(col("id")).agg(count(lit(1)).as("shared"))
+    corpus.select(col(idCol))
+      .join(hits, corpus(idCol) === hits("id"), "left")
+      .select(col(idCol),
+        coalesce(col("shared"), lit(0L)).as("shared_shingles"),
+        (coalesce(col("shared"), lit(0L)) >= minShared).as("is_contaminated"))
+  }
+
   /** Co-occurring doc pairs from per-shingle postings lists. Pairs are
     * emitted LAZILY (iterator, no buffer): a high-df shingle's C(df,2)
     * pairs stream through the downstream aggregation instead of

@@ -85,4 +85,42 @@ object TextAnalysis {
       langId(textCol).as("pred_lang"),
       qualityScoreX1e4(textCol).as("quality_x1e4"),
       fingerprint(textCol).as("fingerprint"))
+
+  /** Deterministic mixture resampling: downsample each source so the
+    * sampled corpus approximates integer target `weights` (the data-mix
+    * step of training-set assembly — "N parts web to M parts code").
+    *
+    * The largest feasible total is `T = min over s of (n_s * W div w_s)`
+    * (the minority-vs-target source caps the mix; W = sum of weights), and
+    * each source keeps `T * w_s div W` docs via content-hash acceptance —
+    * membership is a pure function of text, so the same mix reproduces on
+    * any cluster, partitioning, or run, and re-running after an append
+    * KEEPS previously selected docs (monotone w.r.t. corpus growth at
+    * fixed thresholds). Sources absent from `weights` are excluded.
+    *
+    * All integer arithmetic (mirrored exactly by the DuckDB oracle):
+    * acceptance is `hash(text) mod hashSpace < (keep_s * hashSpace) div
+    * n_s`, so realized counts track targets within hash-uniformity noise,
+    * not exactly. Scale shape: one count aggregate over the corpus, a
+    * broadcast threshold table, one filtered scan — no shuffle of the
+    * corpus itself. */
+  def mixtureSample(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, weights: Map[String, Long],
+      hashSpace: Long = 1000000L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wSum = weights.values.sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(sourceCol, "wt")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .join(broadcast(w), sourceCol)
+    val feasible = counts.agg(min(expr(s"n * $wSum div wt")).as("tot"))
+    val thr = counts.crossJoin(broadcast(feasible))
+      .select(col(sourceCol),
+        expr(s"((tot * wt div $wSum) * $hashSpace) div n").as("thr"))
+    docs.join(broadcast(thr), sourceCol)
+      .filter(fingerprint(textCol) % hashSpace < col("thr"))
+      .select(col(idCol), col(sourceCol))
+  }
 }

@@ -77,6 +77,28 @@ object Extensions {
         |WHERE len(list_intersect(a.sh, b.sh)) * 10
         |      >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 7""".stripMargin)),
 
+    // benchmark decontamination: per doc, distinct shingles shared with an
+    // eval set (every 50th doc stands in for the benchmark) — the
+    // train-on-test gate. Eval shingle set broadcasts; corpus side is one
+    // explode + semi-join + count, no corpus-corpus pairing.
+    Q("text_decontaminate", (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", minShared = 3)
+    },
+      Some(s"""$docsSql,
+        |ev AS (SELECT DISTINCT s FROM
+        |         (SELECT unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0)
+        |       WHERE s IS NOT NULL),
+        |cs AS (SELECT DISTINCT doc_id, s FROM
+        |         (SELECT doc_id, unnest(sh) AS s FROM sh)
+        |       WHERE s IS NOT NULL),
+        |hits AS (SELECT cs.doc_id, count(*) AS shared
+        |         FROM cs JOIN ev USING (s) GROUP BY cs.doc_id)
+        |SELECT d.doc_id, coalesce(h.shared, 0) AS shared_shingles,
+        |       coalesce(h.shared, 0) >= 3 AS is_contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin)),
+
     Q("text_simhash", (s, d) =>
       Dedup.simhashFingerprints(t(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id"),
@@ -258,6 +280,30 @@ object Extensions {
         .filter(TextAnalysis.fingerprint("text") % 10 === 0)
         .select(col("doc_id")),
       Some(s"""SELECT doc_id FROM documents WHERE ${H.duckCharHash("text")} % 10 = 0""")),
+
+    // deterministic data-mix assembly: resample the 20 sources to a
+    // 1:3 weight split (src0-9 vs src10-19). Thresholds derive from exact
+    // integer arithmetic both engines mirror; membership is content-hash
+    // acceptance, so the mix reproduces on any partitioning and re-running
+    // after an append keeps previously selected docs
+    Q("text_mixture", (s, d) => {
+      val weights = (0 until 20)
+        .map(i => s"src$i" -> (if (i < 10) 1L else 3L)).toMap
+      TextAnalysis.mixtureSample(t(s, d, "documents"), "doc_id", "text",
+        "source", weights)
+    },
+      Some {
+        val values = (0 until 20)
+          .map(i => s"('src$i', ${if (i < 10) 1 else 3})").mkString(", ")
+        s"""WITH w AS (SELECT * FROM (VALUES $values) AS t(source, wt)),
+           |counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+           |j AS (SELECT c.source, n, wt FROM counts c JOIN w USING (source)),
+           |f AS (SELECT min(n * 40 // wt) AS tot FROM j),
+           |thr AS (SELECT source, ((tot * wt // 40) * 1000000) // n AS thr
+           |        FROM j, f)
+           |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+           |WHERE (${H.duckCharHash("text")}) % 1000000 < thr""".stripMargin
+      }),
 
     // corpus-wide n-gram frequency: explode word 3-grams, count, top-20
     Q("text_ngram_counts", (s, d) =>

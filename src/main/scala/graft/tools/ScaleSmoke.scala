@@ -198,6 +198,14 @@ object ScaleSmoke {
       // 64-bit fingerprint: 9x7-bit bands keep buckets ~N/128
       ("simhash_xx", time("simhash_xx 1x")(Dedup.simhashNearDupsXx(d1, "doc_id", "text").unpersist()),
         time("simhash_xx 10x")(Dedup.simhashNearDupsXx(d10, "doc_id", "text").unpersist())),
+      // FIXED eval set vs 10x corpus: one explode + broadcast semi-join +
+      // count — must track the corpus linearly, never pair corpus-corpus
+      ("decontaminate", time("decontaminate 1x")(noop(
+          Dedup.decontaminate(d1, d1.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text"))),
+        time("decontaminate 10x")(noop(
+          Dedup.decontaminate(d10, d1.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text")))),
       // ---- round-4 operators ----
       // graph grows 10x in BOTH nodes and edges (part/supp keys offset)
       ("pagerank_3iter",

@@ -29,7 +29,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "sim_knn_label" -> "bounded labeled query set vs corpus",
     // index-build stages join each vector to k≈sqrt(N) broadcast seeds /
     // probe cells; the data-to-data path stays an equi-join on cell id
-    "sim_ivf" -> "seed/probe assignment vs broadcast sqrt(N) seeds")
+    "sim_ivf" -> "seed/probe assignment vs broadcast sqrt(N) seeds",
+    // the global feasible-total (ONE row) crossed onto the per-source
+    // count table (one row per source) — both sides bounded
+    "text_mixture" -> "1-row feasible-total frame x per-source thresholds")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
