@@ -104,6 +104,34 @@ object TextAnalysis {
     * not exactly. Scale shape: one count aggregate over the corpus, a
     * broadcast threshold table, one filtered scan — no shuffle of the
     * corpus itself. */
+  /** Sliding-window chunking: split each doc into `chunkTokens`-token
+    * windows advancing by `stride` tokens (`stride < chunkTokens` gives
+    * overlapping chunks) — the preprocessing step of every
+    * retrieval/embedding pipeline, where the unit of indexing is the
+    * chunk, not the document. Chunk starts are `0, stride, 2*stride, ...`
+    * while they land inside the doc, so every token is covered and the
+    * final chunk may be short.
+    *
+    * Emits `(<idCol>, chunk_idx, chunk_text, n_chunk_tokens)`. Pure
+    * per-row generator — whitespace tokenize once, slice per window — no
+    * shuffle anywhere; output size is `ceil(n/stride)` rows per doc. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      "chunkTokens and stride must be positive")
+    docs.select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), expr(
+        s"""explode(transform(sequence(0, (size(w) - 1) div $stride),
+           |  i -> struct(
+           |    CAST(i AS BIGINT) AS chunk_idx,
+           |    array_join(slice(w, i * $stride + 1, $chunkTokens), ' ')
+           |      AS chunk_text,
+           |    CAST(size(slice(w, i * $stride + 1, $chunkTokens)) AS BIGINT)
+           |      AS n_chunk_tokens)))""".stripMargin).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.chunk_text"),
+        col("c.n_chunk_tokens"))
+  }
+
   def mixtureSample(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, weights: Map[String, Long],
       hashSpace: Long = 1000000L): DataFrame = {

@@ -305,6 +305,18 @@ object Extensions {
            |WHERE (${H.duckCharHash("text")}) % 1000000 < thr""".stripMargin
       }),
 
+    // retrieval-prep chunking: 40-token windows, 30-token stride (10-token
+    // overlap), short tail chunk kept — one generator projection, no shuffle
+    Q("text_chunks", (s, d) =>
+      TextAnalysis.chunk(t(s, d, "documents"), "doc_id", "text", 40, 30),
+      Some("""
+        |WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |st AS (SELECT doc_id, w, unnest(range(0, len(w), 30)) AS s FROM w)
+        |SELECT doc_id, s // 30 AS chunk_idx,
+        |       array_to_string(w[s+1:s+40], ' ') AS chunk_text,
+        |       len(w[s+1:s+40]) AS n_chunk_tokens
+        |FROM st""".stripMargin)),
+
     // corpus-wide n-gram frequency: explode word 3-grams, count, top-20
     Q("text_ngram_counts", (s, d) =>
       t(s, d, "documents")
