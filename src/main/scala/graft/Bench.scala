@@ -103,6 +103,18 @@ object Bench {
           expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)").as("b"),
           expr("text rlike '^[aeiou]'").as("c"))
         .write.format("noop").mode("overwrite").save()
+      // plain string-function family (upper/substring/concat + regex over a
+      // narrow scan): q20's projection compiles its own generated class —
+      // r4's official 7.8 s record was first-touch plus suite state, and
+      // even clean runs billed ~0.5-1 s of Janino to the measured entry
+      spark.read.parquet(s"$sfDir/customer.parquet").limit(64)
+        .select(upper(col("c_name")).as("a"),
+          length(col("c_name")).cast("long").as("b"),
+          substring(col("c_name"), 1, 8).as("c"),
+          concat(col("c_mktsegment"), lit("_"),
+            col("c_nationkey").cast("string")).as("d"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("e"))
+        .write.format("noop").mode("overwrite").save()
       // JSON-parse machinery (JsonToStructs / JacksonParser / get_json_object
       // path classes + their codegen): round-2 billed this class-load to the
       // first JSON query (q23 0.65→3.0 s, q26 2.5→8.3 s regressions)

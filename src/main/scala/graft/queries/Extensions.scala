@@ -317,6 +317,51 @@ object Extensions {
         |       len(w[s+1:s+40]) AS n_chunk_tokens
         |FROM st""".stripMargin)),
 
+    // intra-doc repetition metric (the classic "repeated n-gram fraction"
+    // quality filter): per doc, bigram occurrences vs distinct bigrams and
+    // the hottest bigram's count; rep_x1e4 = repeated-occurrence fraction
+    // in integer 1e-4 units. Zero-bigram docs (< 2 tokens) emit zeros.
+    Q("text_repetition", (s, d) => {
+      val docs = t(s, d, "documents")
+      val bg = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), expr(
+          """explode(CASE WHEN size(w) >= 2 THEN
+            |  transform(sequence(1, size(w) - 1),
+            |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+            |ELSE array() END""".stripMargin + ")").as("g"))
+      val per = bg.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"),
+          max(col("c")).as("top_bigram_n"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+          coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+          expr("""CASE WHEN coalesce(n_bigrams, 0) > 0
+            |THEN (n_bigrams - n_distinct_bigrams) * 10000 div n_bigrams
+            |ELSE 0 END""".stripMargin).as("rep_x1e4"))
+    },
+      Some("""
+        |WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)),
+        |                  i -> w[i] || ' ' || w[i+1])) AS g
+        |       FROM w WHERE len(w) >= 2),
+        |per AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |          count(*) AS n_distinct_bigrams, max(c) AS top_bigram_n
+        |        FROM per GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        |  coalesce(top_bigram_n, 0) AS top_bigram_n,
+        |  CASE WHEN coalesce(n_bigrams, 0) > 0
+        |    THEN (n_bigrams - n_distinct_bigrams) * 10000 // n_bigrams
+        |    ELSE 0 END AS rep_x1e4
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
     // corpus-wide n-gram frequency: explode word 3-grams, count, top-20
     Q("text_ngram_counts", (s, d) =>
       t(s, d, "documents")
