@@ -311,4 +311,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.count() === docs.count())
     assert(out.agg(max("copies")).collect().head.getLong(0) === 2L)
   }
+
+  test("decontaminate flags eval members and near-copies, not unrelated docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      // near-copy of 1: shares most shingles, differs in the tail
+      (2L, "the quick brown fox jumps over the lazy dog again and often"),
+      (3L, "completely different content with no shared phrases at all here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, docs.filter($"doc_id" === 1),
+        "doc_id", "text", minShared = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "one row per corpus doc")
+    assert(out(1L)._2, "an eval member must flag itself")
+    assert(out(2L)._2, "a near-copy of an eval doc must be flagged")
+    assert(!out(3L)._2, "unrelated content must pass")
+    assert(out(1L)._1 > out(2L)._1,
+      "the eval member shares strictly more shingles than its near-copy")
+    // shuffle-join fallback (eval set too big to broadcast) is identical
+    val noBcast = Dedup.decontaminate(docs, docs.filter($"doc_id" === 1),
+        "doc_id", "text", minShared = 3, broadcastEval = false)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(noBcast === out)
+  }
 }
