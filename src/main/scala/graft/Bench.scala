@@ -233,10 +233,10 @@ object Bench {
     // partially broken build can never look faster than a working one
     val total =
       if (failed.nonEmpty) -1.0 else all.map(_.secs).sum
-    val failedPart =
-      if (failed.isEmpty) "" else s""""failed":${failed.mkString("[", ",", "]")},"""
-    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$failedPart"queries":$qs,"sf":"$sfName"}"""
+    // keep the stdout schema of rounds 1-4: "failed" ALWAYS present (even
+    // empty) and "sf" the full path — downstream parsers saw that shape
+    val failedPart = s""""failed":${failed.mkString("[", ",", "]")},"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$failedPart"queries":$qs,"sf":"$sfDir"}"""
     if (json.length > 1950)
       System.err.println(s"[bench] WARNING stdout line ${json.length} chars " +
         "exceeds the ~2000-char driver capture window — shorten keys")

@@ -135,32 +135,42 @@ object SimpleEvalShim {
     * CONCAT(...); numeric-looking chains keep `+`. Applied recursively to
     * parenthesized groups. simpleeval's `+` concatenates strings, while
     * Spark SQL `+` would cast them to double and yield NULL. */
-  private def foldConcat(toks: List[Tok]): List[Tok] = {
-    // depth-0 commas (the argument list of an IF(...) produced by
-    // foldTernary, or any function call) are hard boundaries: a `+` chain
-    // never crosses one
-    val argSegs = scala.collection.mutable.ListBuffer.empty[List[Tok]]
-    var argCur = scala.collection.mutable.ListBuffer.empty[Tok]
-    var argDepth = 0
+  /** Boundaries a `+` chain never crosses: argument commas, comparison
+    * operators (Python binds `+` tighter than `==`), and boolean
+    * connectives. Without these, `record['a'] + 'x' == record['b']`
+    * would fold the comparison INTO the concat. */
+  private val ChainBoundaryOps =
+    Set(",", "==", "!=", "<", "<=", ">", ">=")
+  private val ChainBoundaryIds = Set("and", "or", "not")
+
+  private def foldConcat(toks: List[Tok], stringCols: Set[String]): List[Tok] = {
+    val segs = scala.collection.mutable.ListBuffer.empty[List[Tok]]
+    val seps = scala.collection.mutable.ListBuffer.empty[Tok]
+    var cur = scala.collection.mutable.ListBuffer.empty[Tok]
+    var depth = 0
     for (t <- toks) {
       t match {
-        case Op("(") | Op("[") => argDepth += 1; argCur += t
-        case Op(")") | Op("]") => argDepth -= 1; argCur += t
-        case Op(",") if argDepth == 0 =>
-          argSegs += argCur.toList
-          argCur = scala.collection.mutable.ListBuffer.empty[Tok]
-        case _ => argCur += t
+        case Op("(") | Op("[") => depth += 1; cur += t
+        case Op(")") | Op("]") => depth -= 1; cur += t
+        case Op(o) if depth == 0 && ChainBoundaryOps.contains(o) =>
+          segs += cur.toList; seps += t
+          cur = scala.collection.mutable.ListBuffer.empty[Tok]
+        case Ident(w) if depth == 0 && ChainBoundaryIds.contains(w) =>
+          segs += cur.toList; seps += t
+          cur = scala.collection.mutable.ListBuffer.empty[Tok]
+        case _ => cur += t
       }
     }
-    argSegs += argCur.toList
-    if (argSegs.length > 1)
-      return argSegs.toList.map(foldConcatChain)
-        .reduce((a, b) => a ::: Op(",") :: b)
-    foldConcatChain(argSegs.head)
+    segs += cur.toList
+    val folded = segs.toList.map(foldConcatChain(_, stringCols))
+    folded.head ::: folded.tail.zip(seps).flatMap {
+      case (seg, sep) => sep :: seg
+    }
   }
 
-  /** Fold one comma-free expression's depth-0 `+` chain. */
-  private def foldConcatChain(toks: List[Tok]): List[Tok] = {
+  /** Fold one boundary-free expression's depth-0 `+` chain. */
+  private def foldConcatChain(toks: List[Tok],
+      stringCols: Set[String]): List[Tok] = {
     // split at depth-0 `+` into operand segments (each recursed)
     val segs = scala.collection.mutable.ListBuffer.empty[List[Tok]]
     var cur = scala.collection.mutable.ListBuffer.empty[Tok]
@@ -195,7 +205,7 @@ object SimpleEvalShim {
               rest = rest.tail
             }
             out += Op("(")
-            out ++= foldConcat(inner.toList)
+            out ++= foldConcat(inner.toList, stringCols)
             out += Op(")")
           case t2 => out += t2; rest = rest.tail
         }
@@ -205,14 +215,19 @@ object SimpleEvalShim {
     val rsegs = segs.toList.map(recurse)
     if (rsegs.length == 1) rsegs.head
     else {
+      // a chain is string concatenation when any operand is a string
+      // literal, a str() cast, or a record field KNOWN to be a string
+      // (schema passed in by StreamMaps) — simpleeval's `+` concatenates
+      // strings while SQL `+` would cast them to double and yield NULL
       val stringy = rsegs.exists(_.exists {
         case Str(_) => true
-        case Ident(f) if f == "str" => true
+        case Ident("str") => true
+        case Col(name) => stringCols.contains(name)
         case _ => false
       })
       if (!stringy) rsegs.reduce((a, b) => a ::: Op("+") :: b)
       else Ident("CONCAT") :: Op("(") ::
-        rsegs.map(s => s).reduce((a, b) => a ::: Op(",") :: b) ::: List(Op(")"))
+        rsegs.reduce((a, b) => a ::: Op(",") :: b) ::: List(Op(")"))
     }
   }
 
@@ -241,6 +256,13 @@ object SimpleEvalShim {
           }
           sb.append("CAST(").append(render(inner.reverse))
             .append(" AS ").append(CastFns(f)).append(")")
+        // `if` directly followed by `(` is the SQL IF() function (possible
+        // when a SQL-dialect expression trips looksLikePython via `==`) —
+        // pass it through rather than rejecting it as a python conditional
+        case Ident("if") if rest.tail.headOption.contains(Op("(")) =>
+          if (sb.nonEmpty && !sb.endsWith("(")) sb.append(' ')
+          sb.append("if")
+          rest = rest.tail
         case t =>
           val s = t match {
             // backslash-escape, not quote-doubling: Spark's default parser
@@ -279,9 +301,12 @@ object SimpleEvalShim {
   }
 
   /** Translate a simpleeval-dialect expression to Spark SQL. Throws on
-    * constructs outside the supported subset. */
-  def translate(expr: String): String =
-    render(foldConcat(foldTernary(foldRecordAccess(lex(expr)))))
+    * constructs outside the supported subset. `stringCols` (the stream's
+    * string-typed fields, supplied by [[StreamMaps]]) lets `+` chains over
+    * record fields with no literal operand fold to CONCAT when the
+    * operands are known strings. */
+  def translate(expr: String, stringCols: Set[String] = Set.empty): String =
+    render(foldConcat(foldTernary(foldRecordAccess(lex(expr))), stringCols))
 
   /** True when `expr` carries an unambiguous Python marker. SQL-dialect
     * expressions (the engine's native form) never match: `record[` is not
@@ -304,6 +329,6 @@ object SimpleEvalShim {
   }
 
   /** Translate iff the expression is Python-dialect, else pass through. */
-  def maybeTranslate(expr: String): String =
-    if (looksLikePython(expr)) translate(expr) else expr
+  def maybeTranslate(expr: String, stringCols: Set[String] = Set.empty): String =
+    if (looksLikePython(expr)) translate(expr, stringCols) else expr
 }

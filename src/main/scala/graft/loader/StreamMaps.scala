@@ -25,14 +25,22 @@ object StreamMaps {
   val FilterKey = "__filter__"
 
   def apply(df: DataFrame, mapping: Map[String, Option[String]]): DataFrame = {
-    def compile(e: String) = expr(SimpleEvalShim.maybeTranslate(e))
+    // the frame's string-typed fields inform the shim's `+`-chain folding
+    // (string + string concatenates in simpleeval; schema is re-read per
+    // step so derived columns participate)
+    def compile(cur: DataFrame, e: String) = {
+      val strCols = cur.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+      }.toSet
+      expr(SimpleEvalShim.maybeTranslate(e, strCols))
+    }
     val filtered = mapping.get(FilterKey).flatten match {
-      case Some(cond) => df.filter(compile(cond))
+      case Some(cond) => df.filter(compile(df, cond))
       case None       => df
     }
     mapping.view.filterKeys(_ != FilterKey).toSeq.sortBy(_._1)
       .foldLeft(filtered) {
-        case (acc, (name, Some(e))) => acc.withColumn(name, compile(e))
+        case (acc, (name, Some(e))) => acc.withColumn(name, compile(acc, e))
         case (acc, (name, None))    => acc.drop(name)
       }
   }

@@ -96,7 +96,9 @@ object TextAnalysis {
     * membership is a pure function of text, so the same mix reproduces on
     * any cluster, partitioning, or run, and re-running after an append
     * KEEPS previously selected docs (monotone w.r.t. corpus growth at
-    * fixed thresholds). Sources absent from `weights` are excluded.
+    * fixed thresholds). Sources absent from `weights` are excluded; a
+    * WEIGHTED source absent from the corpus makes the mix infeasible
+    * (n_s = 0 caps T at 0) and the sample is empty.
     *
     * All integer arithmetic (mirrored exactly by the DuckDB oracle):
     * acceptance is `hash(text) mod hashSpace < (keep_s * hashSpace) div
@@ -141,12 +143,19 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = weights.toSeq.toDF(sourceCol, "wt")
-    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .join(broadcast(w), sourceCol)
+    // weights-side outer join: a weighted source with NO corpus rows keeps
+    // its weight row at n = 0, capping the feasible total at 0 — the
+    // requested mix is infeasible and the sample is honestly empty, never
+    // silently renormalized over the sources that do exist
+    val counts = w.join(
+        docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n0")),
+        Seq(sourceCol), "left")
+      .select(col(sourceCol), col("wt"), coalesce(col("n0"), lit(0L)).as("n"))
     val feasible = counts.agg(min(expr(s"n * $wSum div wt")).as("tot"))
     val thr = counts.crossJoin(broadcast(feasible))
-      .select(col(sourceCol),
-        expr(s"((tot * wt div $wSum) * $hashSpace) div n").as("thr"))
+      .select(col(sourceCol), expr(
+        s"CASE WHEN n = 0 THEN 0 ELSE ((tot * wt div $wSum) * $hashSpace) div n END")
+        .as("thr"))
     docs.join(broadcast(thr), sourceCol)
       .filter(fingerprint(textCol) % hashSpace < col("thr"))
       .select(col(idCol), col(sourceCol))

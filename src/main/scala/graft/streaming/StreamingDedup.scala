@@ -114,22 +114,35 @@ object StreamingDedup {
             state.remove()
             Iterator.single(done)
           } else {
-            // fold this batch's rows (event-time order) into the open
-            // session; emit every session they close
+            // interval merge in event-time order: the batch's rows plus the
+            // open session, sorted by start, folded with the gap/cap rules.
+            // Sorting (not arrival order) makes the result replay-stable,
+            // and seating the open session at its sorted position handles
+            // cross-batch stragglers: a late row older than the open
+            // session merges backward when within the gap, or closes as its
+            // own earlier session — it is never silently folded forward.
             val out = Seq.newBuilder[ClosedSession]
-            var cur = state.getOption
-            for (t <- rows.map(_._2.getTime).toArray.sorted) cur match {
-              case None => cur = Some(OpenSession(t, t, 1))
-              case Some(s) if t - s.lastMs > gapMs =>
-                out += close(key, s, "gap"); cur = Some(OpenSession(t, t, 1))
-              case Some(s) if t - s.startMs > capMs =>
-                out += close(key, s, "cap"); cur = Some(OpenSession(t, t, 1))
-              case Some(s) =>
-                cur = Some(OpenSession(s.startMs, math.max(s.lastMs, t), s.n + 1))
+            val items = (state.getOption.toSeq ++
+                rows.map(r => OpenSession(r._2.getTime, r._2.getTime, 1)))
+              .sortBy(s => (s.startMs, s.lastMs))
+            var cur = items.head
+            for (it <- items.tail) {
+              if (it.startMs - cur.lastMs > gapMs) {
+                out += close(key, cur, "gap"); cur = it
+              } else if (it.lastMs - cur.startMs > capMs) {
+                out += close(key, cur, "cap"); cur = it
+              } else {
+                cur = OpenSession(cur.startMs,
+                  math.max(cur.lastMs, it.lastMs), cur.n + it.n)
+              }
             }
-            val open = cur.get
-            state.update(open)
-            state.setTimeoutTimestamp(open.lastMs + gapMs)
+            state.update(cur)
+            // a stragglers-only batch can arrive with the watermark already
+            // past last+gap (the timeout would have fired next batch); a
+            // timeout timestamp at/below the watermark is rejected, so
+            // clamp to watermark+1 — the overdue session closes next batch
+            state.setTimeoutTimestamp(math.max(cur.lastMs + gapMs,
+              state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }

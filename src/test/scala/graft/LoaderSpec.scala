@@ -124,6 +124,20 @@ class LoaderSpec extends AnyFunSuite {
     // SQL stays SQL
     assert(maybeTranslate("concat(col2, '!')") === "concat(col2, '!')")
     assert(maybeTranslate("IF(col1 = 1, 'x', 'y')") === "IF(col1 = 1, 'x', 'y')")
+    // a + chain NEVER crosses a comparison (python precedence: + binds
+    // tighter than ==)
+    assert(norm("record['a'] + 'x' == record['b']") === "CONCAT(`a`,'x')=`b`")
+    // SQL-dialect IF() that trips the `==` python marker still translates
+    // (== -> =) instead of being rejected as a python conditional
+    assert(maybeTranslate("if(col1 == 2, 'x', 'y')").replaceAll("\\s+", "")
+      === "if(col1=2,'x','y')")
+    // schema-informed concat: two string FIELDS with no literal operand
+    assert(translate("record['first'] + record['last']",
+        stringCols = Set("first", "last")).replaceAll("\\s+", "")
+      === "CONCAT(`first`,`last`)")
+    // ...and without schema knowledge the chain stays arithmetic
+    assert(translate("record['first'] + record['last']")
+      .replaceAll("\\s+", "") === "`first`+`last`")
     // unsupported constructs fail loudly instead of mis-translating
     assertThrows[IllegalArgumentException](translate("[x for x in record]"))
     assertThrows[IllegalArgumentException](translate("record.pop('a')"))

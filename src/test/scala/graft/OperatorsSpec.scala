@@ -312,6 +312,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.agg(max("copies")).collect().head.getLong(0) === 2L)
   }
 
+  test("mixtureSample: a weighted source absent from the corpus makes the mix infeasible") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma", "web"), (2L, "delta epsilon zeta", "web"))
+      .toDF("doc_id", "text", "source")
+    // 'code' is weighted but has no rows: T = min(n*W div wt) = 0 -> empty
+    val out = graft.operators.TextAnalysis.mixtureSample(
+      docs, "doc_id", "text", "source", Map("web" -> 1L, "code" -> 3L))
+    assert(out.count() === 0L,
+      "infeasible mix must yield an empty sample, not a renormalized one")
+    // with the absent source removed the web docs are all kept (wt covers them)
+    val ok = graft.operators.TextAnalysis.mixtureSample(
+      docs, "doc_id", "text", "source", Map("web" -> 1L))
+    assert(ok.count() === 2L)
+  }
+
   test("decontaminate flags eval members and near-copies, not unrelated docs") {
     import spark.implicits._
     val docs = Seq(
