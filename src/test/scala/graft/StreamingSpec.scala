@@ -161,6 +161,33 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected b sessions: ${b.mkString(";")}")
   }
 
+  test("incremental profile maintains under foreachBatch streaming ingest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-profidx").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the per-batch hook a production loader runs at commit time:
+        // sketch the batch into the index, never rescan prior batches
+        if (!batch.isEmpty)
+          graft.operators.Profile.sketchBatch(batch, Seq("id", "v"), dir)
+      }
+      .start()
+    mem.addData((1L, "a"), (2L, "b"), (3L, "c"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"), (4L, "d"))   // overlaps batch 1 on one value
+    q.processAllAvailable()
+    q.stop()
+    val m = graft.operators.Profile.mergedProfile(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Long]("n_distinct_est"))).toMap
+    // counters sum per batch (5 rows seen); distinct merges the sketches
+    // (4 distinct ids/values across both batches; HLL exact at this size)
+    assert(m("id") === ((5L, 4L)))
+    assert(m("v") === ((5L, 4L)))
+  }
+
   test("graft target CLI loads a file end-to-end") {
     val in = Files.createTempFile("cli", ".jsonl")
     Files.write(in, Seq(
