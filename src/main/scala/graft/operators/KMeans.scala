@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VecSqDist
+
 /** Exact-integer Lloyd k-means over embedding columns — the clustering
   * stage of corpus curation (diversity sampling, per-cluster quotas,
   * semantic bucketing before dedup).
@@ -16,13 +18,18 @@ import org.apache.spark.sql.functions._
   * order, which would make every downstream assignment nondeterministic —
   * the same reduction-order hazard the integer PageRank avoids.
   *
+  * Vectors are assumed fixed-dimension (an embedding table invariant; the
+  * dimension is read from the data once per call).
+  *
   * Scale shape per round: one broadcast of the k centroids (k·dim longs),
-  * one codegen'd zip_with/aggregate distance per (row, centroid), a
-  * map-side-combinable packed-decimal `min` HASH aggregate for the argmin
-  * (each task reduces its local N×k rows to one per id BEFORE the shuffle —
-  * no sort, no WindowExec; asserted in ScaleOpsSpec), a shuffle-free
-  * co-partitioned re-join of the winning cid onto the cached vectors, and
-  * one posexplode + groupBy(cid, dim) for the new means — no driver-side
+  * one codegen'd native squared-L2 distance per (row, centroid)
+  * ([[graft.functions.VecSqDistLong]] — a primitive loop, not an interpreted
+  * higher-order function), a map-side-combinable packed-long min HASH
+  * aggregate for the argmin (each task reduces its local N×k rows to one per
+  * id BEFORE the shuffle — no sort, no WindowExec; asserted in ScaleOpsSpec),
+  * a shuffle-free co-partitioned re-join of the winning cid onto the cached
+  * vectors, and one dim-wide sum aggregate for the new means (k rows through
+  * the shuffle, not k·dim, and no posexplode row blow-up) — no driver-side
   * vectors, no cartesian beyond the deliberate row×k assignment.
   *
   * Seeds are the k lowest-id vectors (deterministic, mirrors the IVF
@@ -38,7 +45,7 @@ object KMeans {
   private[graft] def assignmentRound(emb: DataFrame, idCol: String,
       vecCol: String, k: Int, scale: Long = 1000000L): DataFrame = {
     val scaled = scaledVectors(emb, idCol, vecCol, scale)
-    assignIds(scaled, seedCentroids(scaled, k))
+    assignIds(scaled, seedCentroids(scaled, k), packing(scaled, k))
   }
 
   private def scaledVectors(emb: DataFrame, idCol: String, vecCol: String,
@@ -54,36 +61,70 @@ object KMeans {
         col("xs").as("cs"))
   }
 
-  /** Tie-break radix: `packed = dist · radix + cid` orders lexicographically
-    * by (dist, cid) as long as cid < radix, so `min(packed)` is the exact
-    * ORDER BY dist, cid argmin. */
+  /** Tie-break radix for the DECIMAL fallback packing. */
   private val TieRadix = 1000000000L
+
+  /** How the per-round (dist, cid) argmin key is packed: a plain long when
+    * the worst-case distance provably fits (`maxDist·radix + k < 2^63`),
+    * DECIMAL(32,0) otherwise. The bound is derived from the data in one
+    * cheap stats pass over the cached scaled vectors (also yields the
+    * vector dimension for the centroid recompute). */
+  private final case class Packing(useLong: Boolean, radix: Long, dim: Int)
+
+  private def packing(scaled: DataFrame, k: Int): Packing = {
+    // next power of two > k-1: any radix > max cid orders (dist, cid)
+    // lexicographically; a small one maximizes the long headroom
+    val radix = math.max(java.lang.Long.highestOneBit(math.max(k - 1, 1)) * 2, 2L)
+    val row = scaled
+      .select(max(size(col("xs"))), max(expr("array_max(transform(xs, x -> abs(x)))")))
+      .first()
+    if (row.isNullAt(0) || row.isNullAt(1)) Packing(useLong = false, radix, 0)
+    else {
+      val dim = row.getInt(0)
+      val maxAbs = BigInt(row.getLong(1))
+      // worst-case squared L2 between any two in-corpus vectors (centroid
+      // means never leave the per-dimension [-maxAbs, maxAbs] envelope)
+      val bound = BigInt(dim) * (2 * maxAbs).pow(2) * radix + k
+      Packing(bound < BigInt(Long.MaxValue), radix, dim)
+    }
+  }
 
   /** Per-round argmin as a TRUE hash aggregate — map-side combinable and
     * sort-free. The naive formulations both sort k× the corpus per round:
     * `row_number().over(Window.partitionBy(id))` plans a WindowExec
     * (shuffle + sort), and `min_by(cid, struct(dist, cid))` falls back to
     * SortAggregate because a struct ordering is not a mutable aggregation-
-    * buffer type. Packing (dist, cid) into one fixed-precision decimal
-    * keeps the buffer primitive-mutable, so Spark plans HashAggregateExec:
-    * each task reduces its local N×k rows to one per id BEFORE the shuffle,
-    * and nothing is sorted. dist ≤ dim·(2·scale·|v|max)² can exceed a
-    * packed long for large scales, so the packing is DECIMAL(20,0)·radix +
-    * cid = DECIMAL(32,0) — exact, and still a mutable buffer type.
-    * Returns (id, cid). */
-  private def assignIds(scaled: DataFrame, cents: DataFrame): DataFrame =
+    * buffer type. Packing (dist, cid) into one fixed-precision value keeps
+    * the buffer primitive-mutable, so Spark plans HashAggregateExec: each
+    * task reduces its local N×k rows to one per id BEFORE the shuffle, and
+    * nothing is sorted. The packing is a plain long whenever the stats-pass
+    * bound allows (zero allocation in the hot loop); otherwise
+    * DECIMAL(20,0)·radix + cid = DECIMAL(32,0) — exact, still a mutable
+    * buffer type. Returns (id, cid). */
+  private def assignIds(scaled: DataFrame, cents: DataFrame,
+      p: Packing): DataFrame = {
+    val dist = VecSqDist.vecSqDistLong(col("xs"), col("cs"))
+    val (packed, unpack) =
+      if (p.useLong)
+        (dist * lit(p.radix) + col("cid"),
+          (c: org.apache.spark.sql.Column) => c % p.radix)
+      else
+        (dist.cast("decimal(20,0)") * lit(TieRadix) + col("cid"),
+          (c: org.apache.spark.sql.Column) => c % TieRadix)
     scaled.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(xs, cs, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
-      .withColumn("packed",
-        expr(s"CAST(dist AS DECIMAL(20,0)) * $TieRadix + cid"))
+      .withColumn("packed", packed)
       .groupBy(col("id"))
       .agg(min(col("packed")).as("p"))
-      .select(col("id"), expr(s"CAST(p % $TieRadix AS BIGINT)").as("cid"))
+      .select(col("id"), unpack(col("p")).cast("long").as("cid"))
+  }
 
   /** `iters` rounds of [assign → recompute centroids], then a final
     * assignment under the last centroids. Returns `(id, cluster)` with
-    * cluster in 0..k-1 (centroid rank order). */
+    * cluster in 0..k-1 (centroid rank order).
+    *
+    * The returned frame is `localCheckpoint`ed and therefore PERSISTED:
+    * callers own its lifecycle and should `unpersist()` it when done (see
+    * the checkpoint-ownership contract in [[graft.operators.Graph]]). */
   def assign(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, scale: Long = 1000000L): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
@@ -94,35 +135,35 @@ object KMeans {
     val scaled = scaledVectors(emb, idCol, vecCol, scale)
       .repartition(col("id")).cache()
 
+    val p = packing(scaled, k)
     var centroids = seedCentroids(scaled, k)
 
     for (i <- 0 until iters) {
       // centroid recompute needs each row's xs next to its assigned cid:
       // re-join the (id, cid) argmin result with the cached co-partitioned
       // vectors — shuffle-free on both sides (same hashpartitioning(id))
-      val a = scaled.join(assignIds(scaled, centroids), "id")
+      val a = scaled.join(assignIds(scaled, centroids, p), "id")
       // integer centroid mean with FLOOR semantics (DuckDB's `//`): Spark's
       // `div` truncates toward zero, which differs on negative sums, so the
       // floor is taken through an exact double division (|sum| ≪ 2^52 and
       // a non-integral quotient is ≥ 1/n away from an integer — no
-      // boundary-crossing rounding is possible)
-      centroids = a
-        .select(col("cid"), posexplode(col("xs")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .withColumn("v",
-          expr("CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT)"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim, v))), p -> p.v)")
-          .as("cs"))
+      // boundary-crossing rounding is possible). One dim-wide hash
+      // aggregate: k rows of dim+1 longs through the shuffle — no
+      // posexplode (which pushed N·dim rows into the aggregate) and no
+      // collect_list sort on the reduce side.
+      val sums = (0 until p.dim).map(d => sum(expr(s"xs[$d]")).as(s"s$d"))
+      centroids = a.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("cid"), array((0 until p.dim).map(d =>
+          expr(s"CAST(FLOOR(CAST(s$d AS DOUBLE) / n) AS BIGINT)")): _*).as("cs"))
       // truncate lineage every couple of rounds: each level nests a
-      // crossJoin + window + two aggregations, and unchecked nesting blows
-      // up driver planning time (the centroid frame is k rows — the
-      // checkpoint is cheap)
+      // crossJoin + two aggregations, and unchecked nesting blows up driver
+      // planning time (the centroid frame is k rows — the checkpoint is
+      // cheap)
       if ((i + 1) % 2 == 0 && i != iters - 1)
         centroids = centroids.localCheckpoint()
     }
-    val result = assignIds(scaled, centroids)
+    val result = assignIds(scaled, centroids, p)
       .select(col("id"), col("cid").as("cluster"))
       .localCheckpoint()
     scaled.unpersist()

@@ -265,11 +265,12 @@ object ScaleOps {
         side("a", 0), side("b", 1), "a_user", "b_user", "a_ts", "b_ts",
         lateness = "1 hour", bound = "30 minutes")
       // each micro-batch commits one state-store pair PER shuffle partition
-      // per join side; at this volume 8 stores beat 32 (store open/commit
-      // is the fixed cost, not row throughput) — scoped to this query and
-      // restored, since the setting binds at stream start
+      // per join side; at this volume store open/commit is the fixed cost,
+      // not row throughput (measured r6: 8 stores 2.9 s, 4 → 2.1 s, 2 →
+      // 1.9 s warm) — 4 balances that against skew headroom; scoped to
+      // this query and restored, since the setting binds at stream start
       val before = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val q = joined.select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
           .writeStream.format("memory").queryName("q55_stream")
