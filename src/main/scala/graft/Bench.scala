@@ -278,8 +278,9 @@ object Bench {
     // partially broken build can never look faster than a working one
     val total =
       if (failed.nonEmpty) -1.0 else all.map(_.secs).sum
-    // keep the stdout schema of rounds 1-4: "failed" ALWAYS present (even
-    // empty) and "sf" the full path — downstream parsers saw that shape
+    // "failed" is emitted unconditionally (even empty) for a stable stdout
+    // schema — the field arrived with bench failure reporting in round 3,
+    // and "sf" stays the full path, the shape downstream parsers saw
     val failedPart = s""""failed":${failed.mkString("[", ",", "]")},"""
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$failedPart"queries":$qs,"sf":"$sfDir"}"""
     if (json.length > 1950)

@@ -310,11 +310,12 @@ object SimpleEvalShim {
 
   /** True when `expr` carries an unambiguous Python marker. SQL-dialect
     * expressions (the engine's native form) never match: `record[` is not
-    * valid SQL here, SQL spells conditionals `IF(...)`/`CASE`, equality
-    * `=`, and null `NULL`. */
+    * valid SQL here, SQL spells conditionals `IF(...)`/`CASE`, casts
+    * `string(x)`/`CAST`, and null `NULL`. Bare `==` is NOT a marker —
+    * Spark SQL accepts `==` as equality, so it cannot distinguish the
+    * dialects (see [[maybeTranslate]]). */
   def looksLikePython(expr: String): Boolean = {
     if (expr.contains("record[")) return true
-    if (expr.contains("==")) return true
     lazy val toks = try lex(expr) catch { case _: Exception => return false }
     def hasWord(w: String) = toks.exists {
       case Ident(x) => x == w
@@ -325,10 +326,34 @@ object SimpleEvalShim {
       case Seq(Ident("if"), next) => next != Op("(")
       case _ => false
     } || (toks.lastOption.contains(Ident("if")))
-    infixIf || hasWord("None") || hasWord("True") || hasWord("False")
+    // str( is python's cast — Spark spells it string( — so a str call is
+    // unambiguous (int(/float( are valid Spark cast aliases with identical
+    // semantics, so they stay neutral and pass-through is correct)
+    val strCall = toks.sliding(2).exists {
+      case Seq(Ident("str"), Op("(")) => true
+      case _ => false
+    }
+    infixIf || strCall || hasWord("None") || hasWord("True") || hasWord("False")
   }
 
-  /** Translate iff the expression is Python-dialect, else pass through. */
+  private def parsesAsSparkSql(e: String): Boolean =
+    try {
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(e)
+      true
+    } catch { case _: Exception => false }
+
+  /** Translate iff the expression is Python-dialect, else pass through.
+    *
+    * `==` appears in both dialects (Spark SQL accepts it as equality), so
+    * it cannot gate translation by itself: translating a valid SQL
+    * expression would break lowercase `is`/`in`, `case … else … end`,
+    * `\|\|` concat, and `+` chains with string literals. An expression
+    * whose only Python-ish hint is `==` is therefore tried as Spark SQL
+    * first and passed through when it parses; translation only fires when
+    * SQL parsing fails (i.e. the expression cannot be the SQL dialect). */
   def maybeTranslate(expr: String, stringCols: Set[String] = Set.empty): String =
-    if (looksLikePython(expr)) translate(expr, stringCols) else expr
+    if (looksLikePython(expr)) translate(expr, stringCols)
+    else if (expr.contains("==") && !parsesAsSparkSql(expr))
+      translate(expr, stringCols)
+    else expr
 }

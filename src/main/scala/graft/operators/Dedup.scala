@@ -202,13 +202,18 @@ object Dedup {
     val cs = shingleTable(corpus, idCol, textCol)
       .select(col("id"), explode(col("sh")).as("s"))
       .filter(col("s").isNotNull).distinct()
+    // reserved-prefix the hits columns: shingleTable hardcodes "id", so a
+    // caller whose idCol is literally "id" (or "shared") would otherwise
+    // make the post-join select ambiguous
     val hits = cs.join(evSh, "s")
-      .groupBy(col("id")).agg(count(lit(1)).as("shared"))
+      .groupBy(col("id")).agg(count(lit(1)).as("__decon_shared"))
+      .withColumnRenamed("id", "__decon_id")
     corpus.select(col(idCol))
-      .join(hits, corpus(idCol) === hits("id"), "left")
+      .join(hits, col(idCol) === col("__decon_id"), "left")
       .select(col(idCol),
-        coalesce(col("shared"), lit(0L)).as("shared_shingles"),
-        (coalesce(col("shared"), lit(0L)) >= minShared).as("is_contaminated"))
+        coalesce(col("__decon_shared"), lit(0L)).as("shared_shingles"),
+        (coalesce(col("__decon_shared"), lit(0L)) >= minShared)
+          .as("is_contaminated"))
   }
 
   /** Co-occurring doc pairs from per-shingle postings lists. Pairs are

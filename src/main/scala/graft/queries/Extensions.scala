@@ -297,9 +297,12 @@ object Extensions {
           .map(i => s"('src$i', ${if (i < 10) 1 else 3})").mkString(", ")
         s"""WITH w AS (SELECT * FROM (VALUES $values) AS t(source, wt)),
            |counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-           |j AS (SELECT c.source, n, wt FROM counts c JOIN w USING (source)),
+           |j AS (SELECT w.source, coalesce(n, 0) AS n, wt
+           |      FROM w LEFT JOIN counts USING (source)),
            |f AS (SELECT min(n * 40 // wt) AS tot FROM j),
-           |thr AS (SELECT source, ((tot * wt // 40) * 1000000) // n AS thr
+           |thr AS (SELECT source,
+           |          CASE WHEN n = 0 THEN 0
+           |               ELSE ((tot * wt // 40) * 1000000) // n END AS thr
            |        FROM j, f)
            |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
            |WHERE (${H.duckCharHash("text")}) % 1000000 < thr""".stripMargin

@@ -127,10 +127,25 @@ class LoaderSpec extends AnyFunSuite {
     // a + chain NEVER crosses a comparison (python precedence: + binds
     // tighter than ==)
     assert(norm("record['a'] + 'x' == record['b']") === "CONCAT(`a`,'x')=`b`")
-    // SQL-dialect IF() that trips the `==` python marker still translates
-    // (== -> =) instead of being rejected as a python conditional
-    assert(maybeTranslate("if(col1 == 2, 'x', 'y')").replaceAll("\\s+", "")
-      === "if(col1=2,'x','y')")
+    // `==` alone is not a dialect marker (Spark SQL accepts it): anything
+    // that parses as Spark SQL passes through untouched, including the
+    // constructs a forced translation used to break — lowercase is/in,
+    // case…else…end, ||-concat, + with a string literal
+    assert(maybeTranslate("if(col1 == 2, 'x', 'y')")
+      === "if(col1 == 2, 'x', 'y')")
+    assert(maybeTranslate("col1 == 1 or col2 is not null")
+      === "col1 == 1 or col2 is not null")
+    assert(maybeTranslate("col1 == 1 and col1 in (1, 2)")
+      === "col1 == 1 and col1 in (1, 2)")
+    assert(maybeTranslate("case when col1 == 1 then 'x' else 'y' end")
+      === "case when col1 == 1 then 'x' else 'y' end")
+    assert(maybeTranslate("col2 || '!' == 'a!'") === "col2 || '!' == 'a!'")
+    // …but a str() cast is python's spelling (Spark's is string()), so it
+    // still translates even though `==` alone would not fire
+    assert(maybeTranslate("str(col1) == '1'").replaceAll("\\s+", "")
+      === "CAST(col1ASSTRING)='1'")
+    // strong python markers still translate without consulting the parser
+    assert(maybeTranslate("record['a'] == None") === "`a` = NULL")
     // schema-informed concat: two string FIELDS with no literal operand
     assert(translate("record['first'] + record['last']",
         stringCols = Set("first", "last")).replaceAll("\\s+", "")
