@@ -38,8 +38,13 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *                            message, received/batched/sync_started wall
   *                            clocks, an opaque monotonic sequence, and
   *                            deleted_at passed through from the record)
-  * @param streamMaps          per-stream column mappings (rename / derive /
-  *                            drop / filter) — see [[graft.loader.StreamMaps]]
+  * @param streamMaps          per-stream mappings — property-level (rename /
+  *                            derive / drop / filter, see
+  *                            [[graft.loader.StreamMaps]]) or stream-level
+  *                            (alias `"old": "new"`, suppression
+  *                            `"old": "__NULL__"`, and `"__else__":
+  *                            "__NULL__"` to drop unmapped streams —
+  *                            singer-sdk stream-map semantics)
   */
 final case class GraftConfig(
     hdfsDestinationPath: String,
@@ -55,10 +60,35 @@ final case class GraftConfig(
     validateRecords: Boolean = true,
     flatteningMaxDepth: Int = 10,
     addRecordMetadata: Boolean = false,
-    streamMaps: Map[String, Map[String, Option[String]]] = Map.empty) {
+    streamMaps: Map[String, StreamMapSpec] = Map.empty) {
 
   require(Set("gzip", "snappy", "zstd", "brotli")(compressionMethod),
     s"unsupported compression: $compressionMethod")
+
+  /** Resolve a stream's output disposition under the stream-level maps:
+    * `Some(outputName)` to write (aliased when renamed), `None` when the
+    * stream is suppressed — directly (`"__NULL__"`/null) or by an
+    * `"__else__": "__NULL__"` catch-all that drops unmapped streams. */
+  def resolveStream(stream: String): Option[String] =
+    streamMaps.get(stream) match {
+      case Some(StreamMapSpec.Suppress)      => None
+      case Some(StreamMapSpec.Alias(n))      => Some(n)
+      case Some(StreamMapSpec.Properties(m)) =>
+        Some(m.get(GraftConfig.AliasKey).flatten.getOrElse(stream))
+      case None => streamMaps.get(GraftConfig.ElseKey) match {
+        case Some(StreamMapSpec.Suppress) => None
+        case _                            => Some(stream)
+      }
+    }
+
+  /** The property-level mapping for a stream (empty for stream-level-only
+    * specs); the `__alias__` pseudo-property is resolution metadata, not a
+    * column operation. */
+  def streamProperties(stream: String): Map[String, Option[String]] =
+    streamMaps.get(stream) match {
+      case Some(StreamMapSpec.Properties(m)) => m - GraftConfig.AliasKey
+      case _                                 => Map.empty
+    }
 
   def blockSizeLimitBytes: Option[Long] =
     hdfsBlockSizeLimit.map(SizeParser.convertSizeToBytes)
@@ -86,8 +116,29 @@ final case class GraftConfig(
   }
 }
 
+/** One stream's entry in `stream_maps` (singer-sdk stream-map grammar):
+  * an object of property operations, a bare string alias renaming the
+  * stream, or suppression (`"__NULL__"` / JSON null) dropping it. */
+sealed trait StreamMapSpec
+object StreamMapSpec {
+  /** Property-level operations (may carry `__alias__` to also rename). */
+  final case class Properties(m: Map[String, Option[String]]) extends StreamMapSpec
+  /** `"old_name": "new_name"` — same records, new output stream name. */
+  final case class Alias(name: String) extends StreamMapSpec
+  /** `"name": "__NULL__"` (or null) — drop the stream entirely. */
+  case object Suppress extends StreamMapSpec
+}
+
 object GraftConfig {
   private val mapper = new ObjectMapper()
+
+  /** `"__else__"` catch-all key: `"__NULL__"` drops every unmapped stream
+    * (unmapped streams pass through when absent). */
+  val ElseKey = "__else__"
+  /** Suppression sentinel value. */
+  val NullStream = "__NULL__"
+  /** In-object rename pseudo-property. */
+  val AliasKey = "__alias__"
 
   def fromJson(json: String): GraftConfig = {
     val n = mapper.readTree(json)
@@ -114,22 +165,92 @@ object GraftConfig {
         str("flattening_max_depth").map(_.toInt).getOrElse(10),
       addRecordMetadata = str("add_record_metadata").exists(_.toBoolean),
       streamMaps = Option(n.get("stream_maps")).filterNot(_.isNull).map { sm =>
-        val out = scala.collection.mutable.Map.empty[String, Map[String, Option[String]]]
+        val out = scala.collection.mutable.Map.empty[String, StreamMapSpec]
         val streams = sm.fieldNames()
         while (streams.hasNext) {
           val st = streams.next()
           val m = sm.get(st)
-          val inner = scala.collection.mutable.Map.empty[String, Option[String]]
-          val cols = m.fieldNames()
-          while (cols.hasNext) {
-            val c = cols.next()
-            inner(c) = if (m.get(c).isNull) None else Some(m.get(c).asText())
-          }
-          out(st) = inner.toMap
+          val spec: StreamMapSpec =
+            if (m.isNull) StreamMapSpec.Suppress
+            else if (m.isTextual) {
+              val v = m.asText()
+              if (v == NullStream) StreamMapSpec.Suppress
+              else StreamMapSpec.Alias(v)
+            } else if (m.isObject) {
+              val inner = scala.collection.mutable.Map.empty[String, Option[String]]
+              val cols = m.fieldNames()
+              while (cols.hasNext) {
+                val c = cols.next()
+                inner(c) = if (m.get(c).isNull) None else Some(m.get(c).asText())
+              }
+              StreamMapSpec.Properties(inner.toMap)
+            } else throw new InvalidConfigException(
+              s"stream_maps['$st'] must be an object, a stream alias " +
+                s"string, '$NullStream', or null")
+          if (st == ElseKey && spec != StreamMapSpec.Suppress)
+            throw new InvalidConfigException(
+              s"stream_maps['$ElseKey'] only supports '$NullStream'/null " +
+                "(drop unmapped streams); omit it to pass them through")
+          out(st) = spec
         }
         out.toMap
       }.getOrElse(Map.empty))
   }
+
+  /** Env-var config naming prefix (singer-sdk convention: plugin name
+    * uppercased; setting `hdfs_destination_path` is read from
+    * `TARGET_HDFS_HDFS_DESTINATION_PATH`). */
+  val EnvPrefix = "TARGET_HDFS_"
+
+  /** Build config from `TARGET_HDFS_*`-prefixed environment variables —
+    * the `--config=ENV` import (reference README.md:44-48: "will
+    * automatically import any environment variables within the working
+    * directory's `.env` if the `--config=ENV` is provided"). `.env`
+    * entries fill in UNDER the process environment (dotenv semantics:
+    * the terminal context wins). JSON-typed settings (`stream_maps`,
+    * `partition_cols`) may be JSON-encoded in the variable value. */
+  def fromEnv(env: Map[String, String],
+      dotEnv: Map[String, String] = Map.empty): GraftConfig = {
+    val node = mapper.createObjectNode()
+    (dotEnv ++ env).foreach { case (k, v) =>
+      if (k.startsWith(EnvPrefix)) {
+        val setting = k.stripPrefix(EnvPrefix).toLowerCase
+        val t = v.trim
+        val asJson =
+          if (t.startsWith("{") || t.startsWith("["))
+            try Some(mapper.readTree(t)) catch { case _: Exception => None }
+          else None
+        asJson match {
+          case Some(j) => node.set[com.fasterxml.jackson.databind.JsonNode](setting, j)
+          case None => node.put(setting, v)
+        }
+      }
+    }
+    fromJson(node.toString)
+  }
+
+  /** Minimal `.env` parser: `KEY=VALUE` lines; blank lines and
+    * `#`-comments ignored; optional `export ` prefix; optional matching
+    * single/double quotes around the value. */
+  def parseDotEnv(content: String): Map[String, String] =
+    content.linesIterator.flatMap { raw =>
+      val line = raw.trim
+      if (line.isEmpty || line.startsWith("#") || !line.contains("=")) None
+      else {
+        val noExport =
+          if (line.startsWith("export ")) line.stripPrefix("export ").trim
+          else line
+        val Array(k, v) = noExport.split("=", 2)
+        val vv = v.trim
+        val unquoted =
+          if (vv.length >= 2 &&
+              ((vv.head == '"' && vv.last == '"') ||
+               (vv.head == '\'' && vv.last == '\'')))
+            vv.substring(1, vv.length - 1)
+          else vv
+        Some(k.trim -> unquoted)
+      }
+    }.toMap
 
   /** `--about`-style config introspection (reference target.py:19-46): the
     * inherited `destination_path` is removed and the three HDFS properties

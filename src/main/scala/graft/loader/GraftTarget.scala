@@ -20,11 +20,26 @@ object GraftTarget {
     if (args.contains("--version")) { println(Version); return }
     if (args.contains("--about")) { println(GraftConfig.aboutJson); return }
 
-    val configPath = args.sliding(2).collectFirst {
+    val configPath = args.collectFirst {
+      case s if s.startsWith("--config=") => s.stripPrefix("--config=")
+    }.orElse(args.sliding(2).collectFirst {
       case Array("--config", p) => p
-    }.getOrElse(sys.error("usage: GraftTarget --config <config.json> [< messages.jsonl]"))
-    val config = GraftConfig.fromJson(
-      new String(Files.readAllBytes(Paths.get(configPath)), "UTF-8"))
+    }).getOrElse(sys.error(
+      "usage: GraftTarget --config <config.json|ENV> [< messages.jsonl]"))
+    // `--config=ENV`: import TARGET_HDFS_* environment variables plus the
+    // working directory's `.env` (reference README.md:44-48); terminal
+    // context beats the `.env` file, dotenv-style
+    val config =
+      if (configPath == "ENV") {
+        val dotEnvPath = Paths.get(".env")
+        val dotEnv =
+          if (Files.exists(dotEnvPath))
+            GraftConfig.parseDotEnv(
+              new String(Files.readAllBytes(dotEnvPath), "UTF-8"))
+          else Map.empty[String, String]
+        GraftConfig.fromEnv(sys.env, dotEnv)
+      } else GraftConfig.fromJson(
+        new String(Files.readAllBytes(Paths.get(configPath)), "UTF-8"))
 
     val explicitInput = args.sliding(2).collectFirst { case Array("--input", p) => p }
     val spooled = explicitInput.isEmpty

@@ -125,7 +125,12 @@ object SingerLoader {
         perStream.filter(_.getBoolean(1)).map(_.getString(0)).toSet
 
       // ---- record plane: fully distributed per stream ----
+      // stream-level stream maps resolve each input stream to its output
+      // name (aliasing) or to suppression (`__NULL__` / `__else__`
+      // catch-all) BEFORE any record work — a suppressed stream costs
+      // nothing beyond its control-plane entry
       schemas.values.foreach { sm =>
+       config.resolveStream(sm.stream).foreach { outStream =>
         // JSON-Schema validation covers inline RECORDs; BATCH files are
         // tap-encoded bulk payloads and bypass per-record validation
         // (singer-sdk parity: batch mode skips record-level processing)
@@ -187,15 +192,19 @@ object SingerLoader {
             extraCols.map { case (n, c) => c.as(n) }: _*)
           .select(recordFields ++ extraCols.map(p => col(p._1)): _*)
         val transformed = transform(records, sm.stream, config)
-        new ParquetSink(spark, config, sm.stream, transformed.schema)
+        new ParquetSink(spark, config, outStream, transformed.schema)
           .write(transformed)
+       }
       }
 
       // ACTIVATE_VERSION: after the batch's records are committed, purge
-      // rows of superseded versions from each activated stream dir
+      // rows of superseded versions from each activated stream dir —
+      // resolved through the same stream-level maps (an aliased stream's
+      // data lives under its output name; a suppressed stream has none)
       val acts = activates.result()
       acts.foreach { av =>
-        VersionPurge.activate(spark, config, av.stream, av.version)
+        config.resolveStream(av.stream).foreach(out =>
+          VersionPurge.activate(spark, config, out, av.version))
       }
 
       LoadResult(schemas.keys.toSeq, lastState, acts, schemas.toMap)
@@ -263,8 +272,8 @@ object SingerLoader {
   def transform(records: DataFrame, stream: String,
       config: GraftConfig): DataFrame = {
     val flat = Flattener.flatten(records, config.flatteningMaxDepth)
-    val mapped = config.streamMaps.get(stream)
-      .map(m => StreamMaps(flat, m)).getOrElse(flat)
+    val props = config.streamProperties(stream)
+    val mapped = if (props.nonEmpty) StreamMaps(flat, props) else flat
     config.parsedExtraFields.foldLeft(mapped) {
       case (df, (k, v, "integer")) => df.withColumn(k, lit(v.toLong))
       case (df, (k, v, _))         => df.withColumn(k, lit(v))

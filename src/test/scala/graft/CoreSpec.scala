@@ -40,8 +40,58 @@ class CoreSpec extends AnyFunSuite {
          |"stream_maps": {"t": {"renamed": "col1", "col1": null, "__filter__": "col1 > 1"}}}""".stripMargin)
     assert(cfg.compressionMethod === "snappy")
     assert(cfg.partitionCols === Seq("lang", "source"))
-    assert(cfg.streamMaps("t")("renamed") === Some("col1"))
-    assert(cfg.streamMaps("t")("col1") === None)
+    assert(cfg.streamProperties("t")("renamed") === Some("col1"))
+    assert(cfg.streamProperties("t")("col1") === None)
+  }
+
+  test("--config=ENV builds config from TARGET_HDFS_* variables alone") {
+    val cfg = GraftConfig.fromEnv(Map(
+      "TARGET_HDFS_HDFS_DESTINATION_PATH" -> "/env-out",
+      "TARGET_HDFS_COMPRESSION_METHOD" -> "zstd",
+      "TARGET_HDFS_MAX_BATCH_SIZE" -> "500",
+      "TARGET_HDFS_PARTITION_COLS" -> "lang,source",
+      "TARGET_HDFS_STREAM_MAPS" ->
+        """{"t": {"renamed": "col1", "col1": null}}""",
+      "UNRELATED_VAR" -> "ignored"))
+    assert(cfg.hdfsDestinationPath === "/env-out")
+    assert(cfg.compressionMethod === "zstd")
+    assert(cfg.maxBatchSize === 500)
+    assert(cfg.partitionCols === Seq("lang", "source"))
+    assert(cfg.streamProperties("t")("renamed") === Some("col1"))
+    assert(cfg.streamProperties("t")("col1") === None)
+  }
+
+  test("--config=ENV: terminal environment beats the .env file") {
+    val cfg = GraftConfig.fromEnv(
+      env = Map("TARGET_HDFS_HDFS_DESTINATION_PATH" -> "/terminal"),
+      dotEnv = Map(
+        "TARGET_HDFS_HDFS_DESTINATION_PATH" -> "/dotenv",
+        "TARGET_HDFS_COMPRESSION_METHOD" -> "snappy"))
+    assert(cfg.hdfsDestinationPath === "/terminal") // env wins on conflict
+    assert(cfg.compressionMethod === "snappy")      // .env fills the gap
+  }
+
+  test("--config=ENV: missing required setting still fails loudly") {
+    intercept[InvalidConfigException](
+      GraftConfig.fromEnv(Map("TARGET_HDFS_COMPRESSION_METHOD" -> "gzip")))
+  }
+
+  test(".env parsing: comments, export prefix, quotes, blank lines") {
+    val parsed = GraftConfig.parseDotEnv(
+      """# comment line
+        |TARGET_HDFS_HDFS_DESTINATION_PATH=/out
+        |
+        |export TARGET_HDFS_COMPRESSION_METHOD="snappy"
+        |TARGET_HDFS_HDFS_BLOCK_SIZE_LIMIT='128M'
+        |not a kv line
+        |TARGET_HDFS_EXTRA_FIELDS=a=1,b=2
+        |""".stripMargin)
+    assert(parsed === Map(
+      "TARGET_HDFS_HDFS_DESTINATION_PATH" -> "/out",
+      "TARGET_HDFS_COMPRESSION_METHOD" -> "snappy",
+      "TARGET_HDFS_HDFS_BLOCK_SIZE_LIMIT" -> "128M",
+      // value keeps its own '=' signs: split on the FIRST '=' only
+      "TARGET_HDFS_EXTRA_FIELDS" -> "a=1,b=2"))
   }
 
   test("--about exposes the config schema with hdfs properties") {

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.types._
-import graft.core.GraftConfig
+import graft.core.{GraftConfig, StreamMapSpec}
 import graft.loader.SingerLoader
 
 /** End-to-end loader tests over the FIXTURES.md Singer messages. */
@@ -72,14 +72,71 @@ class LoaderSpec extends AnyFunSuite {
     val out = tmpDir()
     SingerLoader.loadFile(spark, writeFixture(fixture),
       GraftConfig(hdfsDestinationPath = out,
-        streamMaps = Map("t" -> Map(
+        streamMaps = Map("t" -> StreamMapSpec.Properties(Map(
           "__filter__" -> Some("col1 > 1"),
           "doubled" -> Some("col1 * 2"),
-          "col2" -> None))))
+          "col2" -> None)))))
     val back = spark.read.parquet(s"$out/t")
     assert(back.columns.toSeq.sorted === Seq("col1", "col3", "doubled"))
     assert(back.count() === 2)
     assert(back.selectExpr("sum(doubled)").collect().head.getLong(0) === 10L)
+  }
+
+  test("stream-level maps: alias renames, __NULL__ suppresses, __else__ drops unmapped") {
+    // singer-sdk stream-level grammar: "old": "new" aliases a stream,
+    // "name": "__NULL__" drops it, "__else__": "__NULL__" drops every
+    // stream not otherwise mapped
+    val two = Seq(
+      """{"type": "SCHEMA", "stream": "keepme", "schema": {"type": "object", "properties": {"id": {"type": "integer"}}}, "key_properties": ["id"]}""",
+      """{"type": "SCHEMA", "stream": "dropme", "schema": {"type": "object", "properties": {"id": {"type": "integer"}}}, "key_properties": ["id"]}""",
+      """{"type": "RECORD", "stream": "keepme", "record": {"id": 1}}""",
+      """{"type": "RECORD", "stream": "dropme", "record": {"id": 2}}""")
+    // alias: records write under the NEW name, nothing under the old
+    val out1 = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(two),
+      GraftConfig(hdfsDestinationPath = out1,
+        streamMaps = Map("keepme" -> StreamMapSpec.Alias("renamed"))))
+    assert(spark.read.parquet(s"$out1/renamed").count() === 1)
+    assert(!new java.io.File(s"$out1/keepme").exists())
+    assert(spark.read.parquet(s"$out1/dropme").count() === 1) // unmapped passes
+    // suppression: the stream writes nothing at all
+    val out2 = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(two),
+      GraftConfig(hdfsDestinationPath = out2,
+        streamMaps = Map("dropme" -> StreamMapSpec.Suppress)))
+    assert(spark.read.parquet(s"$out2/keepme").count() === 1)
+    assert(!new java.io.File(s"$out2/dropme").exists())
+    // __else__: __NULL__ drops every unmapped stream, keeps the mapped one
+    val out3 = tmpDir()
+    SingerLoader.loadFile(spark, writeFixture(two),
+      GraftConfig(hdfsDestinationPath = out3,
+        streamMaps = Map(
+          "keepme" -> StreamMapSpec.Properties(Map("doubled" -> Some("id * 2"))),
+          GraftConfig.ElseKey -> StreamMapSpec.Suppress)))
+    assert(spark.read.parquet(s"$out3/keepme").columns.toSeq.sorted
+      === Seq("doubled", "id"))
+    assert(!new java.io.File(s"$out3/dropme").exists())
+    // config-JSON spellings parse to the same specs
+    val parsed = GraftConfig.fromJson(
+      """{"hdfs_destination_path": "/out", "stream_maps": {
+        |"a": "b", "c": "__NULL__", "d": null, "__else__": "__NULL__"}}""".stripMargin)
+    assert(parsed.streamMaps === Map(
+      "a" -> StreamMapSpec.Alias("b"),
+      "c" -> StreamMapSpec.Suppress,
+      "d" -> StreamMapSpec.Suppress,
+      "__else__" -> StreamMapSpec.Suppress))
+    assert(parsed.resolveStream("a") === Some("b"))
+    assert(parsed.resolveStream("c") === None)
+    assert(parsed.resolveStream("unmapped") === None)
+    // __alias__ inside a property map renames AND transforms
+    val withAlias = GraftConfig(hdfsDestinationPath = "/out",
+      streamMaps = Map("s" -> StreamMapSpec.Properties(
+        Map("__alias__" -> Some("t"), "x" -> None))))
+    assert(withAlias.resolveStream("s") === Some("t"))
+    assert(withAlias.streamProperties("s") === Map("x" -> None))
+    // __else__ only supports suppression
+    intercept[graft.core.InvalidConfigException](GraftConfig.fromJson(
+      """{"hdfs_destination_path": "/o", "stream_maps": {"__else__": "x"}}"""))
   }
 
   test("python-dialect stream maps match their SQL-dialect equivalents") {
@@ -90,7 +147,7 @@ class LoaderSpec extends AnyFunSuite {
       val out = tmpDir()
       SingerLoader.loadFile(spark, writeFixture(fixture),
         GraftConfig(hdfsDestinationPath = out,
-          streamMaps = Map("t" -> maps)))
+          streamMaps = Map("t" -> StreamMapSpec.Properties(maps))))
       spark.read.parquet(s"$out/t")
         .select("col1", "tagged", "flag").collect()
         .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
