@@ -57,17 +57,39 @@ object Bench {
     def materialize(name: String): Entry = {
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
+      var release = () => ()
       val secs =
         try {
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          // capture the storage backing the RESULT frame — checkpoint
+          // blocks (LogicalRDD) and output caches (InMemoryRelation) that
+          // the checkpoint-ownership contract (Graph/KMeans/Dedup scaladoc)
+          // hands to the caller to release
+          val ckptIds = df.queryExecution.analyzed.collect {
+            case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+          }
+          val caches = df.queryExecution.withCachedData.collect {
+            case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+          }
+          release = () => {
+            val ps = spark.sparkContext.getPersistentRDDs
+            ckptIds.foreach(id => ps.get(id).foreach(_.unpersist(blocking = true)))
+            caches.foreach(_.cacheBuilder.clearCache(true))
+          }
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
       val gcDelta = gcMillis() - gc0
-      val leaked = storageBytes()   // blocks the entry left pinned
+      // release the result FIRST (the bench is the owning caller), THEN
+      // measure: leaked_storage_bytes reports only blocks an operator
+      // pinned internally and failed to release — a true leak, not the
+      // documented result-ownership handoff (internal leaks don't appear
+      // in the result plan, so they still count)
+      release()
+      val leaked = storageBytes()
       dropAllCached()
       Entry(name, secs, gcDelta, leaked)
     }
@@ -161,6 +183,39 @@ object Bench {
       graft.operators.KMeans.assign(we, "vec_id", "embedding", k = 8,
           iters = 2)
         .unpersist()
+      // loader family (q34/q69): the Singer parse -> validate -> flatten ->
+      // parquet-write pipeline loads its own machinery (schema conversion,
+      // FAILFAST json parse, sink committer) on first touch — a 2-record
+      // roundtrip compiles it without billing whichever loader entry runs
+      // first in the alphabetical suite
+      locally {
+        val inDir = java.nio.file.Files.createTempDirectory("bench-warm-singer")
+        val outDir = java.nio.file.Files.createTempDirectory("bench-warm-out")
+        java.nio.file.Files.writeString(inDir.resolve("m.jsonl"),
+          """{"type": "SCHEMA", "stream": "w", "schema": {"type": "object", "properties": {"id": {"type": ["integer", "null"]}, "v": {"type": ["string", "null"]}}}}
+            |{"type": "RECORD", "stream": "w", "record": {"id": 1, "v": "a"}}
+            |{"type": "RECORD", "stream": "w", "record": {"id": 2, "v": "b"}}
+            |""".stripMargin)
+        graft.loader.SingerLoader.loadFile(spark, inDir.toString,
+          graft.core.GraftConfig(hdfsDestinationPath = outDir.toString,
+            compressionMethod = "snappy"))
+      }
+      // profile family (q59/q59b/q59c): the Expand-based exact multi-
+      // distinct, the HLL++ aggregate, and the Datasketches serialize/
+      // merge path each compile their own generated classes; the
+      // incremental path also pays first-touch parquet index IO machinery
+      locally {
+        val wo64 = spark.read.parquet(s"$sfDir/orders.parquet").limit(64)
+        val pcols = Seq("o_orderkey", "o_custkey")
+        graft.operators.Profile.summarize(wo64, pcols)
+          .write.format("noop").mode("overwrite").save()
+        graft.operators.Profile.summarize(wo64, pcols, exactDistinct = false)
+          .write.format("noop").mode("overwrite").save()
+        val pdir = java.nio.file.Files.createTempDirectory("bench-profidx")
+        graft.operators.Profile.sketchBatch(wo64, pcols, pdir.toString)
+        graft.operators.Profile.mergedProfile(spark, pdir.toString)
+          .write.format("noop").mode("overwrite").save()
+      }
       // stream-STREAM interval join family (q55): the symmetric-hash-join
       // state machinery (4 state stores per partition per batch) and its
       // generated classes share nothing with the stateful-aggregation

@@ -394,6 +394,11 @@ object Dedup {
       val changed = updated
         .join(labels.select(col("id"), col("cluster").as("old")), "id")
         .filter(col("cluster") =!= col("old")).count()
+      // the superseded round's checkpoint blocks are dead the moment
+      // `changed` is computed — release them now, or 50 rounds of label
+      // tables stay pinned for the life of the session (the storage bleed
+      // the bench's leaked_storage_bytes column caught)
+      releaseCheckpoint(labels)
       labels = updated
       converged = changed == 0
       rounds += 1
@@ -403,17 +408,33 @@ object Dedup {
       // silently mark several members of one true cluster as survivors
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds")
-    finalized(labels.unionByName(singletons), edges, connected, labels)
+    val out = finalized(labels.unionByName(singletons), edges, connected)
+    // the final round's checkpoint is consumed by the (now materialized)
+    // persisted result — release it too
+    releaseCheckpoint(labels)
+    out
   }
+
+  /** Release the storage behind a `localCheckpoint`ed frame (checkpoint
+    * blocks are plain persisted RDDs, invisible to `Dataset.unpersist`). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
 
   /** Fuzzy dedup end-to-end: MinHash-LSH near-dup pairs -> connected
     * components -> per-doc (cluster, is_kept). */
   def fuzzyDedup(docs: DataFrame, idCol: String, textCol: String,
       num: Int = 7, den: Int = 10): DataFrame = {
     val pairs = minhashNearDups(docs, idCol, textCol, num, den)
-    connectedComponents(docs.select(col(idCol).as("id")), pairs)
+    val out = connectedComponents(docs.select(col(idCol).as("id")), pairs)
       .select(col("id"), col("cluster"),
         (col("id") === col("cluster")).as("is_kept"))
+    // the pair table was this composition's intermediate, not its output:
+    // connectedComponents has already materialized its own persisted
+    // result, so the pairs cache is dead weight from here on
+    pairs.unpersist(false)
+    out
   }
 
   /** Scale-path SimHash: 64-bit fingerprints (shingle hashes re-scattered

@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   * is < 1 unit = `1/scale` of total mass — negligible for ranking at
   * `scale = 10^12`.
   *
-  * Requirements: every node must have at least one OUT-edge (build the edge
-  * list bidirectionally for undirected graphs); node ids non-negative and
-  * distinct across node classes (offset one side of a bipartite graph).
-  * Dangling-mass redistribution is deliberately omitted under that
-  * requirement.
+  * Requirements (default mode): every node must have at least one OUT-edge
+  * (build the edge list bidirectionally for undirected graphs); node ids
+  * non-negative and distinct across node classes (offset one side of a
+  * bipartite graph). Real web/link graphs violate the out-edge requirement
+  * constantly (sink pages) — `danglingMass = true` lifts it with the
+  * standard dangling-mass redistribution: sinks' rank is summed each round
+  * (one extra aggregate over a one-row frame) and every node receives an
+  * equal integer share, keeping the arithmetic exact.
   */
 object Graph {
 
@@ -64,7 +67,8 @@ object Graph {
       edgesDistinct: Boolean = false,
       broadcastDegrees: Boolean = true,
       prePartitioned: Boolean = false,
-      broadcastRank: Boolean = false): DataFrame = {
+      broadcastRank: Boolean = false,
+      danglingMass: Boolean = false): DataFrame = {
     // static frames are CACHED (lazy, reused every round); only the evolving
     // rank is checkpointed, and only every few rounds — an eager checkpoint
     // per round would serialize the loop into iters separate jobs
@@ -89,9 +93,20 @@ object Graph {
       if (prePartitioned || broadcastRank) deduped
       else deduped.repartition(col("src"))
     val e = withDegrees(part, broadcastDegrees).cache()
-    // every node has an out-edge (operator requirement), so the distinct
-    // sources ARE the node set — no need to union in the dst side
-    val nodes = e.select(col("src").as("id")).distinct().cache()
+    // default mode: every node has an out-edge (operator requirement), so
+    // the distinct sources ARE the node set. With dangling support the dst
+    // side is unioned in (sinks appear only as destinations), and the
+    // sinks themselves are the anti-join of the two — they feed the
+    // per-round mass redistribution.
+    val sources = e.select(col("src").as("id")).distinct()
+    val nodes =
+      (if (danglingMass)
+        sources.union(e.select(col("dst").as("id"))).distinct()
+      else sources).cache()
+    val dangling =
+      if (danglingMass)
+        Some(nodes.join(sources, Seq("id"), "left_anti").cache())
+      else None
 
     val n = nodes.count()
     require(n > 0, "pageRank on an empty graph")
@@ -114,7 +129,19 @@ object Graph {
     var rank = nodes.select(col("id"), lit(unit).as("rank"))
     for (i <- 0 until iters) {
       val contrib = contributions(e, hinted(rank))
-      rank = nodes.join(hinted(contrib), Seq("id"), "left")
+      // dangling redistribution: the sinks' total rank (ONE row — an
+      // aggregate, broadcast-crossed onto the update) is shared integrally
+      // by every node; `dm div n` floors exactly as the oracle's `//`
+      val base = nodes.join(hinted(contrib), Seq("id"), "left")
+      val withMass = dangling match {
+        case Some(d) =>
+          val dm = rank.join(d, Seq("id"))
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+          base.crossJoin(broadcast(dm))
+            .withColumn("m", coalesce(col("m"), lit(0L)) + expr(s"dm div $n"))
+        case None => base
+      }
+      rank = withMass
         .select(col("id"),
           (lit(teleport) +
             expr(s"$dampNum * coalesce(m, 0L) div $dampDen")).as("rank"))
@@ -123,9 +150,13 @@ object Graph {
       if ((i + 1) % 4 == 0 && i != iters - 1) rank = rank.localCheckpoint()
     }
     // one eager materialization hands back a dependency-free result, so the
-    // caches can be released immediately
+    // caches can be released immediately. OWNERSHIP: the returned frame is
+    // checkpoint-persisted; the caller owns its lifecycle and should
+    // `unpersist()` it when done (long-lived sessions invoking many
+    // operators would otherwise bleed executor storage one result at a
+    // time — the bench releases every entry's result under this contract)
     val result = rank.localCheckpoint()
-    e.unpersist(); nodes.unpersist()
+    e.unpersist(); nodes.unpersist(); dangling.foreach(_.unpersist())
     result
   }
 }

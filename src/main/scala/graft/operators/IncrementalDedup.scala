@@ -34,7 +34,11 @@ object IncrementalDedup {
 
   /** Dedup `batch` against the index at `indexDir` (and itself), then add
     * the batch to the index. Returns verified near-dup pairs
-    * `(id_a < id_b)` where at least one side is from `batch`. */
+    * `(id_a < id_b)` where at least one side is from `batch`.
+    *
+    * OWNERSHIP: the returned frame is checkpoint-persisted (the result
+    * must be frozen before the index append, see below); the caller owns
+    * its lifecycle and should `unpersist()` it when done. */
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, num: Int = 7, den: Int = 10): DataFrame = {
     val spark = batch.sparkSession

@@ -182,6 +182,47 @@ object ScaleOps {
       SELECT id AS node, rank AS rank_scaled FROM r3"""
     }),
 
+    // PageRank with dangling-mass redistribution: the DIRECTED
+    // part -> supplier graph (no mirroring), so every supplier node is a
+    // sink — the shape real link graphs have everywhere. Sinks' rank is
+    // summed each round and every node receives an equal integer share;
+    // the oracle unrolls the identical integer arithmetic.
+    Q("q70_pagerank_dangling", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val edges = li.select(col("l_partkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst")).distinct()
+      Graph.pageRank(edges, iters = 3, edgesDistinct = true,
+          broadcastRank = true, danglingMass = true)
+        .select(col("id").as("node"), col("rank").as("rank_scaled"))
+    }, Some {
+      val iterCtes = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS m
+           |  FROM e0 e JOIN r${i - 1} r ON e.src = r.id
+           |               JOIN deg d ON e.src = d.src
+           |  GROUP BY 1),
+           |d$i AS (SELECT CAST(coalesce(sum(r.rank), 0) AS BIGINT) AS dm
+           |  FROM r${i - 1} r LEFT JOIN deg d ON r.id = d.src
+           |  WHERE d.src IS NULL),
+           |r$i AS (SELECT n.id,
+           |    CAST(p.tp + (85 * (coalesce(c.m, 0) + dd.dm // p.n)) // 100
+           |         AS BIGINT) AS rank
+           |  FROM nodes n CROSS JOIN params p CROSS JOIN d$i dd
+           |  LEFT JOIN c$i c ON n.id = c.id)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH e0 AS (SELECT DISTINCT l_partkey AS src,
+                         l_suppkey + 10000000 AS dst FROM lineitem),
+      nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+      deg AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY 1),
+      params AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(1000000000000 // count(*) AS BIGINT) AS unit,
+                        CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT) AS tp
+                 FROM nodes),
+      r0 AS (SELECT id, unit AS rank FROM nodes CROSS JOIN params),
+      $iterCtes
+      SELECT id AS node, rank AS rank_scaled FROM r3"""
+    }),
+
     // exact-integer Lloyd k-means (k=8, 2 centroid updates + final assign):
     // vectors scaled to integer units once, distances are integer squared
     // L2, centroid means use floor division — bit-identical across engines
@@ -381,9 +422,17 @@ object ScaleOps {
       WHERE rank <= 3""")),
 
     // column profiling in one pass (single agg; distinct counts share one
-    // Expand) — the data-quality/drift gate of a production pipeline
+    // Expand) — the data-quality/drift gate of a production pipeline.
+    // EXACT path = the hash-exact oracle anchor, run on a deterministic
+    // 1-in-10 key subset: the Expand×4 replicates every input row once per
+    // profiled column, which is exactly the cost the HLL headline (q59b)
+    // exists to avoid — the anchor proves bit-exactness, the subset keeps
+    // its recurring suite cost off the scale-irrelevant path (round-5
+    // verdict: the full-table Expand was the suite's 4th-most-expensive
+    // entry for no scale reason)
     Q("q59_profile", (s, d) =>
-      graft.operators.Profile.summarize(t(s, d, "orders"),
+      graft.operators.Profile.summarize(
+        t(s, d, "orders").filter(col("o_orderkey") % 10 === 0),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
       Some {
         val per = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -392,7 +441,8 @@ object ScaleOps {
              |  count(*) - count($c) AS n_nulls,
              |  count(DISTINCT $c) AS n_distinct,
              |  CAST(min($c) AS VARCHAR) AS min_s,
-             |  CAST(max($c) AS VARCHAR) AS max_s FROM orders""".stripMargin
+             |  CAST(max($c) AS VARCHAR) AS max_s
+             |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
         }
         per.mkString("\n  UNION ALL ")
       }),

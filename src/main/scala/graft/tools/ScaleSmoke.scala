@@ -213,6 +213,24 @@ object ScaleSmoke {
           noop(Graph.pageRank(edgesOf(l1), 3, edgesDistinct = true))),
         time("pagerank_3iter 10x")(
           noop(Graph.pageRank(edgesOf(lg10), 3, edgesDistinct = true)))),
+      // dangling mode adds one 1-row aggregate + broadcast cross per round
+      // over the DIRECTED graph (suppliers are sinks) — the ratio must
+      // track the plain loop's, the extra work being rank-table-linear
+      ("pagerank_dangling", {
+        def directed(li: DataFrame) =
+          li.select(col("l_partkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + 100000000000L).as("dst"))
+            .distinct()
+        time("pagerank_dangling 1x")(noop(Graph.pageRank(directed(l1), 3,
+          edgesDistinct = true, danglingMass = true)))
+      }, {
+        def directed(li: DataFrame) =
+          li.select(col("l_partkey").cast("long").as("src"),
+            (col("l_suppkey").cast("long") + 100000000000L).as("dst"))
+            .distinct()
+        time("pagerank_dangling 10x")(noop(Graph.pageRank(directed(lg10), 3,
+          edgesDistinct = true, danglingMass = true)))
+      }),
       // same loop over a src-bucketed edge table: the scan itself delivers
       // the per-round partitioning, so even the first materialization pays
       // no edge shuffle (the bucketed-write cost is excluded — at scale

@@ -278,6 +278,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(ranks.values.sum - 1000000000000L) < 100L)
   }
 
+  test("pagerank dangling mass: sink rank redistributes, arithmetic exact") {
+    import spark.implicits._
+    // 1 -> 2 with 2 a sink. Hand-computed round (scale 1e12, N=2):
+    //   unit = 5e11, tp = (15 * 5e11) // 100 = 75e9
+    //   r1(1) = tp + 85*(0        + dm//2) // 100   with dm = r0(2) = unit
+    //   r1(2) = tp + 85*(r0(1)//1 + dm//2) // 100
+    val sink = Seq((1L, 2L)).toDF("src", "dst")
+    val one = Graph.pageRank(sink, 1, edgesDistinct = true,
+        danglingMass = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unit = 1000000000000L / 2
+    val tp = (100L - 85L) * unit / 100L
+    assert(one(1L) === tp + 85L * (unit / 2) / 100L)
+    assert(one(2L) === tp + 85L * (unit + unit / 2) / 100L)
+    // without the flag this graph is out of contract (node 2 has no
+    // out-edge and silently vanishes from the node set)
+    val without = Graph.pageRank(sink, 1, edgesDistinct = true)
+      .select("id").as[Long].collect().toSet
+    assert(without === Set(1L))
+    // partitioning invariance (the integer-exactness property)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val edges = li.select(col("l_partkey").cast("long").as("src"),
+      (col("l_suppkey").cast("long") + 10000000L).as("dst")).distinct()
+    val a = Graph.pageRank(edges, 2, edgesDistinct = true,
+        danglingMass = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(edges.repartition(7), 2, edgesDistinct = true,
+        broadcastRank = true, danglingMass = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // sinks hold real rank: suppliers (only ever destinations) must all
+    // out-rank the teleport floor
+    val tpFloor = (100L - 85L) * (1000000000000L / a.size) / 100L
+    assert(a.filter(_._1 >= 10000000L).values.forall(_ > tpFloor))
+  }
+
   test("bucketed edges: per-round pagerank plan has no exchange above the edge scan") {
     // the Graph doc claims a src-bucketed edge table eliminates the edge
     // shuffle entirely (not just amortizes it behind a cache) — prove it on
