@@ -415,12 +415,7 @@ object Dedup {
     out
   }
 
-  /** Release the storage behind a `localCheckpoint`ed frame (checkpoint
-    * blocks are plain persisted RDDs, invisible to `Dataset.unpersist`). */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(false))
+  private def releaseCheckpoint(df: DataFrame): Unit = Checkpoints.release(df)
 
   /** Fuzzy dedup end-to-end: MinHash-LSH near-dup pairs -> connected
     * components -> per-doc (cluster, is_kept). */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HashExprs
 
@@ -134,6 +135,80 @@ object TextAnalysis {
     * not exactly. Scale shape: one count aggregate over the corpus, a
     * broadcast threshold table, one filtered scan — no shuffle of the
     * corpus itself. */
+  /** Training-batch sequence packing: assign each doc to a fixed
+    * token-budget bin, greedily in `idCol` order WITHIN each shard
+    * (`shardCol`). Emits `(shard, id, n_tokens, bin, bin_offset)` where
+    * `bin = tokens_before div budget` — the deterministic contract every
+    * packer needs (same inputs → same bins on any cluster), and docs may
+    * straddle a boundary exactly as contiguous-concatenation packing does.
+    *
+    * Scale shape: ONE window aggregate partitioned by shard — a global
+    * running sum would serialize the corpus through one task, so packing
+    * is per-shard by construction (which is also the practice: training
+    * shards are packed independently). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      shardCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    docs.select(col(shardCol), col(idCol), tokenCount(textCol).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(shardCol), col(idCol), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budgetTokens").as("bin"),
+        expr(s"(cum - n_tokens) % $budgetTokens").as("bin_offset"))
+  }
+
+  /** Per-shard quality-band filter: keep docs whose quality rank within
+    * their shard lies in the `[loX1e4, hiX1e4]` percentile band (×10^4) —
+    * the "trim the junk tail AND the suspiciously-perfect head per domain"
+    * curation step. The percentile test is pure integer arithmetic
+    * (`(rank-1)·10^4` vs `bound·(n-1)`), with ranks made unique by an
+    * `idCol` tiebreak, so membership is engine-exact — no float
+    * percent_rank comparison at the band edges. One window per shard, no
+    * global ordering. */
+  def qualityBand(docs: DataFrame, idCol: String, textCol: String,
+      shardCol: String, loX1e4: Int, hiX1e4: Int): DataFrame = {
+    require(0 <= loX1e4 && loX1e4 <= hiX1e4 && hiX1e4 <= 10000,
+      "need 0 <= lo <= hi <= 10000")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col("q"), col(idCol))
+    docs.select(col(shardCol), col(idCol), qualityScoreX1e4(textCol).as("q"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(shardCol))))
+      .filter((col("r") - 1) * 10000 >= lit(loX1e4) * (col("n") - 1) &&
+        (col("r") - 1) * 10000 <= lit(hiX1e4) * (col("n") - 1))
+      .select(col(shardCol), col(idCol), col("q"))
+  }
+
+  /** Vocabulary-floor scrub: drop every token whose corpus DOCUMENT
+    * frequency is below `minDf` and reassemble the survivors in their
+    * original order (rare-token cleanup — misspellings, binary junk, and
+    * exotica that bloat a tokenizer's long tail). Docs reduced to nothing
+    * come back as empty strings, not dropped rows.
+    *
+    * Scale shape: token explode → one distinct + count aggregate (the
+    * vocabulary, shuffled on token), an equi-join of tokens to the kept
+    * vocabulary, and one per-doc reassembly aggregate (`array_sort` on
+    * (pos, token) structs restores order without a sort exchange). No
+    * all-pairs anything; every stage is key-partitioned. */
+  def scrubRareTokens(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Int): DataFrame = {
+    require(minDf >= 1, "minDf must be >= 1")
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val vocab = toks.select(col("w"), col("id")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("w"))
+    val re = toks.join(vocab, Seq("w"))
+      .groupBy(col("id"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(pos, w))), p -> p.w)"),
+        " ").as("scrubbed_text"))
+    docs.select(col(idCol).as("id"))
+      .join(re, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+  }
+
   def mixtureSample(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, weights: Map[String, Long],
       hashSpace: Long = 1000000L): DataFrame = {

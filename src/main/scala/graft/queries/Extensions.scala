@@ -365,6 +365,66 @@ object Extensions {
         |    ELSE 0 END AS rep_x1e4
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin)),
 
+    // training-batch sequence packing: greedy per-shard token-budget bins
+    // (deterministic by doc_id order within source) — ONE window aggregate
+    // per shard, never a global running sum
+    Q("text_pack", (s, d) =>
+      TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text",
+        "source", budgetTokens = 512),
+      Some("""
+        |WITH c AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT source, doc_id, n_tokens,
+        |  (cum - n_tokens) // 512 AS bin,
+        |  (cum - n_tokens) % 512 AS bin_offset
+        |FROM c""".stripMargin)),
+
+    // per-shard quality band: drop each source's junk tail AND its
+    // suspiciously-perfect head; band membership is integer rank
+    // arithmetic, so the cut is engine-exact at the edges
+    Q("text_quality_band", (s, d) =>
+      TextAnalysis.qualityBand(t(s, d, "documents"), "doc_id", "text",
+        "source", loX1e4 = 1000, hiX1e4 = 9000),
+      Some("""
+        |WITH q AS (SELECT source, doc_id, (
+        |    (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 10000
+        |          WHEN length(text) < 100 THEN length(text) * 100
+        |          ELSE 2000 END) * 4
+        |    + (len(list_filter(string_split(text, ' '),
+        |         t -> t IN ('the', 'a', 'of', 'and'))) * 30000)
+        |        // len(string_split(text, ' '))
+        |    + ((length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) * 30000)
+        |        // length(text)
+        |  ) // 10 AS q FROM documents),
+        |r AS (SELECT source, doc_id, q,
+        |    row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM q)
+        |SELECT source, doc_id, q FROM r
+        |WHERE (r - 1) * 10000 >= 1000 * (n - 1)
+        |  AND (r - 1) * 10000 <= 9000 * (n - 1)""".stripMargin)),
+
+    // vocabulary-floor scrub: tokens below corpus document-frequency 3 are
+    // dropped and docs reassembled in order (empty string, not a dropped
+    // row, when nothing survives)
+    Q("text_scrub_rare", (s, d) =>
+      TextAnalysis.scrubRareTokens(t(s, d, "documents"), "doc_id", "text",
+        minDf = 3),
+      Some("""
+        |WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM dd),
+        |toks AS (SELECT doc_id, pos, ws[pos] AS w FROM t),
+        |vocab AS (SELECT w FROM (
+        |    SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+        |  WHERE df >= 3),
+        |re AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS scrubbed_text
+        |       FROM toks JOIN vocab USING (w) GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(re.scrubbed_text, '') AS scrubbed_text
+        |FROM documents d2 LEFT JOIN re USING (doc_id)""".stripMargin)),
+
     // corpus-wide n-gram frequency: explode word 3-grams, count, top-20
     Q("text_ngram_counts", (s, d) =>
       t(s, d, "documents")
