@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HashExprs._
 import graft.functions.HashNative
@@ -170,6 +171,66 @@ object Dedup {
           .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
           .select(col("id_a"), col("id_b")), sh)
     }
+  }
+
+  /** Containment near-dup pairs: `|sh_a ∩ sh_b| · den >= min(|sh_a|,
+    * |sh_b|) · num` — the asymmetric overlap Jaccard cannot see. A short
+    * doc fully quoted inside a long one has tiny Jaccard (union is the
+    * long doc) but containment ≈ 1; this is the quote/subset-duplication
+    * detector of a curation pipeline. Same inverted-index kernel and cost
+    * shape as [[ngramNearDups]]' exact path (one postings shuffle,
+    * Σ C(df,2) streamed pairs, co-occurrence count IS the intersection) —
+    * only the final integer inequality differs. Emits
+    * `(id_a, id_b, shared_shingles)`, `id_a < id_b`. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      num: Int = 8, den: Int = 10): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    require(integralType(idType),
+      s"containmentPairs requires an integral id column, got $idType")
+    val sh = materialized(shingleTable(docs, idCol, textCol))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("id").cast("long").as("id"), explode(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+    val inter = postingsPairs(ex).groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"), col("inter"))
+    finalized(inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("inter") * den >= least(col("na"), col("nb")) * num)
+      .select(col("id_a"), col("id_b"), col("inter").as("shared_shingles")),
+      sh)
+  }
+
+  /** Per-doc contamination attribution: for each corpus doc overlapping
+    * the eval set at `minShared`+, WHICH eval doc it shares the most
+    * distinct shingles with (ties resolve to the lowest eval id). The
+    * actionable companion to [[decontaminate]]'s boolean gate — an audit
+    * needs to see the matched benchmark item, not just a flag.
+    *
+    * Scale shape: eval shingles broadcast (benchmarks are small by
+    * definition); per-(doc, eval) counts come from one aggregate over the
+    * semi-joined explode, and the argmax is a window over each doc's
+    * bounded hit list — no corpus-corpus pairing anywhere. Emits
+    * `(<idCol>, top_eval_id, shared_shingles)`, contaminated docs only. */
+  def decontaminateReport(corpus: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, minShared: Int = 3): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val evSh = broadcast(shingleTable(evalDocs, idCol, textCol)
+      .select(col("id").as("eval_id"), explode(col("sh")).as("s"))
+      .filter(col("s").isNotNull).distinct())
+    val cs = shingleTable(corpus, idCol, textCol)
+      .select(col("id"), explode(col("sh")).as("s"))
+      .filter(col("s").isNotNull).distinct()
+    val perPair = cs.join(evSh, "s")
+      .groupBy(col("id"), col("eval_id")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("shared").desc, col("eval_id").asc)
+    perPair.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id").as(idCol), col("eval_id").as("top_eval_id"),
+        col("shared").as("shared_shingles"))
   }
 
   /** Benchmark decontamination: per corpus doc, the count of distinct

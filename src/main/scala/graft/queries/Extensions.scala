@@ -77,6 +77,43 @@ object Extensions {
         |WHERE len(list_intersect(a.sh, b.sh)) * 10
         |      >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 7""".stripMargin)),
 
+    // containment near-dups: asymmetric overlap (inter vs the SMALLER
+    // shingle set) — catches a short doc quoted inside a long one, which
+    // Jaccard dilutes away. Same postings kernel as dedup_ngram.
+    Q("dedup_containment", (s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text", 8, 10),
+      Some(s"""$docsSql
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS shared_shingles
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 10
+        |      >= least(len(a.sh), len(b.sh)) * 8""".stripMargin)),
+
+    // contamination attribution: the eval item each contaminated doc
+    // overlaps MOST (ties -> lowest eval id) — the audit view behind
+    // text_decontaminate's boolean gate
+    Q("text_decontaminate_top", (s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminateReport(docs, docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", minShared = 3)
+    },
+      Some(s"""$docsSql,
+        |ev AS (SELECT DISTINCT doc_id AS eval_id, s FROM
+        |         (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id % 50 = 0)
+        |       WHERE s IS NOT NULL),
+        |cs AS (SELECT DISTINCT doc_id, s FROM
+        |         (SELECT doc_id, unnest(sh) AS s FROM sh)
+        |       WHERE s IS NOT NULL),
+        |pp AS (SELECT cs.doc_id, ev.eval_id, count(*) AS shared
+        |       FROM cs JOIN ev USING (s) GROUP BY 1, 2
+        |       HAVING count(*) >= 3),
+        |r AS (SELECT doc_id, eval_id, shared,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY shared DESC, eval_id) AS rn
+        |      FROM pp)
+        |SELECT doc_id, eval_id AS top_eval_id, shared AS shared_shingles
+        |FROM r WHERE rn = 1""".stripMargin)),
+
     // benchmark decontamination: per doc, distinct shingles shared with an
     // eval set (every 50th doc stands in for the benchmark) — the
     // train-on-test gate. Eval shingle set broadcasts; corpus side is one

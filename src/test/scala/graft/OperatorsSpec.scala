@@ -12,6 +12,24 @@ class OperatorsSpec extends AnyFunSuite {
   def docs = spark.read.parquet(s"$sf/documents.parquet")
   def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("containment catches subset duplication jaccard misses") {
+    import spark.implicits._
+    // doc 1 is quoted verbatim at the head of the much longer doc 2:
+    // every doc-1 shingle appears in doc 2, so containment is 1.0, while
+    // Jaccard is diluted by doc 2's size to well under 0.7
+    val pair = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z " +
+        "n1 n2 n3 n4 n5 n6 n7 n8")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(pair, "doc_id", "text", 8, 10)
+    assert(cont.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    cont.unpersist()
+    val jac = Dedup.ngramNearDups(pair, "doc_id", "text", 7, 10)
+    assert(jac.count() === 0)
+    jac.unpersist()
+  }
+
   test("as-of join picks latest right row at-or-before left ts") {
     import spark.implicits._
     val left = Seq((1L, 10L), (2L, 5L), (3L, 20L)).toDF("id", "ts")
