@@ -257,6 +257,50 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"expected a hash aggregate in the assignment:\n$plan")
   }
 
+  // ---- curation operators: structural invariants -----------------------
+  test("packSequences/qualityBand/scrubRareTokens invariants on testdata") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // packing: offsets stay inside the budget; per shard, bins start at 0
+    // and are nondecreasing in id order; token mass is conserved
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text",
+      "source", 512).collect()
+    assert(packed.forall(r => r.getLong(4) >= 0 && r.getLong(4) < 512))
+    packed.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byId = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(byId.head === 0L)
+      assert(byId.zip(byId.tail).forall { case (a, b) => a <= b })
+    }
+    val totalTokens = docs.selectExpr("sum(size(split(text, ' ')))")
+      .collect().head.getLong(0)
+    assert(packed.map(_.getLong(2)).sum === totalTokens)
+    // band: per shard, kept count is within 1 of the band fraction
+    val band = TextAnalysis.qualityBand(docs, "doc_id", "text", "source",
+      1000, 9000).collect().groupBy(_.getString(0)).view.mapValues(_.length)
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    band.foreach { case (src, kept) =>
+      val n = perSource(src)
+      val expected = (BigInt(9000) * (n - 1) / 10000
+        - (BigInt(1000) * (n - 1) + 9999) / 10000 + 1).toLong
+      assert(math.abs(kept - expected) <= 1, s"$src kept=$kept n=$n")
+    }
+    // scrub: every surviving token's document frequency meets the floor,
+    // and no doc row is dropped
+    val scrubbed = TextAnalysis.scrubRareTokens(docs, "doc_id", "text", 3)
+    assert(scrubbed.count() === docs.count())
+    val survivors = scrubbed
+      .selectExpr("explode(filter(split(scrubbed_text, ' '), w -> w <> '')) AS w",
+        "doc_id")
+      .distinct()
+      .groupBy("w").count()
+    val orig = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+      .distinct().groupBy("w").count()
+      .withColumnsRenamed(Map("count" -> "df"))
+    val bad = survivors.join(orig, "w").filter(col("df") < 3).count()
+    assert(bad === 0)
+  }
+
   // ---- PageRank --------------------------------------------------------
   test("integer pagerank: 2-cycle stays uniform, star concentrates rank") {
     import spark.implicits._
