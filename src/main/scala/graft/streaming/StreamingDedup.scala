@@ -49,12 +49,30 @@ object StreamingDedup {
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String,
-      lateness: String, bound: String): DataFrame =
+      lateness: String, bound: String,
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, lateness)
       .join(right.withWatermark(rightTs, lateness),
         col(leftKey) === col(rightKey) &&
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $bound") &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"))
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $bound"),
+        joinType)
+
+  /** Watermarked stream-stream LEFT OUTER interval join: inner matches
+    * emit as they pair; an unmatched left row emits with nulled right
+    * columns once the watermark proves no matching right row can still
+    * arrive (`leftTs + bound` passes the right watermark). Same bounded
+    * state as the inner form — the outer semantics change only WHEN an
+    * unmatched row is released, never how much state is held. The
+    * unmatched-side capability every pipeline join audit needs ("which
+    * events never found a partner"); full replay equals the batch left
+    * join (q71 parity oracle). */
+  def intervalJoinLeft(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      lateness: String, bound: String): DataFrame =
+    intervalJoin(left, right, leftKey, rightKey, leftTs, rightTs,
+      lateness, bound, joinType = "left_outer")
 
   /** Custom-state surface (`mapGroupsWithState`): running per-key event
     * counts across micro-batches. The state is one long per key — the

@@ -253,4 +253,37 @@ class StreamingSpec extends AnyFunSuite {
     // (2,12) 20 min — out; (3,*) user 8 never matches user 9
     assert(pairs === Set((1L, 11L)))
   }
+
+  test("left-outer interval join releases unmatched rows only past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val memA = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val memB = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val a = memA.toDF().toDF("a_id", "a_user", "a_ts")
+    val b = memB.toDF().toDF("b_id", "b_user", "b_ts")
+    val joined = graft.streaming.StreamingDedup.intervalJoinLeft(
+      a, b, "a_user", "b_user", "a_ts", "b_ts",
+      lateness = "10 minutes", bound = "10 minutes")
+    val q = joined.select("a_id", "b_id")
+      .writeStream.format("memory").queryName("sjl_out")
+      .outputMode(OutputMode.Append()).start()
+    def ts(h: Int, min: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 0$h:$min%02d:00")
+    // a=1 matches; a=2 (user 8) never matches and its window closes well
+    // before the final watermark; a=3 arrives near the stream end, so its
+    // window is still open when the replay finishes — must stay withheld
+    memA.addData((1L, 7L, ts(0, 10)), (2L, 8L, ts(0, 10)))
+    memB.addData((11L, 7L, ts(0, 15)))
+    q.processAllAvailable()
+    // advance both watermarks far past a=1/a=2's windows
+    memA.addData((3L, 9L, ts(3, 0)))
+    memB.addData((12L, 7L, ts(3, 0)))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT a_id, b_id FROM sjl_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    q.stop()
+    // matched pair emitted; a=2 emitted null-joined after eviction;
+    // a=3's window still open at shutdown -> NOT emitted
+    assert(out === Set((1L, 11L), (2L, -1L)))
+  }
 }
