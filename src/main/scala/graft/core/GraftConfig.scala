@@ -181,7 +181,12 @@ object GraftConfig {
               val cols = m.fieldNames()
               while (cols.hasNext) {
                 val c = cols.next()
-                inner(c) = if (m.get(c).isNull) None else Some(m.get(c).asText())
+                val v = m.get(c)
+                // singer-sdk accepts BOTH spellings of property removal:
+                // null and the "__NULL__" sentinel string
+                inner(c) =
+                  if (v.isNull || (v.isTextual && v.asText() == NullStream)) None
+                  else Some(v.asText())
               }
               StreamMapSpec.Properties(inner.toMap)
             } else throw new InvalidConfigException(

@@ -342,18 +342,34 @@ object SimpleEvalShim {
       true
     } catch { case _: Exception => false }
 
+  /** A `+` with a string-literal operand: Python concatenation. The same
+    * text parses as Spark SQL too — as numeric addition over a cast
+    * string, which silently yields NULL — so inside the ambiguous
+    * `==`-present zone this marker must outrank parseability or a
+    * simpleeval filter like `name + '!' == 'x!'` drops every row. */
+  private def plusStringLiteral(expr: String): Boolean = {
+    val toks = try lex(expr) catch { case _: Exception => return false }
+    toks.sliding(2).exists {
+      case Seq(Str(_), Op("+")) | Seq(Op("+"), Str(_)) => true
+      case _ => false
+    }
+  }
+
   /** Translate iff the expression is Python-dialect, else pass through.
     *
     * `==` appears in both dialects (Spark SQL accepts it as equality), so
     * it cannot gate translation by itself: translating a valid SQL
     * expression would break lowercase `is`/`in`, `case … else … end`,
-    * `\|\|` concat, and `+` chains with string literals. An expression
-    * whose only Python-ish hint is `==` is therefore tried as Spark SQL
-    * first and passed through when it parses; translation only fires when
-    * SQL parsing fails (i.e. the expression cannot be the SQL dialect). */
+    * `\|\|` concat. An expression whose only Python-ish hint is `==` is
+    * resolved in two steps: a `+` adjacent to a string literal is Python
+    * concatenation and translates (SQL would null it out, see
+    * [[plusStringLiteral]]); otherwise the original is tried as Spark SQL
+    * and passes through when it parses, translating only when SQL parsing
+    * fails (i.e. the expression cannot be the SQL dialect). */
   def maybeTranslate(expr: String, stringCols: Set[String] = Set.empty): String =
     if (looksLikePython(expr)) translate(expr, stringCols)
-    else if (expr.contains("==") && !parsesAsSparkSql(expr))
+    else if (expr.contains("==") &&
+        (plusStringLiteral(expr) || !parsesAsSparkSql(expr)))
       translate(expr, stringCols)
     else expr
 }

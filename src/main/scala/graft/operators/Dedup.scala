@@ -161,16 +161,25 @@ object Dedup {
           .select(col("id_a"), col("id_b")), sh)
       case None =>
         // exact-count path: co-occurrence count IS the intersection size
-        val inter = postingsPairs(ex).groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("inter"))
-          .select(col("id_a").cast(idType).as("id_a"),
-            col("id_b").cast(idType).as("id_b"), col("inter"))
-        finalized(inter
-          .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-          .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+        finalized(exactPairScores(ex, sizes, idType)
           .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
           .select(col("id_a"), col("id_b")), sh)
     }
+  }
+
+  /** Shared exact-overlap kernel: postings co-occurrence counts joined to
+    * both docs' shingle-set sizes — `(id_a, id_b, inter, na, nb)`,
+    * `id_a < id_b`. [[ngramNearDups]] filters it on the Jaccard
+    * inequality, [[containmentPairs]] on the containment one. */
+  private def exactPairScores(ex: DataFrame, sizes: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val inter = postingsPairs(ex).groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"), col("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
   }
 
   /** Containment near-dup pairs: `|sh_a ∩ sh_b| · den >= min(|sh_a|,
@@ -191,13 +200,7 @@ object Dedup {
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val ex = sh.select(col("id").cast("long").as("id"), explode(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-    val inter = postingsPairs(ex).groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-      .select(col("id_a").cast(idType).as("id_a"),
-        col("id_b").cast(idType).as("id_b"), col("inter"))
-    finalized(inter
-      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+    finalized(exactPairScores(ex, sizes, idType)
       .filter(col("inter") * den >= least(col("na"), col("nb")) * num)
       .select(col("id_a"), col("id_b"), col("inter").as("shared_shingles")),
       sh)

@@ -154,26 +154,37 @@ object Graph {
             expr(s"$dampNum * coalesce(m, 0L) div $dampDen")).as("rank"))
       // truncate lineage before the plan tree grows superlinear (driver
       // planning time, not data volume, kills long iterative loops); in
-      // dangling mode every round checkpoints (double-use, see above)
-      if (danglingMass) {
+      // dangling mode every round checkpoints (double-use, see above).
+      // Superseded checkpoints are released as soon as the next one
+      // materializes (eager) — a long loop must not pin one rank-table
+      // copy per checkpoint for the session's life.
+      val checkpointNow =
+        danglingMass || ((i + 1) % 4 == 0 && i != iters - 1)
+      if (checkpointNow) {
         rank = rank.localCheckpoint()
         prevCkpt.foreach(Checkpoints.release)
         prevCkpt = Some(rank)
-      } else if ((i + 1) % 4 == 0 && i != iters - 1)
-        rank = rank.localCheckpoint()
+      }
     }
     // one eager materialization hands back a dependency-free result, so the
     // caches can be released immediately. OWNERSHIP: the returned frame is
     // checkpoint-persisted; the caller owns its lifecycle and should
-    // `unpersist()` it when done (long-lived sessions invoking many
-    // operators would otherwise bleed executor storage one result at a
-    // time — the bench releases every entry's result under this contract)
-    // in dangling mode the loop's last round already checkpointed `rank`
-    // — that checkpoint IS the result handed to the caller (ownership
-    // contract above); a second copy would just double the blocks
+    // release it with `Checkpoints.release(result)` when done — NOT
+    // `unpersist()`, which cannot see checkpoint blocks (long-lived
+    // sessions invoking many operators would otherwise bleed executor
+    // storage one result at a time; the bench releases every entry's
+    // result under this contract)
+    // when the loop's last round already checkpointed `rank`, that
+    // checkpoint IS the result handed to the caller (ownership contract
+    // above); otherwise materialize once, then release any superseded
+    // intermediate checkpoint the loop still holds
     val result =
-      if (danglingMass && prevCkpt.isDefined) rank
-      else rank.localCheckpoint()
+      if (prevCkpt.exists(_ eq rank)) rank
+      else {
+        val r = rank.localCheckpoint()
+        prevCkpt.foreach(Checkpoints.release)
+        r
+      }
     e.unpersist(); nodes.unpersist(); dangling.foreach(_.unpersist())
     result
   }

@@ -38,7 +38,8 @@ object IncrementalDedup {
     *
     * OWNERSHIP: the returned frame is checkpoint-persisted (the result
     * must be frozen before the index append, see below); the caller owns
-    * its lifecycle and should `unpersist()` it when done. */
+    * its lifecycle and releases it with [[Checkpoints.release]] when done
+    * (`unpersist()` cannot see checkpoint blocks). */
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, num: Int = 7, den: Int = 10): DataFrame = {
     val spark = batch.sparkSession

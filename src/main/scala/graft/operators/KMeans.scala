@@ -123,8 +123,9 @@ object KMeans {
     * cluster in 0..k-1 (centroid rank order).
     *
     * The returned frame is `localCheckpoint`ed and therefore PERSISTED:
-    * callers own its lifecycle and should `unpersist()` it when done (see
-    * the checkpoint-ownership contract in [[graft.operators.Graph]]). */
+    * callers own its lifecycle and release it with
+    * [[Checkpoints.release]] when done (`unpersist()` cannot see
+    * checkpoint blocks — see the ownership contract on [[Checkpoints]]). */
   def assign(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, scale: Long = 1000000L): DataFrame = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
@@ -137,6 +138,7 @@ object KMeans {
 
     val p = packing(scaled, k)
     var centroids = seedCentroids(scaled, k)
+    var prevCkpt: Option[DataFrame] = None
 
     for (i <- 0 until iters) {
       // centroid recompute needs each row's xs next to its assigned cid:
@@ -159,13 +161,20 @@ object KMeans {
       // truncate lineage every couple of rounds: each level nests a
       // crossJoin + two aggregations, and unchecked nesting blows up driver
       // planning time (the centroid frame is k rows — the checkpoint is
-      // cheap)
-      if ((i + 1) % 2 == 0 && i != iters - 1)
+      // cheap); the superseded checkpoint is released once the next one
+      // materializes so long loops don't pin dead centroid copies
+      if ((i + 1) % 2 == 0 && i != iters - 1) {
         centroids = centroids.localCheckpoint()
+        prevCkpt.foreach(Checkpoints.release)
+        prevCkpt = Some(centroids)
+      }
     }
     val result = assignIds(scaled, centroids, p)
       .select(col("id"), col("cid").as("cluster"))
       .localCheckpoint()
+    // the result checkpoint is materialized — the last intermediate
+    // centroid checkpoint (if any) is now dead
+    prevCkpt.foreach(Checkpoints.release)
     scaled.unpersist()
     result
   }

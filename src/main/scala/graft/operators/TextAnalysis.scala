@@ -115,26 +115,6 @@ object TextAnalysis {
         col("c.n_chunk_tokens"))
   }
 
-  /** Deterministic mixture resampling: downsample each source so the
-    * sampled corpus approximates integer target `weights` (the data-mix
-    * step of training-set assembly — "N parts web to M parts code").
-    *
-    * The largest feasible total is `T = min over s of (n_s * W div w_s)`
-    * (the minority-vs-target source caps the mix; W = sum of weights), and
-    * each source keeps `T * w_s div W` docs via content-hash acceptance —
-    * membership is a pure function of text, so the same mix reproduces on
-    * any cluster, partitioning, or run, and re-running after an append
-    * KEEPS previously selected docs (monotone w.r.t. corpus growth at
-    * fixed thresholds). Sources absent from `weights` are excluded; a
-    * WEIGHTED source absent from the corpus makes the mix infeasible
-    * (n_s = 0 caps T at 0) and the sample is empty.
-    *
-    * All integer arithmetic (mirrored exactly by the DuckDB oracle):
-    * acceptance is `hash(text) mod hashSpace < (keep_s * hashSpace) div
-    * n_s`, so realized counts track targets within hash-uniformity noise,
-    * not exactly. Scale shape: one count aggregate over the corpus, a
-    * broadcast threshold table, one filtered scan — no shuffle of the
-    * corpus itself. */
   /** Training-batch sequence packing: assign each doc to a fixed
     * token-budget bin, greedily in `idCol` order WITHIN each shard
     * (`shardCol`). Emits `(shard, id, n_tokens, bin, bin_offset)` where
@@ -209,6 +189,26 @@ object TextAnalysis {
         coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
   }
 
+  /** Deterministic mixture resampling: downsample each source so the
+    * sampled corpus approximates integer target `weights` (the data-mix
+    * step of training-set assembly — "N parts web to M parts code").
+    *
+    * The largest feasible total is `T = min over s of (n_s * W div w_s)`
+    * (the minority-vs-target source caps the mix; W = sum of weights), and
+    * each source keeps `T * w_s div W` docs via content-hash acceptance —
+    * membership is a pure function of text, so the same mix reproduces on
+    * any cluster, partitioning, or run, and re-running after an append
+    * KEEPS previously selected docs (monotone w.r.t. corpus growth at
+    * fixed thresholds). Sources absent from `weights` are excluded; a
+    * WEIGHTED source absent from the corpus makes the mix infeasible
+    * (n_s = 0 caps T at 0) and the sample is empty.
+    *
+    * All integer arithmetic (mirrored exactly by the DuckDB oracle):
+    * acceptance is `hash(text) mod hashSpace < (keep_s * hashSpace) div
+    * n_s`, so realized counts track targets within hash-uniformity noise,
+    * not exactly. Scale shape: one count aggregate over the corpus, a
+    * broadcast threshold table, one filtered scan — no shuffle of the
+    * corpus itself. */
   def mixtureSample(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, weights: Map[String, Long],
       hashSpace: Long = 1000000L): DataFrame = {

@@ -141,6 +141,12 @@ object ScaleSmoke {
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
     }
+    // DIRECTED variant (no mirroring): suppliers never appear as sources,
+    // so they are sinks — the dangling-mass smoke's input
+    def directedEdgesOf(li: DataFrame): DataFrame =
+      li.select(col("l_partkey").cast("long").as("src"),
+        (col("l_suppkey").cast("long") + 100000000000L).as("dst"))
+        .distinct()
 
     // ---- compaction admission: cost per flush must stay O(1) as the
     // stream dir accumulates files (admission reads ONE file's status and
@@ -216,21 +222,11 @@ object ScaleSmoke {
       // dangling mode adds one 1-row aggregate + broadcast cross per round
       // over the DIRECTED graph (suppliers are sinks) — the ratio must
       // track the plain loop's, the extra work being rank-table-linear
-      ("pagerank_dangling", {
-        def directed(li: DataFrame) =
-          li.select(col("l_partkey").cast("long").as("src"),
-            (col("l_suppkey").cast("long") + 100000000000L).as("dst"))
-            .distinct()
-        time("pagerank_dangling 1x")(noop(Graph.pageRank(directed(l1), 3,
-          edgesDistinct = true, danglingMass = true)))
-      }, {
-        def directed(li: DataFrame) =
-          li.select(col("l_partkey").cast("long").as("src"),
-            (col("l_suppkey").cast("long") + 100000000000L).as("dst"))
-            .distinct()
-        time("pagerank_dangling 10x")(noop(Graph.pageRank(directed(lg10), 3,
-          edgesDistinct = true, danglingMass = true)))
-      }),
+      ("pagerank_dangling",
+        time("pagerank_dangling 1x")(noop(Graph.pageRank(
+          directedEdgesOf(l1), 3, edgesDistinct = true, danglingMass = true))),
+        time("pagerank_dangling 10x")(noop(Graph.pageRank(
+          directedEdgesOf(lg10), 3, edgesDistinct = true, danglingMass = true)))),
       // same loop over a src-bucketed edge table: the scan itself delivers
       // the per-round partitioning, so even the first materialization pays
       // no edge shuffle (the bucketed-write cost is excluded — at scale

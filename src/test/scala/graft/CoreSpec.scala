@@ -42,6 +42,11 @@ class CoreSpec extends AnyFunSuite {
     assert(cfg.partitionCols === Seq("lang", "source"))
     assert(cfg.streamProperties("t")("renamed") === Some("col1"))
     assert(cfg.streamProperties("t")("col1") === None)
+    // property-level "__NULL__" is singer-sdk's alternate removal spelling
+    val nullSpelling = GraftConfig.fromJson(
+      """{"hdfs_destination_path": "/out",
+         |"stream_maps": {"t": {"secret": "__NULL__"}}}""".stripMargin)
+    assert(nullSpelling.streamProperties("t")("secret") === None)
   }
 
   test("--config=ENV builds config from TARGET_HDFS_* variables alone") {

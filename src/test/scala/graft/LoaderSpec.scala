@@ -203,6 +203,11 @@ class LoaderSpec extends AnyFunSuite {
       === "CAST(col1ASSTRING)='1'")
     // strong python markers still translate without consulting the parser
     assert(maybeTranslate("record['a'] == None") === "`a` = NULL")
+    // a `+` on a string literal inside the `==` zone is python concat —
+    // the same text parses as Spark SQL (numeric + over a cast string,
+    // silently NULL), so the marker outranks parseability
+    assert(maybeTranslate("name + '!' == 'bob!'").replaceAll("\\s+", "")
+      === "CONCAT(name,'!')='bob!'")
     // schema-informed concat: two string FIELDS with no literal operand
     assert(translate("record['first'] + record['last']",
         stringCols = Set("first", "last")).replaceAll("\\s+", "")
