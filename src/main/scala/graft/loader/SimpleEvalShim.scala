@@ -342,16 +342,33 @@ object SimpleEvalShim {
       true
     } catch { case _: Exception => false }
 
-  /** A `+` with a string-literal operand: Python concatenation. The same
-    * text parses as Spark SQL too — as numeric addition over a cast
-    * string, which silently yields NULL — so inside the ambiguous
-    * `==`-present zone this marker must outrank parseability or a
-    * simpleeval filter like `name + '!' == 'x!'` drops every row. */
+  /** A `+` with a NON-NUMERIC string-literal operand: Python
+    * concatenation. The same text parses as Spark SQL too — as numeric
+    * addition over a cast string, which silently yields NULL — so inside
+    * the ambiguous `==`-present zone this marker must outrank
+    * parseability or a simpleeval filter like `name + '!' == 'x!'` drops
+    * every row. Two SQL shapes are deliberately exempt: a numeric string
+    * (`total + '10'` is plausible SQL implicit-cast addition and
+    * nonsensical Python — int + str raises), and a typed literal
+    * (`date '2024-01-01' + interval …`, where the quoted part belongs to
+    * the preceding keyword, not to `+`). */
   private def plusStringLiteral(expr: String): Boolean = {
-    val toks = try lex(expr) catch { case _: Exception => return false }
-    toks.sliding(2).exists {
-      case Seq(Str(_), Op("+")) | Seq(Op("+"), Str(_)) => true
+    val toks = try lex(expr).toVector catch { case _: Exception => return false }
+    def numeric(b: String) = b.matches("[0-9]+(\\.[0-9]+)?")
+    def typedLit(strIdx: Int) = strIdx > 0 && (toks(strIdx - 1) match {
+      case Ident("date") | Ident("timestamp") | Ident("interval") => true
       case _ => false
+    })
+    toks.indices.exists { i =>
+      toks(i) == Op("+") && (
+        (i > 0 && (toks(i - 1) match {
+          case Str(b) => !numeric(b) && !typedLit(i - 1)
+          case _ => false
+        })) ||
+        (i + 1 < toks.size && (toks(i + 1) match {
+          case Str(b) => !numeric(b)
+          case _ => false
+        })))
     }
   }
 

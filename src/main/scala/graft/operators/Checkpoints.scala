@@ -14,9 +14,13 @@ import org.apache.spark.sql.DataFrame
   * tables) keep using plain `unpersist()`.
   */
 object Checkpoints {
-  /** Release the storage behind a `localCheckpoint`ed frame. Safe on any
-    * frame: non-checkpoint plans contain no `LogicalRDD` and nothing
-    * happens. */
+  /** Release the storage behind a `localCheckpoint`ed frame.
+    *
+    * Only call this on a frame you OWN under the contract above: it
+    * unpersists every RDD-backed source (`LogicalRDD`) in the plan, and a
+    * non-checkpoint RDD source (e.g. a `createDataFrame(rdd, _)` ingest
+    * whose backing RDD is persisted and shared) would be evicted too. A
+    * frame with no RDD-backed source is a safe no-op. */
   def release(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd

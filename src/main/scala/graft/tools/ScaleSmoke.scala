@@ -44,8 +44,14 @@ object ScaleSmoke {
       println(f"[scale] $label%-28s $dt%7.2f s")
       dt
     }
-    def noop(df: DataFrame): Unit =
+    def noop(df: DataFrame): Unit = {
       df.write.format("noop").mode("overwrite").save()
+      // release whatever the result pinned — checkpoint blocks (invisible
+      // to unpersist) AND the result's own cache: entries must not bleed
+      // storage into later entries' memory/GC-sensitive ratios
+      graft.operators.Checkpoints.release(df)
+      df.unpersist(false)
+    }
 
     // 1x inputs (warm both code paths and page cache first)
     val l1 = spark.read.parquet(s"$sfDir/lineitem.parquet"); l1.count()
@@ -277,8 +283,9 @@ object ScaleSmoke {
       // same-batch/10x-index, so ~1.0 is the win condition
       ("inc_dedup_fixed_batch", {
         val dir1 = java.nio.file.Files.createTempDirectory("smoke-inc1").toString
-        graft.operators.IncrementalDedup.processBatch(
-          d1, "doc_id", "text", dir1).unpersist()
+        graft.operators.Checkpoints.release(
+          graft.operators.IncrementalDedup.processBatch(
+            d1, "doc_id", "text", dir1))
         val batch = d1.limit(500)
         time("inc_dedup vs 1x index")(noop(
           graft.operators.IncrementalDedup.processBatch(
@@ -286,8 +293,9 @@ object ScaleSmoke {
             "doc_id", "text", dir1)))
       }, {
         val dir10 = java.nio.file.Files.createTempDirectory("smoke-inc10").toString
-        graft.operators.IncrementalDedup.processBatch(
-          d10, "doc_id", "text", dir10).unpersist()
+        graft.operators.Checkpoints.release(
+          graft.operators.IncrementalDedup.processBatch(
+            d10, "doc_id", "text", dir10))
         val batch = d1.limit(500)
         time("inc_dedup vs 10x index")(noop(
           graft.operators.IncrementalDedup.processBatch(

@@ -208,6 +208,10 @@ class LoaderSpec extends AnyFunSuite {
     // silently NULL), so the marker outranks parseability
     assert(maybeTranslate("name + '!' == 'bob!'").replaceAll("\\s+", "")
       === "CONCAT(name,'!')='bob!'")
+    // …but numeric strings and typed literals next to `+` stay SQL
+    assert(maybeTranslate("total + '10' == 20") === "total + '10' == 20")
+    assert(maybeTranslate("d == date '2024-01-01' + interval 1 day")
+      === "d == date '2024-01-01' + interval 1 day")
     // schema-informed concat: two string FIELDS with no literal operand
     assert(translate("record['first'] + record['last']",
         stringCols = Set("first", "last")).replaceAll("\\s+", "")
