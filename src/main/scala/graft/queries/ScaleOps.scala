@@ -377,6 +377,59 @@ object ScaleOps {
                 AND b.b_ts <= a.a_ts + INTERVAL 30 MINUTE)
         AND a.a_ts + INTERVAL 30 MINUTE < wm.w""")),
 
+    // stream-STREAM FULL OUTER interval join: both sides' unmatched rows
+    // emit null-joined under the same watermark-gated release rule as q71
+    // — each side's unmatched row qualifies only when its own match
+    // window (ts + bound) falls behind the final global watermark.
+    Q("q72_stream_full_join", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      def side(tag: String, parity: Int) =
+        Tables.eventsStream(s, d)
+          .filter(col("event_id") % 2 === parity && col("user_id") % 11 === 0)
+          .select(col("event_id").as(s"${tag}_id"),
+            col("user_id").as(s"${tag}_user"), col("ts").as(s"${tag}_ts"))
+      val joined = graft.streaming.StreamingDedup.intervalJoinFull(
+        side("a", 0), side("b", 1), "a_user", "b_user", "a_ts", "b_ts",
+        lateness = "1 hour", bound = "30 minutes")
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = joined.select(col("a_id"), col("b_id"),
+            coalesce(col("a_user"), col("b_user")).as("user_id"))
+          .writeStream.format("memory").queryName("q72_stream")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      s.table("q72_stream")
+    }, Some("""
+      WITH a AS (SELECT event_id AS a_id, user_id, CAST(ts AS TIMESTAMP) AS a_ts
+                 FROM events WHERE event_id % 2 = 0 AND user_id % 11 = 0),
+           b AS (SELECT event_id AS b_id, user_id, CAST(ts AS TIMESTAMP) AS b_ts
+                 FROM events WHERE event_id % 2 = 1 AND user_id % 11 = 0),
+           wm AS (SELECT least((SELECT max(a_ts) FROM a),
+                               (SELECT max(b_ts) FROM b))
+                         - INTERVAL 1 HOUR AS w)
+      SELECT a_id, b_id, a.user_id AS user_id
+      FROM a JOIN b ON a.user_id = b.user_id
+       AND b_ts >= a_ts - INTERVAL 30 MINUTE
+       AND b_ts <= a_ts + INTERVAL 30 MINUTE
+      UNION ALL
+      SELECT a_id, CAST(NULL AS BIGINT) AS b_id, a.user_id
+      FROM a, wm
+      WHERE NOT EXISTS (SELECT 1 FROM b
+              WHERE b.user_id = a.user_id
+                AND b.b_ts >= a.a_ts - INTERVAL 30 MINUTE
+                AND b.b_ts <= a.a_ts + INTERVAL 30 MINUTE)
+        AND a.a_ts + INTERVAL 30 MINUTE < wm.w
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT) AS a_id, b_id, b.user_id
+      FROM b, wm
+      WHERE NOT EXISTS (SELECT 1 FROM a
+              WHERE a.user_id = b.user_id
+                AND b.b_ts >= a.a_ts - INTERVAL 30 MINUTE
+                AND b.b_ts <= a.a_ts + INTERVAL 30 MINUTE)
+        AND b.b_ts + INTERVAL 30 MINUTE < wm.w""")),
+
     // interval-OVERLAP join via bin-join decomposition: each 2-hour event
     // interval explodes into 4-hour bins, candidates come from an equi-join
     // on (user, bin), the exact predicate filters, and the later-start bin

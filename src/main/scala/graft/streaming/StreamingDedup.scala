@@ -74,6 +74,17 @@ object StreamingDedup {
     intervalJoin(left, right, leftKey, rightKey, leftTs, rightTs,
       lateness, bound, joinType = "left_outer")
 
+  /** Full-outer form: unmatched rows of BOTH sides emit null-joined once
+    * their match windows close behind the watermark — same bounded state,
+    * symmetric release rule (each side's unmatched row is gated by its own
+    * `ts + bound` against the global watermark). */
+  def intervalJoinFull(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      lateness: String, bound: String): DataFrame =
+    intervalJoin(left, right, leftKey, rightKey, leftTs, rightTs,
+      lateness, bound, joinType = "full_outer")
+
   /** Custom-state surface (`mapGroupsWithState`): running per-key event
     * counts across micro-batches. The state is one long per key — the
     * minimal stateful-operator shape on which session windows, CDC upserts,
