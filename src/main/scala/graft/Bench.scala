@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * is actually computed (a bare `count()` would let Catalyst prune the
   * projections being measured). A small warm-up query runs first so JVM/JIT
   * and codegen compilation don't bill to the first query.
+  *
+  * Noise discipline: each entry runs TWICE and the record is the min —
+  * single-run numbers on a shared host swung ±100-338% on unchanged code
+  * (round-6 record: q7 0.21 → 0.92 s with zero code change), which is pure
+  * scheduling contention, an additive error the min strips. Sub-second
+  * entries whose two reps still disagree by >30% get one tie-breaker rep.
+  * All rep times go to the full-fidelity JSON (`reps` array) so the spread
+  * itself is on the record; `leaked_storage_bytes` reports the MAX across
+  * reps (a leak in any rep is a leak).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -52,9 +61,9 @@ object Bench {
     }
 
     final case class Entry(name: String, secs: Double, gcMs: Long,
-      leakedBytes: Long)
+      leakedBytes: Long, reps: Seq[Double])
 
-    def materialize(name: String): Entry = {
+    def runOnce(name: String): Entry = {
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       var release = () => ()
@@ -91,7 +100,29 @@ object Bench {
       release()
       val leaked = storageBytes()
       dropAllCached()
-      Entry(name, secs, gcDelta, leaked)
+      Entry(name, secs, gcDelta, leaked, Seq(secs))
+    }
+
+    // min-of-2 (plus a tie-breaker rep for noisy sub-second entries): the
+    // min is the right estimator for additive host-contention noise, and
+    // the second rep is the warm steady-state run the suite is after. A
+    // rep that fails after a successful one is itself reported as a
+    // failure — a flaky entry must not hide behind one green rep.
+    def materialize(name: String): Entry = {
+      val r1 = runOnce(name)
+      if (r1.secs < 0) return r1
+      val r2 = runOnce(name)
+      if (r2.secs < 0) return r2.copy(reps = Seq(r1.secs, r2.secs))
+      var reps = Seq(r1, r2)
+      val spread = reps.map(_.secs).max / reps.map(_.secs).min
+      if (reps.map(_.secs).min < 1.0 && spread > 1.3) {
+        val r3 = runOnce(name)
+        if (r3.secs < 0) return r3.copy(reps = reps.map(_.secs) :+ r3.secs)
+        reps = reps :+ r3
+      }
+      val best = reps.minBy(_.secs)
+      Entry(name, best.secs, best.gcMs, reps.map(_.leakedBytes).max,
+        reps.map(_.secs))
     }
 
     // warm-up: JIT/codegen via a scan+shuffle, plus one count per table so
@@ -180,9 +211,11 @@ object Bench {
       // r5 record (5.77 s) was almost entirely this — the steady-state op
       // on sf0.1's 2000 vectors runs in well under a second. Same k/iters
       // as q54 so every generated class shape matches.
-      graft.operators.KMeans.assign(we, "vec_id", "embedding", k = 8,
-          iters = 2)
-        .unpersist()
+      // checkpoint-backed result: unpersist() is a silent no-op on
+      // localCheckpoint blocks — release under the ownership contract
+      graft.operators.Checkpoints.release(
+        graft.operators.KMeans.assign(we, "vec_id", "embedding", k = 8,
+          iters = 2))
       // loader family (q34/q69): the Singer parse -> validate -> flatten ->
       // parquet-write pipeline loads its own machinery (schema conversion,
       // FAILFAST json parse, sink committer) on first touch — a 2-record
@@ -253,10 +286,11 @@ object Bench {
         } finally spark.conf.set("spark.sql.shuffle.partitions", before)
       }
       wd.unpersist(); we.unpersist()
-      // drop EVERY cache the warm-ups pinned (some operators return a
-      // projection over their internal persisted frame, so a targeted
-      // unpersist on the return value would miss the cache entry)
-      spark.catalog.clearCache()
+      // drop EVERY block the warm-ups pinned — including localCheckpoint
+      // RDDs, which the SQL cache manager (clearCache) cannot see (some
+      // operators also return a projection over their internal persisted
+      // frame, so a targeted unpersist on the return value would miss it)
+      dropAllCached()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
     }
@@ -305,7 +339,8 @@ object Bench {
 
     val all =
       if (!subset.forall(_.contains("loader_singer_ingest"))) results
-      else results :+ Entry("loader_singer_ingest", loaderSecs, 0L, 0L)
+      else results :+ Entry("loader_singer_ingest", loaderSecs, 0L, 0L,
+        Seq(loaderSecs))
 
     def fmt(v: Double) = {
       // centisecond precision, trailing zeros stripped ("0.30"->"0.3",
@@ -342,9 +377,10 @@ object Bench {
       System.err.println(s"[bench] WARNING stdout line ${json.length} chars " +
         "exceeds the ~2000-char driver capture window — shorten keys")
     def fmt3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val fullEntries = all.map(e =>
-      s""""${e.name}":{"sec":${fmt3(e.secs)},"gc_ms":${e.gcMs},"leaked_storage_bytes":${e.leakedBytes}}""")
-      .mkString("{", ",", "}")
+    val fullEntries = all.map { e =>
+      val reps = e.reps.map(fmt3).mkString("[", ",", "]")
+      s""""${e.name}":{"sec":${fmt3(e.secs)},"gc_ms":${e.gcMs},"leaked_storage_bytes":${e.leakedBytes},"reps":$reps}"""
+    }.mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","failed":${failed.mkString("[", ",", "]")},"queries":$fullEntries,"sf":"$sfDir"}"""
     // durable full-fidelity copy: round-2's stdout tail was truncated
     // mid-JSON, losing the dedup timings ("parsed": null in BENCH_r02)

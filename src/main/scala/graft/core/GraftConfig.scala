@@ -221,14 +221,19 @@ object GraftConfig {
       if (k.startsWith(EnvPrefix)) {
         val setting = k.stripPrefix(EnvPrefix).toLowerCase
         val t = v.trim
-        val asJson =
-          if (t.startsWith("{") || t.startsWith("["))
-            try Some(mapper.readTree(t)) catch { case _: Exception => None }
-          else None
-        asJson match {
-          case Some(j) => node.set[com.fasterxml.jackson.databind.JsonNode](setting, j)
-          case None => node.put(setting, v)
-        }
+        // a value shaped like JSON ('{'/'[') that fails to parse must fail
+        // LOUDLY: degrading it to a plain string would make fromJson see a
+        // TextNode, silently ignoring the whole setting (a malformed
+        // TARGET_HDFS_STREAM_MAPS would drop every mapping) — the same
+        // fail-loudly contract a missing required setting already has
+        if (t.startsWith("{") || t.startsWith("["))
+          try node.set[com.fasterxml.jackson.databind.JsonNode](
+            setting, mapper.readTree(t))
+          catch { case e: Exception =>
+            throw new InvalidConfigException(
+              s"$k looks like JSON but does not parse: ${e.getMessage}")
+          }
+        else node.put(setting, v)
       }
     }
     fromJson(node.toString)

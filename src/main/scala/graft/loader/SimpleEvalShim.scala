@@ -24,8 +24,12 @@ package graft.loader
   * rename / copy / concat / conditional shapes real meltano configs use;
   * anything beyond it (comprehensions, method calls, `in`) raises rather
   * than silently mis-translating. SQL-dialect expressions pass through
-  * untouched — [[maybeTranslate]] only fires on unambiguous Python markers
-  * (`record[`, an infix conditional, `None`, `==`, `str()`-style casts).
+  * untouched — [[maybeTranslate]] fires on unambiguous Python markers
+  * (`record[`, an infix conditional, `None`/`True`/`False`, `str()`-style
+  * casts). `==` alone is AMBIGUOUS (Spark SQL accepts it as equality) and
+  * resolves in two steps: `+` adjacent to a string literal is Python
+  * concatenation and translates; otherwise the expression translates only
+  * when it fails to parse as Spark SQL.
   */
 object SimpleEvalShim {
 

@@ -190,9 +190,22 @@ object Dedup {
     * shape as [[ngramNearDups]]' exact path (one postings shuffle,
     * Σ C(df,2) streamed pairs, co-occurrence count IS the intersection) —
     * only the final integer inequality differs. Emits
-    * `(id_a, id_b, shared_shingles)`, `id_a < id_b`. */
+    * `(id_a, id_b, shared_shingles)`, `id_a < id_b`.
+    *
+    * `maxShingleDf` (default OFF) is the scale escape hatch, mirroring
+    * [[ngramNearDups]]: with it set, candidates come only from shingles in
+    * ≤ `maxShingleDf` docs (one boilerplate shingle at df=10^6 would emit
+    * 5·10^11 kernel pairs), and each candidate's containment is verified
+    * against the FULL shingle sets — the cap can therefore never alter an
+    * emitted pair's `shared_shingles`, but it CAN miss a pair whose every
+    * shared shingle is above the cap (heavily replicated boilerplate).
+    * Containment is MORE exposed to that miss than Jaccard — the short
+    * quoted doc's shingles are exactly the mass-duplicated ones — so route
+    * boilerplate-heavy corpora through [[exact]]/[[minhashNearDups]] first,
+    * as the ngram doc prescribes. Opt-in for that reason. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      num: Int = 8, den: Int = 10): DataFrame = {
+      num: Int = 8, den: Int = 10,
+      maxShingleDf: Option[Int] = None): DataFrame = {
     val idType = docs.schema(idCol).dataType
     require(integralType(idType),
       s"containmentPairs requires an integral id column, got $idType")
@@ -200,10 +213,33 @@ object Dedup {
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val ex = sh.select(col("id").cast("long").as("id"), explode(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-    finalized(exactPairScores(ex, sizes, idType)
-      .filter(col("inter") * den >= least(col("na"), col("nb")) * num)
-      .select(col("id_a"), col("id_b"), col("inter").as("shared_shingles")),
-      sh)
+    maxShingleDf match {
+      case Some(maxDf) =>
+        // scale path: candidates from sub-cap shingles, exact verify over
+        // the full arrays — `inter` recomputed there, so capped candidates
+        // carry exact scores (NULL sentinel stripped as in jaccardGe)
+        val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("s"))
+        val cand = postingsPairs(ex.join(rare, "s")).distinct()
+          .select(col("id_a").cast(idType).as("id_a"),
+            col("id_b").cast(idType).as("id_b"))
+        val inter = size(array_intersect(
+          expr("filter(sa, x -> x IS NOT NULL)"), col("sb")))
+        finalized(cand
+          .join(sh.select(col("id"), col("sh").as("sa")), cand("id_a") === col("id"))
+          .drop("id")
+          .join(sh.select(col("id"), col("sh").as("sb")), cand("id_b") === col("id"))
+          .withColumn("inter", inter.cast("long"))
+          .filter(col("inter") * den >=
+            least(size(col("sa")), size(col("sb"))) * num)
+          .select(col("id_a"), col("id_b"), col("inter").as("shared_shingles")),
+          sh)
+      case None =>
+        finalized(exactPairScores(ex, sizes, idType)
+          .filter(col("inter") * den >= least(col("na"), col("nb")) * num)
+          .select(col("id_a"), col("id_b"), col("inter").as("shared_shingles")),
+          sh)
+    }
   }
 
   /** Per-doc contamination attribution: for each corpus doc overlapping

@@ -197,6 +197,15 @@ object ScaleSmoke {
         time("minhash_pairs 10x")(Dedup.minhashNearDups(d10, "doc_id", "text", 7, 10).unpersist())),
       ("fuzzy_dedup", time("fuzzy_dedup 1x")(noop(Dedup.fuzzyDedup(d1, "doc_id", "text", 7, 10))),
         time("fuzzy_dedup 10x")(noop(Dedup.fuzzyDedup(d10, "doc_id", "text", 7, 10)))),
+      // capped containment: candidates from sub-cap shingles only, exact
+      // verify on full arrays — pair stream bounded by cap x df, not
+      // Σ C(df,2) (the uncapped kernel is the documented scale hazard)
+      ("containment_capped", time("containment_capped 1x")(
+          Dedup.containmentPairs(d1, "doc_id", "text", 8, 10,
+            maxShingleDf = Some(1000)).unpersist()),
+        time("containment_capped 10x")(
+          Dedup.containmentPairs(d10, "doc_id", "text", 8, 10,
+            maxShingleDf = Some(1000)).unpersist())),
       ("cosine_neardups", time("cosine_neardups 1x")(noop(Similarity.cosineNearDups(e1, "vec_id", "embedding", 0.45))),
         // 10x rows => 100x pairs; blocks scale with corpus so tasks stay bounded
         time("cosine_neardups 10x")(noop(Similarity.cosineNearDups(e10, "vec_id", "embedding", 0.45, blocks = 24)))),

@@ -81,6 +81,16 @@ class CoreSpec extends AnyFunSuite {
       GraftConfig.fromEnv(Map("TARGET_HDFS_COMPRESSION_METHOD" -> "gzip")))
   }
 
+  test("--config=ENV: malformed JSON-shaped value fails loudly, not as string") {
+    // a '{'-shaped value that doesn't parse would otherwise become a
+    // TextNode and the whole stream_maps setting would be silently ignored
+    val e = intercept[InvalidConfigException](
+      GraftConfig.fromEnv(Map(
+        "TARGET_HDFS_HDFS_DESTINATION_PATH" -> "/out",
+        "TARGET_HDFS_STREAM_MAPS" -> """{"t": {"renamed": "col1"""")))
+    assert(e.getMessage.contains("TARGET_HDFS_STREAM_MAPS"))
+  }
+
   test(".env parsing: comments, export prefix, quotes, blank lines") {
     val parsed = GraftConfig.parseDotEnv(
       """# comment line

@@ -150,6 +150,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped === exact, "cap-on output must cover every true near-dup pair")
   }
 
+  test("containment cap changes no answers on the real corpus") {
+    // mirror of the ngram cap contract: candidates from sub-cap shingles
+    // only, containment verified against FULL shingle arrays — so with a
+    // generous cap the output (including shared_shingles scores) must be
+    // byte-identical to the exact kernel
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = rows(Dedup.containmentPairs(docs, "doc_id", "text", 8, 10,
+      maxShingleDf = Some(1000)))
+    val exact = rows(Dedup.containmentPairs(docs, "doc_id", "text", 8, 10,
+      maxShingleDf = None))
+    assert(exact.nonEmpty)
+    assert(capped === exact)
+  }
+
+  test("containment cap misses the all-hot-shingle cluster (documented mode)") {
+    import spark.implicits._
+    // the short doc quoted in every long doc: all of its shingles have
+    // df = 12 > cap = 10, so cap-on candidate generation finds nothing —
+    // containment's version of the documented missed-cluster caveat
+    val quoted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = ((0L until 11L).map(i =>
+      (i, s"$quoted tail$i extra$i more$i word$i filler$i pad$i end$i")) :+
+      (11L, quoted)).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(df, "doc_id", "text", 8, 10,
+      maxShingleDf = Some(10)).count()
+    val exact = Dedup.containmentPairs(df, "doc_id", "text", 8, 10,
+      maxShingleDf = None).count()
+    assert(exact >= 11L, "doc 11 is contained in every other doc")
+    assert(capped === 0L, "cap-on must miss the over-cap containment cluster")
+  }
+
   test("simhash: exact duplicates collide, fingerprints discriminate") {
     import spark.implicits._
     val fps = Dedup.simhashFingerprints(docs, "doc_id", "text")
