@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * bipartite graph). Real web/link graphs violate the out-edge requirement
   * constantly (sink pages) — `danglingMass = true` lifts it with the
   * standard dangling-mass redistribution: sinks' rank is summed each round
-  * (one extra aggregate over a one-row frame) and every node receives an
-  * equal integer share, keeping the arithmetic exact.
+  * (ONE bounded control-plane aggregate, collected to the driver like a
+  * convergence count) and every node receives an equal integer share,
+  * keeping the arithmetic exact.
   */
 object Graph {
 
@@ -35,10 +36,12 @@ object Graph {
     *
     * Per-round plan: rank ⋈ edges on src (shuffle on src — edges can be
     * pre-bucketed on src to eliminate it), groupBy dst (shuffle on dst),
-    * left join back to the node list for no-inlink nodes. The rank frame is
-    * `localCheckpoint`ed each round so the logical plan stays flat across
-    * iterations (lineage growth, not data volume, is what kills iterative
-    * DataFrame jobs). */
+    * left join back to the node list for no-inlink nodes (dangling mode
+    * instead folds the node list into the aggregate as zero rows — one
+    * join and one aggregate per round, no node join). The rank frame is
+    * `localCheckpoint`ed periodically so the logical plan stays flat
+    * across iterations (lineage growth, not data volume, is what kills
+    * iterative DataFrame jobs). */
   /** Fold each source's out-degree onto its edges so every pagerank round
     * is a single join. NOT a window: WindowExec sorts its input on the
     * partition keys, a full sort of the edge list; this aggregate+join
@@ -92,16 +95,24 @@ object Graph {
     val part =
       if (prePartitioned || broadcastRank) deduped
       else deduped.repartition(col("src"))
-    val e = withDegrees(part, broadcastDegrees).cache()
+    // the degree aggregate is cached and reused THREE ways: folded onto the
+    // edges for the per-round integral split, and — because its keys are
+    // the distinct sources — as the source node set, saving the separate
+    // distinct pass over the (much larger) edge list that a
+    // `e.select(src).distinct()` would cost
+    val deg = part.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
+    val e = part.join(if (broadcastDegrees) broadcast(deg) else deg, "src")
+      .cache()
     // default mode: every node has an out-edge (operator requirement), so
     // the distinct sources ARE the node set. With dangling support the dst
-    // side is unioned in (sinks appear only as destinations), and the
-    // sinks themselves are the anti-join of the two — they feed the
-    // per-round mass redistribution.
-    val sources = e.select(col("src").as("id")).distinct()
+    // side is unioned in (sinks appear only as destinations, so the union
+    // arms are each already node-sized aggregates — the big edge scan pays
+    // one distinct on dst, never a distinct over the doubled union), and
+    // the sinks themselves are the anti-join of two node-sized frames.
+    val sources = deg.select(col("src").as("id"))
     val nodes =
       (if (danglingMass)
-        sources.union(e.select(col("dst").as("id"))).distinct()
+        sources.union(e.select(col("dst").as("id")).distinct()).distinct()
       else sources).cache()
     val dangling =
       if (danglingMass)
@@ -128,42 +139,70 @@ object Graph {
     def hinted(df: DataFrame) = if (broadcastRank) broadcast(df) else df
     var rank = nodes.select(col("id"), lit(unit).as("rank"))
     // dangling mode consumes `rank` TWICE per round (contributions + the
-    // sink-mass sum): left nested lazily, both branches re-evaluate the
-    // whole prior-round plan and the recompute doubles per iteration
-    // (measured: 6.3 s vs 4.8 s for the single-use loop at 3 iters). An
-    // eager per-round checkpoint of the tiny rank table makes both uses a
-    // block scan; superseded rounds are released immediately.
+    // sink-mass sum): left bare, both branches re-evaluate the whole
+    // prior-round plan and the recompute doubles per iteration (measured:
+    // 6.3 s vs 4.8 s for the single-use loop at 3 iters). A LAZY per-round
+    // persist makes the two uses share one materialization — the sink-mass
+    // broadcast job populates the cache, the contributions join reads it —
+    // without the eager per-round checkpoint that serialized the loop into
+    // one job per round (the round-6 shape this replaces). Superseded
+    // round caches are released after the result materializes.
     var prevCkpt: Option[DataFrame] = None
+    val roundCaches = scala.collection.mutable.Buffer.empty[DataFrame]
     for (i <- 0 until iters) {
-      val contrib = contributions(e, hinted(rank))
-      // dangling redistribution: the sinks' total rank (ONE row — an
-      // aggregate, broadcast-crossed onto the update) is shared integrally
-      // by every node; `dm div n` floors exactly as the oracle's `//`
-      val base = nodes.join(hinted(contrib), Seq("id"), "left")
-      val withMass = dangling match {
+      // dangling redistribution: the sinks' total rank is ONE bounded
+      // control-plane aggregate per round, collected to the driver and
+      // inlined as a literal — same pattern as an iterative loop's
+      // convergence count, and strictly cheaper than shipping the 1-row
+      // frame back through a broadcast-cross (two broadcast exchanges per
+      // round of pure latency). The collect also materializes the prior
+      // round's persisted rank, so the flow join below reads the cache.
+      // `dm / n` on non-negative longs floors exactly as the oracle's `//`
+      val dmShare = dangling match {
         case Some(d) =>
-          val dm = rank.join(d, Seq("id"))
-            .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
-          base.crossJoin(broadcast(dm))
-            .withColumn("m", coalesce(col("m"), lit(0L)) + expr(s"dm div $n"))
-        case None => base
+          rank.join(d, Seq("id"))
+            .agg(coalesce(sum(col("rank")), lit(0L)))
+            .collect()(0).getLong(0) / n
+        case None => 0L
       }
-      rank = withMass
-        .select(col("id"),
-          (lit(teleport) +
-            expr(s"$dampNum * coalesce(m, 0L) div $dampDen")).as("rank"))
+      // Dangling mode's per-round plan: ONE join (rank onto edges) and ONE
+      // aggregate. The no-inlink nodes are handled by a zero-contribution
+      // row per node UNIONED into the same aggregate — cheaper than a left
+      // join back to the node list (a second broadcast exchange and a join
+      // per round), and bit-identical since the node set contains every
+      // destination: summing an extra 0 is the join's coalesce(m, 0).
+      // Default mode keeps the left-join formulation: its node set is the
+      // SOURCES only, and the join is what drops contributions flowing to
+      // out-of-contract dst-only nodes (they must vanish, not accumulate).
+      rank = dangling match {
+        case Some(_) =>
+          e.join(hinted(rank), e("src") === rank("id"))
+            .select(col("dst").as("id"), expr("`rank` div outdeg").as("c"))
+            .unionByName(nodes.select(col("id"), lit(0L).as("c")))
+            .groupBy(col("id")).agg(sum(col("c")).as("m"))
+            .select(col("id"),
+              (lit(teleport) +
+                expr(s"$dampNum * (m + $dmShare) div $dampDen")).as("rank"))
+        case None =>
+          nodes.join(hinted(contributions(e, hinted(rank))), Seq("id"), "left")
+            .select(col("id"),
+              (lit(teleport) +
+                expr(s"$dampNum * coalesce(m, 0L) div $dampDen")).as("rank"))
+      }
       // truncate lineage before the plan tree grows superlinear (driver
-      // planning time, not data volume, kills long iterative loops); in
-      // dangling mode every round checkpoints (double-use, see above).
+      // planning time, not data volume, kills long iterative loops).
       // Superseded checkpoints are released as soon as the next one
       // materializes (eager) — a long loop must not pin one rank-table
-      // copy per checkpoint for the session's life.
-      val checkpointNow =
-        danglingMass || ((i + 1) % 4 == 0 && i != iters - 1)
+      // copy per checkpoint for the session's life. On checkpoint rounds
+      // the (eager) checkpoint doubles as the dangling-mode share point.
+      val checkpointNow = (i + 1) % 4 == 0 && i != iters - 1
       if (checkpointNow) {
         rank = rank.localCheckpoint()
         prevCkpt.foreach(Checkpoints.release)
         prevCkpt = Some(rank)
+      } else if (danglingMass && i != iters - 1) {
+        rank = rank.persist()
+        roundCaches += rank
       }
     }
     // one eager materialization hands back a dependency-free result, so the
@@ -185,7 +224,10 @@ object Graph {
         prevCkpt.foreach(Checkpoints.release)
         r
       }
-    e.unpersist(); nodes.unpersist(); dangling.foreach(_.unpersist())
+    // the result is materialized — the per-round share caches are dead
+    roundCaches.foreach(_.unpersist(false))
+    deg.unpersist(); e.unpersist(); nodes.unpersist()
+    dangling.foreach(_.unpersist())
     result
   }
 }
