@@ -11,6 +11,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * records. `dedupWithinWatermark` drops those replays inside the watermark
   * horizon with bounded state — the streaming counterpart of
   * [[graft.operators.Dedup.exact]].
+  *
+  * Every stateful operator here keeps its state in the configured state
+  * store. The default provider holds state ON-HEAP per executor — fine for
+  * tests and modest key counts; at production key cardinality start the
+  * query under [[StateStores.withRocksDB]] (off-heap, disk-spilling,
+  * incremental checkpoints). Results are provider-independent.
   */
 object StreamingDedup {
 

@@ -16,7 +16,9 @@ import graft.loader.SingerLoader
   * The reference's streaming is unwindowed pass-through with bounded
   * buffers; micro-batches bound memory the same way (`maxFilesPerTrigger`).
   * Event-time windowing, when wanted, composes on the *loaded* tables — see
-  * [[WindowedAgg]].
+  * [[WindowedAgg]]. Stateful compositions (windowed aggregation, streaming
+  * dedup) at production key cardinality should start under
+  * [[StateStores.withRocksDB]] — the default state store is on-heap.
   */
 object StreamingLoader {
 
