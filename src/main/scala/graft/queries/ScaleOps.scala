@@ -626,6 +626,52 @@ object ScaleOps {
       per.mkString("\n  UNION ALL ")
     }),
 
+    // incremental QUANTILE profile: per-batch KLL sketches merged from the
+    // persisted index — "p50/p95 price to date" without rescanning prior
+    // batches. KLL values aren't engine-reproducible, so the oracle checks
+    // them q59b-style in RANK space: the exact rank of each estimate
+    // (count(col <= est) / count(col)) must land within 0.03 of the target
+    // quantile — KLL at k=400 bounds normalized rank error to ~0.9% at 99%
+    // confidence, so 0.03 is ~an 8-sigma margin (the checked columns are
+    // near-tie-free; a heavy-tie column can legitimately overshoot the
+    // rank band by its tie mass). The estimate ranks are evaluated from
+    // the 3-row merged profile — a bounded control-plane collect, same
+    // pattern as q59c's index build.
+    Q("q59d_profile_quantiles", (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val orders = t(s, d, "orders")
+      val dir = java.nio.file.Files.createTempDirectory("graft-profq")
+      dir.toFile.deleteOnExit()
+      graft.operators.Profile.sketchBatch(
+        orders.filter(col("o_orderkey") % 2 === 0), cols, dir.toString)
+      graft.operators.Profile.sketchBatch(
+        orders.filter(col("o_orderkey") % 2 === 1), cols, dir.toString)
+      val est = graft.operators.Profile.mergedProfile(s, dir.toString)
+        .select(col("col_name"), col("p50_est"), col("p95_est"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+      cols.map { c =>
+        val (p50, p95) = est(c)
+        orders.agg(
+            count(col(c)).as("n_nonnull"),
+            (sum(when(col(c) <= p50, 1L).otherwise(0L)) / count(col(c)))
+              .as("r50"),
+            (sum(when(col(c) <= p95, 1L).otherwise(0L)) / count(col(c)))
+              .as("r95"))
+          .select(lit(c).as("col_name"), col("n_nonnull"),
+            (abs(col("r50") - 0.5) <= 0.03).as("p50_within_tol"),
+            (abs(col("r95") - 0.95) <= 0.03).as("p95_within_tol"))
+      }.reduce(_.unionByName(_))
+    },
+    Some {
+      val per = Seq("o_orderkey", "o_custkey", "o_totalprice").map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+           |  true AS p50_within_tol, true AS p95_within_tol FROM orders"""
+          .stripMargin
+      }
+      per.mkString("\n  UNION ALL ")
+    }),
+
     // join-key skew report: per-key cardinality extremes and the top heavy
     // keys — the diagnostic that decides between a plain shuffle join,
     // AQE skew handling, and Distribution.saltedJoin. Integer outputs only

@@ -170,6 +170,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(m.getAs[Long]("n_nonnull") === b1.count() + b2.count())
   }
 
+  test("incremental profile: merged KLL quantiles track exact ranks; strings stay null") {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-profq-t").toString
+    val cols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+    // disjoint halves: quantile counters/sketches assume batches partition
+    // the corpus (append-ingest), unlike the distinct union above
+    graft.operators.Profile.sketchBatch(
+      o.filter(col("o_orderkey") % 2 === 0), cols, dir)
+    graft.operators.Profile.sketchBatch(
+      o.filter(col("o_orderkey") % 2 === 1), cols, dir)
+    val m = graft.operators.Profile.mergedProfile(spark, dir)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    // non-numeric column: no KLL sketch, quantiles must be null, the HLL
+    // side of the same row still present
+    assert(m("o_orderstatus").isNullAt(
+      m("o_orderstatus").fieldIndex("p50_est")))
+    assert(m("o_orderstatus").getAs[Long]("n_nonnull") > 0)
+    // numeric columns: the estimate's exact rank lands within the KLL
+    // error band of the target quantile (k=400 -> ~0.9% at 99%; 3% margin)
+    val n = o.count().toDouble
+    for (c <- Seq("o_orderkey", "o_totalprice"); (q, f) <- Seq(
+        (0.5, "p50_est"), (0.95, "p95_est"))) {
+      val est = m(c).getAs[Double](f)
+      val rank = o.filter(col(c) <= est).count() / n
+      assert(math.abs(rank - q) <= 0.03,
+        s"$c $f=$est has exact rank $rank, expected ~$q")
+    }
+  }
+
   // ---- bounded top-k aggregate ----------------------------------------
   test("TopK aggregate equals the window formulation and plans as an aggregate") {
     import org.apache.spark.sql.expressions.Window
