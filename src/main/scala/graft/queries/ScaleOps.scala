@@ -65,6 +65,27 @@ object ScaleOps {
       FROM probes JOIN cms USING (ri, bucket)
       GROUP BY user_id, n""")),
 
+    // heavy hitters from the mergeable approx-top-k index: two batch
+    // accumulators persisted, combined, estimated — CMS's complement
+    // (WHICH keys dominate, without enumerating the key space). Run in
+    // the exact regime (distinct event types ≪ maxTracked=32), so the
+    // merged counts equal the full groupBy's and the oracle is
+    // hash-exact; the over-cardinality estimation regime is recall-tested
+    // on a skewed corpus in OperatorsSpec. The top-3 boundary is tie-free
+    // in this data at every sf (3rd vs 4th count gap ≥ 24).
+    Q("q73_heavy_hitters", (s, d) => {
+      val ev = t(s, d, "events")
+      val dir = java.nio.file.Files.createTempDirectory("graft-hh")
+      dir.toFile.deleteOnExit()
+      graft.operators.Sketches.heavyHittersBatch(
+        ev.filter(col("event_id") % 2 === 0), "event_type", dir.toString, 32)
+      graft.operators.Sketches.heavyHittersBatch(
+        ev.filter(col("event_id") % 2 === 1), "event_type", dir.toString, 32)
+      graft.operators.Sketches.mergedHeavyHitters(s, dir.toString, 3, 32)
+    }, Some("""
+      SELECT event_type AS item, count(*) AS est_count
+      FROM events GROUP BY 1 ORDER BY est_count DESC, item ASC LIMIT 3""")),
+
     // TF-IDF: top-3 terms per document (sklearn-smoothed idf). Floating
     // point, but both engines evaluate the identical expression tree on the
     // identical integers, so the 6-decimal rounding is stable. Integer

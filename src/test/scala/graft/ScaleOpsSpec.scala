@@ -50,6 +50,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(merged.count() === rebuilt.count())
   }
 
+  // ---- heavy hitters ---------------------------------------------------
+  test("heavy hitters: exact regime matches full groupBy; index merge = direct") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    // distinct event types ≪ maxTracked → counts are exact
+    val hh = Sketches.heavyHitters(ev, "event_type", 3, maxTracked = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type")).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(hh === exact)
+    // two persisted batch states combined == one-shot over the union
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-test").toString
+    val Array(a, b) = ev.randomSplit(Array(0.5, 0.5), seed = 11)
+    Sketches.heavyHittersBatch(a, "event_type", dir, maxTracked = 32)
+    Sketches.heavyHittersBatch(b, "event_type", dir, maxTracked = 32)
+    val merged = Sketches.mergedHeavyHitters(spark, dir, 3, maxTracked = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(merged === exact)
+  }
+
+  test("heavy hitters: estimation regime recalls true heavies on a skewed corpus") {
+    import spark.implicits._
+    // 5 heavy keys (~2000 hits each) drowned in 20k distinct singletons —
+    // cardinality 40× past maxTracked=512, so the sketch must estimate.
+    val heavy = spark.range(0, 10000)
+      .selectExpr("concat('heavy_', CAST(id % 5 AS STRING)) AS k")
+    val noise = spark.range(0, 20000)
+      .selectExpr("concat('noise_', CAST(id AS STRING)) AS k")
+    val corpus = heavy.unionByName(noise)
+    val top = Sketches.heavyHitters(corpus, "k", 5, maxTracked = 512)
+      .collect().map(_.getString(0)).toSet
+    assert(top === (0 until 5).map(i => s"heavy_$i").toSet,
+      s"sketch missed a true heavy hitter: $top")
+  }
+
   // ---- TF-IDF / BM25 ---------------------------------------------------
   test("tf-idf surfaces a repeated rare term over common terms") {
     import spark.implicits._
