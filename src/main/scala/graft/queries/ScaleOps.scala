@@ -86,6 +86,33 @@ object ScaleOps {
       SELECT event_type AS item, count(*) AS est_count
       FROM events GROUP BY 1 ORDER BY est_count DESC, item ASC LIMIT 3""")),
 
+    // q73's unbounded-stream counterpart: per-shard Misra-Gries state
+    // (shards x capacity counters FOREVER, independent of key cardinality)
+    // updated by mapGroupsWithState, replayed via AvailableNow, corpus-wide
+    // top-3 from each shard's latest summary. Exact regime again (5 event
+    // types over 4 shards, capacity 32 — no decrement ever fires), so the
+    // streaming replay must reproduce the identical full-groupBy oracle;
+    // the estimation regime is recall-tested in StreamingSpec.
+    Q("q74_stream_heavy_hitters", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.eventsStream(s, d)
+      // one state store per shuffle partition: 4 matches the shard count
+      // (same store-open-vs-throughput trade measured for q55)
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.StreamingSketch
+          .heavyHitters(ev, "event_type", shards = 4, capacity = 32)
+          .toDF()
+          .writeStream.format("memory").queryName("q74_stream")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
+      graft.streaming.StreamingSketch.finalTopK(s.table("q74_stream"), 3)
+    }, Some("""
+      SELECT event_type AS item, count(*) AS est_count
+      FROM events GROUP BY 1 ORDER BY est_count DESC, item ASC LIMIT 3""")),
+
     // TF-IDF: top-3 terms per document (sklearn-smoothed idf). Floating
     // point, but both engines evaluate the identical expression tree on the
     // identical integers, so the 6-decimal rounding is stable. Integer

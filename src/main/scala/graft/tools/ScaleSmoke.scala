@@ -287,6 +287,13 @@ object ScaleSmoke {
       // sketch size is FIXED (4x64 counters) — build must be scan-bound
       ("cms_build", time("cms_build 1x")(noop(Sketches.cmsBuild(ev1, "user_id"))),
         time("cms_build 10x")(noop(Sketches.cmsBuild(ev10, "user_id")))),
+      // tracked-counter budget is FIXED (4096) while user_id cardinality
+      // grows 10x past it — per-task state stays bounded, so the single
+      // aggregate pass must be scan-bound like cms_build
+      ("heavy_hitters", time("heavy_hitters 1x")(
+          noop(Sketches.heavyHitters(ev1, "user_id", 10))),
+        time("heavy_hitters 10x")(
+          noop(Sketches.heavyHitters(ev10, "user_id", 10)))),
       ("tfidf_top3", time("tfidf_top3 1x")(noop(Ranking.tfIdfTopTerms(d1, "doc_id", "text", 3))),
         time("tfidf_top3 10x")(noop(Ranking.tfIdfTopTerms(d10, "doc_id", "text", 3)))),
       // bin-join: candidates are equi-join rows, so 10x input (with 10x

@@ -100,6 +100,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(last === Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("streaming heavy hitters: exact across batches; state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val hh = graft.streaming.StreamingSketch
+      .heavyHitters(mem.toDF().toDF("k"), "k", shards = 2, capacity = 8)
+    val q = hh.toDF().writeStream.format("memory").queryName("shh_out")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData("a", "a", "b", "c")
+    q.processAllAvailable()
+    mem.addData("a", "b", "b", "b")
+    q.processAllAvailable()
+    val top = graft.streaming.StreamingSketch
+      .finalTopK(spark.table("shh_out"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    q.stop()
+    // counts accumulated across both micro-batches, exactly
+    assert(top.toSeq === Seq(("b", 4L), ("a", 3L)))
+  }
+
+  test("streaming heavy hitters: estimation regime recalls true heavies") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    // 3 heavy keys (600 hits each) in 4000 distinct singletons, state
+    // capped at 2 shards x 64 counters — 30x under the key cardinality,
+    // so MG decrements must fire and the heavies must still survive
+    val hh = graft.streaming.StreamingSketch
+      .heavyHitters(mem.toDF().toDF("k"), "k", shards = 2, capacity = 64)
+    val q = hh.toDF().writeStream.format("memory").queryName("shh_est_out")
+      .outputMode(OutputMode.Update()).start()
+    val rnd = new scala.util.Random(7)
+    val rows = rnd.shuffle(
+      (0 until 1800).map(i => s"heavy_${i % 3}") ++
+      (0 until 4000).map(i => s"noise_$i"))
+    rows.grouped(1500).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    val summaries = spark.table("shh_est_out")
+    // bounded state: no summary ever exceeds its capacity
+    val maxTracked = summaries.selectExpr("max(size(items)) AS s")
+      .collect()(0).getInt(0)
+    val top = graft.streaming.StreamingSketch.finalTopK(summaries, 3)
+      .collect().map(_.getString(0)).toSet
+    q.stop()
+    assert(maxTracked <= 64, s"shard state grew past capacity: $maxTracked")
+    assert(top === Set("heavy_0", "heavy_1", "heavy_2"),
+      s"sketch missed a true heavy hitter: $top")
+  }
+
   test("session windows close after gap silence") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
