@@ -78,6 +78,26 @@ object TextAnalysis {
   def fingerprint(text: String): Column =
     expr(HashExprs.sparkCharHash(text))
 
+  /** Group-aware train/eval split: the split key is a GROUP column
+    * (source domain, url host, author), so every document of a group lands
+    * on the same side — templated or near-duplicate documents within a
+    * group cannot leak from train into eval, the failure mode of per-row
+    * sampling. The char hash is taken over `md5(group)` rather than the
+    * raw key: similar group names ("src1"/"src2") sit adjacent in
+    * polynomial-hash space, which would bias a percentage threshold, while
+    * the digest decorrelates them. Deterministic and partitioning-free: a
+    * pure projection (no shuffle), reproducible on any cluster, and
+    * documents appended later join their group's existing side. */
+  def groupSplit(docs: DataFrame, groupCol: String,
+      trainPermille: Int): DataFrame = {
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      s"trainPermille must be in [0, 1000], got $trainPermille")
+    docs.withColumn("split",
+      when(expr(HashExprs.sparkCharHash(s"md5($groupCol)")) % 1000
+             < trainPermille, lit("train"))
+        .otherwise(lit("eval")))
+  }
+
   /** Convenience: documents frame -> per-doc analysis columns. */
   def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),

@@ -318,6 +318,19 @@ object Extensions {
         .select(col("doc_id")),
       Some(s"""SELECT doc_id FROM documents WHERE ${H.duckCharHash("text")} % 10 = 0""")),
 
+    // group-aware split: hash the GROUP key (source), not the content, so a
+    // whole group lands on one side and intra-group near-dups can't leak
+    // train -> eval. md5 under the char hash decorrelates similar group
+    // names (raw "src1"/"src2" hash adjacently, biasing the threshold)
+    Q("text_group_split", (s, d) =>
+      TextAnalysis.groupSplit(t(s, d, "documents"), "source", 800)
+        .select(col("doc_id"), col("source"), col("split")),
+      Some(s"""
+        SELECT doc_id, source,
+               CASE WHEN ${H.duckCharHash("md5(source)")} % 1000 < 800
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents""")),
+
     // deterministic data-mix assembly: resample the 20 sources to a
     // 1:3 weight split (src0-9 vs src10-19). Thresholds derive from exact
     // integer arithmetic both engines mirror; membership is content-hash

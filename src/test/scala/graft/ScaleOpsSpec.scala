@@ -365,6 +365,34 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("groupSplit: groups are atomic, split is partitioning-invariant") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val split = TextAnalysis.groupSplit(docs, "source", 800)
+      .select("source", "split")
+    // group atomicity: each source maps to exactly one side
+    val sides = split.distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert(sides.values.forall(_.size == 1), "a group straddles the split")
+    // non-degenerate at this threshold on this corpus
+    val bySide = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.keySet === Set("train", "eval"))
+    // determinism under repartitioning: identical assignment per doc
+    val a = TextAnalysis.groupSplit(docs, "source", 800)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextAnalysis.groupSplit(docs.repartition(7), "source", 800)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // boundary thresholds degenerate cleanly
+    assert(TextAnalysis.groupSplit(docs, "source", 1000)
+      .filter(col("split") === "eval").count() === 0L)
+    assert(TextAnalysis.groupSplit(docs, "source", 0)
+      .filter(col("split") === "train").count() === 0L)
+  }
+
   // ---- PageRank --------------------------------------------------------
   test("integer pagerank: 2-cycle stays uniform, star concentrates rank") {
     import spark.implicits._
