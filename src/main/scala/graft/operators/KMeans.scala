@@ -128,6 +128,19 @@ object KMeans {
     * checkpoint blocks — see the ownership contract on [[Checkpoints]]). */
   def assign(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, scale: Long = 1000000L): DataFrame = {
+    val (result, centroids) = fit(emb, idCol, vecCol, k, iters, scale)
+    Checkpoints.release(centroids)
+    result
+  }
+
+  /** As [[assign]], but also returns the final codebook: `(assignments,
+    * centroids)` where centroids is `(cid, cs)` with `cs` in the SCALED
+    * integer space (`round(v * scale)`) — consumers scoring against the
+    * codebook (product quantization's ADC tables) must scale their probe
+    * vectors identically. BOTH frames are `localCheckpoint`-backed; the
+    * caller owns both lifecycles ([[Checkpoints.release]] each). */
+  def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, scale: Long = 1000000L): (DataFrame, DataFrame) = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
     require(k < TieRadix, s"k must be < $TieRadix for the argmin packing")
     // hash-partition on id ONCE and cache: the per-round argmin aggregate's
@@ -169,13 +182,17 @@ object KMeans {
         prevCkpt = Some(centroids)
       }
     }
-    val result = assignIds(scaled, centroids, p)
+    // checkpoint the final codebook BEFORE releasing the superseded
+    // intermediate (k rows — cheap), so the returned frame never references
+    // released blocks
+    val finalCents = centroids.localCheckpoint()
+    val result = assignIds(scaled, finalCents, p)
       .select(col("id"), col("cid").as("cluster"))
       .localCheckpoint()
-    // the result checkpoint is materialized — the last intermediate
+    // both result checkpoints are materialized — the last intermediate
     // centroid checkpoint (if any) is now dead
     prevCkpt.foreach(Checkpoints.release)
     scaled.unpersist()
-    result
+    (result, finalCents)
   }
 }

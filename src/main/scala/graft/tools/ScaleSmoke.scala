@@ -309,6 +309,19 @@ object ScaleSmoke {
           noop(graft.operators.KMeans.assign(e1, "vec_id", "embedding", 8, 2))),
         time("kmeans_2iter 10x")(
           noop(graft.operators.KMeans.assign(e10, "vec_id", "embedding", 8, 2)))),
+      // PQ: codebook size fixed (4 blocks x 16 codes), corpus 10x — build
+      // is 4 block k-means (linear, like the row above), scoring is a
+      // broadcast ADC table against 10x codes with a FIXED 64-query set,
+      // so the whole pipeline must track the corpus linearly
+      ("pq_rerank_topk", time("pq_rerank_topk 1x") {
+        val r = Similarity.pqRerankTopK(e1.limit(64), e1, "vec_id",
+          "embedding", 3, candidates = 24, subspaces = 4)
+        noop(r); r.unpersist()
+      }, time("pq_rerank_topk 10x") {
+        val r = Similarity.pqRerankTopK(e1.limit(64), e10, "vec_id",
+          "embedding", 3, candidates = 24, subspaces = 4)
+        noop(r); r.unpersist()
+      }),
       // the incremental-dedup claim: a FIXED batch against a 10x-bigger
       // index must cost ~the same (batch-bands x collision-rate, never
       // corpus size) — the ratio here compares same-batch/1x-index vs

@@ -253,6 +253,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3 >= 0.3, s"nprobe=3 rank-1 recall $r3")
   }
 
+  test("product quantization: ADC + exact re-rank recovers exact neighbors") {
+    // every 10th vector queries the full corpus; candidates = 100 of 500.
+    // Fully deterministic (integer k-means codebooks, integer ADC, id
+    // tie-breaks): measured recall is 0.82 on this corpus — the floor
+    // leaves margin only for platform drift, not run-to-run noise
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+    val rr = Similarity.pqRerankTopK(queries, emb, "vec_id", "embedding", 10,
+      candidates = 100)
+    val hit = exact.join(rr.select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id")).count()
+    val recall = hit.toDouble / exact.count()
+    // structural invariants: k rows per query, dense ranks from 1, no self
+    val byQuery = rr.collect().groupBy(_.getLong(0))
+    assert(byQuery.values.forall(_.length == 10))
+    assert(byQuery.values.forall(
+      _.map(_.getLong(2)).sorted.sameElements(1L to 10L)))
+    assert(rr.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    rr.unpersist()
+    assert(recall >= 0.75, s"PQ rerank recall@10 = $recall")
+  }
+
   test("ivf seeding is rank-based: sparse ids get the full seed set") {
     // ids shifted to a sparse domain (id*1000+7): the old `id < nCells`
     // filter would find a single seed (7) and degenerate to one cell; rank
