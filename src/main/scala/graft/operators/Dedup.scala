@@ -148,15 +148,7 @@ object Dedup {
     maxShingleDf match {
       case Some(maxDf) =>
         // scale path: candidates from sub-cap shingles only, exact verify
-        val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select(col("s"))
-        val cand = postingsPairs(ex.join(rare, "s")).distinct()
-          .select(col("id_a").cast(idType).as("id_a"),
-            col("id_b").cast(idType).as("id_b"))
-        finalized(cand
-          .join(sh.select(col("id"), col("sh").as("sa")), cand("id_a") === col("id"))
-          .drop("id")
-          .join(sh.select(col("id"), col("sh").as("sb")), cand("id_b") === col("id"))
+        finalized(cappedCandidates(ex, sh, maxDf, idType)
           .filter(jaccardGe(num, den))
           .select(col("id_a"), col("id_b")), sh)
       case None =>
@@ -165,6 +157,26 @@ object Dedup {
           .filter(col("inter") * den >= (col("na") + col("nb") - col("inter")) * num)
           .select(col("id_a"), col("id_b")), sh)
     }
+  }
+
+  /** Shared capped-candidate scaffold for the `maxShingleDf` scale paths
+    * of [[ngramNearDups]] and [[containmentPairs]]: candidate pairs come
+    * only from shingles appearing in ≤ `maxDf` docs, each candidate joined
+    * back to BOTH docs' FULL shingle arrays — `(id_a, id_b, sa, sb)` — so
+    * the caller's predicate verifies against uncapped sets (the cap can
+    * miss a pair, never mis-score an emitted one). */
+  private def cappedCandidates(ex: DataFrame, sh: DataFrame, maxDf: Int,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("s"))
+    val cand = postingsPairs(ex.join(rare, "s")).distinct()
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"))
+    cand
+      .join(sh.select(col("id"), col("sh").as("sa")), cand("id_a") === col("id"))
+      .drop("id")
+      .join(sh.select(col("id"), col("sh").as("sb")), cand("id_b") === col("id"))
+      .drop("id")
   }
 
   /** Shared exact-overlap kernel: postings co-occurrence counts joined to
@@ -218,17 +230,9 @@ object Dedup {
         // scale path: candidates from sub-cap shingles, exact verify over
         // the full arrays — `inter` recomputed there, so capped candidates
         // carry exact scores (NULL sentinel stripped as in jaccardGe)
-        val rare = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select(col("s"))
-        val cand = postingsPairs(ex.join(rare, "s")).distinct()
-          .select(col("id_a").cast(idType).as("id_a"),
-            col("id_b").cast(idType).as("id_b"))
         val inter = size(array_intersect(
           expr("filter(sa, x -> x IS NOT NULL)"), col("sb")))
-        finalized(cand
-          .join(sh.select(col("id"), col("sh").as("sa")), cand("id_a") === col("id"))
-          .drop("id")
-          .join(sh.select(col("id"), col("sh").as("sb")), cand("id_b") === col("id"))
+        finalized(cappedCandidates(ex, sh, maxDf, idType)
           .withColumn("inter", inter.cast("long"))
           .filter(col("inter") * den >=
             least(size(col("sa")), size(col("sb"))) * num)

@@ -145,8 +145,9 @@ object Graph {
     // persist makes the two uses share one materialization — the sink-mass
     // broadcast job populates the cache, the contributions join reads it —
     // without the eager per-round checkpoint that serialized the loop into
-    // one job per round (the round-6 shape this replaces). Superseded
-    // round caches are released after the result materializes.
+    // one job per round (the round-6 shape this replaces). A superseded
+    // round cache is released as soon as its successor materializes (and
+    // the last one after the result does).
     var prevCkpt: Option[DataFrame] = None
     val roundCaches = scala.collection.mutable.Buffer.empty[DataFrame]
     for (i <- 0 until iters) {
@@ -165,6 +166,13 @@ object Graph {
             .collect()(0).getLong(0) / n
         case None => 0L
       }
+      // that collect just materialized the NEWEST round cache; no future
+      // plan can read an older one (each round's plan references only its
+      // predecessor), so release them now — a long loop pins at most one
+      // rank-table copy plus the 4-round checkpoint, never one per round.
+      // Eviction of the newest cache merely recomputes from the last
+      // checkpoint (bounded by the cadence), it cannot break correctness.
+      while (roundCaches.length > 1) roundCaches.remove(0).unpersist(false)
       // Dangling mode's per-round plan: ONE join (rank onto edges) and ONE
       // aggregate. The no-inlink nodes are handled by a zero-contribution
       // row per node UNIONED into the same aggregate — cheaper than a left
@@ -200,6 +208,9 @@ object Graph {
         rank = rank.localCheckpoint()
         prevCkpt.foreach(Checkpoints.release)
         prevCkpt = Some(rank)
+        // the eager checkpoint is self-contained — every round cache is dead
+        roundCaches.foreach(_.unpersist(false))
+        roundCaches.clear()
       } else if (danglingMass && i != iters - 1) {
         rank = rank.persist()
         roundCaches += rank

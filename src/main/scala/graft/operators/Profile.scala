@@ -120,9 +120,19 @@ object Profile {
     // per-type merge: the CASE filter feeds each merge aggregate only its
     // own type's sketches (the other aggregate sees all-null input and
     // yields an EMPTY sketch, which the get_n guard turns into null —
-    // Datasketches aggs skip nulls rather than failing)
+    // Datasketches aggs skip nulls rather than failing). A column whose
+    // batches carry MIXED types (schema drift: 'bigint' sketches before a
+    // widening, 'double' after) fails LOUDLY — silently merging only the
+    // max(kll_type) batches would report quantiles of the recent data as
+    // if they covered the corpus. Pre-KLL batches (null kll_type) are not
+    // a conflict: count(DISTINCT) skips nulls.
     def quantile(q: Double, name: String) = expr(
       s"""CASE
+            WHEN count(DISTINCT kll_type) > 1 THEN
+              CAST(raise_error(concat(
+                'mergedProfile: mixed KLL sketch types in the index for ',
+                'column ', col_name,
+                ' — rebuild the index with one sketch type')) AS DOUBLE)
             WHEN max(kll_type) = 'bigint' THEN
               CASE WHEN kll_sketch_get_n_bigint(
                      kll_merge_agg_bigint(

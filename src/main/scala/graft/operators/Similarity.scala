@@ -313,7 +313,10 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, subspaces: Int = 8, codebook: Int = 16,
       iters: Int = 2, scale: Long = 1000000L): DataFrame = {
-    val dim = corpus.selectExpr(s"max(size($vecCol))").collect()(0).getInt(0)
+    val dimRow = corpus.selectExpr(s"max(size($vecCol))").collect()(0)
+    require(!dimRow.isNullAt(0),
+      s"pqTopK: corpus is empty or $vecCol is all-null — no dimension to derive")
+    val dim = dimRow.getInt(0)
     require(subspaces > 0 && subspaces <= dim,
       s"need 0 < subspaces <= dim; got $subspaces over dim $dim")
     val bounds = (0 to subspaces).map(b => b * dim / subspaces)

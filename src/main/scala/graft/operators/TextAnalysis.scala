@@ -92,8 +92,13 @@ object TextAnalysis {
       trainPermille: Int): DataFrame = {
     require(trainPermille >= 0 && trainPermille <= 1000,
       s"trainPermille must be in [0, 1000], got $trainPermille")
+    // NULL group keys form one ordinary group (a sentinel no real md5 hex
+    // collides with) and route by the threshold like any other — without
+    // it, when(NULL < t) is false and every null row would silently land
+    // in eval even at trainPermille = 1000
+    val key = s"coalesce(md5($groupCol), '<null-group>')"
     docs.withColumn("split",
-      when(expr(HashExprs.sparkCharHash(s"md5($groupCol)")) % 1000
+      when(expr(HashExprs.sparkCharHash(key)) % 1000
              < trainPermille, lit("train"))
         .otherwise(lit("eval")))
   }

@@ -327,7 +327,7 @@ object Extensions {
         .select(col("doc_id"), col("source"), col("split")),
       Some(s"""
         SELECT doc_id, source,
-               CASE WHEN ${H.duckCharHash("md5(source)")} % 1000 < 800
+               CASE WHEN ${H.duckCharHash("coalesce(md5(source), '<null-group>')")} % 1000 < 800
                     THEN 'train' ELSE 'eval' END AS split
         FROM documents""")),
 

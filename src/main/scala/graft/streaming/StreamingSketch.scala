@@ -52,6 +52,10 @@ object StreamingSketch {
         pmod(xxhash64(expr(keyExpr).cast("string")), lit(shards)).cast("int")
           .as("shard"),
         expr(keyExpr).cast("string").as("k"))
+      // null keys mirror the batch sketch's semantics (approx_top_k skips
+      // nulls) — and a null could not survive anyway: Catalyst forbids
+      // null map keys at state serialization
+      .filter(col("k").isNotNull)
       .as[(Int, String)]
       .groupByKey(_._1)
       .mapGroupsWithState[MgState, ShardSummary] {

@@ -274,6 +274,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rr.filter(col("query_id") === col("neighbor_id")).count() === 0)
     rr.unpersist()
     assert(recall >= 0.75, s"PQ rerank recall@10 = $recall")
+    // empty corpus: a diagnosable error, not a bare NPE from the dim probe
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, emb.limit(0), "vec_id", "embedding", 3)
+    }
+    assert(err.getMessage.contains("empty"))
   }
 
   test("ivf seeding is rank-based: sparse ids get the full seed set") {

@@ -234,6 +234,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental profile: mixed KLL types for one column fail loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-profmix-t").toString
+    // same column name sketched as bigint in one batch, double in the
+    // next (schema widening): merging must raise, not silently report
+    // quantiles of only the double batches
+    graft.operators.Profile.sketchBatch(
+      (1L to 100L).toDF("x"), Seq("x"), dir)
+    graft.operators.Profile.sketchBatch(
+      (1 to 100).map(_ / 10.0).toDF("x"), Seq("x"), dir)
+    val e = intercept[Exception] {
+      graft.operators.Profile.mergedProfile(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("mixed KLL")),
+      s"expected a mixed-KLL error, got: $e")
+  }
+
   // ---- bounded top-k aggregate ----------------------------------------
   test("TopK aggregate equals the window formulation and plans as an aggregate") {
     import org.apache.spark.sql.expressions.Window
@@ -386,10 +405,13 @@ class ScaleOpsSpec extends AnyFunSuite {
       .select("doc_id", "split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(a === b)
-    // boundary thresholds degenerate cleanly
-    assert(TextAnalysis.groupSplit(docs, "source", 1000)
+    // boundary thresholds degenerate cleanly — including NULL group keys,
+    // which form one ordinary group rather than silently landing in eval
+    val withNulls = docs.withColumn("source",
+      when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("source")))
+    assert(TextAnalysis.groupSplit(withNulls, "source", 1000)
       .filter(col("split") === "eval").count() === 0L)
-    assert(TextAnalysis.groupSplit(docs, "source", 0)
+    assert(TextAnalysis.groupSplit(withNulls, "source", 0)
       .filter(col("split") === "train").count() === 0L)
   }
 

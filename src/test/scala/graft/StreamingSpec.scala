@@ -105,12 +105,16 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
     val hh = graft.streaming.StreamingSketch
-      .heavyHitters(mem.toDF().toDF("k"), "k", shards = 2, capacity = 8)
+      .heavyHitters(mem.toDF().toDF("k"), "nullif(k, 'skip')",
+        shards = 2, capacity = 8)
     val q = hh.toDF().writeStream.format("memory").queryName("shh_out")
       .outputMode(OutputMode.Update()).start()
     mem.addData("a", "a", "b", "c")
     q.processAllAvailable()
-    mem.addData("a", "b", "b", "b")
+    // "skip" rows become NULL keys via the expression — mirrored from the
+    // batch sketch's null semantics (skipped), and a null key would
+    // otherwise poison the state map at serialization time
+    mem.addData("a", "b", "b", "b", "skip", "skip")
     q.processAllAvailable()
     val top = graft.streaming.StreamingSketch
       .finalTopK(spark.table("shh_out"), 2)
