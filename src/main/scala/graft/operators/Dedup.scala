@@ -320,6 +320,84 @@ object Dedup {
           .as("is_contaminated"))
   }
 
+  /** Cross-source contamination matrix: for every pair of sources, the
+    * number of distinct word-3-shingles present in BOTH — the
+    * corpus-composition audit run before mixing crawls ("how much of
+    * source B is already in source A?"). Emits one row per source pair
+    * with any overlap: `(source_a, source_b, n_shared, n_a, n_b)`
+    * (`source_a < source_b`; `n_a`/`n_b` are each source's distinct
+    * shingle counts, so Jaccard/containment are one division away).
+    *
+    * Scale shape: distinct `(shingle, source)` first (one shuffle on the
+    * shingle hash), then the per-shingle source SET — bounded by the
+    * number of SOURCES, a corpus-provenance label with tens-to-hundreds
+    * of values, never by document count — and C(sources-present, 2) pair
+    * emission per shingle. Never a doc-doc or shingle-posting-pair join:
+    * a boilerplate shingle in every doc of two sources costs ONE pair
+    * row, where a postings-pair kernel would emit C(df, 2). */
+  def sourceOverlap(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val srcSh = srcShingles(docs, textCol, sourceCol).distinct()
+    val totals = srcSh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val pairs = srcSh.groupBy(col("s"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(srcs) - 1),
+          |  i -> transform(sequence(0, i - 1),
+          |    j -> struct(element_at(srcs, j + 1) AS sa,
+          |                element_at(srcs, i + 1) AS sb))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(totals.select(col("src"), col("n").as("n_a")),
+        pairs("source_a") === col("src")).drop("src")
+      .join(totals.select(col("src"), col("n").as("n_b")),
+        pairs("source_b") === col("src")).drop("src")
+  }
+
+  /** Sketch variant of [[sourceOverlap]] for corpora where even the
+    * distinct `(shingle, source)` table is worth avoiding: ONE pass
+    * builds a fixed-size HLL sketch of each source's shingle set
+    * (`lgConfigK` registers, mergeable, map-side combined), and pairwise
+    * overlap is estimated driver-free by inclusion-exclusion over the
+    * tiny per-source sketch table: `|A ∩ B| ≈ |A| + |B| − |A ∪ B|`.
+    * The pair frame is sources × sources — a broadcast self-join of a
+    * #sources-row table, not a data-scale op. Estimates carry HLL error
+    * (~1.6% at lgConfigK=12) and small intersections of large sets can
+    * even go negative (clamped to 0): an audit signal, not an exact
+    * count — tests bound it against [[sourceOverlap]]. */
+  // (docs don't need an id here: shingles attach to the SOURCE, so both
+  // variants project (src, shingle) straight off the text — no id join)
+  def sourceOverlapApprox(docs: DataFrame, textCol: String,
+      sourceCol: String, lgConfigK: Int = 12): DataFrame = {
+    val sk = srcShingles(docs, textCol, sourceCol)
+      .groupBy(col("src"))
+      .agg(expr(s"hll_sketch_agg(s, $lgConfigK)").as("sk"))
+    val a = sk.select(col("src").as("source_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("src").as("source_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        greatest(lit(0.0),
+          expr("hll_sketch_estimate(sk_a) + hll_sketch_estimate(sk_b)" +
+            " - hll_sketch_estimate(hll_union(sk_a, sk_b))"))
+          .as("n_shared_est"),
+        expr("hll_sketch_estimate(sk_a)").as("n_a_est"),
+        expr("hll_sketch_estimate(sk_b)").as("n_b_est"))
+  }
+
+  /** `(src, shingle)` rows, NULL sentinel (docs with <3 words) stripped —
+    * NOT distinct: [[sourceOverlap]] needs the exact distinct (one shuffle),
+    * the HLL variant lets the sketch absorb duplicates instead. */
+  private def srcShingles(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame =
+    docs.select(col(sourceCol).as("src"),
+        HashNative.wordHashes(col(textCol)).as("wh"))
+      .select(col("src"), HashNative.shingleHashes(col("wh")).as("sh"))
+      .select(col("src"), explode(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+
   /** Co-occurring doc pairs from per-shingle postings lists. Pairs are
     * emitted LAZILY (iterator, no buffer): a high-df shingle's C(df,2)
     * pairs stream through the downstream aggregation instead of

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over large event logs: ordered funnels and
+  * cohort retention — the downstream warehouse queries a Singer-fed event
+  * table exists to answer.
+  *
+  * Scale design notes:
+  *  - `funnel`: k chained per-user aggregates, every shuffle on the SAME
+  *    user key (AQE reuses the partitioning across the chain). Per-user
+  *    state is ONE timestamp per step — never a collected event list, so
+  *    a power user with 10⁸ events costs the same as one with 10. The
+  *    per-step frames shrink monotonically (funnel property), so each
+  *    successive join is smaller than the last.
+  *  - `retention`: ONE per-user aggregate collecting the distinct active
+  *    weeks (map-side partial dedup; per-user state bounded by CALENDAR
+  *    weeks — a 10-year log is ≤ 522 ints — never by event volume), then
+  *    one cell aggregate. Two shuffles total; the distinct-then-join
+  *    formulation costs four (distinct on (u, wk) partitioning satisfies
+  *    neither the cohort groupBy(u) nor the join).
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: row `i` counts the distinct users whose events match
+    * `steps(0..i)` IN ORDER — each step strictly after the user's earliest
+    * completion of the previous step (ties at the same microsecond do NOT
+    * advance the funnel). Returns `(step_idx, step, n_users)`, one row per
+    * step, `step_idx` 1-based.
+    *
+    * Per-step recurrence: `t_i(u) = min ts of a `steps(i)` event of `u`
+    * with `ts > t_{i-1}(u)`. Using the EARLIEST qualifying completion at
+    * every step is what makes the greedy chain exact: any ordered
+    * assignment of events can be left-shifted onto the greedy one.
+    *
+    * Intermediates are persisted while the chain builds (each is read
+    * twice: next step's join + its own count) and released before
+    * returning — the result frame stays persisted, k rows.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    val base = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("us"), col(typeCol).as("et"))
+    // reached(i): one row per user who completed steps 0..i, with t = the
+    // earliest completion time of step i under the chain constraint
+    val reached = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (st, i)) =>
+        val mine = base.filter(col("et") === st)
+        val qual = acc.headOption match {
+          case None => mine
+          case Some(p) =>
+            mine.join(p.select(col("u"), col("t").as("t_prev")), Seq("u"))
+              .filter(col("us") > col("t_prev"))
+        }
+        qual.groupBy(col("u")).agg(min(col("us")).as("t")).persist() :: acc
+    }.reverse
+    val counts = reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit((i + 1).toLong).as("step_idx"),
+          lit(steps(i)).as("step"), col("n_users"))
+    }.reduce(_ unionByName _)
+    val out = counts.persist()
+    out.count()
+    reached.foreach(_.unpersist(false))
+    out
+  }
+
+  /** Cohort retention: users are cohorted by the 7-day bucket (relative to
+    * `originDate`, `yyyy-MM-dd`) of their FIRST event; each later active
+    * bucket contributes one `(cohort_wk, wk_offset, n_users)` cell.
+    * `wk_offset` 0 is the cohort week itself, so every cohort's offset-0
+    * cell equals its size. Integer week arithmetic (`datediff div 7`) on
+    * both engines — no date_trunc('week') locale semantics.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      originDate: String): DataFrame = {
+    val wk = floor(datediff(to_date(col(tsCol)),
+      to_date(lit(originDate))).cast("long") / 7).cast("long")
+    events
+      .select(col(userCol).as("u"), wk.as("wk"))
+      .groupBy(col("u")).agg(collect_set(col("wk")).as("wks"))
+      // collect_set skips null weeks (null ts); a user with none left
+      // contributes no cells (explode drops the empty array)
+      .select(array_min(col("wks")).as("cohort_wk"),
+        explode(col("wks")).as("wk"))
+      .groupBy(col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -315,6 +315,48 @@ object Coverage {
       SELECT year(o_orderdate) AS yr, count(*) AS n,
              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY 1"""))
+      GROUP BY 1""")),
+
+    // ordered event funnel: per-step distinct-user counts under the
+    // strict-order chain t_i = min ts of step i AFTER the user's earliest
+    // completion of step i-1 — the oracle mirrors the same greedy
+    // recurrence as chained per-user min-aggregates
+    Q("q75_funnel", (s, d) =>
+      graft.operators.EventAnalytics.funnel(Tables.events(s, d),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase")),
+    Some("""
+      WITH e AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                        event_type AS et FROM events),
+      s1 AS (SELECT u, min(us) AS t FROM e WHERE et = 'signup' GROUP BY u),
+      s2 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s1 ON e.u = s1.u
+             AND e.us > s1.t WHERE e.et = 'view' GROUP BY e.u),
+      s3 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s2 ON e.u = s2.u
+             AND e.us > s2.t WHERE e.et = 'click' GROUP BY e.u),
+      s4 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s3 ON e.u = s3.u
+             AND e.us > s3.t WHERE e.et = 'purchase' GROUP BY e.u)
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+             count(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'view', count(*) FROM s2
+      UNION ALL SELECT 3, 'click', count(*) FROM s3
+      UNION ALL SELECT 4, 'purchase', count(*) FROM s4""")),
+
+    // cohort retention: 7-day buckets relative to a fixed origin (pure
+    // integer week arithmetic — no engine-specific week truncation);
+    // (user, week) is distinct before the cohort join so counts are
+    // distinct users by construction
+    Q("q76_retention", (s, d) =>
+      graft.operators.EventAnalytics.retention(Tables.events(s, d),
+        "user_id", "ts", "2024-01-01"),
+    Some("""
+      WITH uw AS (SELECT DISTINCT user_id AS u,
+              CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                AS BIGINT) AS wk
+            FROM events),
+      c AS (SELECT u, min(wk) AS cohort_wk FROM uw GROUP BY u)
+      SELECT c.cohort_wk, uw.wk - c.cohort_wk AS wk_offset,
+             count(*) AS n_users
+      FROM uw JOIN c ON uw.u = c.u
+      GROUP BY 1, 2"""))
   )
 }

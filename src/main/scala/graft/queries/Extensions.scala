@@ -136,6 +136,27 @@ object Extensions {
         |       coalesce(h.shared, 0) >= 3 AS is_contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin)),
 
+    // cross-source contamination matrix: distinct shared shingles per
+    // source pair, with per-source totals (Jaccard/containment are one
+    // division away). Pairs come from each shingle's bounded SOURCE set,
+    // never from doc-doc or postings-pair joins — see Dedup.sourceOverlap
+    Q("text_overlap_matrix", (s, d) =>
+      Dedup.sourceOverlap(t(s, d, "documents"), "text", "source"),
+      Some(s"""
+        |WITH w AS (SELECT source, ${H.duckWordHashes("text")} AS wh FROM documents),
+        |sh AS (SELECT source, ${H.duckShingles("wh")} AS sh FROM w),
+        |g AS (SELECT DISTINCT source, s FROM
+        |        (SELECT source, unnest(sh) AS s FROM sh)
+        |      WHERE s IS NOT NULL),
+        |tot AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |             count(*) AS n_shared
+        |      FROM g a JOIN g b ON a.s = b.s AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.n_shared, ta.n AS n_a, tb.n AS n_b
+        |FROM p JOIN tot ta ON p.source_a = ta.source
+        |       JOIN tot tb ON p.source_b = tb.source""".stripMargin)),
+
     Q("text_simhash", (s, d) =>
       Dedup.simhashFingerprints(t(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id"),
