@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Scd2
+
+/** SCD type-2 merge semantics on a hand-built dimension. */
+class Scd2Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val D = java.sql.Date.valueOf(_: String)
+
+  // (key, attr, valid_from, valid_to, is_current)
+  private def dim(rows: (Long, String, String, String, Boolean)*) = {
+    import spark.implicits._
+    rows.toDF("k", "attr", "vf", "vt", "is_current")
+      .select(col("k"), col("attr"), to_date(col("vf")).as("valid_from"),
+        to_date(col("vt")).as("valid_to"), col("is_current"))
+  }
+
+  private def batch(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "attr")
+  }
+
+  test("merge closes changed rows, inserts new keys, ignores no-ops") {
+    val current = dim(
+      (1L, "a", "2024-01-01", null, true),    // will change: a -> a2
+      (2L, "b", "2024-01-01", null, true),    // no-op re-delivery
+      (3L, "c", "2024-01-01", null, true),    // absent from batch
+      (1L, "a0", "2023-01-01", "2024-01-01", false)) // history passes through
+    val out = Scd2.merge(current, batch((1L, "a2"), (2L, "b"), (9L, "z")),
+      Seq("k"), Seq("attr"), "2024-06-01").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2),
+        Option(r.getDate(3)), r.getBoolean(4))).toSet
+    assert(out === Set(
+      (1L, "a", D("2024-01-01"), Some(D("2024-06-01")), false),  // closed
+      (1L, "a2", D("2024-06-01"), None, true),                   // replacement
+      (2L, "b", D("2024-01-01"), None, true),                    // untouched
+      (3L, "c", D("2024-01-01"), None, true),                    // untouched
+      (1L, "a0", D("2023-01-01"), Some(D("2024-01-01")), false), // history
+      (9L, "z", D("2024-06-01"), None, true)))                   // new key
+  }
+
+  test("null transitions are changes both ways; closed-only keys reinsert") {
+    val current = dim(
+      (1L, "a", "2024-01-01", null, true),    // a -> null: change
+      (2L, null.asInstanceOf[String], "2024-01-01", null, true), // null -> b
+      (3L, "c", "2023-01-01", "2024-01-01", false)) // no LIVE row
+    val out = Scd2.merge(current,
+      batch((1L, null.asInstanceOf[String]), (2L, "b"), (3L, "c")),
+      Seq("k"), Seq("attr"), "2024-06-01").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDate(2),
+        Option(r.getDate(3)), r.getBoolean(4))).toSet
+    assert(out === Set(
+      (1L, Some("a"), D("2024-01-01"), Some(D("2024-06-01")), false),
+      (1L, None, D("2024-06-01"), None, true),
+      (2L, None, D("2024-01-01"), Some(D("2024-06-01")), false),
+      (2L, Some("b"), D("2024-06-01"), None, true),
+      (3L, Some("c"), D("2023-01-01"), Some(D("2024-01-01")), false),
+      (3L, Some("c"), D("2024-06-01"), None, true))) // reopened from history
+  }
+
+  test("merge is idempotent: re-merging the same batch is a no-op") {
+    val current = dim((1L, "a", "2024-01-01", null, true))
+    val b = batch((1L, "a2"), (2L, "n"))
+    val once = Scd2.merge(current, b, Seq("k"), Seq("attr"), "2024-06-01")
+    val twice = Scd2.merge(once, b, Seq("k"), Seq("attr"), "2024-07-01")
+    assert(twice.collect().toSet === once.collect().toSet)
+  }
+}
