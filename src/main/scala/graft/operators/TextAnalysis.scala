@@ -194,6 +194,57 @@ object TextAnalysis {
     * vocabulary, and one per-doc reassembly aggregate (`array_sort` on
     * (pos, token) structs restores order without a sort exchange). No
     * all-pairs anything; every stage is key-partitioned. */
+  /** Cross-document boilerplate scrub: drop every word-`spanLen`-gram SPAN
+    * that appears in more than `maxDf` distinct documents (headers,
+    * footers, license blurbs, navigation chrome — the crawl-cleaning
+    * complement of [[scrubRareTokens]], which drops RARE tokens). A token
+    * is removed when ANY hot span covers its position; survivors rejoin in
+    * original order. Docs shorter than `spanLen` pass through untouched
+    * (no span can cover them); fully-covered docs come back as empty
+    * strings — the output stays 1:1 with the input either way.
+    *
+    * Scale shape: the gram df-aggregate is one shuffle on the gram hash
+    * with map-side partial distinct; the hot-gram set is tiny by
+    * construction (boilerplate = high-df tail), so the join back onto the
+    * corpus-sized gram stream broadcasts; covered-position expansion is
+    * spanLen rows per hot occurrence; the rebuild is one anti-join plus
+    * one groupBy, both partitioned on the doc id. Nothing is ever
+    * doc-paired: a span in 10⁶ docs costs 10⁶ covered rows, not C(10⁶,2).
+    */
+  def scrubBoilerplateSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanLen: Int, maxDf: Int): DataFrame = {
+    require(spanLen >= 2, "spanLen must be >= 2")
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val arr = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+    // (id, 1-based start, gram) — docs shorter than spanLen emit nothing
+    val grams = arr.filter(size(col("ws")) >= spanLen)
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(1, size(ws) - ${spanLen - 1}),
+           |  i -> struct(i AS p, array_join(slice(ws, i, $spanLen), ' ') AS g))"""
+          .stripMargin)).as("gp"))
+      .select(col("id"), col("gp.p").as("p"), col("gp.g").as("g"))
+    val hot = grams.select(col("g"), col("id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("g"))
+    val covered = grams.join(hot, Seq("g"))
+      .select(col("id"),
+        explode(expr(s"sequence(p, p + ${spanLen - 1})")).as("pos"))
+      .distinct()
+    val toks = arr
+      .select(col("id"), posexplode(col("ws")).as(Seq("pos0", "w")))
+      .select(col("id"), (col("pos0") + 1).as("pos"), col("w"))
+    val re = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(pos, w))), p -> p.w)"),
+        " ").as("scrubbed_text"))
+    docs.select(col(idCol).as("id"))
+      .join(re, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+  }
+
   def scrubRareTokens(docs: DataFrame, idCol: String, textCol: String,
       minDf: Int): DataFrame = {
     require(minDf >= 1, "minDf must be >= 1")

@@ -496,6 +496,28 @@ object Extensions {
         |SELECT d2.doc_id, coalesce(re.scrubbed_text, '') AS scrubbed_text
         |FROM documents d2 LEFT JOIN re USING (doc_id)""".stripMargin)),
 
+    // cross-document boilerplate scrub: drop word-3-gram spans shared by
+    // more than 3 docs; tokens covered by any hot span vanish, survivors
+    // rejoin in order — the cross-doc complement of text_scrub_rare
+    Q("text_scrub_boilerplate", (s, d) =>
+      TextAnalysis.scrubBoilerplateSpans(t(s, d, "documents"), "doc_id",
+        "text", spanLen = 3, maxDf = 3),
+      Some("""
+        |WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS p FROM dd),
+        |grams AS (SELECT doc_id, p, array_to_string(ws[p:p+2], ' ') AS g FROM g0),
+        |hot AS (SELECT g FROM (
+        |    SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
+        |  WHERE df > 3),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 3)) AS pos
+        |        FROM grams JOIN hot USING (g)),
+        |t AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM dd),
+        |toks AS (SELECT doc_id, pos, ws[pos] AS w FROM t),
+        |re AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS scrubbed_text
+        |       FROM toks ANTI JOIN cov USING (doc_id, pos) GROUP BY doc_id)
+        |SELECT d2.doc_id, coalesce(re.scrubbed_text, '') AS scrubbed_text
+        |FROM documents d2 LEFT JOIN re USING (doc_id)""".stripMargin)),
+
     // corpus-wide n-gram frequency: explode word 3-grams, count, top-20
     Q("text_ngram_counts", (s, d) =>
       t(s, d, "documents")

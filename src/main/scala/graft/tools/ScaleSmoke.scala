@@ -25,8 +25,8 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.operators.{AsOfJoin, BloomPrune, Dedup, Distribution, Graph,
-      Ranking, Similarity, Sketches}
+    import graft.operators.{AsOfJoin, BloomPrune, Dedup, Distribution,
+      EventAnalytics, Graph, Ranking, Scd2, Similarity, Sketches}
 
     def rep(name: String, idCols: Seq[String]): DataFrame = {
       val base = spark.read.parquet(s"$sfDir/$name.parquet")
@@ -164,6 +164,33 @@ object ScaleSmoke {
       li.select(col("l_partkey").cast("long").as("src"),
         (col("l_suppkey").cast("long") + 100000000000L).as("dst"))
         .distinct()
+
+    // round-7 inputs: events normalized to a timestamp column (the smoke
+    // session reads parquet nanos as long), plus a replicated customer
+    // dimension for the scd2 row
+    def evNorm(ev: DataFrame): DataFrame = {
+      val tsUs = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts"))
+      }
+      ev.select(col("user_id"), timestamp_micros(tsUs).as("ts"),
+        col("event_type"))
+    }
+    val funnelSteps = Seq("signup", "view", "click", "purchase")
+    val c1 = spark.read.parquet(s"$sfDir/customer.parquet"); c1.count()
+    val c10 = rep("customer", Seq("c_custkey")).persist(); c10.count()
+    def scdOf(c: DataFrame): DataFrame = {
+      val base = c.select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      val cur = base
+        .withColumn("valid_from", to_date(lit("2024-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val upd = base.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      Scd2.merge(cur, upd, Seq("c_custkey"),
+        Seq("c_acctbal", "c_mktsegment"), "2024-06-01")
+    }
 
     // ---- compaction admission: cost per flush must stay O(1) as the
     // stream dir accumulates files (admission reads ONE file's status and
@@ -346,7 +373,34 @@ object ScaleSmoke {
           graft.operators.IncrementalDedup.processBatch(
             batch.withColumn("doc_id", col("doc_id") + 900000000L),
             "doc_id", "text", dir10)))
-      }))
+      }),
+      // ---- round-7 operators ----
+      // funnel: k per-user min-aggregates all on the user key; 10x users
+      // (ids offset) must scale the chain linearly
+      ("funnel", time("funnel 1x")(
+          EventAnalytics.funnel(evNorm(ev1), "user_id", "ts", "event_type",
+            funnelSteps).unpersist()),
+        time("funnel 10x")(
+          EventAnalytics.funnel(evNorm(ev10), "user_id", "ts", "event_type",
+            funnelSteps).unpersist())),
+      // retention: per-user state bounded by calendar weeks, two shuffles
+      ("retention", time("retention 1x")(
+          noop(EventAnalytics.retention(evNorm(ev1), "user_id", "ts",
+            "2024-01-01"))),
+        time("retention 10x")(
+          noop(EventAnalytics.retention(evNorm(ev10), "user_id", "ts",
+            "2024-01-01")))),
+      // overlap matrix on the SALTED corpus: 10x docs with 10x distinct
+      // shingles over the same handful of sources — per-shingle source
+      // sets stay bounded by #sources, so the pair stage is flat and the
+      // distinct dominates (scan-bound)
+      ("source_overlap", time("source_overlap 1x")(
+          noop(Dedup.sourceOverlap(d1, "text", "source"))),
+        time("source_overlap 10x")(
+          noop(Dedup.sourceOverlap(d10salt, "text", "source")))),
+      // scd2: dimension AND batch both 10x — two key joins, linear
+      ("scd2_merge", time("scd2_merge 1x")(noop(scdOf(c1))),
+        time("scd2_merge 10x")(noop(scdOf(c10)))))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
     results.foreach { case (n, a, b) =>

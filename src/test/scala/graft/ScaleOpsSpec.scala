@@ -384,6 +384,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("scrubBoilerplateSpans drops hot spans, keeps order, passes short docs") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // "a b" appears in 4 docs (> maxDf 2) -> hot; "b c" in only 2 -> kept
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c e"),
+      (3L, "a b x y"),
+      (4L, "q a b"),
+      (5L, "a b a b a"), // overlapping hot occurrences: only pos 5 survives
+      (6L, "z"),         // shorter than spanLen: untouched
+      (7L, "a b")        // fully covered -> empty string
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubBoilerplateSpans(docs, "doc_id", "text",
+        spanLen = 2, maxDf = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "c d", 2L -> "c e", 3L -> "x y", 4L -> "q",
+      5L -> "a", 6L -> "z", 7L -> ""))
+  }
+
   test("groupSplit: groups are atomic, split is partitioning-invariant") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(s"$sf/documents.parquet")
