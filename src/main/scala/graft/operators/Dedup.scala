@@ -337,7 +337,11 @@ object Dedup {
     * row, where a postings-pair kernel would emit C(df, 2). */
   def sourceOverlap(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
-    val srcSh = srcShingles(docs, textCol, sourceCol).distinct()
+    // the distinct (src, shingle) table — the operator's dominant cost —
+    // feeds TWO aggregations (per-source totals, per-shingle source sets)
+    // whose groupings share no exchange; persist it once and release after
+    // the (tiny, #source-pairs-row) result materializes
+    val srcSh = materialized(srcShingles(docs, textCol, sourceCol).distinct())
     val totals = srcSh.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val pairs = srcSh.groupBy(col("s"))
       .agg(sort_array(collect_set(col("src"))).as("srcs"))
@@ -350,11 +354,12 @@ object Dedup {
         .as("p"))
       .groupBy(col("p.sa").as("source_a"), col("p.sb").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
-    pairs
+    val out = pairs
       .join(totals.select(col("src"), col("n").as("n_a")),
         pairs("source_a") === col("src")).drop("src")
       .join(totals.select(col("src"), col("n").as("n_b")),
         pairs("source_b") === col("src")).drop("src")
+    finalized(out, srcSh)
   }
 
   /** Sketch variant of [[sourceOverlap]] for corpora where even the

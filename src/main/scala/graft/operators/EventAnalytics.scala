@@ -80,10 +80,13 @@ object EventAnalytics {
     val wk = floor(datediff(to_date(col(tsCol)),
       to_date(lit(originDate))).cast("long") / 7).cast("long")
     events
+      // null-timestamp events carry no week: dropped EXPLICITLY so the
+      // operator and its oracle agree by construction (collect_set would
+      // skip null weeks anyway, but the oracle's DISTINCT would not)
+      .filter(col(tsCol).isNotNull)
       .select(col(userCol).as("u"), wk.as("wk"))
       .groupBy(col("u")).agg(collect_set(col("wk")).as("wks"))
-      // collect_set skips null weeks (null ts); a user with none left
-      // contributes no cells (explode drops the empty array)
+      // a user with no non-null events contributes no cells (absent here)
       .select(array_min(col("wks")).as("cohort_wk"),
         explode(col("wks")).as("wk"))
       .groupBy(col("cohort_wk"),

@@ -47,13 +47,17 @@ object Scd2 {
     val dataCols = keyCols ++ trackedCols
 
     // updates that represent a change: no live row for the key, or some
-    // tracked column differs null-safely from the live row
+    // tracked column differs null-safely from the live row. "No live row"
+    // is tested on a constant marker, not a key column — the key join is
+    // null-safe, so a NULL key component is a legal value and its
+    // post-join NULL must not read as "unmatched"
     val live = current.filter(col("is_current"))
-      .select(dataCols.map(c => col(c).as(s"__cur_$c")): _*)
+      .select(dataCols.map(c => col(c).as(s"__cur_$c")) :+
+        lit(true).as("__cur"): _*)
     val changed = updates
       .join(live, keyCols.map(k => col(k) <=> col(s"__cur_$k")).reduce(_ && _),
         "left")
-      .filter(col(s"__cur_${keyCols.head}").isNull ||
+      .filter(col("__cur").isNull ||
         trackedCols.map(tc => !(col(tc) <=> col(s"__cur_$tc"))).reduce(_ || _))
       .select(dataCols.map(col): _*)
 

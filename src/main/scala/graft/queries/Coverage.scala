@@ -352,7 +352,7 @@ object Coverage {
       WITH uw AS (SELECT DISTINCT user_id AS u,
               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
                 AS BIGINT) AS wk
-            FROM events),
+            FROM events WHERE ts IS NOT NULL),
       c AS (SELECT u, min(wk) AS cohort_wk FROM uw GROUP BY u)
       SELECT c.cohort_wk, uw.wk - c.cohort_wk AS wk_offset,
              count(*) AS n_users

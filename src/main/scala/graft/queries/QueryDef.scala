@@ -26,13 +26,20 @@ object Tables {
     * division would lose sub-second bits past 2^53). DuckDB oracles must
     * `CAST(ts AS TIMESTAMP)` for the same truncation.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(t(spark, dir, "events"))
+
+  /** Normalize an events-shaped frame's `ts` to a microsecond TIMESTAMP,
+    * whichever way the session read it (nanos-as-long under the legacy
+    * flag, or already a timestamp). THE single home for this dance —
+    * replicated/synthetic event frames qualify too, which is why it takes
+    * a DataFrame rather than a path. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = t(spark, dir, "events")
-    raw.schema("ts").dataType match {
+    df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
     }
   }
 
@@ -54,14 +61,8 @@ object Tables {
   /** `events` as a STREAMING frame with `ts` normalized to microseconds —
     * the streaming analog of [[events]]. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     val sch = t(spark, dir, "events").schema
-    val raw = spark.readStream.schema(sch)
-      .parquet(stagedStreamDir(dir, "events"))
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+    normalizeEventTs(spark.readStream.schema(sch)
+      .parquet(stagedStreamDir(dir, "events")))
   }
 }

@@ -132,11 +132,9 @@ object ScaleSmoke {
     val ev10 = rep("events", Seq("event_id", "user_id")).persist(); ev10.count()
     def intervalPairs(ev: DataFrame): DataFrame = {
       def side(tag: String, parity: Int) = {
-        val base = ev.filter(col("event_id") % 2 === parity)
-        val tsUs = base.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-          case _ => unix_micros(col("ts"))
-        }
+        val base = graft.queries.Tables.normalizeEventTs(ev)
+          .filter(col("event_id") % 2 === parity)
+        val tsUs = unix_micros(col("ts"))
         base.select(col("event_id").as(s"${tag}_id"),
           col("user_id").as(s"${tag}_user"), tsUs.as(s"${tag}_s"),
           (tsUs + 7200000000L).as(s"${tag}_e"))
@@ -165,17 +163,12 @@ object ScaleSmoke {
         (col("l_suppkey").cast("long") + 100000000000L).as("dst"))
         .distinct()
 
-    // round-7 inputs: events normalized to a timestamp column (the smoke
-    // session reads parquet nanos as long), plus a replicated customer
-    // dimension for the scd2 row
-    def evNorm(ev: DataFrame): DataFrame = {
-      val tsUs = ev.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
-        case _ => unix_micros(col("ts"))
-      }
-      ev.select(col("user_id"), timestamp_micros(tsUs).as("ts"),
-        col("event_type"))
-    }
+    // round-7 inputs: events normalized to a timestamp column (shared
+    // helper — the smoke session reads parquet nanos as long), plus a
+    // replicated customer dimension for the scd2 row
+    def evNorm(ev: DataFrame): DataFrame =
+      graft.queries.Tables.normalizeEventTs(ev)
+        .select(col("user_id"), col("ts"), col("event_type"))
     val funnelSteps = Seq("signup", "view", "click", "purchase")
     val c1 = spark.read.parquet(s"$sfDir/customer.parquet"); c1.count()
     val c10 = rep("customer", Seq("c_custkey")).persist(); c10.count()

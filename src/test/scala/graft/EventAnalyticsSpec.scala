@@ -85,15 +85,18 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val out = Dedup.sourceOverlap(docs, "text", "source")
     val rows = out.collect().map(r => (r.getString(0), r.getString(1),
       r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.unpersist()
     assert(rows.toSeq === Seq(("s1", "s2", 1L, 2L, 2L)))
   }
 
   test("sourceOverlapApprox tracks the exact matrix on real sources") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
-    val exact = Dedup.sourceOverlap(docs, "text", "source").collect()
+    val exactDf = Dedup.sourceOverlap(docs, "text", "source")
+    val exact = exactDf.collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    exactDf.unpersist()
     val est = Dedup.sourceOverlapApprox(docs, "text", "source").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     // approx emits EVERY ordered source pair (zero-overlap included, the

@@ -61,6 +61,27 @@ class Scd2Spec extends AnyFunSuite {
       (3L, Some("c"), D("2024-06-01"), None, true))) // reopened from history
   }
 
+  test("a NULL key component is a value: no-op re-delivery stays a no-op") {
+    import spark.implicits._
+    val current = Seq((Option.empty[Long], "a"), (Some(2L), "b"))
+      .toDF("k", "attr")
+      .select(col("k"), col("attr"),
+        to_date(lit("2024-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    // identical re-delivery for the NULL key -> must NOT churn history
+    val noop = Scd2.merge(current,
+      Seq((Option.empty[Long], "a")).toDF("k", "attr"),
+      Seq("k"), Seq("attr"), "2024-06-01")
+    assert(noop.collect().toSet === current.collect().toSet)
+    // a real change on the NULL key still closes + inserts
+    val out = Scd2.merge(current,
+      Seq((Option.empty[Long], "a2")).toDF("k", "attr"),
+      Seq("k"), Seq("attr"), "2024-06-01").collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getBoolean(4))).toSet
+    assert(out === Set((None, "a", false), (None, "a2", true),
+      (Some(2L), "b", true)))
+  }
+
   test("merge is idempotent: re-merging the same batch is a no-op") {
     val current = dim((1L, "a", "2024-01-01", null, true))
     val b = batch((1L, "a2"), (2L, "n"))
