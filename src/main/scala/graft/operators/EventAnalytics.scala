@@ -34,14 +34,24 @@ object EventAnalytics {
     * every step is what makes the greedy chain exact: any ordered
     * assignment of events can be left-shifted onto the greedy one.
     *
+    * `maxGapMicros` adds the conversion-window constraint real funnels
+    * carry ("purchase within 7 days of the click"): step `i` must ALSO
+    * land within the window after `t_{i-1}`. NOTE the greedy chain is
+    * exact for the per-step-gap semantics precisely because the window is
+    * measured from the PREVIOUS step's earliest completion — earliest
+    * completions only widen every later window. (A whole-funnel deadline
+    * measured from step 1 would NOT be greedy-exact.)
+    *
     * Intermediates are persisted while the chain builds (each is read
     * twice: next step's join + its own count) and released before
     * returning — the result frame stays persisted, k rows.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
+      typeCol: String, steps: Seq[String],
+      maxGapMicros: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    require(maxGapMicros.forall(_ > 0), "maxGapMicros must be positive")
     val base = events.select(col(userCol).as("u"),
       unix_micros(col(tsCol)).as("us"), col(typeCol).as("et"))
     // reached(i): one row per user who completed steps 0..i, with t = the
@@ -52,8 +62,11 @@ object EventAnalytics {
         val qual = acc.headOption match {
           case None => mine
           case Some(p) =>
-            mine.join(p.select(col("u"), col("t").as("t_prev")), Seq("u"))
+            val chained = mine
+              .join(p.select(col("u"), col("t").as("t_prev")), Seq("u"))
               .filter(col("us") > col("t_prev"))
+            maxGapMicros.fold(chained)(g =>
+              chained.filter(col("us") <= col("t_prev") + g))
         }
         qual.groupBy(col("u")).agg(min(col("us")).as("t")).persist() :: acc
     }.reverse

@@ -341,6 +341,33 @@ object Coverage {
       UNION ALL SELECT 3, 'click', count(*) FROM s3
       UNION ALL SELECT 4, 'purchase', count(*) FROM s4""")),
 
+    // windowed funnel: same greedy chain with a conversion window — each
+    // step must land within 1 day of the previous step's earliest
+    // completion (window from the EARLIEST completion keeps greedy exact)
+    Q("q78_funnel_window", (s, d) =>
+      graft.operators.EventAnalytics.funnel(Tables.events(s, d),
+        "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"),
+        maxGapMicros = Some(86400000000L)),
+    Some("""
+      WITH e AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                        event_type AS et FROM events),
+      s1 AS (SELECT u, min(us) AS t FROM e WHERE et = 'signup' GROUP BY u),
+      s2 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s1 ON e.u = s1.u
+             AND e.us > s1.t AND e.us <= s1.t + 86400000000
+             WHERE e.et = 'view' GROUP BY e.u),
+      s3 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s2 ON e.u = s2.u
+             AND e.us > s2.t AND e.us <= s2.t + 86400000000
+             WHERE e.et = 'click' GROUP BY e.u),
+      s4 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s3 ON e.u = s3.u
+             AND e.us > s3.t AND e.us <= s3.t + 86400000000
+             WHERE e.et = 'purchase' GROUP BY e.u)
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+             count(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'view', count(*) FROM s2
+      UNION ALL SELECT 3, 'click', count(*) FROM s3
+      UNION ALL SELECT 4, 'purchase', count(*) FROM s4""")),
+
     // cohort retention: 7-day buckets relative to a fixed origin (pure
     // integer week arithmetic — no engine-specific week truncation);
     // (user, week) is distinct before the cohort join so counts are

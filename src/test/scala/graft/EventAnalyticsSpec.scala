@@ -35,6 +35,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("funnel maxGap: conversion window measured from the earliest completion") {
+    val events = ev(
+      (1L, 1L, "A"), (1L, 2L, "B"),                 // gap 1 <= 10: converts
+      (2L, 1L, "A"), (2L, 50L, "B"),                // gap 49 > 10: stops at A
+      (3L, 1L, "A"), (3L, 5L, "B"), (3L, 100L, "C"),// C misses B's window
+      // the window anchors at the EARLIEST A (t=1), so B@25 is out even
+      // though a later A (t=20) would have fit - defined semantics
+      (4L, 1L, "A"), (4L, 20L, "A"), (4L, 25L, "B"))
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+      Seq("A", "B", "C"), maxGapMicros = Some(10L))
+    val byStep = out.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byStep === Map(1L -> 4L, 2L -> 2L, 3L -> 0L))
+    out.unpersist()
+  }
+
   test("funnel rejects duplicate steps and returns a row per step on empty input") {
     intercept[IllegalArgumentException] {
       EventAnalytics.funnel(ev(), "user_id", "ts", "event_type",

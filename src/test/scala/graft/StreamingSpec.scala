@@ -240,6 +240,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(m("v") === ((5L, 4L)))
   }
 
+  test("scd2 dimension maintains under foreachBatch streaming upserts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // versioned store: each micro-batch reads the latest vN, merges, and
+    // writes v(N+1) — an SCD2 fold rewrites rows, so the safe pattern is
+    // write-new-then-advance, never read+overwrite one path in a job
+    // (contrast the incremental profile/dedup stores, which only append)
+    val root = Files.createTempDirectory("graft-stream-scd2").toString
+    def latestV(): Int = new java.io.File(root).listFiles()
+      .map(_.getName.stripPrefix("v").toInt).max
+    spark.sql("SELECT CAST(1 AS BIGINT) AS k, 'a' AS attr UNION ALL SELECT 2, 'b'")
+      .selectExpr("k", "attr", "DATE '2024-01-01' AS valid_from",
+        "CAST(NULL AS DATE) AS valid_to", "true AS is_current")
+      .write.parquet(s"$root/v1")
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("k", "attr").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val n = latestV()
+          graft.operators.Scd2.merge(
+              spark.read.parquet(s"$root/v$n"), batch,
+              Seq("k"), Seq("attr"), Seq("2024-06-01", "2024-07-01")(id.toInt))
+            .write.parquet(s"$root/v${n + 1}")
+        }
+      }
+      .start()
+    mem.addData((1L, "a2"), (3L, "c"))  // change + brand-new key
+    q.processAllAvailable()
+    mem.addData((1L, "a2"), (2L, "b2")) // no-op re-delivery + change
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$root/v${latestV()}").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString), r.getBoolean(4))).toSet
+    assert(out === Set(
+      (1L, "a", "2024-01-01", Some("2024-06-01"), false),
+      (1L, "a2", "2024-06-01", None, true),
+      (2L, "b", "2024-01-01", Some("2024-07-01"), false),
+      (2L, "b2", "2024-07-01", None, true),
+      (3L, "c", "2024-06-01", None, true)))
+  }
+
   test("graft target CLI loads a file end-to-end") {
     val in = Files.createTempFile("cli", ".jsonl")
     Files.write(in, Seq(
