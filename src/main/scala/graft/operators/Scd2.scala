@@ -80,4 +80,17 @@ object Scd2 {
 
     carried.unionByName(inserts)
   }
+
+  /** Point-in-time dimension snapshot — the query SCD2 history exists to
+    * serve: the row version of every key that was in effect on `asOfDate`
+    * (`valid_from <= asOf < valid_to`, open `valid_to` = still live). A
+    * pure filter: pushes to the parquet scan, and on a dimension
+    * partitioned by `is_current` the common "as of today" case prunes to
+    * the live partition. Keys first inserted after `asOfDate` simply have
+    * no row in effect and are absent. */
+  def snapshotAt(dim: DataFrame, asOfDate: String): DataFrame = {
+    val asOf = to_date(lit(asOfDate))
+    dim.filter(col("valid_from") <= asOf &&
+      (col("valid_to").isNull || col("valid_to") > asOf))
+  }
 }

@@ -18,6 +18,72 @@ import graft.functions.{HashExprs => H}
 object Coverage {
   import Tables.t
 
+  /** The q77/q79 SCD2 demo dimension: a customer snapshot plus closed
+    * history, merged with a batch of changed balances, no-op
+    * re-deliveries, and brand-new keys (deterministic, mirrored verbatim
+    * by both queries' oracle CTEs). */
+  private def scd2Merged(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val c = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val snap = c
+      .withColumn("valid_from", to_date(lit("2024-01-01")))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+    val hist = c.filter(col("c_custkey") % 4 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") - 50.0)
+      .withColumn("valid_from", to_date(lit("2023-01-01")))
+      .withColumn("valid_to", to_date(lit("2024-01-01")))
+      .withColumn("is_current", lit(false))
+    val updates = c.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .unionByName(
+        c.filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 3 =!= 0))
+      .unionByName(c.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          col("c_acctbal"), lit("NEW").as("c_mktsegment")))
+    graft.operators.Scd2.merge(snap.unionByName(hist), updates,
+      Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"), "2024-06-01")
+  }
+
+  /** The q77 oracle body, shared with q79 (which wraps it in a CTE). */
+  private val scd2OracleSql = """
+      WITH c AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      cur AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+               true AS is_current FROM c
+        UNION ALL
+        SELECT c_custkey, c_acctbal - 50.0, c_mktsegment,
+               DATE '2023-01-01', DATE '2024-01-01', false
+        FROM c WHERE c_custkey % 4 = 0),
+      upd AS (
+        SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        FROM c WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment
+        FROM c WHERE c_custkey % 5 = 0 AND c_custkey % 3 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_acctbal, 'NEW'
+        FROM c WHERE c_custkey % 7 = 0),
+      live AS (SELECT * FROM cur WHERE is_current),
+      chg AS (
+        SELECT u.* FROM upd u LEFT JOIN live l ON u.c_custkey = l.c_custkey
+        WHERE l.c_custkey IS NULL
+           OR u.c_acctbal IS DISTINCT FROM l.c_acctbal
+           OR u.c_mktsegment IS DISTINCT FROM l.c_mktsegment),
+      k AS (SELECT DISTINCT c_custkey FROM chg)
+      SELECT cur.c_custkey, cur.c_acctbal, cur.c_mktsegment, cur.valid_from,
+             CASE WHEN cur.is_current AND k.c_custkey IS NOT NULL
+                  THEN DATE '2024-06-01' ELSE cur.valid_to END AS valid_to,
+             CASE WHEN cur.is_current AND k.c_custkey IS NOT NULL
+                  THEN false ELSE cur.is_current END AS is_current
+      FROM cur LEFT JOIN k ON cur.c_custkey = k.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment, DATE '2024-06-01',
+             CAST(NULL AS DATE), true
+      FROM chg"""
+
   def defs: Seq[Q] = Seq(
 
     // GROUPING SETS — finer than rollup/cube (q14/q15): an explicit lattice.
@@ -390,62 +456,17 @@ object Coverage {
     // re-deliveries, brand-new keys) into a history-tracked dimension.
     // Both engines build the same deterministic current/updates frames
     // from `customer`, so the oracle mirrors the merge row-for-row.
-    Q("q77_scd2", (s, d) => {
-      val c = t(s, d, "customer")
-        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
-      val snap = c
-        .withColumn("valid_from", to_date(lit("2024-01-01")))
-        .withColumn("valid_to", lit(null).cast("date"))
-        .withColumn("is_current", lit(true))
-      val hist = c.filter(col("c_custkey") % 4 === 0)
-        .withColumn("c_acctbal", col("c_acctbal") - 50.0)
-        .withColumn("valid_from", to_date(lit("2023-01-01")))
-        .withColumn("valid_to", to_date(lit("2024-01-01")))
-        .withColumn("is_current", lit(false))
-      val updates = c.filter(col("c_custkey") % 3 === 0)
-        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
-        .unionByName(
-          c.filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 3 =!= 0))
-        .unionByName(c.filter(col("c_custkey") % 7 === 0)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"),
-            col("c_acctbal"), lit("NEW").as("c_mktsegment")))
-      graft.operators.Scd2.merge(snap.unionByName(hist), updates,
-        Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"), "2024-06-01")
-    }, Some("""
-      WITH c AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
-      cur AS (
-        SELECT c_custkey, c_acctbal, c_mktsegment,
-               DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
-               true AS is_current FROM c
-        UNION ALL
-        SELECT c_custkey, c_acctbal - 50.0, c_mktsegment,
-               DATE '2023-01-01', DATE '2024-01-01', false
-        FROM c WHERE c_custkey % 4 = 0),
-      upd AS (
-        SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
-        FROM c WHERE c_custkey % 3 = 0
-        UNION ALL
-        SELECT c_custkey, c_acctbal, c_mktsegment
-        FROM c WHERE c_custkey % 5 = 0 AND c_custkey % 3 <> 0
-        UNION ALL
-        SELECT c_custkey + 1000000, c_acctbal, 'NEW'
-        FROM c WHERE c_custkey % 7 = 0),
-      live AS (SELECT * FROM cur WHERE is_current),
-      chg AS (
-        SELECT u.* FROM upd u LEFT JOIN live l ON u.c_custkey = l.c_custkey
-        WHERE l.c_custkey IS NULL
-           OR u.c_acctbal IS DISTINCT FROM l.c_acctbal
-           OR u.c_mktsegment IS DISTINCT FROM l.c_mktsegment),
-      k AS (SELECT DISTINCT c_custkey FROM chg)
-      SELECT cur.c_custkey, cur.c_acctbal, cur.c_mktsegment, cur.valid_from,
-             CASE WHEN cur.is_current AND k.c_custkey IS NOT NULL
-                  THEN DATE '2024-06-01' ELSE cur.valid_to END AS valid_to,
-             CASE WHEN cur.is_current AND k.c_custkey IS NOT NULL
-                  THEN false ELSE cur.is_current END AS is_current
-      FROM cur LEFT JOIN k ON cur.c_custkey = k.c_custkey
-      UNION ALL
-      SELECT c_custkey, c_acctbal, c_mktsegment, DATE '2024-06-01',
-             CAST(NULL AS DATE), true
-      FROM chg"""))
+    Q("q77_scd2", (s, d) => scd2Merged(s, d), Some(scd2OracleSql)),
+
+    // point-in-time dimension snapshot over the merged SCD2 history:
+    // as of 2024-07-01 the closed rows are out, the merge's inserts are
+    // in, untouched live rows carry through - a pure pushed-down filter
+    Q("q79_scd2_snapshot", (s, d) =>
+      graft.operators.Scd2.snapshotAt(scd2Merged(s, d), "2024-07-01"),
+    Some(s"""
+      WITH merged AS ($scd2OracleSql)
+      SELECT * FROM merged
+      WHERE valid_from <= DATE '2024-07-01'
+        AND (valid_to IS NULL OR valid_to > DATE '2024-07-01')"""))
   )
 }

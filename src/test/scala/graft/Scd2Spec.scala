@@ -82,6 +82,21 @@ class Scd2Spec extends AnyFunSuite {
       (Some(2L), "b", true)))
   }
 
+  test("snapshotAt returns the row version in effect on each date") {
+    val history = dim(
+      (1L, "a0", "2023-01-01", "2024-01-01", false),
+      (1L, "a", "2024-01-01", "2024-06-01", false),
+      (1L, "a2", "2024-06-01", null, true),
+      (2L, "b", "2024-06-01", null, true)) // first inserted 2024-06-01
+    def at(d: String) = Scd2.snapshotAt(history, d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(at("2023-06-15") === Set((1L, "a0")))           // key 2 absent yet
+    assert(at("2024-01-01") === Set((1L, "a")))            // boundary: new version
+    assert(at("2024-03-15") === Set((1L, "a")))
+    assert(at("2024-07-01") === Set((1L, "a2"), (2L, "b")))
+    assert(at("2022-01-01") === Set.empty)                 // before any history
+  }
+
   test("merge is idempotent: re-merging the same batch is a no-op") {
     val current = dim((1L, "a", "2024-01-01", null, true))
     val b = batch((1L, "a2"), (2L, "n"))
