@@ -36,11 +36,15 @@ object EventAnalytics {
     *
     * `maxGapMicros` adds the conversion-window constraint real funnels
     * carry ("purchase within 7 days of the click"): step `i` must ALSO
-    * land within the window after `t_{i-1}`. NOTE the greedy chain is
-    * exact for the per-step-gap semantics precisely because the window is
-    * measured from the PREVIOUS step's earliest completion — earliest
-    * completions only widen every later window. (A whole-funnel deadline
-    * measured from step 1 would NOT be greedy-exact.)
+    * land within the window after `t_{i-1}`. NOTE the window is anchored
+    * at the PREVIOUS step's earliest chain completion — a deterministic,
+    * oracle-mirrorable recurrence, but STRICTER than "exists an ordered
+    * chain with every per-step gap <= g": a user who would only convert
+    * by re-anchoring on a LATER previous-step event is not counted
+    * (A@1, A@20, B@25 with g=10: chain A@20->B@25 has gap 5, but B's
+    * window is measured from A@1 and rejects it). The unwindowed chain
+    * has no such gap — dropping the upper bound, an earlier completion
+    * only loosens the `>` constraint, so the greedy chain is exact there.
     *
     * Intermediates are persisted while the chain builds (each is read
     * twice: next step's join + its own count) and released before

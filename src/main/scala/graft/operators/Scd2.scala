@@ -84,12 +84,13 @@ object Scd2 {
   /** Point-in-time dimension snapshot — the query SCD2 history exists to
     * serve: the row version of every key that was in effect on `asOfDate`
     * (`valid_from <= asOf < valid_to`, open `valid_to` = still live). A
-    * pure filter: pushes to the parquet scan, and on a dimension
-    * partitioned by `is_current` the common "as of today" case prunes to
-    * the live partition. Keys first inserted after `asOfDate` simply have
-    * no row in effect and are absent. */
+    * pure filter: both predicates push to the parquet scan, so row-group
+    * min/max stats on `valid_from`/`valid_to` skip history files that
+    * closed before the as-of date. Keys first inserted after `asOfDate`
+    * simply have no row in effect and are absent. A malformed date fails
+    * here rather than silently filtering every row to NULL. */
   def snapshotAt(dim: DataFrame, asOfDate: String): DataFrame = {
-    val asOf = to_date(lit(asOfDate))
+    val asOf = lit(java.sql.Date.valueOf(java.time.LocalDate.parse(asOfDate)))
     dim.filter(col("valid_from") <= asOf &&
       (col("valid_to").isNull || col("valid_to") > asOf))
   }

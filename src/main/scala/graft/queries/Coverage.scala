@@ -46,6 +46,33 @@ object Coverage {
       Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"), "2024-06-01")
   }
 
+  /** The q75/q78 funnel oracle: the same greedy per-step min-aggregate
+    * chain as `EventAnalytics.funnel`, with the conversion-window conjunct
+    * added when `gapUs` is set — generated so the two queries can't drift
+    * apart on the step list or the recurrence. */
+  private def funnelOracleSql(gapUs: Option[Long]): String = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    val ctes = steps.zipWithIndex.map {
+      case (st, 0) =>
+        s"s1 AS (SELECT u, min(us) AS t FROM e WHERE et = '$st' GROUP BY u)"
+      case (st, i) =>
+        val w = gapUs.map(g => s" AND e.us <= s$i.t + $g").getOrElse("")
+        s"""s${i + 1} AS (SELECT e.u, min(e.us) AS t FROM e JOIN s$i ON e.u = s$i.u
+             AND e.us > s$i.t$w WHERE e.et = '$st' GROUP BY e.u)"""
+    }
+    val selects = steps.zipWithIndex.map {
+      case (st, 0) =>
+        s"""SELECT CAST(1 AS BIGINT) AS step_idx, '$st' AS step,
+             count(*) AS n_users FROM s1"""
+      case (st, i) => s"SELECT ${i + 1}, '$st', count(*) FROM s${i + 1}"
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH e AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                        event_type AS et FROM events),
+      ${ctes.mkString(",\n      ")}
+      $selects"""
+  }
+
   /** The q77 oracle body, shared with q79 (which wraps it in a CTE). */
   private val scd2OracleSql = """
       WITH c AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
@@ -391,48 +418,18 @@ object Coverage {
       graft.operators.EventAnalytics.funnel(Tables.events(s, d),
         "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase")),
-    Some("""
-      WITH e AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-                        event_type AS et FROM events),
-      s1 AS (SELECT u, min(us) AS t FROM e WHERE et = 'signup' GROUP BY u),
-      s2 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s1 ON e.u = s1.u
-             AND e.us > s1.t WHERE e.et = 'view' GROUP BY e.u),
-      s3 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s2 ON e.u = s2.u
-             AND e.us > s2.t WHERE e.et = 'click' GROUP BY e.u),
-      s4 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s3 ON e.u = s3.u
-             AND e.us > s3.t WHERE e.et = 'purchase' GROUP BY e.u)
-      SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
-             count(*) AS n_users FROM s1
-      UNION ALL SELECT 2, 'view', count(*) FROM s2
-      UNION ALL SELECT 3, 'click', count(*) FROM s3
-      UNION ALL SELECT 4, 'purchase', count(*) FROM s4""")),
+    Some(funnelOracleSql(None))),
 
     // windowed funnel: same greedy chain with a conversion window — each
-    // step must land within 1 day of the previous step's earliest
-    // completion (window from the EARLIEST completion keeps greedy exact)
+    // step must land within 1 day of the previous step's earliest chain
+    // completion (deterministic anchor; stricter than "exists a chain
+    // with every gap <= g" — see the funnel scaladoc)
     Q("q78_funnel_window", (s, d) =>
       graft.operators.EventAnalytics.funnel(Tables.events(s, d),
         "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"),
         maxGapMicros = Some(86400000000L)),
-    Some("""
-      WITH e AS (SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-                        event_type AS et FROM events),
-      s1 AS (SELECT u, min(us) AS t FROM e WHERE et = 'signup' GROUP BY u),
-      s2 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s1 ON e.u = s1.u
-             AND e.us > s1.t AND e.us <= s1.t + 86400000000
-             WHERE e.et = 'view' GROUP BY e.u),
-      s3 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s2 ON e.u = s2.u
-             AND e.us > s2.t AND e.us <= s2.t + 86400000000
-             WHERE e.et = 'click' GROUP BY e.u),
-      s4 AS (SELECT e.u, min(e.us) AS t FROM e JOIN s3 ON e.u = s3.u
-             AND e.us > s3.t AND e.us <= s3.t + 86400000000
-             WHERE e.et = 'purchase' GROUP BY e.u)
-      SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
-             count(*) AS n_users FROM s1
-      UNION ALL SELECT 2, 'view', count(*) FROM s2
-      UNION ALL SELECT 3, 'click', count(*) FROM s3
-      UNION ALL SELECT 4, 'purchase', count(*) FROM s4""")),
+    Some(funnelOracleSql(Some(86400000000L)))),
 
     // cohort retention: 7-day buckets relative to a fixed origin (pure
     // integer week arithmetic — no engine-specific week truncation);

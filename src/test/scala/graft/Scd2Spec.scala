@@ -97,6 +97,16 @@ class Scd2Spec extends AnyFunSuite {
     assert(at("2022-01-01") === Set.empty)                 // before any history
   }
 
+  test("snapshotAt rejects a malformed as-of date instead of matching nothing") {
+    val history = dim((1L, "a", "2024-01-01", null, true))
+    intercept[java.time.format.DateTimeParseException] {
+      Scd2.snapshotAt(history, "07/01/2024")
+    }
+    intercept[java.time.format.DateTimeParseException] {
+      Scd2.snapshotAt(history, "2024-13-01")
+    }
+  }
+
   test("merge is idempotent: re-merging the same batch is a no-op") {
     val current = dim((1L, "a", "2024-01-01", null, true))
     val b = batch((1L, "a2"), (2L, "n"))
