@@ -32,7 +32,11 @@ object EventAnalytics {
     * Per-step recurrence: `t_i(u) = min ts of a `steps(i)` event of `u`
     * with `ts > t_{i-1}(u)`. Using the EARLIEST qualifying completion at
     * every step is what makes the greedy chain exact: any ordered
-    * assignment of events can be left-shifted onto the greedy one.
+    * assignment of events can be left-shifted onto the greedy one. The
+    * exchange argument never uses step distinctness, so REPEATED steps
+    * (view -> add-to-cart -> view) work unchanged — each occurrence of a
+    * repeated step filters its own frame and needs its own, strictly
+    * later event.
     *
     * `maxGapMicros` adds the conversion-window constraint real funnels
     * carry ("purchase within 7 days of the click"): step `i` must ALSO
@@ -54,7 +58,6 @@ object EventAnalytics {
       typeCol: String, steps: Seq[String],
       maxGapMicros: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
     require(maxGapMicros.forall(_ > 0), "maxGapMicros must be positive")
     val base = events.select(col(userCol).as("u"),
       unix_micros(col(tsCol)).as("us"), col(typeCol).as("et"))
@@ -97,10 +100,11 @@ object EventAnalytics {
     val wk = floor(datediff(to_date(col(tsCol)),
       to_date(lit(originDate))).cast("long") / 7).cast("long")
     events
-      // null-timestamp events carry no week: dropped EXPLICITLY so the
-      // operator and its oracle agree by construction (collect_set would
-      // skip null weeks anyway, but the oracle's DISTINCT would not)
-      .filter(col(tsCol).isNotNull)
+      // null-timestamp events carry no week, and null users no cohort:
+      // both dropped EXPLICITLY so the operator and its oracle agree by
+      // construction (Spark's groupBy would keep a NULL-user group that
+      // the oracle's equi-join silently drops)
+      .filter(col(tsCol).isNotNull && col(userCol).isNotNull)
       .select(col(userCol).as("u"), wk.as("wk"))
       .groupBy(col("u")).agg(collect_set(col("wk")).as("wks"))
       // a user with no non-null events contributes no cells (absent here)

@@ -92,6 +92,11 @@ object Graph {
     // broadcastRank makes the per-round join a broadcast hash join, which
     // streams ANY partitioning — pre-partitioning the edges would be a full
     // shuffle that buys nothing, so skip it on that path too
+    // NOT cached despite feeding two consumers (degree agg + degree join):
+    // the round-8 A/B probe measured the persist variant consistently
+    // ~0.4-0.5 s SLOWER at sf0.1 — the cache write sits on the critical
+    // path and freezes partitioning across the AQE boundary, costing more
+    // than the second upstream scan it saves
     val part =
       if (prePartitioned || broadcastRank) deduped
       else deduped.repartition(col("src"))
@@ -143,7 +148,7 @@ object Graph {
     // prior-round plan and the recompute doubles per iteration (measured:
     // 6.3 s vs 4.8 s for the single-use loop at 3 iters). A LAZY per-round
     // persist makes the two uses share one materialization — the sink-mass
-    // broadcast job populates the cache, the contributions join reads it —
+    // collect populates the cache, the contributions join reads it —
     // without the eager per-round checkpoint that serialized the loop into
     // one job per round (the round-6 shape this replaces). A superseded
     // round cache is released as soon as its successor materializes (and
@@ -151,12 +156,26 @@ object Graph {
     var prevCkpt: Option[DataFrame] = None
     val roundCaches = scala.collection.mutable.Buffer.empty[DataFrame]
     for (i <- 0 until iters) {
+      // Dangling mode's per-round plan: ONE join (rank onto edges) and ONE
+      // aggregate. The no-inlink nodes are handled by a zero-contribution
+      // row per node UNIONED into the same aggregate — cheaper than a left
+      // join back to the node list (a second broadcast exchange and a join
+      // per round), and bit-identical since the node set contains every
+      // destination: summing an extra 0 is the join's coalesce(m, 0).
+      // Default mode keeps the left-join formulation: its node set is the
+      // SOURCES only, and the join is what drops contributions flowing to
+      // out-of-contract dst-only nodes (they must vanish, not accumulate).
       // dangling redistribution: the sinks' total rank is ONE bounded
       // control-plane aggregate per round, collected to the driver and
-      // inlined as a literal — same pattern as an iterative loop's
-      // convergence count, and strictly cheaper than shipping the 1-row
-      // frame back through a broadcast-cross (two broadcast exchanges per
-      // round of pure latency). The collect also materializes the prior
+      // inlined as a literal. The "no driver round-trip" alternative —
+      // cross the 1-row sum back as a broadcast so the loop stays one
+      // lazy plan — was BUILT AND MEASURED in round 8 (PerfProbe,
+      // interleaved A/B at sf0.1): the broadcast form ran 4.3-5.1 s vs
+      // 3.3-4.3 s for this collect form, because it adds a second
+      // broadcast exchange per round while the loop is ALREADY
+      // driver-synchronized every round by the `broadcastRank` broadcast
+      // (and, on the SMJ path, a 1-row collect is noise next to the
+      // per-round edge shuffle). The collect also materializes the prior
       // round's persisted rank, so the flow join below reads the cache.
       // `dm / n` on non-negative longs floors exactly as the oracle's `//`
       val dmShare = dangling match {
@@ -173,15 +192,6 @@ object Graph {
       // Eviction of the newest cache merely recomputes from the last
       // checkpoint (bounded by the cadence), it cannot break correctness.
       while (roundCaches.length > 1) roundCaches.remove(0).unpersist(false)
-      // Dangling mode's per-round plan: ONE join (rank onto edges) and ONE
-      // aggregate. The no-inlink nodes are handled by a zero-contribution
-      // row per node UNIONED into the same aggregate — cheaper than a left
-      // join back to the node list (a second broadcast exchange and a join
-      // per round), and bit-identical since the node set contains every
-      // destination: summing an extra 0 is the join's coalesce(m, 0).
-      // Default mode keeps the left-join formulation: its node set is the
-      // SOURCES only, and the join is what drops contributions flowing to
-      // out-of-contract dst-only nodes (they must vanish, not accumulate).
       rank = dangling match {
         case Some(_) =>
           e.join(hinted(rank), e("src") === rank("id"))
@@ -201,8 +211,7 @@ object Graph {
       // planning time, not data volume, kills long iterative loops).
       // Superseded checkpoints are released as soon as the next one
       // materializes (eager) — a long loop must not pin one rank-table
-      // copy per checkpoint for the session's life. On checkpoint rounds
-      // the (eager) checkpoint doubles as the dangling-mode share point.
+      // copy per checkpoint for the session's life.
       val checkpointNow = (i + 1) % 4 == 0 && i != iters - 1
       if (checkpointNow) {
         rank = rank.localCheckpoint()
@@ -237,6 +246,7 @@ object Graph {
       }
     // the result is materialized — the per-round share caches are dead
     roundCaches.foreach(_.unpersist(false))
+    part.unpersist(false)
     deg.unpersist(); e.unpersist(); nodes.unpersist()
     dangling.foreach(_.unpersist())
     result

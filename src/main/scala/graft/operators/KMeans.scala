@@ -140,7 +140,26 @@ object KMeans {
     * vectors identically. BOTH frames are `localCheckpoint`-backed; the
     * caller owns both lifecycles ([[Checkpoints.release]] each). */
   def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int, scale: Long = 1000000L): (DataFrame, DataFrame) = {
+      iters: Int, scale: Long = 1000000L): (DataFrame, DataFrame) =
+    fitImpl(emb, None, idCol, vecCol, k, iters, scale)
+
+  /** As [[fit]], but the Lloyd rounds train on `train` — a deterministic
+    * sample of `emb` (same schema) — while the FINAL assignment still
+    * covers every `emb` row. At corpus scale the iterative rounds must
+    * not rescan 100 TB per iteration: codebook quality saturates at a
+    * modest training size (the FAISS rule), so training cost becomes
+    * O(sample · iters) and the full corpus is touched exactly once, by
+    * the closing assignment pass. Seeds are the k lowest-id TRAINING
+    * rows (deterministic given a deterministic sample); `train` must
+    * carry at least k rows or the codebook silently shrinks. */
+  def fitSampled(emb: DataFrame, train: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int,
+      scale: Long = 1000000L): (DataFrame, DataFrame) =
+    fitImpl(emb, Some(train), idCol, vecCol, k, iters, scale)
+
+  private def fitImpl(emb: DataFrame, train: Option[DataFrame],
+      idCol: String, vecCol: String, k: Int, iters: Int,
+      scale: Long): (DataFrame, DataFrame) = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
     require(k < TieRadix, s"k must be < $TieRadix for the argmin packing")
     // hash-partition on id ONCE and cache: the per-round argmin aggregate's
@@ -148,16 +167,25 @@ object KMeans {
     // the per-round xs re-join sees both sides co-partitioned on id
     val scaled = scaledVectors(emb, idCol, vecCol, scale)
       .repartition(col("id")).cache()
+    val scaledTrain = train match {
+      case None => scaled
+      case Some(tr) => scaledVectors(tr, idCol, vecCol, scale)
+        .repartition(col("id")).cache()
+    }
 
+    // packing bound from the FULL corpus envelope: sample-trained centroid
+    // means never leave the per-dimension envelope of their training rows,
+    // a subset of the corpus', so the bound holds for every (row, centroid)
+    // distance the final full-corpus assignment computes
     val p = packing(scaled, k)
-    var centroids = seedCentroids(scaled, k)
+    var centroids = seedCentroids(scaledTrain, k)
     var prevCkpt: Option[DataFrame] = None
 
     for (i <- 0 until iters) {
       // centroid recompute needs each row's xs next to its assigned cid:
       // re-join the (id, cid) argmin result with the cached co-partitioned
       // vectors — shuffle-free on both sides (same hashpartitioning(id))
-      val a = scaled.join(assignIds(scaled, centroids, p), "id")
+      val a = scaledTrain.join(assignIds(scaledTrain, centroids, p), "id")
       // integer centroid mean with FLOOR semantics (DuckDB's `//`): Spark's
       // `div` truncates toward zero, which differs on negative sums, so the
       // floor is taken through an exact double division (|sum| ≪ 2^52 and
@@ -192,6 +220,7 @@ object KMeans {
     // both result checkpoints are materialized — the last intermediate
     // centroid checkpoint (if any) is now dead
     prevCkpt.foreach(Checkpoints.release)
+    if (!(scaledTrain eq scaled)) scaledTrain.unpersist()
     scaled.unpersist()
     (result, finalCents)
   }

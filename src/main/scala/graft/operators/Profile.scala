@@ -112,7 +112,12 @@ object Profile {
     * for indexes written before the KLL columns existed). Cost is
     * O(batches x cols) index rows — independent of corpus size. */
   def mergedProfile(spark: SparkSession, indexDir: String): DataFrame = {
-    val idx0 = spark.read.parquet(indexDir)
+    // mergeSchema: an append-only index can mix pre-KLL and post-KLL batch
+    // files; default schema inference picks ONE footer, and inferring the
+    // old (kll-less) schema would silently null quantiles for every batch,
+    // including ones that carry sketches. Merged inference unions the
+    // footers so old files backfill null while new files' sketches survive.
+    val idx0 = spark.read.option("mergeSchema", "true").parquet(indexDir)
     val idx =
       if (idx0.columns.contains("kll")) idx0
       else idx0.withColumn("kll", lit(null).cast("binary"))

@@ -290,6 +290,147 @@ object Similarity {
     pairsLong.select(col("id_a").cast(idType), col("id_b").cast(idType))
   }
 
+  /** Near-duplicate pairs by embedding cosine — the SUBQUADRATIC scale
+    * path, composing [[rpLshTopK]]'s banded random-projection bucketing
+    * (candidate generation) with [[cosineNearDups]]'s exact scoring
+    * (verification). Pairs that collide in at least one of `tables`
+    * disjoint plane bands become candidates; every candidate is scored
+    * with the exact cosine on the same HALF_UP(4) grid as the all-pairs
+    * kernel, so PRECISION IS ALWAYS 1 — the output is a subset of
+    * [[cosineNearDups]]'s, never a superset. RECALL is the standard
+    * banded-LSH collision probability `1 - (1 - p^planes)^tables` with
+    * `p = 1 - acos(cos)/pi` per plane: true near-dups (cos >= ~0.8)
+    * collide almost surely at the auto-sized plane count; pairs sitting
+    * AT a low threshold need explicit `numPlanes`/`tables` tuned for it
+    * (measured against the exact kernel in the suite, not assumed).
+    *
+    * Scale shape: `planes` auto-sizes to keep the expected bucket ~64
+    * vectors, so candidates grow LINEARLY with the corpus (~32·tables·N
+    * pairs) where the exact kernel's pair space grows quadratically; the
+    * per-table joins are equi-joins on the band id, candidates dedup on
+    * the id pair before the (broadcastable-side-free) verify joins. This
+    * is the pair generator to feed [[graft.operators.Dedup
+    * .connectedComponents]] for semantic dedup at 100 TB. */
+  def cosineNearDupsLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.45, numPlanes: Int = 0, dim: Int = 64,
+      tables: Int = 8, knownCount: Long = 0L): DataFrame = {
+    val idType = emb.schema(idCol).dataType
+    require(graft.operators.Dedup.integralType(idType),
+      s"cosineNearDupsLsh requires an integral id column, got $idType")
+    require(tables > 0, "need at least one hash table")
+    val planes =
+      if (numPlanes > 0) numPlanes
+      else {
+        val n = if (knownCount > 0) knownCount else emb.count()
+        math.min(24, math.max(2,
+          math.ceil(math.log(n.toDouble / 64) / math.log(2)).toInt))
+      }
+    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
+    // persist: band ids feed `tables` self-joins plus two verify joins
+    // (and the materialization barrier keeps the HOF bucket chains out of
+    // pushed-down filters — see rpLshTopK)
+    val withBuckets = (0 until tables).foldLeft(e) { (df, t) =>
+      df.withColumn(s"bucket_$t",
+        expr(sparkRpBucketOffset("v", planes, dim, t * planes)))
+    }.persist()
+    // candidates: unordered id pairs colliding in >= 1 band. `<` halves
+    // the pair space in the join itself; the distinct collapses pairs that
+    // met in several bands before the exact scoring pays for them.
+    val cands = (0 until tables).map { t =>
+        withBuckets.select(col("id").as("id_a"), col(s"bucket_$t").as("bk"))
+          .join(withBuckets.select(col("id").as("id_b"),
+            col(s"bucket_$t").as("bk2")),
+            col("bk") === col("bk2") && col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+      }.reduce(_ unionByName _).distinct()
+    // exact verify on the same rounding grid as the all-pairs kernel
+    // (Spark round = HALF_UP, matching the kernel's BigDecimal setScale)
+    val verified = cands
+      .join(withBuckets.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(withBuckets.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .filter(round(vecDot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+        >= threshold)
+      .select(col("id_a").cast(idType), col("id_b").cast(idType))
+    finalized(verified, withBuckets)
+  }
+
+  /** Dimension-block boundaries for product quantization: `subspaces + 1`
+    * cut points over a `dim`-wide vector (block b = [bounds(b), bounds(b+1))). */
+  private def sliceBounds(dim: Int, subspaces: Int): Seq[Int] =
+    (0 to subspaces).map(b => b * dim / subspaces)
+
+  /** Unit-normalized block slice: (id, vb) with vb = v[start..end) / |v| —
+    * the representation PQ codebooks train and score on (unit vectors make
+    * squared-L2 order equal cosine order). */
+  private def normSlice(df: DataFrame, idCol: String, vecCol: String,
+      bounds: Seq[Int], b: Int): DataFrame = {
+    val start = bounds(b) + 1 // slice() is 1-based
+    val len = bounds(b + 1) - bounds(b)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
+      .select(col("id"),
+        expr(s"transform(slice(v, $start, $len), x -> CAST(x AS DOUBLE) / nrm)")
+          .as("vb"))
+  }
+
+  /** Deterministic content-hash training sample of ~`maxRows` rows: keep
+    * rows whose `xxhash64(id)` lands in the first `ceil(M·maxRows/n)` of
+    * M buckets — the same rows regardless of partitioning, task order or
+    * cluster size (a `sample()` would be seed- and split-dependent).
+    * Degenerates to the full frame when `maxRows` already covers the
+    * corpus or is unset (<= 0). The count is binomial around `maxRows`
+    * (concentration makes large deviations vanish at any size worth
+    * sampling); `minRows` guards the k-means contract — a codebook needs
+    * at least k training rows. */
+  private def trainingSample(corpus: DataFrame, idCol: String, n: Long,
+      maxRows: Long, minRows: Int): DataFrame =
+    if (maxRows <= 0 || n <= maxRows) corpus
+    else {
+      require(maxRows >= math.max(minRows, 64),
+        s"trainMaxRows ($maxRows) too small to train a $minRows-code codebook")
+      val m = 1L << 20
+      val thresh = (m * maxRows + n - 1) / n
+      corpus.filter(pmod(xxhash64(col(idCol)), lit(m)) < lit(thresh))
+    }
+
+  /** One integer k-means per dimension block over `train` (== `corpus`
+    * for full-corpus training), codes assigned for every `corpus` row.
+    * Returns per block: (codes slice, codebook slice, the two
+    * checkpoint-backed frames to release after materialization). */
+  private def fitBlocks(corpus: DataFrame, train: DataFrame, idCol: String,
+      vecCol: String, bounds: Seq[Int], codebook: Int, iters: Int,
+      scale: Long): Seq[(DataFrame, DataFrame, Seq[DataFrame])] =
+    (0 until bounds.size - 1).map { b =>
+      val full = normSlice(corpus, idCol, vecCol, bounds, b)
+      val (asg, cents) =
+        if (train eq corpus) KMeans.fit(full, "id", "vb", codebook, iters, scale)
+        else KMeans.fitSampled(full,
+          normSlice(train, idCol, vecCol, bounds, b), "id", "vb",
+          codebook, iters, scale)
+      (asg.select(col("id"), lit(b).as("block"), col("cluster").as("code")),
+        cents.select(lit(b).as("block"), col("cid").as("code"), col("cs")),
+        Seq(asg, cents))
+    }
+
+  /** ADC tables: query block slices scaled EXACTLY like the codebook
+    * training data, partial sqdist against every (block, code) centroid —
+    * a (queries x subspaces x codebook)-row table, joined on the block
+    * key and broadcast, so ADC scoring joins are shuffle-free. */
+  private def adcTable(queries: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, bounds: Seq[Int], scale: Long): DataFrame =
+    (0 until bounds.size - 1).map { b =>
+      normSlice(queries, idCol, vecCol, bounds, b)
+        .select(col("id").as("query_id"), lit(b).as("block"),
+          expr(s"transform(vb, x -> CAST(round(x * $scale.0) AS BIGINT))")
+            .as("xs"))
+    }.reduce(_ unionByName _)
+      .join(broadcast(cents), Seq("block"))
+      .select(col("query_id"), col("block"), col("code"),
+        graft.functions.VecSqDist.vecSqDistLong(col("xs"), col("cs")).as("pd"))
+
   /** Product-quantization ANN top-k (the compression half of IVF-PQ, with
     * asymmetric-distance scoring).
     *
@@ -309,54 +450,35 @@ object Similarity {
     * Returns (query_id, neighbor_id, rank), ranks approximate —
     * recall-tested against the exact scorer in the suite. Deterministic:
     * codebook training, code assignment, and tie-breaks are all
-    * integer-exact. */
+    * integer-exact.
+    *
+    * `trainMaxRows > 0` trains each codebook on a deterministic
+    * content-hash sample of ~that many corpus rows ([[trainingSample]])
+    * instead of the full corpus — at 100 TB the `iters` Lloyd rounds
+    * must not each rescan the corpus; code ASSIGNMENT is always
+    * full-corpus. 0 (the default) keeps full-corpus training. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, subspaces: Int = 8, codebook: Int = 16,
-      iters: Int = 2, scale: Long = 1000000L): DataFrame = {
-    val dimRow = corpus.selectExpr(s"max(size($vecCol))").collect()(0)
-    require(!dimRow.isNullAt(0),
+      iters: Int = 2, scale: Long = 1000000L,
+      trainMaxRows: Long = 0L): DataFrame = {
+    val statsRow = corpus
+      .select(max(size(col(vecCol))), count(lit(1))).collect()(0)
+    require(!statsRow.isNullAt(0),
       s"pqTopK: corpus is empty or $vecCol is all-null — no dimension to derive")
-    val dim = dimRow.getInt(0)
+    val dim = statsRow.getInt(0)
     require(subspaces > 0 && subspaces <= dim,
       s"need 0 < subspaces <= dim; got $subspaces over dim $dim")
-    val bounds = (0 to subspaces).map(b => b * dim / subspaces)
-
-    // unit-normalized block slice: (id, vb) with vb = v[start..end) / |v|
-    def normSlice(df: DataFrame, b: Int): DataFrame = {
-      val start = bounds(b) + 1 // slice() is 1-based
-      val len = bounds(b + 1) - bounds(b)
-      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-          sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
-        .select(col("id"),
-          expr(s"transform(slice(v, $start, $len), x -> CAST(x AS DOUBLE) / nrm)")
-            .as("vb"))
-    }
+    val bounds = sliceBounds(dim, subspaces)
+    val train = trainingSample(corpus, idCol, statsRow.getLong(1),
+      trainMaxRows, codebook)
 
     // per-block codebook + corpus codes (both checkpoint-backed, released
     // after the result materializes)
-    val fitted = (0 until subspaces).map { b =>
-      val (asg, cents) = KMeans.fit(normSlice(corpus, b), "id", "vb",
-        codebook, iters, scale)
-      (asg.select(col("id"), lit(b).as("block"), col("cluster").as("code")),
-        cents.select(lit(b).as("block"), col("cid").as("code"), col("cs")),
-        Seq(asg, cents))
-    }
+    val fitted = fitBlocks(corpus, train, idCol, vecCol, bounds, codebook,
+      iters, scale)
     val codes = fitted.map(_._1).reduce(_ unionByName _)
     val cents = fitted.map(_._2).reduce(_ unionByName _)
-
-    // ADC tables: query block slices scaled EXACTLY like the codebook
-    // training data, partial sqdist against every (block, code) centroid —
-    // a (queries x subspaces x codebook)-row table, joined on the block
-    // key and broadcast, so the scoring join below is shuffle-free
-    val table = (0 until subspaces).map { b =>
-      normSlice(queries, b)
-        .select(col("id").as("query_id"), lit(b).as("block"),
-          expr(s"transform(vb, x -> CAST(round(x * $scale.0) AS BIGINT))")
-            .as("xs"))
-    }.reduce(_ unionByName _)
-      .join(broadcast(cents), Seq("block"))
-      .select(col("query_id"), col("block"), col("code"),
-        graft.functions.VecSqDist.vecSqDistLong(col("xs"), col("cs")).as("pd"))
+    val table = adcTable(queries, cents, idCol, vecCol, bounds, scale)
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id").asc)
@@ -389,11 +511,22 @@ object Similarity {
     * [[bruteForceTopK]]: (query_id, neighbor_id, rank, cos). */
   def pqRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, candidates: Int = 0, subspaces: Int = 8,
-      codebook: Int = 16, iters: Int = 2, scale: Long = 1000000L): DataFrame = {
+      codebook: Int = 16, iters: Int = 2, scale: Long = 1000000L,
+      trainMaxRows: Long = 0L): DataFrame = {
     val r = if (candidates > 0) candidates else 8 * k
     require(r >= k, s"candidate list ($r) must cover k ($k)")
-    val cand = pqTopK(queries, corpus, idCol, vecCol, r, subspaces,
-      codebook, iters, scale)
+    exactRerank(pqTopK(queries, corpus, idCol, vecCol, r, subspaces,
+      codebook, iters, scale, trainMaxRows), queries, corpus, idCol,
+      vecCol, k)
+  }
+
+  /** Exact-cosine re-rank of an ANN candidate list (query_id, neighbor_id,
+    * ...): only the candidate rows are scored against raw vectors — cost
+    * bounded by the list, never |corpus|. `cand` must be persisted (it is
+    * released here after the result materializes). Output schema matches
+    * [[bruteForceTopK]]: (query_id, neighbor_id, rank, cos). */
+  private def exactRerank(cand: DataFrame, queries: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("qv"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("qn"))
@@ -410,5 +543,129 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos")),
       cand)
+  }
+
+  /** IVF×PQ composed ANN index — the standard production shape (FAISS
+    * IVFPQ): an IVF coarse quantizer prunes the corpus to each query's
+    * `nprobe` nearest cells, and ONLY the PQ codes inside those cells are
+    * ADC-scored against the query's per-block distance table.
+    * [[ivfTopK]] prunes cells but scores raw floats; [[pqTopK]] scores
+    * compressed codes but ALL of them per query — this is the product of
+    * the two shipped halves: rows scored per query drop from |corpus| to
+    * ~`nprobe·N/nCells` (≈ `nprobe·√N` at the auto cell count), and each
+    * scored row touches `subspaces` byte codes, not `dim` floats.
+    *
+    * Scale shape: the seed set (√N rows) and the query-side probe and ADC
+    * tables (Q-bounded) ride broadcasts, so candidate generation and
+    * scoring are shuffle-free up to the final map-side-combinable ADC
+    * sum; corpus-side work is the cell argmin (one crossJoin against
+    * broadcast seeds), the per-block codebook assignment, and ONE
+    * id-keyed join gluing codes to cells. Codebooks train on a
+    * deterministic hash sample when `trainMaxRows` is set; cell and code
+    * ASSIGNMENT always cover the full corpus.
+    *
+    * Same determinism contract as [[pqTopK]] (integer codebooks + ADC,
+    * id tie-breaks); cell probing uses the same cosine/row_number shape
+    * as [[ivfTopK]]. Output: (query_id, neighbor_id, rank), approximate;
+    * recall and scored-row fraction are measured against [[pqTopK]] and
+    * [[bruteForceTopK]] in the suite. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 0, nprobe: Int = 4,
+      subspaces: Int = 8, codebook: Int = 16, iters: Int = 2,
+      scale: Long = 1000000L, knownCount: Long = 0L,
+      trainMaxRows: Long = 0L): DataFrame = {
+    val statsRow = corpus
+      .select(max(size(col(vecCol))), count(lit(1))).collect()(0)
+    require(!statsRow.isNullAt(0),
+      s"ivfPqTopK: corpus is empty or $vecCol is all-null — no dimension to derive")
+    val dim = statsRow.getInt(0)
+    val n = statsRow.getLong(1)
+    require(subspaces > 0 && subspaces <= dim,
+      s"need 0 < subspaces <= dim; got $subspaces over dim $dim")
+    require(nprobe > 0, "need at least one probed cell")
+    val cells =
+      if (nCells > 0) nCells
+      else {
+        val kc = if (knownCount > 0) knownCount else n
+        math.max(8, math.ceil(math.sqrt(kc.toDouble)).toInt)
+      }
+    val bounds = sliceBounds(dim, subspaces)
+
+    // ---- IVF half: corpus → single best cell, queries → top-nprobe cells
+    // (rank-based seeding + cosine argmin, the ivfTopK shape; oracle-exact
+    // float cosine keeps the cell structure identical to sim_ivf's)
+    val e = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
+    val seeds = e.orderBy(col("id")).limit(cells)
+      .select(col("id").as("cell"), col("v").as("sv"), col("nrm").as("sn"))
+    val caw = Window.partitionBy(col("id"))
+      .orderBy(col("scos").desc, col("cell").asc)
+    val corpusCell = e.crossJoin(broadcast(seeds))
+      .withColumn("scos",
+        vecDot(col("v"), col("sv")) / (col("nrm") * col("sn")))
+      .withColumn("arank", row_number().over(caw))
+      .filter(col("arank") === 1)
+      .select(col("id"), col("cell"))
+    val q = queries.select(col(idCol).cast("long").as("qid"),
+      col(vecCol).as("qv"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("qn"))
+    val qaw = Window.partitionBy(col("qid"))
+      .orderBy(col("scos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(seeds))
+      .withColumn("scos",
+        vecDot(col("qv"), col("sv")) / (col("qn") * col("sn")))
+      .withColumn("arank", row_number().over(qaw))
+      .filter(col("arank") <= nprobe)
+      .select(col("qid").as("query_id"), col("cell"))
+
+    // ---- PQ half: per-block codebooks (optionally sample-trained),
+    // full-corpus codes, broadcast ADC tables — all shared with pqTopK
+    val train = trainingSample(corpus, idCol, n, trainMaxRows, codebook)
+    val fitted = fitBlocks(corpus, train, idCol, vecCol, bounds, codebook,
+      iters, scale)
+    val codes = fitted.map(_._1).reduce(_ unionByName _)
+    val cents = fitted.map(_._2).reduce(_ unionByName _)
+    val table = adcTable(queries, cents, idCol, vecCol, bounds, scale)
+
+    // ---- compose: codes pick up their vector's cell (one id-keyed join),
+    // the broadcast probe list prunes to the queries that probe that cell,
+    // the broadcast ADC table scores, and one hash aggregate sums blocks —
+    // a candidate row exists ONLY for (query, vector) pairs meeting in a
+    // probed cell (a pair meets at most once: vectors index into exactly
+    // one cell, so no distinct is needed even under multi-probe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    val result = codes
+      .join(corpusCell, Seq("id"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .join(broadcast(table), Seq("query_id", "block", "code"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("pd")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
+
+    val out = result.persist()
+    out.count()
+    fitted.flatMap(_._3).foreach(Checkpoints.release)
+    out
+  }
+
+  /** [[ivfPqTopK]] candidates + exact re-rank — prune (IVF), compress
+    * (PQ/ADC), refine (raw-vector cosine on the candidate list only): the
+    * full FAISS `IVFPQR` pipeline. Output matches [[bruteForceTopK]]. */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, candidates: Int = 0, nCells: Int = 0,
+      nprobe: Int = 4, subspaces: Int = 8, codebook: Int = 16,
+      iters: Int = 2, scale: Long = 1000000L,
+      trainMaxRows: Long = 0L): DataFrame = {
+    val r = if (candidates > 0) candidates else 8 * k
+    require(r >= k, s"candidate list ($r) must cover k ($k)")
+    exactRerank(ivfPqTopK(queries, corpus, idCol, vecCol, r, nCells,
+      nprobe, subspaces, codebook, iters, scale, 0L, trainMaxRows),
+      queries, corpus, idCol, vecCol, k)
   }
 }

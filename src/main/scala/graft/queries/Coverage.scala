@@ -22,7 +22,7 @@ object Coverage {
     * history, merged with a batch of changed balances, no-op
     * re-deliveries, and brand-new keys (deterministic, mirrored verbatim
     * by both queries' oracle CTEs). */
-  private def scd2Merged(s: org.apache.spark.sql.SparkSession,
+  private def scd2Current(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
@@ -35,6 +35,13 @@ object Coverage {
       .withColumn("valid_from", to_date(lit("2023-01-01")))
       .withColumn("valid_to", to_date(lit("2024-01-01")))
       .withColumn("is_current", lit(false))
+    snap.unionByName(hist)
+  }
+
+  private def scd2Merged(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val c = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
     val updates = c.filter(col("c_custkey") % 3 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 100.0)
       .unionByName(
@@ -42,15 +49,52 @@ object Coverage {
       .unionByName(c.filter(col("c_custkey") % 7 === 0)
         .select((col("c_custkey") + 1000000L).as("c_custkey"),
           col("c_acctbal"), lit("NEW").as("c_mktsegment")))
-    graft.operators.Scd2.merge(snap.unionByName(hist), updates,
+    graft.operators.Scd2.merge(scd2Current(s, d), updates,
       Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"), "2024-06-01")
+  }
+
+  /** The q80 multi-version SCD2 batch: per-key ordered change SEQUENCES —
+    * two-step balance changes, an exact redelivery duplicate, a pure
+    * no-op version, a flip-and-revert pair, and brand-new keys arriving
+    * with two versions in the same batch (deterministic, mirrored
+    * verbatim by the oracle CTE). */
+  private def scd2MultiMerged(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val c = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    def ver(df: org.apache.spark.sql.DataFrame, ts: String) =
+      df.withColumn("ts", to_date(lit(ts)))
+    val m3a = ver(c.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0), "2024-03-01")
+    val m3b = ver(c.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 200.0), "2024-06-01")
+    val noop = ver(c.filter(col("c_custkey") % 5 === 0 &&
+      col("c_custkey") % 3 =!= 0), "2024-04-01")
+    val flipKeys = c.filter(col("c_custkey") % 7 === 0 &&
+      col("c_custkey") % 3 =!= 0 && col("c_custkey") % 5 =!= 0)
+    val flip = ver(flipKeys.withColumn("c_mktsegment", lit("FLIP")),
+      "2024-02-01")
+    val revert = ver(flipKeys, "2024-05-01")
+    val fresh = c.filter(col("c_custkey") % 11 === 0)
+      .select((col("c_custkey") + 2000000L).as("c_custkey"),
+        col("c_acctbal"), lit("NEW").as("c_mktsegment"))
+    val updates = m3a.unionByName(m3b).unionByName(noop)
+      .unionByName(flip).unionByName(revert)
+      .unionByName(ver(fresh, "2024-03-15"))
+      .unionByName(ver(fresh.withColumn("c_acctbal", col("c_acctbal") + 5.0),
+        "2024-09-15"))
+      .unionByName(m3a) // at-least-once redelivery: exact duplicate rows
+    graft.operators.Scd2.mergeVersions(scd2Current(s, d), updates,
+      Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"), "ts")
   }
 
   /** The q75/q78 funnel oracle: the same greedy per-step min-aggregate
     * chain as `EventAnalytics.funnel`, with the conversion-window conjunct
     * added when `gapUs` is set — generated so the two queries can't drift
     * apart on the step list or the recurrence. */
-  private def funnelOracleSql(gapUs: Option[Long]): String = {
+  // private[queries]: q81 (ScaleOps) replays the stream against the SAME
+  // chained min-aggregate oracle, so the three implementations can't drift
+  private[queries] def funnelOracleSql(gapUs: Option[Long]): String = {
     val steps = Seq("signup", "view", "click", "purchase")
     val ctes = steps.zipWithIndex.map {
       case (st, 0) =>
@@ -110,6 +154,82 @@ object Coverage {
       SELECT c_custkey, c_acctbal, c_mktsegment, DATE '2024-06-01',
              CAST(NULL AS DATE), true
       FROM chg"""
+
+  /** The q80 oracle: DuckDB unroll of [[graft.operators.Scd2.mergeVersions]]
+    * — DISTINCT collapses redeliveries, a lag window reads the state in
+    * effect before each version (live row for the first, previous version
+    * after), a lead window chains valid_from/valid_to, and the live row
+    * closes at the key's first transition date. */
+  private val scd2MultiOracleSql = """
+      WITH c AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+      cur AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+               true AS is_current FROM c
+        UNION ALL
+        SELECT c_custkey, c_acctbal - 50.0, c_mktsegment,
+               DATE '2023-01-01', DATE '2024-01-01', false
+        FROM c WHERE c_custkey % 4 = 0),
+      upd AS (
+        SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+               DATE '2024-03-01' AS ts FROM c WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 200.0, c_mktsegment, DATE '2024-06-01'
+        FROM c WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment, DATE '2024-04-01'
+        FROM c WHERE c_custkey % 5 = 0 AND c_custkey % 3 <> 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, 'FLIP', DATE '2024-02-01'
+        FROM c WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0 AND c_custkey % 5 <> 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal, c_mktsegment, DATE '2024-05-01'
+        FROM c WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0 AND c_custkey % 5 <> 0
+        UNION ALL
+        SELECT c_custkey + 2000000, c_acctbal, 'NEW', DATE '2024-03-15'
+        FROM c WHERE c_custkey % 11 = 0
+        UNION ALL
+        SELECT c_custkey + 2000000, c_acctbal + 5.0, 'NEW', DATE '2024-09-15'
+        FROM c WHERE c_custkey % 11 = 0
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 100.0, c_mktsegment, DATE '2024-03-01'
+        FROM c WHERE c_custkey % 3 = 0),
+      u AS (SELECT DISTINCT * FROM upd),
+      live AS (SELECT * FROM cur WHERE is_current),
+      seq AS (
+        SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment, u.ts,
+          row_number() OVER w AS rn,
+          lag(u.c_acctbal) OVER w AS lag_bal,
+          lag(u.c_mktsegment) OVER w AS lag_seg,
+          l.c_acctbal AS cur_bal, l.c_mktsegment AS cur_seg,
+          l.c_custkey IS NOT NULL AS has_live
+        FROM u LEFT JOIN live l ON u.c_custkey = l.c_custkey
+        WINDOW w AS (PARTITION BY u.c_custkey ORDER BY u.ts)),
+      tr AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment, ts FROM (
+          SELECT *,
+            CASE WHEN rn = 1 THEN cur_bal ELSE lag_bal END AS prev_bal,
+            CASE WHEN rn = 1 THEN cur_seg ELSE lag_seg END AS prev_seg
+          FROM seq)
+        WHERE (rn = 1 AND NOT has_live)
+           OR c_acctbal IS DISTINCT FROM prev_bal
+           OR c_mktsegment IS DISTINCT FROM prev_seg),
+      ins AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+          ts AS valid_from,
+          lead(ts) OVER w AS valid_to,
+          lead(ts) OVER w IS NULL AS is_current
+        FROM tr WINDOW w AS (PARTITION BY c_custkey ORDER BY ts)),
+      marks AS (SELECT c_custkey, min(ts) AS chg FROM tr GROUP BY 1)
+      SELECT cur.c_custkey, cur.c_acctbal, cur.c_mktsegment, cur.valid_from,
+        CASE WHEN cur.is_current AND m.c_custkey IS NOT NULL
+             THEN m.chg ELSE cur.valid_to END AS valid_to,
+        CASE WHEN cur.is_current AND m.c_custkey IS NOT NULL
+             THEN false ELSE cur.is_current END AS is_current
+      FROM cur LEFT JOIN marks m ON cur.c_custkey = m.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to,
+             is_current FROM ins"""
 
   def defs: Seq[Q] = Seq(
 
@@ -464,6 +584,15 @@ object Coverage {
       WITH merged AS ($scd2OracleSql)
       SELECT * FROM merged
       WHERE valid_from <= DATE '2024-07-01'
-        AND (valid_to IS NULL OR valid_to > DATE '2024-07-01')"""))
+        AND (valid_to IS NULL OR valid_to > DATE '2024-07-01')""")),
+
+    // multi-version SCD2 merge: ONE batch carrying ordered change
+    // SEQUENCES per key — two-step balance changes, a flip-and-revert
+    // pair, no-op and redelivered versions, brand-new keys arriving with
+    // two versions — folded so exactly one history row lands per real
+    // transition, chained valid_from -> valid_to. The oracle unrolls the
+    // identical lag-collapse / lead-chain with SQL windows.
+    Q("q80_scd2_multiversion", (s, d) => scd2MultiMerged(s, d),
+      Some(scd2MultiOracleSql))
   )
 }

@@ -184,6 +184,77 @@ object Extensions {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(${V.duckCosine("a.embedding", "b.embedding")}, 4) >= 0.45""".stripMargin)),
 
+    // the SUBQUADRATIC embedding near-dup path: banded RP-LSH candidates,
+    // exact-cosine verify. Precision is 1 BY CONSTRUCTION (verification
+    // uses the exact kernel's grid), so `all_verified` is a structural
+    // invariant; recall is measured against the exact pair set and must
+    // clear 0.9 (this corpus's qualifying pairs sit AT the 0.45 threshold
+    // — the hardest LSH regime, hence the explicit 2-plane/8-table
+    // banding; measured 1.00 at sf0.01, 0.94 at sf0.1). The oracle is a
+    // labeled recall check: it recomputes the exact pair count and pins
+    // the two invariant booleans.
+    Q("dedup_embed_lsh", (s, d) => {
+      val e = t(s, d, "embeddings")
+      val lsh = Similarity.cosineNearDupsLsh(e, "vec_id", "embedding", 0.45,
+        numPlanes = 2, tables = 8)
+      val exact = Similarity.cosineNearDups(e, "vec_id", "embedding", 0.45)
+      exact.select(col("id_a"), col("id_b"), lit(1).as("__e"))
+        .join(lsh.select(col("id_a"), col("id_b"), lit(1).as("__l")),
+          Seq("id_a", "id_b"), "full")
+        .agg(count(col("__e")).as("n_exact"),
+          (count(when(col("__e").isNull, 1)) === 0).as("all_verified"),
+          (count(when(col("__l").isNull, 1)).cast("double")
+            <= count(col("__e")) * 0.1).as("recall_ok"))
+    }, Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+      |SELECT count(*) AS n_exact, true AS all_verified, true AS recall_ok
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(${V.duckCosine("a.embedding", "b.embedding")}, 4) >= 0.45""".stripMargin)),
+
+    // semantic-dedup E2E on the subquadratic path: LSH pairs feed the
+    // same graph clustering as dedup_embed_clusters. Because LSH pairs
+    // are a SUBSET of the exact pairs, every LSH cluster must sit inside
+    // exactly one exact cluster (refinement — a structural invariant the
+    // query machine-checks), and missed edges can only SPLIT clusters,
+    // bounded here at 2% of the corpus. The oracle recomputes the exact
+    // clustering (recursive CTE) for the comparable counts and pins the
+    // two booleans.
+    Q("dedup_embed_clusters_lsh", (s, d) => {
+      val e = t(s, d, "embeddings")
+      val nodes = e.select(col("vec_id").as("id"))
+      val lshCl = Dedup.connectedComponents(nodes,
+        Similarity.cosineNearDupsLsh(e, "vec_id", "embedding", 0.45,
+          numPlanes = 2, tables = 8))
+      val exCl = Dedup.connectedComponents(nodes,
+        Similarity.cosineNearDups(e, "vec_id", "embedding", 0.45))
+      // ONE aggregate over the per-vector (lsh, exact) label pairs:
+      // refinement ⟺ #distinct (lc, ec) pairs == #distinct lc (every lsh
+      // cluster maps to exactly one exact cluster)
+      lshCl.select(col("id"), col("cluster").as("lc"))
+        .join(exCl.select(col("id"), col("cluster").as("ec")), Seq("id"))
+        .agg(count(lit(1)).as("n_vectors"),
+          countDistinct(col("ec")).as("n_exact_clusters"),
+          (countDistinct(col("lc"), col("ec")) === countDistinct(col("lc")))
+            .as("refinement_ok"),
+          ((countDistinct(col("lc")) - countDistinct(col("ec")))
+            .cast("double") <= greatest(lit(1.0), count(lit(1)) * 0.02))
+            .as("split_ok"))
+    }, Some(s"""
+      WITH RECURSIVE p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(${V.duckCosine("a.embedding", "b.embedding")}, 4) >= 0.45),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+      reach(src, dst) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cl AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src)
+      SELECT count(*) AS n_vectors,
+             count(DISTINCT cluster) AS n_exact_clusters,
+             true AS refinement_ok, true AS split_ok
+      FROM cl""")),
+
     // ---- similarity search -------------------------------------------
     Q("sim_topk", (s, d) => {
       val e = t(s, d, "embeddings")
@@ -233,6 +304,37 @@ object Extensions {
         |            JOIN e b ON cand.neighbor_id = b.id)
         |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
         |FROM scored WHERE rank <= 3""".stripMargin)),
+
+    // IVF x PQ composed ANN: coarse cells prune, ADC scores codes inside
+    // the probed cells only, exact re-rank refines — with codebooks
+    // trained on a deterministic 1000-row hash sample. The ANN ranks are
+    // engine-specific (integer codebooks), so the oracle is a labeled
+    // recall check like dedup_embed_lsh's: DuckDB recomputes the exact
+    // top-10 row count and pins the recall floor (>= 0.75 of exact pairs
+    // recovered) as a boolean — measured 0.822 at sf0.01, vs 0.830 for
+    // the full-scan pqRerankTopK at the same candidates: pruning to 6 of
+    // 8 cells costs 0.008 recall here.
+    Q("sim_ivfpq", (s, d) => {
+      val e = t(s, d, "embeddings")
+      val queries = e.filter(col("vec_id") % 10 === 0)
+      val ann = Similarity.ivfPqRerankTopK(queries, e, "vec_id", "embedding",
+        10, candidates = 100, nCells = 8, nprobe = 6, trainMaxRows = 1000L)
+      val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding",
+        10, broadcastCorpus = true)
+      exact.select(col("query_id"), col("neighbor_id"), lit(1).as("__e"))
+        .join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("__a")),
+          Seq("query_id", "neighbor_id"), "full")
+        .agg(count(col("__e")).as("n_exact"),
+          (count(when(col("__e").isNotNull && col("__a").isNotNull, 1))
+            .cast("double") >= count(col("__e")) * 0.75).as("recall_ok"))
+    }, Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |scored AS (SELECT query_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY ${V.duckCosine("qv", "cv")} DESC, neighbor_id ASC) AS rank
+      |  FROM q JOIN c ON query_id <> neighbor_id)
+      |SELECT count(*) AS n_exact, true AS recall_ok
+      |FROM scored WHERE rank <= 10""".stripMargin)),
 
     // kNN weak labeling: each query takes the majority label of its 3
     // nearest neighbors (ties: most votes, then smallest label) — the

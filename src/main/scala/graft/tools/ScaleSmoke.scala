@@ -245,6 +245,14 @@ object ScaleSmoke {
       ("cosine_neardups", time("cosine_neardups 1x")(noop(Similarity.cosineNearDups(e1, "vec_id", "embedding", 0.45))),
         // 10x rows => 100x pairs; blocks scale with corpus so tasks stay bounded
         time("cosine_neardups 10x")(noop(Similarity.cosineNearDups(e10, "vec_id", "embedding", 0.45, blocks = 24)))),
+      // the subquadratic pair generator: auto planes keep buckets ~64, so
+      // candidates track the corpus LINEARLY where the exact kernel's pair
+      // space grows 100x (the replicated copies always collide — identical
+      // vectors share every band — so the verify load is real)
+      ("cosine_neardups_lsh", time("cosine_neardups_lsh 1x")(
+          noop(Similarity.cosineNearDupsLsh(e1, "vec_id", "embedding", 0.45))),
+        time("cosine_neardups_lsh 10x")(
+          noop(Similarity.cosineNearDupsLsh(e10, "vec_id", "embedding", 0.45)))),
       // nCells auto-sizes to sqrt(N) — with a FIXED cell count this op went
       // quadratic at 10x (measured 20x ratio before the adaptive default)
       ("ivf_topk", time("ivf_topk 1x")(Similarity.ivfTopK(e1, "vec_id", "embedding", 3, nprobe = 2).unpersist()),
@@ -340,6 +348,21 @@ object ScaleSmoke {
       }, time("pq_rerank_topk 10x") {
         val r = Similarity.pqRerankTopK(e1.limit(64), e10, "vec_id",
           "embedding", 3, candidates = 24, subspaces = 4)
+        noop(r); r.unpersist()
+      }),
+      // IVF x PQ composition: auto cell count (√N) + FIXED-size sampled
+      // codebook training — ADC-scored rows per query grow as nprobe·√N
+      // (~3.2x at 10x corpus), training cost pinned by trainMaxRows, and
+      // only the cell/code assignment passes are linear
+      ("ivfpq_rerank_topk", time("ivfpq_rerank_topk 1x") {
+        val r = Similarity.ivfPqRerankTopK(e1.limit(64), e1, "vec_id",
+          "embedding", 3, candidates = 24, nprobe = 4, subspaces = 4,
+          trainMaxRows = 256)
+        noop(r); r.unpersist()
+      }, time("ivfpq_rerank_topk 10x") {
+        val r = Similarity.ivfPqRerankTopK(e1.limit(64), e10, "vec_id",
+          "embedding", 3, candidates = 24, nprobe = 4, subspaces = 4,
+          trainMaxRows = 256)
         noop(r); r.unpersist()
       }),
       // the incremental-dedup claim: a FIXED batch against a 10x-bigger

@@ -51,15 +51,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
-  test("funnel rejects duplicate steps and returns a row per step on empty input") {
-    intercept[IllegalArgumentException] {
-      EventAnalytics.funnel(ev(), "user_id", "ts", "event_type",
-        Seq("A", "A"))
-    }
+  test("funnel returns a row per step on empty input") {
     val out = EventAnalytics.funnel(ev((1L, 1L, "other")),
       "user_id", "ts", "event_type", Seq("A", "B"))
     assert(out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ===
       Set((1L, 0L), (2L, 0L)))
+    out.unpersist()
+  }
+
+  test("funnel supports repeated steps: each occurrence needs its own event") {
+    // pattern view -> cart -> view:
+    // u1: view@1, cart@2, view@3      -> completes all three
+    // u2: view@1, cart@2 (no 2nd view)-> stops after cart
+    // u3: cart@1, view@2              -> only the FIRST view matches (no
+    //    cart after it): stops at step 1
+    // u4: view@1, view@2, cart@3, view@4 -> greedy (1,3,4) completes
+    val events = ev(
+      (1L, 1L, "view"), (1L, 2L, "cart"), (1L, 3L, "view"),
+      (2L, 1L, "view"), (2L, 2L, "cart"),
+      (3L, 1L, "cart"), (3L, 2L, "view"),
+      (4L, 1L, "view"), (4L, 2L, "view"), (4L, 3L, "cart"), (4L, 4L, "view"))
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "cart", "view"))
+    val byStep = out.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byStep === Map(1L -> ("view", 4L), 2L -> ("cart", 3L),
+      3L -> ("view", 2L)))
     out.unpersist()
   }
 

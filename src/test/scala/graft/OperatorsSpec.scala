@@ -281,6 +281,69 @@ class OperatorsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("empty"))
   }
 
+  test("ivf x pq: composed index matches pq-rerank recall on a fraction of rows") {
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val nQ = queries.count()
+    val nC = emb.count()
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
+      val hit = exact.join(ann.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+      val r = hit.toDouble / exact.count()
+      ann.unpersist(); r
+    }
+    val rPq = recallOf(Similarity.pqRerankTopK(queries, emb, "vec_id",
+      "embedding", 10, candidates = 100))
+    // nprobe=6 of 8 cells: recall must hold within 0.05 of the full-scan
+    // PQ path while scoring only the probed cells' codes
+    val rIvfPq = recallOf(Similarity.ivfPqRerankTopK(queries, emb, "vec_id",
+      "embedding", 10, candidates = 100, nCells = 8, nprobe = 6))
+    assert(rIvfPq >= rPq - 0.05,
+      s"ivfpq recall@10 $rIvfPq trails pq rerank $rPq by > 0.05")
+    // measured scored-row fraction: k >= |corpus| keeps EVERY candidate
+    // (query, vector) pair in the output, so the row count IS the number
+    // of ADC-scored pairs — must be the probed fraction, not a full scan
+    val cand = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+      nC.toInt, nCells = 8, nprobe = 2)
+    val scored = cand.count(); cand.unpersist()
+    val fullScan = nQ * (nC - 1)
+    assert(scored < 0.6 * fullScan,
+      s"ivfpq nprobe=2/8 scored $scored of $fullScan pairs — not pruning")
+    assert(scored > 0, "pruning must not drop everything")
+  }
+
+  test("pq sample-trained codebooks hold recall; sample is deterministic") {
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
+      val hit = exact.join(ann.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+      val r = hit.toDouble / exact.count()
+      ann.unpersist(); r
+    }
+    val rFull = recallOf(Similarity.pqRerankTopK(queries, emb, "vec_id",
+      "embedding", 10, candidates = 100))
+    // train on a ~40% content-hash sample of the corpus, assign all rows:
+    // the Lloyd rounds see only the sample, recall stays within tolerance
+    val sampled = Similarity.pqRerankTopK(queries, emb, "vec_id",
+      "embedding", 10, candidates = 100, trainMaxRows = 200L)
+    val s1 = sampled.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    sampled.unpersist()
+    val rSampled = recallOf(Similarity.pqRerankTopK(queries, emb, "vec_id",
+      "embedding", 10, candidates = 100, trainMaxRows = 200L))
+    assert(rSampled >= rFull - 0.1,
+      s"sample-trained recall@10 $rSampled trails full training $rFull by > 0.1")
+    // deterministic: the hash sample ignores partitioning, so two runs
+    // (including one over a differently-partitioned corpus) agree exactly
+    val rep = Similarity.pqRerankTopK(queries, emb.repartition(7), "vec_id",
+      "embedding", 10, candidates = 100, trainMaxRows = 200L)
+    val s2 = rep.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    rep.unpersist()
+    assert(s1 === s2)
+  }
+
   test("ivf seeding is rank-based: sparse ids get the full seed set") {
     // ids shifted to a sparse domain (id*1000+7): the old `id < nCells`
     // filter would find a single seed (7) and degenerate to one cell; rank
@@ -309,6 +372,31 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(blocked.length === blocked.toSet.size, "no duplicate pairs")
     assert(blocked.toSet === naive)
+  }
+
+  test("LSH near-dup pairs: precision 1 (subset of exact), recall >= 0.9") {
+    // oracle-threshold regime (0.45) — this corpus's qualifying pairs sit
+    // AT the threshold, the hardest case for RP-LSH, so the banding is
+    // explicit (2 planes x 8 tables, the dedup_embed_lsh query's params)
+    val exact = Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshDf = Similarity.cosineNearDupsLsh(emb, "vec_id", "embedding",
+      0.45, numPlanes = 2, tables = 8)
+    val lsh = lshDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    lshDf.unpersist()
+    assert(lsh.length === lsh.toSet.size, "no duplicate pairs")
+    assert(lsh.toSet.subsetOf(exact),
+      "exact verification must make every emitted pair a true pair")
+    assert(exact.nonEmpty)
+    assert(lsh.length >= 0.9 * exact.size,
+      s"recall ${lsh.length.toDouble / exact.size} < 0.9 " +
+        s"(${lsh.length}/${exact.size})")
+    // auto-sized planes keep the operator usable with defaults: still a
+    // strict subset with no false positives (recall depends on banding)
+    val auto = Similarity.cosineNearDupsLsh(emb, "vec_id", "embedding", 0.45)
+    val autoPairs = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    auto.unpersist()
+    assert(autoPairs.subsetOf(exact))
   }
 
   test("forward as-of join picks earliest right row at-or-after left ts") {

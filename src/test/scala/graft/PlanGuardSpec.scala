@@ -30,6 +30,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // index-build stages join each vector to k≈sqrt(N) broadcast seeds /
     // probe cells; the data-to-data path stays an equi-join on cell id
     "sim_ivf" -> "seed/probe assignment vs broadcast sqrt(N) seeds",
+    // same bounded seed-assignment crossJoin as sim_ivf, plus the labeled
+    // exact-recall baseline (broadcast query set) the oracle compares to
+    "sim_ivfpq" -> "broadcast seed cells + labeled exact baseline",
     // the global feasible-total (ONE row) crossed onto the per-source
     // count table (one row per source) — both sides bounded
     "text_mixture" -> "1-row feasible-total frame x per-source thresholds")

@@ -114,4 +114,76 @@ class Scd2Spec extends AnyFunSuite {
     val twice = Scd2.merge(once, b, Seq("k"), Seq("attr"), "2024-07-01")
     assert(twice.collect().toSet === once.collect().toSet)
   }
+
+  test("merge fails loudly on a duplicate-key batch instead of corrupting") {
+    val current = dim((1L, "a", "2024-01-01", null, true))
+    val ex = intercept[Exception] {
+      Scd2.merge(current, batch((1L, "x"), (1L, "y")),
+        Seq("k"), Seq("attr"), "2024-06-01").collect()
+    }
+    assert(ex.getMessage.contains("multiple rows for key"))
+  }
+
+  // (key, attr, ts) version batch for mergeVersions
+  private def versions(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("k", "attr", "ts")
+      .select(col("k"), col("attr"), to_date(col("ts")).as("ts"))
+  }
+
+  test("mergeVersions folds an ordered intra-batch change sequence") {
+    val current = dim(
+      (1L, "a", "2024-01-01", null, true),   // a -> b -> c in ONE batch
+      (2L, "b", "2024-01-01", null, true),   // no-op then change
+      (3L, "c", "2024-01-01", null, true))   // untouched
+    val out = Scd2.mergeVersions(current, versions(
+        (1L, "b", "2024-02-01"), (1L, "c", "2024-05-01"),
+        (2L, "b", "2024-03-01"), (2L, "b2", "2024-04-01"),
+        (4L, "n1", "2024-02-15"), (4L, "n2", "2024-06-15")), // new key, 2 versions
+      Seq("k"), Seq("attr"), "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2),
+        Option(r.getDate(3)), r.getBoolean(4))).toSet
+    assert(out === Set(
+      (1L, "a", D("2024-01-01"), Some(D("2024-02-01")), false),
+      (1L, "b", D("2024-02-01"), Some(D("2024-05-01")), false),
+      (1L, "c", D("2024-05-01"), None, true),
+      (2L, "b", D("2024-01-01"), Some(D("2024-04-01")), false), // closed at the
+      (2L, "b2", D("2024-04-01"), None, true),                  // REAL transition
+      (3L, "c", D("2024-01-01"), None, true),
+      (4L, "n1", D("2024-02-15"), Some(D("2024-06-15")), false),
+      (4L, "n2", D("2024-06-15"), None, true)))
+  }
+
+  test("mergeVersions: revert sequences reopen; redeliveries collapse") {
+    val current = dim((1L, "a", "2024-01-01", null, true))
+    // a -> FLIP -> a (revert), with the FLIP row delivered twice
+    val out = Scd2.mergeVersions(current, versions(
+        (1L, "FLIP", "2024-02-01"), (1L, "FLIP", "2024-02-01"),
+        (1L, "a", "2024-05-01")),
+      Seq("k"), Seq("attr"), "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2),
+        Option(r.getDate(3)), r.getBoolean(4))).toSet
+    assert(out === Set(
+      (1L, "a", D("2024-01-01"), Some(D("2024-02-01")), false),
+      (1L, "FLIP", D("2024-02-01"), Some(D("2024-05-01")), false),
+      (1L, "a", D("2024-05-01"), None, true)))
+  }
+
+  test("mergeVersions: all-no-op batch leaves the dimension untouched") {
+    val current = dim((1L, "a", "2024-01-01", null, true))
+    val out = Scd2.mergeVersions(current,
+      versions((1L, "a", "2024-02-01"), (1L, "a", "2024-03-01")),
+      Seq("k"), Seq("attr"), "ts")
+    assert(out.collect().toSet === current.collect().toSet)
+  }
+
+  test("mergeVersions raises on conflicting rows at the same (key, ts)") {
+    val current = dim((1L, "a", "2024-01-01", null, true))
+    val ex = intercept[Exception] {
+      Scd2.mergeVersions(current,
+        versions((1L, "x", "2024-02-01"), (1L, "y", "2024-02-01")),
+        Seq("k"), Seq("attr"), "ts").collect()
+    }
+    assert(ex.getMessage.contains("no deterministic apply order"))
+  }
 }
