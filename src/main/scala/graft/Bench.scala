@@ -143,21 +143,37 @@ object Bench {
     // family warm-ups on 64-row samples: the sketch/vector operators run
     // hand-written eval loops (HashNative, VecDot) and multi-stage plans
     // whose first execution pays JIT + generated-class loading — steady-state
-    // throughput is what the bench is after, so pay that cost here once
-    try {
+    // throughput is what the bench is after, so pay that cost here once.
+    // Each family warms in its OWN try (round 8: the stream-stream warm-up
+    // threw and, being inside one shared try with cleanup at the tail,
+    // skipped the unpersist/dropAllCached entirely — cleanup now lives in a
+    // finally and one broken family can no longer skip its siblings).
+    locally {
+      val warmed = scala.collection.mutable.ListBuffer.empty[String]
+      def warm(family: String)(body: => Unit): Unit =
+        try { body; warmed += family }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-up '$family' failed (continuing): ${e.getMessage}")
+        }
       import graft.operators.{Dedup, Similarity}
+      import org.apache.spark.sql.functions._
       val wd = spark.read.parquet(s"$sfDir/documents.parquet").limit(64).cache()
       val we = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64).cache()
+      try {
+      warm("dedup") {
       wd.count(); we.count()
       Dedup.fuzzyDedup(wd, "doc_id", "text", 7, 10).unpersist()
       Dedup.simhashNearDups(wd, "doc_id", "text").unpersist()
       Dedup.ngramNearDups(wd, "doc_id", "text", 7, 10).unpersist()
+      }
+      warm("similarity") {
       Similarity.cosineNearDups(we, "vec_id", "embedding", 0.45)
         .write.format("noop").mode("overwrite").save()
       Similarity.rpLshTopK(we, "vec_id", "embedding", 3, 4, 64).unpersist()
       Similarity.ivfTopK(we, "vec_id", "embedding", 3, 8, 2).unpersist()
+      }
       // regex machinery + window/as-of stages (each ~1.5-2 s on first touch)
-      import org.apache.spark.sql.functions._
+      warm("regex_string") {
       wd.select(regexp_replace(col("text"), "[0-9]+", "#").as("a"),
           expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)").as("b"),
           expr("text rlike '^[aeiou]'").as("c"))
@@ -174,9 +190,11 @@ object Bench {
             col("c_nationkey").cast("string")).as("d"),
           regexp_replace(col("c_name"), "[0-9]", "#").as("e"))
         .write.format("noop").mode("overwrite").save()
+      }
       // JSON-parse machinery (JsonToStructs / JacksonParser / get_json_object
       // path classes + their codegen): round-2 billed this class-load to the
       // first JSON query (q23 0.65→3.0 s, q26 2.5→8.3 s regressions)
+      warm("json") {
       val we2 = spark.read.parquet(s"$sfDir/events.parquet").limit(64)
       we2.select(
           from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
@@ -187,16 +205,20 @@ object Bench {
           schema_of_json(lit("""{"a":1}""")).as("s"),
           to_json(struct(col("event_id"))).as("t"))
         .write.format("noop").mode("overwrite").save()
+      }
       val wo = spark.read.parquet(s"$sfDir/orders.parquet").limit(64)
         .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      warm("asof") {
       graft.operators.AsOfJoin.joinBackward(
           wd.select(col("doc_id"), lit(1L).as("k"),
             lit(java.sql.Date.valueOf("1995-01-01")).as("d")),
           wo.select(lit(1L).as("k"), col("o_orderdate"), col("o_orderkey")),
           Seq("k"), Seq("k"), "d", "o_orderdate", Seq("o_orderkey"))
         .write.format("noop").mode("overwrite").save()
+      }
       // round-4 families: iterative graph loop, bloom scalar-subquery,
       // window-ranked scoring (each pays codegen/class-load on first touch)
+      warm("graph_bloom_ranking") {
       val wg = spark.range(0, 64L)
         .select(col("id").as("src"), ((col("id") + 1) % 64).as("dst"))
       // 3 rounds: the nested-round plan generates different codegen classes
@@ -219,6 +241,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       graft.operators.Ranking.tfIdfTopTerms(wd, "doc_id", "text", 2)
         .write.format("noop").mode("overwrite").save()
+      }
       // k-means family: the per-round plan (broadcast crossJoin + native
       // sqdist + packed-min hash aggregate + dim-wide centroid aggregate)
       // compiles ~5 s of generated classes on first touch; q54's official
@@ -227,15 +250,17 @@ object Bench {
       // as q54 so every generated class shape matches.
       // checkpoint-backed result: unpersist() is a silent no-op on
       // localCheckpoint blocks — release under the ownership contract
+      warm("kmeans") {
       graft.operators.Checkpoints.release(
         graft.operators.KMeans.assign(we, "vec_id", "embedding", k = 8,
           iters = 2))
+      }
       // loader family (q34/q69): the Singer parse -> validate -> flatten ->
       // parquet-write pipeline loads its own machinery (schema conversion,
       // FAILFAST json parse, sink committer) on first touch — a 2-record
       // roundtrip compiles it without billing whichever loader entry runs
       // first in the alphabetical suite
-      locally {
+      warm("loader") {
         val inDir = java.nio.file.Files.createTempDirectory("bench-warm-singer")
         val outDir = java.nio.file.Files.createTempDirectory("bench-warm-out")
         java.nio.file.Files.writeString(inDir.resolve("m.jsonl"),
@@ -251,7 +276,7 @@ object Bench {
       // distinct, the HLL++ aggregate, and the Datasketches serialize/
       // merge path each compile their own generated classes; the
       // incremental path also pays first-touch parquet index IO machinery
-      locally {
+      warm("profile") {
         val wo64 = spark.read.parquet(s"$sfDir/orders.parquet").limit(64)
         val pcols = Seq("o_orderkey", "o_custkey")
         graft.operators.Profile.summarize(wo64, pcols)
@@ -269,16 +294,11 @@ object Bench {
       // streaming entries warmed above — first touch costs ~4-5 s and was
       // most of q55's official r5 record (5.21 s vs ~2 s warm). 64-row
       // staged sample, same operator + trigger + partition scoping as q55.
-      locally {
+      warm("stream_stream_join") {
         import org.apache.spark.sql.streaming.Trigger
-        import org.apache.spark.sql.types.LongType
         val ssDir = java.nio.file.Files.createTempDirectory("bench-ss").toString
-        val ev64 = spark.read.parquet(s"$sfDir/events.parquet").limit(64)
-        val evNorm = ev64.schema("ts").dataType match {
-          case LongType =>
-            ev64.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          case _ => ev64
-        }
+        val evNorm = graft.queries.Tables.normalizeEventTs(
+          spark.read.parquet(s"$sfDir/events.parquet").limit(64))
         evNorm.select(col("event_id"), col("user_id"), col("ts"))
           .write.mode("overwrite").parquet(ssDir)
         val sch = spark.read.parquet(ssDir).schema
@@ -299,14 +319,15 @@ object Bench {
           q.awaitTermination()
         } finally spark.conf.set("spark.sql.shuffle.partitions", before)
       }
-      wd.unpersist(); we.unpersist()
-      // drop EVERY block the warm-ups pinned — including localCheckpoint
-      // RDDs, which the SQL cache manager (clearCache) cannot see (some
-      // operators also return a projection over their internal persisted
-      // frame, so a targeted unpersist on the return value would miss it)
-      dropAllCached()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
+      } finally {
+        wd.unpersist(); we.unpersist()
+        // drop EVERY block the warm-ups pinned — including localCheckpoint
+        // RDDs, which the SQL cache manager (clearCache) cannot see (some
+        // operators also return a projection over their internal persisted
+        // frame, so a targeted unpersist on the return value would miss it)
+        dropAllCached()
+        System.err.println(s"[bench] warmed families: ${warmed.mkString(", ")}")
+      }
     }
 
     // optional arg: comma-separated query subset (iteration aid — the

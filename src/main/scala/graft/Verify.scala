@@ -20,13 +20,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val declared = SparkEntry.queries
       .filter { case (name, _) => subset.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // Failures are MACHINE-VISIBLE: round 8's correctness artifact silently
+    // shrank 125 → 120 because throwing queries were only logged to stderr;
+    // errors.json + the declared-vs-written count make a shrinking suite
+    // impossible to misread as 100% green.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    declared.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +50,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val wrote = declared.size - errors.size
+    println(s"[verify] declared=${declared.size} written=$wrote failed=${errors.size}" +
+      (if (errors.nonEmpty) s" FAILED: ${errors.keys.mkString(",")}" else ""))
     spark.stop()
   }
 }

@@ -19,26 +19,35 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with `ts` normalized to a microsecond timestamp. The file
-    * stores TIMESTAMP(NANOS), which Spark only reads as a nanos-since-epoch
-    * long (`spark.sql.legacy.parquet.nanosAsLong=true`, set by all our
-    * session builders); `ts div 1000` keeps integer precision (a double
-    * division would lose sub-second bits past 2^53). DuckDB oracles must
-    * `CAST(ts AS TIMESTAMP)` for the same truncation.
+  /** `events` with `ts` normalized to a microsecond timestamp. Parquet
+    * written by different tools lands differently in Spark: TIMESTAMP(NANOS)
+    * reads as a nanos-since-epoch long (under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set by all our session
+    * builders), while pyarrow/pandas `timestamp[us]` (no timezone) reads as
+    * TIMESTAMP_NTZ. A real ingest sees all of these on day one, so the
+    * engine accepts them all here. DuckDB oracles must
+    * `CAST(ts AS TIMESTAMP)` for the same value.
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     normalizeEventTs(t(spark, dir, "events"))
 
   /** Normalize an events-shaped frame's `ts` to a microsecond TIMESTAMP,
-    * whichever way the session read it (nanos-as-long under the legacy
-    * flag, or already a timestamp). THE single home for this dance —
-    * replicated/synthetic event frames qualify too, which is why it takes
-    * a DataFrame rather than a path. */
+    * whichever way the session read it: nanos-as-long (legacy flag),
+    * TIMESTAMP_NTZ (pyarrow `timestamp[us]` without timezone), or already
+    * TIMESTAMP. THE single home for this dance — replicated/synthetic event
+    * frames qualify too, which is why it takes a DataFrame rather than a
+    * path. `ts div 1000` keeps integer precision for the nanos case (a
+    * double division would lose sub-second bits past 2^53); the NTZ cast is
+    * value-preserving because every session builder pins the session
+    * timezone to UTC. */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

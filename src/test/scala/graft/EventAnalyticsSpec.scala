@@ -99,8 +99,8 @@ class EventAnalyticsSpec extends AnyFunSuite {
   }
 
   test("retention plans exactly two shuffles (per-user agg + cell agg)") {
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.queries.Tables.normalizeEventTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     val plan = EventAnalytics.retention(events, "user_id", "ts", "2024-01-01")
       .queryExecution.executedPlan.toString()
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
