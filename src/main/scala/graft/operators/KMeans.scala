@@ -157,6 +157,97 @@ object KMeans {
       scale: Long = 1000000L): (DataFrame, DataFrame) =
     fitImpl(emb, Some(train), idCol, vecCol, k, iters, scale)
 
+  /** Per-group [[fitSampled]] fused into ONE Lloyd loop: every group's
+    * codebook trains inside the same per-round jobs (the centroid join,
+    * the argmin aggregate and the mean recompute all carry the group key),
+    * so `g` groups cost the same NUMBER of Spark jobs as one. Product
+    * quantization's per-block training would otherwise run `g` sequential
+    * k-means loops whose job-scheduling + checkpoint overhead dominates
+    * when each block's data is small — the round-8 IVF-PQ entry spent its
+    * worst reps (>100 s) in exactly that storm. Groups may differ in
+    * vector width (ragged PQ blocks): each group's centroids keep their
+    * own width (per-dimension sums beyond a group's width aggregate to
+    * NULL and are trimmed).
+    *
+    * `emb` and `train` carry (groupCol, idCol, vecCol); pass `train` `eq`
+    * `emb` for full-corpus training. Returns
+    * `((groupCol, id, cluster), (groupCol, cid, cs))`, both
+    * checkpoint-backed — the caller owns both ([[Checkpoints.release]]). */
+  def fitGroupedSampled(emb: DataFrame, train: DataFrame, groupCol: String,
+      idCol: String, vecCol: String, k: Int, iters: Int,
+      scale: Long = 1000000L): (DataFrame, DataFrame) = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
+    require(k < TieRadix, s"k must be < $TieRadix for the argmin packing")
+    def scaledG(df: DataFrame): DataFrame =
+      df.select(col(groupCol), col(idCol).cast("long").as("id"),
+        expr(s"transform($vecCol, v -> CAST(round(CAST(v AS DOUBLE) * $scale.0) AS BIGINT))")
+          .as("xs"))
+    // co-partition on (group, id) once: the per-round argmin aggregate and
+    // the assignment re-join both cluster on that pair
+    val scaled = scaledG(emb).repartition(col(groupCol), col("id")).cache()
+    val sameFrame = train eq emb
+    val scaledTrain =
+      if (sameFrame) scaled
+      else scaledG(train).repartition(col(groupCol), col("id")).cache()
+    // ONE packing bound from the all-groups envelope: looser than a
+    // per-group bound but still exact (it only selects long vs DECIMAL)
+    val p = packing(scaled, k)
+    val seedW = Window.partitionBy(col(groupCol)).orderBy(col("id"))
+    var centroids = scaledTrain
+      .withColumn("rn", row_number().over(seedW)).filter(col("rn") <= k)
+      .select(col(groupCol), (col("rn") - 1).cast("long").as("cid"),
+        col("xs").as("cs"))
+    var prevCkpt: Option[DataFrame] = None
+
+    def assignG(sc: DataFrame, cents: DataFrame): DataFrame = {
+      val dist = VecSqDist.vecSqDistLong(col("xs"), col("cs"))
+      val (packed, unpack) =
+        if (p.useLong)
+          (dist * lit(p.radix) + col("cid"),
+            (c: org.apache.spark.sql.Column) => c % p.radix)
+        else
+          (dist.cast("decimal(20,0)") * lit(TieRadix) + col("cid"),
+            (c: org.apache.spark.sql.Column) => c % TieRadix)
+      sc.join(broadcast(cents), Seq(groupCol))
+        .withColumn("packed", packed)
+        .groupBy(col(groupCol), col("id"))
+        .agg(min(col("packed")).as("p"))
+        .select(col(groupCol), col("id"),
+          unpack(col("p")).cast("long").as("cid"))
+    }
+
+    for (i <- 0 until iters) {
+      val a = scaledTrain
+        .join(assignG(scaledTrain, centroids), Seq(groupCol, "id"))
+      // p.dim is the WIDEST group's dimension; narrower groups' trailing
+      // sums are NULL (try_element_at past the end — plain indexing throws
+      // under ANSI) and get trimmed, so each group's centroid keeps its
+      // native width
+      val sums = (0 until p.dim)
+        .map(d => sum(expr(s"try_element_at(xs, ${d + 1})")).as(s"s$d"))
+      val meanExprs = (0 until p.dim)
+        .map(d => s"CAST(FLOOR(CAST(s$d AS DOUBLE) / n) AS BIGINT)")
+        .mkString(", ")
+      centroids = a.groupBy(col(groupCol), col("cid"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col(groupCol), col("cid"),
+          expr(s"filter(array($meanExprs), x -> x IS NOT NULL)").as("cs"))
+      if ((i + 1) % 2 == 0 && i != iters - 1) {
+        centroids = centroids.localCheckpoint()
+        prevCkpt.foreach(Checkpoints.release)
+        prevCkpt = Some(centroids)
+      }
+    }
+    val finalCents = centroids.localCheckpoint()
+    val result = assignG(scaled, finalCents)
+      .select(col(groupCol), col("id"), col("cid").as("cluster"))
+      .localCheckpoint()
+    prevCkpt.foreach(Checkpoints.release)
+    if (!sameFrame) scaledTrain.unpersist()
+    scaled.unpersist()
+    (result, finalCents)
+  }
+
   private def fitImpl(emb: DataFrame, train: Option[DataFrame],
       idCol: String, vecCol: String, k: Int, iters: Int,
       scale: Long): (DataFrame, DataFrame) = {

@@ -396,24 +396,29 @@ object Similarity {
       corpus.filter(pmod(xxhash64(col(idCol)), lit(m)) < lit(thresh))
     }
 
-  /** One integer k-means per dimension block over `train` (== `corpus`
-    * for full-corpus training), codes assigned for every `corpus` row.
-    * Returns per block: (codes slice, codebook slice, the two
-    * checkpoint-backed frames to release after materialization). */
+  /** Integer k-means per dimension block over `train` (== `corpus` for
+    * full-corpus training), codes assigned for every `corpus` row. All
+    * blocks train in ONE fused Lloyd loop ([[KMeans.fitGroupedSampled]]
+    * over the block-exploded frame): 8 sequential per-block fits were a
+    * job storm — 8× the driver-synchronized rounds, checkpoints and stats
+    * passes for the same total data. Returns
+    * (codes(id, block, code), codebook(block, code, cs), checkpoint-backed
+    * frames to release after the result materializes). */
   private def fitBlocks(corpus: DataFrame, train: DataFrame, idCol: String,
       vecCol: String, bounds: Seq[Int], codebook: Int, iters: Int,
-      scale: Long): Seq[(DataFrame, DataFrame, Seq[DataFrame])] =
-    (0 until bounds.size - 1).map { b =>
-      val full = normSlice(corpus, idCol, vecCol, bounds, b)
-      val (asg, cents) =
-        if (train eq corpus) KMeans.fit(full, "id", "vb", codebook, iters, scale)
-        else KMeans.fitSampled(full,
-          normSlice(train, idCol, vecCol, bounds, b), "id", "vb",
-          codebook, iters, scale)
-      (asg.select(col("id"), lit(b).as("block"), col("cluster").as("code")),
-        cents.select(lit(b).as("block"), col("cid").as("code"), col("cs")),
-        Seq(asg, cents))
-    }
+      scale: Long): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    def exploded(df: DataFrame): DataFrame =
+      (0 until bounds.size - 1).map { b =>
+        normSlice(df, idCol, vecCol, bounds, b).withColumn("block", lit(b))
+      }.reduce(_ unionByName _)
+    val full = exploded(corpus)
+    val trainE = if (train eq corpus) full else exploded(train)
+    val (asg, cents) = KMeans.fitGroupedSampled(full, trainE, "block",
+      "id", "vb", codebook, iters, scale)
+    (asg.select(col("id"), col("block"), col("cluster").as("code")),
+      cents.select(col("block"), col("cid").as("code"), col("cs")),
+      Seq(asg, cents))
+  }
 
   /** ADC tables: query block slices scaled EXACTLY like the codebook
     * training data, partial sqdist against every (block, code) centroid —
@@ -474,10 +479,8 @@ object Similarity {
 
     // per-block codebook + corpus codes (both checkpoint-backed, released
     // after the result materializes)
-    val fitted = fitBlocks(corpus, train, idCol, vecCol, bounds, codebook,
-      iters, scale)
-    val codes = fitted.map(_._1).reduce(_ unionByName _)
-    val cents = fitted.map(_._2).reduce(_ unionByName _)
+    val (codes, cents, fittedCkpts) = fitBlocks(corpus, train, idCol,
+      vecCol, bounds, codebook, iters, scale)
     val table = adcTable(queries, cents, idCol, vecCol, bounds, scale)
 
     val w = Window.partitionBy(col("query_id"))
@@ -494,7 +497,7 @@ object Similarity {
 
     val out = result.persist()
     out.count()
-    fitted.flatMap(_._3).foreach(Checkpoints.release)
+    fittedCkpts.foreach(Checkpoints.release)
     out
   }
 
@@ -622,10 +625,8 @@ object Similarity {
     // ---- PQ half: per-block codebooks (optionally sample-trained),
     // full-corpus codes, broadcast ADC tables — all shared with pqTopK
     val train = trainingSample(corpus, idCol, n, trainMaxRows, codebook)
-    val fitted = fitBlocks(corpus, train, idCol, vecCol, bounds, codebook,
-      iters, scale)
-    val codes = fitted.map(_._1).reduce(_ unionByName _)
-    val cents = fitted.map(_._2).reduce(_ unionByName _)
+    val (codes, cents, fittedCkpts) = fitBlocks(corpus, train, idCol,
+      vecCol, bounds, codebook, iters, scale)
     val table = adcTable(queries, cents, idCol, vecCol, bounds, scale)
 
     // ---- compose: codes pick up their vector's cell (one id-keyed join),
@@ -650,7 +651,7 @@ object Similarity {
 
     val out = result.persist()
     out.count()
-    fitted.flatMap(_._3).foreach(Checkpoints.release)
+    fittedCkpts.foreach(Checkpoints.release)
     out
   }
 

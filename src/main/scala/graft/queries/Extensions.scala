@@ -37,6 +37,35 @@ object Extensions {
        |  WHERE len(list_intersect(sa.sh, sb.sh)) * 10
        |        >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7)""".stripMargin
 
+  /** The banded RP-LSH near-dup pair pipeline (2 planes × 8 tables, the
+    * dedup_embed_lsh parameters) as a CTE chain ending in
+    * `lshp(id_a, id_b)`: bucket ids per table from the SAME deterministic
+    * integer-constructed hyperplanes Spark uses
+    * ([[graft.functions.VectorExprs.sparkRpBucketOffset]]), candidates =
+    * pairs colliding in ≥ 1 band, verified on the HALF_UP(4) exact-cosine
+    * grid. Shared by dedup_embed_lsh and dedup_embed_clusters_lsh. */
+  private val lshTables = 8
+  private val lshPlanes = 2
+  private[queries] val lshPairsCte = {
+    val buckets = (0 until lshTables).map(tb =>
+      s"${V.duckRpBucketOffset("embedding", lshPlanes, 64, tb * lshPlanes)} AS bk$tb")
+      .mkString(",\n             ")
+    val collide = (0 until lshTables).map(tb => s"a.bk$tb = c.bk$tb")
+      .mkString(" OR ")
+    s"""b AS (SELECT vec_id AS id, embedding AS v,
+       |             $buckets
+       |      FROM embeddings),
+       |cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+       |         FROM b a JOIN b c ON a.id < c.id AND ($collide)),
+       |lshp AS (SELECT id_a, id_b
+       |  FROM cand JOIN b ba ON cand.id_a = ba.id
+       |            JOIN b bc ON cand.id_b = bc.id
+       |  WHERE round(${V.duckCosine("ba.v", "bc.v")}, 4) >= 0.45)""".stripMargin
+  }
+
+  private[queries] val lshPairsOracle =
+    s"WITH $lshPairsCte\nSELECT id_a, id_b FROM lshp"
+
   def defs: Seq[Q] = Seq(
     // ---- dedup family -------------------------------------------------
     Q("dedup_exact", (s, d) => {
@@ -185,75 +214,45 @@ object Extensions {
         |WHERE round(${V.duckCosine("a.embedding", "b.embedding")}, 4) >= 0.45""".stripMargin)),
 
     // the SUBQUADRATIC embedding near-dup path: banded RP-LSH candidates,
-    // exact-cosine verify. Precision is 1 BY CONSTRUCTION (verification
-    // uses the exact kernel's grid), so `all_verified` is a structural
-    // invariant; recall is measured against the exact pair set and must
-    // clear 0.9 (this corpus's qualifying pairs sit AT the 0.45 threshold
-    // — the hardest LSH regime, hence the explicit 2-plane/8-table
-    // banding; measured 1.00 at sf0.01, 0.94 at sf0.1). The oracle is a
-    // labeled recall check: it recomputes the exact pair count and pins
-    // the two invariant booleans.
-    Q("dedup_embed_lsh", (s, d) => {
-      val e = t(s, d, "embeddings")
-      val lsh = Similarity.cosineNearDupsLsh(e, "vec_id", "embedding", 0.45,
-        numPlanes = 2, tables = 8)
-      val exact = Similarity.cosineNearDups(e, "vec_id", "embedding", 0.45)
-      exact.select(col("id_a"), col("id_b"), lit(1).as("__e"))
-        .join(lsh.select(col("id_a"), col("id_b"), lit(1).as("__l")),
-          Seq("id_a", "id_b"), "full")
-        .agg(count(col("__e")).as("n_exact"),
-          (count(when(col("__e").isNull, 1)) === 0).as("all_verified"),
-          (count(when(col("__l").isNull, 1)).cast("double")
-            <= count(col("__e")) * 0.1).as("recall_ok"))
-    }, Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
-      |SELECT count(*) AS n_exact, true AS all_verified, true AS recall_ok
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE round(${V.duckCosine("a.embedding", "b.embedding")}, 4) >= 0.45""".stripMargin)),
+    // exact-cosine verify. The entry runs the ANN path ALONE — round 8
+    // embedded the exact quadratic pair set as a self-check, which made
+    // the subquadratic path bench 12× slower than the exact kernel it
+    // exists to beat; the recall (>= 0.9 vs the exact pair set; measured
+    // 1.00 at sf0.01, 0.94 at sf0.1) and precision-1 invariants now live
+    // in OperatorsSpec. The oracle is hash-EXACT: both engines construct
+    // identical deterministic hyperplanes (VectorExprs.PlaneMul/PlaneMod),
+    // so DuckDB reproduces the banding bit-for-bit and verifies on the
+    // same HALF_UP(4) cosine grid.
+    Q("dedup_embed_lsh", (s, d) =>
+      Similarity.cosineNearDupsLsh(t(s, d, "embeddings"), "vec_id",
+        "embedding", 0.45, numPlanes = 2, tables = 8),
+      Some(lshPairsOracle)),
 
     // semantic-dedup E2E on the subquadratic path: LSH pairs feed the
-    // same graph clustering as dedup_embed_clusters. Because LSH pairs
-    // are a SUBSET of the exact pairs, every LSH cluster must sit inside
-    // exactly one exact cluster (refinement — a structural invariant the
-    // query machine-checks), and missed edges can only SPLIT clusters,
-    // bounded here at 2% of the corpus. The oracle recomputes the exact
-    // clustering (recursive CTE) for the comparable counts and pins the
-    // two booleans.
+    // same graph clustering as dedup_embed_clusters, output shape
+    // matching it ((id, cluster, is_kept) per vector). The refinement
+    // invariant (every LSH cluster sits inside exactly one exact cluster;
+    // split count bounded) moved to OperatorsSpec with the recall check —
+    // round 8 ran connectedComponents TWICE plus the exact all-pairs
+    // kernel inside this benched entry. The oracle closes the SAME
+    // deterministic LSH pair graph with a recursive CTE.
     Q("dedup_embed_clusters_lsh", (s, d) => {
       val e = t(s, d, "embeddings")
-      val nodes = e.select(col("vec_id").as("id"))
-      val lshCl = Dedup.connectedComponents(nodes,
-        Similarity.cosineNearDupsLsh(e, "vec_id", "embedding", 0.45,
-          numPlanes = 2, tables = 8))
-      val exCl = Dedup.connectedComponents(nodes,
-        Similarity.cosineNearDups(e, "vec_id", "embedding", 0.45))
-      // ONE aggregate over the per-vector (lsh, exact) label pairs:
-      // refinement ⟺ #distinct (lc, ec) pairs == #distinct lc (every lsh
-      // cluster maps to exactly one exact cluster)
-      lshCl.select(col("id"), col("cluster").as("lc"))
-        .join(exCl.select(col("id"), col("cluster").as("ec")), Seq("id"))
-        .agg(count(lit(1)).as("n_vectors"),
-          countDistinct(col("ec")).as("n_exact_clusters"),
-          (countDistinct(col("lc"), col("ec")) === countDistinct(col("lc")))
-            .as("refinement_ok"),
-          ((countDistinct(col("lc")) - countDistinct(col("ec")))
-            .cast("double") <= greatest(lit(1.0), count(lit(1)) * 0.02))
-            .as("split_ok"))
+      Dedup.connectedComponents(e.select(col("vec_id").as("id")),
+          Similarity.cosineNearDupsLsh(e, "vec_id", "embedding", 0.45,
+            numPlanes = 2, tables = 8))
+        .select(col("id"), col("cluster"),
+          (col("id") === col("cluster")).as("is_kept"))
     }, Some(s"""
-      WITH RECURSIVE p AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(${V.duckCosine("a.embedding", "b.embedding")}, 4) >= 0.45),
-      edges AS (SELECT id_a AS src, id_b AS dst FROM p
-                UNION ALL SELECT id_b, id_a FROM p),
+      WITH RECURSIVE $lshPairsCte,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM lshp
+                UNION ALL SELECT id_b, id_a FROM lshp),
       reach(src, dst) AS (
         SELECT vec_id, vec_id FROM embeddings
         UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-      cl AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src)
-      SELECT count(*) AS n_vectors,
-             count(DISTINCT cluster) AS n_exact_clusters,
-             true AS refinement_ok, true AS split_ok
-      FROM cl""")),
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS id, min(dst) AS cluster, (src = min(dst)) AS is_kept
+      FROM reach GROUP BY src""")),
 
     // ---- similarity search -------------------------------------------
     Q("sim_topk", (s, d) => {
@@ -307,34 +306,19 @@ object Extensions {
 
     // IVF x PQ composed ANN: coarse cells prune, ADC scores codes inside
     // the probed cells only, exact re-rank refines — with codebooks
-    // trained on a deterministic 1000-row hash sample. The ANN ranks are
-    // engine-specific (integer codebooks), so the oracle is a labeled
-    // recall check like dedup_embed_lsh's: DuckDB recomputes the exact
-    // top-10 row count and pins the recall floor (>= 0.75 of exact pairs
-    // recovered) as a boolean — measured 0.822 at sf0.01, vs 0.830 for
-    // the full-scan pqRerankTopK at the same candidates: pruning to 6 of
-    // 8 cells costs 0.008 recall here.
+    // trained on a deterministic 1000-row hash sample. The entry runs
+    // the ANN path ALONE (round 8 embedded a full brute-force oracle +
+    // recall join, which dominated the benched time); the ranks are
+    // engine-specific (integer codebooks), not SQL-expressible, so this
+    // is a rows-only correctness entry and the recall floor (>= 0.75 of
+    // the exact top-10; measured 0.822 at sf0.01) is asserted per round
+    // in OperatorsSpec.
     Q("sim_ivfpq", (s, d) => {
       val e = t(s, d, "embeddings")
-      val queries = e.filter(col("vec_id") % 10 === 0)
-      val ann = Similarity.ivfPqRerankTopK(queries, e, "vec_id", "embedding",
-        10, candidates = 100, nCells = 8, nprobe = 6, trainMaxRows = 1000L)
-      val exact = Similarity.bruteForceTopK(queries, e, "vec_id", "embedding",
-        10, broadcastCorpus = true)
-      exact.select(col("query_id"), col("neighbor_id"), lit(1).as("__e"))
-        .join(ann.select(col("query_id"), col("neighbor_id"), lit(1).as("__a")),
-          Seq("query_id", "neighbor_id"), "full")
-        .agg(count(col("__e")).as("n_exact"),
-          (count(when(col("__e").isNotNull && col("__a").isNotNull, 1))
-            .cast("double") >= count(col("__e")) * 0.75).as("recall_ok"))
-    }, Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 10 = 0),
-      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-      |scored AS (SELECT query_id, neighbor_id,
-      |    row_number() OVER (PARTITION BY query_id
-      |      ORDER BY ${V.duckCosine("qv", "cv")} DESC, neighbor_id ASC) AS rank
-      |  FROM q JOIN c ON query_id <> neighbor_id)
-      |SELECT count(*) AS n_exact, true AS recall_ok
-      |FROM scored WHERE rank <= 10""".stripMargin)),
+      Similarity.ivfPqRerankTopK(e.filter(col("vec_id") % 10 === 0), e,
+        "vec_id", "embedding", 10, candidates = 100, nCells = 8, nprobe = 6,
+        trainMaxRows = 1000L)
+    }, None),
 
     // kNN weak labeling: each query takes the majority label of its 3
     // nearest neighbors (ties: most votes, then smallest label) — the

@@ -72,6 +72,87 @@ object PerfProbe {
         recallOf("ivfpq_rerank n4")(Similarity.ivfPqRerankTopK(queries, e,
           "vec_id", "embedding", 10, candidates = 100, nCells = 8, nprobe = 4,
           trainMaxRows = 1000L))
+      case "ivfpqjobs" =>
+        // per-Spark-job timing of one ivfPqRerankTopK call
+        import graft.operators.Similarity
+        import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(js: SparkListenerJobStart): Unit =
+            starts.put(js.jobId, (System.nanoTime(),
+              Option(js.properties.getProperty("spark.job.description"))
+                .orElse(Option(js.properties.getProperty("callSite.short")))
+                .getOrElse("?")))
+          override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+            val (t0, desc) = starts.getOrDefault(je.jobId, (0L, "?"))
+            println(f"[probe] job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  $desc")
+          }
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+            if (ms > 200)
+              println(f"[probe]   stage ${si.stageId}%3d ${ms / 1000.0}%6.2f s " +
+                f"tasks=${si.numTasks} ${si.name.take(90)}")
+          }
+        })
+        val e2 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val q2 = e2.filter(col("vec_id") % 10 === 0)
+        (1 to 2).foreach { rep =>
+          println(s"[probe] --- rep $rep")
+          val full = Similarity.ivfPqRerankTopK(q2, e2, "vec_id", "embedding",
+            10, candidates = 100, nCells = 8, nprobe = 6, trainMaxRows = 1000L)
+          full.write.format("noop").mode("overwrite").save()
+          full.unpersist()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+        Thread.sleep(1000)
+      case "ivfpqtime" =>
+        // stage-level timing of the sim_ivfpq path at its query params
+        import graft.operators.Similarity
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val queries = e.filter(col("vec_id") % 10 === 0)
+        def timed[A](tag: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val r = f
+          println(f"[probe] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          r
+        }
+        (1 to 2).foreach { rep =>
+          println(s"[probe] --- rep $rep")
+          val ann = timed("ivfPqTopK(cand)")(
+            Similarity.ivfPqTopK(queries, e, "vec_id", "embedding", 100,
+              nCells = 8, nprobe = 6, trainMaxRows = 1000L))
+          ann.unpersist()
+          val full = timed("ivfPqRerankTopK")(
+            Similarity.ivfPqRerankTopK(queries, e, "vec_id", "embedding", 10,
+              candidates = 100, nCells = 8, nprobe = 6, trainMaxRows = 1000L))
+          timed("materialize")(
+            full.write.format("noop").mode("overwrite").save())
+          full.unpersist()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+      case "entry" =>
+        // time named SparkEntry queries in isolation (3 reps each, noop
+        // sink, storage dropped between reps — the bench's hygiene without
+        // the suite around it): args(2) = comma-separated names
+        val names = args.lift(2).map(_.split(",").toSeq)
+          .getOrElse(sys.error("entry mode needs names in args(2)"))
+        names.foreach { n =>
+          val reps = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            graft.SparkEntry.queries(n)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            dt
+          }
+          println(f"[probe] $n reps=${reps.map(r => f"$r%.2f").mkString(",")}")
+        }
       case other => sys.error(s"unknown probe mode $other")
     }
     spark.stop()

@@ -301,6 +301,14 @@ class OperatorsSpec extends AnyFunSuite {
       "embedding", 10, candidates = 100, nCells = 8, nprobe = 6))
     assert(rIvfPq >= rPq - 0.05,
       s"ivfpq recall@10 $rIvfPq trails pq rerank $rPq by > 0.05")
+    // the sim_ivfpq query entry's recall floor, asserted here per round
+    // now that the benched entry runs the ANN path alone (round 9): the
+    // sample-trained composed index must clear 0.75 absolute recall
+    val rQueryParams = recallOf(Similarity.ivfPqRerankTopK(queries, emb,
+      "vec_id", "embedding", 10, candidates = 100, nCells = 8, nprobe = 6,
+      trainMaxRows = 1000L))
+    assert(rQueryParams >= 0.75,
+      s"sim_ivfpq-parameter recall@10 $rQueryParams < 0.75")
     // measured scored-row fraction: k >= |corpus| keeps EVERY candidate
     // (query, vector) pair in the output, so the row count IS the number
     // of ADC-scored pairs — must be the probed fraction, not a full scan
@@ -397,6 +405,32 @@ class OperatorsSpec extends AnyFunSuite {
     val autoPairs = auto.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     auto.unpersist()
     assert(autoPairs.subsetOf(exact))
+  }
+
+  test("LSH clustering refines the exact clustering with bounded splits") {
+    // dedup_embed_clusters_lsh's structural invariants, moved out of the
+    // benched entry (round 9): LSH pairs ⊆ exact pairs, so every LSH
+    // cluster must sit inside exactly one exact cluster (refinement), and
+    // missing edges can only SPLIT clusters — bounded at 2% of the corpus
+    import graft.operators.Dedup
+    val nodes = emb.select(col("vec_id").as("id"))
+    val lshCl = Dedup.connectedComponents(nodes,
+      Similarity.cosineNearDupsLsh(emb, "vec_id", "embedding", 0.45,
+        numPlanes = 2, tables = 8))
+    val exCl = Dedup.connectedComponents(nodes,
+      Similarity.cosineNearDups(emb, "vec_id", "embedding", 0.45))
+    val labels = lshCl.select(col("id"), col("cluster").as("lc"))
+      .join(exCl.select(col("id"), col("cluster").as("ec")), Seq("id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    lshCl.unpersist(); exCl.unpersist()
+    val n = labels.length
+    assert(n > 0)
+    val lcToEc = labels.toSet
+    assert(lcToEc.size === labels.map(_._1).toSet.size,
+      "refinement violated: an LSH cluster spans two exact clusters")
+    val splits = labels.map(_._1).toSet.size - labels.map(_._2).toSet.size
+    assert(splits <= math.max(1.0, n * 0.02),
+      s"$splits split clusters over $n vectors exceeds the 2% bound")
   }
 
   test("forward as-of join picks earliest right row at-or-after left ts") {
