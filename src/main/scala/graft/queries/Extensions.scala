@@ -69,7 +69,7 @@ object Extensions {
   def defs: Seq[Q] = Seq(
     // ---- dedup family -------------------------------------------------
     Q("dedup_exact", (s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = Tables.ts(s, d, "documents")
       Dedup.exact(docs.unionByName(docs), Seq("text"), "doc_id")
         .select(col("kept_id"), col("copies"))
     }, Some("""
@@ -78,7 +78,7 @@ object Extensions {
       GROUP BY text""")),
 
     Q("dedup_minhash", (s, d) =>
-      Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text", 7, 10),
+      Dedup.minhashNearDups(Tables.ts(s, d, "documents"), "doc_id", "text", 7, 10),
       Some(s"""$minhashPairCtes
         |SELECT id_a, id_b FROM pairs""".stripMargin)),
 
@@ -86,7 +86,7 @@ object Extensions {
     // min-label propagation (Spark) vs transitive closure (DuckDB recursive
     // CTE) — independent algorithms, identical fixpoint
     Q("dedup_clusters", (s, d) =>
-      Dedup.fuzzyDedup(t(s, d, "documents"), "doc_id", "text", 7, 10),
+      Dedup.fuzzyDedup(Tables.ts(s, d, "documents"), "doc_id", "text", 7, 10),
       Some(s"""${minhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
         |          UNION ALL SELECT id_b, id_a FROM pairs),
@@ -99,7 +99,7 @@ object Extensions {
         |FROM reach GROUP BY src""".stripMargin)),
 
     Q("dedup_ngram", (s, d) =>
-      Dedup.ngramNearDups(t(s, d, "documents"), "doc_id", "text", 7, 10),
+      Dedup.ngramNearDups(Tables.ts(s, d, "documents"), "doc_id", "text", 7, 10),
       Some(s"""$docsSql
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -110,7 +110,7 @@ object Extensions {
     // shingle set) — catches a short doc quoted inside a long one, which
     // Jaccard dilutes away. Same postings kernel as dedup_ngram.
     Q("dedup_containment", (s, d) =>
-      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text", 8, 10),
+      Dedup.containmentPairs(Tables.ts(s, d, "documents"), "doc_id", "text", 8, 10),
       Some(s"""$docsSql
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS shared_shingles
@@ -122,7 +122,7 @@ object Extensions {
     // overlaps MOST (ties -> lowest eval id) — the audit view behind
     // text_decontaminate's boolean gate
     Q("text_decontaminate_top", (s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = Tables.ts(s, d, "documents")
       Dedup.decontaminateReport(docs, docs.filter(col("doc_id") % 50 === 0),
         "doc_id", "text", minShared = 3)
     },
@@ -148,7 +148,7 @@ object Extensions {
     // train-on-test gate. Eval shingle set broadcasts; corpus side is one
     // explode + semi-join + count, no corpus-corpus pairing.
     Q("text_decontaminate", (s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = Tables.ts(s, d, "documents")
       Dedup.decontaminate(docs, docs.filter(col("doc_id") % 50 === 0),
         "doc_id", "text", minShared = 3)
     },
@@ -170,7 +170,7 @@ object Extensions {
     // division away). Pairs come from each shingle's bounded SOURCE set,
     // never from doc-doc or postings-pair joins — see Dedup.sourceOverlap
     Q("text_overlap_matrix", (s, d) =>
-      Dedup.sourceOverlap(t(s, d, "documents"), "text", "source"),
+      Dedup.sourceOverlap(Tables.ts(s, d, "documents"), "text", "source"),
       Some(s"""
         |WITH w AS (SELECT source, ${H.duckWordHashes("text")} AS wh FROM documents),
         |sh AS (SELECT source, ${H.duckShingles("wh")} AS sh FROM w),
@@ -187,13 +187,13 @@ object Extensions {
         |       JOIN tot tb ON p.source_b = tb.source""".stripMargin)),
 
     Q("text_simhash", (s, d) =>
-      Dedup.simhashFingerprints(t(s, d, "documents"), "doc_id", "text")
+      Dedup.simhashFingerprints(Tables.ts(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id"),
       Some(s"""$docsSql
         |SELECT doc_id, ${H.duckSimhash("sh")} AS simhash FROM sh""".stripMargin)),
 
     Q("dedup_simhash", (s, d) =>
-      Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text"),
+      Dedup.simhashNearDups(Tables.ts(s, d, "documents"), "doc_id", "text"),
       Some(s"""$docsSql,
         |fp AS (SELECT doc_id, ${H.duckSimhash("sh")} AS f FROM sh),
         |ck AS (SELECT doc_id, f, unnest(${H.duckSimhashChunks("f")}) AS ck FROM fp),
@@ -364,7 +364,7 @@ object Extensions {
 
     // ---- text analysis ------------------------------------------------
     Q("text_tokens", (s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
+      Tables.ts(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount("text").as("n_tokens"),
         TextAnalysis.bpeTokenCount("text").as("n_bpe_tokens"),
         TextAnalysis.avgTokenLenX1e4("text").as("avg_token_len_x1e4")),
@@ -376,7 +376,7 @@ object Extensions {
         FROM documents""")),
 
     Q("text_quality", (s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
+      Tables.ts(s, d, "documents").select(col("doc_id"),
         TextAnalysis.qualityScoreX1e4("text").as("quality_x1e4")),
       Some("""
         SELECT doc_id, (
@@ -392,7 +392,7 @@ object Extensions {
         FROM documents""")),
 
     Q("text_langid", (s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
+      Tables.ts(s, d, "documents").select(col("doc_id"),
         TextAnalysis.langId("text").as("pred_lang"),
         (TextAnalysis.langId("text") === col("lang")).as("is_match")),
       Some {
@@ -412,7 +412,7 @@ object Extensions {
       }),
 
     Q("text_fingerprint", (s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
+      Tables.ts(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint("text").as("fp")),
       Some(s"""SELECT doc_id, ${H.duckCharHash("text")} AS fp FROM documents""")),
 
@@ -420,7 +420,7 @@ object Extensions {
     // pure function of content, so the same split reproduces on any cluster,
     // any partitioning, any run — the property random() sampling lacks
     Q("text_sample", (s, d) =>
-      t(s, d, "documents")
+      Tables.ts(s, d, "documents")
         .filter(TextAnalysis.fingerprint("text") % 10 === 0)
         .select(col("doc_id")),
       Some(s"""SELECT doc_id FROM documents WHERE ${H.duckCharHash("text")} % 10 = 0""")),
@@ -430,7 +430,7 @@ object Extensions {
     // train -> eval. md5 under the char hash decorrelates similar group
     // names (raw "src1"/"src2" hash adjacently, biasing the threshold)
     Q("text_group_split", (s, d) =>
-      TextAnalysis.groupSplit(t(s, d, "documents"), "source", 800)
+      TextAnalysis.groupSplit(Tables.ts(s, d, "documents"), "source", 800)
         .select(col("doc_id"), col("source"), col("split")),
       Some(s"""
         SELECT doc_id, source,
@@ -446,7 +446,7 @@ object Extensions {
     Q("text_mixture", (s, d) => {
       val weights = (0 until 20)
         .map(i => s"src$i" -> (if (i < 10) 1L else 3L)).toMap
-      TextAnalysis.mixtureSample(t(s, d, "documents"), "doc_id", "text",
+      TextAnalysis.mixtureSample(Tables.ts(s, d, "documents"), "doc_id", "text",
         "source", weights)
     },
       Some {
@@ -468,7 +468,7 @@ object Extensions {
     // retrieval-prep chunking: 40-token windows, 30-token stride (10-token
     // overlap), short tail chunk kept — one generator projection, no shuffle
     Q("text_chunks", (s, d) =>
-      TextAnalysis.chunk(t(s, d, "documents"), "doc_id", "text", 40, 30),
+      TextAnalysis.chunk(Tables.ts(s, d, "documents"), "doc_id", "text", 40, 30),
       Some("""
         |WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |st AS (SELECT doc_id, w, unnest(range(0, len(w), 30)) AS s FROM w)
@@ -482,7 +482,7 @@ object Extensions {
     // the hottest bigram's count; rep_x1e4 = repeated-occurrence fraction
     // in integer 1e-4 units. Zero-bigram docs (< 2 tokens) emit zeros.
     Q("text_repetition", (s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = Tables.ts(s, d, "documents")
       val bg = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), expr(
           """explode(CASE WHEN size(w) >= 2 THEN
@@ -526,7 +526,7 @@ object Extensions {
     // (deterministic by doc_id order within source) — ONE window aggregate
     // per shard, never a global running sum
     Q("text_pack", (s, d) =>
-      TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text",
+      TextAnalysis.packSequences(Tables.ts(s, d, "documents"), "doc_id", "text",
         "source", budgetTokens = 512),
       Some("""
         |WITH c AS (SELECT source, doc_id,
@@ -543,7 +543,7 @@ object Extensions {
     // suspiciously-perfect head; band membership is integer rank
     // arithmetic, so the cut is engine-exact at the edges
     Q("text_quality_band", (s, d) =>
-      TextAnalysis.qualityBand(t(s, d, "documents"), "doc_id", "text",
+      TextAnalysis.qualityBand(Tables.ts(s, d, "documents"), "doc_id", "text",
         "source", loX1e4 = 1000, hiX1e4 = 9000),
       Some("""
         |WITH q AS (SELECT source, doc_id, (
@@ -568,7 +568,7 @@ object Extensions {
     // dropped and docs reassembled in order (empty string, not a dropped
     // row, when nothing survives)
     Q("text_scrub_rare", (s, d) =>
-      TextAnalysis.scrubRareTokens(t(s, d, "documents"), "doc_id", "text",
+      TextAnalysis.scrubRareTokens(Tables.ts(s, d, "documents"), "doc_id", "text",
         minDf = 3),
       Some("""
         |WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -586,7 +586,7 @@ object Extensions {
     // more than 3 docs; tokens covered by any hot span vanish, survivors
     // rejoin in order — the cross-doc complement of text_scrub_rare
     Q("text_scrub_boilerplate", (s, d) =>
-      TextAnalysis.scrubBoilerplateSpans(t(s, d, "documents"), "doc_id",
+      TextAnalysis.scrubBoilerplateSpans(Tables.ts(s, d, "documents"), "doc_id",
         "text", spanLen = 3, maxDf = 3),
       Some("""
         |WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -606,7 +606,7 @@ object Extensions {
 
     // corpus-wide n-gram frequency: explode word 3-grams, count, top-20
     Q("text_ngram_counts", (s, d) =>
-      t(s, d, "documents")
+      Tables.ts(s, d, "documents")
         // split once per row; the transform references `w`, not the split
         .select(split(col("text"), " ").as("w"))
         .select(expr(
@@ -632,7 +632,7 @@ object Extensions {
     // curation): per doc, how many of its distinct 3-gram shingles occur in
     // at least one other document — reuses the dedup inverted index
     Q("text_dup_spans", (s, d) => {
-      val sh = Dedup.shingleTable(t(s, d, "documents"), "doc_id", "text")
+      val sh = Dedup.shingleTable(Tables.ts(s, d, "documents"), "doc_id", "text")
       val ex = sh.select(col("id"), explode(col("sh")).as("s"))
         .filter(col("s").isNotNull)
       val df = ex.groupBy(col("s"))
@@ -665,7 +665,7 @@ object Extensions {
         .when(symbolRatioHigh, "symbol_heavy")
         .when(nStop === 0, "no_stopwords")
         .otherwise("kept")
-      t(s, d, "documents")
+      Tables.ts(s, d, "documents")
         .select(col("doc_id"), reason.as("reason"),
           (reason === "kept").as("is_kept"))
     }, Some("""
@@ -691,7 +691,7 @@ object Extensions {
     // regex feature extraction (vowel-start/-end tokens, email/url hits) —
     // the filter-feature shape used for corpus quality gates
     Q("text_regex", (s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
+      Tables.ts(s, d, "documents").select(col("doc_id"),
         expr("CAST(size(filter(split(text, ' '), t -> t rlike '^[aeiou]')) AS BIGINT)").as("n_vowel_start"),
         expr("CAST(size(filter(split(text, ' '), t -> t rlike '[aeiou]$')) AS BIGINT)").as("n_vowel_end"),
         expr("CAST(size(filter(split(text, ' '), t -> t rlike '^[a-z0-9.]+@[a-z0-9.]+$')) AS BIGINT)").as("n_emails")),

@@ -52,6 +52,31 @@ object Tables {
     }
   }
 
+  /** Spread `df` across the session's parallelism when its physical
+    * partitioning is narrower than half the shuffle parallelism. The
+    * driver's testdata is single-row-group parquet, which Spark plans as a
+    * ONE-task scan (a parquet row group belongs to exactly one split), so
+    * per-row-expensive stages (regex, shingling, hashing, explode) that
+    * ride scan partitioning lose all parallelism — the round-8 lesson:
+    * never let expensive per-row work inherit file layout. A NO-OP on
+    * well-split inputs (real multi-row-group data at cluster scale), so
+    * the defensive exchange costs nothing where it isn't needed. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
+
+  /** [[t]] + [[spread]]: the read for tables feeding per-row-EXPENSIVE
+    * operators (the text/dedup family over `documents`: regex, shingling,
+    * rolling hashes). Measured boundary: cheap-per-row stages (plain
+    * aggregates, Expand row blow-ups the map-side combiner absorbs) run
+    * FASTER on the 1-task scan than behind a full-width shuffle — q1/q15
+    * cost ~2x spread; text_cap_per_source costs ~20x UNspread. Spread
+    * pays for expensive rows, not for many rows. */
+  def ts(spark: SparkSession, dir: String, name: String): DataFrame =
+    spread(t(spark, dir, name))
+
   /** Stage `{dir}/{name}.parquet` behind a temp directory symlink — the
     * file streaming source monitors DIRECTORIES, and the testdata tables
     * are single files. Absolute target (a relative data dir would produce

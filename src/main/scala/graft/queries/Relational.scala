@@ -18,6 +18,9 @@ object Relational {
   def defs: Seq[Q] = Seq(
     // ---- aggregation family -------------------------------------------
     Q("q1_agg", (s, d) => {
+      // NOT spread (measured): the 1-task partial aggregate over cheap
+      // per-row arithmetic beats paying a full-width row shuffle first
+      // (isolated 0.33 s unspread vs 1.17 s spread at sf0.1)
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -213,6 +216,10 @@ object Relational {
       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""")),
 
     Q("q15_cube", (s, d) => {
+      // NOT spread (measured): the Expand rows are narrow (2 group cols)
+      // and the map-side combine collapses them — 0.43 s unspread vs
+      // 0.79 s spread at sf0.1. Spread pays only for EXPENSIVE per-row
+      // work, not row-count blow-ups the combiner absorbs.
       t(s, d, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"))

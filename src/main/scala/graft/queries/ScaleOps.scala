@@ -38,6 +38,20 @@ object ScaleOps {
     try f finally s.conf.set(key, before)
   }
 
+  /** Scope `spark.sql.shuffle.partitions` around an eagerly-materializing
+    * operator call (q55/q74's store-scoping pattern, generalized): an
+    * iterative loop over a SMALL shuffled dataset pays per-task scheduling
+    * on every round, so the right parallelism is sized to the data, not
+    * the session default — exactly what a tuned job does per-stage on a
+    * real cluster. Restored before returning. */
+  private def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession,
+      n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, before)
+  }
+
   /** Temp dir for a query-local persisted index. The returned frame may
     * still READ from the dir when the caller materializes it, so eager
     * deletion inside the lambda is only legal when the result no longer
@@ -181,7 +195,7 @@ object ScaleOps {
     // fractional literals are DECIMAL, and decimal division would round
     // differently than the double division Spark performs.
     Q("text_tfidf", (s, d) =>
-      Ranking.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)
+      Ranking.tfIdfTopTerms(Tables.ts(s, d, "documents"), "doc_id", "text", 3)
         .withColumnRenamed("doc", "doc_id"),
       Some("""
         WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf
@@ -204,7 +218,7 @@ object ScaleOps {
     // spelled as the same literals on both sides (1.2 + 1.0, never 2.2 —
     // the doubles differ).
     Q("text_bm25", (s, d) =>
-      Ranking.bm25TopDocs(t(s, d, "documents"), "doc_id", "text",
+      Ranking.bm25TopDocs(Tables.ts(s, d, "documents"), "doc_id", "text",
         Seq("join", "vector", "window"), 10)
         .withColumnRenamed("doc", "doc_id"),
       Some("""
@@ -233,6 +247,8 @@ object ScaleOps {
     // key behind writeZOrdered's data-skipping (file-envelope evidence in
     // DistributionSpec); here the bit math itself is oracle-checked.
     Q("q52_zorder_key", (s, d) =>
+      // NOT spread: the Morton interleave runs AFTER the distinct's final
+      // aggregate, which already has full shuffle parallelism
       t(s, d, "lineitem")
         .select(col("l_partkey"), col("l_suppkey")).distinct()
         .withColumn("z",
@@ -253,8 +269,10 @@ object ScaleOps {
       // recompute the distinct once per branch. The mirrored set of a
       // distinct disjoint-id pair set is itself distinct, so the operator
       // can skip its own dedup pass.
-      val fwd = li.select(col("l_partkey").as("src"),
-        (col("l_suppkey") + 10000000L).as("dst")).distinct()
+      // spread before the distinct — q70's rationale (narrow projection,
+      // 1-task scan, derivation evaluated once per cache build)
+      val fwd = Tables.spread(li.select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst"))).distinct()
       val edges = fwd.select(explode(array(
           struct(col("src"), col("dst")),
           struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
@@ -266,11 +284,11 @@ object ScaleOps {
       // latency here (round-8 probe: ~0.4-0.7 s of the entry); pageRank
       // materializes internally (checkpoint-backed result), so the scope
       // covers every real job and the conf is restored before return
-      withAqeOff(s) {
+      withAqeOff(s) { withShufflePartitions(s, 8) {
         Graph.pageRank(edges, iters = 3, edgesDistinct = true,
             broadcastRank = true)
           .select(col("id").as("node"), col("rank").as("rank_scaled"))
-      }
+      } }
     }, Some {
       // DuckDB sums BIGINT into HUGEINT — cast every aggregate/derived rank
       // back to BIGINT so the compare sees the same integer type Spark emits
@@ -305,14 +323,21 @@ object ScaleOps {
     // the oracle unrolls the identical integer arithmetic.
     Q("q70_pagerank_dangling", (s, d) => {
       val li = t(s, d, "lineitem")
-      val edges = li.select(col("l_partkey").cast("long").as("src"),
-          (col("l_suppkey").cast("long") + 10000000L).as("dst")).distinct()
-      // AQE scoped OFF — same rationale and measurement as q53
-      withAqeOff(s) {
+      // spread the NARROW projection (2 longs) before the distinct: the
+      // single-row-group scan otherwise runs the 600k-row partial dedup in
+      // one task, and the uncached edge derivation is evaluated twice
+      // (degree + edge cache builds) — measured 0.5-0.7 s per pass
+      val edges = Tables.spread(li.select(col("l_partkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 10000000L).as("dst"))).distinct()
+      // AQE scoped OFF — same rationale and measurement as q53.
+      // Shuffle parallelism sized to the ~52k-edge graph (8 partitions):
+      // with AQE off nothing coalesces the session's 32, and the 3-round
+      // loop pays every empty task's scheduling each round
+      withAqeOff(s) { withShufflePartitions(s, 8) {
         Graph.pageRank(edges, iters = 3, edgesDistinct = true,
             broadcastRank = true, danglingMass = true)
           .select(col("id").as("node"), col("rank").as("rank_scaled"))
-      }
+      } }
     }, Some {
       val iterCtes = (1 to 3).map { i =>
         s"""c$i AS (SELECT e.dst AS id, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS m
@@ -585,10 +610,16 @@ object ScaleOps {
     // any partitioning, any run (same property as text_sample, per group)
     Q("text_cap_per_source", (s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // fingerprint as a PRE-WINDOW projected column: as a window orderBy
+      // expression it would be evaluated in the window's Sort stage, which
+      // runs on as many tasks as there are distinct sources (~5) — the
+      // per-row rolling hash must ride the (spread) scan's parallelism,
+      // leaving the low-cardinality sort a cheap precomputed long
       val fp = graft.operators.TextAnalysis.fingerprint("text")
       val w = Window.partitionBy(col("source"))
-        .orderBy(fp.asc, col("doc_id").asc)
-      t(s, d, "documents")
+        .orderBy(col("__fp").asc, col("doc_id").asc)
+      Tables.ts(s, d, "documents")
+        .withColumn("__fp", fp)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select(col("doc_id"), col("source"))

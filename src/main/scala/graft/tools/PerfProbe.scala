@@ -72,6 +72,31 @@ object PerfProbe {
         recallOf("ivfpq_rerank n4")(Similarity.ivfPqRerankTopK(queries, e,
           "vec_id", "embedding", 10, candidates = 100, nCells = 8, nprobe = 4,
           trainMaxRows = 1000L))
+      case "entryjobs" =>
+        // per-stage timing of one SparkEntry query (args(2) = name)
+        import org.apache.spark.scheduler.SparkListener
+        val name = args.lift(2).getOrElse(sys.error("need a query name"))
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+            if (ms > 100)
+              println(f"[probe]   stage ${si.stageId}%3d ${ms / 1000.0}%6.2f s " +
+                f"tasks=${si.numTasks} ${si.name.take(100)}")
+          }
+        })
+        (1 to 2).foreach { rep =>
+          println(s"[probe] --- rep $rep")
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[probe] total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+        Thread.sleep(500)
       case "ivfpqjobs" =>
         // per-Spark-job timing of one ivfPqRerankTopK call
         import graft.operators.Similarity
