@@ -572,11 +572,19 @@ object Similarity {
     * as [[ivfTopK]]. Output: (query_id, neighbor_id, rank), approximate;
     * recall and scored-row fraction are measured against [[pqTopK]] and
     * [[bruteForceTopK]] in the suite. */
-  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+  def ivfPqTopK(queriesIn: DataFrame, corpusIn: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int = 0, nprobe: Int = 4,
       subspaces: Int = 8, codebook: Int = 16, iters: Int = 2,
       scale: Long = 1000000L, knownCount: Long = 0L,
       trainMaxRows: Long = 0L): DataFrame = {
+    // (id, vec) projections persisted ONCE: the index build reads the
+    // corpus from 10+ consumers (seeds, cell argmin, 8 per-block slice
+    // arms, training sample) and the query side from nprobe + subspaces
+    // arms — without the cache each consumer re-scans and re-decodes the
+    // source (measured: the ADC broadcast build alone re-scanned the
+    // corpus 8x single-threaded). Both released before returning.
+    val corpus = corpusIn.select(col(idCol), col(vecCol)).persist()
+    val queries = queriesIn.select(col(idCol), col(vecCol)).persist()
     val statsRow = corpus
       .select(max(size(col(vecCol))), count(lit(1))).collect()(0)
     require(!statsRow.isNullAt(0),
@@ -652,6 +660,7 @@ object Similarity {
     val out = result.persist()
     out.count()
     fittedCkpts.foreach(Checkpoints.release)
+    corpus.unpersist(); queries.unpersist()
     out
   }
 
