@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over large event logs: ordered funnels and
@@ -113,5 +114,34 @@ object EventAnalytics {
       .groupBy(col("cohort_wk"),
         (col("wk") - col("cohort_wk")).as("wk_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for every ordered pair of consecutive events (by `tsCol`, ties broken
+    * on `tieCol` so the sequence is total-ordered and deterministic),
+    * count the `(prev, next)` transition and report its row-conditional
+    * probability `p(next | prev) = n / Σ_next n`.
+    *
+    * Output: `(prev, next, n, p)` with `p` rounded at 6 decimals — at most
+    * `|event types|²` rows, a bounded result regardless of log size.
+    *
+    * Plan shape at scale: one window `lag` keyed by user (the natural
+    * event-log partitioning), one hash aggregate onto the bounded
+    * `(prev, next)` key space (map-side combined), and the row totals ride
+    * a window over the ALREADY-aggregated matrix — no second pass over the
+    * log, no driver loop. */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .withColumn("prev", lag(col(typeCol), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col(typeCol).as("next"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy(col("prev"))
+    counts.withColumn("p",
+      round(col("n") / sum(col("n")).over(rowTotal), 6))
   }
 }

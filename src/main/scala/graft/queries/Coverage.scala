@@ -569,6 +569,26 @@ object Coverage {
       FROM uw JOIN c ON uw.u = c.u
       GROUP BY 1, 2""")),
 
+    // first-order Markov transition matrix over per-user event sequences:
+    // consecutive-event pairs by (ts, event_id) — a total order, so the
+    // lag is deterministic — counted onto the bounded |event types|² key
+    // space with row-conditional probabilities. One window pass over the
+    // log, one hash aggregate; the result is bounded regardless of log
+    // size.
+    Q("q82_transitions", (s, d) =>
+      graft.operators.EventAnalytics.transitionMatrix(Tables.events(s, d),
+        "user_id", "ts", "event_type", "event_id"),
+    Some("""
+      WITH seq AS (SELECT user_id, event_type,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      c AS (SELECT prev, event_type AS next, count(*) AS n
+            FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+      SELECT prev, next, n,
+             round(n / sum(n) OVER (PARTITION BY prev), 6) AS p
+      FROM c""")),
+
     // SCD type-2 merge: fold an update batch (changed balances, no-op
     // re-deliveries, brand-new keys) into a history-tracked dimension.
     // Both engines build the same deterministic current/updates frames

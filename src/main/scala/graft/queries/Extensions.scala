@@ -98,6 +98,53 @@ object Extensions {
         |       (src = min(dst)) AS is_kept
         |FROM reach GROUP BY src""".stripMargin)),
 
+    // dup clusters -> best-quality representative: real pipelines keep the
+    // HIGHEST-QUALITY member of each duplicate cluster, not the min-id one.
+    // Reuses the minhash clustering, joins the quality score, and picks the
+    // (quality desc, id asc) head per cluster with its member count — the
+    // window rides the cluster key the clustering already shuffled on.
+    Q("dedup_best_rep", (s, d) => {
+      val docs = Tables.ts(s, d, "documents")
+      val clusters = Dedup.fuzzyDedup(docs, "doc_id", "text", 7, 10)
+      val quality = docs.select(col("doc_id").as("id"),
+        TextAnalysis.qualityScoreX1e4("text").as("qual_x1e4"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("qual_x1e4").desc, col("id").asc)
+      clusters.join(quality, "id")
+        .withColumn("n_members",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cluster"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("id").as("rep_id"),
+          col("qual_x1e4").as("rep_qual_x1e4"), col("n_members"))
+    }, Some(s"""${minhashPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |clusters AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+      |quality AS (SELECT doc_id AS id, (
+      |    (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 10000
+      |          WHEN length(text) < 100 THEN length(text) * 100
+      |          ELSE 2000 END) * 4
+      |    + (len(list_filter(string_split(text, ' '),
+      |         t -> t IN ('the', 'a', 'of', 'and'))) * 30000)
+      |        // len(string_split(text, ' '))
+      |    + ((length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) * 30000)
+      |        // length(text)
+      |  ) // 10 AS qual_x1e4 FROM documents),
+      |joined AS (SELECT c.cluster, c.id, q.qual_x1e4,
+      |    count(*) OVER (PARTITION BY c.cluster) AS n_members,
+      |    row_number() OVER (PARTITION BY c.cluster
+      |      ORDER BY q.qual_x1e4 DESC, c.id ASC) AS rn
+      |  FROM clusters c JOIN quality q ON c.id = q.id)
+      |SELECT cluster, id AS rep_id, qual_x1e4 AS rep_qual_x1e4, n_members
+      |FROM joined WHERE rn = 1""".stripMargin)),
+
     Q("dedup_ngram", (s, d) =>
       Dedup.ngramNearDups(Tables.ts(s, d, "documents"), "doc_id", "text", 7, 10),
       Some(s"""$docsSql

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{SketchExprs, ZOrderExprs, VectorExprs => V}
 import graft.operators.{BloomPrune, Dedup, Graph, IntervalJoin, KMeans,
-  Ranking, Similarity, Sketches}
+  LangModel, Ranking, Similarity, Sketches}
 
 /** Round-4 scale operators: bloom-filter join reduction, Count-Min sketch
   * frequency estimation, TF-IDF / BM25 corpus scoring, Z-order layout keys,
@@ -187,6 +187,72 @@ object ScaleOps {
       } finally s.conf.set("spark.sql.shuffle.partitions", before)
       graft.streaming.StreamingFunnel.stepCounts(s.table("q81_stream"), steps)
     }, Some(Coverage.funnelOracleSql(None))),
+
+    // CCNet-style bigram-LM scoring: train an add-one-smoothed bigram LM
+    // on the corpus itself (vocab capped at 200 tokens by (count desc,
+    // term asc), tail -> <unk>), score every document by its bigram
+    // negative log-likelihood. Per-bigram costs are integerized to
+    // micro-nats BEFORE the per-doc sum, so the aggregate is an integer
+    // sum and double summation ORDER cannot flip the hash — the only
+    // cross-engine double arithmetic is one mirrored ln(num/den) per
+    // distinct model row.
+    Q("text_lm_perplexity", (s, d) =>
+      LangModel.bigramNll(Tables.ts(s, d, "documents"), "doc_id", "text", 200)
+        .withColumnRenamed("doc", "doc_id"),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        uni AS (SELECT t AS term, count(*) AS cnt
+                FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+        vocab AS (SELECT term FROM uni ORDER BY cnt DESC, term ASC LIMIT 200),
+        vn AS (SELECT count(*) AS v FROM vocab),
+        bgr AS (SELECT doc_id,
+                  unnest(list_zip(list_slice(tk, 1, len(tk)-1),
+                                  list_slice(tk, 2, len(tk)))) AS z
+                FROM toks WHERE len(tk) >= 2),
+        bg AS (SELECT doc_id,
+                 CASE WHEN z[1] IN (SELECT term FROM vocab) THEN z[1] ELSE '<unk>' END AS w1,
+                 CASE WHEN z[2] IN (SELECT term FROM vocab) THEN z[2] ELSE '<unk>' END AS w2
+               FROM bgr),
+        db AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bg GROUP BY 1, 2, 3),
+        c12 AS (SELECT w1, w2, sum(occ) AS c12 FROM db GROUP BY 1, 2),
+        c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        model AS (SELECT c12.w1, c12.w2,
+                    CAST(round(-ln((c12.c12 + 1.0) / (c1.c1 + (vn.v + 1.0))) * 1000000.0, 0) AS BIGINT) AS nll_x1e6
+                  FROM c12 JOIN c1 USING (w1) CROSS JOIN vn)
+        SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+               CAST(sum(occ * nll_x1e6) AS BIGINT) AS nll_x1e6,
+               CAST(sum(occ * nll_x1e6) // sum(occ) AS BIGINT) AS avg_nll_x1e6
+        FROM db JOIN model USING (w1, w2)
+        GROUP BY 1""")),
+
+    // DSIR-style importance weights vs the English slice: per-token
+    // ln p_target - ln p_raw (unigram form, shared add-one smoothing
+    // base), integerized to micro-nats before the per-doc integer sum.
+    // Positive weight = the document looks more like the target
+    // distribution than the corpus at large; training-data selection is a
+    // downstream ORDER BY / threshold on this score.
+    Q("text_dsir", (s, d) =>
+      LangModel.dsirWeights(Tables.ts(s, d, "documents"), "doc_id", "text",
+        col("lang") === "en")
+        .withColumnRenamed("doc", "doc_id"),
+      Some("""
+        WITH tok AS (SELECT doc_id, (lang = 'en') AS is_t,
+                       unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        db AS (SELECT doc_id, is_t, term, count(*) AS occ
+               FROM tok GROUP BY 1, 2, 3),
+        counts AS (SELECT term,
+                     sum(CASE WHEN is_t THEN occ ELSE 0 END) AS ct,
+                     sum(occ) AS cr
+                   FROM db GROUP BY 1),
+        stats AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM counts),
+        wts AS (SELECT term,
+                  CAST(round((ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v))) * 1000000.0, 0) AS BIGINT) AS w
+                FROM counts CROSS JOIN stats)
+        SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tokens,
+               CAST(sum(occ * w) AS BIGINT) AS weight_x1e6
+        FROM db JOIN wts USING (term)
+        GROUP BY 1""")),
 
     // TF-IDF: top-3 terms per document (sklearn-smoothed idf). Floating
     // point, but both engines evaluate the identical expression tree on the

@@ -159,6 +159,51 @@ object PerfProbe {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
         }
+      case "lmsteps" =>
+        // sub-stage timing of LangModel.bigramNll at sfDir
+        import graft.queries.Tables
+        def time[A](label: String)(body: => A): A = {
+          val t0 = System.nanoTime(); val r = body
+          println(f"[probe] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val docs = Tables.ts(spark, sfDir, "documents")
+        (1 to 2).foreach { rep =>
+          println(s"[probe] --- rep $rep")
+          val v = time("vocab+count") {
+            val v0 = graft.operators.LangModel.vocab(docs, "doc_id", "text", 200).persist()
+            v0.count(); v0
+          }
+          val t = docs.select(col("doc_id").as("doc"), split(col("text"), " ").as("tk"))
+          val bg0 = t.filter(size(col("tk")) >= 2)
+            .select(col("doc"), explode(arrays_zip(
+              slice(col("tk"), lit(1), size(col("tk")) - 1),
+              slice(col("tk"), lit(2), size(col("tk")) - 1))).as("z"))
+            .select(col("doc"), col("z").getField("0").as("r1"),
+              col("z").getField("1").as("r2"))
+          time("raw bigrams noop") {
+            bg0.write.format("noop").mode("overwrite").save()
+          }
+          val bg = bg0
+            .join(broadcast(v.select(col("term").as("t1"))), col("r1") === col("t1"), "left")
+            .join(broadcast(v.select(col("term").as("t2"))), col("r2") === col("t2"), "left")
+            .select(col("doc"),
+              when(col("t1").isNotNull, col("r1")).otherwise(lit("<unk>")).as("w1"),
+              when(col("t2").isNotNull, col("r2")).otherwise(lit("<unk>")).as("w2"))
+          time("mapped bigrams noop") {
+            bg.write.format("noop").mode("overwrite").save()
+          }
+          val db = bg.groupBy(col("doc"), col("w1"), col("w2"))
+            .agg(count(lit(1)).as("occ"))
+          time("db noop") { db.write.format("noop").mode("overwrite").save() }
+          time("full entry") {
+            graft.SparkEntry.queries("text_lm_perplexity")(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+          }
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+
       case "entry" =>
         // time named SparkEntry queries in isolation (3 reps each, noop
         // sink, storage dropped between reps — the bench's hygiene without
