@@ -355,7 +355,11 @@ object Bench {
           |"user_id": {"type": ["integer", "null"]}, "event_type": {"type": ["string", "null"]},
           |"value": {"type": ["number", "null"]}, "props": {"type": ["string", "null"]}}}}"""
           .stripMargin.replaceAll("\n", "")
-      events.selectExpr(
+      // multi-file JSONL input: a Singer batch dir is many files in
+      // practice (and the single-row-group events.parquet would otherwise
+      // emit ONE text file, pinning the loader's scan to openCost-floored
+      // splits of one file — an artifact of the generator, not the loader)
+      events.repartition(8).selectExpr(
         """concat('{"type": "RECORD", "stream": "events", "record": ', to_json(struct(*)), '}') AS value""")
         .write.mode("overwrite").text(inDir.toString)
       java.nio.file.Files.writeString(

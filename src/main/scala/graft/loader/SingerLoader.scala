@@ -53,6 +53,10 @@ object SingerLoader {
     // one parse pass over the input, cached for every consumer below —
     // json_tuple extracts all three routing fields from a SINGLE json parse
     // (three get_json_object calls would each re-parse the line)
+    // NOT spread: unlike the parquet tables, text input is byte-range
+    // splittable (openCost-floored), so the parse already parallelizes;
+    // a repartition ahead of it was measured ~25% SLOWER at 100k rows —
+    // shuffling the raw JSON strings costs more than the extra cores win.
     val routed = lines.toDF("value")
       .filter(length(trim(col("value"))) > 0)
       .select(col("value"),

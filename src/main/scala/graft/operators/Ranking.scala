@@ -37,10 +37,13 @@ object Ranking {
       topN: Int): DataFrame = {
     val tf = termFreq(docs, idCol, textCol)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.select(col(idCol)).distinct().count()
-    val scored = tf.join(df, "term")
+    // corpus size rides the plan as a broadcast 1-row aggregate instead of
+    // a driver collect — one less full-scan action per call (the literal
+    // and the column produce the identical double arithmetic)
+    val n = docs.agg(count_distinct(col(idCol)).as("nn"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("score",
-        col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0))
+        col("tf") * (log((col("nn") + 1.0) / (col("df") + 1.0)) + 1.0))
     val w = Window.partitionBy(col("doc"))
       .orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -60,12 +63,12 @@ object Ranking {
     val withLen = docs.select(col(idCol).as("doc"),
       col(textCol).as("text"),
       size(split(col(textCol), " ")).cast("long").as("dl"))
-    // N and Σdl in ONE pre-pass (each is a full scan at corpus scale);
-    // avgdl stays an exact rational: sum(dl) / N in one double division
-    // (NOT a mean of doubles — summation order must not matter)
-    val statsRow = withLen.agg(count(lit(1)), sum(col("dl"))).head()
-    val n = statsRow.getLong(0)
-    val sumDl = statsRow.getLong(1)
+    // N and Σdl in ONE aggregate that rides the plan as a broadcast 1-row
+    // frame (no driver collect, no extra full-scan action); avgdl stays an
+    // exact rational: sum(dl) / N in one double division (NOT a mean of
+    // doubles — summation order must not matter). Long-vs-double literal
+    // forms are value-identical: every integer here is < 2^53.
+    val stats = withLen.agg(count(lit(1)).as("nn"), sum(col("dl")).as("sumdl"))
     val tf = withLen
       .select(col("doc"), col("dl"),
         explode(split(col("text"), " ")).as("term"))
@@ -73,13 +76,13 @@ object Ranking {
       .groupBy(col("doc"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term")
+    val scored = tf.join(df, "term").crossJoin(broadcast(stats))
       .withColumn("idf",
-        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+        log(lit(1.0) + (col("nn").cast("double") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("score",
         col("idf") * col("tf") * lit(k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0 - b) +
-            lit(b) * col("dl") * n / sumDl.toDouble)))
+            lit(b) * col("dl") * col("nn") / col("sumdl").cast("double"))))
     val w = Window.partitionBy(col("term"))
       .orderBy(col("score").desc, col("doc").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -188,6 +188,43 @@ object ScaleOps {
       graft.streaming.StreamingFunnel.stepCounts(s.table("q81_stream"), steps)
     }, Some(Coverage.funnelOracleSql(None))),
 
+    // one-pass data-quality gate via Dataset.observe (CollectMetrics):
+    // corpus QC aggregates piggyback on an action the pipeline is already
+    // running — NO second scan, the metrics ride the task results. The
+    // query materializes the observed frame through the noop sink and
+    // returns the metric row; the oracle recomputes the same aggregates
+    // declaratively. At 100 TB this is the difference between free QC and
+    // a second full corpus pass.
+    Q("q83_observe_metrics", (s, d) => {
+      import org.apache.spark.sql.Observation
+      val obs = Observation()
+      val observed = Tables.t(s, d, "documents").observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        approx_count_distinct(col("source")).as("approx_sources"))
+      observed.write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_docs").asInstanceOf[Long],
+        m("total_chars").asInstanceOf[Long],
+        m("null_lang").asInstanceOf[Long],
+        m("min_chars").asInstanceOf[Long],
+        m("max_chars").asInstanceOf[Long],
+        m("approx_sources").asInstanceOf[Long] > 0L))
+        .toDF("n_docs", "total_chars", "null_lang", "min_chars",
+          "max_chars", "has_sources")
+    }, Some("""
+      SELECT count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+             min(n_chars) AS min_chars,
+             max(n_chars) AS max_chars,
+             (count(DISTINCT source) > 0) AS has_sources
+      FROM documents""")),
+
     // CCNet-style bigram-LM scoring: train an add-one-smoothed bigram LM
     // on the corpus itself (vocab capped at 200 tokens by (count desc,
     // term asc), tail -> <unk>), score every document by its bigram
