@@ -35,7 +35,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "sim_ivfpq" -> "broadcast seed cells + labeled exact baseline",
     // the global feasible-total (ONE row) crossed onto the per-source
     // count table (one row per source) — both sides bounded
-    "text_mixture" -> "1-row feasible-total frame x per-source thresholds")
+    "text_mixture" -> "1-row feasible-total frame x per-source thresholds",
+    // corpus scalars (N, avg dl) ride the plan as a broadcast 1-ROW
+    // aggregate crossed onto every doc — the scalar-broadcast pattern
+    // that replaced a driver-side collect (one less full-scan action)
+    "text_tfidf" -> "1-row corpus-stats aggregate x docs",
+    "text_bm25" -> "1-row corpus-stats aggregate x docs")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
