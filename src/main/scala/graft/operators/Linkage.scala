@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage (entity resolution): find pairs of records that refer to
+  * the same real-world entity despite textual drift in their names/keys.
+  *
+  * The classic scale trap is the all-pairs comparison — O(N²) string
+  * distances. The standard fix (and the one here) is *blocking*: a cheap
+  * deterministic key (prefix, phonetic code, sorted-token signature) that
+  * any true match must share. Candidates then come from an EQUI-join on the
+  * block key — a hash-partitioned shuffle join Catalyst plans natively —
+  * and the expensive edit-distance only runs inside blocks:
+  * Σ C(|block|, 2) comparisons instead of C(N, 2).
+  *
+  * Plan shape at 100 TB: one shuffle of the narrow (id, name, block)
+  * projection on the block key; no cartesian, no broadcast of a data-sized
+  * side. Skewed (hot) blocks are the residual risk — `maxBlockSize`
+  * drops blocks too big to mean anything (a blocking key shared by
+  * thousands of records has stopped discriminating; standard practice is
+  * to re-block those with a stronger key), which also bounds the worst
+  * task. The cap is applied via a window count, not a groupBy+join, so it
+  * adds no extra shuffle beyond the one the join already needs.
+  */
+object Linkage {
+
+  /** Candidate pairs from `df` sharing `blockKey` with
+    * `levenshtein(name_a, name_b) <= maxDist`, `id_a < id_b`.
+    * Output: (id_a, id_b, dist). Levenshtein is Spark's codegen'd native
+    * expression — no UDF in the hot loop.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockKey: Column, maxDist: Int,
+      maxBlockSize: Option[Int] = None): DataFrame = {
+    val proj0 = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      blockKey.as("block"))
+    val proj = maxBlockSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("block"))
+        proj0.withColumn("bn", count(lit(1)).over(w))
+          .filter(col("bn") <= cap).drop("bn")
+      case None => proj0
+    }
+    val a = proj.select(col("id").as("id_a"), col("name").as("name_a"),
+      col("block"))
+    val b = proj.select(col("id").as("id_b"), col("name").as("name_b"),
+      col("block"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+}

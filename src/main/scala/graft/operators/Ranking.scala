@@ -60,6 +60,45 @@ object Ranking {
   def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], topN: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25Scored(docs, idCol, textCol, queryTerms, k1, b)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("term"), col("doc"), col("tf"),
+        col("rank").cast("long").as("rank"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /** Whole-QUERY document ranking: per-doc BM25 summed over the query's
+    * terms (the retrieval default), top-`topN` docs. The per-term scores
+    * are integerized to a 1e-9 grid before the per-doc sum so summation
+    * order cannot change the total (≤ |queryTerms| addends per doc, but
+    * partial aggregation splits them nondeterministically). Output:
+    * (doc, rank, score) with score rounded at 6 decimals.
+    */
+  def bm25DocScores(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25Scored(docs, idCol, textCol, queryTerms, k1, b)
+    val agg = scored.groupBy(col("doc"))
+      .agg(sum(round(col("score") * 1e9).cast("long")).as("s"))
+    // global top-N via TakeOrdered (map-side partial top-k, no single-task
+    // window over the full posting-matched doc set); the row_number window
+    // then runs over topN rows only
+    val top = agg.orderBy(col("s").desc, col("doc").asc).limit(topN)
+    val w = Window.orderBy(col("s").desc, col("doc").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("doc"), col("rank"),
+        round(col("s").cast("double") / 1e9, 6).as("score"))
+  }
+
+  /** Per-(doc, term) BM25-scored rows for `queryTerms` — the shared core
+    * of [[bm25TopDocs]] (per-term ranking) and [[bm25DocScores]]
+    * (per-document retrieval ranking). Columns: (term, doc, dl, tf, score).
+    */
+  private def bm25Scored(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double, b: Double): DataFrame = {
     val withLen = docs.select(col(idCol).as("doc"),
       col(textCol).as("text"),
       size(split(col(textCol), " ")).cast("long").as("dl"))
@@ -83,12 +122,35 @@ object Ranking {
         col("idf") * col("tf") * lit(k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0 - b) +
             lit(b) * col("dl") * col("nn") / col("sumdl").cast("double"))))
-    val w = Window.partitionBy(col("term"))
-      .orderBy(col("score").desc, col("doc").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored
+  }
+
+  /** Reciprocal-rank fusion of bounded top-N ranked lists (the standard
+    * lexical+semantic hybrid-retrieval combiner): each ranker contributes
+    * `1/(kConst + rank)` for the ids it ranked; ids missing from a list
+    * contribute nothing from it. Inputs are `(name, df)` pairs where each
+    * df has columns (id, rank); contributions are integerized to a 1e-12
+    * grid before the per-id sum (order-free with any number of rankers).
+    *
+    * The final global sort is a single-task window — safe because the
+    * fused candidate set is bounded by Σ input list sizes (top-N lists),
+    * never by corpus size. Output: (id, {name}_rank…, rank, rrf).
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], kConst: Int,
+      topN: Int): DataFrame = {
+    val tagged = rankings.map { case (nm, df) =>
+      df.select(col("id"), lit(nm).as("src"), col("rank").cast("long").as("rank"))
+    }.reduce(_ unionByName _)
+    val rankCols = rankings.map { case (nm, _) =>
+      max(when(col("src") === nm, col("rank"))).as(s"${nm}_rank")
+    }
+    val sumCol = sum(round(lit(1e12) / (lit(kConst) + col("rank")))
+      .cast("long")).as("s")
+    val fused = tagged.groupBy(col("id")).agg(sumCol, rankCols: _*)
+    val w = Window.orderBy(col("s").desc, col("id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topN)
-      .select(col("term"), col("doc"), col("tf"),
-        col("rank").cast("long").as("rank"),
-        round(col("score"), 6).as("score"))
+      .withColumn("rrf", round(col("s").cast("double") / 1e12, 6))
+      .drop("s")
   }
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series preparation over event streams: regular-grid resampling with
+  * gap-fill, last-observation-carried-forward (LOCF) imputation, and
+  * event-rate anomaly scoring. These are the feature-engineering passes a
+  * training pipeline runs over behavioral logs before windowed models.
+  *
+  * Determinism contract (shared with the rest of the engine): every
+  * cross-row double sum is integerized first (micro-units as longs), so
+  * aggregation ORDER cannot change the result and the DuckDB oracles
+  * hash-match bit-for-bit; the only double operations are single divisions
+  * and square roots of exact values, which IEEE 754 rounds identically in
+  * both engines.
+  */
+object TimeSeries {
+
+  /** Resample `(key, ts, value)` onto a per-key regular grid of
+    * `binSeconds`-wide buckets spanning that key's own [min, max] bin
+    * range, averaging observations inside a bucket and forward-filling
+    * empty buckets from the last observed one (LOCF). Buckets before the
+    * key's first observation do not exist by construction.
+    *
+    * Output: (key, bin_us, value, is_gap) — bin start in epoch micros,
+    * `value` the (filled) bucket average rounded at 6 decimals, `is_gap`
+    * true where the bucket had no observations.
+    *
+    * Plan shape at scale: one groupBy(key, bin) with map-side combine over
+    * the integerized values, one per-key min/max aggregate whose grid
+    * EXPLODES from a bounded `sequence` (span/binSeconds elements — time
+    * spans are bounded in practice; nothing here is proportional to event
+    * count), one key-local left join of grid to buckets, one key-partitioned
+    * window for the carry-forward. All four stages co-partition on `key`.
+    */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    // bucket start in epoch micros; value integerized to micro-units
+    val obs = events.select(
+        col(keyCol).as("key"),
+        // `div` (not `/`): Column `/` is DOUBLE division, whose rounding
+        // could land an epoch-micros quotient on the wrong bucket boundary
+        expr(s"unix_micros($tsCol) div ${binUs}L * ${binUs}L").as("bin_us"),
+        round(col(valCol) * 1e6).cast("long").as("v_micro"))
+      .groupBy(col("key"), col("bin_us"))
+      .agg(sum(col("v_micro")).as("sv"), count(lit(1)).as("cnt"))
+    val grid = obs.groupBy(col("key"))
+      .agg(min(col("bin_us")).as("mn"), max(col("bin_us")).as("mx"))
+      .select(col("key"),
+        explode(sequence(col("mn"), col("mx"), lit(binUs))).as("bin_us"))
+    val w = Window.partitionBy(col("key")).orderBy(col("bin_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("key", "bin_us"), "left")
+      .withColumn("fsv", last(col("sv"), ignoreNulls = true).over(w))
+      .withColumn("fcnt", last(col("cnt"), ignoreNulls = true).over(w))
+      .select(col("key"), col("bin_us"),
+        round(col("fsv").cast("double") / col("fcnt") / 1e6, 6).as("value"),
+        col("sv").isNull.as("is_gap"))
+  }
+
+  /** Per-(group, bucket) event-COUNT z-scores against the group's own
+    * count distribution: |z| flags burst/outage buckets. Variance uses the
+    * integer-moment identity Σc² − (Σc)²/n over exact long sums, so the
+    * whole statistic is order-free; counts and moments stay well under
+    * 2^53. Output: (grp, bin_us, cnt, z) with z rounded at 6 decimals,
+    * NULL when the group's variance is zero.
+    *
+    * Plan shape: one groupBy(grp, bin) count, one groupBy(grp) moment
+    * aggregate (rows = |groups| × span/bin — bounded), one broadcast-sized
+    * join back. Nothing driver-side.
+    */
+  def rateAnomaly(events: DataFrame, grpCol: String, tsCol: String,
+      binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    val cnts = events.select(col(grpCol).as("grp"),
+        expr(s"unix_micros($tsCol) div ${binUs}L * ${binUs}L").as("bin_us"))
+      .groupBy(col("grp"), col("bin_us"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = cnts.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("variance",
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) / col("n"))
+    cnts.join(broadcast(stats), Seq("grp"))
+      .select(col("grp"), col("bin_us"), col("cnt"),
+        when(col("variance") > 0,
+          round((col("cnt").cast("double") - col("mean")) / sqrt(col("variance")), 6))
+          .as("z"))
+  }
+}

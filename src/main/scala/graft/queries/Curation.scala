@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorExprs => V}
+import graft.operators.{Classifier, Linkage, Ranking, Similarity, TimeSeries}
+
+/** Round-9 curation/retrieval additions: blocked fuzzy record linkage,
+  * time-series resampling with LOCF gap-fill, event-rate anomaly scoring,
+  * distributed GD training of a linear quality classifier, and
+  * reciprocal-rank-fusion hybrid retrieval.
+  */
+object Curation {
+  import Tables.{events, t}
+
+  /** DuckDB replica of the documents feature frame fed to the classifier —
+    * expression-for-expression the arithmetic in q87's Spark program. */
+  private val lrFeatSql = """SELECT doc_id,
+    |  CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS label,
+    |  1.0::DOUBLE AS x0,
+    |  len(string_split(text, ' '))::DOUBLE / 100.0 AS x1,
+    |  n_chars::DOUBLE / len(string_split(text, ' ')) / 10.0 AS x2,
+    |  len(list_distinct(string_split(text, ' ')))::DOUBLE
+    |    / len(string_split(text, ' ')) AS x3
+    |FROM documents""".stripMargin
+
+  def defs: Seq[Q] = Seq(
+    // ---- record linkage (entity resolution) --------------------------
+    // blocked fuzzy-match join: candidates share a 16-char name-prefix
+    // block (equi-join — the O(N²) all-pairs never exists), edit distance
+    // runs inside blocks only. Levenshtein is Spark's codegen'd native
+    // expression; DuckDB ships the same function.
+    Q("q84_fuzzy_linkage", (s, d) =>
+      Linkage.fuzzyPairs(t(s, d, "customer"), "c_custkey", "c_name",
+        substring(col("c_name"), 1, 16), maxDist = 1),
+      Some("""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        FROM customer a JOIN customer b
+          ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1""")),
+
+    // ---- time-series resample + LOCF ---------------------------------
+    // hourly per-user grid over each user's own span, bucket-averaged
+    // (integerized micro-units — order-free sums), empty buckets filled
+    // by last-observation-carried-forward
+    Q("q85_resample_locf", (s, d) =>
+      TimeSeries.resampleLocf(events(s, d).filter(col("user_id") < 50),
+        "user_id", "ts", "value", binSeconds = 3600),
+      Some("""
+        WITH obs AS (
+          SELECT user_id AS key,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 * 3600000000 AS bin_us,
+                 sum(CAST(round(value * 1000000.0) AS BIGINT)) AS sv,
+                 count(*) AS cnt
+          FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        spans AS (SELECT key, min(bin_us) AS mn, max(bin_us) AS mx
+                  FROM obs GROUP BY 1),
+        grid AS (SELECT key, unnest(generate_series(mn, mx, 3600000000)) AS bin_us
+                 FROM spans),
+        j AS (SELECT g.key, g.bin_us, o.sv, o.cnt
+              FROM grid g LEFT JOIN obs o USING (key, bin_us)),
+        f AS (SELECT key, bin_us,
+                last_value(sv IGNORE NULLS) OVER (PARTITION BY key ORDER BY bin_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fsv,
+                last_value(cnt IGNORE NULLS) OVER (PARTITION BY key ORDER BY bin_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fcnt,
+                sv IS NULL AS is_gap
+              FROM j)
+        SELECT key, bin_us, round(fsv::DOUBLE / fcnt / 1000000.0, 6) AS value,
+               is_gap
+        FROM f""")),
+
+    // ---- event-rate anomaly scoring ----------------------------------
+    // per-type 6-hour bucket counts z-scored against the type's own
+    // distribution; variance from exact integer moments (Σc², Σc) so no
+    // cross-row double sum exists anywhere
+    Q("q86_rate_anomaly", (s, d) =>
+      TimeSeries.rateAnomaly(events(s, d), "event_type", "ts",
+        binSeconds = 21600),
+      Some("""
+        WITH cnts AS (
+          SELECT event_type AS grp,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 * 21600000000 AS bin_us,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        stats AS (SELECT grp, count(*) AS n, sum(cnt) AS s1,
+                         sum(cnt * cnt) AS s2
+                  FROM cnts GROUP BY 1),
+        st2 AS (SELECT grp, s1::DOUBLE / n AS mean,
+                       (s2::DOUBLE - s1::DOUBLE * s1 / n) / n AS variance
+                FROM stats)
+        SELECT c.grp, c.bin_us, c.cnt,
+               CASE WHEN variance > 0
+                    THEN round((c.cnt::DOUBLE - mean) / sqrt(variance), 6)
+               END AS z
+        FROM cnts c JOIN st2 USING (grp)""")),
+
+    // ---- learned quality classifier ----------------------------------
+    // 3 full-batch GD steps of a fast-sigmoid logistic on 4 document
+    // features (intercept, scaled length, mean word length, type-token
+    // ratio), label = is-English; each step is ONE map-side-combined
+    // aggregate with the weights broadcast as plan literals, and the whole
+    // trajectory is bit-reproducible in DuckDB (rational link, integerized
+    // gradients — see Classifier's determinism contract)
+    Q("q87_lr_quality", (s, d) => {
+      val nt = size(split(col("text"), " "))
+      val feat = t(s, d, "documents").select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("label"),
+        lit(1.0).as("x0"),
+        (nt.cast("double") / lit(100.0)).as("x1"),
+        (col("n_chars").cast("double") / nt / lit(10.0)).as("x2"),
+        (size(array_distinct(split(col("text"), " "))).cast("double") / nt)
+          .as("x3"))
+      Classifier.fitPredict(feat, Seq("x0", "x1", "x2", "x3"),
+          steps = 3, lr = 0.25)
+        .select(col("doc_id"), col("label"), col("score"), col("pred"))
+    }, Some(Classifier.oracleSql(lrFeatSql, Seq("x0", "x1", "x2", "x3"),
+        steps = 3, lr = 0.25, selectCols = "doc_id, label"))),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion --------------------
+    // lexical (whole-query BM25, top 50) + semantic (cosine to a fixed
+    // query vector over the doc-embedding corpus, top 50) fused by RRF
+    // k=60, top 20. Both input lists are bounded; the fusion never
+    // touches corpus-sized frames.
+    Q("sim_rrf_hybrid", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.join(
+        t(s, d, "documents").select(col("doc_id").as("vec_id")), "vec_id")
+      val lex = Ranking.bm25DocScores(Tables.ts(s, d, "documents"),
+          "doc_id", "text", Seq("join", "vector", "window"), 50)
+        .select(col("doc").as("id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 3),
+          corpus, "vec_id", "embedding", 50, broadcastCorpus = true)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      Ranking.rrfFuse(Seq("lex" -> lex, "sem" -> sem), kConst = 60,
+          topN = 20)
+        .withColumnRenamed("id", "doc_id")
+    }, Some(s"""
+      WITH dls AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+                          text FROM documents),
+      nn AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sumdl FROM dls),
+      tf AS (SELECT doc_id, dl, t AS term, count(*) AS tf
+             FROM (SELECT doc_id, dl, unnest(string_split(text, ' ')) AS t
+                   FROM dls)
+             WHERE t IN ('join', 'vector', 'window') GROUP BY 1, 2, 3),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      scored AS (SELECT term, doc_id, tf,
+          ln(1.0::DOUBLE + (n::DOUBLE - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+            * tf * (1.2::DOUBLE + 1.0::DOUBLE)
+            / (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+                + 0.75::DOUBLE * dl * n / sumdl::DOUBLE)) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN nn),
+      lexagg AS (SELECT doc_id, sum(CAST(round(score * 1e9) AS BIGINT)) AS s
+                 FROM scored GROUP BY 1),
+      lex AS (SELECT doc_id AS id,
+                row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+              FROM lexagg ORDER BY s DESC, doc_id ASC LIMIT 50),
+      q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+      corp AS (SELECT e.vec_id AS id, e.embedding AS cv
+               FROM embeddings e JOIN documents dd ON e.vec_id = dd.doc_id),
+      semscored AS (SELECT id, ${V.duckCosine("qv", "cv")} AS cos
+                    FROM corp, q WHERE id <> 3),
+      sem AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id ASC) AS rank
+              FROM semscored ORDER BY cos DESC, id ASC LIMIT 50),
+      tagged AS (SELECT id, 'lex' AS src, rank FROM lex
+                 UNION ALL SELECT id, 'sem', rank FROM sem),
+      fused AS (SELECT id, sum(CAST(round(1e12 / (60 + rank)) AS BIGINT)) AS s,
+                       max(CASE WHEN src = 'lex' THEN rank END) AS lex_rank,
+                       max(CASE WHEN src = 'sem' THEN rank END) AS sem_rank
+                FROM tagged GROUP BY 1)
+      SELECT doc_id, lex_rank, sem_rank, rank, rrf FROM (
+        SELECT id AS doc_id, lex_rank, sem_rank,
+               row_number() OVER (ORDER BY s DESC, id ASC) AS rank,
+               round(s::DOUBLE / 1e12, 6) AS rrf
+        FROM fused)
+      WHERE rank <= 20""")))
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Classifier, Linkage, Ranking, TimeSeries}
+
+/** Round-9 curation operators: blocked fuzzy linkage, resample+LOCF,
+  * rate anomaly, GD classifier, RRF fusion. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Linkage -------------------------------------------------------
+
+  test("fuzzyPairs finds within-block pairs under the distance cap only") {
+    val df = Seq((1L, "alpha"), (2L, "alphx"), (3L, "alzzz"), (4L, "beta"),
+      (5L, "betas")).toDF("id", "name")
+    val got = Linkage.fuzzyPairs(df, "id", "name",
+        substring(col("name"), 1, 2), maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2) dist 1 same block; (1,3) dist 3 same block -> dropped;
+    // (4,5) dist 1; cross-block alpha/beta never compared
+    assert(got == Set((1L, 2L, 1L), (4L, 5L, 1L)))
+  }
+
+  test("fuzzyPairs maxBlockSize drops oversized blocks entirely") {
+    val df = (1L to 10L).map(i => (i, s"aa$i")).toDF("id", "name")
+      .union(Seq((20L, "zz1"), (21L, "zz2")).toDF("id", "name"))
+    val got = Linkage.fuzzyPairs(df, "id", "name",
+        substring(col("name"), 1, 2), maxDist = 1, maxBlockSize = Some(5))
+      .select("id_a").as[Long].collect()
+    assert(got.forall(_ >= 20L), "aa-block (10 members) must be dropped")
+  }
+
+  // ---- TimeSeries ----------------------------------------------------
+
+  test("resampleLocf fills gaps with the last observation and flags them") {
+    val h = 3600000000L // 1h in us
+    val ev = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (1L, 3 * h, 40.0))
+      .toDF("user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = TimeSeries.resampleLocf(ev, "user_id", "ts", "value", 3600)
+      .orderBy("bin_us")
+      .select("bin_us", "value", "is_gap")
+      .as[(Long, Double, Boolean)].collect()
+    assert(got.toSeq == Seq(
+      (0L, 15.0, false),      // two obs in bucket 0 -> avg
+      (h, 15.0, true),        // gap -> carried forward
+      (2 * h, 15.0, true),    // still carried
+      (3 * h, 40.0, false)))
+  }
+
+  test("resampleLocf grid is per-key: no buckets before a key's first obs") {
+    val h = 3600000000L
+    val ev = Seq((1L, 0L, 1.0), (2L, 2 * h, 5.0)).toDF("user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = TimeSeries.resampleLocf(ev, "user_id", "ts", "value", 3600)
+      .groupBy("key").count().as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("rateAnomaly z-scores against the group's own moments") {
+    // counts per bucket: 1,1,4 -> mean 2, var (1+1+16)/3 - 4 = 2
+    val h = 3600000000L
+    val rows = Seq(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 2, 4L -> 2, 5L -> 2)
+      .map { case (id, b) => (id, "a", b * h + 1L) }
+    val ev = rows.toDF("event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = TimeSeries.rateAnomaly(ev, "event_type", "ts", 3600)
+      .orderBy("bin_us").select("cnt", "z").as[(Long, Double)].collect()
+    val sd = math.sqrt(2.0)
+    assert(got.toSeq == Seq(
+      (1L, BigDecimal((1 - 2.0) / sd).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (1L, BigDecimal((1 - 2.0) / sd).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (4L, BigDecimal((4 - 2.0) / sd).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("rateAnomaly zero-variance group yields NULL z") {
+    val ev = Seq((1L, "a", 1L), (2L, "a", 3600000001L))
+      .toDF("event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val z = TimeSeries.rateAnomaly(ev, "event_type", "ts", 3600)
+      .select("z").collect()
+    assert(z.forall(_.isNullAt(0)))
+  }
+
+  // ---- Classifier ----------------------------------------------------
+
+  test("fitPredict separates a linearly separable toy set") {
+    val feat = (1 to 40).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      // feature strongly correlated with the label
+      (i.toLong, y, 1.0, if (y > 0.5) 2.0 else -2.0)
+    }.toDF("id", "label", "x0", "x1")
+    val out = Classifier.fitPredict(feat, Seq("x0", "x1"), steps = 5, lr = 0.5)
+    val acc = out.filter((col("pred") === true) === (col("label") > 0.5))
+      .count()
+    assert(acc == 40L, "all toy rows classified correctly")
+  }
+
+  test("fitPredict is deterministic across partitionings") {
+    val base = (1 to 100).map { i =>
+      (i.toLong, (i % 3 == 0 ^ i % 7 == 0, 1.0, i / 50.0, (i % 11) / 10.0))
+    }.map { case (id, (y, x0, x1, x2)) =>
+      (id, if (y) 1.0 else 0.0, x0, x1, x2) }
+    val a = Classifier.fitPredict(
+      base.toDF("id", "label", "x0", "x1", "x2").repartition(1),
+      Seq("x0", "x1", "x2"), steps = 3)
+    val b = Classifier.fitPredict(
+      base.toDF("id", "label", "x0", "x1", "x2").repartition(13),
+      Seq("x0", "x1", "x2"), steps = 3)
+    val sa = a.orderBy("id").select("score").as[Double].collect().toSeq
+    val sb = b.orderBy("id").select("score").as[Double].collect().toSeq
+    assert(sa == sb, "integerized gradients make training order-free")
+  }
+
+  // ---- RRF fusion ----------------------------------------------------
+
+  test("rrfFuse combines ranks and keeps one-list-only ids") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val sem = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id", "rank")
+    val got = Ranking.rrfFuse(Seq("lex" -> lex, "sem" -> sem), 60, 10)
+      .orderBy("rank")
+    val rows = got.select("id", "lex_rank", "sem_rank", "rank")
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.getLong(3)))
+    // 10: 1/61+1/62; 20: 1/62+1/61 (tie, id asc); 30: 1/63; 40: 1/63 (tie)
+    assert(rows.map(_._1).toSeq == Seq(10L, 20L, 30L, 40L))
+    assert(rows(0)._2 == 1L && rows(0)._3 == 2L)
+    assert(rows(2)._2 == 3L && rows(2)._3 == null)
+    val rrf = got.select("rrf").as[Double].collect()
+    assert(rrf(0) == rrf(1) && rrf(0) > rrf(2))
+  }
+}

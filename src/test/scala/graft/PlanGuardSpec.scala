@@ -40,7 +40,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // aggregate crossed onto every doc — the scalar-broadcast pattern
     // that replaced a driver-side collect (one less full-scan action)
     "text_tfidf" -> "1-row corpus-stats aggregate x docs",
-    "text_bm25" -> "1-row corpus-stats aggregate x docs")
+    "text_bm25" -> "1-row corpus-stats aggregate x docs",
+    // 1-row query vector scored against the bounded doc-embedding corpus
+    // (brute-force side of hybrid retrieval), plus the same 1-row
+    // corpus-stats aggregate as text_bm25 on the lexical side
+    "sim_rrf_hybrid" -> "1-row query vector + 1-row corpus stats")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
