@@ -74,21 +74,34 @@ object TimeSeries {
     */
   def rateAnomaly(events: DataFrame, grpCol: String, tsCol: String,
       binSeconds: Long): DataFrame = {
-    val binUs = binSeconds * 1000000L
-    val cnts = events.select(col(grpCol).as("grp"),
-        expr(s"unix_micros($tsCol) div ${binUs}L * ${binUs}L").as("bin_us"))
-      .groupBy(col("grp"), col("bin_us"))
-      .agg(count(lit(1)).as("cnt"))
-    val stats = cnts.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
-        sum(col("cnt") * col("cnt")).as("s2"))
-      .withColumn("mean", col("s1").cast("double") / col("n"))
-      .withColumn("variance",
-        (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) / col("n"))
-    cnts.join(broadcast(stats), Seq("grp"))
+    val cnts = binCounts(events, grpCol, tsCol, binSeconds)
+    cnts.join(broadcast(momentStats(cnts)), Seq("grp"))
       .select(col("grp"), col("bin_us"), col("cnt"),
         when(col("variance") > 0,
           round((col("cnt").cast("double") - col("mean")) / sqrt(col("variance")), 6))
           .as("z"))
   }
+
+  /** Per-(group, bucket) event counts: (grp, bin_us, cnt). */
+  def binCounts(events: DataFrame, grpCol: String, tsCol: String,
+      binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    events.select(col(grpCol).as("grp"),
+        expr(s"unix_micros($tsCol) div ${binUs}L * ${binUs}L").as("bin_us"))
+      .groupBy(col("grp"), col("bin_us"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group count moments over bucket counts: (grp, mean, variance) —
+    * the trained BASELINE a streaming scorer joins against (see
+    * `streaming.StreamingAnomaly`). Exact integer moments as in
+    * [[rateAnomaly]]. */
+  def momentStats(cnts: DataFrame): DataFrame =
+    cnts.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("variance",
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) / col("n"))
+      .select(col("grp"), col("mean"), col("variance"))
 }

@@ -97,6 +97,41 @@ object Curation {
                END AS z
         FROM cnts c JOIN st2 USING (grp)""")),
 
+    // ---- STREAMING event-rate anomaly --------------------------------
+    // the streaming analog of q86 in the production train/score split:
+    // per-type moments batch-trained, broadcast into the stream, windowed
+    // counts z-scored incrementally. Epoch-aligned tumbling windows make
+    // the full replay hash-exact to the batch operator — the oracle IS
+    // q86's SQL. Complete mode: a finite replay's last window never
+    // crosses a watermark.
+    Q("q88_stream_anomaly", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val baseline = TimeSeries.momentStats(
+        TimeSeries.binCounts(events(s, d), "event_type", "ts", 21600))
+      val q = graft.streaming.StreamingAnomaly.score(
+          Tables.eventsStream(s, d), baseline, "event_type", "ts", "6 hours")
+        .writeStream.format("memory").queryName("q88_stream")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q88_stream")
+    }, Some("""
+        WITH cnts AS (
+          SELECT event_type AS grp,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 * 21600000000 AS bin_us,
+                 count(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        stats AS (SELECT grp, count(*) AS n, sum(cnt) AS s1,
+                         sum(cnt * cnt) AS s2
+                  FROM cnts GROUP BY 1),
+        st2 AS (SELECT grp, s1::DOUBLE / n AS mean,
+                       (s2::DOUBLE - s1::DOUBLE * s1 / n) / n AS variance
+                FROM stats)
+        SELECT c.grp, c.bin_us, c.cnt,
+               CASE WHEN variance > 0
+                    THEN round((c.cnt::DOUBLE - mean) / sqrt(variance), 6)
+               END AS z
+        FROM cnts c JOIN st2 USING (grp)""")),
+
     // ---- learned quality classifier ----------------------------------
     // 3 full-batch GD steps of a fast-sigmoid logistic on 4 document
     // features (intercept, scaled length, mean word length, type-token

@@ -416,7 +416,52 @@ object ScaleSmoke {
           noop(Dedup.sourceOverlap(d10salt, "text", "source")))),
       // scd2: dimension AND batch both 10x — two key joins, linear
       ("scd2_merge", time("scd2_merge 1x")(noop(scdOf(c1))),
-        time("scd2_merge 10x")(noop(scdOf(c10)))))
+        time("scd2_merge 10x")(noop(scdOf(c10)))),
+
+      // round-9 operators. Linkage uses a NAME-salted 10x dimension: plain
+      // replication duplicates every name 10x, which blows the within-block
+      // TRUE pair count ~100x (same caveat as the salted dedup corpus);
+      // per-copy suffixes keep the 16-char blocking prefix but kill
+      // cross-copy matches, so the true pair set grows 10x like the data.
+      {
+        import graft.operators.{Classifier, Linkage, TimeSeries}
+        val c10salt = (0 until copies).map { c =>
+          spark.read.parquet(s"$sfDir/customer.parquet")
+            .withColumn("c_custkey", col("c_custkey") + lit(c.toLong * 100000000L))
+            .withColumn("c_name", concat(col("c_name"), lit(s"c$c")))
+        }.reduce(_ unionByName _).persist()
+        c10salt.count()
+        val link = ("fuzzy_linkage", time("fuzzy_linkage 1x")(noop(
+            Linkage.fuzzyPairs(c1, "c_custkey", "c_name",
+              substring(col("c_name"), 1, 16), 1))),
+          time("fuzzy_linkage 10x")(noop(
+            Linkage.fuzzyPairs(c10salt, "c_custkey", "c_name",
+              substring(col("c_name"), 1, 16), 1))))
+        c10salt.unpersist()
+        link
+      },
+      ("resample_locf", time("resample_locf 1x")(noop(
+          graft.operators.TimeSeries.resampleLocf(
+            evNorm(ev1).withColumn("value", lit(1.0)),
+            "user_id", "ts", "value", 3600))),
+        time("resample_locf 10x")(noop(
+          graft.operators.TimeSeries.resampleLocf(
+            evNorm(ev10).withColumn("value", lit(1.0)),
+            "user_id", "ts", "value", 3600)))),
+      {
+        import graft.operators.Classifier
+        def lrFeat(docs: DataFrame): DataFrame = {
+          val nt = size(split(col("text"), " "))
+          docs.select(col("doc_id"),
+            when(col("lang") === "en", 1.0).otherwise(0.0).as("label"),
+            lit(1.0).as("x0"), (nt.cast("double") / lit(100.0)).as("x1"),
+            (col("n_chars").cast("double") / nt / lit(10.0)).as("x2"))
+        }
+        ("lr_train_3step", time("lr_train_3step 1x")(noop(
+            Classifier.fitPredict(lrFeat(d1), Seq("x0", "x1", "x2"), 3))),
+          time("lr_train_3step 10x")(noop(
+            Classifier.fitPredict(lrFeat(d10), Seq("x0", "x1", "x2"), 3))))
+      })
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
     results.foreach { case (n, a, b) =>

@@ -118,6 +118,35 @@ class CurationSpec extends AnyFunSuite {
     assert(sa == sb, "integerized gradients make training order-free")
   }
 
+  // ---- streaming anomaly ---------------------------------------------
+
+  test("StreamingAnomaly matches the batch scorer over a full replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(("a", ts(0, 5)), ("a", ts(0, 10)), ("a", ts(1, 5)),
+      ("b", ts(0, 30)), ("b", ts(2, 0)), ("b", ts(2, 30)), ("b", ts(2, 45)))
+    val batch = rows.toDF("event_type", "ts")
+    val baseline = graft.operators.TimeSeries.momentStats(
+      graft.operators.TimeSeries.binCounts(batch, "event_type", "ts", 3600))
+    val expected = graft.operators.TimeSeries
+      .rateAnomaly(batch, "event_type", "ts", 3600)
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingAnomaly.score(
+        mem.toDF().toDF("event_type", "ts"), baseline,
+        "event_type", "ts", "1 hour")
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("complete").start()
+    mem.addData(rows.take(3)); q.processAllAvailable()
+    mem.addData(rows.drop(3)); q.processAllAvailable()
+    val got = spark.table("anom_out").collect().map(_.toSeq).toSet
+    q.stop()
+    assert(got == expected)
+  }
+
   // ---- RRF fusion ----------------------------------------------------
 
   test("rrfFuse combines ranks and keeps one-list-only ids") {
