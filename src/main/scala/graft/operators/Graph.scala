@@ -251,4 +251,104 @@ object Graph {
     dangling.foreach(_.unpersist())
     result
   }
+
+  /** Synchronous label propagation (community detection): starting from
+    * label = own id, `iters` rounds of every node adopting its neighbors'
+    * most frequent label, ties broken by SMALLEST label. Both rules are
+    * total orders over exact integers, so the result is deterministic
+    * across engines and partitionings — no hash-order or float hazard.
+    *
+    * Per-round plan: edges ⋈ labels on src (labels optionally broadcast —
+    * one row per node, the same size/shape trade as pageRank's
+    * `broadcastRank`), then ONE groupBy(dst, label) count and ONE
+    * groupBy(dst) lexicographic-max — `max(struct(cnt, MaxValue-label))`
+    * picks (highest count, then lowest label) without a window sort.
+    * Nodes keep their previous label when an `iters` round sees no
+    * neighbors (can't happen on mirrored edge lists, where every node has
+    * in-edges). Labels re-checkpointed per round to keep lineage flat.
+    * Returns (id, community).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      broadcastLabels: Boolean = false): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    val nodes = e.select(col("src").as("id")).distinct()
+      .unionByName(e.select(col("dst").as("id")).distinct())
+      .distinct().persist()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val lbl = if (broadcastLabels) broadcast(labels) else labels
+      val counted = e.join(lbl, e("src") === lbl("id"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        // lexicographic struct max = (cnt desc, label asc) argmax
+        .groupBy(col("dst").as("nid"))
+        .agg(max(struct(col("cnt"),
+          (lit(Long.MaxValue) - col("label")).as("nl"))).as("m"))
+        .select(col("nid"),
+          (lit(Long.MaxValue) - col("m.nl")).as("newLabel"))
+      val next = labels.join(counted, labels("id") === counted("nid"), "left")
+        .select(col("id"),
+          coalesce(col("newLabel"), col("label")).as("label"))
+        .localCheckpoint()
+      prev.foreach(Checkpoints.release)
+      prev = Some(labels)
+      labels = next
+    }
+    prev.foreach(Checkpoints.release)
+    e.unpersist(); nodes.unpersist()
+    labels.select(col("id"), col("label").as("community"))
+  }
+
+  /** Triangle enumeration over an undirected pair list via degree-ordered
+    * orientation: each edge points from its lower-(degree, id) endpoint to
+    * the higher one, which bounds every out-neighborhood by O(√m) — wedge
+    * generation cannot explode on hub nodes the way naive id-ordered
+    * two-path joins do (a hub of degree d contributes C(d,2) wedges under
+    * id order, but its edges orient INTO it under degree order). The
+    * classic MapReduce triangle-count shape (Suri & Vassilvitskii):
+    * orient → wedge join on the center → close with one more equi-join.
+    * Output: one row per triangle as canonical sorted ids (a < b < c).
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(
+        least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().persist()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orientation key: (degree, id) — total order, broadcastable (one row
+    // per node; key-join for graphs whose node set outgrows a broadcast)
+    val du = deg.select(col("id").as("u"), col("d").as("du"))
+    val dv = deg.select(col("id").as("v"), col("d").as("dv"))
+    val oriented = und.join(broadcast(du), "u").join(broadcast(dv), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("dv"))
+          .otherwise(col("du")).as("dt"))
+      .persist()
+    // wedges centered on s: unordered out-neighbor pairs, ordered by the
+    // same (degree, id) key so each wedge is generated once
+    val a = oriented.select(col("s"), col("t").as("x"), col("dt").as("dx"))
+    val b = oriented.select(col("s"), col("t").as("y"), col("dt").as("dy"))
+    val wedges = a.join(b, "s")
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    // close: the (x, y) edge, if present, is oriented x→y under the SAME
+    // key order the wedge filter used — one equi-join, no disjunction
+    val closing = oriented.select(col("s").as("x"), col("t").as("y"))
+    val tri = wedges.join(closing, Seq("x", "y"))
+      .select(array_sort(array(col("s"), col("x"), col("y"))).as("n"))
+      .select(col("n").getItem(0).as("a"), col("n").getItem(1).as("b"),
+        col("n").getItem(2).as("c"))
+    und.unpersist(); oriented.unpersist()
+    tri
+  }
 }

@@ -154,6 +154,66 @@ object Curation {
     }, Some(Classifier.oracleSql(lrFeatSql, Seq("x0", "x1", "x2", "x3"),
         steps = 3, lr = 0.25, selectCols = "doc_id, label"))),
 
+    // ---- community detection: label propagation ----------------------
+    // 2 synchronous LPA rounds on the part↔supplier co-occurrence graph
+    // (q53's graph): adopt the most frequent neighbor label, ties to the
+    // smallest — total integer orders, so the oracle unrolls the identical
+    // rounds as CTEs. Same AQE-off/8-partition scoping as the pagerank
+    // entries (small fixed-shape iterative stages).
+    Q("q89_label_prop", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val fwd = Tables.spread(li.select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst"))).distinct()
+      val edges = fwd.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      ScaleOps.withAqeOff(s) { ScaleOps.withShufflePartitions(s, 8) {
+        graft.operators.Graph.labelPropagation(edges, iters = 2,
+          broadcastLabels = true)
+          .select(col("id").as("node"), col("community"))
+      } }
+    }, Some("""
+      WITH fwd AS (SELECT DISTINCT l_partkey AS src,
+                     l_suppkey + 10000000 AS dst FROM lineitem),
+      e AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+      n AS (SELECT DISTINCT src AS id FROM e),
+      l0 AS (SELECT id, id AS label FROM n),
+      c1 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+             FROM e JOIN l0 l ON e.src = l.id GROUP BY 1, 2),
+      l1 AS (SELECT id, min(label) AS label FROM (
+               SELECT id, label, cnt, max(cnt) OVER (PARTITION BY id) AS mc
+               FROM c1) WHERE cnt = mc GROUP BY id),
+      c2 AS (SELECT e.dst AS id, l.label, count(*) AS cnt
+             FROM e JOIN l1 l ON e.src = l.id GROUP BY 1, 2),
+      l2 AS (SELECT id, min(label) AS label FROM (
+               SELECT id, label, cnt, max(cnt) OVER (PARTITION BY id) AS mc
+               FROM c2) WHERE cnt = mc GROUP BY id)
+      SELECT id AS node, label AS community FROM l2""")),
+
+    // ---- triangle enumeration ----------------------------------------
+    // triangles of the co-purchase graph (parts sharing an order, 1-in-5
+    // part slice): the operator orients edges by (degree, id) so wedge
+    // generation is hub-safe; the oracle is the textbook a<b<c 3-way
+    // self-join — same triangle set, orientation-independent.
+    Q("q90_triangles", (s, d) => {
+      val li = Tables.spread(t(s, d, "lineitem")
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      val pairs = li.select(col("ok"), col("pk").as("id_a"))
+        .join(li.select(col("ok"), col("pk").as("id_b")), "ok")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Graph.triangles(pairs)
+    }, Some("""
+      WITH pp AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % 5 = 0 AND b.l_partkey % 5 = 0)
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pp e1 JOIN pp e2 ON e1.v = e2.u
+      JOIN pp e3 ON e3.u = e1.u AND e3.v = e2.v""")),
+
     // ---- hybrid retrieval: reciprocal-rank fusion --------------------
     // lexical (whole-query BM25, top 50) + semantic (cosine to a fixed
     // query vector over the doc-embedding corpus, top 50) fused by RRF

@@ -418,18 +418,21 @@ object ScaleSmoke {
       ("scd2_merge", time("scd2_merge 1x")(noop(scdOf(c1))),
         time("scd2_merge 10x")(noop(scdOf(c10)))),
 
-      // round-9 operators. Linkage uses a NAME-salted 10x dimension: plain
-      // replication duplicates every name 10x, which blows the within-block
-      // TRUE pair count ~100x (same caveat as the salted dedup corpus);
-      // per-copy suffixes keep the 16-char blocking prefix but kill
-      // cross-copy matches, so the true pair set grows 10x like the data.
+      // round-9 operators. Linkage regenerates NAMES from the offset keys:
+      // plain replication duplicates every name 10x — hot blocks of 1000
+      // sharing one prefix, ~100x the within-block candidate work (a first
+      // salt attempt with 1-char copy suffixes measured 19.8x: suffix pairs
+      // sat at distance 1 and MATCHED cross-copy). Ten-times-more-entities
+      // data has 10x more name prefixes of the same block size, which
+      // id-derived names reproduce exactly.
       {
         import graft.operators.{Classifier, Linkage, TimeSeries}
         val c10salt = (0 until copies).map { c =>
           spark.read.parquet(s"$sfDir/customer.parquet")
             .withColumn("c_custkey", col("c_custkey") + lit(c.toLong * 100000000L))
-            .withColumn("c_name", concat(col("c_name"), lit(s"c$c")))
-        }.reduce(_ unionByName _).persist()
+        }.reduce(_ unionByName _)
+          .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+          .persist()
         c10salt.count()
         val link = ("fuzzy_linkage", time("fuzzy_linkage 1x")(noop(
             Linkage.fuzzyPairs(c1, "c_custkey", "c_name",

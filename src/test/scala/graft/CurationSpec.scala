@@ -118,6 +118,36 @@ class CurationSpec extends AnyFunSuite {
     assert(sa == sb, "integerized gradients make training order-free")
   }
 
+  // ---- graph: label propagation + triangles --------------------------
+
+  test("labelPropagation adopts majority labels with min tie-break") {
+    // path 1-2-3 mirrored: r1 = (1→2, 2→1 tie-min, 3→2); r2 = (1→1, 2→2, 3→1)
+    val fwd = Seq((1L, 2L), (2L, 3L))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val r2 = graft.operators.Graph.labelPropagation(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    val r1 = graft.operators.Graph.labelPropagation(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("triangles enumerates each triangle once, canonically sorted") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L))
+      .toDF("id_a", "id_b") // duplicate (1,2) in both directions
+    val got = graft.operators.Graph.triangles(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L)))
+  }
+
+  test("triangles under a hub: star closes only where an edge exists") {
+    val star = (1L to 5L).map(i => (0L, i))
+    val pairs = (star :+ (4L, 5L)).toDF("id_a", "id_b")
+    val got = graft.operators.Graph.triangles(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 4L, 5L)))
+  }
+
   // ---- streaming anomaly ---------------------------------------------
 
   test("StreamingAnomaly matches the batch scorer over a full replay") {
