@@ -61,6 +61,58 @@ object TimeSeries {
         col("sv").isNull.as("is_gap"))
   }
 
+  /** [[resampleLocf]]'s grid with LINEAR interpolation instead of
+    * carry-forward: an empty bucket between two observed ones takes
+    * `prev + (next − prev) · (bin − prevBin)/(nextBin − prevBin)`; empty
+    * buckets after the last observation fall back to LOCF (no `next` to
+    * interpolate toward). Same plan shape as LOCF plus one more window
+    * pass (the forward-looking `first(…, ignoreNulls)` over the reversed
+    * frame bounds); the interpolation weight is a single exact-integer
+    * division and each arithmetic step is one IEEE op, mirrored
+    * literally by the oracle. Output: (key, bin_us, value_micro, is_gap)
+    * — the value in integer MICRO-units: interpolated blends land on
+    * exact decimal halves constantly, and fractional-scale round() is
+    * the one place the engines disagree (Spark rounds the exact decimal
+    * expansion, DuckDB rounds after a float multiply — 1-ulp splits at
+    * ties); scale-0 rounding of an identical double is exact in both.
+    */
+  def resampleInterp(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, binSeconds: Long): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    val obs = events.select(
+        col(keyCol).as("key"),
+        expr(s"unix_micros($tsCol) div ${binUs}L * ${binUs}L").as("bin_us"),
+        round(col(valCol) * 1e6).cast("long").as("v_micro"))
+      .groupBy(col("key"), col("bin_us"))
+      .agg(sum(col("v_micro")).as("sv"), count(lit(1)).as("cnt"))
+      // the bucket's observed average in micro-units: ONE division of
+      // exact integers — the quantity interpolation runs on
+      .withColumn("avg_micro", col("sv").cast("double") / col("cnt"))
+    val grid = obs.groupBy(col("key"))
+      .agg(min(col("bin_us")).as("mn"), max(col("bin_us")).as("mx"))
+      .select(col("key"),
+        explode(sequence(col("mn"), col("mx"), lit(binUs))).as("bin_us"))
+    val back = Window.partitionBy(col("key")).orderBy(col("bin_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("key")).orderBy(col("bin_us"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = grid.join(obs, Seq("key", "bin_us"), "left")
+      .withColumn("pv", last(col("avg_micro"), ignoreNulls = true).over(back))
+      .withColumn("pb", last(when(col("avg_micro").isNotNull, col("bin_us")),
+        ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("avg_micro"), ignoreNulls = true).over(fwd))
+      .withColumn("nb", first(when(col("avg_micro").isNotNull, col("bin_us")),
+        ignoreNulls = true).over(fwd))
+    val frac = (col("bin_us") - col("pb")).cast("double") /
+      (col("nb") - col("pb")).cast("double")
+    val interp = when(col("avg_micro").isNotNull, col("avg_micro"))
+      .when(col("nv").isNull, col("pv"))
+      .otherwise(col("pv") + (col("nv") - col("pv")) * frac)
+    filled.select(col("key"), col("bin_us"),
+      round(interp).cast("long").as("value_micro"),
+      col("avg_micro").isNull.as("is_gap"))
+  }
+
   /** Per-(group, bucket) event-COUNT z-scores against the group's own
     * count distribution: |z| flags burst/outage buckets. Variance uses the
     * integer-moment identity Σc² − (Σc)²/n over exact long sums, so the

@@ -72,6 +72,70 @@ object Curation {
                is_gap
         FROM f""")),
 
+    // ---- time-series resample + linear interpolation -----------------
+    // the interpolating sibling of q85: empty buckets between two
+    // observations take the linear blend (exact-integer weight), buckets
+    // after the last observation fall back to carry-forward
+    Q("q91_resample_interp", (s, d) =>
+      TimeSeries.resampleInterp(events(s, d).filter(col("user_id") < 50),
+        "user_id", "ts", "value", binSeconds = 3600),
+      Some("""
+        WITH obs AS (
+          SELECT user_id AS key,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 * 3600000000 AS bin_us,
+                 sum(CAST(round(value * 1000000.0) AS BIGINT)) AS sv,
+                 count(*) AS cnt
+          FROM events WHERE user_id < 50 GROUP BY 1, 2),
+        o2 AS (SELECT key, bin_us, sv::DOUBLE / cnt AS avg_micro FROM obs),
+        spans AS (SELECT key, min(bin_us) AS mn, max(bin_us) AS mx
+                  FROM o2 GROUP BY 1),
+        grid AS (SELECT key, unnest(generate_series(mn, mx, 3600000000)) AS bin_us
+                 FROM spans),
+        j AS (SELECT g.key, g.bin_us, o.avg_micro
+              FROM grid g LEFT JOIN o2 o USING (key, bin_us)),
+        f AS (SELECT key, bin_us, avg_micro,
+                last_value(avg_micro IGNORE NULLS) OVER (PARTITION BY key
+                  ORDER BY bin_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                last_value(CASE WHEN avg_micro IS NOT NULL THEN bin_us END IGNORE NULLS)
+                  OVER (PARTITION BY key ORDER BY bin_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+                first_value(avg_micro IGNORE NULLS) OVER (PARTITION BY key
+                  ORDER BY bin_us ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                first_value(CASE WHEN avg_micro IS NOT NULL THEN bin_us END IGNORE NULLS)
+                  OVER (PARTITION BY key ORDER BY bin_us
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+              FROM j)
+        SELECT key, bin_us,
+               CAST(round(CASE WHEN avg_micro IS NOT NULL THEN avg_micro
+                               WHEN nv IS NULL THEN pv
+                               ELSE pv + (nv - pv) *
+                                 ((bin_us - pb)::DOUBLE / (nb - pb)::DOUBLE)
+                          END) AS BIGINT) AS value_micro,
+               avg_micro IS NULL AS is_gap
+        FROM f""")),
+
+    // ---- leave-one-out target encoding -------------------------------
+    // market segment encoded by account balance, each row excluded from
+    // its own category mean (the target-leakage guard); cents-exact
+    // integer sums, two exact-input divisions per row
+    Q("q92_target_encode", (s, d) =>
+      graft.operators.FeatureEng.targetEncodeLoo(
+          t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal")),
+          "c_mktsegment", "c_acctbal", scale = 100L)
+        .select(col("c_custkey"), col("c_mktsegment"), col("enc")),
+      Some("""
+        WITH t AS (SELECT c_custkey, c_mktsegment,
+                     CAST(round(c_acctbal * 100.0) AS BIGINT) AS li
+                   FROM customer),
+        g AS (SELECT c_mktsegment, sum(li) AS s, count(*) AS n
+              FROM t GROUP BY 1)
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN n > 1
+                    THEN round((s - li)::DOUBLE / (n - 1) / 100.0, 6)
+               END AS enc
+        FROM t JOIN g USING (c_mktsegment)""")),
+
     // ---- event-rate anomaly scoring ----------------------------------
     // per-type 6-hour bucket counts z-scored against the type's own
     // distribution; variance from exact integer moments (Σc², Σc) so no

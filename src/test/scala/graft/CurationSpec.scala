@@ -60,6 +60,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("resampleInterp blends interior gaps linearly, LOCF after the last obs") {
+    val h = 3600000000L
+    // obs at buckets 0 (10.0) and 3 (40.0); bucket 4 observed 0-avg? no —
+    // grid ends at the max observed bucket, so add a later gap via bucket 5
+    val ev = Seq((1L, 0L, 10.0), (1L, 3 * h, 40.0), (1L, 5 * h, 40.0))
+      .toDF("user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = graft.operators.TimeSeries
+      .resampleInterp(ev, "user_id", "ts", "value", 3600)
+      .orderBy("bin_us").select("value_micro", "is_gap")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq((10000000L, false), (20000000L, true),
+      (30000000L, true), (40000000L, false), (40000000L, true),
+      (40000000L, false)))
+  }
+
+  test("targetEncodeLoo excludes the row itself; singleton category is NULL") {
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 7.0)).toDF("id", "cat", "y")
+    val got = graft.operators.FeatureEng.targetEncodeLoo(df, "cat", "y")
+      .select("id", "enc").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(got == Map(1L -> 25.0, 2L -> 20.0, 3L -> 15.0, 4L -> null))
+  }
+
   test("rateAnomaly z-scores against the group's own moments") {
     // counts per bucket: 1,1,4 -> mean 2, var (1+1+16)/3 - 4 = 2
     val h = 3600000000L
