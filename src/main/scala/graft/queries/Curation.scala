@@ -218,6 +218,60 @@ object Curation {
     }, Some(Classifier.oracleSql(lrFeatSql, Seq("x0", "x1", "x2", "x3"),
         steps = 3, lr = 0.25, selectCols = "doc_id, label"))),
 
+    // ---- survival analysis: Kaplan-Meier time-to-conversion ----------
+    // duration = days from a user's first event to their 30th (the
+    // "conversion"); users who never reach 30 events are right-censored
+    // at their last observed day. The curve is exact integer micro-nats
+    // (cumulative SUM in log space — a float cumulative product would be
+    // reduction-order-sensitive).
+    Q("q93_kaplan_meier", (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val per = events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("f"),
+          max(when(col("rn") === 30, col("us"))).as("kth"),
+          max(col("us")).as("l"))
+      val subj = per.select(
+        expr("(coalesce(kth, l) - f) div 86400000000L").as("dur"),
+        col("kth").isNotNull.cast("long").as("obs"))
+      graft.operators.Survival.kaplanMeier(subj, "dur", "obs")
+    }, Some("""
+      WITH ranked AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS rn
+                      FROM events),
+      per AS (SELECT user_id, min(us) AS f,
+                max(CASE WHEN rn = 30 THEN us END) AS kth, max(us) AS l
+              FROM ranked GROUP BY 1),
+      subj AS (SELECT (coalesce(kth, l) - f) // 86400000000 AS t,
+                      CASE WHEN kth IS NOT NULL THEN 1 ELSE 0 END AS obs
+               FROM per),
+      tot AS (SELECT count(*) AS n FROM subj),
+      byt AS (SELECT t, CAST(sum(obs) AS BIGINT) AS d, count(*) AS c
+              FROM subj GROUP BY 1),
+      w AS (SELECT t, d, c,
+              CAST(coalesce(sum(c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                AS left_before
+            FROM byt),
+      r AS (SELECT t, d, CAST(n - left_before AS BIGINT) AS n_risk
+            FROM w, tot WHERE d > 0),
+      costs AS (SELECT t, d, n_risk,
+          CASE WHEN d < n_risk
+               THEN CAST(round(-ln(1.0 - d::DOUBLE / n_risk) * 1e9) AS BIGINT)
+          END AS cost
+        FROM r)
+      SELECT t, n_risk, d AS n_event,
+             CAST(sum(cost) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_nats
+      FROM costs""")),
+
     // ---- community detection: label propagation ----------------------
     // 2 synchronous LPA rounds on the part↔supplier co-occurrence graph
     // (q53's graph): adopt the most frequent neighbor label, ties to the

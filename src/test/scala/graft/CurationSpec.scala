@@ -144,6 +144,22 @@ class CurationSpec extends AnyFunSuite {
     assert(sa == sb, "integerized gradients make training order-free")
   }
 
+  // ---- survival ------------------------------------------------------
+
+  test("kaplanMeier: risk counts, censoring, exact log-space curve") {
+    // durations: 1 (death), 1 (death), 2 (censored), 3 (death)
+    val df = Seq((1L, 1L), (1L, 1L), (2L, 0L), (3L, 1L)).toDF("dur", "obs")
+    val got = graft.operators.Survival.kaplanMeier(df, "dur", "obs")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3)))
+    // t=1: n=4 at risk, 2 events, cost = round(-ln(1-2/4)*1e9) = 693147181
+    // t=2: censored only -> no row; t=3: 1 at risk, 1 event = exact zero
+    //      survival -> NULL cost skipped, cum stays
+    assert(got.toSeq == Seq((1L, 4L, 2L, 693147181L),
+      (3L, 1L, 1L, 693147181L)))
+  }
+
   // ---- graph: label propagation + triangles --------------------------
 
   test("labelPropagation adopts majority labels with min tie-break") {

@@ -44,7 +44,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // 1-row query vector scored against the bounded doc-embedding corpus
     // (brute-force side of hybrid retrieval), plus the same 1-row
     // corpus-stats aggregate as text_bm25 on the lexical side
-    "sim_rrf_hybrid" -> "1-row query vector + 1-row corpus stats")
+    "sim_rrf_hybrid" -> "1-row query vector + 1-row corpus stats",
+    // subject total (ONE row) crossed onto the bounded risk table — the
+    // same scalar-broadcast pattern as text_mixture
+    "q93_kaplan_meier" -> "1-row subject total x risk table")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
