@@ -678,4 +678,87 @@ object Similarity {
       nprobe, subspaces, codebook, iters, scale, 0L, trainMaxRows),
       queries, corpus, idCol, vecCol, k)
   }
+
+  /** Persist an IVF index for [[queryIvfIndex]]: `dir/seeds` holds the
+    * coarse seeds (+ norms), `dir/cells` the per-vector (id, v, nrm)
+    * assignments hive-partitioned BY CELL. This is the build-once /
+    * query-many lifecycle of a production vector index: the corpus
+    * assignment cost is paid once at build; a later query session pays
+    * seeds + the PROBED cells only, and the hive layout means the probe
+    * is a partition-pruned parquet scan — untouched cells are never read.
+    * Same sizing rule and bit-exact arithmetic as [[ivfTopK]] (seeds =
+    * smallest-id rank quantizer), so querying a corpus against its own
+    * freshly-built index reproduces ivfTopK's output exactly.
+    */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCells: Int = 0, knownCount: Long = 0L): Unit = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
+    val cells =
+      if (nCells > 0) nCells
+      else {
+        val n = if (knownCount > 0) knownCount else emb.count()
+        math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      }
+    val seeds = e.orderBy(col("id")).limit(cells)
+      .select(col("id").as("cell"), col("v").as("sv"), col("nrm").as("sn"))
+    seeds.write.mode("overwrite").parquet(s"$dir/seeds")
+    val aw = Window.partitionBy(col("id"))
+      .orderBy(col("scos").desc, col("cell").asc)
+    e.crossJoin(broadcast(seeds))
+      .withColumn("scos",
+        vecDot(col("v"), col("sv")) / (col("nrm") * col("sn")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Top-k search against a [[buildIvfIndex]] index on disk: queries
+    * assign to their top-`nprobe` seeds (broadcast — √N rows), then join
+    * the cell scan. Output matches [[ivfTopK]].
+    *
+    * `pruneCells = true` additionally collects the probed cell ids (a
+    * bounded control-plane set: |queries| × nprobe, the point of an index
+    * lookup) and pushes them as a LITERAL partition filter, so the hive-
+    * partitioned scan provably reads only probed cell directories — the
+    * static-pruning guarantee a bounded query session wants, independent
+    * of whether dynamic partition pruning fires on the join. Leave false
+    * for corpus-sized query sets (every cell is probed anyway).
+    */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1, pruneCells: Boolean = false): DataFrame = {
+    val seeds = spark.read.parquet(s"$dir/seeds")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("qn"))
+    val aw = Window.partitionBy(col("query_id"))
+      .orderBy(col("scos").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(seeds))
+      .withColumn("scos",
+        vecDot(col("qv"), col("sv")) / (col("qn") * col("sn")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val raw = spark.read.parquet(s"$dir/cells")
+    val pruned =
+      if (pruneCells) {
+        val cellIds = probes.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        raw.filter(col("cell").isin(cellIds: _*))
+      } else raw
+    val corpus = pruned
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("cell").cast("long").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+  }
 }

@@ -332,6 +332,39 @@ object Curation {
       FROM pp e1 JOIN pp e2 ON e1.v = e2.u
       JOIN pp e3 ON e3.u = e1.u AND e3.v = e2.v""")),
 
+    // ---- persisted IVF index: build once, query many -----------------
+    // the index lifecycle of a production vector store: corpus assignment
+    // paid at BUILD (seeds + hive-partitioned cells on disk), the query
+    // session pays seeds + partition-pruned probed cells only. Querying
+    // the corpus against its own index must reproduce ivfTopK exactly —
+    // the oracle is sim_ivf's SQL verbatim.
+    Q("sim_ivf_index", (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("ivf-index")
+      dir.toFile.deleteOnExit()
+      val e = t(s, d, "embeddings")
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", dir.toString,
+        nCells = 8)
+      Similarity.queryIvfIndex(s, dir.toString, e, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+    }, Some(s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      |seeds AS (SELECT id AS cell, v AS sv FROM e ORDER BY id LIMIT 8),
+      |assign AS (SELECT id, cell,
+      |    row_number() OVER (PARTITION BY id ORDER BY scos DESC, cell ASC) AS arank
+      |  FROM (SELECT e.id, s.cell, ${V.duckCosine("e.v", "s.sv")} AS scos
+      |        FROM e CROSS JOIN seeds s)),
+      |cand AS (SELECT DISTINCT p.id AS query_id, n.id AS neighbor_id
+      |  FROM (SELECT id, cell FROM assign WHERE arank <= 2) p
+      |  JOIN (SELECT id, cell FROM assign WHERE arank = 1) n ON p.cell = n.cell
+      |  WHERE p.id <> n.id),
+      |scored AS (SELECT query_id, neighbor_id,
+      |    ${V.duckCosine("a.v", "b.v")} AS cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY ${V.duckCosine("a.v", "b.v")} DESC, neighbor_id ASC) AS rank
+      |  FROM cand JOIN e a ON cand.query_id = a.id
+      |            JOIN e b ON cand.neighbor_id = b.id)
+      |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+      |FROM scored WHERE rank <= 3""".stripMargin)),
+
     // ---- hybrid retrieval: reciprocal-rank fusion --------------------
     // lexical (whole-query BM25, top 50) + semantic (cosine to a fixed
     // query vector over the doc-embedding corpus, top 50) fused by RRF

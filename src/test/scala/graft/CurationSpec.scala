@@ -219,6 +219,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  // ---- persisted IVF index -------------------------------------------
+
+  test("persisted IVF index reproduces ivfTopK; pruned probe matches") {
+    import graft.operators.Similarity
+    val emb = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-test").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCells = 4)
+    val viaIndex = Similarity.queryIvfIndex(spark, dir, emb,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val direct = Similarity.ivfTopK(emb, "vec_id", "embedding", k = 3,
+        nCells = 4, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(viaIndex == direct && viaIndex.nonEmpty)
+    val q1 = emb.filter(col("vec_id") === 5)
+    val pruned = Similarity.queryIvfIndex(spark, dir, q1,
+        "vec_id", "embedding", k = 3, nprobe = 2, pruneCells = true)
+      .collect().map(_.toSeq).toSet
+    val unpruned = Similarity.queryIvfIndex(spark, dir, q1,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == unpruned && pruned.nonEmpty)
+  }
+
   // ---- RRF fusion ----------------------------------------------------
 
   test("rrfFuse combines ranks and keeps one-list-only ids") {

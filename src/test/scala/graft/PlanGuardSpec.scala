@@ -47,7 +47,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "sim_rrf_hybrid" -> "1-row query vector + 1-row corpus stats",
     // subject total (ONE row) crossed onto the bounded risk table — the
     // same scalar-broadcast pattern as text_mixture
-    "q93_kaplan_meier" -> "1-row subject total x risk table")
+    "q93_kaplan_meier" -> "1-row subject total x risk table",
+    // same broadcast sqrt(N)-seed assignment crossJoin as sim_ivf, on
+    // the persisted-index build + probe sides
+    "sim_ivf_index" -> "broadcast seed assignment (build + probe)")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
