@@ -311,4 +311,70 @@ object TextAnalysis {
       .filter(fingerprint(textCol) % hashSpace < col("thr"))
       .select(col(idCol), col(sourceCol))
   }
+
+  /** Collocation (phrase) mining by pointwise mutual information: adjacent
+    * word pairs occurring ≥ `minCount` times, scored
+    * `pmi = ln(N·c(ab) / (c(a)·c(b)))` over exact integer counts (one
+    * division inside the ln, integerized to micro-nats — deterministic
+    * rank order), top-`topK`. This is the phrase-vocabulary step of
+    * tokenizer prep / collocation-aware indexing.
+    *
+    * Plan: one bigram explode + count, one unigram count joined twice
+    * (bigram LEFT tokens and RIGHT tokens — key joins, broadcastable when
+    * the vocab is), the bigram total riding the plan as a broadcast 1-row
+    * aggregate. Output: (phrase, n_ab, pmi_micro) ordered (pmi desc,
+    * phrase asc). */
+  def minePhrases(docs: DataFrame, textCol: String, minCount: Long,
+      topK: Int): DataFrame = {
+    val w = docs.select(split(col(textCol), " ").as("w"))
+    val bigrams = w.select(explode(expr(
+        """CASE WHEN size(w) >= 2 THEN
+          |  transform(sequence(1, size(w) - 1),
+          |    i -> named_struct('a', element_at(w, i), 'b', element_at(w, i + 1)))
+          |ELSE array() END""".stripMargin)).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val bc = bigrams.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val uni = w.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val tot = bigrams.agg(count(lit(1)).as("nn"))
+    bc.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("t").as("a"), col("n_t").as("n_a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("n_t").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(concat(col("a"), lit(" "), col("b")).as("phrase"),
+        col("n_ab"),
+        round(log((col("nn") * col("n_ab")).cast("double") /
+          (col("n_a") * col("n_b"))) * 1e6).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("phrase").asc)
+      .limit(topK)
+  }
+
+  /** Greedy left-to-right phrase rewrite: each occurrence of a mined
+    * phrase "a b" becomes the single token "a_b" (first match wins,
+    * merged tokens are not re-matched — standard tokenizer-merge
+    * greediness). The phrase set is a bounded mined vocabulary and rides
+    * the fold as a literal array; the rewrite itself is one generator-free
+    * projection (an `aggregate` HOF fold per document — no explode, no
+    * shuffle, no UDF). */
+  def mergePhrases(docs: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    val lits = phrases.map(p => "'" + p.replace("\\", "\\\\")
+      .replace("'", "\\'") + "'").mkString("array(", ", ", ")")
+    docs.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol),
+        expr(s"""array_join(aggregate(sequence(1, size(__w)),
+          |  named_struct('out', CAST(array() AS array<string>), 'skip', false),
+          |  (acc, i) -> CASE
+          |    WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+          |    WHEN i < size(__w)
+          |         AND array_contains($lits,
+          |           concat(element_at(__w, i), ' ', element_at(__w, i + 1)))
+          |      THEN named_struct('out', concat(acc.out,
+          |             array(concat(element_at(__w, i), '_',
+          |                          element_at(__w, i + 1)))),
+          |           'skip', true)
+          |    ELSE named_struct('out', concat(acc.out,
+          |           array(element_at(__w, i))), 'skip', false)
+          |  END).out, ' ')""".stripMargin).as("merged"))
+  }
 }

@@ -332,6 +332,84 @@ object Curation {
       FROM pp e1 JOIN pp e2 ON e1.v = e2.u
       JOIN pp e3 ON e3.u = e1.u AND e3.v = e2.v""")),
 
+    // ---- collocation mining + phrase rewrite -------------------------
+    // PMI-scored adjacent-pair vocabulary (the phrase step of tokenizer
+    // prep): exact integer counts, one division inside the ln, micro-nat
+    // integerized rank order
+    Q("text_phrases", (s, d) =>
+      graft.operators.TextAnalysis.minePhrases(
+        Tables.ts(s, d, "documents"), "text", minCount = 5, topK = 10),
+      Some("""
+        WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        bg AS (SELECT w[i] AS a, w[i + 1] AS b
+               FROM w, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        bc AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+        uc AS (SELECT t, count(*) AS n_t
+               FROM (SELECT unnest(w) AS t FROM w) GROUP BY 1),
+        tot AS (SELECT count(*) AS nn FROM bg),
+        scored AS (SELECT a || ' ' || b AS phrase, n_ab,
+            CAST(round(ln((nn * n_ab)::DOUBLE / (ua.n_t * ub.n_t)) * 1e6)
+              AS BIGINT) AS pmi_micro
+          FROM bc JOIN uc ua ON bc.a = ua.t JOIN uc ub ON bc.b = ub.t
+          CROSS JOIN tot
+          WHERE n_ab >= 5)
+        SELECT phrase, n_ab, pmi_micro FROM scored
+        ORDER BY pmi_micro DESC, phrase ASC LIMIT 10""")),
+
+    // greedy left-to-right rewrite of the mined phrases into single
+    // tokens — the vocabulary is the bounded text_phrases output
+    // (driver-collected: topK rows, control-plane); the rewrite is one
+    // aggregate-HOF projection per doc, no explode/shuffle/UDF. The
+    // oracle re-mines the same vocabulary and reproduces the greedy fold
+    // with the equivalent ISLAND-PARITY form (within a run of consecutive
+    // matching pair positions, greedy merge-starts are the even offsets)
+    // — DuckDB 1.0.0's list_reduce segfaults on struct-state folds at
+    // corpus scale, so the oracle must stay window-functional.
+    Q("text_phrase_merge", (s, d) => {
+      val phrases = graft.operators.TextAnalysis.minePhrases(
+          Tables.ts(s, d, "documents"), "text", minCount = 5, topK = 10)
+        .select(col("phrase")).collect().map(_.getString(0)).toSeq
+      graft.operators.TextAnalysis.mergePhrases(
+        Tables.ts(s, d, "documents"), "doc_id", "text", phrases)
+    }, Some("""
+        WITH w0 AS (SELECT string_split(text, ' ') AS w FROM documents),
+        bg AS (SELECT w[i] AS a, w[i + 1] AS b
+               FROM w0, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        bc AS (SELECT a, b, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+        uc AS (SELECT t, count(*) AS n_t
+               FROM (SELECT unnest(w) AS t FROM w0) GROUP BY 1),
+        tot AS (SELECT count(*) AS nn FROM bg),
+        topk AS (SELECT a || ' ' || b AS phrase,
+            CAST(round(ln((nn * n_ab)::DOUBLE / (ua.n_t * ub.n_t)) * 1e6)
+              AS BIGINT) AS pmi_micro
+          FROM bc JOIN uc ua ON bc.a = ua.t JOIN uc ub ON bc.b = ub.t
+          CROSS JOIN tot
+          WHERE n_ab >= 5
+          ORDER BY pmi_micro DESC, phrase ASC LIMIT 10),
+        pv AS (SELECT list(phrase) AS phr FROM topk),
+        docs2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        pos AS (SELECT doc_id, i, w[i] AS tok, w[i + 1] AS nxt,
+                  CASE WHEN i < len(w)
+                         AND list_contains(phr, w[i] || ' ' || w[i + 1])
+                       THEN 1 ELSE 0 END AS m
+                FROM docs2 CROSS JOIN pv,
+                     unnest(range(1, len(w) + 1)) AS t(i)),
+        runs AS (SELECT *, i - row_number()
+                   OVER (PARTITION BY doc_id, m ORDER BY i) AS grp
+                 FROM pos),
+        starts AS (SELECT *, CASE WHEN m = 1 AND
+                     (i - min(i) OVER (PARTITION BY doc_id, m, grp)) % 2 = 0
+                     THEN 1 ELSE 0 END AS is_start
+                   FROM runs),
+        fin AS (SELECT doc_id, i,
+                  CASE WHEN is_start = 1 THEN tok || '_' || nxt
+                       ELSE tok END AS outtok,
+                  coalesce(lag(is_start)
+                    OVER (PARTITION BY doc_id ORDER BY i), 0) AS dropped
+                FROM starts)
+        SELECT doc_id, string_agg(outtok, ' ' ORDER BY i) AS merged
+        FROM fin WHERE dropped = 0 GROUP BY doc_id""")),
+
     // ---- persisted IVF index: build once, query many -----------------
     // the index lifecycle of a production vector store: corpus assignment
     // paid at BUILD (seeds + hive-partitioned cells on disk), the query

@@ -219,6 +219,24 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  // ---- phrase mining + merge -----------------------------------------
+
+  test("minePhrases scores PMI on exact counts; mergePhrases is greedy") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "new york city new york is big"),
+      (2L, "new york has a big city")).toDF("doc_id", "text")
+    val mined = TextAnalysis.minePhrases(docs, "text", minCount = 3, topK = 5)
+      .select("phrase", "n_ab").as[(String, Long)].collect().toSeq
+    assert(mined == Seq(("new york", 3L)))
+    val merged = TextAnalysis.mergePhrases(docs, "doc_id", "text",
+        Seq("new york", "york city"))
+      .orderBy("doc_id").select("merged").as[String].collect().toSeq
+    // greedy left-to-right: "new york" wins at position 1, the overlapping
+    // "york city" cannot re-match the consumed token
+    assert(merged == Seq("new_york city new_york is big",
+      "new_york has a big city"))
+  }
+
   // ---- persisted IVF index -------------------------------------------
 
   test("persisted IVF index reproduces ivfTopK; pruned probe matches") {

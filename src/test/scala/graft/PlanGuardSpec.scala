@@ -50,7 +50,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q93_kaplan_meier" -> "1-row subject total x risk table",
     // same broadcast sqrt(N)-seed assignment crossJoin as sim_ivf, on
     // the persisted-index build + probe sides
-    "sim_ivf_index" -> "broadcast seed assignment (build + probe)")
+    "sim_ivf_index" -> "broadcast seed assignment (build + probe)",
+    // bigram total (ONE row) crossed onto the PMI-scored phrase table
+    "text_phrases" -> "1-row bigram total x phrase candidates",
+    "text_phrase_merge" -> "1-row bigram total x phrase candidates (mining stage)")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
