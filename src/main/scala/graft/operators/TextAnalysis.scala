@@ -349,6 +349,33 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Feature hashing (the "hashing trick"): every token indexes into a
+    * FIXED `dim`-wide count vector through the shared deterministic char
+    * hash — the constant-memory featurizer for linear models / n-gram
+    * classifiers where a vocabulary dictionary would be unbounded state.
+    * Output: (id, features: array<long>[dim]).
+    *
+    * Plan: one token-hash explode + groupBy(id, bucket) count (map-side
+    * combined), then one per-doc map assembly; the dense vector builds
+    * from a bounded `sequence(0, dim-1)` transform, so row width is fixed
+    * by construction. No vocabulary table exists anywhere — the operator
+    * is a pure projection+aggregate, reproducible on any partitioning.
+    */
+  def hashFeatures(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val b = docs.select(col(idCol).as("id"),
+        explode(expr(graft.functions.HashExprs.sparkWordHashes(textCol)))
+          .as("h"))
+      .select(col("id"), (col("h") % dim).as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    b.groupBy(col("id"))
+      .agg(map_from_arrays(collect_list(col("bucket")),
+        collect_list(col("cnt"))).as("m"))
+      .select(col("id"), expr(
+        s"transform(sequence(0, ${dim - 1}), i -> coalesce(element_at(m, CAST(i AS BIGINT)), 0L))")
+        .as("features"))
+  }
+
   /** Greedy left-to-right phrase rewrite: each occurrence of a mined
     * phrase "a b" becomes the single token "a_b" (first match wins,
     * merged tokens are not re-matched — standard tokenizer-merge

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{VectorExprs => V}
+import graft.functions.{HashExprs => H, VectorExprs => V}
 import graft.operators.{Classifier, Linkage, Ranking, Similarity, TimeSeries}
 
 /** Round-9 curation/retrieval additions: blocked fuzzy record linkage,
@@ -331,6 +331,26 @@ object Curation {
       SELECT e1.u AS a, e1.v AS b, e2.v AS c
       FROM pp e1 JOIN pp e2 ON e1.v = e2.u
       JOIN pp e3 ON e3.u = e1.u AND e3.v = e2.v""")),
+
+    // ---- feature hashing ---------------------------------------------
+    // the hashing trick: tokens index a FIXED 32-wide count vector via
+    // the shared deterministic char hash — constant-memory featurization
+    // with no vocabulary state; both engines build the identical vector
+    Q("text_hash_features", (s, d) =>
+      graft.operators.TextAnalysis.hashFeatures(
+        Tables.ts(s, d, "documents"), "doc_id", "text", dim = 32)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""
+        WITH wh AS (SELECT doc_id, unnest(${H.duckWordHashes("text")}) AS h
+                    FROM documents),
+        bc AS (SELECT doc_id, h % 32 AS bucket, count(*) AS cnt
+               FROM wh GROUP BY 1, 2),
+        m AS (SELECT doc_id, map_from_entries(list({k: bucket, v: cnt})) AS m
+              FROM bc GROUP BY 1)
+        SELECT doc_id,
+               list_transform(range(0, 32), i -> coalesce(m[i][1], 0::BIGINT))
+                 AS features
+        FROM m""")),
 
     // ---- collocation mining + phrase rewrite -------------------------
     // PMI-scored adjacent-pair vocabulary (the phrase step of tokenizer

@@ -237,6 +237,20 @@ class CurationSpec extends AnyFunSuite {
       "new_york has a big city"))
   }
 
+  test("hashFeatures builds a fixed-width count vector, partition-free") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "a b a"), (2L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.hashFeatures(docs, "doc_id", "text", dim = 8)
+      .orderBy("id").select("features").as[Seq[Long]].collect()
+    assert(out.forall(_.length == 8))
+    assert(out(0).sum == 3L && out(0).max == 2L, "counts: a=2, b=1")
+    assert(out(1).sum == 1L)
+    val repart = TextAnalysis.hashFeatures(docs.repartition(7), "doc_id",
+      "text", dim = 8).orderBy("id").select("features")
+      .as[Seq[Long]].collect()
+    assert(repart.toSeq == out.toSeq)
+  }
+
   // ---- persisted IVF index -------------------------------------------
 
   test("persisted IVF index reproduces ivfTopK; pruned probe matches") {
