@@ -332,6 +332,39 @@ object Curation {
       FROM pp e1 JOIN pp e2 ON e1.v = e2.u
       JOIN pp e3 ON e3.u = e1.u AND e3.v = e2.v""")),
 
+    // ---- distribution drift: population stability index --------------
+    // value-distribution shift per event type between the month's first
+    // half (baseline) and second half (current): 10 equal-width buckets,
+    // add-one smoothing, per-bucket terms integerized to micro-nats so
+    // the cross-bucket sum is order-free
+    Q("q94_psi_drift", (s, d) =>
+      graft.operators.FeatureEng.psiDrift(
+        events(s, d).withColumn("cur", dayofmonth(col("ts")) > 15),
+        "event_type", "value", "cur", bins = 10, lo = 0.0, hi = 250.0),
+      Some("""
+        WITH base AS (SELECT event_type AS grp,
+            CAST(least(9, greatest(0, floor((value - 0.0) / 25.0))) AS BIGINT)
+              AS bucket,
+            (day(CAST(ts AS TIMESTAMP)) > 15) AS cur
+          FROM events),
+        cnts AS (SELECT grp, bucket,
+            CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS cp,
+            CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cq
+          FROM base GROUP BY 1, 2),
+        tot AS (SELECT grp, CAST(sum(cp) AS BIGINT) AS np,
+                       CAST(sum(cq) AS BIGINT) AS nq
+                FROM cnts GROUP BY 1),
+        grid AS (SELECT grp, np, nq, unnest(range(0, 10)) AS bucket FROM tot),
+        terms AS (SELECT g.grp, CAST(round(
+            ((coalesce(cp, 0) + 1)::DOUBLE / (np + 10)
+              - (coalesce(cq, 0) + 1)::DOUBLE / (nq + 10))
+            * ln(((coalesce(cp, 0) + 1)::DOUBLE / (np + 10))
+                 / ((coalesce(cq, 0) + 1)::DOUBLE / (nq + 10))) * 1e6)
+            AS BIGINT) AS term
+          FROM grid g LEFT JOIN cnts c ON g.grp = c.grp AND g.bucket = c.bucket)
+        SELECT grp, CAST(sum(term) AS BIGINT) AS psi_micro
+        FROM terms GROUP BY 1""")),
+
     // ---- feature hashing ---------------------------------------------
     // the hashing trick: tokens index a FIXED 32-wide count vector via
     // the shared deterministic char hash — constant-memory featurization

@@ -237,6 +237,22 @@ class CurationSpec extends AnyFunSuite {
       "new_york has a big city"))
   }
 
+  test("psiDrift: identical slices score zero; a shifted slice scores high") {
+    import graft.operators.FeatureEng
+    val same = (1 to 100).flatMap(i =>
+      Seq(("g", i % 10 * 10.0 + 1, false), ("g", i % 10 * 10.0 + 1, true)))
+      .toDF("grp", "v", "cur")
+    val zero = FeatureEng.psiDrift(same, "grp", "v", "cur", 10, 0.0, 100.0)
+      .select("psi_micro").as[Long].head()
+    assert(zero == 0L, "identical distributions: every (p - q) term is 0")
+    val shifted = ((1 to 100).map(i => ("g", 5.0, false)) ++
+      (1 to 100).map(i => ("g", 95.0, true)))
+      .toDF("grp", "v", "cur")
+    val high = FeatureEng.psiDrift(shifted, "grp", "v", "cur", 10, 0.0, 100.0)
+      .select("psi_micro").as[Long].head()
+    assert(high > 250000L, s"disjoint mass must exceed the 0.25 alarm: $high")
+  }
+
   test("hashFeatures builds a fixed-width count vector, partition-free") {
     import graft.operators.TextAnalysis
     val docs = Seq((1L, "a b a"), (2L, "c")).toDF("doc_id", "text")
