@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association rules over (basket, item) rows — the
+  * co-occurrence affinity mining ("customers who bought X also bought Y")
+  * that doubles as tag/topic affinity analysis over document corpora.
+  *
+  * All statistics are exact integer counts over distinct (basket, item)
+  * memberships; confidence and lift are single divisions of exact values,
+  * so every number is bit-reproducible. The pair space never goes through
+  * a cartesian product: candidate pairs come from the within-basket
+  * self-equi-join on the basket key, bounded by Σ C(|basket|, 2) — at
+  * scale, cap basket size upstream (a basket with thousands of items has
+  * stopped being a basket).
+  */
+object BasketAnalysis {
+
+  /** Rules `a ⇒ b` (both directions) with
+    * `support(ab) >= minSupport` baskets:
+    * conf = s_ab/s_a, lift = N·s_ab/(s_a·s_b). Output:
+    * (ante, cons, s_ab, conf, lift) rounded at 6, ordered nowhere — rank
+    * downstream. Input rows are (basketCol, itemCol); duplicates within a
+    * basket are collapsed first. */
+  def rules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val m = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val items = m.groupBy(col("it")).agg(count(lit(1)).as("s"))
+    val nB = m.agg(count_distinct(col("bk")).as("nb"))
+    val pairCnt = m.select(col("bk"), col("it").as("ia"))
+      .join(m.select(col("bk"), col("it").as("ib")), Seq("bk"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(count(lit(1)).as("s_ab"))
+      .filter(col("s_ab") >= minSupport)
+    // both rule directions from the one canonical pair count
+    val directed = pairCnt.select(col("ia").as("ante"), col("ib").as("cons"),
+        col("s_ab"))
+      .unionByName(pairCnt.select(col("ib").as("ante"), col("ia").as("cons"),
+        col("s_ab")))
+    directed
+      .join(items.select(col("it").as("ante"), col("s").as("s_a")), Seq("ante"))
+      .join(items.select(col("it").as("cons"), col("s").as("s_b")), Seq("cons"))
+      .crossJoin(broadcast(nB))
+      .select(col("ante"), col("cons"), col("s_ab"),
+        round(col("s_ab").cast("double") / col("s_a"), 6).as("conf"),
+        round(col("nb").cast("double") * col("s_ab") /
+          (col("s_a") * col("s_b")), 6).as("lift"))
+  }
+}

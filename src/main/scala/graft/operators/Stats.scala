@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Moment-based statistics: per-group trend lines and one-pass correlation
+  * matrices. Everything reduces to exact integer moment sums (n, Σx, Σy,
+  * Σxy, Σx², Σy²) — the closed forms then run on identical doubles in any
+  * engine (products of exact longs are correctly-rounded IEEE, mirrored
+  * operation-for-operation by the oracles), and nothing downstream of the
+  * one aggregate pass is proportional to row count.
+  */
+object Stats {
+
+  /** Per-group ordinary-least-squares trend of `yCol` (integerized at
+    * `yScale`) against integer `xCol`:
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n.
+    * Callers should re-base x near zero (e.g. hours since a fixed anchor)
+    * so the moment products stay well inside exact-long range. Groups
+    * with zero x-variance yield NULL slope/intercept. Output:
+    * (grp, n, slope, intercept) in y-units per x-unit, rounded at 6.
+    */
+  def olsTrend(df: DataFrame, grpCol: String, xCol: String, yCol: String,
+      yScale: Double = 1e6): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = round(col(yCol) * yScale).cast("long")
+    val m = df.select(col(grpCol).as("grp"), x.as("x"), y.as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val den = col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")
+    val slope = (col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")) / den
+    m.select(col("grp"), col("n"),
+      when(den =!= 0.0, round(slope / yScale, 6)).as("slope"),
+      when(den =!= 0.0,
+        round((col("sy") - slope * col("sx")) / col("n") / yScale, 6))
+        .as("intercept"))
+  }
+
+  /** One-pass Pearson correlation matrix over integerized numeric columns:
+    * `cols` maps column name → integerization expression (exact longs).
+    * ALL pairwise moments ride ONE aggregate (3 sums + 3 square sums +
+    * C(k,2) cross sums for k columns), then the bounded 1-row result
+    * unions into (col_a, col_b, r) rows — the corpus is scanned exactly
+    * once regardless of how many pairs are requested. Zero-variance
+    * columns yield NULL r. */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val named = cols.map { case (n, c) => n -> c.cast("long") }
+    val base = df.select(named.map { case (n, c) => c.as(n) }: _*)
+    val sums = named.flatMap { case (n, _) =>
+      Seq(sum(col(n)).as(s"s_$n"), sum(col(n) * col(n)).as(s"ss_$n"))
+    }
+    val crosses = for {
+      i <- named.indices; j <- named.indices if i < j
+      a = named(i)._1; b = named(j)._1
+    } yield sum(col(a) * col(b)).as(s"sx_${a}_$b")
+    // ONE aggregate action; its single bounded row (2k+C(k,2)+1 longs) is
+    // control-plane and collects like a k-means centroid fold — the pair
+    // rows then build from literals, so the corpus is scanned exactly once
+    val row = base.agg(count(lit(1)).as("n"), (sums ++ crosses): _*).head()
+    def l(name: String): Long = row.getLong(row.fieldIndex(name))
+    val n = row.getLong(0)
+    val pairs = for {
+      i <- named.indices; j <- named.indices if i < j
+      a = named(i)._1; b = named(j)._1
+    } yield {
+      val nd = n.toDouble
+      val cov = nd * l(s"sx_${a}_$b") - l(s"s_$a").toDouble * l(s"s_$b")
+      val va = nd * l(s"ss_$a") - l(s"s_$a").toDouble * l(s"s_$a")
+      val vb = nd * l(s"ss_$b") - l(s"s_$b").toDouble * l(s"s_$b")
+      val r: Any =
+        if (n > 0 && va > 0.0 && vb > 0.0)
+          BigDecimal(cov / (math.sqrt(va) * math.sqrt(vb)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else null
+      (a, b, r)
+    }
+    val spark = df.sparkSession
+    val rows = pairs.map { case (a, b, r) =>
+      org.apache.spark.sql.Row(a, b, r) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("col_a",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("col_b",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+  }
+}

@@ -332,6 +332,109 @@ object Curation {
       FROM pp e1 JOIN pp e2 ON e1.v = e2.u
       JOIN pp e3 ON e3.u = e1.u AND e3.v = e2.v""")),
 
+    // ---- per-group OLS trend -----------------------------------------
+    // value trend per event type over the month (y-units per hour): exact
+    // integer moments, closed-form slope/intercept on mirrored doubles;
+    // x re-based at the 2024-01-01 hour index so moment products stay
+    // exact
+    Q("q95_trend", (s, d) =>
+      graft.operators.Stats.olsTrend(
+        events(s, d).select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L - 473352L").as("xh"),
+          col("value")),
+        "event_type", "xh", "value"),
+      Some("""
+        WITH b AS (SELECT event_type AS grp,
+            epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 - 473352 AS x,
+            CAST(round(value * 1000000.0) AS BIGINT) AS y
+          FROM events),
+        m AS (SELECT grp, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                CAST(sum(y) AS BIGINT) AS sy,
+                CAST(sum(x * y) AS BIGINT) AS sxy,
+                CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM b GROUP BY 1)
+        SELECT grp, n,
+          CASE WHEN n::DOUBLE * sxx - sx::DOUBLE * sx <> 0 THEN
+            round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+              / (n::DOUBLE * sxx - sx::DOUBLE * sx) / 1000000.0, 6)
+          END AS slope,
+          CASE WHEN n::DOUBLE * sxx - sx::DOUBLE * sx <> 0 THEN
+            round((sy - (n::DOUBLE * sxy - sx::DOUBLE * sy)
+                / (n::DOUBLE * sxx - sx::DOUBLE * sx) * sx)
+              / n / 1000000.0, 6)
+          END AS intercept
+        FROM m""")),
+
+    // ---- one-pass correlation matrix ---------------------------------
+    // pairwise Pearson over integerized lineitem measures; all moments in
+    // ONE aggregate (the corpus is scanned once for any number of pairs);
+    // dollars (not cents) for price so Σp² stays inside exact range
+    Q("q96_corr_matrix", (s, d) =>
+      graft.operators.Stats.corrMatrix(t(s, d, "lineitem"), Seq(
+        "qty" -> round(col("l_quantity")),
+        "price" -> round(col("l_extendedprice")),
+        "disc_c" -> round(col("l_discount") * 100))),
+      Some("""
+        WITH b AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+            CAST(round(l_extendedprice) AS BIGINT) AS p,
+            CAST(round(l_discount * 100) AS BIGINT) AS dc
+          FROM lineitem),
+        m AS (SELECT count(*) AS n,
+            CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+            CAST(sum(dc) AS BIGINT) AS sd,
+            CAST(sum(q * q) AS BIGINT) AS sqq, CAST(sum(p * p) AS BIGINT) AS spp,
+            CAST(sum(dc * dc) AS BIGINT) AS sdd,
+            CAST(sum(q * p) AS BIGINT) AS sqp, CAST(sum(q * dc) AS BIGINT) AS sqd,
+            CAST(sum(p * dc) AS BIGINT) AS spd
+          FROM b)
+        SELECT 'qty' AS col_a, 'price' AS col_b,
+               round((n::DOUBLE * sqp - sq::DOUBLE * sp)
+                 / (sqrt(n::DOUBLE * sqq - sq::DOUBLE * sq)
+                    * sqrt(n::DOUBLE * spp - sp::DOUBLE * sp)), 6) AS r
+        FROM m
+        UNION ALL
+        SELECT 'qty', 'disc_c',
+               round((n::DOUBLE * sqd - sq::DOUBLE * sd)
+                 / (sqrt(n::DOUBLE * sqq - sq::DOUBLE * sq)
+                    * sqrt(n::DOUBLE * sdd - sd::DOUBLE * sd)), 6)
+        FROM m
+        UNION ALL
+        SELECT 'price', 'disc_c',
+               round((n::DOUBLE * spd - sp::DOUBLE * sd)
+                 / (sqrt(n::DOUBLE * spp - sp::DOUBLE * sp)
+                    * sqrt(n::DOUBLE * sdd - sd::DOUBLE * sd)), 6)
+        FROM m""")),
+
+    // ---- association rules (market-basket affinity) ------------------
+    // brand-affinity rules over order baskets: exact support counts,
+    // single-division confidence/lift, pair space bounded by within-
+    // basket joins (never cartesian)
+    Q("q97_assoc_rules", (s, d) => {
+      val baskets = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey"))
+        .join(t(s, d, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand").as("it")),
+          "l_partkey")
+        .select(col("bk"), col("it"))
+      graft.operators.BasketAnalysis.rules(baskets, "bk", "it",
+        minSupport = 10L)
+    }, Some("""
+        WITH m AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+        items AS (SELECT it, count(*) AS s FROM m GROUP BY 1),
+        nb AS (SELECT count(DISTINCT bk) AS nb FROM m),
+        pc AS (SELECT a.it AS ia, b.it AS ib, count(*) AS s_ab
+               FROM m a JOIN m b ON a.bk = b.bk AND a.it < b.it
+               GROUP BY 1, 2 HAVING count(*) >= 10),
+        dir AS (SELECT ia AS ante, ib AS cons, s_ab FROM pc
+                UNION ALL SELECT ib, ia, s_ab FROM pc)
+        SELECT ante, cons, s_ab,
+               round(s_ab::DOUBLE / sa.s, 6) AS conf,
+               round(nb::DOUBLE * s_ab / (sa.s * sb.s), 6) AS lift
+        FROM dir JOIN items sa ON dir.ante = sa.it
+                 JOIN items sb ON dir.cons = sb.it
+        CROSS JOIN nb""")),
+
     // ---- distribution drift: population stability index --------------
     // value-distribution shift per event type between the month's first
     // half (baseline) and second half (current): 10 equal-width buckets,

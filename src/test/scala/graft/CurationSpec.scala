@@ -237,6 +237,45 @@ class CurationSpec extends AnyFunSuite {
       "new_york has a big city"))
   }
 
+  test("olsTrend recovers an exact linear relation") {
+    import graft.operators.Stats
+    // y = 2x + 3 exactly -> slope 2, intercept 3; plus a flat group
+    val df = ((0 to 10).map(x => ("up", x.toLong, 2.0 * x + 3)) ++
+      (0 to 10).map(x => ("flat", x.toLong, 7.0))).toDF("g", "x", "y")
+    val got = Stats.olsTrend(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got("up") == (2.0, 3.0))
+    assert(got("flat") == (0.0, 7.0))
+  }
+
+  test("corrMatrix: perfect correlation, anti-correlation, and pair count") {
+    import graft.operators.Stats
+    val df = (1 to 20).map(i => (i.toLong, 3L * i, -2L * i))
+      .toDF("a", "b", "c")
+    val got = Stats.corrMatrix(df, Seq("a" -> col("a"), "b" -> col("b"),
+        "c" -> col("c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.size == 3)
+    assert(got(("a", "b")) == 1.0 && got(("a", "c")) == -1.0 &&
+      got(("b", "c")) == -1.0)
+  }
+
+  test("association rules: support, confidence, and lift are exact") {
+    import graft.operators.BasketAnalysis
+    // baskets: {x,y} {x,y} {x} {y,z}; s_x=3 s_y=3 s_xy=2, N=4
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"),
+      (4L, "y"), (4L, "z"), (4L, "z")).toDF("bk", "it")
+    val got = BasketAnalysis.rules(df, "bk", "it", minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // conf(x=>y) = 2/3 rounded; lift = 4*2/(3*3)
+    assert(got(("x", "y")) == (2L, 0.666667, 0.888889))
+    assert(got(("y", "x")) == (2L, 0.666667, 0.888889))
+    assert(!got.contains(("y", "z")), "support 1 < minSupport")
+  }
+
   test("psiDrift: identical slices score zero; a shifted slice scores high") {
     import graft.operators.FeatureEng
     val same = (1 to 100).flatMap(i =>

@@ -53,7 +53,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "sim_ivf_index" -> "broadcast seed assignment (build + probe)",
     // bigram total (ONE row) crossed onto the PMI-scored phrase table
     "text_phrases" -> "1-row bigram total x phrase candidates",
-    "text_phrase_merge" -> "1-row bigram total x phrase candidates (mining stage)")
+    "text_phrase_merge" -> "1-row bigram total x phrase candidates (mining stage)",
+    // basket total (ONE row) crossed onto the bounded rule table
+    "q97_assoc_rules" -> "1-row basket total x rules")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
