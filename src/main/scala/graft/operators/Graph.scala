@@ -351,4 +351,37 @@ object Graph {
     und.unpersist(); oriented.unpersist()
     tri
   }
+
+  /** k-core decomposition by iterative peeling, `rounds` rounds unrolled
+    * (the oracle replays each round as a CTE; on a converged graph the
+    * result IS the k-core fixpoint — callers size `rounds` to the graph's
+    * peel depth the same way `pageRank`/`labelPropagation` size `iters`).
+    * Input is a MIRRORED edge list (both directions present, like
+    * [[labelPropagation]]), so every node appears as `src` and degree is
+    * one `groupBy(src)`. Per round: two semi-joins restrict edges to
+    * surviving endpoints, one map-side-combined count aggregate, a
+    * threshold filter — all key-partitioned, nothing grows with rounds;
+    * the survivor set is `localCheckpoint`ed per round so plans stay flat.
+    * Output: (id, deg) of nodes alive after the final round, with their
+    * degree inside that round's surviving subgraph. Caller owns the
+    * result per the [[Checkpoints]] contract.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).persist()
+    var alive = e.select(col("src").as("id")).distinct()
+      .withColumn("deg", lit(0L)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val ea = e
+        .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      val next = ea.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint()
+      Checkpoints.release(alive)
+      alive = next
+    }
+    e.unpersist()
+    alive
+  }
 }

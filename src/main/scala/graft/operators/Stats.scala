@@ -90,4 +90,38 @@ object Stats {
         org.apache.spark.sql.types.StructField("r",
           org.apache.spark.sql.types.DoubleType, nullable = true))))
   }
+
+  /** Per-group winsorized sum: clamp integer `valCol` to the group's
+    * [pLo, pHi] DISCRETE percentiles, then sum. Percentile indices are
+    * pure integer arithmetic — idx = ceil(n·p/100) = (n·p + 99) div 100
+    * over the (value, rowKey)-ranked window — so the cut values, the
+    * clamped values, and the sums are all exact longs; no interpolated
+    * (float) quantile ever exists, which is what keeps the oracle
+    * hash-exact and the sum reduction-order-free. Two window passes over
+    * the group partition + one aggregate, all co-partitioned on the
+    * group. Output: (grp, n, lo, hi, wsum).
+    */
+  def winsorizedSum(df: DataFrame, grpCol: String, valCol: String,
+      rowKey: String, pLo: Int = 5, pHi: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("v").asc, col("rk").asc)
+    val ranked = df.select(col(grpCol).as("grp"),
+        col(valCol).cast("long").as("v"), col(rowKey).as("rk"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val loIdx = expr(s"(n * $pLo + 99) div 100")
+    val hiIdx = expr(s"(n * $pHi + 99) div 100")
+    val bounds = ranked
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        max(when(col("rn") === greatest(loIdx, lit(1L)), col("v"))).as("lo"),
+        max(when(col("rn") === greatest(hiIdx, lit(1L)), col("v"))).as("hi"))
+    ranked.join(broadcast(bounds.select(col("grp"), col("lo"), col("hi"))),
+        Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum(greatest(least(col("v"), col("hi")), col("lo"))).as("wsum"))
+  }
 }

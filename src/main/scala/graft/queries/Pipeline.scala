@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, Diff, Graph, Sampling, Stats}
+
+/** Round-9 session-3 additions: BPE tokenizer training, k-core graph
+  * decomposition, corpus snapshot diff (CDC), weighted sampling without
+  * replacement, and exact winsorized aggregation.
+  */
+object Pipeline {
+  import Tables.t
+
+  def defs: Seq[Q] = Seq(
+    // ---- BPE tokenizer training --------------------------------------
+    // 8 merge rounds over the distinct-word table; the merge trajectory
+    // (step, pair, weighted count) is the verified output. The corpus is
+    // scanned once; every round runs on the vocabulary-sized table.
+    Q("text_bpe", (s, d) =>
+      Bpe.train(Tables.ts(s, d, "documents"), "text", merges = 8),
+      Some(Bpe.trainOracleSql(8))),
+
+    // ---- k-core decomposition ----------------------------------------
+    // 2 peel rounds at k=16 over the co-purchase graph (parts sharing an
+    // order, 1-in-5 part slice — same graph family as q90_triangles);
+    // chosen so peeling genuinely cascades (round 2 removes nodes round 1
+    // left alive) at every test scale.
+    Q("q98_kcore", (s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pp = Tables.spread(
+          li.select(col("l_orderkey"), col("l_partkey").as("u"))
+            .join(li.select(col("l_orderkey"), col("l_partkey").as("v")),
+              Seq("l_orderkey"))
+            .filter(col("u") < col("v"))
+            .select(col("u"), col("v"))).distinct()
+      val edges = pp.select(explode(array(
+          struct(col("u").as("src"), col("v").as("dst")),
+          struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      ScaleOps.withAqeOff(s) { ScaleOps.withShufflePartitions(s, 8) {
+        Graph.kCore(edges, k = 16, rounds = 2)
+      } }
+    }, Some("""
+      WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                  WHERE l_partkey % 5 = 0),
+      pp AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_partkey < b.l_partkey),
+      e AS (SELECT u AS src, v AS dst FROM pp UNION ALL SELECT v, u FROM pp),
+      a0 AS (SELECT DISTINCT src AS id FROM e),
+      d1 AS (SELECT e.src AS id, count(*) AS deg FROM e
+             JOIN a0 s ON e.src = s.id JOIN a0 t ON e.dst = t.id GROUP BY 1),
+      a1 AS (SELECT id, deg FROM d1 WHERE deg >= 16),
+      d2 AS (SELECT e.src AS id, count(*) AS deg FROM e
+             JOIN a1 s ON e.src = s.id JOIN a1 t ON e.dst = t.id GROUP BY 1),
+      a2 AS (SELECT id, deg FROM d2 WHERE deg >= 16)
+      SELECT id, deg FROM a2""")),
+
+    // ---- corpus snapshot diff (CDC) ----------------------------------
+    // old = crawl minus every 7th doc; new = crawl minus every 5th doc
+    // with every 11th doc revised — the diff classifies exactly the keys
+    // that moved. The join carries md5 digests, never the text.
+    Q("q99_snapshot_diff", (s, d) => {
+      val docs = t(s, d, "documents")
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+      val next = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text")))
+      Diff.snapshotDiff(prev, next, "doc_id", Seq("text", "lang", "source"))
+        .select(col("key").as("doc_id"), col("status"))
+    }, Some("""
+      WITH o AS (SELECT doc_id,
+               md5(concat_ws(chr(1), coalesce(text, chr(2)),
+                 coalesce(lang, chr(2)), coalesce(source, chr(2)))) AS dg
+             FROM documents WHERE doc_id % 7 <> 0),
+      n AS (SELECT doc_id,
+               md5(concat_ws(chr(1),
+                 coalesce(CASE WHEN doc_id % 11 = 0 THEN text || ' rev'
+                               ELSE text END, chr(2)),
+                 coalesce(lang, chr(2)), coalesce(source, chr(2)))) AS dg
+             FROM documents WHERE doc_id % 5 <> 0)
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  ELSE 'changed' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.dg <> n.dg""")),
+
+    // ---- weighted sampling without replacement -----------------------
+    // 100 docs drawn by n_chars-weighted exponential race; deterministic
+    // (hash-derived u, integer micro-nat ln before the one division)
+    Q("text_weighted_sample", (s, d) =>
+      Sampling.weightedSample(t(s, d, "documents"), "doc_id", "n_chars",
+        k = 100),
+      Some(s"""
+        SELECT doc_id, n_chars FROM (
+          SELECT doc_id, n_chars,
+                 ${Sampling.duckRaceKey("doc_id::VARCHAR", "n_chars")} AS race
+          FROM documents
+          ORDER BY race DESC, doc_id LIMIT 100)""")),
+
+    // ---- winsorized aggregation --------------------------------------
+    // per-priority order totals with the tails clamped to the discrete
+    // [p5, p95] cut — all-integer rank indices and cents, so the clamp
+    // and the sum are exact in any engine
+    Q("q100_winsorize", (s, d) =>
+      Stats.winsorizedSum(
+        t(s, d, "orders").withColumn("cents",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+        "o_orderpriority", "cents", "o_orderkey"),
+      Some("""
+        WITH r AS (SELECT o_orderpriority AS grp,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 o_orderkey AS rk FROM orders),
+        rn AS (SELECT grp, v, rk,
+                 row_number() OVER (PARTITION BY grp ORDER BY v, rk) AS rn,
+                 count(*) OVER (PARTITION BY grp) AS n FROM r),
+        b AS (SELECT grp, max(n) AS n,
+                max(CASE WHEN rn = greatest((n * 5 + 99) // 100, 1)
+                    THEN v END) AS lo,
+                max(CASE WHEN rn = greatest((n * 95 + 99) // 100, 1)
+                    THEN v END) AS hi
+              FROM rn GROUP BY grp)
+        SELECT rn.grp, count(*) AS n, max(b.lo) AS lo, max(b.hi) AS hi,
+               CAST(sum(greatest(least(v, b.hi), b.lo)) AS BIGINT) AS wsum
+        FROM rn JOIN b ON rn.grp = b.grp GROUP BY rn.grp""")))
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bpe, Diff, Graph, Sampling, Stats}
+
+/** Hand-computed cases for the session-3 pipeline operators: BPE training,
+  * k-core peeling, snapshot diff, weighted sampling, winsorized sums. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Bpe -----------------------------------------------------------
+
+  test("bpe learns the most frequent pair first, ties on (lft, rgt)") {
+    // "abab" x3, "ab" x2: pairs a-b 8 (2 per abab + 1 per ab), b-a 3
+    val docs = Seq("abab abab abab ab ab").toDF("text")
+    val got = Bpe.train(docs, "text", merges = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "b", 8L)))
+  }
+
+  test("bpe merge is greedy leftmost non-overlapping: aaa -> [aa, a]") {
+    // corpus "aaa": round 1 merges (a,a) with count 2 (both adjacent
+    // pairs); after the greedy rewrite the word is [aa, a] so round 2
+    // sees exactly one (aa, a) pair
+    val docs = Seq("aaa").toDF("text")
+    val got = Bpe.train(docs, "text", merges = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
+  test("bpe respects symbol boundaries: (a,b) never matches inside xa|by") {
+    // after merging (x,a) and then (b,y) ... simpler direct case: words
+    // where the character pair a,b only exists straddling the symbols
+    // "xa","by" must not merge on rule (a,b). Build it: corpus gives
+    // top pair (x,a) then (b,y), then (a,b) count must come only from
+    // the true [a][b] word, not from [xa][by].
+    val docs = Seq("xaby xaby xaby ab").toDF("text")
+    val rules = Bpe.train(docs, "text", merges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // round 1: pairs x-a 3, a-b 4, b-y 3 -> (a,b) wins with 4
+    assert(rules.head == ((1, "a", "b", 4L)))
+    // after the merge, "xaby" is [x, ab, y]: pair (x, ab) and (ab, y)
+    // count 3 each -> round 2 picks (ab, y) by... (3,3) tie ->
+    // lexicographic (lft, rgt): ("ab","y") < ("x","ab") so (ab,y) wins
+    assert(rules(1) == ((2, "ab", "y", 3L)))
+  }
+
+  test("bpe stops early when no pairs remain") {
+    val docs = Seq("a b c").toDF("text")
+    val got = Bpe.train(docs, "text", merges = 5).collect()
+    assert(got.isEmpty) // all words are single symbols from round 1
+  }
+
+  // ---- Graph.kCore ---------------------------------------------------
+
+  private def mirrored(pairs: Seq[(Long, Long)]) = {
+    val fwd = pairs.toDF("src", "dst")
+    fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  test("kCore peels cascades round by round") {
+    // path 1-2-3-4 plus triangle 4-5-6: at k=2 round 1 drops the path
+    // endpoints 1 (deg1)... deg: 1:1, 2:2, 3:2, 4:3, 5:2, 6:2
+    // round 1 drops node 1; round 2: 2 has deg 1 -> drops; round 3:
+    // 3 drops; round 4: 4,5,6 stable triangle (deg 2 each)
+    val e = mirrored(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (4L, 6L), (5L, 6L)))
+    def ids(rounds: Int) =
+      Graph.kCore(e, k = 2, rounds = rounds).select("id")
+        .as[Long].collect().toSet
+    assert(ids(1) == Set(2L, 3L, 4L, 5L, 6L))
+    assert(ids(2) == Set(3L, 4L, 5L, 6L))
+    assert(ids(3) == Set(4L, 5L, 6L))
+    assert(ids(4) == Set(4L, 5L, 6L)) // fixpoint
+  }
+
+  test("kCore reports degrees inside the surviving subgraph") {
+    val e = mirrored(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (4L, 6L), (5L, 6L)))
+    val got = Graph.kCore(e, k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(4L -> 2L, 5L -> 2L, 6L -> 2L))
+  }
+
+  // ---- Diff.snapshotDiff ---------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val prev = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"),
+      (4L, "d", "w")).toDF("id", "p1", "p2")
+    val next = Seq((2L, "b", "y"), (3L, "C", "z"), (4L, "d", "w"),
+      (5L, "e", "v")).toDF("id", "p1", "p2")
+    val got = Diff.snapshotDiff(prev, next, "id", Seq("p1", "p2"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
+  }
+
+  test("snapshotDiff distinguishes NULL from empty-string payload") {
+    val prev = Seq((1L, Option.empty[String]), (2L, Option(""))).toDF("id", "p")
+    val next = Seq((1L, Option("")), (2L, Option.empty[String])).toDF("id", "p")
+    val got = Diff.snapshotDiff(prev, next, "id", Seq("p"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  // ---- Sampling.weightedSample ---------------------------------------
+
+  test("weightedSample selection is exact and partitioning-independent") {
+    val df = (1L to 200L).map(i => (i, (i % 13 + 1).toInt)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", k = 20)
+      .as[(Long, Int)].collect().toSet
+    val b = Sampling.weightedSample(df.repartition(7), "id", "w", k = 20)
+      .as[(Long, Int)].collect().toSet
+    assert(a == b && a.size == 20)
+    // replay the race on the driver: u from the shared char hash of the
+    // id string, key = round(ln(u) * 1e6) / w, top-20
+    val P = graft.functions.HashExprs.P
+    def charHash(s: String): Long =
+      s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % P)
+    val expect = (1L to 200L).map { i =>
+      val u = (charHash(i.toString) + 1.0) / (P + 1.0)
+      val key = math.round(math.log(u) * 1e6).toDouble / (i % 13 + 1)
+      (i, key)
+    }.sortBy { case (i, key) => (-key, i) }.take(20).map(_._1).toSet
+    assert(a.map(_._1) == expect)
+  }
+
+  test("weightedSample returns everything when k >= rows") {
+    val df = Seq((1L, 5), (2L, 1)).toDF("id", "w")
+    assert(Sampling.weightedSample(df, "id", "w", k = 10).count() == 2)
+  }
+
+  // ---- Stats.winsorizedSum -------------------------------------------
+
+  test("winsorizedSum clamps to integer-rank percentile cuts") {
+    // group g: values 1..20 -> n=20, loIdx=ceil(20*5/100)=1, hi=ceil(19)=19
+    // lo = 1, hi = 19; sum = (1..19 sum) + clamp(20->19) = 190 + 19 = 209
+    val df = (1L to 20L).map(v => ("g", v, v)).toDF("grp", "v", "rk")
+    val got = Stats.winsorizedSum(df, "grp", "v", "rk")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got == (("g", 20L, 1L, 19L, 209L)))
+  }
+
+  test("winsorizedSum singleton group clamps to its own value") {
+    val df = Seq(("g", 7L, 1L)).toDF("grp", "v", "rk")
+    val got = Stats.winsorizedSum(df, "grp", "v", "rk")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got == (("g", 1L, 7L, 7L, 7L)))
+  }
+}
