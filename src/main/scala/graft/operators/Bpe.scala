@@ -47,12 +47,11 @@ object Bpe {
       .withColumn("seq",
         concat_ws(Sep, expr("array_remove(split(word, ''), '')")))
 
-  /** Learn `merges` merge rules. Returns one row per rule:
-    * (step, lft, rgt, cnt) where cnt is the pair's weighted frequency at
-    * the time it was chosen; ties break (count desc, lft asc, rgt asc) so
-    * the trajectory is deterministic. Stops early if no pair remains. */
-  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** Run the merge loop: returns the final (word, wc, seq) table — a
+    * `localCheckpoint`ed frame the caller owns per the [[Checkpoints]]
+    * contract — and the chosen rules. */
+  private def trainLoop(docs: DataFrame, textCol: String, merges: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     var cur = wordTable(docs, textCol).localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
@@ -88,9 +87,33 @@ object Bpe {
         r += 1
       }
     }
-    Checkpoints.release(cur)
+    (cur, rules.toSeq)
+  }
+
+  /** Learn `merges` merge rules. Returns one row per rule:
+    * (step, lft, rgt, cnt) where cnt is the pair's weighted frequency at
+    * the time it was chosen; ties break (count desc, lft asc, rgt asc) so
+    * the trajectory is deterministic. Stops early if no pair remains. */
+  def train(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val (words, rules) = trainLoop(docs, textCol, merges)
+    Checkpoints.release(words)
     import spark.implicits._
-    rules.toSeq.toDF("step", "lft", "rgt", "cnt")
+    rules.toDF("step", "lft", "rgt", "cnt")
+  }
+
+  /** Train, then read the resulting vocabulary off the final word table:
+    * the `topK` most frequent tokens (corpus-weighted, ties on the token)
+    * under the learned segmentation. The caller owns the result per the
+    * [[Checkpoints]] contract (it closes over the final checkpointed
+    * word table). */
+  def vocab(docs: DataFrame, textCol: String, merges: Int,
+      topK: Int): DataFrame = {
+    val (words, _) = trainLoop(docs, textCol, merges)
+    words.select(col("wc"), explode(split(col("seq"), Sep)).as("token"))
+      .groupBy(col("token")).agg(sum(col("wc")).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topK)
   }
 
   /** DuckDB replica of [[train]]: the K rounds unrolled as CTE triples
@@ -98,6 +121,22 @@ object Bpe {
     * the argmax rows. String-accumulator fold only — DuckDB's list_reduce
     * is unsafe on struct accumulators at scale. */
   def trainOracleSql(merges: Int): String = {
+    val union = (1 to merges)
+      .map(r => s"SELECT $r AS step, lft, rgt, cnt FROM m$r")
+      .mkString(" UNION ALL ")
+    s"${oracleCtes(merges)}\nSELECT * FROM ($union)"
+  }
+
+  /** DuckDB replica of [[vocab]]: the same CTE chain, final select reads
+    * token frequencies off the last rewritten word table. */
+  def vocabOracleSql(merges: Int, topK: Int): String =
+    s"""${oracleCtes(merges)}
+       |SELECT token, CAST(sum(wc) AS BIGINT) AS freq
+       |FROM (SELECT wc, unnest(string_split(seq, '$Sep')) AS token
+       |      FROM w$merges)
+       |GROUP BY 1 ORDER BY freq DESC, token LIMIT $topK""".stripMargin
+
+  private def oracleCtes(merges: Int): String = {
     val rounds = (1 to merges).map { r =>
       s"""p$r AS (
          |  SELECT arr[i] AS lft, arr[i+1] AS rgt,
@@ -116,16 +155,12 @@ object Bpe {
          |                       ELSE acc || '$Sep' || x END) AS seq
          |  FROM w${r - 1}, m$r m)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to merges)
-      .map(r => s"SELECT $r AS step, lft, rgt, cnt FROM m$r")
-      .mkString(" UNION ALL ")
     s"""WITH w0 AS (
        |  SELECT word, count(*) AS wc,
        |         array_to_string(string_split(word, ''), '$Sep') AS seq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
        |  GROUP BY 1),
-       |$rounds
-       |SELECT * FROM ($union)""".stripMargin
+       |$rounds""".stripMargin
   }
 }

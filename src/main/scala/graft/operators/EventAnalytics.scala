@@ -144,4 +144,47 @@ object EventAnalytics {
     counts.withColumn("p",
       round(col("n") / sum(col("n")).over(rowTotal), 6))
   }
+
+  /** First-touch / last-touch conversion attribution: every `convType`
+    * event is credited to the user's earliest touch overall (first-touch
+    * model) and to the latest touch at-or-before the conversion
+    * (last-touch model); conversions with no preceding touch land in the
+    * `(none)` bucket, so each model's column sums to the conversion count.
+    *
+    * Last-touch rides [[AsOfJoin.joinBackward]] — one shuffle, no per-pair
+    * join — and first-touch is one per-user min-struct aggregate joined
+    * back; both are key-partitioned on the user, and the final per-type
+    * rollup is channel-cardinality-sized. Touches are pre-aggregated to
+    * one row per (user, ts) (lexicographic max type) per the as-of
+    * determinism contract. Output: (touch_type, last_touch, first_touch).
+    */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, convType: String,
+      touchTypes: Seq[String]): DataFrame = {
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(userCol).as("t_user"), col(tsCol).as("t_ts"))
+      .agg(max(col(typeCol)).as("touch_type"))
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("c_user"), col(tsCol).as("c_ts"))
+    val lastT = AsOfJoin.joinBackward(conv, touches,
+      leftKeys = Seq("c_user"), rightKeys = Seq("t_user"),
+      leftTs = "c_ts", rightTs = "t_ts",
+      rightValues = Seq("touch_type"))
+    val firstT = touches.groupBy(col("t_user").as("c_user"))
+      .agg(min(struct(col("t_ts"), col("touch_type"))).as("f"))
+      .select(col("c_user"), col("f.t_ts").as("f_ts"),
+        col("f.touch_type").as("f_type"))
+    val firstAttr = conv.join(firstT, Seq("c_user"), "left")
+      .select(when(col("f_ts") <= col("c_ts"), col("f_type")).as("ft"))
+    val lastCounts = lastT
+      .select(coalesce(col("touch_type"), lit("(none)")).as("touch_type"))
+      .groupBy(col("touch_type")).agg(count(lit(1)).as("last_touch"))
+    val firstCounts = firstAttr
+      .select(coalesce(col("ft"), lit("(none)")).as("touch_type"))
+      .groupBy(col("touch_type")).agg(count(lit(1)).as("first_touch"))
+    lastCounts.join(firstCounts, Seq("touch_type"), "full_outer")
+      .select(col("touch_type"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"))
+  }
 }

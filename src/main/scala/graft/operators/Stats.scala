@@ -124,4 +124,41 @@ object Stats {
         max(col("hi")).as("hi"),
         sum(greatest(least(col("v"), col("hi")), col("lo"))).as("wsum"))
   }
+
+  /** Robust per-group outlier detection via median absolute deviation:
+    * outlier ⇔ |v − med| > cut·mad, with med and mad both DISCRETE lower
+    * medians (rank index `(n+1) div 2` over (value, rowKey) order) — the
+    * whole pipeline is integer-exact, so it hash-matches any engine and,
+    * unlike the mean/σ z-score ([[graft.operators.TimeSeries.rateAnomaly]]),
+    * a single wild value cannot drag the threshold. Two ranked-window
+    * passes + one aggregate, all co-partitioned on the group; the
+    * per-group cut rows ride back as broadcasts.
+    * Output: (grp, n, med, mad, n_outliers).
+    */
+  def madOutliers(df: DataFrame, grpCol: String, valCol: String,
+      rowKey: String, cut: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(grpCol).as("grp"),
+      col(valCol).cast("long").as("v"), col(rowKey).as("rk"))
+    def lowerMedian(in: DataFrame, c: String): DataFrame = {
+      val w = Window.partitionBy(col("grp")).orderBy(col(c).asc, col("rk").asc)
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+        .groupBy(col("grp"))
+        .agg(max(when(col("rn") === expr("(n + 1) div 2"), col(c)))
+          .as(s"${c}_med"))
+    }
+    val med = lowerMedian(base, "v")
+      .select(col("grp"), col("v_med").as("med"))
+    val dev = base.join(broadcast(med), Seq("grp"))
+      .withColumn("d", abs(col("v") - col("med")))
+    val mad = lowerMedian(dev.select(col("grp"), col("d"), col("rk")), "d")
+      .select(col("grp"), col("d_med").as("mad"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("d") > col("mad") * cut, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

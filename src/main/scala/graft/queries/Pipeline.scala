@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Diff, Graph, Sampling, Stats}
+import graft.operators.{Bpe, Diff, EventAnalytics, Graph, Sampling, Stats}
 
 /** Round-9 session-3 additions: BPE tokenizer training, k-core graph
   * decomposition, corpus snapshot diff (CDC), weighted sampling without
@@ -12,6 +12,77 @@ object Pipeline {
   import Tables.t
 
   def defs: Seq[Q] = Seq(
+    // ---- BPE vocabulary ----------------------------------------------
+    // the 30 most frequent tokens under the segmentation the 8 learned
+    // merges produce — the "what vocabulary did training buy" readout
+    Q("text_bpe_vocab", (s, d) =>
+      Bpe.vocab(Tables.ts(s, d, "documents"), "text", merges = 8, topK = 30),
+      Some(Bpe.vocabOracleSql(8, 30))),
+
+    // ---- MAD robust outliers -----------------------------------------
+    // per-priority order-total outliers under the 3-MAD rule; discrete
+    // integer medians, so a wild tail cannot drag the cut the way the
+    // mean/sigma z-score's moments can
+    Q("q101_mad_outliers", (s, d) =>
+      Stats.madOutliers(
+        t(s, d, "orders").withColumn("cents",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+        "o_orderpriority", "cents", "o_orderkey", cut = 3),
+      Some("""
+        WITH r AS (SELECT o_orderpriority AS grp,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 o_orderkey AS rk FROM orders),
+        m1 AS (SELECT grp, max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+               FROM (SELECT grp, v,
+                       row_number() OVER (PARTITION BY grp ORDER BY v, rk) AS rn,
+                       count(*) OVER (PARTITION BY grp) AS n FROM r)
+               GROUP BY grp),
+        d AS (SELECT r.grp, abs(v - med) AS dv, rk, med
+              FROM r JOIN m1 USING (grp)),
+        m2 AS (SELECT grp, max(CASE WHEN rn = (n + 1) // 2 THEN dv END) AS mad
+               FROM (SELECT grp, dv, row_number() OVER
+                       (PARTITION BY grp ORDER BY dv, rk) AS rn,
+                       count(*) OVER (PARTITION BY grp) AS n FROM d)
+               GROUP BY grp)
+        SELECT d.grp, count(*) AS n, max(med) AS med, max(mad) AS mad,
+               CAST(sum(CASE WHEN d.dv > m2.mad * 3 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_outliers
+        FROM d JOIN m2 ON d.grp = m2.grp GROUP BY d.grp""")),
+
+    // ---- conversion attribution --------------------------------------
+    // purchases credited to click/view touchpoints under both first- and
+    // last-touch models; '(none)' rows keep each column summing to the
+    // conversion count
+    Q("q102_attribution", (s, d) =>
+      EventAnalytics.attribution(Tables.events(s, d), "user_id", "ts",
+        "event_type", convType = "purchase",
+        touchTypes = Seq("click", "view")),
+      Some("""
+        WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                    FROM events),
+        touches AS (SELECT user_id, ts, max(event_type) AS touch_type
+                    FROM ev WHERE event_type IN ('click', 'view')
+                    GROUP BY 1, 2),
+        conv AS (SELECT user_id, ts FROM ev WHERE event_type = 'purchase'),
+        lastt AS (SELECT c.user_id, t.touch_type
+                  FROM conv c ASOF LEFT JOIN touches t
+                    ON c.user_id = t.user_id AND c.ts >= t.ts),
+        firstt AS (SELECT user_id, ts AS f_ts, touch_type AS f_type
+                   FROM (SELECT user_id, ts, touch_type, row_number() OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts, touch_type) AS rn
+                         FROM touches) WHERE rn = 1),
+        fconv AS (SELECT CASE WHEN f.f_ts <= c.ts THEN f.f_type END AS ft
+                  FROM conv c LEFT JOIN firstt f ON c.user_id = f.user_id),
+        lc AS (SELECT coalesce(touch_type, '(none)') AS touch_type,
+                      count(*) AS last_touch FROM lastt GROUP BY 1),
+        fc AS (SELECT coalesce(ft, '(none)') AS touch_type,
+                      count(*) AS first_touch FROM fconv GROUP BY 1)
+        SELECT coalesce(lc.touch_type, fc.touch_type) AS touch_type,
+               coalesce(last_touch, 0) AS last_touch,
+               coalesce(first_touch, 0) AS first_touch
+        FROM lc FULL OUTER JOIN fc ON lc.touch_type = fc.touch_type""")),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bpe, Diff, Graph, Sampling, Stats}
+import graft.operators.{Bpe, Diff, EventAnalytics, Graph, Sampling, Stats}
 
 /** Hand-computed cases for the session-3 pipeline operators: BPE training,
   * k-core peeling, snapshot diff, weighted sampling, winsorized sums. */
@@ -46,6 +46,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     // count 3 each -> round 2 picks (ab, y) by... (3,3) tie ->
     // lexicographic (lft, rgt): ("ab","y") < ("x","ab") so (ab,y) wins
     assert(rules(1) == ((2, "ab", "y", 3L)))
+  }
+
+  test("bpe vocab reads token frequencies off the final segmentation") {
+    // corpus "abab abab ab": merges (a,b) then (ab,ab); final words are
+    // [abab] x2 (freq 2) and [ab] x1
+    val docs = Seq("abab abab ab").toDF("text")
+    val got = Bpe.vocab(docs, "text", merges = 2, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("abab", 2L), ("ab", 1L)))
   }
 
   test("bpe stops early when no pairs remain") {
@@ -148,5 +157,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = Stats.winsorizedSum(df, "grp", "v", "rk")
       .as[(String, Long, Long, Long, Long)].collect().head
     assert(got == (("g", 1L, 7L, 7L, 7L)))
+  }
+
+  // ---- Stats.madOutliers ---------------------------------------------
+
+  test("madOutliers flags values beyond cut*mad, medians discrete") {
+    // values 1..9 plus 100: lower median of 10 values = 5th = 5;
+    // deviations |v-5| = 4,3,2,1,0,1,2,3,4,95 -> sorted 0,1,1,2,2,3,3,4,4,95
+    // lower median (5th) = 2 -> cut 3*2=6 -> only 95 exceeds
+    val df = ((1L to 9L) :+ 100L).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("grp", "v", "rk")
+    val got = Stats.madOutliers(df, "grp", "v", "rk", cut = 3)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got == (("g", 10L, 5L, 2L, 1L)))
+  }
+
+  test("madOutliers zero-mad group counts every deviant value") {
+    // 5 copies of 7 and one 8: med 7, deviations 0,0,0,0,0,1 -> mad 0;
+    // cut*mad = 0 so the single 8 (dev 1 > 0) is the outlier
+    val df = (Seq.fill(5)(7L) :+ 8L).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("grp", "v", "rk")
+    val got = Stats.madOutliers(df, "grp", "v", "rk", cut = 3)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got == (("g", 6L, 7L, 0L, 1L)))
+  }
+
+  // ---- EventAnalytics.attribution ------------------------------------
+
+  test("attribution credits first and last touch, (none) when untouched") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    // user 1: view@1, click@2, purchase@3 -> last=click, first=view
+    // user 2: purchase@1 (no touch) -> (none) in both models
+    // user 3: click@5, purchase@4 -> touch is AFTER conv: (none)/(none)
+    val ev = Seq(
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      (2L, ts(1), "purchase"),
+      (3L, ts(5), "click"), (3L, ts(4), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.attribution(ev, "user_id", "ts", "event_type",
+        "purchase", Seq("click", "view"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "click" -> ((1L, 0L)), "view" -> ((0L, 1L)), "(none)" -> ((2L, 2L))))
+  }
+
+  test("attribution counts a touch at the conversion instant") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    val ev = Seq((1L, ts(2), "click"), (1L, ts(2), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.attribution(ev, "user_id", "ts", "event_type",
+        "purchase", Seq("click", "view"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("click" -> ((1L, 1L))))
   }
 }
