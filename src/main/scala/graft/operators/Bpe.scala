@@ -116,6 +116,35 @@ object Bpe {
       .limit(topK)
   }
 
+  /** Apply the learned segmentation back to the corpus: per `srcCol`,
+    * whitespace-word count vs BPE-token count — the compression-ratio
+    * readout a tokenizer-training run is judged by. The corpus pays one
+    * more scan (token explode); per-word token counts ride a broadcast of
+    * the vocabulary-sized word table (switch to a key join past ~10^7
+    * distinct words). Caller owns the result per [[Checkpoints]]. */
+  def compression(docs: DataFrame, textCol: String, srcCol: String,
+      merges: Int): DataFrame = {
+    val (words, _) = trainLoop(docs, textCol, merges)
+    val perWord = words.select(col("word"),
+      size(split(col("seq"), Sep)).cast("long").as("toks"))
+    docs.select(col(srcCol).as("source"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("words"), sum(col("toks")).as("bpe_tokens"))
+  }
+
+  /** DuckDB replica of [[compression]]. */
+  def compressionOracleSql(merges: Int): String =
+    s"""${oracleCtes(merges)}
+       |SELECT source, count(*) AS words,
+       |       CAST(sum(len(string_split(seq, '$Sep'))) AS BIGINT) AS bpe_tokens
+       |FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+       |      FROM documents) c
+       |JOIN w$merges USING (word)
+       |GROUP BY 1""".stripMargin
+
   /** DuckDB replica of [[train]]: the K rounds unrolled as CTE triples
     * (pair counts → 1-row argmax → list_reduce rewrite), `UNION ALL` of
     * the argmax rows. String-accumulator fold only — DuckDB's list_reduce

@@ -187,4 +187,44 @@ object EventAnalytics {
         coalesce(col("last_touch"), lit(0L)).as("last_touch"),
         coalesce(col("first_touch"), lit(0L)).as("first_touch"))
   }
+
+  /** Top-k user-journey paths: sessionize by inactivity gap (the lag +
+    * cumulative-sum-of-breaks form of [[graft.queries]] q41), take each
+    * session's first `maxLen` event types in (ts, tie) order, count
+    * identical paths, return the `topK` most frequent.
+    *
+    * State discipline: rows are cut to `maxLen` per session BEFORE the
+    * path aggregate (row_number filter), so the collected array is
+    * bounded by construction — a pathological week-long session
+    * contributes `maxLen` rows, not its event count. The per-path rollup
+    * reduces map-side and the top-k is TakeOrdered. The collected structs
+    * are (ts, tie, type) and `array_sort` orders by exactly those fields,
+    * so the path string is total-order deterministic.
+    * Output: (path, n_sessions).
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, gapMicros: Long, maxLen: Int,
+      topK: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("u"))
+      .orderBy(col("us").asc, col("tie").asc)
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events.select(col(userCol).as("u"),
+        unix_micros(col(tsCol)).as("us"), col(typeCol).as("et"),
+        col(tieCol).as("tie"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(byUser) > gapMicros
+          || lag(col("us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(cum))
+    val bySess = Window.partitionBy(col("u"), col("sid"))
+      .orderBy(col("us").asc, col("tie").asc)
+    sess.withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= maxLen)
+      .groupBy(col("u"), col("sid"))
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("us"), col("tie"), col("et")))),
+        x => x.getField("et"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
 }

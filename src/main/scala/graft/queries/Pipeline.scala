@@ -83,6 +83,41 @@ object Pipeline {
                coalesce(first_touch, 0) AS first_touch
         FROM lc FULL OUTER JOIN fc ON lc.touch_type = fc.touch_type""")),
 
+    // ---- BPE compression ratio ---------------------------------------
+    // the learned segmentation applied back at corpus scale: per-source
+    // whitespace-word vs BPE-token counts (what tokenizer training buys)
+    Q("text_bpe_ratio", (s, d) =>
+      Bpe.compression(Tables.ts(s, d, "documents"), "text", "source",
+        merges = 8),
+      Some(Bpe.compressionOracleSql(8))),
+
+    // ---- session path mining -----------------------------------------
+    // top-20 five-step user journeys over 30-minute-gap sessions; rows
+    // are cut to the path length BEFORE the collect so per-session state
+    // is bounded by construction
+    Q("q103_paths", (s, d) =>
+      EventAnalytics.topPaths(Tables.events(s, d), "user_id", "ts",
+        "event_type", "event_id", gapMicros = 1800L * 1000000L,
+        maxLen = 5, topK = 20),
+      Some("""
+        WITH e AS (SELECT user_id AS u, event_id AS tie,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type AS et
+               FROM events),
+        flagged AS (SELECT u, tie, us, et,
+                 CASE WHEN us - lag(us) OVER w > 1800000000
+                        OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY u ORDER BY us, tie)),
+        s AS (SELECT u, tie, us, et,
+                sum(brk) OVER (PARTITION BY u ORDER BY us, tie
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged),
+        r AS (SELECT *, row_number() OVER
+                (PARTITION BY u, sid ORDER BY us, tie) AS rn FROM s),
+        p AS (SELECT u, sid, string_agg(et, '>' ORDER BY us, tie) AS path
+              FROM r WHERE rn <= 5 GROUP BY u, sid)
+        SELECT path, count(*) AS n_sessions FROM p
+        GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""")),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is

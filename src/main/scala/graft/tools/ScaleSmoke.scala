@@ -464,7 +464,63 @@ object ScaleSmoke {
             Classifier.fitPredict(lrFeat(d1), Seq("x0", "x1", "x2"), 3))),
           time("lr_train_3step 10x")(noop(
             Classifier.fitPredict(lrFeat(d10), Seq("x0", "x1", "x2"), 3))))
-      })
+      },
+
+      // ---- round-9 session-3 operators ----
+      // BPE on the SALTED corpus: 10x docs with 10x distinct words (plain
+      // replication would leave the word table unchanged and measure only
+      // the corpus-touch), so every merge round's pair aggregate and fold
+      // rewrite see a 10x vocabulary
+      ("bpe_train_4merge", time("bpe_train_4merge 1x")(noop(
+          graft.operators.Bpe.train(d1, "text", 4))),
+        time("bpe_train_4merge 10x")(noop(
+          graft.operators.Bpe.train(d10salt, "text", 4)))),
+      // graph 10x in nodes AND edges; per round two semi-joins + one
+      // degree aggregate, so the chain must track the edge count
+      ("kcore_2round", time("kcore_2round 1x")(noop(
+          Graph.kCore(edgesOf(l1), k = 5, rounds = 2))),
+        time("kcore_2round 10x")(noop(
+          Graph.kCore(edgesOf(lg10), k = 5, rounds = 2)))),
+      // both snapshots 10x; the full-outer join carries only (key, md5)
+      {
+        def snapDiff(docs: DataFrame): DataFrame = {
+          val prev = docs.filter(col("doc_id") % 7 =!= 0)
+          val nxt = docs.filter(col("doc_id") % 5 =!= 0)
+            .withColumn("text", when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" rev"))).otherwise(col("text")))
+          graft.operators.Diff.snapshotDiff(prev, nxt, "doc_id",
+            Seq("text", "source"))
+        }
+        ("snapshot_diff", time("snapshot_diff 1x")(noop(snapDiff(d1))),
+          time("snapshot_diff 10x")(noop(snapDiff(d10))))
+      },
+      // k fixed at 100 while the corpus grows 10x: TakeOrdered keeps the
+      // exchange at k rows per partition, so the pass must be scan-bound
+      ("weighted_sample", time("weighted_sample 1x")(noop(
+          graft.operators.Sampling.weightedSample(d1, "doc_id", "n_chars", 100))),
+        time("weighted_sample 10x")(noop(
+          graft.operators.Sampling.weightedSample(d10, "doc_id", "n_chars", 100)))),
+      // two ranked windows + broadcast cut rows, all on the group key
+      {
+        def cents(o: DataFrame): DataFrame = o.withColumn("cents",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        ("mad_outliers", time("mad_outliers 1x")(noop(
+            graft.operators.Stats.madOutliers(cents(o1), "o_orderpriority",
+              "cents", "o_orderkey"))),
+          time("mad_outliers 10x")(noop(
+            graft.operators.Stats.madOutliers(cents(o10), "o_orderpriority",
+              "cents", "o_orderkey"))))
+      },
+      // as-of last-touch + min-struct first-touch, both user-partitioned;
+      // 10x users (ids offset) must scale the single shuffle linearly
+      ("attribution", time("attribution 1x")(noop(
+          EventAnalytics.attribution(
+            graft.queries.Tables.normalizeEventTs(ev1), "user_id", "ts",
+            "event_type", "purchase", Seq("click", "view")))),
+        time("attribution 10x")(noop(
+          EventAnalytics.attribution(
+            graft.queries.Tables.normalizeEventTs(ev10), "user_id", "ts",
+            "event_type", "purchase", Seq("click", "view"))))))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
     results.foreach { case (n, a, b) =>

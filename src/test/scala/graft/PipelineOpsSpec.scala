@@ -57,6 +57,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Seq(("abab", 2L), ("ab", 1L)))
   }
 
+  test("bpe compression counts corpus tokens under the learned merges") {
+    // sources: s1 = "abab ab", s2 = "cd". merges (a,b) then (ab,ab):
+    // abab -> 1 token, ab -> 1 token, cd -> 2 tokens (untouched chars)
+    val docs = Seq(("abab ab", "s1"), ("cd", "s2")).toDF("text", "source")
+    val got = Bpe.compression(docs, "text", "source", merges = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("s1", 2L, 2L), ("s2", 1L, 2L)))
+  }
+
   test("bpe stops early when no pairs remain") {
     val docs = Seq("a b c").toDF("text")
     val got = Bpe.train(docs, "text", merges = 5).collect()
@@ -201,6 +210,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got == Map(
       "click" -> ((1L, 0L)), "view" -> ((0L, 1L)), "(none)" -> ((2L, 2L))))
+  }
+
+  test("topPaths sessionizes by gap and truncates paths to maxLen") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(m * 60000L)
+    // user 1: a,b,c at 0/1/2 then (gap > 30m) d at 60 -> paths "a>b>c", "d"
+    // user 2: a,b,c at 0/1/2 -> "a>b>c"; maxLen=2 cuts to "a>b"
+    val ev = Seq(
+      (1L, ts(0), "a", 1L), (1L, ts(1), "b", 2L), (1L, ts(2), "c", 3L),
+      (1L, ts(60), "d", 4L),
+      (2L, ts(0), "a", 5L), (2L, ts(1), "b", 6L), (2L, ts(2), "c", 7L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = EventAnalytics.topPaths(ev, "user_id", "ts", "event_type",
+        "event_id", gapMicros = 1800L * 1000000L, maxLen = 2, topK = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a>b" -> 2L, "d" -> 1L))
+  }
+
+  test("topPaths orders ties by the tie column inside a path") {
+    import java.sql.Timestamp
+    val t0 = new Timestamp(0L)
+    val ev = Seq((1L, t0, "z", 2L), (1L, t0, "a", 1L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = EventAnalytics.topPaths(ev, "user_id", "ts", "event_type",
+        "event_id", gapMicros = 1000L, maxLen = 5, topK = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a>z" -> 1L))
   }
 
   test("attribution counts a touch at the conversion instant") {
