@@ -161,4 +161,35 @@ object Stats {
         sum(when(col("d") > col("mad") * cut, 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** ABC / Pareto classification: entities ranked by integer `valCol`
+    * descending, classed by cumulative share of the total — A while the
+    * running sum (including the current row) stays within `aPct`% of the
+    * total, B within `bPct`%, else C. The comparisons are pure integer
+    * cross-multiplications (`cum·100 ≤ pct·total`), so no float share
+    * ever exists and the class split is engine-exact even at ties (total
+    * order: value desc, entity asc).
+    *
+    * One aggregate to entity grain, one ordered window for the running
+    * sum (the 1-row total rides the same window, no extra collect).
+    * Output: (ent, v, abc_class).
+    */
+  def abcClassification(df: DataFrame, entCol: String, valCol: String,
+      aPct: Int = 80, bPct: Int = 95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ents = df.select(col(entCol).as("ent"),
+        col(valCol).cast("long").as("v"))
+      .groupBy(col("ent")).agg(sum(col("v")).as("v"))
+    val ord = Window.orderBy(col("v").desc, col("ent").asc)
+    ents
+      .withColumn("cum", sum(col("v")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("v")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("ent"), col("v"),
+        when(col("cum") * 100 <= col("total") * aPct, "A")
+          .when(col("cum") * 100 <= col("total") * bPct, "B")
+          .otherwise("C").as("abc_class"))
+  }
 }

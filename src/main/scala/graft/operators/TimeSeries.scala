@@ -156,4 +156,64 @@ object TimeSeries {
       .withColumn("variance",
         (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) / col("n"))
       .select(col("grp"), col("mean"), col("variance"))
+
+  /** Time-weighted average (TWAP): each observation's value holds until
+    * the key's next observation, so the mean weights each value by its
+    * holding duration — the standard metrics/market aggregate where plain
+    * AVG over-counts bursts. The last observation has no successor and
+    * carries zero weight (interval-boundary convention); single-observation
+    * keys yield NULL.
+    *
+    * One lead window + one aggregate, co-partitioned on the key. Values
+    * integerized to micro-units and durations exact micros, so both sums
+    * are order-free longs and the single division runs on exact inputs.
+    * Output: (key, n, twap) with twap in source units rounded at 6.
+    */
+  def twap(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("us").asc)
+    events.select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("us"),
+        round(col(valCol) * 1e6).cast("long").as("vm"))
+      .withColumn("dur", lead(col("us"), 1).over(w) - col("us"))
+      // value·duration products reach ~1e21 (micro-value × micro-second
+      // gaps) — past long range, where Spark would wrap silently while
+      // the oracle's HUGEINT would not. Decimal(38,0) keeps the sum exact;
+      // the one cast to double afterwards is correctly rounded in any
+      // engine.
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vm").cast("decimal(38,0)") * col("dur")).as("sv"),
+        sum(col("dur")).as("sd"))
+      .select(col("key"), col("n"),
+        when(col("sd") > 0,
+          round(col("sv").cast("double") / col("sd").cast("double") / 1e6, 6))
+          .as("twap"))
+  }
+
+  /** Merge a key's overlapping-or-touching intervals into islands (the
+    * gaps-and-islands pattern): an interval starts a new island when its
+    * start exceeds the running max end of everything before it. Output:
+    * one row per island — (key, island_start, island_end, n_intervals) in
+    * micros. One ranked window + running max + one aggregate, all
+    * co-partitioned on the key; interval QA for validity ranges (SCD2
+    * history, session spans) at any scale.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("s").asc, col("e").asc)
+    val prevMax = max(col("e")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    df.select(col(keyCol).as("key"), col(startCol).as("s"),
+        col(endCol).as("e"))
+      .withColumn("brk",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("island"))
+      .agg(min(col("s")).as("island_start"), max(col("e")).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("key"), col("island_start"), col("island_end"),
+        col("n_intervals"))
+  }
 }

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Diff, EventAnalytics, Graph, Sampling, Stats}
+import graft.operators.{Bpe, Diff, EventAnalytics, Graph, Sampling, Stats,
+  TimeSeries}
 
 /** Round-9 session-3 additions: BPE tokenizer training, k-core graph
   * decomposition, corpus snapshot diff (CDC), weighted sampling without
@@ -117,6 +118,81 @@ object Pipeline {
               FROM r WHERE rn <= 5 GROUP BY u, sid)
         SELECT path, count(*) AS n_sessions FROM p
         GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""")),
+
+    // ---- time-weighted average ---------------------------------------
+    // per-user TWAP of the event value: each value holds until the user's
+    // next event, so bursts stop over-counting; exact micro-unit weights
+    Q("q104_twap", (s, d) =>
+      TimeSeries.twap(Tables.events(s, d), "user_id", "ts", "value"),
+      Some("""
+        WITH e AS (SELECT user_id AS key,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        g AS (SELECT key, vm,
+                lead(us) OVER (PARTITION BY key ORDER BY us) - us AS dur
+              FROM e)
+        SELECT key, count(*) AS n,
+               CASE WHEN CAST(sum(dur) AS BIGINT) > 0 THEN
+                 round(CAST(sum(vm::HUGEINT * dur) AS DOUBLE)
+                   / CAST(sum(dur) AS DOUBLE) / 1000000.0, 6) END AS twap
+        FROM g GROUP BY key""")),
+
+    // ---- interval islands --------------------------------------------
+    // each event claims a 2-hour validity window; overlapping windows per
+    // user merge into islands (the gaps-and-islands pattern) — the
+    // interval-QA primitive for SCD2 histories and session spans
+    Q("q105_islands", (s, d) => {
+      val iv = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("s0"),
+        (unix_micros(col("ts")) + 7200000000L).as("e0"))
+      TimeSeries.mergeIntervals(iv, "user_id", "s0", "e0")
+        .select(col("key").as("user_id"), col("island_start"),
+          col("island_end"), col("n_intervals"))
+    }, Some("""
+      WITH iv AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+               epoch_us(CAST(ts AS TIMESTAMP)) + 7200000000 AS e FROM events),
+      f AS (SELECT user_id, s, e,
+              CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS brk
+            FROM iv),
+      i AS (SELECT user_id, s, e,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM f)
+      SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+             count(*) AS n_intervals
+      FROM i GROUP BY user_id, island""")),
+
+    // ---- ABC / Pareto classification ---------------------------------
+    // customers classed by cumulative revenue share (A ≤ 80%, B ≤ 95%);
+    // integer cross-multiplied cuts, entity-grain (bounded) ranked window
+    Q("q106_abc", (s, d) =>
+      Stats.abcClassification(
+        t(s, d, "orders").withColumn("cents",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+        "o_custkey", "cents")
+        .select(col("ent").as("o_custkey"), col("v").as("cents"),
+          col("abc_class")),
+      Some("""
+        WITH ents AS (SELECT o_custkey AS ent,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS v
+              FROM orders GROUP BY 1),
+        r AS (SELECT ent, v,
+                CAST(sum(v) OVER (ORDER BY v DESC, ent ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(v) OVER () AS BIGINT) AS total
+              FROM ents)
+        SELECT ent AS o_custkey, v AS cents,
+               CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                    WHEN cum * 100 <= total * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM r""")),
 
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory

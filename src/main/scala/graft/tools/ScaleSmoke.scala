@@ -520,7 +520,41 @@ object ScaleSmoke {
         time("attribution 10x")(noop(
           EventAnalytics.attribution(
             graft.queries.Tables.normalizeEventTs(ev10), "user_id", "ts",
-            "event_type", "purchase", Seq("click", "view"))))))
+            "event_type", "purchase", Seq("click", "view"))))),
+      // one lead window + one aggregate on the user key
+      ("twap", time("twap 1x")(noop(
+          graft.operators.TimeSeries.twap(
+            graft.queries.Tables.normalizeEventTs(ev1), "user_id", "ts",
+            "value"))),
+        time("twap 10x")(noop(
+          graft.operators.TimeSeries.twap(
+            graft.queries.Tables.normalizeEventTs(ev10), "user_id", "ts",
+            "value")))),
+      // gaps-and-islands: running-max window + aggregate on the user key
+      {
+        def iv(ev: DataFrame): DataFrame =
+          graft.queries.Tables.normalizeEventTs(ev).select(col("user_id"),
+            unix_micros(col("ts")).as("s0"),
+            (unix_micros(col("ts")) + 7200000000L).as("e0"))
+        ("interval_islands", time("interval_islands 1x")(noop(
+            graft.operators.TimeSeries.mergeIntervals(iv(ev1), "user_id",
+              "s0", "e0"))),
+          time("interval_islands 10x")(noop(
+            graft.operators.TimeSeries.mergeIntervals(iv(ev10), "user_id",
+              "s0", "e0"))))
+      },
+      // corpus-side aggregate to entity grain scales with input; the
+      // ranked cumulative pass runs on the ENTITY table only
+      {
+        def cents(o: DataFrame): DataFrame = o.withColumn("cents",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        ("abc_class", time("abc_class 1x")(noop(
+            graft.operators.Stats.abcClassification(cents(o1), "o_custkey",
+              "cents"))),
+          time("abc_class 10x")(noop(
+            graft.operators.Stats.abcClassification(cents(o10), "o_custkey",
+              "cents"))))
+      })
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
     results.foreach { case (n, a, b) =>

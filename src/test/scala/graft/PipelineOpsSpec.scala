@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bpe, Diff, EventAnalytics, Graph, Sampling, Stats}
+import graft.operators.{Bpe, Diff, EventAnalytics, Graph, Sampling, Stats,
+  TimeSeries}
 
 /** Hand-computed cases for the session-3 pipeline operators: BPE training,
   * k-core peeling, snapshot diff, weighted sampling, winsorized sums. */
@@ -189,6 +190,70 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = Stats.madOutliers(df, "grp", "v", "rk", cut = 3)
       .as[(String, Long, Long, Long, Long)].collect().head
     assert(got == (("g", 6L, 7L, 0L, 1L)))
+  }
+
+  // ---- TimeSeries.twap -----------------------------------------------
+
+  test("twap weights each value by its holding duration") {
+    import java.sql.Timestamp
+    def ts(sec: Int) = new Timestamp(sec * 1000L)
+    // value 10 held 1s, value 2 held 3s, final value 100 unweighted:
+    // twap = (10*1 + 2*3) / 4 = 4.0
+    val ev = Seq((1L, ts(0), 10.0), (1L, ts(1), 2.0), (1L, ts(4), 100.0))
+      .toDF("user_id", "ts", "value")
+    val got = TimeSeries.twap(ev, "user_id", "ts", "value")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((1L, 3L, Some(4.0))))
+  }
+
+  test("twap single-observation key yields NULL") {
+    import java.sql.Timestamp
+    val ev = Seq((1L, new Timestamp(0L), 5.0)).toDF("user_id", "ts", "value")
+    val got = TimeSeries.twap(ev, "user_id", "ts", "value")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(got == ((1L, 1L, None)))
+  }
+
+  // ---- TimeSeries.mergeIntervals --------------------------------------
+
+  test("mergeIntervals folds overlapping intervals into islands") {
+    // [0,10],[5,8],[9,20] overlap into [0,20]x3; [30,40] stands alone;
+    // an interval TOUCHING the running max end (s = prevMax) still merges
+    val iv = Seq((1L, 0L, 10L), (1L, 5L, 8L), (1L, 9L, 20L), (1L, 30L, 40L),
+      (2L, 0L, 5L), (2L, 5L, 9L)).toDF("k", "s", "e")
+    val got = TimeSeries.mergeIntervals(iv, "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 20L, 3L), (1L, 30L, 40L, 1L),
+      (2L, 0L, 9L, 2L)))
+  }
+
+  test("mergeIntervals contained interval extends nothing but counts") {
+    val iv = Seq((1L, 0L, 100L), (1L, 10L, 20L)).toDF("k", "s", "e")
+    val got = TimeSeries.mergeIntervals(iv, "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 100L, 2L)))
+  }
+
+  // ---- Stats.abcClassification ----------------------------------------
+
+  test("abcClassification splits on exact cumulative-share cuts") {
+    // totals: a=80, b=15, c=4, d=1 (total 100): a cum 80 -> A (<=80),
+    // b cum 95 -> B (<=95), c cum 99 -> C, d cum 100 -> C
+    val df = Seq(("a", 80L), ("b", 15L), ("c", 4L), ("d", 1L))
+      .toDF("ent", "v")
+    val got = Stats.abcClassification(df, "ent", "v")
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == Map("a" -> "A", "b" -> "B", "c" -> "C", "d" -> "C"))
+  }
+
+  test("abcClassification pre-aggregates entities and breaks ties by entity") {
+    val df = Seq(("a", 30L), ("a", 20L), ("b", 50L)).toDF("ent", "v")
+    val got = Stats.abcClassification(df, "ent", "v")
+      .as[(String, Long, String)].collect().toSet
+    // a and b both total 50: tie -> a ranks first (ent asc), cum 50 -> A;
+    // b cum 100 -> C
+    assert(got == Set(("a", 50L, "A"), ("b", 50L, "C")))
   }
 
   // ---- EventAnalytics.attribution ------------------------------------
