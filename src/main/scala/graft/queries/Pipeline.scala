@@ -194,6 +194,54 @@ object Pipeline {
                     ELSE 'C' END AS abc_class
         FROM r""")),
 
+    // ---- column entropy profiling ------------------------------------
+    // Shannon entropy of the lang/source/event-shaped columns in one
+    // corpus scan; micro-nat integerized terms so the cross-value sum is
+    // reduction-order-free
+    Q("q107_entropy", (s, d) =>
+      graft.operators.Profile.entropy(t(s, d, "documents"),
+        Seq("lang", "source")),
+      Some("""
+        WITH p AS (
+          SELECT 'lang' AS col_name,
+                 coalesce(CAST(lang AS VARCHAR), ' null') AS value
+          FROM documents
+          UNION ALL
+          SELECT 'source', coalesce(CAST(source AS VARCHAR), ' null')
+          FROM documents),
+        f AS (SELECT col_name, value, count(*) AS nv FROM p GROUP BY 1, 2),
+        t AS (SELECT col_name, CAST(sum(nv) AS BIGINT) AS n,
+                count(*) AS n_distinct,
+                CAST(sum(nv * CAST(round(ln(CAST(nv AS DOUBLE)) * 1e6)
+                  AS BIGINT)) AS BIGINT) AS st
+              FROM f GROUP BY 1)
+        SELECT col_name, n, n_distinct,
+               CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+                 - CAST(round(CAST(st AS DOUBLE) / n) AS BIGINT)
+                 AS entropy_micro
+        FROM t""")),
+
+    // ---- Benford first-digit audit -------------------------------------
+    // order totals (cents) per priority vs the Benford expectation — the
+    // unit-mixing / fabricated-data detector; integer leading digits only
+    Q("q108_benford", (s, d) =>
+      graft.operators.Profile.benford(
+        t(s, d, "orders").withColumn("cents",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+        "o_orderpriority", "cents"),
+      Some("""
+        WITH b AS (SELECT o_orderpriority AS grp,
+                 CAST(substring(CAST(CAST(round(o_totalprice * 100)
+                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+               FROM orders
+               WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        c AS (SELECT grp, digit, count(*) AS n FROM b GROUP BY 1, 2)
+        SELECT grp, digit, n,
+               CAST(round(CAST(sum(n) OVER (PARTITION BY grp) AS DOUBLE)
+                 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS expected_micro
+        FROM c""")),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is

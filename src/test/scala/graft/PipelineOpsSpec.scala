@@ -256,6 +256,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Set(("a", 50L, "A"), ("b", 50L, "C")))
   }
 
+  // ---- Profile.entropy / Profile.benford ------------------------------
+
+  test("entropy: constant column 0, uniform column ln(k), nulls count") {
+    val df = Seq((Option("x"), "a"), (Option("x"), "b"), (Option("x"), "c"),
+      (Option.empty[String], "d")).toDF("c1", "c2")
+    val got = graft.operators.Profile.entropy(df, Seq("c1", "c2"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // c1: {x:3, null:1} -> H = ln4 - (3·ln3 + 1·ln1)/4; c2: uniform ln4
+    val ln4 = math.round(math.log(4) * 1e6)
+    val ln3 = math.round(math.log(3) * 1e6)
+    assert(got("c2") == ((4L, 4L, ln4)))
+    assert(got("c1") == ((4L, 2L, ln4 - math.round(3.0 * ln3 / 4))))
+  }
+
+  test("benford counts leading digits against the expectation") {
+    val df = Seq(1L, 1L, 19L, 2L, 3L, 0L, -5L).map(("g", _)).toDF("g", "v")
+    val got = graft.operators.Profile.benford(df, "g", "v")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    // 0 and -5 are excluded; digits 1,1,1,2,3 over n=5
+    assert(got == Map(1L -> ((3L, 1505150L)), 2L -> ((1L, 880456L)),
+      3L -> ((1L, 624694L))))
+  }
+
+  // ---- plan shapes ----------------------------------------------------
+
+  private def hashShuffles(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString()).length
+
+  test("twap plans exactly one hash shuffle (window + agg share the key)") {
+    val ev = graft.queries.Tables.normalizeEventTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val df = TimeSeries.twap(ev, "user_id", "ts", "value")
+    assert(hashShuffles(df) === 1,
+      s"plan:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("mergeIntervals plans exactly one hash shuffle") {
+    val ev = graft.queries.Tables.normalizeEventTs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    val iv = ev.select(col("user_id"), unix_micros(col("ts")).as("s0"),
+      (unix_micros(col("ts")) + 7200000000L).as("e0"))
+    val df = TimeSeries.mergeIntervals(iv, "user_id", "s0", "e0")
+    assert(hashShuffles(df) === 1,
+      s"plan:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("snapshotDiff shuffles digests, never the payload") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Diff.snapshotDiff(docs, docs, "doc_id", Seq("text", "source"))
+    // every Exchange in the plan must carry only (key, 32-char digest)
+    // columns — the text/source payload is projected away pre-shuffle
+    val plan = df.queryExecution.executedPlan.toString()
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(l => l.contains("text") || l.contains("source")),
+      s"payload crossed a shuffle:\n$plan")
+  }
+
   // ---- EventAnalytics.attribution ------------------------------------
 
   test("attribution credits first and last touch, (none) when untouched") {
