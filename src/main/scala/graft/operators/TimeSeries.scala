@@ -190,6 +190,31 @@ object TimeSeries {
           .as("twap"))
   }
 
+  /** Per-key lag / rolling-window features — the classic tabular
+    * feature-engineering pass before sequence models: previous-1/-2
+    * values and the rolling `win`-row sum/max, all in exact micro-unit
+    * longs (no float rolling mean exists; consumers divide the exact
+    * sum). One window partition per key, ordered by (ts, tie) for total
+    * order; state is the frame's `win` rows by construction.
+    * Output: (key, us, vm, lag1, lag2, roll_sum, roll_n, roll_max).
+    */
+  def rollingFeatures(events: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, tieCol: String, win: Int): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("us").asc, col("tie").asc)
+    val frame = w.rowsBetween(-(win - 1), Window.currentRow)
+    events.select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("us"),
+        round(col(valCol) * 1e6).cast("long").as("vm"),
+        col(tieCol).as("tie"))
+      .withColumn("lag1", lag(col("vm"), 1).over(w))
+      .withColumn("lag2", lag(col("vm"), 2).over(w))
+      .withColumn("roll_sum", sum(col("vm")).over(frame))
+      .withColumn("roll_n", count(col("vm")).over(frame))
+      .withColumn("roll_max", max(col("vm")).over(frame))
+      .select(col("key"), col("us"), col("vm"), col("lag1"), col("lag2"),
+        col("roll_sum"), col("roll_n"), col("roll_max"))
+  }
+
   /** Merge a key's overlapping-or-touching intervals into islands (the
     * gaps-and-islands pattern): an interval starts a new island when its
     * start exceeds the running max end of everything before it. Output:

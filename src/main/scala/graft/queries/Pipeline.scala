@@ -242,6 +242,48 @@ object Pipeline {
                  AS BIGINT) AS expected_micro
         FROM c""")),
 
+    // ---- streaming exact windowed distinct -----------------------------
+    // chained stateful operators (watermarked dedup -> windowed count):
+    // the EXACT distinct-users-per-window a stream can't get from
+    // count(DISTINCT) (forbidden) or HLL (approximate past sparse) —
+    // replayed to parity against the batch count(DISTINCT) oracle
+    Q("q109_stream_distinct", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = Tables.eventsStream(s, d)
+      val q = graft.streaming.WindowedAgg
+        .tumblingDistinct(ev, "ts", "user_id", "6 hours", "1 hour")
+        .writeStream.format("memory").queryName("q109_stream")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q109_stream")
+    }, Some("""
+      SELECT time_bucket(INTERVAL 6 HOUR, CAST(ts AS TIMESTAMP))
+               AS window_start,
+             count(DISTINCT user_id) AS distinct_keys
+      FROM events GROUP BY 1""")),
+
+    // ---- rolling / lag features ----------------------------------------
+    // per-user lag-1/-2 and rolling-3 sum/max of the event value in exact
+    // micro-units — the tabular feature pass before sequence models
+    Q("q110_rolling", (s, d) =>
+      TimeSeries.rollingFeatures(Tables.events(s, d), "user_id", "ts",
+        "value", "event_id", win = 3),
+      Some("""
+        WITH e AS (SELECT user_id AS key, event_id AS tie,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events)
+        SELECT key, us, vm,
+               lag(vm, 1) OVER w AS lag1,
+               lag(vm, 2) OVER w AS lag2,
+               CAST(sum(vm) OVER (PARTITION BY key ORDER BY us, tie
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS roll_sum,
+               count(vm) OVER (PARTITION BY key ORDER BY us, tie
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_n,
+               max(vm) OVER (PARTITION BY key ORDER BY us, tie
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max
+        FROM e WINDOW w AS (PARTITION BY key ORDER BY us, tie)""")),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is

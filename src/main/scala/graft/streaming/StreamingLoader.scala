@@ -121,4 +121,25 @@ object WindowedAgg {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol), col("n"))
+
+  /** EXACT windowed distinct-key counts on a stream: chained stateful
+    * operators — `dropDuplicates` on (window, key) dedupes with
+    * watermark-bounded state (one row per distinct (window, key) alive at
+    * a time, evicted once the watermark passes the window), then the
+    * windowed count aggregates the deduped stream. Streaming forbids
+    * `count(DISTINCT)` outright and the HLL path is approximate past
+    * sketch-sparse cardinalities; this is the exact formulation with
+    * bounded state, and it replays byte-identical to the batch
+    * `count(DISTINCT)` oracle. Output: (window_start, distinct_keys).
+    */
+  def tumblingDistinct(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .select(col(tsCol), window(col(tsCol), windowLen).as("w"),
+        col(keyCol).as("k"))
+      .dropDuplicates("w", "k")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("distinct_keys"))
+      .select(col("w.start").as("window_start"), col("distinct_keys"))
 }

@@ -214,6 +214,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == ((1L, 1L, None)))
   }
 
+  // ---- TimeSeries.rollingFeatures -------------------------------------
+
+  test("rollingFeatures emits lags and exact rolling sums per key") {
+    import java.sql.Timestamp
+    def ts(sec: Int) = new Timestamp(sec * 1000L)
+    val ev = Seq((1L, ts(0), 1.0, 10L), (1L, ts(1), 2.0, 11L),
+      (1L, ts(2), 3.0, 12L), (1L, ts(3), 4.0, 13L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val got = TimeSeries.rollingFeatures(ev, "user_id", "ts", "value",
+        "event_id", win = 3)
+      .orderBy("us")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Long, Long, Long)]
+      .collect().toSeq
+    val M = 1000000L
+    assert(got == Seq(
+      (1L, 0L, 1 * M, None, None, 1 * M, 1L, 1 * M),
+      (1L, 1000000L, 2 * M, Some(1 * M), None, 3 * M, 2L, 2 * M),
+      (1L, 2000000L, 3 * M, Some(2 * M), Some(1 * M), 6 * M, 3L, 3 * M),
+      (1L, 3000000L, 4 * M, Some(3 * M), Some(2 * M), 9 * M, 3L, 4 * M)))
+  }
+
   // ---- TimeSeries.mergeIntervals --------------------------------------
 
   test("mergeIntervals folds overlapping intervals into islands") {

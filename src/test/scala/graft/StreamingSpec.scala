@@ -423,4 +423,26 @@ class StreamingSpec extends AnyFunSuite {
     // a=3's window still open at shutdown -> NOT emitted
     assert(out === Set((1L, 11L), (2L, -1L)))
   }
+
+  test("tumblingDistinct chains dedup + windowed count exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("user_id", "ts")
+    val q = WindowedAgg
+      .tumblingDistinct(df, "ts", "user_id", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tdist_out")
+      .outputMode(OutputMode.Complete()).start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // window [00:00,00:10): users 1,1,2 -> 2 distinct; [00:10,00:20): 1
+    mem.addData((1L, ts(1)), (1L, ts(2)), (2L, ts(3)))
+    q.processAllAvailable()
+    mem.addData((1L, ts(4)), (1L, ts(12)))   // replayed user + new window
+    q.processAllAvailable()
+    val out = spark.sql("SELECT window_start, distinct_keys FROM tdist_out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+    q.stop()
+    assert(out === Set(("2024-01-01 00:00:00.0", 2L),
+      ("2024-01-01 00:10:00.0", 1L)))
+  }
 }
