@@ -761,4 +761,45 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Embedding-space label quality probe: per label, how many of its
+    * vectors sit nearest their OWN label centroid (nearest-centroid
+    * purity — the cheap first look at whether labels are separable in
+    * embedding space before training on them).
+    *
+    * Determinism: centroids come from EXACT integer component sums
+    * (micro-integerized floats through a posexplode aggregate — float
+    * order-dependence never exists) divided once; distances are the
+    * shared left-to-right fold ([[graft.functions.VectorExprs]]), and the
+    * argmin tie-breaks on the label. Scale: the component aggregate is
+    * corpus-linear and map-side combined; the centroid table is
+    * (labels × dims) — broadcast; per-vector work is labels × dims.
+    * Output: (lbl, n, n_pure).
+    */
+  def centroidPurity(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val comp = emb
+      .select(col(labelCol).as("lbl"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("xi", round(col("x") * 1e6).cast("long"))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+    val cents = comp
+      .withColumn("c", col("sx").cast("double") / col("n") / 1e6)
+      .groupBy(col("lbl"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("ca"))
+      .select(col("lbl").as("clbl"), expr("transform(ca, s -> s.c)").as("cvec"))
+    val nearest = emb
+      .select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", expr(sparkSqDistD("v", "cvec")))
+      .groupBy(col("id"), col("lbl"))
+      .agg(min(struct(col("d"), col("clbl"))).as("m"))
+      .select(col("lbl"), col("m.clbl").as("nearest"))
+    nearest.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nearest") === col("lbl"), 1L).otherwise(0L))
+          .as("n_pure"))
+  }
 }

@@ -162,6 +162,42 @@ object Stats {
           .as("n_outliers"))
   }
 
+  /** RFM segmentation: per entity, recency (days since its last event,
+    * anchored at the dataset's own max date so the segmentation is
+    * data-relative and reproducible), frequency (event count), monetary
+    * (integer value sum), each quintile-scored 5-high via `ntile(5)` over
+    * a total order (metric, entity) — ANSI ntile is engine-identical given
+    * a total order. The corpus reduces to entity grain first; the three
+    * ranked passes run on the bounded entity table (same contract as
+    * [[abcClassification]]); the 1-row anchor rides a broadcast join.
+    * Output: (ent, recency_days, frequency, monetary, r, f, m, segment).
+    */
+  def rfm(df: DataFrame, entCol: String, dateCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ents = df.select(col(entCol).as("ent"),
+        col(dateCol).cast("date").as("d"), col(valCol).cast("long").as("v"))
+      .groupBy(col("ent"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("frequency"),
+        sum(col("v")).as("monetary"))
+    val anchor = ents.agg(max(col("last_d")).as("anchor"))
+    val scored = ents.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(col("anchor"), col("last_d")).cast("long"))
+    scored
+      .withColumn("r", lit(6) - ntile(5).over(
+        Window.orderBy(col("recency_days").asc, col("ent").asc)))
+      .withColumn("f", lit(6) - ntile(5).over(
+        Window.orderBy(col("frequency").desc, col("ent").asc)))
+      .withColumn("m", lit(6) - ntile(5).over(
+        Window.orderBy(col("monetary").desc, col("ent").asc)))
+      .select(col("ent"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        col("r").cast("long").as("r"), col("f").cast("long").as("f"),
+        col("m").cast("long").as("m"),
+        concat(col("r"), col("f"), col("m")).as("segment"))
+  }
+
   /** ABC / Pareto classification: entities ranked by integer `valCol`
     * descending, classed by cumulative share of the total — A while the
     * running sum (including the current row) stays within `aPct`% of the

@@ -284,6 +284,67 @@ object Pipeline {
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max
         FROM e WINDOW w AS (PARTITION BY key ORDER BY us, tie)""")),
 
+    // ---- RFM segmentation ----------------------------------------------
+    // customers quintile-scored on recency/frequency/monetary, anchored
+    // at the dataset's own max order date; ntile over total orders is
+    // engine-identical
+    Q("q111_rfm", (s, d) =>
+      Stats.rfm(t(s, d, "orders").withColumn("cents",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+        "o_custkey", "o_orderdate", "cents")
+        .select(col("ent").as("o_custkey"), col("recency_days"),
+          col("frequency"), col("monetary"), col("r"), col("f"), col("m"),
+          col("segment")),
+      Some("""
+        WITH ents AS (SELECT o_custkey AS ent,
+                max(CAST(o_orderdate AS DATE)) AS last_d,
+                count(*) AS frequency,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monetary
+              FROM orders GROUP BY 1),
+        a AS (SELECT max(last_d) AS anchor FROM ents),
+        s AS (SELECT ent, datediff('day', last_d, anchor) AS recency_days,
+                frequency, monetary FROM ents, a),
+        t AS (SELECT ent, recency_days, frequency, monetary,
+                6 - ntile(5) OVER (ORDER BY recency_days ASC, ent ASC) AS r,
+                6 - ntile(5) OVER (ORDER BY frequency DESC, ent ASC) AS f,
+                6 - ntile(5) OVER (ORDER BY monetary DESC, ent ASC) AS m
+              FROM s)
+        SELECT ent AS o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+               frequency, monetary, r, f, m,
+               concat(r, f, m) AS segment
+        FROM t""")),
+
+    // ---- embedding label-quality probe ---------------------------------
+    // nearest-centroid purity per label: are the labels separable in
+    // embedding space? Exact-integer centroid sums; shared-fold distances
+    Q("q112_centroid_purity", (s, d) =>
+      graft.operators.Similarity.centroidPurity(t(s, d, "embeddings"),
+        "vec_id", "embedding", "label"),
+      Some(s"""
+        WITH comp AS (
+          SELECT label AS lbl, i AS pos,
+                 CAST(sum(CAST(round(embedding[i] * 1e6) AS BIGINT))
+                   AS BIGINT) AS sx,
+                 count(*) AS n
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+          GROUP BY 1, 2),
+        cents AS (SELECT lbl AS clbl,
+                    list(sx::DOUBLE / n / 1e6 ORDER BY pos) AS cvec
+                  FROM comp GROUP BY 1),
+        dist AS (SELECT e.vec_id AS id, e.label AS lbl, c.clbl,
+                   ${graft.functions.VectorExprs.duckSqDistD(
+                     "e.embedding", "c.cvec")} AS d
+                 FROM embeddings e CROSS JOIN cents c),
+        near AS (SELECT id, lbl, clbl AS nearest FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY id ORDER BY d, clbl) AS rn FROM dist)
+                 WHERE rn = 1)
+        SELECT lbl, count(*) AS n,
+               CAST(sum(CASE WHEN nearest = lbl THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pure
+        FROM near GROUP BY 1""")),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is

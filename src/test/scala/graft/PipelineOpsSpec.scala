@@ -302,6 +302,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       3L -> ((1L, 624694L))))
   }
 
+  // ---- Similarity.centroidPurity --------------------------------------
+
+  test("centroidPurity counts vectors nearest their own label centroid") {
+    // label 0 clusters near (0,0); label 1 near (10,10); one mislabeled
+    // vector (id 5, labeled 0 but sitting at (10,10)) lowers label 0's
+    // purity
+    val emb = Seq(
+      (1L, Array(0.0f, 0.1f), 0), (2L, Array(0.1f, 0.0f), 0),
+      (3L, Array(10.0f, 10.1f), 1), (4L, Array(10.1f, 10.0f), 1),
+      (5L, Array(10.0f, 10.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .centroidPurity(emb, "vec_id", "embedding", "label")
+      .as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // label 0 centroid is dragged toward (3.4, 3.4) by the mislabel, but
+    // ids 1,2 stay nearest it while id 5 flips to label 1's centroid
+    assert(got == Map(0 -> ((3L, 2L)), 1 -> ((2L, 2L))))
+  }
+
   // ---- plan shapes ----------------------------------------------------
 
   private def hashShuffles(df: org.apache.spark.sql.DataFrame): Int =
@@ -336,6 +356,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(l => l.contains("text") || l.contains("source")),
       s"payload crossed a shuffle:\n$plan")
+  }
+
+  // ---- Stats.rfm -------------------------------------------------------
+
+  test("rfm quintile-scores entities against the data's own anchor") {
+    import java.sql.Date
+    def day(d: Int) = Date.valueOf(f"2024-01-${d}%02d")
+    // 5 customers, strictly ordered on all three metrics: customer i has
+    // recency i-1 days, i orders, i*100 cents total
+    val rows = (1 to 5).flatMap { i =>
+      (1 to i).map(j => (i.toLong, day(10 - (i - 1)), 100L))
+    }
+    val df = rows.toDF("cust", "d", "cents")
+    val got = Stats.rfm(df, "cust", "d", "cents")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    // customer 1: most recent but fewest orders/lowest spend -> r=5,f=1,m=1
+    assert(got(1L) == ((1L, 0L, 1L, 100L, 5L, 1L, 1L, "511")))
+    // customer 5: least recent but top frequency/monetary
+    assert(got(5L) == ((5L, 4L, 5L, 500L, 1L, 5L, 5L, "155")))
+    assert(got(3L) == ((3L, 2L, 3L, 300L, 3L, 3L, 3L, "333")))
   }
 
   // ---- EventAnalytics.attribution ------------------------------------

@@ -55,7 +55,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "text_phrases" -> "1-row bigram total x phrase candidates",
     "text_phrase_merge" -> "1-row bigram total x phrase candidates (mining stage)",
     // basket total (ONE row) crossed onto the bounded rule table
-    "q97_assoc_rules" -> "1-row basket total x rules")
+    "q97_assoc_rules" -> "1-row basket total x rules",
+    // the (labels x dims) centroid table — bounded by label cardinality —
+    // broadcast against the corpus for nearest-centroid scoring
+    "q112_centroid_purity" -> "bounded label-centroid table x corpus")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
