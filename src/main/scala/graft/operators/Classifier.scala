@@ -63,32 +63,83 @@ object Classifier {
       .withColumn("pred", (p >= 0.5).cast("boolean"))
   }
 
+  /** Reliability diagram for the trained classifier: scored rows bucketed
+    * into `bins` equal-width score bands, each with its count, positive
+    * count, and exact micro-integer score sum — the observed-vs-predicted
+    * readout that says whether the quality filter's scores can be used as
+    * probabilities (threshold-picking needs this, not just accuracy).
+    * All-integer cells; the two divisions (observed rate, mean score) run
+    * on exact inputs. Output: (bin, n, n_pos, obs_rate, mean_score).
+    */
+  def calibration(feat: DataFrame, xs: Seq[String], steps: Int,
+      lr: Double = 0.25, bins: Int = 10): DataFrame =
+    fitPredict(feat, xs, steps, lr)
+      .withColumn("bin",
+        least(floor(col("score") * bins), lit(bins - 1)).cast("long"))
+      .withColumn("sm", round(col("score") * 1e6).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label").cast("long")).as("n_pos"),
+        sum(col("sm")).as("ssm"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("obs_rate"),
+        round(col("ssm").cast("double") / col("n") / 1e6, 6).as("mean_score"))
+
   /** The same weights trajectory as SQL CTEs for the DuckDB oracle:
     * `featSql` must yield the identical feature frame (same column names),
     * and the emitted text reproduces gradStep/fitPredict arithmetic
     * expression-for-expression. */
   def oracleSql(featSql: String, xs: Seq[String], steps: Int,
       lr: Double, selectCols: String): String = {
-    def dot(wPrefix: String) =
-      xs.zipWithIndex.map { case (c, j) => s"$c * ${wPrefix}_$j" }
-        .mkString("(", " + ", ")")
-    def sigma(z: String) = s"(0.5 + $z / (2.0 * (1.0 + abs($z))))"
+    val zf = dot(xs, s"w$steps")
+    s"""${trajectoryCtes(featSql, xs, steps, lr)}
+       |SELECT $selectCols, round(${sigma(zf)}, 6) AS score,
+       |       ${sigma(zf)} >= 0.5 AS pred
+       |FROM feat, w$steps""".stripMargin
+  }
+
+  /** DuckDB replica of [[calibration]]: same trajectory CTEs, final
+    * select bins the scored rows. */
+  def calibrationOracleSql(featSql: String, xs: Seq[String], steps: Int,
+      lr: Double, bins: Int): String = {
+    val zf = dot(xs, s"w$steps")
+    s"""${trajectoryCtes(featSql, xs, steps, lr)},
+       |scored AS (SELECT label, round(${sigma(zf)}, 6) AS score
+       |           FROM feat, w$steps),
+       |cells AS (SELECT least(CAST(floor(score * $bins) AS BIGINT),
+       |                       ${bins - 1}) AS bin,
+       |                 CAST(label AS BIGINT) AS lab,
+       |                 CAST(round(score * 1e6) AS BIGINT) AS sm
+       |          FROM scored)
+       |SELECT bin, count(*) AS n, CAST(sum(lab) AS BIGINT) AS n_pos,
+       |       round(CAST(sum(lab) AS DOUBLE) / count(*), 6) AS obs_rate,
+       |       round(CAST(sum(sm) AS DOUBLE) / count(*) / 1e6, 6)
+       |         AS mean_score
+       |FROM cells GROUP BY 1""".stripMargin
+  }
+
+  private def dot(xs: Seq[String], wPrefix: String): String =
+    xs.zipWithIndex.map { case (c, j) => s"$c * ${wPrefix}_$j" }
+      .mkString("(", " + ", ")")
+
+  private def sigma(z: String): String =
+    s"(0.5 + $z / (2.0 * (1.0 + abs($z))))"
+
+  /** The weight-trajectory CTE chain shared by every oracle form. */
+  private def trajectoryCtes(featSql: String, xs: Seq[String], steps: Int,
+      lr: Double): String = {
     val w0 = xs.indices.map(j => s"0.0 AS w0_$j").mkString(", ")
     val stepCtes = (1 to steps).map { k =>
-      val z = dot(s"w${k - 1}")
+      val z = dot(xs, s"w${k - 1}")
       val sums = xs.zipWithIndex.map { case (c, j) =>
         s"w${k - 1}_$j + $lr * (sum(CAST(round($c * (label - ${sigma(z)}) * 1e9) AS BIGINT))::DOUBLE / (n_rows * 1e9)) AS w${k}_$j"
       }.mkString(", ")
       s"w$k AS (SELECT ${sums} FROM feat, w${k - 1}, nrows GROUP BY ${
         xs.indices.map(j => s"w${k - 1}_$j").mkString(", ")}, n_rows)"
     }
-    val zf = dot(s"w$steps")
     s"""WITH feat AS ($featSql),
        |nrows AS (SELECT count(*) AS n_rows FROM feat),
        |w0 AS (SELECT $w0),
-       |${stepCtes.mkString(",\n")}
-       |SELECT $selectCols, round(${sigma(zf)}, 6) AS score,
-       |       ${sigma(zf)} >= 0.5 AS pred
-       |FROM feat, w$steps""".stripMargin
+       |${stepCtes.mkString(",\n")}""".stripMargin
   }
 }

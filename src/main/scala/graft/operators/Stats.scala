@@ -198,6 +198,33 @@ object Stats {
         concat(col("r"), col("f"), col("m")).as("segment"))
   }
 
+  /** Mutual information between two categorical columns, in micro-nats:
+    * MI = Σ_xy (n_xy/N)·ln(n_xy·N / (n_x·n_y)) — the model-free feature
+    * relevance / redundancy measure. Contingency cells and margins are
+    * exact counts; each cell's ln is integerized to micro-nats before the
+    * cross-cell sum (reduction-order-free), and the single division by N
+    * runs on exact inputs. NULLs count as a category. Cost: one corpus
+    * aggregate to the (a, b) contingency table, margins and total derived
+    * from it (cell-table-sized), 1-row total broadcast.
+    * Output: one row (n, n_cells, mi_micro).
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(
+      coalesce(col(aCol).cast("string"), lit(" null")).as("a"),
+      coalesce(col(bCol).cast("string"), lit(" null")).as("b"))
+    val joint = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+    val ma = joint.groupBy(col("a")).agg(sum(col("nab")).as("na"))
+    val mb = joint.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
+    val tot = joint.agg(sum(col("nab")).as("n"))
+    joint.join(ma, Seq("a")).join(mb, Seq("b")).crossJoin(broadcast(tot))
+      .withColumn("term", col("nab") * expr(
+        "CAST(round(ln((CAST(nab AS DOUBLE) * n) / (CAST(na AS DOUBLE) * nb)) * 1e6) AS BIGINT)"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        sum(col("term")).as("st"))
+      .select(col("n"), col("n_cells"),
+        expr("CAST(round(CAST(st AS DOUBLE) / n) AS BIGINT)").as("mi_micro"))
+  }
+
   /** ABC / Pareto classification: entities ranked by integer `valCol`
     * descending, classed by cumulative share of the total — A while the
     * running sum (including the current row) stays within `aPct`% of the

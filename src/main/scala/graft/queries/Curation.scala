@@ -15,7 +15,7 @@ object Curation {
 
   /** DuckDB replica of the documents feature frame fed to the classifier —
     * expression-for-expression the arithmetic in q87's Spark program. */
-  private val lrFeatSql = """SELECT doc_id,
+  private[queries] val lrFeatSql = """SELECT doc_id,
     |  CASE WHEN lang = 'en' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS label,
     |  1.0::DOUBLE AS x0,
     |  len(string_split(text, ' '))::DOUBLE / 100.0 AS x1,

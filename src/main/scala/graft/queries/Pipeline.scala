@@ -345,6 +345,47 @@ object Pipeline {
                  AS BIGINT) AS n_pure
         FROM near GROUP BY 1""")),
 
+    // ---- mutual information --------------------------------------------
+    // MI(lang; source) over the corpus: exact contingency counts,
+    // micro-nat integerized cell terms, one division by N
+    Q("q113_mutual_info", (s, d) =>
+      Stats.mutualInformation(t(s, d, "documents"), "lang", "source"),
+      Some("""
+        WITH base AS (SELECT coalesce(CAST(lang AS VARCHAR), ' null') AS a,
+                coalesce(CAST(source AS VARCHAR), ' null') AS b
+              FROM documents),
+        joint AS (SELECT a, b, count(*) AS nab FROM base GROUP BY 1, 2),
+        ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM joint GROUP BY 1),
+        mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb FROM joint GROUP BY 1),
+        tot AS (SELECT CAST(sum(nab) AS BIGINT) AS n FROM joint),
+        cells AS (SELECT nab,
+                CAST(nab AS BIGINT) * CAST(round(ln((CAST(nab AS DOUBLE) * n)
+                  / (CAST(na AS DOUBLE) * nb)) * 1e6) AS BIGINT) AS term, n
+              FROM joint JOIN ma USING (a) JOIN mb USING (b), tot)
+        SELECT max(n) AS n, count(*) AS n_cells,
+               CAST(round(CAST(CAST(sum(term) AS BIGINT) AS DOUBLE) / max(n))
+                 AS BIGINT) AS mi_micro
+        FROM cells""")),
+
+    // ---- classifier calibration ----------------------------------------
+    // reliability diagram of the q87-trained quality classifier: per
+    // score decile, observed positive rate vs mean predicted score —
+    // whether the filter's scores behave like probabilities
+    Q("q114_calibration", (s, d) => {
+      val nt = size(split(col("text"), " "))
+      val feat = t(s, d, "documents").select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("label"),
+        lit(1.0).as("x0"),
+        (nt.cast("double") / lit(100.0)).as("x1"),
+        (col("n_chars").cast("double") / nt / lit(10.0)).as("x2"),
+        (size(array_distinct(split(col("text"), " "))).cast("double") / nt)
+          .as("x3"))
+      graft.operators.Classifier.calibration(feat,
+        Seq("x0", "x1", "x2", "x3"), steps = 3, lr = 0.25, bins = 10)
+    }, Some(graft.operators.Classifier.calibrationOracleSql(
+        Curation.lrFeatSql, Seq("x0", "x1", "x2", "x3"), steps = 3,
+        lr = 0.25, bins = 10))),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is

@@ -322,6 +322,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Map(0 -> ((3L, 2L)), 1 -> ((2L, 2L))))
   }
 
+  // ---- Stats.mutualInformation ----------------------------------------
+
+  test("mutualInformation: 0 for independent, ln(2) for identical binary") {
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val gotI = Stats.mutualInformation(indep, "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(gotI == ((4L, 4L, 0L)))
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val gotD = Stats.mutualInformation(dep, "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(gotD == ((4L, 2L, math.round(math.log(2) * 1e6))))
+  }
+
+  // ---- Classifier.calibration -----------------------------------------
+
+  test("calibration bins cover all rows and respect bin arithmetic") {
+    // strongly separable 1-feature data so 3 GD steps spread the scores
+    // across more than one decile
+    val rows = (1 to 50).map(i => (i.toLong, 1.0, 1.0, 4.0)) ++
+      (51 to 100).map(i => (i.toLong, 0.0, 1.0, -4.0))
+    val feat = rows.toDF("id", "label", "x0", "x1")
+    val got = graft.operators.Classifier.calibration(feat, Seq("x0", "x1"),
+        steps = 3, lr = 0.25, bins = 10)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.map(_._2).sum == 100L)
+    assert(got.forall { case (bin, n, nPos, obs, _) =>
+      bin >= 0 && bin <= 9 && nPos <= n &&
+        math.abs(obs - nPos.toDouble / n) < 1e-6 })
+    assert(got.length >= 2)
+    // the positive-label rows (x1 = +4) must land in higher bins than the
+    // negative rows on average
+    val posBin = got.filter(_._3 > 0).map(r => r._1 * r._2).sum
+    val negBin = got.filter(_._3 == 0).map(r => r._1 * r._2).sum
+    assert(posBin > negBin)
+    // partitioning invariance: same bins from a differently-split input
+    val got2 = graft.operators.Classifier.calibration(
+        feat.repartition(7), Seq("x0", "x1"), steps = 3, lr = 0.25,
+        bins = 10)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.sortBy(_._1).toSeq == got2.sortBy(_._1).toSeq)
+  }
+
   // ---- plan shapes ----------------------------------------------------
 
   private def hashShuffles(df: org.apache.spark.sql.DataFrame): Int =

@@ -58,7 +58,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "q97_assoc_rules" -> "1-row basket total x rules",
     // the (labels x dims) centroid table — bounded by label cardinality —
     // broadcast against the corpus for nearest-centroid scoring
-    "q112_centroid_purity" -> "bounded label-centroid table x corpus")
+    "q112_centroid_purity" -> "bounded label-centroid table x corpus",
+    // the 1-row contingency total crossed onto the bounded cell table
+    "q113_mutual_info" -> "1-row total x contingency cells",
+    // the 1-row max-date anchor crossed onto the bounded entity table
+    "q111_rfm" -> "1-row anchor date x entity table")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
