@@ -386,6 +386,74 @@ object Pipeline {
         Curation.lrFeatSql, Seq("x0", "x1", "x2", "x3"), steps = 3,
         lr = 0.25, bins = 10))),
 
+    // ---- declarative data contract -------------------------------------
+    // Deequ-style contract over orders: row-local rules fold into one
+    // scan, uniqueness rides the same pass, the FK check is one
+    // left-anti count against customer
+    Q("q115_contract", (s, d) => {
+      import graft.operators.Quality._
+      validate(t(s, d, "orders"), Seq(
+        NotNull("o_orderkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 0.0, 1000000.0),
+        InSet("o_orderstatus", Seq("O", "F", "P")),
+        MatchesRegex("o_orderpriority", "^[1-5]-[A-Z]+$"),
+        ForeignKey("o_custkey", t(s, d, "customer"), "c_custkey")))
+    }, Some("""
+      SELECT 'not_null(o_orderkey)' AS rule,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS violations FROM orders
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'in_range(o_totalprice)',
+             CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+               AND (o_totalprice < 0 OR o_totalprice > 1000000)
+               THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)',
+             CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+               AND o_orderstatus NOT IN ('O', 'F', 'P')
+               THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'matches_regex(o_orderpriority)',
+             CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+               AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$')
+               THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'foreign_key(o_custkey)',
+             CAST((SELECT count(*) FROM orders o
+               WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                 (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)) AS BIGINT)""")),
+
+    // ---- sorted-neighborhood linkage -----------------------------------
+    // the block-boundary-free candidate generator: each record vs its 4
+    // sort-order neighbors, N·4 comparisons guaranteed
+    Q("q116_sorted_nbrs", (s, d) =>
+      graft.operators.Linkage.sortedNeighborhood(t(s, d, "customer"),
+        "c_custkey", "c_name", col("c_name"), window = 5, maxDist = 1),
+      Some("""
+        WITH s AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        l AS (SELECT id, name,
+                lead(id, 1) OVER w AS i1, lead(name, 1) OVER w AS m1,
+                lead(id, 2) OVER w AS i2, lead(name, 2) OVER w AS m2,
+                lead(id, 3) OVER w AS i3, lead(name, 3) OVER w AS m3,
+                lead(id, 4) OVER w AS i4, lead(name, 4) OVER w AS m4
+              FROM s WINDOW w AS (ORDER BY name, id)),
+        p AS (SELECT id, name, i1 AS nid, m1 AS nname FROM l WHERE i1 IS NOT NULL
+              UNION ALL
+              SELECT id, name, i2, m2 FROM l WHERE i2 IS NOT NULL
+              UNION ALL
+              SELECT id, name, i3, m3 FROM l WHERE i3 IS NOT NULL
+              UNION ALL
+              SELECT id, name, i4, m4 FROM l WHERE i4 IS NOT NULL)
+        SELECT least(id, nid) AS id_a, greatest(id, nid) AS id_b,
+               CAST(levenshtein(name, nname) AS BIGINT) AS dist
+        FROM p WHERE levenshtein(name, nname) <= 1""")),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is

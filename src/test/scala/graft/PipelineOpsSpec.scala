@@ -366,6 +366,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.sortBy(_._1).toSeq == got2.sortBy(_._1).toSeq)
   }
 
+  // ---- Quality.validate -----------------------------------------------
+
+  test("validate counts violations per rule, preserving contract order") {
+    import graft.operators.Quality._
+    val df = Seq(
+      (Option(1L), Option(5.0), Option("O"), Option("A-1")),
+      (Option(1L), Option(-1.0), Option("X"), Option("bad")),
+      (Option.empty[Long], Option(200.0), Option.empty[String], Option("A-2")))
+      .toDF("k", "price", "status", "code")
+    val ref = Seq(1L).toDF("rk")
+    val got = validate(df, Seq(
+      NotNull("k"), Unique(Seq("k")), InRange("price", 0.0, 100.0),
+      InSet("status", Seq("O", "F")), MatchesRegex("code", "^A-[0-9]$"),
+      ForeignKey("k", ref, "rk")))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("not_null(k)", 1L),          // one NULL key
+      ("unique(k)", 1L),            // k=1 twice (nulls count as one key)
+      ("in_range(price)", 2L),      // -1 and 200
+      ("in_set(status)", 1L),       // X (null not counted)
+      ("matches_regex(code)", 1L),  // "bad"
+      ("foreign_key(k)", 0L)))      // both non-null keys exist in ref
+  }
+
+  // ---- Linkage.sortedNeighborhood --------------------------------------
+
+  test("sortedNeighborhood catches matches across block boundaries") {
+    // "alpha"/"alpho" share no 5-prefix block but are sort neighbors
+    val df = Seq((1L, "alpha"), (2L, "alpho"), (3L, "beta"))
+      .toDF("id", "name")
+    val got = graft.operators.Linkage.sortedNeighborhood(df, "id", "name",
+        col("name"), window = 2, maxDist = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L)))
+  }
+
+  test("sortedNeighborhood window bounds the comparison budget") {
+    // window=2: only adjacent pairs compared — (a1, a3) at distance 1 in
+    // NAME space but 2 apart in sort order is not emitted
+    val df = Seq((1L, "aa"), (2L, "ab"), (3L, "ac")).toDF("id", "name")
+    val got = graft.operators.Linkage.sortedNeighborhood(df, "id", "name",
+        col("name"), window = 2, maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L)))
+  }
+
   // ---- plan shapes ----------------------------------------------------
 
   private def hashShuffles(df: org.apache.spark.sql.DataFrame): Int =
