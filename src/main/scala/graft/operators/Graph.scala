@@ -366,6 +366,49 @@ object Graph {
     * degree inside that round's surviving subgraph. Caller owns the
     * result per the [[Checkpoints]] contract.
     */
+  /** Adamic–Adar link prediction over an undirected pair list: for every
+    * non-adjacent pair (x, y) sharing at least one neighbor, score
+    * AA = Σ_z 1/ln(deg z) over common neighbors z — the classic
+    * local-structure "who should be connected" heuristic. Each term is
+    * integerized to `round(1e6/ln(deg))` BEFORE the per-pair sum
+    * (micro-nat discipline → reduction-order-free; a wedge center has
+    * deg ≥ 2, so ln > 0). Wedge generation costs Σ C(deg, 2); pass
+    * `maxDegree` to drop hub centers past the cap (standard AA practice —
+    * a hub's 1/ln(deg) contribution is noise anyway), which bounds the
+    * worst task. Existing edges are removed by one left-anti join; the
+    * top-k reduces through TakeOrdered. Output: (id_x, id_y,
+    * common_nbrs, aa_micro), id_x < id_y.
+    */
+  def adamicAdar(pairs: DataFrame, maxDegree: Option[Int] = None,
+      topK: Int = 50): DataFrame = {
+    val und = pairs.select(
+        least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val nbrs = und.select(explode(array(
+        struct(col("u").as("z"), col("v").as("x")),
+        struct(col("v").as("z"), col("u").as("x")))).as("e"))
+      .select(col("e.z").as("z"), col("e.x").as("x"))
+    val deg = nbrs.groupBy(col("z")).agg(count(lit(1)).as("d"))
+    val centers0 = nbrs.join(deg, Seq("z"))
+      .withColumn("term",
+        expr("CAST(round(1e6 / ln(CAST(d AS DOUBLE))) AS BIGINT)"))
+    val centers = maxDegree.fold(centers0)(cap =>
+      centers0.filter(col("d") <= cap))
+    val a = centers.select(col("z"), col("x"), col("term"))
+    val b = centers.select(col("z"), col("x").as("y"))
+    val scored = a.join(b, Seq("z"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x").as("id_x"), col("y").as("id_y"))
+      .agg(count(lit(1)).as("common_nbrs"), sum(col("term")).as("aa_micro"))
+    val out = scored
+      .join(und.select(col("u").as("id_x"), col("v").as("id_y")),
+        Seq("id_x", "id_y"), "left_anti")
+      .orderBy(col("aa_micro").desc, col("id_x").asc, col("id_y").asc)
+      .limit(topK)
+    out
+  }
+
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).persist()
     var alive = e.select(col("src").as("id")).distinct()

@@ -215,6 +215,33 @@ object TimeSeries {
         col("roll_sum"), col("roll_n"), col("roll_max"))
   }
 
+  /** Seasonal-baseline anomaly detection: each event's value against its
+    * (group, hour-of-day) slot mean — the "seasonal naive" residual that
+    * catches values normal in absolute terms but wrong for their hour.
+    * Slot means come from exact micro-integer sums (one aggregate; slots
+    * are group×24, broadcast back); residuals are exact-input divisions;
+    * the top-k largest |residual| rows reduce through TakeOrdered.
+    * Output: (id, grp, slot, value_micro, seasonal_micro, resid_micro).
+    */
+  def seasonalResiduals(events: DataFrame, idCol: String, grpCol: String,
+      tsCol: String, valCol: String, topK: Int): DataFrame = {
+    val base = events.select(col(idCol).as("id"), col(grpCol).as("grp"),
+      hour(col(tsCol)).cast("long").as("slot"),
+      round(col(valCol) * 1e6).cast("long").as("vm"))
+    val slots = base.groupBy(col("grp"), col("slot"))
+      .agg(sum(col("vm")).as("sv"), count(lit(1)).as("n"))
+    base.join(broadcast(slots), Seq("grp", "slot"))
+      .withColumn("seasonal",
+        col("sv").cast("double") / col("n"))
+      .withColumn("resid", col("vm") - col("seasonal"))
+      .orderBy(abs(col("resid")).desc, col("id").asc)
+      .limit(topK)
+      .select(col("id"), col("grp"), col("slot"),
+        col("vm").as("value_micro"),
+        round(col("seasonal")).cast("long").as("seasonal_micro"),
+        round(col("resid")).cast("long").as("resid_micro"))
+  }
+
   /** Merge a key's overlapping-or-touching intervals into islands (the
     * gaps-and-islands pattern): an interval starts a new island when its
     * start exceeds the running max end of everything before it. Output:

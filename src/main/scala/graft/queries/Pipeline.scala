@@ -454,6 +454,64 @@ object Pipeline {
                CAST(levenshtein(name, nname) AS BIGINT) AS dist
         FROM p WHERE levenshtein(name, nname) <= 1""")),
 
+    // ---- Adamic-Adar link prediction -----------------------------------
+    // top-50 predicted co-purchase links (non-adjacent part pairs with
+    // shared neighbors, 1/ln(deg) micro-nat terms) on the q90/q98 graph
+    Q("q117_adamic_adar", (s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pp = Tables.spread(
+          li.select(col("l_orderkey"), col("l_partkey").as("id_a"))
+            .join(li.select(col("l_orderkey"), col("l_partkey").as("id_b")),
+              Seq("l_orderkey"))
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"))).distinct()
+      ScaleOps.withAqeOff(s) { ScaleOps.withShufflePartitions(s, 8) {
+        Graph.adamicAdar(pp, maxDegree = None, topK = 50)
+      } }
+    }, Some("""
+      WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                  WHERE l_partkey % 5 = 0),
+      pp AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_partkey < b.l_partkey),
+      nbrs AS (SELECT u AS z, v AS x FROM pp UNION ALL SELECT v, u FROM pp),
+      deg AS (SELECT z, count(*) AS d FROM nbrs GROUP BY 1),
+      c AS (SELECT n.z, n.x,
+              CAST(round(1e6 / ln(CAST(d AS DOUBLE))) AS BIGINT) AS term
+            FROM nbrs n JOIN deg USING (z)),
+      w AS (SELECT a.x AS id_x, b.x AS id_y, count(*) AS common_nbrs,
+              CAST(sum(a.term) AS BIGINT) AS aa_micro
+            FROM c a JOIN c b ON a.z = b.z AND a.x < b.x
+            GROUP BY 1, 2),
+      nonedge AS (SELECT w.* FROM w LEFT JOIN pp
+                    ON w.id_x = pp.u AND w.id_y = pp.v
+                  WHERE pp.u IS NULL)
+      SELECT id_x, id_y, common_nbrs, aa_micro FROM nonedge
+      ORDER BY aa_micro DESC, id_x, id_y LIMIT 50""")),
+
+    // ---- seasonal-baseline anomalies -----------------------------------
+    // top-50 events whose value is most anomalous for its
+    // (event_type, hour-of-day) slot
+    Q("q118_seasonal", (s, d) =>
+      TimeSeries.seasonalResiduals(Tables.events(s, d), "event_id",
+        "event_type", "ts", "value", topK = 50),
+      Some("""
+        WITH base AS (SELECT event_id AS id, event_type AS grp,
+                CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS slot,
+                CAST(round(value * 1000000.0) AS BIGINT) AS vm FROM events),
+        slots AS (SELECT grp, slot, CAST(sum(vm) AS BIGINT) AS sv,
+                count(*) AS n FROM base GROUP BY 1, 2),
+        r AS (SELECT id, grp, slot, vm,
+                CAST(sv AS DOUBLE) / n AS seasonal,
+                vm - CAST(sv AS DOUBLE) / n AS resid
+              FROM base JOIN slots USING (grp, slot))
+        SELECT id, grp, slot, vm AS value_micro,
+               CAST(round(seasonal) AS BIGINT) AS seasonal_micro,
+               CAST(round(resid) AS BIGINT) AS resid_micro
+        FROM r ORDER BY abs(resid) DESC, id LIMIT 50""")),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is

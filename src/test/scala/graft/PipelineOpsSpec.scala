@@ -412,6 +412,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L)))
   }
 
+  // ---- Graph.adamicAdar ------------------------------------------------
+
+  test("adamicAdar scores non-adjacent pairs by 1/ln(deg) of shared nbrs") {
+    // square 1-2-3-4-1: diagonals (1,3) and (2,4) each share two deg-2
+    // neighbors -> aa = 2 * round(1e6/ln 2); adjacent pairs excluded
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Graph.adamicAdar(pairs, None, topK = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val t = math.round(1e6 / math.log(2))
+    assert(got == Set((1L, 3L, 2L, 2 * t), (2L, 4L, 2L, 2 * t)))
+  }
+
+  test("adamicAdar maxDegree drops hub centers") {
+    // star: hub 1 connects 2,3,4 -> leaf pairs share only the hub; cap 2
+    // removes the hub as a center, leaving no candidate pairs
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    assert(graft.operators.Graph.adamicAdar(pairs, Some(2), 10).count() == 0)
+    assert(graft.operators.Graph.adamicAdar(pairs, None, 10).count() == 3)
+  }
+
+  // ---- TimeSeries.seasonalResiduals ------------------------------------
+
+  test("seasonalResiduals ranks events against their slot mean") {
+    import java.sql.Timestamp
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour-0 slot mean = (1+1+4)/3 = 2.0 -> event 3 resid +2.0;
+    // hour-1 slot has one event, resid 0
+    val ev = Seq((1L, "t", at(0, 1), 1.0), (2L, "t", at(0, 2), 1.0),
+      (3L, "t", at(0, 3), 4.0), (4L, "t", at(1, 0), 9.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = TimeSeries.seasonalResiduals(ev, "event_id", "event_type",
+        "ts", "value", topK = 2)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.head == ((3L, "t", 0L, 4000000L, 2000000L, 2000000L)))
+    // ties at |resid| = 1e6 (events 1 and 2) break on id
+    assert(got(1) == ((1L, "t", 0L, 1000000L, 2000000L, -1000000L)))
+  }
+
   // ---- plan shapes ----------------------------------------------------
 
   private def hashShuffles(df: org.apache.spark.sql.DataFrame): Int =
