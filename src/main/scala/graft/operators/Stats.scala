@@ -162,6 +162,41 @@ object Stats {
           .as("n_outliers"))
   }
 
+  /** Growth accounting: first-seen date per entity, rolled up to daily
+    * new-entity counts with a running cumulative — the activation curve.
+    * The corpus reduces to one row per entity (min date), then to one row
+    * per day; the cumulative window runs on the bounded day table.
+    * Output: (d, new_entities, cum_entities).
+    */
+  def growthCurve(df: DataFrame, entCol: String, dateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(entCol).as("ent"), col(dateCol).cast("date").as("d"))
+      .groupBy(col("ent")).agg(min(col("d")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("new_entities"))
+      .withColumn("cum_entities", sum(col("new_entities")).over(
+        Window.orderBy(col("d").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Equi-depth histogram of integer `valCol`: `buckets` near-equal-count
+    * bins via ntile over the (value, rowKey) total order — rank-based, so
+    * boundaries are exact values from the data, never interpolated
+    * floats. Output: (bucket, n, lo, hi). The ranked pass is a global
+    * sort — run it on value-grain or sampled data when the row count
+    * outgrows one sort (the KLL sketch profile is the streaming-scale
+    * alternative).
+    */
+  def equiDepthHistogram(df: DataFrame, valCol: String, rowKey: String,
+      buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(valCol).cast("long").as("v"), col(rowKey).as("rk"))
+      .withColumn("bucket", ntile(buckets).over(
+        Window.orderBy(col("v").asc, col("rk").asc)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+  }
+
   /** RFM segmentation: per entity, recency (days since its last event,
     * anchored at the dataset's own max date so the segmentation is
     * data-relative and reproducible), frequency (event count), monetary

@@ -512,6 +512,36 @@ object Pipeline {
                CAST(round(resid) AS BIGINT) AS resid_micro
         FROM r ORDER BY abs(resid) DESC, id LIMIT 50""")),
 
+    // ---- growth accounting ---------------------------------------------
+    // daily new users (first-seen) and the cumulative activation curve
+    Q("q119_growth", (s, d) =>
+      Stats.growthCurve(Tables.events(s, d), "user_id", "ts"),
+      Some("""
+        WITH f AS (SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                 AS d FROM events GROUP BY 1),
+        daily AS (SELECT d, count(*) AS new_entities FROM f GROUP BY 1)
+        SELECT d, new_entities,
+               CAST(sum(new_entities) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_entities
+        FROM daily""")),
+
+    // ---- equi-depth histogram ------------------------------------------
+    // 20 near-equal-count bins of order totals; rank-based boundaries,
+    // no interpolated quantiles
+    Q("q120_equidepth", (s, d) =>
+      Stats.equiDepthHistogram(
+        t(s, d, "orders").withColumn("cents",
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)")),
+        "cents", "o_orderkey", buckets = 20),
+      Some("""
+        WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 o_orderkey AS rk FROM orders),
+        b AS (SELECT v, ntile(20) OVER (ORDER BY v, rk) AS bucket FROM r)
+        SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+               min(v) AS lo, max(v) AS hi
+        FROM b GROUP BY 1""")),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is

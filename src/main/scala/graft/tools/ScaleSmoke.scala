@@ -554,7 +554,50 @@ object ScaleSmoke {
           time("abc_class 10x")(noop(
             graft.operators.Stats.abcClassification(cents(o10), "o_custkey",
               "cents"))))
-      })
+      },
+      // labels fixed, corpus 10x: the component aggregate is the linear
+      // part; the centroid table stays labels x dims
+      ("centroid_purity", time("centroid_purity 1x")(noop(
+          graft.operators.Similarity.centroidPurity(e1, "vec_id",
+            "embedding", "label"))),
+        time("centroid_purity 10x")(noop(
+          graft.operators.Similarity.centroidPurity(e10, "vec_id",
+            "embedding", "label")))),
+      // graph 10x in nodes and edges; the maxDegree cap is LOAD-BEARING
+      // here: supplier hubs (deg 500-700) would contribute C(deg,2) ≈
+      // 200k wedges each (measured: 375 s uncapped at 1x) — the cap drops
+      // them as centers, leaving part-centered wedges that track the
+      // corpus. The id-offset replication keeps per-copy degrees flat.
+      {
+        def pp(li: DataFrame): DataFrame =
+          li.select(col("l_partkey").as("id_a"),
+              (col("l_suppkey") + 100000000000L).as("id_b"))
+        ("adamic_adar", time("adamic_adar 1x")(noop(
+            Graph.adamicAdar(pp(l1), maxDegree = Some(100), topK = 50))),
+          time("adamic_adar 10x")(noop(
+            Graph.adamicAdar(pp(lg10), maxDegree = Some(100), topK = 50))))
+      },
+      // one scan aggregate for the row-local rules + one anti-join count
+      {
+        import graft.operators.Quality._
+        def contract(o: DataFrame, c: DataFrame): DataFrame =
+          validate(o, Seq(NotNull("o_orderkey"), Unique(Seq("o_orderkey")),
+            InRange("o_totalprice", 0.0, 1000000.0),
+            InSet("o_orderstatus", Seq("O", "F", "P")),
+            ForeignKey("o_custkey", c, "c_custkey")))
+        ("contract_validate", time("contract_validate 1x")(noop(
+            contract(o1, c1))),
+          time("contract_validate 10x")(noop(contract(o10, c10))))
+      },
+      // per-session state bounded to maxLen rows before the collect
+      ("top_paths", time("top_paths 1x")(noop(
+          EventAnalytics.topPaths(
+            graft.queries.Tables.normalizeEventTs(ev1), "user_id", "ts",
+            "event_type", "event_id", 1800L * 1000000L, 5, 20))),
+        time("top_paths 10x")(noop(
+          EventAnalytics.topPaths(
+            graft.queries.Tables.normalizeEventTs(ev10), "user_id", "ts",
+            "event_type", "event_id", 1800L * 1000000L, 5, 20)))))
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
     results.foreach { case (n, a, b) =>

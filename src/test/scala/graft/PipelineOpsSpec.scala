@@ -451,6 +451,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(1) == ((1L, "t", 0L, 1000000L, 2000000L, -1000000L)))
   }
 
+  // ---- Stats.growthCurve / equiDepthHistogram --------------------------
+
+  test("growthCurve counts first-seen entities per day with a cumulative") {
+    import java.sql.Timestamp
+    def at(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // user 1 first on day 1 (reappears day 3), users 2,3 on day 2
+    val ev = Seq((1L, at(1)), (2L, at(2)), (3L, at(2)), (1L, at(3)))
+      .toDF("user_id", "ts")
+    val got = Stats.growthCurve(ev, "user_id", "ts")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2, r._3)).toSeq.sorted
+    assert(got == Seq(("2024-01-01", 1L, 1L), ("2024-01-02", 2L, 3L)))
+  }
+
+  test("equiDepthHistogram bins cover all rows with ordered boundaries") {
+    val df = (1L to 10L).map(v => (v, v)).toDF("v", "rk")
+    val got = Stats.equiDepthHistogram(df, "v", "rk", buckets = 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 1L, 2L), (2L, 2L, 3L, 4L), (3L, 2L, 5L, 6L),
+      (4L, 2L, 7L, 8L), (5L, 2L, 9L, 10L)))
+  }
+
   // ---- plan shapes ----------------------------------------------------
 
   private def hashShuffles(df: org.apache.spark.sql.DataFrame): Int =
