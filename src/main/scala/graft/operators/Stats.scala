@@ -197,6 +197,41 @@ object Stats {
         max(col("v")).as("hi"))
   }
 
+  /** Zipf-law fit over a frequency table: OLS slope of ln(freq) against
+    * ln(rank) — the "does this corpus look like natural language"
+    * diagnostic (natural text sits near slope −1; synthetic or
+    * template-heavy corpora drift off it). Ranks come from a total order
+    * (freq desc, item asc) over the bounded frequency table; both logs
+    * are integerized to MILLI-nats (1e3 — milli, not the usual micro,
+    * keeps Σx²·n inside exact-long range at any realistic vocabulary:
+    * ln(1e9)·1e3 ≈ 2·10⁴, squared ≈ 4.3·10⁸, ×10⁹ rows ≈ 4.3·10¹⁷ < 2⁶³)
+    * before the moment sums, so the closed form runs on exact longs.
+    * Output: one row (n_items, slope, intercept) in nat units, rounded
+    * at 6.
+    */
+  def zipfFit(freqs: DataFrame, itemCol: String, freqCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = freqs.select(col(itemCol).as("item"),
+        col(freqCol).cast("long").as("f"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("f").desc, col("item").asc)).cast("long"))
+      .select(
+        expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1e3) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1e3) AS BIGINT)").as("y"))
+    val m = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val den = col("n").cast("double") * col("sxx") -
+      col("sx").cast("double") * col("sx")
+    val slope = (col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")) / den
+    m.select(col("n").as("n_items"),
+      when(den =!= 0.0, round(slope, 6)).as("slope"),
+      when(den =!= 0.0,
+        round((col("sy") - slope * col("sx")) / col("n") / 1e3, 6))
+        .as("intercept"))
+  }
+
   /** RFM segmentation: per entity, recency (days since its last event,
     * anchored at the dataset's own max date so the segmentation is
     * data-relative and reproducible), frequency (event count), monetary

@@ -542,6 +542,44 @@ object Pipeline {
                min(v) AS lo, max(v) AS hi
         FROM b GROUP BY 1""")),
 
+    // ---- Zipf fit ------------------------------------------------------
+    // slope of ln(freq) vs ln(rank) over the token frequency table —
+    // natural text sits near -1; template corpora drift off it
+    Q("text_zipf", (s, d) => {
+      val freqs = Tables.ts(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      Stats.zipfFit(freqs, "tok", "f")
+    }, Some("""
+      WITH freqs AS (SELECT tok, count(*) AS f FROM (
+               SELECT unnest(string_split(text, ' ')) AS tok
+               FROM documents) WHERE tok <> '' GROUP BY 1),
+      ranked AS (SELECT
+               CAST(round(ln(CAST(row_number() OVER
+                 (ORDER BY f DESC, tok ASC) AS DOUBLE)) * 1e3)
+                 AS BIGINT) AS x,
+               CAST(round(ln(CAST(f AS DOUBLE)) * 1e3) AS BIGINT) AS y
+             FROM freqs),
+      m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM ranked)
+      SELECT n AS n_items,
+             CASE WHEN CAST(n AS DOUBLE) * sxx
+                    - CAST(sx AS DOUBLE) * sx <> 0.0 THEN
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             END AS slope,
+             CASE WHEN CAST(n AS DOUBLE) * sxx
+                    - CAST(sx AS DOUBLE) * sx <> 0.0 THEN
+               round((sy - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sx)
+                 / n / 1e3, 6)
+             END AS intercept
+      FROM m""")),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is

@@ -473,6 +473,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       (4L, 2L, 7L, 8L), (5L, 2L, 9L, 10L)))
   }
 
+  // ---- Stats.zipfFit ---------------------------------------------------
+
+  test("zipfFit recovers the two-point slope exactly") {
+    val freqs = Seq(("a", 100L), ("b", 10L)).toDF("tok", "f")
+    val got = Stats.zipfFit(freqs, "tok", "f")
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    // milli-nat grid replay: x = [0, 693], y = [4605, 2303]
+    val (x1, x2) = (0.0, math.round(math.log(2) * 1e3).toDouble)
+    val (y1, y2) = (math.round(math.log(100) * 1e3).toDouble,
+      math.round(math.log(10) * 1e3).toDouble)
+    val slope = (y2 - y1) / (x2 - x1)
+    assert(got._1 == 2L)
+    assert(math.abs(got._2.get - BigDecimal(slope)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("zipfFit single-item table yields NULL slope") {
+    val freqs = Seq(("a", 5L)).toDF("tok", "f")
+    val got = Stats.zipfFit(freqs, "tok", "f")
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(got == ((1L, None, None)))
+  }
+
   // ---- plan shapes ----------------------------------------------------
 
   private def hashShuffles(df: org.apache.spark.sql.DataFrame): Int =
