@@ -77,4 +77,38 @@ object FeatureEng {
         round((p - q) * log(p / q) * 1e6).cast("long").as("term"))
       .groupBy(col("grp")).agg(sum(col("term")).as("psi_micro"))
   }
+
+  /** Quantile normalization across groups: each row's value is replaced
+    * by the POOLED distribution's value at the same within-group
+    * quantile, so every group ends up on one common distribution — the
+    * cross-source score-calibration step (a quality model trained on one
+    * source reads differently on another; rank-mapping removes the
+    * per-source scale). All rank arithmetic is integer:
+    * pooled index = ceil(rn·N/n) = (rn·N + n − 1) div n over (value,
+    * rowKey) total orders, and the mapped value is an exact data value —
+    * no interpolation. The pooled reference is a global ranked pass —
+    * run it on entity-grain or sampled data past one sort's capacity
+    * (same contract as [[graft.operators.Stats.equiDepthHistogram]]).
+    * Output: (rk, grp, v, norm).
+    */
+  def quantileNormalize(df: DataFrame, grpCol: String, valCol: String,
+      rowKey: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(rowKey).as("rk"), col(grpCol).as("grp"),
+      col(valCol).cast("long").as("v"))
+    val ranked = base
+      .withColumn("rn", row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("v").asc, col("rk").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val pooled = base
+      .select(col("v").as("pv"), col("rk"))
+      .withColumn("idx", row_number().over(
+        Window.orderBy(col("pv").asc, col("rk").asc)).cast("long"))
+      .select(col("idx"), col("pv"))
+    val total = base.count()
+    ranked
+      .withColumn("idx", expr(s"(rn * ${total}L + n - 1) div n"))
+      .join(pooled, Seq("idx"))
+      .select(col("rk"), col("grp"), col("v"), col("pv").as("norm"))
+  }
 }

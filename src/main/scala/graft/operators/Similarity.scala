@@ -776,6 +776,33 @@ object Similarity {
     * (labels × dims) — broadcast; per-vector work is labels × dims.
     * Output: (lbl, n, n_pure).
     */
+  /** Embedding drift monitor between two corpus slices: per label, the
+    * L2 distance between slice centroids — the embedding-space analog of
+    * the PSI histogram drift ([[graft.operators.FeatureEng.psiDrift]]):
+    * a retrained encoder, a data-source change, or silent input drift
+    * moves centroids long before downstream metrics notice. Same
+    * determinism scheme as [[centroidPurity]] (exact integer component
+    * sums; shared-fold distance; one sqrt of an exact-chain double).
+    * Output: (lbl, n_a, n_b, l2_shift) rounded at 6.
+    */
+  def centroidShift(embA: DataFrame, embB: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    def cents(emb: DataFrame, nOut: String, vOut: String): DataFrame =
+      emb.select(col(labelCol).as("lbl"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .withColumn("xi", round(col("x") * 1e6).cast("long"))
+        .groupBy(col("lbl"), col("pos"))
+        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("c", col("sx").cast("double") / col("n") / 1e6)
+        .groupBy(col("lbl"))
+        .agg(max(col("n")).as(nOut),
+          sort_array(collect_list(struct(col("pos"), col("c")))).as("ca"))
+        .withColumn(vOut, expr("transform(ca, s -> s.c)")).drop("ca")
+    cents(embA, "n_a", "va").join(cents(embB, "n_b", "vb"), Seq("lbl"))
+      .select(col("lbl"), col("n_a"), col("n_b"),
+        round(sqrt(expr(sparkSqDistD("va", "vb"))), 6).as("l2_shift"))
+  }
+
   def centroidPurity(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val comp = emb

@@ -580,6 +580,54 @@ object Pipeline {
              END AS intercept
       FROM m""")),
 
+    // ---- quantile normalization ----------------------------------------
+    // per-source document lengths rank-mapped onto the pooled length
+    // distribution — cross-source score calibration with no interpolation
+    Q("q121_quantile_norm", (s, d) =>
+      graft.operators.FeatureEng.quantileNormalize(
+        t(s, d, "documents"), "source", "n_chars", "doc_id")
+        .select(col("rk").as("doc_id"), col("grp").as("source"),
+          col("v").as("n_chars"), col("norm")),
+      Some("""
+        WITH base AS (SELECT doc_id AS rk, source AS grp,
+                CAST(n_chars AS BIGINT) AS v FROM documents),
+        r AS (SELECT rk, grp, v,
+                CAST(row_number() OVER (PARTITION BY grp ORDER BY v, rk)
+                  AS BIGINT) AS rn,
+                count(*) OVER (PARTITION BY grp) AS n FROM base),
+        p AS (SELECT CAST(row_number() OVER (ORDER BY v, rk) AS BIGINT)
+                AS idx, v AS pv FROM base),
+        t AS (SELECT count(*) AS nn FROM base)
+        SELECT rk AS doc_id, grp AS source, v AS n_chars, pv AS norm
+        FROM r CROSS JOIN t
+        JOIN p ON ((r.rn * t.nn + r.n - 1) // r.n) = p.idx""")),
+
+    // ---- embedding centroid drift --------------------------------------
+    // per-label centroid L2 shift between the even/odd vec_id slices —
+    // the embedding-space drift monitor (PSI's vector analog)
+    Q("q122_centroid_shift", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.centroidShift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", "label")
+    }, Some(s"""
+      WITH comp AS (
+        SELECT label AS lbl, vec_id % 2 AS side, i AS pos,
+               CAST(sum(CAST(round(embedding[i] * 1e6) AS BIGINT))
+                 AS BIGINT) AS sx,
+               count(*) AS n
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+        GROUP BY 1, 2, 3),
+      cent AS (SELECT lbl, side, max(n) AS n,
+                 list(sx::DOUBLE / n / 1e6 ORDER BY pos) AS cv
+               FROM comp GROUP BY 1, 2)
+      SELECT a.lbl, a.n AS n_a, b.n AS n_b,
+             round(sqrt(${graft.functions.VectorExprs.duckSqDistD(
+               "a.cv", "b.cv")}), 6) AS l2_shift
+      FROM cent a JOIN cent b ON a.lbl = b.lbl
+       AND a.side = 0 AND b.side = 1""")),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is

@@ -496,6 +496,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == ((1L, None, None)))
   }
 
+  // ---- FeatureEng.quantileNormalize ------------------------------------
+
+  test("quantileNormalize maps every group onto the pooled distribution") {
+    // g1 = [1, 2], g2 = [100, 200]; pooled = [1, 2, 100, 200] -> both
+    // groups normalize to [2, 200]: identical distributions afterwards,
+    // the defining property
+    val df = Seq((1L, "g1", 1L), (2L, "g1", 2L), (3L, "g2", 100L),
+      (4L, "g2", 200L)).toDF("rk", "grp", "v")
+    val got = graft.operators.FeatureEng
+      .quantileNormalize(df, "grp", "v", "rk")
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._2).map { case (g, rs) => g -> rs.map(_._4).sorted.toSeq }
+    assert(got == Map("g1" -> Seq(2L, 200L), "g2" -> Seq(2L, 200L)))
+  }
+
+  // ---- Similarity.centroidShift ----------------------------------------
+
+  test("centroidShift measures per-label centroid L2 drift") {
+    val a = Seq((1L, Array(0.0f, 0.0f), 0), (2L, Array(0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq((3L, Array(3.0f, 4.0f), 0), (4L, Array(3.0f, 4.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .centroidShift(a, b, "vec_id", "embedding", "label")
+      .as[(Int, Long, Long, Double)].collect().head
+    assert(got == ((0, 2L, 2L, 5.0)))
+  }
+
   // ---- plan shapes ----------------------------------------------------
 
   private def hashShuffles(df: org.apache.spark.sql.DataFrame): Int =
