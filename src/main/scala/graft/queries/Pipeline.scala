@@ -628,6 +628,43 @@ object Pipeline {
       FROM cent a JOIN cent b ON a.lbl = b.lbl
        AND a.side = 0 AND b.side = 1""")),
 
+    // ---- end-to-end curation pipeline ----------------------------------
+    // the operators composed the way a production corpus run chains them:
+    // exact dedup (md5 digest, keep lowest id) -> length gate -> per-source
+    // deterministic cap (hash order) -> per-source yield report. Every
+    // stage key-partitions on its own column; nothing widens.
+    Q("text_curation_e2e", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.ts(s, d, "documents")
+      val wDg = Window.partitionBy(col("dg")).orderBy(col("doc_id").asc)
+      val dd = docs.withColumn("dg", md5(col("text")))
+        .withColumn("rn", row_number().over(wDg))
+        .filter(col("rn") === 1)
+      val gated = dd.filter(col("n_chars").between(100, 3000))
+      val wSrc = Window.partitionBy(col("source")).orderBy(
+        expr(graft.functions.HashExprs
+          .sparkCharHash("CAST(doc_id AS STRING)")).asc,
+        col("doc_id").asc)
+      val capped = gated.withColumn("srn", row_number().over(wSrc))
+        .filter(col("srn") <= 200)
+      capped.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    }, Some(s"""
+      WITH dd AS (SELECT *, row_number() OVER
+               (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM documents),
+      gated AS (SELECT * FROM dd
+                WHERE rn = 1 AND n_chars BETWEEN 100 AND 3000),
+      capped AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY ${graft.functions.HashExprs
+                   .duckCharHash("doc_id::VARCHAR")}, doc_id) AS srn
+               FROM gated) WHERE srn <= 200)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM capped GROUP BY 1""")),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is
