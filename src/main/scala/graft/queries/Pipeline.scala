@@ -250,10 +250,18 @@ object Pipeline {
     Q("q109_stream_distinct", (s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val ev = Tables.eventsStream(s, d)
-      val q = graft.streaming.WindowedAgg
-        .tumblingDistinct(ev, "ts", "user_id", "6 hours", "1 hour")
-        .writeStream.format("memory").queryName("q109_stream")
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      // both stateful operators commit one state store per shuffle
+      // partition per micro-batch; at this volume store open/commit is
+      // the fixed cost (the q55 lesson) — scoped to stream start and
+      // restored
+      val before = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        graft.streaming.WindowedAgg
+          .tumblingDistinct(ev, "ts", "user_id", "6 hours", "1 hour")
+          .writeStream.format("memory").queryName("q109_stream")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", before)
       q.awaitTermination()
       s.table("q109_stream")
     }, Some("""
@@ -467,9 +475,12 @@ object Pipeline {
               Seq("l_orderkey"))
             .filter(col("id_a") < col("id_b"))
             .select(col("id_a"), col("id_b"))).distinct()
-      ScaleOps.withAqeOff(s) { ScaleOps.withShufflePartitions(s, 8) {
+      // A/B probe (PerfProbe `aa` mode, sf0.1 warm): AQE-on/8 2.0-2.4 s
+      // vs the k-core-inherited AQE-off/8 2.6-2.9 s — the wedge join's
+      // bigger intermediate WANTS AQE's runtime coalescing
+      ScaleOps.withShufflePartitions(s, 8) {
         Graph.adamicAdar(pp, maxDegree = None, topK = 50)
-      } }
+      }
     }, Some("""
       WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
                   WHERE l_partkey % 5 = 0),

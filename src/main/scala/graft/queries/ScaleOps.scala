@@ -31,7 +31,7 @@ object ScaleOps {
     * iterative loops whose stages are all small and fixed-shape pay AQE's
     * per-stage replanning as pure latency. The conf is restored before
     * returning, so only the operator's internal jobs run without AQE. */
-  private[queries] def withAqeOff[T](s: org.apache.spark.sql.SparkSession)(f: => T): T = {
+  private[graft] def withAqeOff[T](s: org.apache.spark.sql.SparkSession)(f: => T): T = {
     val key = "spark.sql.adaptive.enabled"
     val before = s.conf.get(key)
     s.conf.set(key, "false")
@@ -44,7 +44,7 @@ object ScaleOps {
     * on every round, so the right parallelism is sized to the data, not
     * the session default — exactly what a tuned job does per-stage on a
     * real cluster. Restored before returning. */
-  private[queries] def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession,
+  private[graft] def withShufflePartitions[T](s: org.apache.spark.sql.SparkSession,
       n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val before = s.conf.get(key)

@@ -223,6 +223,37 @@ object PerfProbe {
           }
           println(f"[probe] $n reps=${reps.map(r => f"$r%.2f").mkString(",")}")
         }
+      case "aa" =>
+        // A/B the execution scope of the q117 Adamic-Adar body: the
+        // AQE-off/8-partition scope was inherited from the k-core entry,
+        // but the wedge join is a much bigger intermediate
+        import graft.operators.Graph
+        import graft.queries.{ScaleOps, Tables}
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .filter(col("l_partkey") % 5 === 0)
+          .select(col("l_orderkey"), col("l_partkey"))
+        def pp = Tables.spread(
+            li.select(col("l_orderkey"), col("l_partkey").as("id_a"))
+              .join(li.select(col("l_orderkey"), col("l_partkey").as("id_b")),
+                Seq("l_orderkey"))
+              .filter(col("id_a") < col("id_b"))
+              .select(col("id_a"), col("id_b"))).distinct()
+        def run(tag: String)(body: => DataFrame): Unit = {
+          val reps = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            body.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[probe] aa/$tag reps=${reps.map(r => f"$r%.2f").mkString(",")}")
+        }
+        run("aqeoff8")(ScaleOps.withAqeOff(spark) {
+          ScaleOps.withShufflePartitions(spark, 8) {
+            Graph.adamicAdar(pp, None, 50) } })
+        run("aqeon32")(Graph.adamicAdar(pp, None, 50))
+        run("aqeon8")(ScaleOps.withShufflePartitions(spark, 8) {
+          Graph.adamicAdar(pp, None, 50) })
+        run("aqeoff32")(ScaleOps.withAqeOff(spark) {
+          Graph.adamicAdar(pp, None, 50) })
       case other => sys.error(s"unknown probe mode $other")
     }
     spark.stop()
