@@ -197,6 +197,73 @@ object Stats {
         max(col("v")).as("hi"))
   }
 
+  /** Poisson bootstrap confidence interval for a mean — THE resampling
+    * scheme that works distributed (Efron's multinomial bootstrap needs
+    * the global n per replica; Poisson(1) weights are per-row independent,
+    * so every replica is one weighted aggregate — the standard production
+    * A/B-testing formulation). Weights are DETERMINISTIC: u derives from
+    * the shared char hash of (id, replica) and inverts the Poisson(1) CDF
+    * through integer thresholds precomputed once here and injected into
+    * both dialects verbatim (tail truncated at w = 6; residual mass
+    * ~5·10⁻⁵). All replicas ride ONE corpus scan (a B-wide explode into a
+    * map-side-combined (replica → Σwv, Σw) aggregate); replica means are
+    * exact-input divisions; the CI bounds are DISCRETE rank picks over
+    * the B-row replica table. Output: one row
+    * (n, mean_micro, b_replicas, ci_lo_micro, ci_hi_micro) — the 2.5/97.5
+    * percentile band.
+    */
+  def poissonBootstrap(df: DataFrame, idCol: String, valCol: String,
+      replicas: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("string").as("id"),
+      round(col(valCol) * 1e6).cast("long").as("vm"))
+    val reps = base
+      .select(col("id"), col("vm"),
+        explode(expr(s"sequence(1, $replicas)")).as("b"))
+      // the polynomial char hash is NOT uniform for short strings (a
+      // 3-char id never wraps the modulus, so u sits near 0 and every
+      // weight collapses to 0) — the Knuth multiplicative mix is a
+      // bijection mod the prime that spreads any input across [0, P)
+      .withColumn("u", expr("(" +
+        graft.functions.HashExprs.sparkCharHash("concat(id, '#', b)") +
+        s" * 2654435761) % ${graft.functions.HashExprs.P}"))
+      .withColumn("w", expr(poissonWeightSql("u")))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("vm")).as("swv"), sum(col("w")).as("sw"))
+      // a zero-total-weight replica is only reachable on near-empty
+      // inputs (P ≈ 0.37^n) — dropped rather than divided
+      .filter(col("sw") > 0)
+      .withColumn("m",
+        expr("CAST(round(CAST(swv AS DOUBLE) / sw) AS BIGINT)"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("m").asc, col("b").asc)))
+    val loIdx = (replicas * 25 + 999) / 1000
+    val hiIdx = (replicas * 975 + 999) / 1000
+    val bounds = reps.agg(
+      count(lit(1)).as("b_replicas"),
+      max(when(col("rn") === math.max(loIdx, 1), col("m"))).as("ci_lo_micro"),
+      max(when(col("rn") === math.max(hiIdx, 1), col("m"))).as("ci_hi_micro"))
+    val overall = base.agg(count(lit(1)).as("n"),
+      expr("CAST(round(CAST(sum(vm) AS DOUBLE) / count(1)) AS BIGINT)")
+        .as("mean_micro"))
+    overall.crossJoin(broadcast(bounds))
+  }
+
+  /** Poisson(1) inverse-CDF weight over a uniform-hash column
+    * u ∈ [0, P), as a CASE chain against cumulative-probability
+    * thresholds scaled to P — computed ONCE here and injected verbatim
+    * into both dialects, so the engines compare identical integers. */
+  def poissonWeightSql(uCol: String): String = {
+    val P = graft.functions.HashExprs.P
+    val pmf = (0 to 5).scanLeft(0.0) { case (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).product }.tail
+    val cum = pmf.map(c => (c * P).toLong)
+    val cases = cum.zipWithIndex
+      .map { case (t, k) => s"WHEN $uCol < $t THEN $k" }
+      .mkString(" ")
+    s"CASE $cases ELSE 6 END"
+  }
+
   /** Zipf-law fit over a frequency table: OLS slope of ln(freq) against
     * ln(rank) — the "does this corpus look like natural language"
     * diagnostic (natural text sits near slope −1; synthetic or

@@ -676,6 +676,47 @@ object Pipeline {
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM capped GROUP BY 1""")),
 
+    // ---- Poisson bootstrap CI ------------------------------------------
+    // 95% CI for the mean order total via 64 deterministic Poisson(1)
+    // replicas — the per-row-independent bootstrap that works distributed
+    Q("q123_bootstrap", (s, d) =>
+      Stats.poissonBootstrap(t(s, d, "orders"), "o_orderkey",
+        "o_totalprice", replicas = 64),
+      Some {
+        val b = 64
+        val lo = math.max((b * 25 + 999) / 1000, 1)
+        val hi = math.max((b * 975 + 999) / 1000, 1)
+        s"""
+        WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                CAST(round(o_totalprice * 1000000.0) AS BIGINT) AS vm
+              FROM orders),
+        reps AS (SELECT b, CAST(sum(w * vm) AS BIGINT) AS swv,
+                   CAST(sum(w) AS BIGINT) AS sw
+                 FROM (SELECT vm, b,
+                         ${Stats.poissonWeightSql("u")} AS w
+                       FROM (SELECT vm, b,
+                               (${graft.functions.HashExprs
+                                 .duckCharHash("id || '#' || b")}
+                                * 2654435761)
+                                 % ${graft.functions.HashExprs.P} AS u
+                             FROM base,
+                             UNNEST(generate_series(1, $b)) AS t(b)))
+                 GROUP BY b),
+        m AS (SELECT b,
+                CAST(round(CAST(swv AS DOUBLE) / sw) AS BIGINT) AS mv
+              FROM reps WHERE sw > 0),
+        r AS (SELECT mv, row_number() OVER (ORDER BY mv, b) AS rn FROM m),
+        bounds AS (SELECT count(*) AS b_replicas,
+                max(CASE WHEN rn = $lo THEN mv END) AS ci_lo_micro,
+                max(CASE WHEN rn = $hi THEN mv END) AS ci_hi_micro
+              FROM r),
+        o AS (SELECT count(*) AS n,
+                CAST(round(CAST(sum(vm) AS DOUBLE) / count(*)) AS BIGINT)
+                  AS mean_micro FROM base)
+        SELECT n, mean_micro, b_replicas, ci_lo_micro, ci_hi_micro
+        FROM o CROSS JOIN bounds"""
+      }),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is
