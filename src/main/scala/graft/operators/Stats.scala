@@ -249,6 +249,64 @@ object Stats {
     overall.crossJoin(broadcast(bounds))
   }
 
+  /** Two-sample A/B comparison with a paired-bootstrap difference CI:
+    * per variant, the mean; per replica b, the DIFFERENCE of the two
+    * variants' Poisson-bootstrap means (same deterministic weights as
+    * [[poissonBootstrap]], same single corpus scan for all replicas of
+    * both arms); the 2.5/97.5 discrete-rank band over the B differences
+    * is the experiment readout — "does the CI cross zero". Output: one
+    * row (n_a, n_b, mean_a_micro, mean_b_micro, diff_micro, ci_lo_micro,
+    * ci_hi_micro).
+    */
+  def abTest(df: DataFrame, grpCol: String, variantA: String,
+      variantB: String, idCol: String, valCol: String,
+      replicas: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(grpCol).isin(variantA, variantB))
+      .select(col(grpCol).cast("string").as("g"),
+        col(idCol).cast("string").as("id"),
+        round(col(valCol) * 1e6).cast("long").as("vm"))
+    val reps = base
+      .select(col("g"), col("id"), col("vm"),
+        explode(expr(s"sequence(1, $replicas)")).as("b"))
+      .withColumn("u", expr("(" +
+        graft.functions.HashExprs.sparkCharHash("concat(id, '#', b)") +
+        s" * 2654435761) % ${graft.functions.HashExprs.P}"))
+      .withColumn("w", expr(poissonWeightSql("u")))
+      .groupBy(col("g"), col("b"))
+      .agg(sum(col("w") * col("vm")).as("swv"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .withColumn("m",
+        expr("CAST(round(CAST(swv AS DOUBLE) / sw) AS BIGINT)"))
+    val diffs = reps.filter(col("g") === variantA)
+      .select(col("b"), col("m").as("ma"))
+      .join(reps.filter(col("g") === variantB)
+        .select(col("b"), col("m").as("mb")), Seq("b"))
+      .withColumn("dv", col("ma") - col("mb"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("dv").asc, col("b").asc)))
+    val loIdx = math.max((replicas * 25 + 999) / 1000, 1)
+    val hiIdx = math.max((replicas * 975 + 999) / 1000, 1)
+    val band = diffs.agg(
+      max(when(col("rn") === loIdx, col("dv"))).as("ci_lo_micro"),
+      max(when(col("rn") === hiIdx, col("dv"))).as("ci_hi_micro"))
+    val means = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"))
+      .withColumn("m",
+        expr("CAST(round(CAST(sv AS DOUBLE) / n) AS BIGINT)"))
+    val overall = means.agg(
+      max(when(col("g") === variantA, col("n"))).as("n_a"),
+      max(when(col("g") === variantB, col("n"))).as("n_b"),
+      max(when(col("g") === variantA, col("m"))).as("mean_a_micro"),
+      max(when(col("g") === variantB, col("m"))).as("mean_b_micro"))
+    overall.crossJoin(broadcast(band))
+      .withColumn("diff_micro", col("mean_a_micro") - col("mean_b_micro"))
+      .select(col("n_a"), col("n_b"), col("mean_a_micro"),
+        col("mean_b_micro"), col("diff_micro"), col("ci_lo_micro"),
+        col("ci_hi_micro"))
+  }
+
   /** Poisson(1) inverse-CDF weight over a uniform-hash column
     * u ∈ [0, P), as a CASE chain against cumulative-probability
     * thresholds scaled to P — computed ONCE here and injected verbatim

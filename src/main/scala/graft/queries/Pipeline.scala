@@ -717,6 +717,59 @@ object Pipeline {
         FROM o CROSS JOIN bounds"""
       }),
 
+    // ---- A/B test readout ----------------------------------------------
+    // urgent vs high priority order totals: difference of means with a
+    // paired-bootstrap 95% band — "does the CI cross zero"
+    Q("q124_ab_test", (s, d) =>
+      Stats.abTest(t(s, d, "orders"), "o_orderpriority", "1-URGENT",
+        "2-HIGH", "o_orderkey", "o_totalprice", replicas = 64),
+      Some {
+        val b = 64
+        val lo = math.max((b * 25 + 999) / 1000, 1)
+        val hi = math.max((b * 975 + 999) / 1000, 1)
+        s"""
+        WITH base AS (SELECT o_orderpriority AS g,
+                CAST(o_orderkey AS VARCHAR) AS id,
+                CAST(round(o_totalprice * 1000000.0) AS BIGINT) AS vm
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        reps AS (SELECT g, b, CAST(sum(w * vm) AS BIGINT) AS swv,
+                   CAST(sum(w) AS BIGINT) AS sw
+                 FROM (SELECT g, vm, b,
+                         ${Stats.poissonWeightSql("u")} AS w
+                       FROM (SELECT g, vm, b,
+                               (${graft.functions.HashExprs
+                                 .duckCharHash("id || '#' || b")}
+                                * 2654435761)
+                                 % ${graft.functions.HashExprs.P} AS u
+                             FROM base,
+                             UNNEST(generate_series(1, $b)) AS t(b)))
+                 GROUP BY g, b),
+        m AS (SELECT g, b,
+                CAST(round(CAST(swv AS DOUBLE) / sw) AS BIGINT) AS mv
+              FROM reps WHERE sw > 0),
+        diffs AS (SELECT a.b, a.mv - c.mv AS dv
+                  FROM m a JOIN m c ON a.b = c.b
+                  WHERE a.g = '1-URGENT' AND c.g = '2-HIGH'),
+        r AS (SELECT dv, row_number() OVER (ORDER BY dv, b) AS rn
+              FROM diffs),
+        band AS (SELECT max(CASE WHEN rn = $lo THEN dv END) AS ci_lo_micro,
+                max(CASE WHEN rn = $hi THEN dv END) AS ci_hi_micro FROM r),
+        means AS (SELECT g, count(*) AS n,
+                CAST(round(CAST(CAST(sum(vm) AS HUGEINT) AS DOUBLE)
+                  / count(*)) AS BIGINT) AS mv
+              FROM base GROUP BY g),
+        o AS (SELECT max(CASE WHEN g = '1-URGENT' THEN n END) AS n_a,
+                max(CASE WHEN g = '2-HIGH' THEN n END) AS n_b,
+                max(CASE WHEN g = '1-URGENT' THEN mv END) AS mean_a_micro,
+                max(CASE WHEN g = '2-HIGH' THEN mv END) AS mean_b_micro
+              FROM means)
+        SELECT n_a, n_b, mean_a_micro, mean_b_micro,
+               mean_a_micro - mean_b_micro AS diff_micro,
+               ci_lo_micro, ci_hi_micro
+        FROM o CROSS JOIN band"""
+      }),
+
     // ---- BPE tokenizer training --------------------------------------
     // 8 merge rounds over the distinct-word table; the merge trajectory
     // (step, pair, weighted count) is the verified output. The corpus is

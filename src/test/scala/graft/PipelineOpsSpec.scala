@@ -551,6 +551,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r._2 == 1000000L && r._4 == 1000000L && r._5 == 1000000L)
   }
 
+  // ---- Stats.abTest ------------------------------------------------------
+
+  test("abTest: clear effect excludes zero; same arms straddle zero") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    val big = (1L to 300L).map(i => ("A", i, 100.0 + rnd.nextInt(10))) ++
+      (301L to 600L).map(i => ("B", i, 50.0 + rnd.nextInt(10)))
+    val d1 = big.toDF("g", "id", "v")
+    val r1 = Stats.abTest(d1, "g", "A", "B", "id", "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r1._1 == 300L && r1._2 == 300L)
+    assert(r1._6 > 0L, s"clear effect must exclude zero: $r1") // ci_lo > 0
+    assert(r1._6 <= r1._5 && r1._5 <= r1._7) // diff inside its own band
+    // identical distributions -> band straddles zero
+    val same = (1L to 300L).map(i => ("A", i, (i % 50).toDouble)) ++
+      (301L to 600L).map(i => ("B", i, (i % 50).toDouble))
+    val r2 = Stats.abTest(same.toDF("g", "id", "v"), "g", "A", "B",
+        "id", "v")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r2._6 <= 0L && r2._7 >= 0L, s"null effect must straddle: $r2")
+  }
+
   // ---- plan shapes ----------------------------------------------------
 
   private def hashShuffles(df: org.apache.spark.sql.DataFrame): Int =

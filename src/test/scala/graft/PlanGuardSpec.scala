@@ -64,7 +64,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // the 1-row max-date anchor crossed onto the bounded entity table
     "q111_rfm" -> "1-row anchor date x entity table",
     // the 1-row overall mean crossed onto the 1-row CI-bounds aggregate
-    "q123_bootstrap" -> "1-row overall stats x 1-row CI bounds")
+    "q123_bootstrap" -> "1-row overall stats x 1-row CI bounds",
+    // the 1-row variant means crossed onto the 1-row difference band
+    "q124_ab_test" -> "1-row variant means x 1-row difference band")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
