@@ -215,18 +215,22 @@ object Stats {
   def poissonBootstrap(df: DataFrame, idCol: String, valCol: String,
       replicas: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).cast("string").as("id"),
+    // id hashed ONCE per row BEFORE the replica explode — hashing the
+    // (id, b) string per replica costs B interpreted folds per row
+    // (measured 15-20 s at sf0.1); the per-replica draw is then one
+    // codegen'd integer mix. The Knuth multiplicative step is a bijection
+    // mod the prime that spreads any input across [0, P) — the raw char
+    // hash alone is NOT uniform for short ids (a 3-char id never wraps
+    // the modulus, so u would sit near 0 and every weight collapse to 0).
+    val base = df.select(
+      expr(graft.functions.HashExprs
+        .sparkCharHash(s"CAST($idCol AS STRING)")).as("h"),
       round(col(valCol) * 1e6).cast("long").as("vm"))
     val reps = base
-      .select(col("id"), col("vm"),
+      .select(col("h"), col("vm"),
         explode(expr(s"sequence(1, $replicas)")).as("b"))
-      // the polynomial char hash is NOT uniform for short strings (a
-      // 3-char id never wraps the modulus, so u sits near 0 and every
-      // weight collapses to 0) — the Knuth multiplicative mix is a
-      // bijection mod the prime that spreads any input across [0, P)
-      .withColumn("u", expr("(" +
-        graft.functions.HashExprs.sparkCharHash("concat(id, '#', b)") +
-        s" * 2654435761) % ${graft.functions.HashExprs.P}"))
+      .withColumn("u", expr(
+        s"((h + b) * 2654435761) % ${graft.functions.HashExprs.P}"))
       .withColumn("w", expr(poissonWeightSql("u")))
       .groupBy(col("b"))
       .agg(sum(col("w") * col("vm")).as("swv"), sum(col("w")).as("sw"))
@@ -265,14 +269,15 @@ object Stats {
     val base = df
       .filter(col(grpCol).isin(variantA, variantB))
       .select(col(grpCol).cast("string").as("g"),
-        col(idCol).cast("string").as("id"),
+        expr(graft.functions.HashExprs
+          .sparkCharHash(s"CAST($idCol AS STRING)")).as("h"),
         round(col(valCol) * 1e6).cast("long").as("vm"))
     val reps = base
-      .select(col("g"), col("id"), col("vm"),
+      .select(col("g"), col("h"), col("vm"),
         explode(expr(s"sequence(1, $replicas)")).as("b"))
-      .withColumn("u", expr("(" +
-        graft.functions.HashExprs.sparkCharHash("concat(id, '#', b)") +
-        s" * 2654435761) % ${graft.functions.HashExprs.P}"))
+      // hash once per row, per-replica integer mix — see poissonBootstrap
+      .withColumn("u", expr(
+        s"((h + b) * 2654435761) % ${graft.functions.HashExprs.P}"))
       .withColumn("w", expr(poissonWeightSql("u")))
       .groupBy(col("g"), col("b"))
       .agg(sum(col("w") * col("vm")).as("swv"), sum(col("w")).as("sw"))

@@ -687,7 +687,8 @@ object Pipeline {
         val lo = math.max((b * 25 + 999) / 1000, 1)
         val hi = math.max((b * 975 + 999) / 1000, 1)
         s"""
-        WITH base AS (SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        WITH base AS (SELECT ${graft.functions.HashExprs
+                  .duckCharHash("o_orderkey::VARCHAR")} AS h,
                 CAST(round(o_totalprice * 1000000.0) AS BIGINT) AS vm
               FROM orders),
         reps AS (SELECT b, CAST(sum(w * vm) AS BIGINT) AS swv,
@@ -695,9 +696,7 @@ object Pipeline {
                  FROM (SELECT vm, b,
                          ${Stats.poissonWeightSql("u")} AS w
                        FROM (SELECT vm, b,
-                               (${graft.functions.HashExprs
-                                 .duckCharHash("id || '#' || b")}
-                                * 2654435761)
+                               ((h + b) * 2654435761)
                                  % ${graft.functions.HashExprs.P} AS u
                              FROM base,
                              UNNEST(generate_series(1, $b)) AS t(b)))
@@ -729,7 +728,8 @@ object Pipeline {
         val hi = math.max((b * 975 + 999) / 1000, 1)
         s"""
         WITH base AS (SELECT o_orderpriority AS g,
-                CAST(o_orderkey AS VARCHAR) AS id,
+                ${graft.functions.HashExprs
+                  .duckCharHash("o_orderkey::VARCHAR")} AS h,
                 CAST(round(o_totalprice * 1000000.0) AS BIGINT) AS vm
               FROM orders
               WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
@@ -738,9 +738,7 @@ object Pipeline {
                  FROM (SELECT g, vm, b,
                          ${Stats.poissonWeightSql("u")} AS w
                        FROM (SELECT g, vm, b,
-                               (${graft.functions.HashExprs
-                                 .duckCharHash("id || '#' || b")}
-                                * 2654435761)
+                               ((h + b) * 2654435761)
                                  % ${graft.functions.HashExprs.P} AS u
                              FROM base,
                              UNNEST(generate_series(1, $b)) AS t(b)))
