@@ -71,9 +71,12 @@ object Quality {
     val scanned: Seq[(String, Long)] =
       if (scanAggs.isEmpty) Seq.empty
       else {
-        val row = df.agg(scanAggs.head._2.as("a0"),
+        // coalesce guards the empty-table edge: sum() over zero rows is
+        // NULL, and a contract run on an empty ingest must report zero
+        // violations, not throw
+        val row = df.agg(coalesce(scanAggs.head._2, lit(0L)).as("a0"),
           scanAggs.tail.zipWithIndex.map { case ((_, c), i) =>
-            c.as(s"a${i + 1}") }: _*).head()
+            coalesce(c, lit(0L)).as(s"a${i + 1}") }: _*).head()
         scanAggs.zipWithIndex.map { case ((n, _), i) => n -> row.getLong(i) }
       }
     val fks: Seq[(String, Long)] = rules.collect {

@@ -36,7 +36,11 @@ object Sampling {
     * ties break on the key. */
   def weightedSample(df: DataFrame, keyCol: String, wCol: String,
       k: Int): DataFrame =
-    df.select(col(keyCol), col(wCol),
+    // w ≤ 0 rows are unsampleable by definition (u^(1/w) undefined) and
+    // would divide by zero under ANSI — excluded up front, mirroring the
+    // A-ES semantics rather than erroring
+    df.filter(col(wCol) > 0)
+      .select(col(keyCol), col(wCol),
         raceKey(s"CAST($keyCol AS STRING)", wCol).as("race"))
       .orderBy(col("race").desc, col(keyCol).asc)
       .limit(k)

@@ -855,7 +855,7 @@ object Pipeline {
         SELECT doc_id, n_chars FROM (
           SELECT doc_id, n_chars,
                  ${Sampling.duckRaceKey("doc_id::VARCHAR", "n_chars")} AS race
-          FROM documents
+          FROM documents WHERE n_chars > 0
           ORDER BY race DESC, doc_id LIMIT 100)""")),
 
     // ---- winsorized aggregation --------------------------------------

@@ -151,6 +151,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Sampling.weightedSample(df, "id", "w", k = 10).count() == 2)
   }
 
+  test("weightedSample excludes non-positive weights instead of erroring") {
+    val df = Seq((1L, 5), (2L, 0), (3L, -2)).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 10)
+      .as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 5)))
+  }
+
   // ---- Stats.winsorizedSum -------------------------------------------
 
   test("winsorizedSum clamps to integer-rank percentile cuts") {
@@ -388,6 +395,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("in_set(status)", 1L),       // X (null not counted)
       ("matches_regex(code)", 1L),  // "bad"
       ("foreign_key(k)", 0L)))      // both non-null keys exist in ref
+  }
+
+  test("validate reports zero violations on an empty ingest") {
+    import graft.operators.Quality._
+    val df = Seq.empty[(Option[Long], Option[String])].toDF("k", "s")
+    val got = validate(df, Seq(NotNull("k"), Unique(Seq("k")),
+        InSet("s", Seq("x"))))
+      .as[(String, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(0L, 0L, 0L))
   }
 
   // ---- Linkage.sortedNeighborhood --------------------------------------
