@@ -400,8 +400,6 @@ object Bench {
       case QPrefix(p) => p
       case _ => n
     }
-    val qs = all.map(e => s""""${shortKey(e.name)}":${fmt(e.secs)}""")
-      .mkString("{", ",", "}")
     val failed = all.collect { case e if e.secs < 0 => s""""${e.name}"""" }
     // any failure poisons the headline number (-1 sentinel, JSON-safe) so a
     // partially broken build can never look faster than a working one
@@ -417,10 +415,30 @@ object Bench {
     // schema — the field arrived with bench failure reporting in round 3,
     // and "sf" stays the full path, the shape downstream parsers saw
     val failedPart = s""""failed":${failed.mkString("[", ",", "]")},"""
-    val json = s"""{"metric":"total","value":${fmt(total)},"first":${fmt(totalFirst)},"unit":"sec",$failedPart"queries":$qs,"sf":"$sfDir"}"""
+    // the stdout line must fit the driver's ~2000-char tail capture WHOLE
+    // or it parses as nothing (rounds 4 and 9 both lost the artifact this
+    // way once the suite outgrew the window — 188 full entries is ~2700
+    // chars and no key scheme compresses below the window while the suite
+    // keeps growing). Entries are emitted SLOWEST-FIRST until a fixed
+    // byte budget, the omission count goes in "qdrop", and the committed
+    // bench_result.json always carries every entry at full precision —
+    // the tail line is the headline + the entries that dominate it.
+    val budget = 1800
+    val ordered = all.sortBy(e => (-e.secs, e.name))
+      .map(e => s""""${shortKey(e.name)}":${fmt(e.secs)}""")
+    val head = s"""{"metric":"total","value":${fmt(total)},"first":${fmt(totalFirst)},"unit":"sec",$failedPart"qdrop":DDD,"queries":{"""
+    val tailFixed = s"""},"sf":"$sfDir"}"""
+    var used = head.length + tailFixed.length
+    val kept = ordered.takeWhile { s =>
+      val ok = used + s.length + 1 <= budget
+      if (ok) used += s.length + 1
+      ok
+    }
+    val json = head.replace("DDD", (ordered.size - kept.size).toString) +
+      kept.mkString(",") + tailFixed
     if (json.length > 1950)
       System.err.println(s"[bench] WARNING stdout line ${json.length} chars " +
-        "exceeds the ~2000-char driver capture window — shorten keys")
+        "exceeds the ~2000-char driver capture window — shrink the budget")
     def fmt3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val fullEntries = all.map { e =>
       val reps = e.reps.map(fmt3).mkString("[", ",", "]")

@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * memberships; confidence and lift are single divisions of exact values,
   * so every number is bit-reproducible. The pair space never goes through
   * a cartesian product: candidate pairs come from the within-basket
-  * self-equi-join on the basket key, bounded by Σ C(|basket|, 2) — at
-  * scale, cap basket size upstream (a basket with thousands of items has
-  * stopped being a basket).
+  * self-equi-join on the basket key, bounded by Σ C(|basket|, 2) — and
+  * `maxBasketSize` enforces that bound: one degenerate basket (a crawler
+  * session with 10⁵ items) is C(10⁵,2) ≈ 5·10⁹ join rows in ONE task, a
+  * skew bomb no amount of cluster width absorbs. Over-cap baskets are
+  * dropped whole (the [[Linkage.fuzzyPairs]] rule: a basket with
+  * thousands of items has stopped being a basket and only poisons the
+  * affinity statistics), via a window count on the basket key — no extra
+  * shuffle beyond the one the self-join already needs.
   */
 object BasketAnalysis {
 
@@ -22,11 +27,21 @@ object BasketAnalysis {
     * conf = s_ab/s_a, lift = N·s_ab/(s_a·s_b). Output:
     * (ante, cons, s_ab, conf, lift) rounded at 6, ordered nowhere — rank
     * downstream. Input rows are (basketCol, itemCol); duplicates within a
-    * basket are collapsed first. */
+    * basket are collapsed first; baskets with more than `maxBasketSize`
+    * distinct items are dropped entirely BEFORE the pair join (they also
+    * don't count toward item supports or the basket total, keeping
+    * conf/lift consistent with the mined universe). */
   def rules(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Long): DataFrame = {
-    val m = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      minSupport: Long, maxBasketSize: Option[Int] = None): DataFrame = {
+    val m0 = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct()
+    val m = maxBasketSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))
+        m0.withColumn("bn", count(lit(1)).over(w))
+          .filter(col("bn") <= cap).drop("bn")
+      case None => m0
+    }
     val items = m.groupBy(col("it")).agg(count(lit(1)).as("s"))
     val nB = m.agg(count_distinct(col("bk")).as("nb"))
     val pairCnt = m.select(col("bk"), col("it").as("ia"))

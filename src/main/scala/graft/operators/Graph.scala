@@ -390,7 +390,13 @@ object Graph {
         struct(col("v").as("z"), col("u").as("x")))).as("e"))
       .select(col("e.z").as("z"), col("e.x").as("x"))
     val deg = nbrs.groupBy(col("z")).agg(count(lit(1)).as("d"))
-    val centers0 = nbrs.join(deg, Seq("z"))
+    // d >= 2 before the term: a degree-1 center has ln(d) = 0, where Spark
+    // (non-ANSI) folds 1e6/0 → Infinity → Long.MaxValue but DuckDB yields
+    // NULL, and ANSI mode would throw on the cast. Unobservable today
+    // (deg-1 centers form no x<y wedge) but load-bearing against any
+    // refactor that exposes `term` — and it matches the wedge-center
+    // invariant anyway (a wedge needs two distinct neighbors).
+    val centers0 = nbrs.join(deg.filter(col("d") >= 2), Seq("z"))
       .withColumn("term",
         expr("CAST(round(1e6 / ln(CAST(d AS DOUBLE))) AS BIGINT)"))
     val centers = maxDegree.fold(centers0)(cap =>

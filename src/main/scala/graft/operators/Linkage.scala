@@ -60,23 +60,68 @@ object Linkage {
     * "alpho" share no 5-prefix) at a guaranteed N·(window−1) comparison
     * budget — no hot-block risk at all.
     *
-    * Implemented as `window − 1` `lead` columns over the (key, id)-ranked
-    * window, exploded — one sort, no self-join, no cartesian; at cluster
-    * scale the sort is a range-partitioned exchange and neighbors stay
-    * in-partition except at boundaries (the standard trade of the
-    * method). Output: (id_a, id_b, dist) with id_a < id_b, dist ≤
-    * `maxDist`.
+    * A Spark window with ORDER BY and no PARTITION BY plans a SINGLE
+    * partition (WindowExec's requirement) — single-task and OOM-bound at
+    * exactly the corpus scales this operator targets. So the sort is
+    * sharded instead: `repartitionByRange` on the (key, id) total order,
+    * per-shard `lead` windows (the shard id is the window PARTITION key,
+    * restoring full parallelism), and each shard receives its first
+    * `window − 1` GLOBAL successor rows as lead-only "borrow" rows so
+    * boundary-straddling neighbor pairs are not lost. The successors are
+    * assembled exactly from the bounded head set (every shard's first
+    * `window − 1` rows + per-shard counts — ≤ shards·(window−1) rows, a
+    * control-plane collect like the k-means centroid fold; walking shards
+    * in range order covers underfull and empty shards, which a naive
+    * "borrow from the next shard" would miss). Range partitioning makes
+    * every borrowed row sort AFTER the receiving shard's native rows, so
+    * the per-shard order concatenates to the global (key, id) order and
+    * the emitted pair set is IDENTICAL to the one-task global sort's.
+    * Borrowed rows serve only as lead targets (pairs emit from native
+    * rows), so nothing double-counts. Cost: the range exchange + one hash
+    * exchange on the shard id, both full-width and fully parallel.
+    * Output: (id_a, id_b, dist) with id_a < id_b, dist ≤ `maxDist`.
     */
   def sortedNeighborhood(df: DataFrame, idCol: String, nameCol: String,
       sortKey: Column, window: Int, maxDist: Int): DataFrame = {
     require(window >= 2, "window must cover at least one neighbor")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("sk").asc, col("id").asc)
-    val withLeads = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+    val spark = df.sparkSession
+    val shards = spark.sessionState.conf.numShufflePartitions
+    // persist freezes the shard assignment: the native and borrow branches
+    // below MUST see the same row→shard mapping (range sampling is
+    // plan-deterministic, but two physical scans are two samplings)
+    val parts = df.select(col(idCol).as("id"), col(nameCol).as("name"),
         sortKey.as("sk"))
+      .repartitionByRange(shards, col("sk").asc, col("id").asc)
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("sk").asc, col("id").asc)
+    // bounded head set + shard counts → exact per-shard successor lists,
+    // assembled on the driver (needed ≤ window−1 rows per shard, and each
+    // shard's head set holds its first min(count, window−1) rows, so
+    // walking shards in order always covers the demand)
+    val headRows = parts
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") < window)
+      .orderBy(col("pid").asc, col("rn").asc)
+      .select(col("id"), col("name"), col("sk"), col("pid"))
+      .collect()
+    val borrowRows = (0 until shards - 1).flatMap { p =>
+      headRows.iterator.filter(_.getInt(3) > p).take(window - 1).map { r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), p)
+      }
+    }
+    val borrows = spark.createDataFrame(
+        spark.sparkContext.parallelize(borrowRows.toList,
+          math.max(1, borrowRows.size / 64 + 1)),
+        parts.schema)
+      .withColumn("borrowed", lit(true))
+    val aug = parts.withColumn("borrowed", lit(false)).unionByName(borrows)
+    val withLeads = aug
       .withColumn("nbrs", array((1 until window).map(i =>
-        lead(struct(col("id"), col("name")), i).over(w)): _*))
-    withLeads
+        lead(struct(col("id"), col("name")), i).over(pw)): _*))
+      .filter(!col("borrowed"))
+    val out = withLeads
       .select(col("id"), col("name"), explode(col("nbrs")).as("nb"))
       .filter(col("nb").isNotNull)
       .select(least(col("id"), col("nb.id")).as("id_a"),
@@ -84,5 +129,12 @@ object Linkage {
         levenshtein(col("name"), col("nb.name")).as("d"))
       .filter(col("d") <= maxDist)
       .select(col("id_a"), col("id_b"), col("d").cast("long").as("dist"))
+    // materialize before releasing the frozen shard assignment: the
+    // result is persisted (callers unpersist), `parts` must not be
+    // recomputed with a fresh range sampling after its unpersist
+    val fin = out.persist()
+    fin.count()
+    parts.unpersist(false)
+    fin
   }
 }

@@ -77,6 +77,129 @@ object Multimodal {
       }
     }
   }
+
+  /** Perceptual-hash (dHash) near-dup pairs over a binary media column —
+    * the image analog of [[Dedup.simhashNearDups]]: two images whose
+    * downsampled gradients agree are the same picture re-encoded, resized
+    * or slightly edited, which byte-level exact dedup can never see.
+    *
+    * Pipeline: payload → [[PerceptualHash.GridH]]×[[PerceptualHash.GridW]]
+    * intensity grid → horizontal-gradient bits (cell > right neighbor) →
+    * 56-bit fingerprint → 8 banded 7-bit chunks → bucket equi-join for
+    * candidates → exact Hamming verify on the single-long fingerprints.
+    * By pigeonhole, any pair within Hamming ≤ 7 shares an unchanged chunk,
+    * so the banded candidates are COMPLETE for every `maxHamming ≤ 7` —
+    * banding is a speedup, not an approximation. The candidate join
+    * carries only (id, chunk-key, fingerprint): narrow rows, never a
+    * cartesian; empty payloads are excluded before the join (they all
+    * share one degenerate fingerprint — the quadratic-flood guard, same
+    * as simhash's no-shingle filter; byte-exact dedup owns that case).
+    *
+    * The GRID step is the marked decode stub: a real implementation
+    * decodes the image and resizes to grayscale 9×7; here each cell is
+    * the integer mean of the raw payload bytes in its span —
+    * deterministic, byte-exact on arbitrary binary, and oracle-
+    * replayable. Everything downstream of the grid is the production
+    * pipeline unchanged.
+    *
+    * Scale shape: per-row hashing cost is one linear pass over the
+    * payload (hex fold inside Catalyst, no UDF); chunk buckets carry
+    * 7 bits each so expected bucket size grows N/128 — the 100 TB path
+    * widens the fingerprint/chunks exactly like the simhash scale note.
+    * Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ `maxHamming`. */
+  def phashPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= PerceptualHash.Chunks - 1,
+      s"banded candidates are only complete for maxHamming <= " +
+        s"${PerceptualHash.Chunks - 1}; got $maxHamming")
+    val fp = df.select(col(idCol).as("id"), col(binCol).as("b"))
+      .filter(col("b").isNotNull && length(col("b")) > 0)
+      .withColumn("hx", hex(col("b")))
+      .withColumn("bn", length(col("b")).cast("long"))
+      .withColumn("cells", expr(PerceptualHash.sparkGridCells("hx", "bn")))
+      .select(col("id"), expr(PerceptualHash.sparkDHashBits("cells")).as("f"))
+      .persist()
+    fp.count()
+    val chunks = fp.select(col("id"), col("f"),
+      explode(expr(PerceptualHash.sparkChunks("f"))).as("ck"))
+    val out = chunks.as("a")
+      .join(chunks.as("c"), col("a.ck") === col("c.ck") && col("a.id") < col("c.id"))
+      .select(col("a.id").as("id_a"), col("c.id").as("id_b"),
+        bit_count(col("a.f").bitwiseXOR(col("c.f"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .persist()
+    out.count()
+    fp.unpersist(false)
+    out
+  }
+}
+
+/** The dHash fingerprint in both dialects (the [[graft.functions.HashExprs]]
+  * discipline: exact integer arithmetic, generated from the same constants,
+  * so the oracle reproduces it bit-for-bit). 9×7 grid → 8 gradient bits per
+  * row × 7 rows = 56 bits — deliberately < 63 so the fingerprint, its
+  * chunk extraction (div/mod) and the XOR/bit_count verify all stay in
+  * nonnegative BIGINT range in both engines (a 64-bit hash would put bit 63
+  * in the sign position, where arithmetic-shift / mod semantics diverge). */
+object PerceptualHash {
+  val GridW = 9
+  val GridH = 7
+  val Cells = GridW * GridH // 63
+  val Bits = (GridW - 1) * GridH // 56
+  val Chunks = 8
+  val ChunkBits = Bits / Chunks // 7
+  require(Chunks * ChunkBits == Bits)
+
+  /** hex string + byte length → 63 integer cells (mean byte value per
+    * contiguous span; empty spans — payloads shorter than the grid — are
+    * 0). `hx`/`bn` are COLUMN NAMES. */
+  def sparkGridCells(hx: String, bn: String): String =
+    s"""transform(sequence(0, ${Cells - 1}), k ->
+       |  CASE WHEN ((k + 1) * $bn) div $Cells > (k * $bn) div $Cells THEN
+       |    aggregate(sequence((k * $bn) div $Cells, ((k + 1) * $bn) div $Cells - 1), 0L,
+       |      (acc, i) -> acc + CAST(conv(substring($hx, CAST(2 * i + 1 AS INT), 2), 16, 10) AS BIGINT))
+       |    div (((k + 1) * $bn) div $Cells - (k * $bn) div $Cells)
+       |  ELSE 0L END)""".stripMargin
+
+  /** cells → 56-bit gradient fingerprint: bit (r·8+c) set iff
+    * cell(r, c) > cell(r, c+1) in the 9-wide row-major grid. */
+  def sparkDHashBits(cells: String): String =
+    s"""aggregate(sequence(0, ${Bits - 1}), 0L, (acc, b) ->
+       |  acc + IF(element_at($cells, CAST((b div 8) * $GridW + (b % 8) + 1 AS INT)) >
+       |           element_at($cells, CAST((b div 8) * $GridW + (b % 8) + 2 AS INT)),
+       |           shiftleft(1L, CAST(b AS INT)), 0L))""".stripMargin
+
+  /** fingerprint → banded chunk keys (chunk index mixed in). */
+  def sparkChunks(f: String): String =
+    "array(" + (0 until Chunks).map { j =>
+      s"((($f div ${1L << (ChunkBits * j)}L) % ${1 << ChunkBits}) * $Chunks + $j)"
+    }.mkString(", ") + ")"
+
+  private val HexDigits = "0123456789ABCDEF"
+
+  def duckGridCells(hx: String, bn: String): String =
+    s"""list_transform(range(0, $Cells), k ->
+       |  CASE WHEN ((k + 1) * $bn) // $Cells > (k * $bn) // $Cells THEN
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(
+       |      range((k * $bn) // $Cells, ((k + 1) * $bn) // $Cells),
+       |      i -> (strpos('$HexDigits', $hx[CAST(2 * i + 1 AS INT)]) - 1) * 16
+       |           + (strpos('$HexDigits', $hx[CAST(2 * i + 2 AS INT)]) - 1))),
+       |      (acc, x) -> acc + x)
+       |    // (((k + 1) * $bn) // $Cells - (k * $bn) // $Cells)
+       |  ELSE 0::BIGINT END)""".stripMargin
+
+  def duckDHashBits(cells: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, $Bits), b ->
+       |  CASE WHEN $cells[CAST((b // 8) * $GridW + (b % 8) + 1 AS INT)] >
+       |            $cells[CAST((b // 8) * $GridW + (b % 8) + 2 AS INT)]
+       |  THEN (1::BIGINT << CAST(b AS INT)) ELSE 0::BIGINT END)),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  def duckChunks(f: String): String =
+    "[" + (0 until Chunks).map { j =>
+      s"((($f // ${1L << (ChunkBits * j)}) % ${1 << ChunkBits}) * $Chunks + $j)"
+    }.mkString(", ") + "]"
 }
 
 /** The codec seam. Everything above this call is production plumbing;

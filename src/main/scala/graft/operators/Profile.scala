@@ -111,7 +111,11 @@ object Profile {
     * terms are integerized (`n_v · round(ln(n_v)·1e6)` — exact longs, so
     * the cross-value sum is reduction-order-free, the engine's standard
     * micro-nat discipline) and the one division runs on exact inputs.
-    * NULLs count as a value. All columns profile in ONE corpus scan (the
+    * NULLs count as a value, folded to a \\u0001 sentinel — a control
+    * character no text domain carries (a printable sentinel like " null"
+    * would merge a genuine equal value into the NULL bucket and skew the
+    * statistic); the sentinel is a groupBy intermediate only, never
+    * emitted. All columns profile in ONE corpus scan (the
     * (column, value) pairs explode from a generator projection, same as
     * the summarize anchors); per-column frequency tables are
     * cardinality-bounded. Output: (col_name, n, n_distinct, entropy_micro).
@@ -119,7 +123,7 @@ object Profile {
   def entropy(df: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs = df.select(explode(array(cols.map(c =>
         struct(lit(c).as("col_name"),
-          coalesce(col(c).cast("string"), lit(" null"))
+          coalesce(col(c).cast("string"), lit("\u0001"))
             .as("value"))): _*)).as("p"))
       .select(col("p.col_name").as("col_name"), col("p.value").as("value"))
     pairs.groupBy(col("col_name"), col("value"))

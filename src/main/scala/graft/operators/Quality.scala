@@ -49,26 +49,32 @@ object Quality {
     def name = s"foreign_key($col)"
   }
 
-  /** One row per rule: (rule, violations), rule names as above. */
+  /** One row per rule: (rule, violations), rule names as above, in the
+    * contract's declared order. Results are matched back to rules BY
+    * POSITION, not by name: two rules of the same type on the same column
+    * (two InRange probes with different bounds, two ForeignKey gates to
+    * different refs) share a display name, and a name-keyed map would
+    * silently report one rule's count for both rows — a contract gate
+    * could pass on the overwritten rule's violations. */
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val spark = df.sparkSession
     def cnt(pred: Column): Column = sum(when(pred, 1L).otherwise(0L))
-    val scanAggs: Seq[(String, Column)] = rules.collect {
-      case r @ NotNull(c) => r.name -> cnt(col(c).isNull)
-      case r @ InRange(c, lo, hi) =>
-        r.name -> cnt(col(c).isNotNull && (col(c) < lo || col(c) > hi))
-      case r @ InSet(c, vs) =>
-        r.name -> cnt(col(c).isNotNull && !col(c).isin(vs: _*))
-      case r @ MatchesRegex(c, re) =>
-        r.name -> cnt(col(c).isNotNull && !col(c).rlike(re))
-      case r @ Unique(cs) =>
+    val scanAggs: Seq[(Int, Column)] = rules.zipWithIndex.collect {
+      case (NotNull(c), i) => i -> cnt(col(c).isNull)
+      case (InRange(c, lo, hi), i) =>
+        i -> cnt(col(c).isNotNull && (col(c) < lo || col(c) > hi))
+      case (InSet(c, vs), i) =>
+        i -> cnt(col(c).isNotNull && !col(c).isin(vs: _*))
+      case (MatchesRegex(c, re), i) =>
+        i -> cnt(col(c).isNotNull && !col(c).rlike(re))
+      case (Unique(cs), i) =>
         // count(when(...)) counts fully-non-null keys, matching
         // count(DISTINCT ...)'s any-null row skip
-        r.name -> (count(when(
+        i -> (count(when(
             cs.map(col(_).isNotNull).reduce(_ && _), lit(1))) -
           countDistinct(cs.head, cs.tail: _*)).cast("long")
     }
-    val scanned: Seq[(String, Long)] =
+    val scanned: Seq[(Int, Long)] =
       if (scanAggs.isEmpty) Seq.empty
       else {
         // coalesce guards the empty-table edge: sum() over zero rows is
@@ -77,16 +83,16 @@ object Quality {
         val row = df.agg(coalesce(scanAggs.head._2, lit(0L)).as("a0"),
           scanAggs.tail.zipWithIndex.map { case ((_, c), i) =>
             coalesce(c, lit(0L)).as(s"a${i + 1}") }: _*).head()
-        scanAggs.zipWithIndex.map { case ((n, _), i) => n -> row.getLong(i) }
+        scanAggs.zipWithIndex.map { case ((ri, _), i) => ri -> row.getLong(i) }
       }
-    val fks: Seq[(String, Long)] = rules.collect {
-      case r @ ForeignKey(c, ref, rc) =>
-        r.name -> df.filter(col(c).isNotNull)
+    val fks: Seq[(Int, Long)] = rules.zipWithIndex.collect {
+      case (ForeignKey(c, ref, rc), i) =>
+        i -> df.filter(col(c).isNotNull)
           .join(ref.select(col(rc).as(c)), Seq(c), "left_anti").count()
     }
-    // preserve the contract's declared rule order
-    val byName = (scanned ++ fks).toMap
+    val byIdx = (scanned ++ fks).toMap
     import spark.implicits._
-    rules.map(r => (r.name, byName(r.name))).toDF("rule", "violations")
+    rules.zipWithIndex.map { case (r, i) => (r.name, byIdx(i)) }
+      .toDF("rule", "violations")
   }
 }

@@ -241,12 +241,18 @@ object Stats {
         expr("CAST(round(CAST(swv AS DOUBLE) / sw) AS BIGINT)"))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("m").asc, col("b").asc)))
-    val loIdx = (replicas * 25 + 999) / 1000
-    val hiIdx = (replicas * 975 + 999) / 1000
+      // rank indices from the SURVIVING replica count (a window count over
+      // the B-row bounded table — free next to the rn sort), not the
+      // requested one: if zero-weight replicas were dropped, a
+      // requested-count hi-rank may not exist and ci_hi would silently go
+      // NULL instead of the degraded-but-valid band
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(lit(1))))
     val bounds = reps.agg(
       count(lit(1)).as("b_replicas"),
-      max(when(col("rn") === math.max(loIdx, 1), col("m"))).as("ci_lo_micro"),
-      max(when(col("rn") === math.max(hiIdx, 1), col("m"))).as("ci_hi_micro"))
+      max(when(col("rn") === greatest(expr("(bn * 25 + 999) div 1000"),
+        lit(1L)), col("m"))).as("ci_lo_micro"),
+      max(when(col("rn") === greatest(expr("(bn * 975 + 999) div 1000"),
+        lit(1L)), col("m"))).as("ci_hi_micro"))
     val overall = base.agg(count(lit(1)).as("n"),
       expr("CAST(round(CAST(sum(vm) AS DOUBLE) / count(1)) AS BIGINT)")
         .as("mean_micro"))
@@ -291,11 +297,13 @@ object Stats {
       .withColumn("dv", col("ma") - col("mb"))
       .withColumn("rn", row_number().over(
         Window.orderBy(col("dv").asc, col("b").asc)))
-    val loIdx = math.max((replicas * 25 + 999) / 1000, 1)
-    val hiIdx = math.max((replicas * 975 + 999) / 1000, 1)
+      // surviving-count rank indices — see poissonBootstrap
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(lit(1))))
     val band = diffs.agg(
-      max(when(col("rn") === loIdx, col("dv"))).as("ci_lo_micro"),
-      max(when(col("rn") === hiIdx, col("dv"))).as("ci_hi_micro"))
+      max(when(col("rn") === greatest(expr("(bn * 25 + 999) div 1000"),
+        lit(1L)), col("dv"))).as("ci_lo_micro"),
+      max(when(col("rn") === greatest(expr("(bn * 975 + 999) div 1000"),
+        lit(1L)), col("dv"))).as("ci_hi_micro"))
     val means = base.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("vm")).as("sv"))
       .withColumn("m",
@@ -403,15 +411,18 @@ object Stats {
     * relevance / redundancy measure. Contingency cells and margins are
     * exact counts; each cell's ln is integerized to micro-nats before the
     * cross-cell sum (reduction-order-free), and the single division by N
-    * runs on exact inputs. NULLs count as a category. Cost: one corpus
+    * runs on exact inputs. NULLs count as a category (folded to the
+    * \\u0001 control-char sentinel — see [[Profile.entropy]]; a printable
+    * sentinel would merge a genuine equal value into the NULL bucket).
+    * Cost: one corpus
     * aggregate to the (a, b) contingency table, margins and total derived
     * from it (cell-table-sized), 1-row total broadcast.
     * Output: one row (n, n_cells, mi_micro).
     */
   def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val base = df.select(
-      coalesce(col(aCol).cast("string"), lit(" null")).as("a"),
-      coalesce(col(bCol).cast("string"), lit(" null")).as("b"))
+      coalesce(col(aCol).cast("string"), lit("\u0001")).as("a"),
+      coalesce(col(bCol).cast("string"), lit("\u0001")).as("b"))
     val joint = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
     val ma = joint.groupBy(col("a")).agg(sum(col("nab")).as("na"))
     val mb = joint.groupBy(col("b")).agg(sum(col("nab")).as("nb"))

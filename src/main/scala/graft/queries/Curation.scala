@@ -408,7 +408,10 @@ object Curation {
     // ---- association rules (market-basket affinity) ------------------
     // brand-affinity rules over order baskets: exact support counts,
     // single-division confidence/lift, pair space bounded by within-
-    // basket joins (never cartesian)
+    // basket joins (never cartesian) AND the enforced maxBasketSize cap
+    // (over-cap baskets dropped whole — the oracle replays the filter;
+    // TPC-H orders carry <= 7 lines so the cap is semantics-neutral here,
+    // and the hot-basket boundedness is measured in ScaleSmoke)
     Q("q97_assoc_rules", (s, d) => {
       val baskets = t(s, d, "lineitem")
         .select(col("l_orderkey").as("bk"), col("l_partkey"))
@@ -417,10 +420,13 @@ object Curation {
           "l_partkey")
         .select(col("bk"), col("it"))
       graft.operators.BasketAnalysis.rules(baskets, "bk", "it",
-        minSupport = 10L)
+        minSupport = 10L, maxBasketSize = Some(64))
     }, Some("""
-        WITH m AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
-                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+        WITH m0 AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+        m AS (SELECT bk, it FROM (
+                SELECT bk, it, count(*) OVER (PARTITION BY bk) AS bn
+                FROM m0) WHERE bn <= 64),
         items AS (SELECT it, count(*) AS s FROM m GROUP BY 1),
         nb AS (SELECT count(DISTINCT bk) AS nb FROM m),
         pc AS (SELECT a.it AS ia, b.it AS ib, count(*) AS s_ab
@@ -472,10 +478,16 @@ object Curation {
     // the hashing trick: tokens index a FIXED 32-wide count vector via
     // the shared deterministic char hash — constant-memory featurization
     // with no vocabulary state; both engines build the identical vector
+    // the declared pair flattens the vector to a comma-joined scalar:
+    // the driver's canonicalizer sorts columns with pandas, which cannot
+    // hash an array cell — the operator itself still returns the typed
+    // array<bigint> for downstream use (OperatorsSpec covers that shape)
     Q("text_hash_features", (s, d) =>
       graft.operators.TextAnalysis.hashFeatures(
         Tables.ts(s, d, "documents"), "doc_id", "text", dim = 32)
-        .withColumnRenamed("id", "doc_id"),
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"),
+          array_join(col("features"), ",").as("features")),
       Some(s"""
         WITH wh AS (SELECT doc_id, unnest(${H.duckWordHashes("text")}) AS h
                     FROM documents),
@@ -484,8 +496,9 @@ object Curation {
         m AS (SELECT doc_id, map_from_entries(list({k: bucket, v: cnt})) AS m
               FROM bc GROUP BY 1)
         SELECT doc_id,
-               list_transform(range(0, 32), i -> coalesce(m[i][1], 0::BIGINT))
-                 AS features
+               array_to_string(
+                 list_transform(range(0, 32), i -> coalesce(m[i][1], 0::BIGINT)),
+                 ',') AS features
         FROM m""")),
 
     // ---- collocation mining + phrase rewrite -------------------------

@@ -81,6 +81,34 @@ object MultimodalQueries {
       s.read.parquet(s"$out/documents")
     }, Some("SELECT * FROM documents")),
 
+    // perceptual-hash near-dup over the binary payloads — the mm_ analog
+    // of dedup_simhash: 56-bit dHash (9x7 mean-byte grid -> horizontal
+    // gradient bits), 8 banded 7-bit chunks for candidates (pigeonhole-
+    // complete at ham <= 7), exact Hamming verify. The oracle replays the
+    // identical integer pipeline from the shared PerceptualHash constants.
+    Q("mm_phash_dedup", (s, d) => {
+      val bin = Tables.ts(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      Multimodal.phashPairs(bin, "doc_id", "media", maxHamming = 6)
+    }, Some {
+      import graft.operators.PerceptualHash
+      s"""
+      WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                        octet_length(encode(text)) AS bn
+                 FROM documents
+                 WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+      c AS (SELECT doc_id, ${PerceptualHash.duckGridCells("hx", "bn")} AS cells
+            FROM b),
+      f AS (SELECT doc_id, ${PerceptualHash.duckDHashBits("cells")} AS f
+            FROM c),
+      ck AS (SELECT doc_id, f, unnest(${PerceptualHash.duckChunks("f")}) AS ck
+             FROM f)
+      SELECT DISTINCT a.doc_id AS id_a, c2.doc_id AS id_b,
+             CAST(bit_count(xor(a.f, c2.f)) AS BIGINT) AS hamming
+      FROM ck a JOIN ck c2 ON a.ck = c2.ck AND a.doc_id < c2.doc_id
+      WHERE bit_count(xor(a.f, c2.f)) <= 6"""
+    }),
+
     // frame sampling: every 64th byte, max 8 "frames" — deterministic byte
     // positions; output is frame count + first-frame byte (array<binary>
     // itself isn't hash-comparable across engines)

@@ -204,10 +204,10 @@ object Pipeline {
       Some("""
         WITH p AS (
           SELECT 'lang' AS col_name,
-                 coalesce(CAST(lang AS VARCHAR), ' null') AS value
+                 coalesce(CAST(lang AS VARCHAR), chr(1)) AS value
           FROM documents
           UNION ALL
-          SELECT 'source', coalesce(CAST(source AS VARCHAR), ' null')
+          SELECT 'source', coalesce(CAST(source AS VARCHAR), chr(1))
           FROM documents),
         f AS (SELECT col_name, value, count(*) AS nv FROM p GROUP BY 1, 2),
         t AS (SELECT col_name, CAST(sum(nv) AS BIGINT) AS n,
@@ -359,8 +359,8 @@ object Pipeline {
     Q("q113_mutual_info", (s, d) =>
       Stats.mutualInformation(t(s, d, "documents"), "lang", "source"),
       Some("""
-        WITH base AS (SELECT coalesce(CAST(lang AS VARCHAR), ' null') AS a,
-                coalesce(CAST(source AS VARCHAR), ' null') AS b
+        WITH base AS (SELECT coalesce(CAST(lang AS VARCHAR), chr(1)) AS a,
+                coalesce(CAST(source AS VARCHAR), chr(1)) AS b
               FROM documents),
         joint AS (SELECT a, b, count(*) AS nab FROM base GROUP BY 1, 2),
         ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM joint GROUP BY 1),
@@ -704,10 +704,13 @@ object Pipeline {
         m AS (SELECT b,
                 CAST(round(CAST(swv AS DOUBLE) / sw) AS BIGINT) AS mv
               FROM reps WHERE sw > 0),
-        r AS (SELECT mv, row_number() OVER (ORDER BY mv, b) AS rn FROM m),
+        r AS (SELECT mv, row_number() OVER (ORDER BY mv, b) AS rn,
+                count(*) OVER () AS bn FROM m),
         bounds AS (SELECT count(*) AS b_replicas,
-                max(CASE WHEN rn = $lo THEN mv END) AS ci_lo_micro,
-                max(CASE WHEN rn = $hi THEN mv END) AS ci_hi_micro
+                max(CASE WHEN rn = greatest((bn * 25 + 999) // 1000, 1)
+                    THEN mv END) AS ci_lo_micro,
+                max(CASE WHEN rn = greatest((bn * 975 + 999) // 1000, 1)
+                    THEN mv END) AS ci_hi_micro
               FROM r),
         o AS (SELECT count(*) AS n,
                 CAST(round(CAST(sum(vm) AS DOUBLE) / count(*)) AS BIGINT)
@@ -749,10 +752,14 @@ object Pipeline {
         diffs AS (SELECT a.b, a.mv - c.mv AS dv
                   FROM m a JOIN m c ON a.b = c.b
                   WHERE a.g = '1-URGENT' AND c.g = '2-HIGH'),
-        r AS (SELECT dv, row_number() OVER (ORDER BY dv, b) AS rn
+        r AS (SELECT dv, row_number() OVER (ORDER BY dv, b) AS rn,
+                count(*) OVER () AS bn
               FROM diffs),
-        band AS (SELECT max(CASE WHEN rn = $lo THEN dv END) AS ci_lo_micro,
-                max(CASE WHEN rn = $hi THEN dv END) AS ci_hi_micro FROM r),
+        band AS (SELECT
+                max(CASE WHEN rn = greatest((bn * 25 + 999) // 1000, 1)
+                    THEN dv END) AS ci_lo_micro,
+                max(CASE WHEN rn = greatest((bn * 975 + 999) // 1000, 1)
+                    THEN dv END) AS ci_hi_micro FROM r),
         means AS (SELECT g, count(*) AS n,
                 CAST(round(CAST(CAST(sum(vm) AS HUGEINT) AS DOUBLE)
                   / count(*)) AS BIGINT) AS mv

@@ -254,6 +254,59 @@ object PerfProbe {
           Graph.adamicAdar(pp, None, 50) })
         run("aqeoff32")(ScaleOps.withAqeOff(spark) {
           Graph.adamicAdar(pp, None, 50) })
+      case "decon" =>
+        // A/B the text_decontaminate input layout vs the r5 record shape:
+        // the entry spreads `documents` once and feeds THREE consumers
+        // (corpus shingles, eval shingles, final id left-join), each
+        // replaying the scan + full-width exchange. Variants: all-spread
+        // (current), spread only the shingle-expensive corpus side,
+        // no spread at all (the r5 shape).
+        import graft.operators.Dedup
+        import graft.queries.Tables
+        def run(tag: String)(body: => DataFrame): Unit = {
+          val reps = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            body.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[probe] decon/$tag reps=${reps.map(r => f"$r%.2f").mkString(",")}")
+        }
+        run("spread_all") {
+          val docs = Tables.ts(spark, sfDir, "documents")
+          Dedup.decontaminate(docs, docs.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", minShared = 3)
+        }
+        run("spread_corpus_only") {
+          val plain = Tables.t(spark, sfDir, "documents")
+          Dedup.decontaminate(Tables.ts(spark, sfDir, "documents"),
+            plain.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", minShared = 3)
+        }
+        run("no_spread") {
+          val docs = Tables.t(spark, sfDir, "documents")
+          Dedup.decontaminate(docs, docs.filter(col("doc_id") % 50 === 0),
+            "doc_id", "text", minShared = 3)
+        }
+
+      case "basket" =>
+        // hot-basket cap measurement for the ScaleSmoke doc numbers: order
+        // baskets + ONE injected 5k-item basket, capped vs uncapped
+        import graft.operators.BasketAnalysis
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        val hot = spark.range(5000)
+          .select(lit(999999999L).as("bk"), col("id").as("it"))
+        def run(tag: String)(body: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          body.write.format("noop").mode("overwrite").save()
+          println(f"[probe] basket/$tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        run("clean_capped")(BasketAnalysis.rules(li, "bk", "it", 10, Some(64)))
+        run("hot_capped")(
+          BasketAnalysis.rules(li.unionByName(hot), "bk", "it", 10, Some(64)))
+        run("hot_uncapped")(
+          BasketAnalysis.rules(li.unionByName(hot), "bk", "it", 10, None))
+
       case other => sys.error(s"unknown probe mode $other")
     }
     spark.stop()

@@ -589,6 +589,27 @@ object ScaleSmoke {
             contract(o1, c1))),
           time("contract_validate 10x")(noop(contract(o10, c10))))
       },
+      // ---- round-10 operators ----
+      // enforced maxBasketSize: ONE degenerate basket (5k distinct items —
+      // a crawler session) injected into the order baskets is
+      // C(5k,2) ≈ 12.5M self-join rows landing in a SINGLE task uncapped
+      // (PerfProbe basket @ sf0.1: uncapped 5.65 s vs capped 2.85 s warm —
+      // +2.8 s of one-task pair work that grows with the SQUARE of the hot
+      // basket, not the corpus: 50k items would be 1.25G rows in one
+      // task); the cap drops the basket whole, so the +hot run must cost
+      // ~the clean run (~1.0)
+      {
+        def baskets(li: DataFrame): DataFrame =
+          li.select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        val hot = spark.range(5000)
+          .select(lit(999999999L).as("bk"), col("id").as("it"))
+        ("assoc_rules_hotcap", time("assoc_rules clean capped")(noop(
+            graft.operators.BasketAnalysis.rules(baskets(l1), "bk", "it",
+              10, Some(64)))),
+          time("assoc_rules +hot capped")(noop(
+            graft.operators.BasketAnalysis.rules(
+              baskets(l1).unionByName(hot), "bk", "it", 10, Some(64)))))
+      },
       // per-session state bounded to maxLen rows before the collect
       ("top_paths", time("top_paths 1x")(noop(
           EventAnalytics.topPaths(

@@ -38,6 +38,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1L).features.toSeq === MediaCodec.decodeStub(junk, 8).toSeq)
   }
 
+  test("phash pairs: identical and lightly-edited payloads pair, distinct don't") {
+    import spark.implicits._
+    // payloads long enough for a meaningful 63-cell grid; b is a copy of a
+    // with a few bytes perturbed (the "re-encoded image" case), c is
+    // unrelated noise, d is empty (degenerate — must be excluded)
+    val rnd = new scala.util.Random(7)
+    val a = Array.tabulate(630)(i => ((i * 37 + 11) % 251).toByte)
+    val b = a.clone(); for (i <- Seq(5, 300, 599)) b(i) = (b(i) + 3).toByte
+    val c = Array.tabulate(630)(_ => rnd.nextInt(256).toByte)
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, Array.empty[Byte]))
+      .toDF("id", "media")
+    val pairs = Multimodal.phashPairs(df, "id", "media", maxHamming = 6)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "near-identical payloads must pair")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L), "empty payload excluded")
+    // identical payloads → hamming 0
+    val same = Multimodal.phashPairs(
+      Seq((1L, a), (2L, a.clone())).toDF("id", "media"), "id", "media")
+    assert(same.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet === Set((1L, 2L, 0L)))
+    pairs.unpersist(); same.unpersist()
+  }
+
   test("frame sample takes every stride-th byte up to maxFrames") {
     import spark.implicits._
     val bytes = Array.tabulate(300)(i => (i % 256).toByte)
