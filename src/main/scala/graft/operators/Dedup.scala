@@ -39,6 +39,58 @@ object Dedup {
         HashNative.wordHashes(col(textCol)).as("wh"))
       .select(col("id"), HashNative.shingleHashes(col("wh")).as("sh"))
 
+  /** Maximal exact-duplicate substrings — the Lee et al. exact-substring
+    * dedup (arXiv:2107.06499): every verbatim token run of ≥ `minTokens`
+    * that occurs MORE THAN ONCE anywhere in the corpus (another doc or the
+    * same one), reported as per-doc token spans so a pipeline can excise
+    * the duplicated text rather than drop whole documents.
+    *
+    * The suffix-array formulation distributes poorly; this is the exact
+    * positional equivalent: a substring of ≥ `minTokens` occurring twice
+    * ⟺ every one of its `minTokens`-gram positions occurs twice (at the
+    * matching offsets) — so mark each position whose k-gram has corpus
+    * frequency ≥ 2, merge consecutive marked positions per doc
+    * (gaps-and-islands), and widen each island by k−1 trailing tokens.
+    * The span set is IDENTICAL to the suffix-array answer up to rolling-
+    * hash collisions (polynomial mod 1e9+7 — the oracle replays the same
+    * hash, so parity is exact; a production paranoia pass can re-verify
+    * spans byte-wise).
+    *
+    * Scale shape: one (position, gram-hash) explode (corpus-token-linear),
+    * one map-side-combined frequency aggregate on the gram hash, ONE
+    * 1:1 join back (positions never pair with positions — no Σ C(df,2)
+    * kernel anywhere, so a boilerplate gram in every doc costs its
+    * occurrence count, not its pair count), and a per-doc window merge
+    * co-partitioned on the doc id. Output:
+    * (<idCol>, span_start, span_end, n_grams) — token indices, end
+    * exclusive, spans ≥ `minTokens` tokens by construction. */
+  def exactDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 8): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    val grams = materialized(docs
+      .select(col(idCol).as("id"),
+        HashNative.wordHashes(col(textCol)).as("wh"))
+      .select(col("id"), expr(
+        s"""CASE WHEN size(wh) >= $k THEN
+           |  transform(sequence(0, size(wh) - $k), i ->
+           |    aggregate(sequence(1, $k), 0L,
+           |      (acc, j) -> (acc * 31 + element_at(wh, CAST(i + j AS INT))) % $P))
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("gs"))
+      .select(col("id"), posexplode(col("gs")).as(Seq("pos", "g"))))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos").asc)
+    finalized(grams.join(freq, "g")
+      .filter(col("occ") >= 2)
+      .select(col("id"), col("pos").cast("long").as("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id").as(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("grp"), grams)
+  }
+
   /** Whether ids of this type survive a lossless round-trip through Long
     * (the pair kernels and the union-find path carry ids as longs). */
   private[operators] def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = {

@@ -148,26 +148,62 @@ object Similarity {
     * (seeds are tiny by construction); search is an equi-join on cell id —
     * both shuffle-bounded, no cartesian. Recall improves with more probes
     * (assign to top-`nprobe` cells instead of 1) exactly like FAISS IVF;
-    * here the probe count is the assignment rank cutoff. */
+    * here the probe count is the assignment rank cutoff.
+    *
+    * `trainedSeeds = true` swaps the rank quantizer for integer-k-means
+    * centroids ([[KMeans.fitSampled]] over a deterministic `trainMaxRows`
+    * hash sample, 2 Lloyd rounds): on CLUSTERED real embeddings,
+    * arbitrary-row seeds can land several seeds in one natural cluster
+    * and none in another, so cell populations skew and recall@nprobe
+    * sags — trained centroids track the density. Still fully
+    * deterministic (integer codebook, exact scaling back to float), but
+    * not rank-seed-compatible, so the oracle-parity entries keep the
+    * default; recall parity is asserted in the suite. Cells whose
+    * cluster empties during training drop out (the codebook-shrink
+    * contract of [[KMeans]]); zero-norm centroids are filtered before
+    * the cosine probe. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCells: Int = 0, nprobe: Int = 1, knownCount: Long = 0L): DataFrame = {
+      nCells: Int = 0, nprobe: Int = 1, knownCount: Long = 0L,
+      trainedSeeds: Boolean = false, trainMaxRows: Long = 4096L): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
     // nCells = 0 → auto-size to ~sqrt(N) (the standard IVF nlist rule):
     // fixed cell COUNT makes cell SIZE grow linearly and per-cell scoring
     // quadratic in the corpus; sqrt keeps candidates/query ~ sqrt(N)*nprobe
     // `knownCount` skips the sizing pass (see rpLshTopK)
+    lazy val n = if (knownCount > 0) knownCount else emb.count()
     val cells =
       if (nCells > 0) nCells
-      else {
-        val n = if (knownCount > 0) knownCount else emb.count()
-        math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-      }
+      else math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
     // top-k by id, not a filter: planned as TakeOrderedAndProject (per-
     // partition heap + driver merge of `cells` rows — no global sort); the
     // result is broadcast below anyway, so the √N-row collect is free
-    val seeds = e.orderBy(col("id")).limit(cells)
-      .select(col("id").as("cell"), col("v").as("sv"), col("nrm").as("sn"))
+    val (seeds, seedCkpts) =
+      if (!trainedSeeds)
+        (e.orderBy(col("id")).limit(cells)
+          .select(col("id").as("cell"), col("v").as("sv"), col("nrm").as("sn")),
+          Seq.empty[DataFrame])
+      else {
+        val corpus = e.select(col("id"), col("v"))
+        val train = trainingSample(corpus, "id", n, trainMaxRows, cells)
+        // fit over the SAMPLE only — the quantizer needs centroids, not
+        // assignments; the op below does its own (cosine) cell assignment
+        // against the seeds, so fitSampled's full-corpus closing pass
+        // would be a wasted corpus scan
+        val (asg, cents) = KMeans.fit(train, "id", "v", cells, iters = 2)
+        Checkpoints.release(asg)
+        // centroids back to float space at the EXACT training scale; the
+        // checkpoint pins the tiny (≤ cells)-row frame so the broadcast
+        // below never replays the Lloyd loop
+        val s = cents.select(col("cid").as("cell"),
+            expr("transform(cs, x -> CAST(CAST(x AS DOUBLE) / 1000000.0 AS FLOAT))")
+              .as("sv"))
+          .withColumn("sn", sqrt(vecDot(col("sv"), col("sv"))))
+          .filter(col("sn") > 0d)
+          .localCheckpoint()
+        Checkpoints.release(cents)
+        (s, Seq(s))
+      }
     val aw = Window.partitionBy(col("id"))
       .orderBy(col("scos").desc, col("cell").asc)
     // queries probe their top-nprobe cells, corpus vectors index into their
@@ -182,7 +218,7 @@ object Similarity {
     // best cell — so the cell join needs no distinct even under multi-probe
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    finalized(assign.filter(col("arank") <= nprobe)
+    val out = finalized(assign.filter(col("arank") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
       .join(assign.filter(col("arank") === 1)
         .select(col("id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"), col("cell")),
@@ -193,6 +229,8 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         round(col("cos"), 6).as("cos")), assign)
+    seedCkpts.foreach(Checkpoints.release)
+    out
   }
 
   /** One side of a block pair: every (id, vector, norm) in the block,
@@ -689,19 +727,39 @@ object Similarity {
     * Same sizing rule and bit-exact arithmetic as [[ivfTopK]] (seeds =
     * smallest-id rank quantizer), so querying a corpus against its own
     * freshly-built index reproduces ivfTopK's output exactly.
+    * `trainedSeeds` swaps in the k-means quantizer (same contract as
+    * [[ivfTopK]]'s flag — better cell balance on clustered corpora, still
+    * deterministic; the persisted `dir/seeds` schema is unchanged, so
+    * [[queryIvfIndex]] works against either quantizer).
     */
   def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
-      dir: String, nCells: Int = 0, knownCount: Long = 0L): Unit = {
+      dir: String, nCells: Int = 0, knownCount: Long = 0L,
+      trainedSeeds: Boolean = false, trainMaxRows: Long = 4096L): Unit = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
+    lazy val n = if (knownCount > 0) knownCount else emb.count()
     val cells =
       if (nCells > 0) nCells
+      else math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val (seeds, seedCkpts) =
+      if (!trainedSeeds)
+        (e.orderBy(col("id")).limit(cells)
+          .select(col("id").as("cell"), col("v").as("sv"), col("nrm").as("sn")),
+          Seq.empty[DataFrame])
       else {
-        val n = if (knownCount > 0) knownCount else emb.count()
-        math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+        val corpus = e.select(col("id"), col("v"))
+        val train = trainingSample(corpus, "id", n, trainMaxRows, cells)
+        val (asg, cents) = KMeans.fit(train, "id", "v", cells, iters = 2)
+        Checkpoints.release(asg)
+        val s = cents.select(col("cid").as("cell"),
+            expr("transform(cs, x -> CAST(CAST(x AS DOUBLE) / 1000000.0 AS FLOAT))")
+              .as("sv"))
+          .withColumn("sn", sqrt(vecDot(col("sv"), col("sv"))))
+          .filter(col("sn") > 0d)
+          .localCheckpoint()
+        Checkpoints.release(cents)
+        (s, Seq(s))
       }
-    val seeds = e.orderBy(col("id")).limit(cells)
-      .select(col("id").as("cell"), col("v").as("sv"), col("nrm").as("sn"))
     seeds.write.mode("overwrite").parquet(s"$dir/seeds")
     val aw = Window.partitionBy(col("id"))
       .orderBy(col("scos").desc, col("cell").asc)
@@ -712,6 +770,7 @@ object Similarity {
       .filter(col("arank") === 1)
       .select(col("id"), col("v"), col("nrm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    seedCkpts.foreach(Checkpoints.release)
   }
 
   /** Top-k search against a [[buildIvfIndex]] index on disk: queries

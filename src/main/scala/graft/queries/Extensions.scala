@@ -813,6 +813,33 @@ object Extensions {
       |FROM exn JOIN df ON exn.s = df.s
       |GROUP BY exn.doc_id""".stripMargin)),
 
+    // Lee et al. exact-substring dedup: maximal verbatim token runs >= 8
+    // occurring more than once anywhere in the corpus, as per-doc excisable
+    // (start, end) token spans — the positional equivalent of the
+    // suffix-array formulation (mark duplicated k-gram positions, merge
+    // islands, widen by k-1); the oracle replays the identical rolling
+    // hash so spans match bit-for-bit
+    Q("text_exact_dup_spans", (s, d) =>
+      Dedup.exactDupSpans(Tables.ts(s, d, "documents"), "doc_id", "text",
+        minTokens = 8),
+      Some(s"""
+        |WITH wh AS (SELECT doc_id, ${H.duckWordHashes("text")} AS wh
+        |            FROM documents),
+        |g AS (SELECT doc_id, t.i AS pos,
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(range(1, 9), j -> wh[CAST(t.i + j AS INT)])),
+        |          (acc, x) -> (acc * 31 + x) % ${graft.functions.HashExprs.P}) AS g
+        |      FROM wh, unnest(range(0, greatest(len(wh) - 7, 0))) AS t(i)),
+        |f AS (SELECT g, count(*) AS occ FROM g GROUP BY g),
+        |dup AS (SELECT doc_id, pos FROM g JOIN f USING (g) WHERE occ >= 2),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |            AS grp
+        |        FROM dup)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+        |       count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, grp""".stripMargin)),
+
     // C4-style quality filter chain: length bounds, symbol ratio, stopword
     // presence — keep/drop with a deterministic first-failure reason, the
     // composite gate shape every corpus pipeline ends with

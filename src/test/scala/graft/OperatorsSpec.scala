@@ -253,6 +253,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3 >= 0.3, s"nprobe=3 rank-1 recall $r3")
   }
 
+  test("trained IVF quantizer: clustered-corpus recall >= rank seeds") {
+    import spark.implicits._
+    // clustered fixture — the shape real embeddings take and the one where
+    // arbitrary-row (rank) seeding skews cell populations: 8 well-separated
+    // centers, 40 members each, cluster assignment hash-scrambled across
+    // ids so the 8 smallest ids cover an arbitrary (possibly duplicated)
+    // subset of clusters, deterministic noise
+    val dim = 16
+    val rows = (0 until 320).map { i =>
+      val c = ((i * 2654435761L) % 8).toInt
+      val vec = Array.tabulate(dim) { d =>
+        val center = if (d % 8 == c) 1.0f else 0.0f
+        center + (((i * 31 + d * 7 + 3) % 13) - 6) / 100.0f
+      }
+      (i.toLong, vec)
+    }
+    val cdf = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(cdf, cdf, "vec_id", "embedding", 5,
+      broadcastCorpus = true).select("query_id", "neighbor_id")
+    val nExact = exact.count()
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
+      val hit = exact.join(ann.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+      ann.unpersist()
+      hit.toDouble / nExact
+    }
+    val rRank = recallOf(Similarity.ivfTopK(cdf, "vec_id", "embedding", 5,
+      nCells = 8, nprobe = 2))
+    val rTrained = recallOf(Similarity.ivfTopK(cdf, "vec_id", "embedding", 5,
+      nCells = 8, nprobe = 2, trainedSeeds = true))
+    assert(rTrained >= rRank,
+      s"trained quantizer recall $rTrained must not trail rank seeds $rRank")
+    assert(rTrained >= 0.5, s"trained quantizer recall@5 = $rTrained")
+    // determinism: a second run is bit-identical
+    val again = recallOf(Similarity.ivfTopK(cdf, "vec_id", "embedding", 5,
+      nCells = 8, nprobe = 2, trainedSeeds = true))
+    assert(again === rTrained)
+  }
+
   test("product quantization: ADC + exact re-rank recovers exact neighbors") {
     // every 10th vector queries the full corpus; candidates = 100 of 500.
     // Fully deterministic (integer k-means codebooks, integer ADC, id

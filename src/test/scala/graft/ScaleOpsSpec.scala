@@ -529,4 +529,41 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(viaBucketed === viaPlain)
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  // ---- exact-substring dedup spans -------------------------------------
+  test("exactDupSpans: hand extents, island merge, and hot-gram boundedness") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def words(n: Int, tag: String): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    // A and B share a verbatim 12-token run; C is all-unique; D repeats its
+    // own 10-token sentence twice (same-doc duplication must count)
+    val shared = words(12, "s")
+    val selfRep = words(10, "r")
+    val docs = Seq(
+      (1L, s"${words(5, "a")} $shared ${words(4, "az")}"),
+      (2L, s"$shared ${words(6, "b")}"),
+      (3L, words(30, "c")),
+      (4L, s"$selfRep ${words(3, "d")} $selfRep")).toDF("doc_id", "text")
+    val spans = Dedup.exactDupSpans(docs, "doc_id", "text", minTokens = 8)
+    val got = spans.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spans.unpersist()
+    // doc 1: tokens 5..16 duplicated -> span [5, 17); doc 2: [0, 12)
+    assert(got.contains((1L, 5L, 17L)), s"doc1 span missing from $got")
+    assert(got.contains((2L, 0L, 12L)), s"doc2 span missing from $got")
+    // doc 3 clean; doc 4 flagged (both copies of its repeated sentence)
+    assert(!got.exists(_._1 == 3L), "unique doc must not be flagged")
+    assert(got.count(_._1 == 4L) === 2, s"self-repeat spans in $got")
+    // boundedness: a boilerplate 8-gram present in EVERY doc of a corpus
+    // must cost its occurrence count, not C(occ, 2) — output rows stay
+    // <= total duplicated positions (the 1:1 frequency join never pairs)
+    val boiler = words(8, "x")
+    val hot = (0 until 400).map(i =>
+      (i.toLong, s"$boiler ${words(6, s"u$i")}")).toDF("doc_id", "text")
+    val hotSpans = Dedup.exactDupSpans(hot, "doc_id", "text", minTokens = 8)
+    val n = hotSpans.count()
+    hotSpans.unpersist()
+    assert(n === 400L, s"one span per doc expected, got $n")
+  }
 }
