@@ -35,6 +35,12 @@ object HashNative {
     col(WordHashes(GraftColumnBridge.expression(text)))
   def shingleHashes(wh: Column): Column =
     col(ShingleHashes(GraftColumnBridge.expression(wh)))
+  /** In-order (non-distinct) k-gram hashes of a word-hash array — the
+    * positional gram table of the exact-substring dedup. Same polynomial
+    * combine as [[ShingleHashes]], generalized width, POSITION-PRESERVING
+    * (index i = gram starting at word i); empty array below k words. */
+  def gramHashes(wh: Column, k: Int): Column =
+    col(GramHashes(GraftColumnBridge.expression(wh), k))
   def minhashSig(sh: Column): Column =
     col(MinHashSig(GraftColumnBridge.expression(sh)))
   def simhash(sh: Column): Column =
@@ -90,6 +96,27 @@ object HashNative {
       new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class GramHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val wh = input.asInstanceOf[ArrayData]
+      val n = wh.numElements()
+      if (n < k) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](n - k + 1)
+      var i = 0
+      while (i <= n - k) {
+        var acc = 0L
+        var j = 0
+        while (j < k) { acc = (acc * 31 + wh.getLong(i + j)) % P; j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
   case class MinHashSig(child: Expression)

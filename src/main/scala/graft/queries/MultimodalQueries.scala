@@ -9,6 +9,27 @@ import graft.operators.Multimodal
 object MultimodalQueries {
   import Tables.t
 
+  /** The dHash pair pipeline as a reusable CTE chain ending in
+    * `pp(id_a, id_b, hamming)` — shared by mm_phash_dedup and the
+    * caption-join composition (the minhashPairCtes pattern). */
+  private val phashPairCtes: String = {
+    import graft.operators.PerceptualHash
+    s"""b AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |             octet_length(encode(text)) AS bn
+       |      FROM documents
+       |      WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+       |c AS (SELECT doc_id, ${PerceptualHash.duckGridCells("hx", "bn")} AS cells
+       |      FROM b),
+       |f AS (SELECT doc_id, ${PerceptualHash.duckDHashBits("cells")} AS f
+       |      FROM c),
+       |ck AS (SELECT doc_id, f, unnest(${PerceptualHash.duckChunks("f")}) AS ck
+       |       FROM f),
+       |pp AS (SELECT DISTINCT a.doc_id AS id_a, c2.doc_id AS id_b,
+       |         CAST(bit_count(xor(a.f, c2.f)) AS BIGINT) AS hamming
+       |       FROM ck a JOIN ck c2 ON a.ck = c2.ck AND a.doc_id < c2.doc_id
+       |       WHERE bit_count(xor(a.f, c2.f)) <= 6)""".stripMargin
+  }
+
   def defs: Seq[Q] = Seq(
     Q("mm_meta", (s, d) => {
       val bin = t(s, d, "documents")
@@ -90,24 +111,95 @@ object MultimodalQueries {
       val bin = Tables.ts(s, d, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("media"))
       Multimodal.phashPairs(bin, "doc_id", "media", maxHamming = 6)
-    }, Some {
-      import graft.operators.PerceptualHash
-      s"""
-      WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
-                        octet_length(encode(text)) AS bn
-                 FROM documents
-                 WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
-      c AS (SELECT doc_id, ${PerceptualHash.duckGridCells("hx", "bn")} AS cells
-            FROM b),
-      f AS (SELECT doc_id, ${PerceptualHash.duckDHashBits("cells")} AS f
-            FROM c),
-      ck AS (SELECT doc_id, f, unnest(${PerceptualHash.duckChunks("f")}) AS ck
-             FROM f)
-      SELECT DISTINCT a.doc_id AS id_a, c2.doc_id AS id_b,
-             CAST(bit_count(xor(a.f, c2.f)) AS BIGINT) AS hamming
-      FROM ck a JOIN ck c2 ON a.ck = c2.ck AND a.doc_id < c2.doc_id
-      WHERE bit_count(xor(a.f, c2.f)) <= 6"""
-    }),
+    }, Some(s"""
+      WITH $phashPairCtes
+      SELECT id_a, id_b, hamming FROM pp""")),
+
+    // caption/image JOINT filtering: phash near-dup pairs close into
+    // clusters (min-label = recursive-CTE closure in the oracle) and each
+    // image cluster keeps its best-CAPTION member (longest caption,
+    // id tie-break) — "same picture, many captions: keep the richest one",
+    // the multimodal analog of dedup_best_rep
+    Q("mm_phash_best_caption", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.ts(s, d, "documents")
+      val bin = docs.select(col("doc_id"), col("text").cast("binary").as("media"))
+      val pairs = Multimodal.phashPairs(bin, "doc_id", "media", maxHamming = 6)
+        .select(col("id_a"), col("id_b"))
+      val cl = graft.operators.Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("cap_len").desc, col("id").asc)
+      cl.join(docs.select(col("doc_id").as("id"),
+          length(col("text")).cast("long").as("cap_len")), "id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("id").as("kept_id"),
+          col("cap_len").as("kept_cap_len"), col("n_members"))
+    }, Some(s"""
+      WITH RECURSIVE $phashPairCtes,
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pp
+                UNION ALL SELECT id_b, id_a FROM pp),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      lbl AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+      m AS (SELECT cluster, id, length(d.text) AS cap_len,
+              row_number() OVER (PARTITION BY cluster
+                ORDER BY length(d.text) DESC, id ASC) AS rn,
+              count(*) OVER (PARTITION BY cluster) AS n_members
+            FROM lbl JOIN documents d ON lbl.id = d.doc_id)
+      SELECT cluster, id AS kept_id, CAST(cap_len AS BIGINT) AS kept_cap_len,
+             n_members
+      FROM m WHERE rn = 1""")),
+
+    // REAL container-header parsing (no decode, no stub): synthetic
+    // PNG / JPEG / WAV headers are constructed from doc fields, parsed
+    // back by the engine's hex-arithmetic projection (incl. the bounded
+    // JPEG SOF-marker walk), and the oracle asserts the parsed values
+    // equal the generating ground truth — a construct→parse roundtrip
+    Q("mm_media_headers", (s, d) => {
+      val docs = Tables.ts(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      // LE byte-string helpers for the WAV fields
+      def le16(v: String) =
+        s"concat(lpad(hex(($v) % 256), 2, '0'), lpad(hex(($v) div 256), 2, '0'))"
+      def le32(v: String) =
+        s"concat(lpad(hex(($v) % 256), 2, '0'), lpad(hex((($v) div 256) % 256), 2, '0'), " +
+          s"lpad(hex((($v) div 65536) % 256), 2, '0'), lpad(hex((($v) div 16777216) % 256), 2, '0'))"
+      val media = expr(s"""unhex(CASE CAST(doc_id % 3 AS INT)
+        |  WHEN 0 THEN concat('89504E470D0A1A0A', '0000000D', '49484452',
+        |    lpad(hex((doc_id % 1000) + 1), 8, '0'),
+        |    lpad(hex((n_chars % 500) + 1), 8, '0'), '08060000')
+        |  WHEN 1 THEN concat('FFD8', 'FFE000044A46', 'FFC0001108',
+        |    lpad(hex((n_chars % 400) + 1), 4, '0'),
+        |    lpad(hex((doc_id % 300) + 1), 4, '0'),
+        |    '03012200021101031101')
+        |  ELSE concat('52494646', '24000000', '57415645', '666D7420',
+        |    '10000000', '0100', ${le16("1 + doc_id % 2")},
+        |    ${le32("8000 + (n_chars % 100) * 100")})
+        |END)""".stripMargin)
+      Multimodal.withMediaHeaders(
+          docs.withColumn("media", media), "media")
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"), col("sample_rate"))
+    }, Some("""
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             ELSE 'riff' END AS format,
+        CASE doc_id % 3 WHEN 0 THEN (doc_id % 1000) + 1
+             WHEN 1 THEN (doc_id % 300) + 1
+             ELSE NULL END AS width,
+        CASE doc_id % 3 WHEN 0 THEN (n_chars % 500) + 1
+             WHEN 1 THEN (n_chars % 400) + 1
+             ELSE NULL END AS height,
+        CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2 ELSE NULL END AS channels,
+        CASE doc_id % 3 WHEN 2 THEN 8000 + (n_chars % 100) * 100
+             ELSE NULL END AS sample_rate
+      FROM documents""")),
 
     // frame sampling: every 64th byte, max 8 "frames" — deterministic byte
     // positions; output is frame count + first-frame byte (array<binary>

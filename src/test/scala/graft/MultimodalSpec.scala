@@ -38,6 +38,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(1L).features.toSeq === MediaCodec.decodeStub(junk, 8).toSeq)
   }
 
+  test("header parsing: real PNG/JPEG/WAV leading bytes yield their fields") {
+    import spark.implicits._
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // real 8x1 PNG IHDR prefix (width 8, height 1)
+    val pngHdr = b(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R', 0, 0, 0, 8, 0, 0, 0, 1, 8, 6, 0, 0)
+    // JPEG: SOI, APP0 (len 4, 2 payload bytes), SOF0 len 17: precision 8,
+    // height 0x0010 (16), width 0x0020 (32), 3 components
+    val jpgHdr = b(0xff, 0xd8, 0xff, 0xe0, 0, 4, 0x4a, 0x46,
+      0xff, 0xc0, 0, 17, 8, 0, 16, 0, 32, 3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    // WAV: RIFF/WAVE/fmt, PCM, 2 channels, 44100 Hz (LE)
+    val wavHdr = b('R', 'I', 'F', 'F', 0x24, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 2, 0, 0x44, 0xac, 0, 0)
+    // malformed JPEG chain (length points past the payload) -> NULL dims
+    val badJpg = b(0xff, 0xd8, 0xff, 0xe0, 0xff, 0xff, 1, 2, 3)
+    val out = Multimodal.withMediaHeaders(
+        Seq((1L, pngHdr), (2L, jpgHdr), (3L, wavHdr), (4L, badJpg))
+          .toDF("id", "media"), "media")
+      .select("id", "format", "width", "height", "channels", "sample_rate")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)),
+         Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(out(1L) === (("png", Some(8L), Some(1L), None, None)))
+    assert(out(2L) === (("jpeg", Some(32L), Some(16L), None, None)))
+    assert(out(3L) === (("riff", None, None, Some(2L), Some(44100L))))
+    assert(out(4L) === (("jpeg", None, None, None, None)))
+  }
+
   test("phash pairs: identical and lightly-edited payloads pair, distinct don't") {
     import spark.implicits._
     // payloads long enough for a meaningful 63-cell grid; b is a copy of a
