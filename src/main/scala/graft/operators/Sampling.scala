@@ -53,4 +53,34 @@ object Sampling {
     val u = s"(($h) + 1.0) / (${H.P} + 1.0)"
     s"CAST(round(ln($u) * 1e6) AS BIGINT) / CAST($wCol AS DOUBLE)"
   }
+
+  /** Diversity sampling: cluster the embedding space with the exact
+    * integer k-means ([[KMeans.assign]]) and keep `perCluster` members of
+    * EACH cluster, chosen in deterministic hash order (Knuth-mix of the
+    * id — reproduces on any partitioning, like [[weightedSample]]'s
+    * race). The standard "cover the distribution, don't oversample the
+    * head" subset draw of corpus curation: uniform sampling follows
+    * density, this follows STRUCTURE — tail clusters keep representation
+    * at any sampling rate.
+    *
+    * Scale shape: the k-means rounds dominate (corpus-linear per round);
+    * the quota pick is one window rank per cluster, co-partitioned on the
+    * cluster key. Output: (id, cluster) for kept rows. */
+  def diverseSample(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, perCluster: Int): DataFrame = {
+    require(perCluster > 0, s"perCluster must be > 0, got $perCluster")
+    import org.apache.spark.sql.expressions.Window
+    val asg = KMeans.assign(emb, idCol, vecCol, k, iters)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__ord").asc, col("id").asc)
+    val out = asg
+      .withColumn("__ord", expr(s"(id * 2654435761) % ${H.P}"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perCluster)
+      .select(col("id"), col("cluster"))
+      .persist()
+    out.count()
+    Checkpoints.release(asg)
+    out
+  }
 }

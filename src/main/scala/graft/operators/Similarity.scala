@@ -773,6 +773,31 @@ object Similarity {
     seedCkpts.foreach(Checkpoints.release)
   }
 
+  /** Append a batch of NEW vectors to a [[buildIvfIndex]] index without
+    * rebuilding: the persisted seeds are the quantizer contract, so the
+    * batch pays one broadcast cell argmin + one partitioned parquet
+    * append — cost tracks the BATCH, never the indexed corpus (the
+    * [[IncrementalDedup]] lifecycle for the vector store). Ids must be
+    * new (the index does not dedup); the seed set is fixed at build, so
+    * querying after appends equals building over the union as long as
+    * the build slice contained the seed rows. */
+  def appendIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = emb.sparkSession
+    val seeds = spark.read.parquet(s"$dir/seeds")
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
+    val aw = Window.partitionBy(col("id"))
+      .orderBy(col("scos").desc, col("cell").asc)
+    e.crossJoin(broadcast(seeds))
+      .withColumn("scos",
+        vecDot(col("v"), col("sv")) / (col("nrm") * col("sn")))
+      .withColumn("arank", row_number().over(aw))
+      .filter(col("arank") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** Top-k search against a [[buildIvfIndex]] index on disk: queries
     * assign to their top-`nprobe` seeds (broadcast — √N rows), then join
     * the cell scan. Output matches [[ivfTopK]].

@@ -24,6 +24,30 @@ object Curation {
     |    / len(string_split(text, ' ')) AS x3
     |FROM documents""".stripMargin
 
+  /** sim_ivf's oracle SQL — shared verbatim by the index-lifecycle
+    * entries (sim_ivf_index, sim_ivf_append): querying a corpus against
+    * its own (built or built-then-appended) index must reproduce ivfTopK
+    * bit-for-bit. */
+  private val ivfIndexOracle: String =
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      |seeds AS (SELECT id AS cell, v AS sv FROM e ORDER BY id LIMIT 8),
+      |assign AS (SELECT id, cell,
+      |    row_number() OVER (PARTITION BY id ORDER BY scos DESC, cell ASC) AS arank
+      |  FROM (SELECT e.id, s.cell, ${V.duckCosine("e.v", "s.sv")} AS scos
+      |        FROM e CROSS JOIN seeds s)),
+      |cand AS (SELECT DISTINCT p.id AS query_id, n.id AS neighbor_id
+      |  FROM (SELECT id, cell FROM assign WHERE arank <= 2) p
+      |  JOIN (SELECT id, cell FROM assign WHERE arank = 1) n ON p.cell = n.cell
+      |  WHERE p.id <> n.id),
+      |scored AS (SELECT query_id, neighbor_id,
+      |    ${V.duckCosine("a.v", "b.v")} AS cos,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY ${V.duckCosine("a.v", "b.v")} DESC, neighbor_id ASC) AS rank
+      |  FROM cand JOIN e a ON cand.query_id = a.id
+      |            JOIN e b ON cand.neighbor_id = b.id)
+      |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+      |FROM scored WHERE rank <= 3""".stripMargin
+
   def defs: Seq[Q] = Seq(
     // ---- record linkage (entity resolution) --------------------------
     // blocked fuzzy-match join: candidates share a 16-char name-prefix
@@ -593,24 +617,29 @@ object Curation {
         nCells = 8)
       Similarity.queryIvfIndex(s, dir.toString, e, "vec_id", "embedding",
         k = 3, nprobe = 2)
-    }, Some(s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
-      |seeds AS (SELECT id AS cell, v AS sv FROM e ORDER BY id LIMIT 8),
-      |assign AS (SELECT id, cell,
-      |    row_number() OVER (PARTITION BY id ORDER BY scos DESC, cell ASC) AS arank
-      |  FROM (SELECT e.id, s.cell, ${V.duckCosine("e.v", "s.sv")} AS scos
-      |        FROM e CROSS JOIN seeds s)),
-      |cand AS (SELECT DISTINCT p.id AS query_id, n.id AS neighbor_id
-      |  FROM (SELECT id, cell FROM assign WHERE arank <= 2) p
-      |  JOIN (SELECT id, cell FROM assign WHERE arank = 1) n ON p.cell = n.cell
-      |  WHERE p.id <> n.id),
-      |scored AS (SELECT query_id, neighbor_id,
-      |    ${V.duckCosine("a.v", "b.v")} AS cos,
-      |    row_number() OVER (PARTITION BY query_id
-      |      ORDER BY ${V.duckCosine("a.v", "b.v")} DESC, neighbor_id ASC) AS rank
-      |  FROM cand JOIN e a ON cand.query_id = a.id
-      |            JOIN e b ON cand.neighbor_id = b.id)
-      |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
-      |FROM scored WHERE rank <= 3""".stripMargin)),
+    }, Some(ivfIndexOracle)),
+
+    // index APPEND lifecycle: build on the first corpus slice, append the
+    // rest batch-wise (one broadcast argmin + partitioned parquet append
+    // per batch — cost tracks the batch, never the indexed corpus), then
+    // query the whole corpus. The seed contract is fixed at build, and
+    // the build slice carries the 8 smallest ids, so append-then-query
+    // must equal one-shot build — the oracle is sim_ivf's SQL verbatim.
+    Q("sim_ivf_append", (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("ivf-append")
+      dir.toFile.deleteOnExit()
+      val e = t(s, d, "embeddings")
+      Similarity.buildIvfIndex(e.filter(col("vec_id") < 1000), "vec_id",
+        "embedding", dir.toString, nCells = 8)
+      Similarity.appendIvfIndex(
+        e.filter(col("vec_id") >= 1000 && col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dir.toString)
+      Similarity.appendIvfIndex(
+        e.filter(col("vec_id") >= 1000 && col("vec_id") % 2 === 1),
+        "vec_id", "embedding", dir.toString)
+      Similarity.queryIvfIndex(s, dir.toString, e, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+    }, Some(ivfIndexOracle)),
 
     // ---- hybrid retrieval: reciprocal-rank fusion --------------------
     // lexical (whole-query BM25, top 50) + semantic (cosine to a fixed

@@ -65,6 +65,40 @@ object ScaleOps {
     dir
   }
 
+  /** The exact-integer Lloyd k-means replay (k=8, 2 rounds, dim 64 over
+    * `embeddings`) as a CTE chain ending in `afinal(id, cid)` — the
+    * [[graft.operators.KMeans]] algorithm CTE-for-stage: scaled integer
+    * vectors, rank seeds, (dist, cid)-argmin rounds, FLOOR-division
+    * centroid means. Shared by q54_kmeans and sample_diverse. */
+  private val kmeansCtes: String = {
+    val dist = (x: String, c: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> ($x[i] - $c[i]) * ($x[i] - $c[i])))"
+    val rounds = (1 to 2).map { i =>
+      s"""a$i AS (SELECT id, xs, cid FROM (
+         |  SELECT s.id, s.xs, c.cid,
+         |    row_number() OVER (PARTITION BY s.id
+         |      ORDER BY ${dist("s.xs", "c.cs")} ASC, c.cid ASC) AS rn
+         |  FROM s CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         |c$i AS (SELECT cid, list(v ORDER BY dim) AS cs FROM (
+         |  SELECT a.cid, t.i AS dim,
+         |    CAST(sum(a.xs[t.i]) // count(*) AS BIGINT) AS v
+         |  FROM a$i a CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2)
+         |  GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""s AS (SELECT vec_id AS id,
+      |      list_transform(embedding,
+      |        v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS xs
+      |    FROM embeddings),
+      |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, xs AS cs
+      |       FROM s ORDER BY id LIMIT 8),
+      |$rounds,
+      |afinal AS (SELECT id, cid FROM (
+      |  SELECT s.id, c.cid,
+      |    row_number() OVER (PARTITION BY s.id
+      |      ORDER BY ${dist("s.xs", "c.cs")} ASC, c.cid ASC) AS rn
+      |  FROM s CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+  }
+
   def defs: Seq[Q] = Seq(
     // bloom-pruned star join: the dimension predicate (1-URGENT, ~20%
     // selective) builds a bloom filter over its join keys; fact rows that
@@ -479,36 +513,26 @@ object ScaleOps {
       KMeans.assign(t(s, d, "embeddings"), "vec_id", "embedding",
           k = 8, iters = 2)
         .select(col("id").as("vec_id"), col("cluster")),
-    Some {
-      val dist = (x: String, c: String) =>
-        s"list_sum(list_transform(range(1, 65), i -> ($x[i] - $c[i]) * ($x[i] - $c[i])))"
-      val rounds = (1 to 2).map { i =>
-        s"""a$i AS (SELECT id, xs, cid FROM (
-           |  SELECT s.id, s.xs, c.cid,
-           |    row_number() OVER (PARTITION BY s.id
-           |      ORDER BY ${dist("s.xs", "c.cs")} ASC, c.cid ASC) AS rn
-           |  FROM s CROSS JOIN c${i - 1} c) WHERE rn = 1),
-           |c$i AS (SELECT cid, list(v ORDER BY dim) AS cs FROM (
-           |  SELECT a.cid, t.i AS dim,
-           |    CAST(sum(a.xs[t.i]) // count(*) AS BIGINT) AS v
-           |  FROM a$i a CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2)
-           |  GROUP BY cid)""".stripMargin
-      }.mkString(",\n")
-      s"""
-      WITH s AS (SELECT vec_id AS id,
-            list_transform(embedding,
-              v -> CAST(round(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS xs
-          FROM embeddings),
-      c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, xs AS cs
-             FROM s ORDER BY id LIMIT 8),
-      $rounds,
-      afinal AS (SELECT id, cid FROM (
-        SELECT s.id, c.cid,
-          row_number() OVER (PARTITION BY s.id
-            ORDER BY ${dist("s.xs", "c.cs")} ASC, c.cid ASC) AS rn
-        FROM s CROSS JOIN c2 c) WHERE rn = 1)
-      SELECT id AS vec_id, cid AS cluster FROM afinal"""
-    }),
+      Some(s"""
+      WITH $kmeansCtes
+      SELECT id AS vec_id, cid AS cluster FROM afinal""")),
+
+    // diversity sampling: the k-means structure above + a per-cluster
+    // quota in deterministic Knuth-mix hash order — cover the embedding
+    // distribution's STRUCTURE, not its density (tail clusters keep
+    // representation at any sampling rate)
+    Q("sample_diverse", (s, d) =>
+      graft.operators.Sampling.diverseSample(t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 2, perCluster = 20)
+        .select(col("id").as("vec_id"), col("cluster")),
+      Some(s"""
+      WITH $kmeansCtes,
+      o AS (SELECT id, cid, (id * 2654435761) % ${graft.functions.HashExprs.P} AS ord
+            FROM afinal)
+      SELECT id AS vec_id, cid AS cluster FROM (
+        SELECT id, cid, row_number() OVER (PARTITION BY cid
+          ORDER BY ord ASC, id ASC) AS rn FROM o)
+      WHERE rn <= 20""")),
 
     // semantic dedup end-to-end: embedding-cosine near-dup pairs -> graph
     // clustering -> per-vector (cluster, is_kept) — the same composition as

@@ -253,6 +253,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3 >= 0.3, s"nprobe=3 rank-1 recall $r3")
   }
 
+  test("ivf index append: build(A)+append(B) answers == one-shot build(A∪B)") {
+    val dirA = java.nio.file.Files.createTempDirectory("ivf-app-a").toString
+    val dirU = java.nio.file.Files.createTempDirectory("ivf-app-u").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < 200), "vec_id",
+      "embedding", dirA, nCells = 8)
+    Similarity.appendIvfIndex(emb.filter(col("vec_id") >= 200), "vec_id",
+      "embedding", dirA)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dirU, nCells = 8)
+    def answers(dir: String) =
+      Similarity.queryIvfIndex(spark, dir, emb.filter(col("vec_id") < 30),
+        "vec_id", "embedding", 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(answers(dirA) === answers(dirU))
+  }
+
+  test("diverseSample: per-cluster quota holds and selection is partitioning-invariant") {
+    import graft.operators.Sampling
+    val s1 = Sampling.diverseSample(emb, "vec_id", "embedding", 8, 2, 5)
+    val picked = s1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    s1.unpersist()
+    assert(picked.groupBy(_._2).values.forall(_.length <= 5))
+    assert(picked.map(_._2).distinct.length === 8, "every cluster represented")
+    val s2 = Sampling.diverseSample(emb.repartition(7), "vec_id",
+      "embedding", 8, 2, 5)
+    val again = s2.collect().map(r => (r.getLong(0), r.getLong(1)))
+    s2.unpersist()
+    assert(picked.toSet === again.toSet)
+  }
+
   test("trained IVF quantizer: clustered-corpus recall >= rank seeds") {
     import spark.implicits._
     // clustered fixture — the shape real embeddings take and the one where
