@@ -139,6 +139,43 @@ object Profile {
           .as("entropy_micro"))
   }
 
+  /** Hot-key / skew diagnostics for prospective shuffle keys — the
+    * pre-flight check before keying a 100 TB join or aggregate on a
+    * column: per requested column, the `topK` heaviest values with exact
+    * counts, integer basis-point share of rows, and rank. A key whose
+    * share dwarfs 1/parallelism is the task-killing skew the salted-join
+    * / AQE mitigations exist for; this report is how a pipeline finds
+    * them BEFORE the 4-hour stage does.
+    *
+    * Scale shape: all columns ride ONE corpus scan (the entropy-style
+    * generator projection), one map-side-combined (column, value) count,
+    * per-column totals as a second bounded aggregate joined back
+    * broadcast (never a window over the full distinct-key table — that
+    * would collapse each column's keys into one task, the very skew this
+    * measures), and a per-column ranked window over the counts. NULL
+    * folds to the \\u0001 sentinel for grouping and is emitted back as
+    * NULL. Output: (col_name, key, cnt, share_x1e4, rank). */
+  def keySkew(df: DataFrame, cols: Seq[String], topK: Int = 5): DataFrame = {
+    require(cols.nonEmpty && topK > 0, "need columns and topK > 0")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          coalesce(col(c).cast("string"), lit("\u0001")).as("k"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.k").as("k"))
+    val cnts = pairs.groupBy(col("col_name"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = cnts.groupBy(col("col_name")).agg(sum(col("cnt")).as("n"))
+    val w = Window.partitionBy(col("col_name"))
+      .orderBy(col("cnt").desc, col("k").asc)
+    cnts.join(broadcast(totals), "col_name")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("col_name"),
+        when(col("k") === "\u0001", lit(null)).otherwise(col("k")).as("key"),
+        col("cnt"), expr("cnt * 10000 div n").as("share_x1e4"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Benford first-digit audit of a POSITIVE INTEGER column (callers
     * integerize first — cents, counts; integer-to-string leading digits
     * are engine-exact, where float formatting is not): observed digit

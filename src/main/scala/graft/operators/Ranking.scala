@@ -29,6 +29,41 @@ object Ranking {
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Topic labels for ANY document grouping (k-means clusters, sources,
+    * communities): per group, the top-`topN` terms by a group-level
+    * TF-IDF — `n_docs(group, term) · round(ln((G+1)/gdf)·1e6)` where
+    * `n_docs` counts group members CONTAINING the term (distinct per
+    * doc), `gdf` the groups containing it, `G` the group count. The
+    * "what is this cluster about" readout of embedding-space curation.
+    *
+    * Determinism: the only float is one ln over two exact integers,
+    * integerized to micro-nats before the multiply — no float sum
+    * anywhere. Scale shape: one distinct-term explode (corpus-linear),
+    * two bounded aggregates on (group, term) / term, the 1-row group
+    * count as a broadcast scalar, and a per-group ranked window —
+    * everything key-partitioned, nothing pair-emitting.
+    * `groups` carries (id, grp); output:
+    * (grp, term, n_docs, score_micro, rank). */
+  def groupTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      groups: DataFrame, topN: Int): DataFrame = {
+    val terms = docs.select(col(idCol).as("id"),
+        explode(array_distinct(split(col(textCol), " "))).as("term"))
+      .filter(col("term") =!= "")
+    val gt = terms.join(groups.select(col("id"), col("grp")), "id")
+      .groupBy(col("grp"), col("term")).agg(count(lit(1)).as("n_docs"))
+    val gdf = gt.groupBy(col("term")).agg(count(lit(1)).as("gdf"))
+    val ng = groups.agg(count_distinct(col("grp")).as("ng"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    gt.join(gdf, "term").crossJoin(broadcast(ng))
+      .withColumn("score_micro", col("n_docs") * expr(
+        "CAST(round(ln((CAST(ng AS DOUBLE) + 1.0) / gdf) * 1e6) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("grp"), col("term"), col("n_docs"), col("score_micro"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Top-`topN` TF-IDF terms per document (ties: lexicographic term).
     * `idf = ln((N + 1) / (df + 1)) + 1` (sklearn smoothing — never
     * negative, never divides by zero), `score = tf * idf`.

@@ -73,8 +73,11 @@ object Sampling {
     val asg = KMeans.assign(emb, idCol, vecCol, k, iters)
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("__ord").asc, col("id").asc)
+    // id reduced mod P BEFORE the Knuth multiply: (P-1)·2654435761 ≈
+    // 2.7e18 stays in long range, where a raw big id would wrap silently
+    // in Spark and THROW in the DuckDB oracle
     val out = asg
-      .withColumn("__ord", expr(s"(id * 2654435761) % ${H.P}"))
+      .withColumn("__ord", expr(s"((id % ${H.P}) * 2654435761) % ${H.P}"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perCluster)
       .select(col("id"), col("cluster"))

@@ -194,6 +194,32 @@ object Pipeline {
                     ELSE 'C' END AS abc_class
         FROM r""")),
 
+    // ---- hot-key / skew diagnostics ----------------------------------
+    // the pre-flight report before keying a 100 TB shuffle: per column,
+    // the heaviest values with exact counts and basis-point share — the
+    // report that finds the salted-join candidates BEFORE the 4-hour
+    // stage does. NULL folds to the control-char sentinel for grouping
+    // and comes back as NULL.
+    Q("q125_key_skew", (s, d) =>
+      graft.operators.Profile.keySkew(Tables.events(s, d),
+        Seq("user_id", "event_type"), topK = 5),
+      Some("""
+        WITH p AS (
+          SELECT 'user_id' AS col_name,
+                 coalesce(CAST(user_id AS VARCHAR), chr(1)) AS k FROM events
+          UNION ALL
+          SELECT 'event_type', coalesce(event_type, chr(1)) FROM events),
+        c AS (SELECT col_name, k, count(*) AS cnt FROM p GROUP BY 1, 2),
+        t AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n
+              FROM c GROUP BY 1)
+        SELECT col_name, CASE WHEN k = chr(1) THEN NULL ELSE k END AS key,
+               cnt, cnt * 10000 // n AS share_x1e4, rank
+        FROM (SELECT c.col_name, k, cnt, n,
+                row_number() OVER (PARTITION BY c.col_name
+                  ORDER BY cnt DESC, k ASC) AS rank
+              FROM c JOIN t USING (col_name))
+        WHERE rank <= 5""")),
+
     // ---- column entropy profiling ------------------------------------
     // Shannon entropy of the lang/source/event-shaped columns in one
     // corpus scan; micro-nat integerized terms so the cross-value sum is

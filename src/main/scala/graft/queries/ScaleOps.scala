@@ -527,12 +527,49 @@ object ScaleOps {
         .select(col("id").as("vec_id"), col("cluster")),
       Some(s"""
       WITH $kmeansCtes,
-      o AS (SELECT id, cid, (id * 2654435761) % ${graft.functions.HashExprs.P} AS ord
+      o AS (SELECT id, cid,
+              ((id % ${graft.functions.HashExprs.P}) * 2654435761)
+                % ${graft.functions.HashExprs.P} AS ord
             FROM afinal)
       SELECT id AS vec_id, cid AS cluster FROM (
         SELECT id, cid, row_number() OVER (PARTITION BY cid
           ORDER BY ord ASC, id ASC) AS rn FROM o)
       WHERE rn <= 20""")),
+
+    // cluster topic labels: the "what is this cluster about" readout —
+    // k-means structure over the embedding space + per-cluster top terms
+    // by group-level TF-IDF (distinct-containing-doc counts, micro-nat
+    // integerized idf over exact integers). Joint embedding+text
+    // analytics; clustering runs over the FULL embedding table so the
+    // oracle reuses the shared k-means replay verbatim, and only docs
+    // with embeddings label their clusters.
+    Q("text_cluster_topics", (s, d) => {
+      val docs = Tables.ts(s, d, "documents")
+      val asg = KMeans.assign(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)
+      graft.operators.Ranking.groupTopTerms(docs, "doc_id", "text",
+          asg.select(col("id"), col("cluster").as("grp")), topN = 3)
+        .select(col("grp").as("cluster"), col("term"), col("n_docs"),
+          col("score_micro"), col("rank"))
+    }, Some(s"""
+      WITH $kmeansCtes,
+      tm AS (SELECT id, term FROM (
+               SELECT doc_id AS id,
+                 unnest(list_distinct(string_split(text, ' '))) AS term
+               FROM documents) WHERE term <> ''),
+      gt AS (SELECT cid AS grp, term, count(*) AS n_docs
+             FROM tm JOIN afinal ON tm.id = afinal.id GROUP BY 1, 2),
+      gdf AS (SELECT term, count(*) AS gdf FROM gt GROUP BY 1),
+      ng AS (SELECT count(DISTINCT cid) AS ng FROM afinal),
+      sc AS (SELECT grp, term, n_docs,
+               n_docs * CAST(round(ln((ng + 1.0) / gdf) * 1e6) AS BIGINT)
+                 AS score_micro
+             FROM gt JOIN gdf USING (term) CROSS JOIN ng)
+      SELECT grp AS cluster, term, n_docs, score_micro, rank FROM (
+        SELECT grp, term, n_docs, score_micro,
+          row_number() OVER (PARTITION BY grp
+            ORDER BY score_micro DESC, term ASC) AS rank
+        FROM sc) WHERE rank <= 3""")),
 
     // semantic dedup end-to-end: embedding-cosine near-dup pairs -> graph
     // clustering -> per-vector (cluster, is_kept) — the same composition as

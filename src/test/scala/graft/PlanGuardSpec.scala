@@ -51,6 +51,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // same broadcast sqrt(N)-seed assignment crossJoin as sim_ivf, on
     // the persisted-index build + probe sides
     "sim_ivf_index" -> "broadcast seed assignment (build + probe)",
+    // the append lifecycle probes the same persisted broadcast seed set
+    "sim_ivf_append" -> "broadcast seed assignment (probe after append)",
+    // the 1-row group-count scalar crossed onto the scored term table
+    "text_cluster_topics" -> "1-row group count x (group, term) scores",
     // bigram total (ONE row) crossed onto the PMI-scored phrase table
     "text_phrases" -> "1-row bigram total x phrase candidates",
     "text_phrase_merge" -> "1-row bigram total x phrase candidates (mining stage)",
