@@ -610,6 +610,40 @@ object ScaleSmoke {
             graft.operators.BasketAnalysis.rules(
               baskets(l1).unionByName(hot), "bk", "it", 10, Some(64)))))
       },
+      // exact-substring dup spans on the SALTED corpus (10x docs, 10x
+      // distinct grams, duplication RATE constant): gram explode + one
+      // frequency aggregate + a 1:1 join back — must track corpus tokens
+      // linearly (the postings join never pairs positions)
+      ("exact_dup_spans", time("exact_dup_spans 1x") {
+        val r = Dedup.exactDupSpans(d1, "doc_id", "text", 8)
+        noop(r); r.unpersist()
+      }, time("exact_dup_spans 10x") {
+        val r = Dedup.exactDupSpans(d10salt, "doc_id", "text", 8)
+        noop(r); r.unpersist()
+      }),
+      // range-sharded sorted neighborhood: 10x entities with id-derived
+      // names — the sharded lead windows + bounded boundary borrows must
+      // track the corpus linearly (the one-task global-window formulation
+      // this replaced could only scale with single-executor memory)
+      {
+        import graft.operators.Linkage
+        def named(c: DataFrame): DataFrame = c
+          .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+        val c10n = (0 until copies).map { cc =>
+          spark.read.parquet(s"$sfDir/customer.parquet")
+            .withColumn("c_custkey", col("c_custkey") + lit(cc.toLong * 100000000L))
+        }.reduce(_ unionByName _)
+        val sn = ("sorted_nbrs", time("sorted_nbrs 1x") {
+          val r = Linkage.sortedNeighborhood(named(c1), "c_custkey",
+            "c_name", substring(col("c_name"), 1, 12), 4, 2)
+          noop(r); r.unpersist()
+        }, time("sorted_nbrs 10x") {
+          val r = Linkage.sortedNeighborhood(named(c10n), "c_custkey",
+            "c_name", substring(col("c_name"), 1, 12), 4, 2)
+          noop(r); r.unpersist()
+        })
+        sn
+      },
       // per-session state bounded to maxLen rows before the collect
       ("top_paths", time("top_paths 1x")(noop(
           EventAnalytics.topPaths(
