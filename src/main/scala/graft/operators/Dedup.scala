@@ -158,6 +158,51 @@ object Dedup {
       .select(col("id_a"), col("id_b")), sh)
   }
 
+  /** Sketch-error audit for the MinHash estimator: for every LSH band
+    * candidate pair, the signature-agreement Jaccard estimate
+    * (`matching positions / NumPerm`) next to the EXACT shingle-set
+    * Jaccard, both in integer basis points, plus their absolute error.
+    * "Measure, don't guess" applied to the sketch itself — this is how a
+    * pipeline owner picks `num/den` thresholds and the permutation count
+    * from data instead of folklore (the estimator's σ ≈ √(J(1−J)/32) ≈
+    * 850 bp at J=0.5; a measured error distribution far off that flags a
+    * broken hash family faster than any unit test).
+    *
+    * Scale shape: identical to [[minhashNearDups]] up to the candidate
+    * join (banded LSH — the pair space is collision-bounded, never
+    * all-pairs); the per-pair scoring adds one 32-element signature walk
+    * and one shingle-set intersect, both O(|doc|) array ops on the
+    * already-joined rows. Docs under 3 words (null-sentinel shingles)
+    * are excluded up front on BOTH engines. */
+  def minhashQuality(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sh0 = shingleTable(docs, idCol, textCol)
+      .filter(col("sh").getItem(0).isNotNull)
+    val sh = materialized(
+      sh0.select(col("id"), col("sh"), HashNative.minhashSig(col("sh")).as("mh")))
+    val bands = sh
+      .select(col("id"), explode(expr(sparkBands("mh"))).as("bv"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    finalized(cand
+      .join(sh.select(col("id"), col("sh").as("sa"), col("mh").as("ma")),
+        cand("id_a") === col("id"))
+      .drop("id")
+      .join(sh.select(col("id"), col("sh").as("sb"), col("mh").as("mb")),
+        cand("id_b") === col("id"))
+      .withColumn("est_bp", expr(
+        s"size(filter(sequence(1, $NumPerm), " +
+          s"i -> element_at(ma, i) = element_at(mb, i))) * 10000 " +
+          s"div $NumPerm").cast("long"))
+      .withColumn("exact_bp", expr(
+        "size(array_intersect(sa, sb)) * 10000 div " +
+          "(size(sa) + size(sb) - size(array_intersect(sa, sb)))").cast("long"))
+      .select(col("id_a"), col("id_b"), col("est_bp"), col("exact_bp"),
+        abs(col("est_bp") - col("exact_bp")).as("err_bp")), sh)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via an inverted index: explode
     * shingles, build per-shingle postings lists, emit each co-occurring doc
     * pair from a tight kernel loop, count co-occurrences = intersection

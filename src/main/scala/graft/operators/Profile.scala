@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the `ANALYZE TABLE` analog a large-scale pipeline
@@ -174,6 +174,31 @@ object Profile {
         when(col("k") === "\u0001", lit(null)).otherwise(col("k")).as("key"),
         col("cnt"), expr("cnt * 10000 div n").as("share_x1e4"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** Partitioned-write layout planner: per partition-key group, the row
+    * and byte totals plus the file split a compacting writer should use —
+    * `n_files = ceil(bytes / targetBytes)` (never 0), `rows_per_file =
+    * ceil(rows / n_files)` — so a pipeline can pass per-partition
+    * `maxRecordsPerFile` hints and land uniformly-sized parquet instead of
+    * the small-files swamp (or its opposite, the one-giant-file partition
+    * that caps downstream scan parallelism). The query-level complement of
+    * the loader's compaction admission predicate
+    * ([[graft.loader.Compaction]] merges bad layouts after the fact; this
+    * plans them away before the write).
+    *
+    * Scale shape: one map-side-combined aggregate over the group keys —
+    * the output is partition-count-sized metadata, all the ceil arithmetic
+    * integer floor-division (`(a + b - 1) div b`), engine-exact. */
+  def layoutPlan(df: DataFrame, groupCols: Seq[String], sizeCol: Column,
+      targetBytes: Long): DataFrame = {
+    require(groupCols.nonEmpty && targetBytes > 0,
+      "need group columns and targetBytes > 0")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(sizeCol).as("n_bytes"))
+      .withColumn("n_files",
+        greatest(lit(1L), expr(s"(n_bytes + $targetBytes - 1) div $targetBytes")))
+      .withColumn("rows_per_file", expr("(n_rows + n_files - 1) div n_files"))
   }
 
   /** Benford first-digit audit of a POSITIVE INTEGER column (callers

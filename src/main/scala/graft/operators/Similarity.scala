@@ -913,4 +913,75 @@ object Similarity {
         sum(when(col("nearest") === col("lbl"), 1L).otherwise(0L))
           .as("n_pure"))
   }
+
+  /** Top principal component of the (mean-centered) embedding corpus by
+    * power iteration — the primitive behind OPQ-style rotations, embedding
+    * whitening, and "which direction did the encoder drift" diagnostics
+    * (the vector complement of [[centroidShift]], which needs labels; this
+    * is unsupervised).
+    *
+    * Bit-reproducible by the q87/q54 replay discipline: everything is
+    * integer arithmetic on a 10^6 grid, so a DuckDB oracle replays the
+    * trajectory exactly. Per round the iterate `w` is a broadcast PLAN
+    * LITERAL (the GD-training pattern) and the data contributes ONE
+    * map-side-combined aggregate:
+    *   dot_r  = Σ_i y_i·w_i        (per row, codegen'd 64-term sum)
+    *   α_r    = floor(dot_r / 10^6) (rescale so products stay in range)
+    *   t_i    = Σ_rows y_i·α_r      (DECIMAL(38,0) — exact at any corpus)
+    *   w'_i   = floor(t_i·10^6 / max_j|t_j|)  (driver, exact BigInt)
+    * All floor divisions are computed as `((a + shift) div b) - shift/b`
+    * with nonnegative operands, where Spark's truncating `div` and
+    * DuckDB's `//` agree (they diverge on negatives). Overflow audit at
+    * |x| ≤ 2·10^6 (unit-norm embeddings are ≤ 0.58·10^6): |y| ≤ 4·10^6,
+    * per-row dot ≤ 64·|y|·10^6 ≈ 2.6·10^14 < 10^15 shift, per-term
+    * y·α ≤ 10^15 — row-local values stay in BIGINT at ANY corpus size
+    * (bounds are row-local, N-free); only the cross-row t sums grow with
+    * N, and those are DECIMAL/HUGEINT. Scale: `rounds`+1 full scans, each
+    * one aggregate; the driver holds 64 numbers — nothing else leaves the
+    * executors.
+    *
+    * Output: (dim_idx 0-based, pc_x1e6) — the unit(ish) direction on the
+    * 10^6 grid after `rounds` iterations from the deterministic uniform
+    * start w0 = scale/8. Sign follows w0 (a fixed start makes the sign
+    * deterministic; eigenvectors are sign-ambiguous by nature). */
+  def pcaPower(emb: DataFrame, vecCol: String, dim: Int,
+      rounds: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(dim > 0 && rounds >= 1 && scale > 0)
+    val spark = emb.sparkSession
+    val shift = 1000000000000000L // 10^15 > any row dot at |y| <= 4e6·dim=64
+    // the DOUBLE cast before the multiply is load-bearing for oracle
+    // parity: a FLOAT-typed product (DuckDB's default for FLOAT·literal)
+    // rounds exact-half grid points differently than the double product
+    val xs = emb.select((1 to dim).map(i =>
+      round(element_at(col(vecCol), i).cast("double") * lit(1e6))
+        .cast("long").as(s"x$i")): _*)
+      .persist()
+    val r1 = xs.agg(count(lit(1)).as("n"),
+      (1 to dim).map(i => sum(col(s"x$i")).as(s"s$i")): _*).head()
+    val n = r1.getLong(0)
+    require(n > 0, "pcaPower needs a non-empty corpus")
+    // floor mean — identical to the oracle's ((sx + n·muShift) // n) − muShift
+    val mu = (1 to dim).map(i => Math.floorDiv(r1.getLong(i), n))
+    var w = Array.fill(dim)(BigInt(scale / 8))
+    for (_ <- 1 to rounds) {
+      val dot = (1 to dim).map(i =>
+        (col(s"x$i") - lit(mu(i - 1))) * lit(w(i - 1).toLong)).reduce(_ + _)
+      val withAlpha = xs.withColumn("__dot", dot)
+        .withColumn("__alpha",
+          expr(s"((__dot + $shift) div $scale) - ${shift / scale}"))
+      val aggs = (1 to dim).map(i =>
+        sum(((col(s"x$i") - lit(mu(i - 1))) * col("__alpha"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"t$i"))
+      val row = withAlpha.agg(aggs.head, aggs.tail: _*).head()
+      val t = (0 until dim).map(i =>
+        BigInt(row.getDecimal(i).toBigInteger))
+      val m = t.map(_.abs).max
+      if (m != 0)
+        w = t.map(ti => ((ti + m) * scale) / m - scale).toArray
+    }
+    xs.unpersist()
+    import spark.implicits._
+    (0 until dim).map(i => (i.toLong, w(i).toLong))
+      .toDF("dim_idx", "pc_x1e6")
+  }
 }

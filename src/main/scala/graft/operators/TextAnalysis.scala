@@ -404,4 +404,121 @@ object TextAnalysis {
           |           array(element_at(__w, i))), 'skip', false)
           |  END).out, ' ')""".stripMargin).as("merged"))
   }
+
+  /** Per-document n-gram novelty against ingest order: the share of a
+    * document's distinct 3-shingles whose FIRST corpus occurrence (minimum
+    * doc id over the whole corpus) is this document. A freshness /
+    * diversity signal for curation — a crawl snapshot full of re-scraped
+    * pages scores near zero, genuinely new content near 10^4 — and the
+    * corpus-level complement of [[graft.operators.Dedup.exactDupSpans]]
+    * (that one localizes repeats, this one credits firsts).
+    *
+    * Scale shape: one shingle explode (corpus-token-linear), one map-side-
+    * combined `min(id)` aggregate on the shingle hash, one 1:1 join back on
+    * the shingle hash, one per-doc aggregate — the text_dup_spans plan
+    * shape exactly, no pair kernel anywhere, so a boilerplate shingle in
+    * every doc costs its occurrence count, not its pair count. The shingle
+    * arrays arrive de-duplicated per doc (`array_distinct` inside
+    * [[graft.functions.HashNative.ShingleHashes]]), so counts are over
+    * DISTINCT shingles by construction. Docs under 3 words carry the
+    * null-sentinel shingle and are excluded (no shingles → no novelty
+    * denominator). `novelty_bp` is integer basis points (×10^4, floor),
+    * engine-exact. */
+  def novelty(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = Dedup.shingleTable(docs, idCol, textCol)
+      .select(col("id"), explode(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+    val first = ex.groupBy(col("s")).agg(min(col("id")).as("first_id"))
+    ex.join(first, "s")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000 div n_shingles"))
+  }
+
+  /** [[novelty]] against a PERSISTED first-seen gram index — the ingestion
+    * KPI loop: "how much genuinely new content did today's batch bring?"
+    * answered without re-reading yesterday's corpus. A shingle is novel for
+    * batch doc `d` iff it is absent from the index AND `d` is the minimum
+    * id claiming it within the batch; the batch's new shingles then append
+    * to the index. Processing id-ordered batches reproduces the one-shot
+    * [[novelty]] output exactly (the [[IncrementalDedup]] equivalence
+    * discipline — spec-checked), so the oracle is `text_novelty`'s SQL
+    * verbatim.
+    *
+    * Scale shape: batch-side cost is the novelty plan (explode + min
+    * aggregate + 1:1 joins); the index contributes one key equi-join on
+    * the shingle hash. As plain appended parquet that join shuffles the
+    * index per batch; the production layout buckets `grams/` by the hash
+    * (`bucketBy` on a real metastore) so the probe is map-side and
+    * per-batch cost tracks the BATCH, never the corpus. The result is
+    * localCheckpoint-frozen BEFORE the append for the same
+    * re-compile-reads-own-writes hazard documented in
+    * [[IncrementalDedup.processBatch]]. */
+  def noveltyIncremental(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val gramsPath = s"${indexDir.stripSuffix("/")}/grams"
+    val ex = Dedup.shingleTable(batch, idCol, textCol)
+      .select(col("id"), explode(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .persist()
+    val p = new org.apache.hadoop.fs.Path(gramsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old =
+      if (fs.exists(p)) spark.read.parquet(gramsPath)
+      else ex.select(col("s")).limit(0)
+    val firstInBatch = ex.groupBy(col("s")).agg(min(col("id")).as("first_id"))
+    val out = ex
+      .join(firstInBatch, "s")
+      .join(old.select(col("s"), lit(true).as("seen")), Seq("s"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull && col("first_id") === col("id"), 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000 div n_shingles"))
+      .localCheckpoint()
+    firstInBatch.select(col("s"))
+      .join(old.select(col("s")), Seq("s"), "left_anti")
+      .write.mode("append").parquet(gramsPath)
+    ex.unpersist()
+    out
+  }
+
+  /** Deterministic global shuffle + sharded training-data export plan:
+    * every row is assigned a shard by a Knuth-mix hash of its id, ordered
+    * within its shard by (hash, id) — a reproducible corpus-wide random
+    * permutation with NO global sort — and split into files by a byte
+    * budget, so the export lands as `nShards × ceil(shard_bytes/target)`
+    * uniformly-sized files (the small-files antidote, and the shape
+    * `maxRecordsPerFile`-style writers want). Output columns:
+    * (id, shard, pos, n_bytes, file_idx).
+    *
+    * Scale shape: the hash is one codegen'd projection; the only exchange
+    * is the shard-partitioned window (hash-partition on `shard`, sort
+    * within — Spark plans exactly one Exchange + per-partition sort).
+    * Size `nShards` ≥ cluster parallelism so each shard is one task's
+    * sort; no single-partition window anywhere. Determinism: same ids →
+    * same (shard, pos, file_idx) on any cluster size or input layout,
+    * which is what makes a training run reproducible bit-for-bit. The
+    * Knuth mix reduces `id % P` BEFORE multiplying so the arithmetic stays
+    * in nonnegative BIGINT range in both engines (DuckDB throws on BIGINT
+    * overflow where Spark wraps). */
+  def shuffleShards(docs: DataFrame, idCol: String, sizeCol: Column,
+      nShards: Int, targetBytes: Long): DataFrame = {
+    require(nShards > 0 && targetBytes > 0,
+      s"nShards/targetBytes must be positive; got $nShards/$targetBytes")
+    val P = HashExprs.P
+    val keyed = docs.select(col(idCol).as("id"), sizeCol.as("n_bytes"))
+      .withColumn("hkey", expr(s"((id % $P) * 2654435761) % $P"))
+      .withColumn("shard", expr(s"hkey % $nShards"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("hkey"), col("id"))
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .withColumn("cum", sum(col("n_bytes")).over(w))
+      .select(col("id"), col("shard"), col("pos"), col("n_bytes"),
+        expr(s"(cum - n_bytes) div $targetBytes").as("file_idx"))
+  }
 }

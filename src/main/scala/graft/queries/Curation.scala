@@ -48,6 +48,40 @@ object Curation {
       |SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
       |FROM scored WHERE rank <= 3""".stripMargin
 
+  /** sim_pca_power's oracle: the power-iteration trajectory unrolled as
+    * CTE rounds. Mirrors [[graft.operators.Similarity.pcaPower]] constant
+    * for constant: 10^6 grid, floor mean via the n·2·10^6 shift, per-round
+    * dot → α = floor(dot/10^6) via the 10^15 shift, HUGEINT t sums,
+    * renormalization ((t+m)·10^6)//m − 10^6 (nonneg operands ⇒ DuckDB `//`
+    * == the driver's BigInt floor). */
+  private val pcaPowerOracle: String = {
+    def round(r: Int, wPrev: String): String =
+      s"""d$r AS (SELECT y.vec_id, sum(y.y * $wPrev.w) AS dot
+         |  FROM y JOIN $wPrev ON y.i = $wPrev.i GROUP BY y.vec_id),
+         |a$r AS (SELECT vec_id,
+         |    ((dot + 1000000000000000) // 1000000) - 1000000000 AS alpha
+         |  FROM d$r),
+         |t$r AS (SELECT y.i, sum(y.y * a$r.alpha) AS t
+         |  FROM y JOIN a$r ON y.vec_id = a$r.vec_id GROUP BY y.i),
+         |m$r AS (SELECT max(abs(t)) AS m FROM t$r),
+         |w$r AS (SELECT i, CAST(((t + m) * 1000000) // m - 1000000 AS BIGINT) AS w
+         |  FROM t$r, m$r)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |x AS (SELECT vec_id, CAST(t.i AS INT) AS i,
+       |        CAST(round(CAST(v[CAST(t.i AS INT)] AS DOUBLE) * 1000000.0)
+       |             AS BIGINT) AS x
+       |      FROM e, unnest(range(1, 65)) AS t(i)),
+       |s AS (SELECT i, count(*) AS n, sum(x) AS sx FROM x GROUP BY i),
+       |mu AS (SELECT i, CAST(((sx + n * 2000000) // n) - 2000000 AS BIGINT) AS mu
+       |       FROM s),
+       |y AS (SELECT vec_id, x.i, x.x - mu.mu AS y FROM x JOIN mu ON x.i = mu.i),
+       |w0 AS (SELECT CAST(t.i AS INT) AS i, CAST(125000 AS BIGINT) AS w
+       |       FROM unnest(range(1, 65)) AS t(i)),
+       |${round(1, "w0")},
+       |${round(2, "w1")}
+       |SELECT CAST(i - 1 AS BIGINT) AS dim_idx, w AS pc_x1e6 FROM w2""".stripMargin
+  }
+
   def defs: Seq[Q] = Seq(
     // ---- record linkage (entity resolution) --------------------------
     // blocked fuzzy-match join: candidates share a 16-char name-prefix
@@ -697,5 +731,16 @@ object Curation {
                row_number() OVER (ORDER BY s DESC, id ASC) AS rank,
                round(s::DOUBLE / 1e12, 6) AS rrf
         FROM fused)
-      WHERE rank <= 20""")))
+      WHERE rank <= 20""")),
+
+    // top principal component of the centered embedding corpus by TWO
+    // power-iteration rounds, replayed bit-exactly: integer 10^6 grid,
+    // nonneg-shifted floor divisions (Spark `div` and DuckDB `//` agree
+    // only on nonnegatives), per-round data cost = ONE aggregate with the
+    // iterate as broadcast literals (the q87 GD pattern), cross-row sums
+    // in DECIMAL/HUGEINT so exactness holds at any corpus size
+    Q("sim_pca_power", (s, d) =>
+      Similarity.pcaPower(t(s, d, "embeddings"), "embedding",
+        dim = 64, rounds = 2),
+      Some(pcaPowerOracle)))
 }

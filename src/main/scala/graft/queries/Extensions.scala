@@ -23,6 +23,22 @@ object Extensions {
     s"""WITH wh AS (SELECT doc_id, ${H.duckWordHashes("text")} AS wh FROM documents),
        |sh AS (SELECT doc_id, ${H.duckShingles("wh")} AS sh FROM wh)""".stripMargin
 
+  /** First-occurrence novelty scoring — shared verbatim by text_novelty
+    * and text_novelty_incremental (id-ordered incremental batches must
+    * reproduce the one-shot scoring exactly). */
+  private val noveltyOracle =
+    s"""$docsSql,
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |exn AS (SELECT doc_id, s FROM ex WHERE s IS NOT NULL),
+       |f AS (SELECT s, min(doc_id) AS first_id FROM exn GROUP BY s)
+       |SELECT exn.doc_id AS doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN f.first_id = exn.doc_id THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN f.first_id = exn.doc_id THEN 1 ELSE 0 END)
+       |       * 10000 // count(*) AS BIGINT) AS novelty_bp
+       |FROM exn JOIN f ON exn.s = f.s
+       |GROUP BY exn.doc_id""".stripMargin
+
   /** The MinHash-LSH pair pipeline as a reusable CTE chain ending in
     * `pairs(id_a, id_b)` — shared by dedup_minhash and dedup_clusters. */
   private[queries] val minhashPairCtes =
@@ -890,6 +906,133 @@ object Extensions {
           len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[aeiou]'))) AS n_vowel_start,
           len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[aeiou]$'))) AS n_vowel_end,
           len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '^[a-z0-9.]+@[a-z0-9.]+$'))) AS n_emails
-        FROM documents"""))
+        FROM documents""")),
+
+    // per-doc n-gram NOVELTY vs ingest order: share of a doc's distinct
+    // shingles first seen (min doc id) in this doc — the freshness signal
+    // that separates new content from re-scrapes; the dup_spans plan shape
+    // (explode + min-aggregate + 1:1 join back), no pair kernel
+    Q("text_novelty", (s, d) =>
+      TextAnalysis.novelty(Tables.ts(s, d, "documents"), "doc_id", "text"),
+      Some(noveltyOracle)),
+
+    // the same novelty as an INCREMENTAL loop against a persisted
+    // first-seen gram index: two id-ordered batches must reproduce the
+    // one-shot scoring exactly (oracle = text_novelty's SQL verbatim) —
+    // the ingestion-KPI shape of dedup_incremental
+    Q("text_novelty_incremental", (s, d) => {
+      val docs = Tables.ts(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("novelty-idx").toString
+      val b1 = TextAnalysis.noveltyIncremental(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", dir)
+      val b2 = TextAnalysis.noveltyIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", dir)
+      b1.unionByName(b2)
+    }, Some(noveltyOracle)),
+
+    // deterministic global shuffle + sharded export manifest: Knuth-mix
+    // hash shard + within-shard (hash, id) order + byte-budget file split
+    // — the reproducible "write the training set" step; the only exchange
+    // is the shard-partitioned window
+    Q("text_shard_export", (s, d) =>
+      TextAnalysis.shuffleShards(t(s, d, "documents"), "doc_id",
+          octet_length(col("text")).cast("long"), nShards = 8,
+          targetBytes = 16384L)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""
+        |WITH k AS (SELECT doc_id AS id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    ((doc_id % ${H.P}) * 2654435761) % ${H.P} AS hkey
+        |  FROM documents),
+        |s AS (SELECT id, n_bytes, hkey, hkey % 8 AS shard FROM k),
+        |w AS (SELECT id, shard, n_bytes,
+        |    CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, id)
+        |         - 1 AS BIGINT) AS pos,
+        |    sum(n_bytes) OVER (PARTITION BY shard ORDER BY hkey, id) AS cum
+        |  FROM s)
+        |SELECT id AS doc_id, shard, pos, n_bytes,
+        |       CAST((cum - n_bytes) // 16384 AS BIGINT) AS file_idx
+        |FROM w""".stripMargin)),
+
+    // sketch-error audit: per LSH-candidate pair, signature-agreement
+    // Jaccard estimate vs EXACT shingle Jaccard (integer basis points) —
+    // measuring the estimator itself is how thresholds and permutation
+    // counts get picked from data instead of folklore
+    Q("dedup_minhash_quality", (s, d) =>
+      Dedup.minhashQuality(Tables.ts(s, d, "documents"), "doc_id", "text"),
+      Some(s"""$docsSql,
+        |shn AS (SELECT doc_id, sh FROM sh WHERE sh[1] IS NOT NULL),
+        |mh AS (SELECT doc_id, sh, ${H.duckMinhash("sh")} AS mh FROM shn),
+        |bands AS (SELECT doc_id, unnest(${H.duckBands("mh")}) AS bv FROM mh),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b
+        |           ON a.bv = b.bv AND a.doc_id < b.doc_id),
+        |j AS (SELECT id_a, id_b, ma.sh AS sa, mb.sh AS sb,
+        |        ma.mh AS sig_a, mb.mh AS sig_b
+        |      FROM cand JOIN mh ma ON cand.id_a = ma.doc_id
+        |                JOIN mh mb ON cand.id_b = mb.doc_id),
+        |sc AS (SELECT id_a, id_b,
+        |    CAST(len(list_filter(range(1, ${H.NumPerm + 1}),
+        |           i -> sig_a[CAST(i AS INT)] = sig_b[CAST(i AS INT)]))
+        |         * 10000 // ${H.NumPerm} AS BIGINT) AS est_bp,
+        |    CAST(len(list_intersect(sa, sb)) * 10000
+        |         // (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+        |         AS BIGINT) AS exact_bp
+        |  FROM j)
+        |SELECT id_a, id_b, est_bp, exact_bp,
+        |       abs(est_bp - exact_bp) AS err_bp
+        |FROM sc""".stripMargin)),
+
+    // ANN quality audit: recall@5 of the IVF path against the exact
+    // brute-force top-5, per query — the metric an ANN rollout is judged
+    // on, oracle-replayed end-to-end (both rankings are deterministic)
+    Q("sim_recall_audit", (s, d) => {
+      val e = t(s, d, "embeddings")
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5,
+          nCells = 8, nprobe = 2)
+        .filter(col("query_id") < 20)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", 5, broadcastCorpus = true)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          expr("n_hits * 10000 div k").as("recall_bp"))
+    }, Some(s"""
+      |WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      |seeds AS (SELECT id AS cell, v AS sv FROM e ORDER BY id LIMIT 8),
+      |assign AS (SELECT id, cell,
+      |    row_number() OVER (PARTITION BY id ORDER BY scos DESC, cell ASC) AS arank
+      |  FROM (SELECT e.id, s.cell, ${V.duckCosine("e.v", "s.sv")} AS scos
+      |        FROM e CROSS JOIN seeds s)),
+      |cand AS (SELECT DISTINCT p.id AS query_id, n.id AS neighbor_id
+      |  FROM (SELECT id, cell FROM assign WHERE arank <= 2) p
+      |  JOIN (SELECT id, cell FROM assign WHERE arank = 1) n ON p.cell = n.cell
+      |  WHERE p.id <> n.id AND p.id < 20),
+      |ivf AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY ${V.duckCosine("a.v", "b.v")} DESC, neighbor_id ASC) AS rank
+      |    FROM cand JOIN e a ON cand.query_id = a.id
+      |              JOIN e b ON cand.neighbor_id = b.id)
+      |  WHERE rank <= 5),
+      |ex AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT q.id AS query_id, c.id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.id
+      |        ORDER BY ${V.duckCosine("q.v", "c.v")} DESC, c.id ASC) AS rank
+      |    FROM (SELECT id, v FROM e WHERE id < 20) q
+      |    JOIN e c ON q.id <> c.id)
+      |  WHERE rank <= 5)
+      |SELECT ex.query_id,
+      |  CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_hits,
+      |  CAST(sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |       * 10000 // count(*) AS BIGINT) AS recall_bp
+      |FROM ex LEFT JOIN ivf
+      |  ON ex.query_id = ivf.query_id AND ex.neighbor_id = ivf.neighbor_id
+      |GROUP BY ex.query_id""".stripMargin))
   )
 }

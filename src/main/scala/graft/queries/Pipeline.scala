@@ -915,5 +915,26 @@ object Pipeline {
               FROM rn GROUP BY grp)
         SELECT rn.grp, count(*) AS n, max(b.lo) AS lo, max(b.hi) AS hi,
                CAST(sum(greatest(least(v, b.hi), b.lo)) AS BIGINT) AS wsum
-        FROM rn JOIN b ON rn.grp = b.grp GROUP BY rn.grp""")))
+        FROM rn JOIN b ON rn.grp = b.grp GROUP BY rn.grp""")),
+
+    // partitioned-write layout planner: per (source, lang) partition the
+    // row/byte totals + the file split a compacting writer should use —
+    // plans the small-files problem away BEFORE the write (the loader's
+    // compaction merges it after); one map-side-combined aggregate,
+    // metadata-sized output, exact integer ceil arithmetic
+    Q("q126_layout_plan", (s, d) =>
+      graft.operators.Profile.layoutPlan(t(s, d, "documents"),
+        Seq("source", "lang"), octet_length(col("text")).cast("long"),
+        targetBytes = 16384L),
+      Some("""
+        WITH g AS (SELECT source, lang, count(*) AS n_rows,
+                CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+              FROM documents GROUP BY source, lang),
+        f AS (SELECT source, lang, n_rows, n_bytes,
+                greatest(CAST(1 AS BIGINT),
+                         (n_bytes + 16383) // 16384) AS n_files
+              FROM g)
+        SELECT source, lang, n_rows, n_bytes, n_files,
+               (n_rows + n_files - 1) // n_files AS rows_per_file
+        FROM f""")))
 }

@@ -618,4 +618,126 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(noBcast === out)
   }
+
+  test("novelty: a verbatim re-scrape scores 0, fresh content 10000") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),       // first occurrence
+      (2L, "alpha beta gamma delta epsilon"),       // verbatim re-scrape
+      (3L, "zeta eta theta iota kappa lambda"))     // all-new shingles
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.novelty(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) === 10000L, "first copy owns every shingle")
+    assert(out(2L) === 0L, "re-scrape owns none")
+    assert(out(3L) === 10000L, "disjoint content is fully novel")
+  }
+
+  test("noveltyIncremental: id-ordered batches reproduce one-shot novelty") {
+    val dir = java.nio.file.Files.createTempDirectory("nvidx").toString
+    val oneShot = graft.operators.TextAnalysis.novelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // batches must be ID-ORDERED (later batches carry larger ids) for the
+    // equivalence to one-shot min-id attribution to hold
+    val batched = Seq(
+        docs.filter(col("doc_id") < 170),
+        docs.filter(col("doc_id") >= 170 && col("doc_id") < 340),
+        docs.filter(col("doc_id") >= 340))
+      .map { b =>
+        graft.operators.TextAnalysis.noveltyIncremental(b, "doc_id", "text", dir)
+          .collect()
+      }
+      .flatten
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(batched === oneShot)
+  }
+
+  test("shuffleShards: deterministic, covers all rows, files honor the byte budget") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, 100L + (i % 7) * 50L)).toDF("id", "nb")
+    def run() = graft.operators.TextAnalysis
+      .shuffleShards(rows, "id", $"nb", nShards = 4, targetBytes = 1000L)
+    val a = run().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).sortBy(_._1)
+    val b = run().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq, "same input -> same (shard, pos, file_idx)")
+    assert(a.length === 200 && a.map(_._1).distinct.length === 200)
+    assert(a.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L))
+    // replay the split rule independently: walking each shard in pos
+    // order, file_idx must equal floor(bytes-before-this-row / target)
+    a.groupBy(_._2).foreach { case (sh, rs) =>
+      val inOrder = rs.sortBy(_._3)
+      assert(inOrder.map(_._3).toSeq === (0L until rs.length).toSeq,
+        s"shard $sh positions not dense")
+      var cum = 0L
+      inOrder.foreach { case (id, _, _, fileIdx) =>
+        assert(fileIdx === cum / 1000L, s"shard $sh id $id file split off")
+        cum += 100L + (id % 7) * 50L
+      }
+    }
+  }
+
+  test("minhashQuality: identical docs measure zero estimator error") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "one two three four five six seven eight nine eleven"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashQuality(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (est12, exact12, err12) = out((1L, 2L))
+    assert(est12 === 10000L && exact12 === 10000L && err12 === 0L)
+    // the near-pair's estimate stays within 3 sigma of exact
+    // (sigma = sqrt(J(1-J)/32) ~ 800 bp around J=0.8)
+    out.filterKeys(_ != ((1L, 2L))).values.foreach { case (_, _, err) =>
+      assert(err <= 3000L, s"estimator error $err bp implausibly large")
+    }
+    assert(out.contains((1L, 3L)) || out.contains((2L, 3L)),
+      "near-duplicates must surface as band candidates")
+  }
+
+  test("pcaPower recovers a planted dominant direction, deterministically") {
+    import spark.implicits._
+    // data on the line span{(0.8, 0.6, 0, ...)} with a small orthogonal
+    // wobble in dim 3 — the top principal component must align with the
+    // planted direction, not the wobble
+    val rows = (0 until 40).map { i =>
+      val t = (i % 9 - 4) * 0.2            // symmetric spread, mean ~0
+      val wob = (i % 3 - 1) * 0.01
+      (i.toLong, Array(0.8f * t.toFloat, 0.6f * t.toFloat, wob.toFloat,
+        0f, 0f, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    def run() = graft.operators.Similarity
+      .pcaPower(rows, "embedding", dim = 8, rounds = 3)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    val w = run()
+    assert(w.toSeq === run().toSeq, "fixed start + integer grid => bit-deterministic")
+    val main = math.max(math.abs(w(0)), math.abs(w(1)))
+    assert(main === 1000000L, "the dominant component carries the max grid value")
+    // 0.8 : 0.6 ratio within the integer-grid tolerance of the 3 rounds
+    assert(math.abs(w(0).toDouble / w(1) - 0.8 / 0.6) < 0.02,
+      s"direction off: ${w.toSeq}")
+    (2 until 8).foreach(i => assert(math.abs(w(i)) < 100000L,
+      s"off-axis dim $i too large: ${w(i)}"))
+  }
+
+  test("layoutPlan: ceil arithmetic and the never-zero file floor") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 100L), ("a", 100L), ("a", 100L),   // 300 bytes -> 1 file
+      ("b", 900L), ("b", 900L), ("b", 900L),   // 2700 bytes -> 3 files
+      ("c", 0L))                               // 0 bytes -> floor 1 file
+      .toDF("g", "nb")
+    val out = graft.operators.Profile.layoutPlan(df, Seq("g"), $"nb", 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") === ((3L, 300L, 1L, 3L)))
+    assert(out("b") === ((3L, 2700L, 3L, 1L)))
+    assert(out("c") === ((1L, 0L, 1L, 1L)))
+  }
 }

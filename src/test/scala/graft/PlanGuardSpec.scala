@@ -70,7 +70,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // the 1-row overall mean crossed onto the 1-row CI-bounds aggregate
     "q123_bootstrap" -> "1-row overall stats x 1-row CI bounds",
     // the 1-row variant means crossed onto the 1-row difference band
-    "q124_ab_test" -> "1-row variant means x 1-row difference band")
+    "q124_ab_test" -> "1-row variant means x 1-row difference band",
+    // the recall audit runs both sides it compares: the IVF path's
+    // broadcast sqrt(N)-seed assignment (sim_ivf's shape) and the labeled
+    // brute-force exact baseline over the bounded query set (sim_topk's)
+    "sim_recall_audit" -> "broadcast seed assignment + bounded exact baseline")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
