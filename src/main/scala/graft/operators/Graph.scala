@@ -433,4 +433,53 @@ object Graph {
     e.unpersist()
     alive
   }
+
+  /** Bounded-depth BFS reachability from a seed set: minimal hop distance
+    * to every node within `maxDepth` hops. The Spark-native transitive
+    * closure — each round is ONE equi-join of the current FRONTIER (not
+    * the whole visited set) with the edge list, one distinct, and one
+    * anti-join against the visited set; per-round cost is proportional to
+    * the frontier's edge neighborhood, never to what is already settled.
+    * BFS order guarantees the first discovery IS the minimal distance, so
+    * no min-aggregate over paths is needed (the recursive-CTE oracle
+    * enumerates (node, dist) pairs and takes the min; same result).
+    *
+    * Each frontier is eagerly `localCheckpoint`ed — the loop's plans would
+    * otherwise nest one join per round deep, and the anti-join against
+    * `visited` would re-derive every prior round per iteration. An eager
+    * cut per round is right here (unlike pageRank's lazy cadence) because
+    * the isEmpty early-exit already materializes each round anyway.
+    * Visited stays cached per round and is bounded by the node count.
+    *
+    * Scale shape: edges pre-partitioned by `src` are reused by every
+    * round's join (the frontier is the small side and moves to the edge
+    * partitioning); a 1000-executor run settles a billion-node graph in
+    * maxDepth shuffles of frontier size, which is the textbook Pregel BFS
+    * cost. Output: (id, dist) — seeds at dist 0.
+    */
+  def reachability(edges: DataFrame, seeds: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).repartition(col("src")).persist()
+    var visited = seeds.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.select(col("id").as("src"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(depth.toLong))
+        .localCheckpoint()
+      val merged = visited.union(next).localCheckpoint()
+      Checkpoints.release(visited)
+      Checkpoints.release(frontier)
+      visited = merged
+      frontier = next
+    }
+    e.unpersist()
+    visited
+  }
 }

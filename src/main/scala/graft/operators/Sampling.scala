@@ -86,4 +86,48 @@ object Sampling {
     Checkpoints.release(asg)
     out
   }
+
+  /** Temperature-scaled multi-source sampling (the multilingual-LM mix
+    * rule): a source with n docs gets quota ∝ n^α, α = 1/2 — low-resource
+    * groups are upsampled relative to their share, the head is damped.
+    * α fixed at 1/2 because √n is the ONE power IEEE 754 computes
+    * correctly rounded (`sqrt`); arbitrary α via exp/ln would leave the
+    * engines one ULP apart and break the oracle hash.
+    *
+    * Determinism: per-group weight r = round(√n · 1e6) is a single exact
+    * BIGINT; the weight total and quota = round(total · r / R) are one
+    * exact sum and one IEEE division — no float accumulation anywhere.
+    * Members are then picked per group in content-hash order (same
+    * rank-by-hash race as [[weightedSample]], tie on id), so the draw
+    * reproduces on any partitioning and is stable under corpus appends
+    * that don't change group counts.
+    *
+    * Plan shape: one count aggregate to group grain (bounded), quota rides
+    * back on a broadcast join, one group-partitioned window rank. The
+    * window partitions on the GROUP key — fine while every group fits a
+    * task (quota sampling over million-member groups should pre-filter by
+    * hash threshold first; the rank is only needed for the exact-quota
+    * boundary). Output: (id, grp) for kept rows.
+    */
+  def temperatureSample(df: DataFrame, grpCol: String, idCol: String,
+      total: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r",
+        expr("CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)"))
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(sum(col("r")).as("rt"))))
+      .select(col("grp"),
+        expr(s"CAST(round($total * CAST(r AS DOUBLE) / rt) AS BIGINT)")
+          .as("quota"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("__ord").asc, col("id").asc)
+    df.select(col(idCol).as("id"), col(grpCol).as("grp"))
+      .join(broadcast(quotas), Seq("grp"))
+      .withColumn("__ord", expr(s"((id % ${H.P}) * 2654435761) % ${H.P}"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("quota"))
+      .select(col("id"), col("grp"))
+  }
 }

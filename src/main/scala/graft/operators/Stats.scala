@@ -436,6 +436,52 @@ object Stats {
         expr("CAST(round(CAST(st AS DOUBLE) / n) AS BIGINT)").as("mi_micro"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the drift/association gate a curation pipeline runs between
+    * a label and a source (is the mix independent of the shard?).
+    *
+    * Plan shape mirrors [[mutualInformation]]: one groupBy to the R×C
+    * contingency grain (map-side combined — the only full-data pass), then
+    * marginals as two aggregates OF THE CELL TABLE (bounded by category
+    * cardinality, never re-reading the data) and a broadcast 1-row total.
+    * Everything after the first aggregate operates on ≤ R·C rows.
+    *
+    * Determinism: the per-cell statistic is algebraically rearranged to
+    * one integer difference and one integer product —
+    * `term = (N·o − ra·cb)² / (N·ra·cb)` — computed as exactly two double
+    * ops (multiply, divide) on exactly-representable integers, rounded to
+    * micro per CELL, then summed as BIGINT; summation order cannot move
+    * the result. BIGINT bounds: N·ra·cb < 2^63 up to N ≈ 2e6 per category
+    * pair at uniform margins; beyond that the margins themselves need
+    * bucketing first (categorical tests on 1e6+ distinct values are
+    * meaningless anyway). NULLs fold to the \\u0001 sentinel — a category,
+    * not a dropped row, same convention as [[mutualInformation]].
+    *
+    * Output: 1 row — (n, r_cats, c_cats, dof, chi2_micro).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(
+      coalesce(col(aCol).cast("string"), lit("\u0001")).as("a"),
+      coalesce(col(bCol).cast("string"), lit("\u0001")).as("b"))
+    val cells = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    cells.join(ra, Seq("a")).join(cb, Seq("b")).crossJoin(broadcast(tot))
+      .withColumn("term", expr(
+        """CAST(round(CAST(n * o - ra * cb AS DOUBLE)
+          |  * CAST(n * o - ra * cb AS DOUBLE)
+          |  / CAST(n * ra * cb AS DOUBLE) * 1000000.0) AS BIGINT)"""
+          .stripMargin))
+      .agg(max(col("n")).as("n"),
+        countDistinct(col("a")).as("r_cats"),
+        countDistinct(col("b")).as("c_cats"),
+        sum(col("term")).as("chi2_micro"))
+      .select(col("n"), col("r_cats"), col("c_cats"),
+        ((col("r_cats") - 1) * (col("c_cats") - 1)).as("dof"),
+        col("chi2_micro"))
+  }
+
   /** ABC / Pareto classification: entities ranked by integer `valCol`
     * descending, classed by cumulative share of the total — A while the
     * running sum (including the current row) stays within `aPct`% of the

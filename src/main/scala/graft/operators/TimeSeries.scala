@@ -242,6 +242,55 @@ object TimeSeries {
         round(col("resid")).cast("long").as("resid_micro"))
   }
 
+  /** One-sided (upper) CUSUM change detection over each group's daily
+    * total series — the classic Page cumulative-sum statistic
+    * `S_t = max(0, S_{t-1} + (x_t − μ − k))` with allowance `k` a rational
+    * fraction (`slackNum/slackDen`) of the group mean. A sustained upward
+    * mean shift accumulates; noise resets to zero.
+    *
+    * The max(0, ·) recursion is NOT expressible as a plain running sum —
+    * but its closed form is: with `C_t = Σ z_i` (no clamping),
+    * `S_t = C_t − min(0, min_{j≤t} C_j)` (the reset subtracts the deepest
+    * prefix low). That identity turns a sequential recurrence into two
+    * running-window aggregates, so the whole statistic is one
+    * group-partitioned window pass — embarrassingly parallel across
+    * groups, no sequential driver loop.
+    *
+    * Determinism: the deviation is scaled to clear both rationals —
+    * `z_t = slackDen·(n·x_t − Σx) − slackNum·Σx` — all BIGINT-exact, so
+    * the running sums are order-independent and the oracle hash-matches;
+    * the only double op is the final single division by `slackDen·n`.
+    * Headroom: daily micro totals ~1e12 × days × den stays < 2^63 until
+    * ~1e5 days of 1e13-micro groups — far past any real window.
+    *
+    * Output: (grp, d, x_micro, s_micro) for every group-day; the
+    * changepoint candidate is the argmax of `s_micro` within a group.
+    */
+  def cusum(events: DataFrame, grpCol: String, tsCol: String,
+      valCol: String, slackNum: Long = 1L, slackDen: Long = 2L): DataFrame = {
+    require(slackDen > 0 && slackNum >= 0, "allowance must be >= 0")
+    val daily = events.select(col(grpCol).as("grp"),
+        to_date(col(tsCol)).as("d"),
+        round(col(valCol) * 1e6).cast("long").as("vm"))
+      .groupBy(col("grp"), col("d"))
+      .agg(sum(col("vm")).as("x"))
+    val wAll = Window.partitionBy(col("grp"))
+    val wRun = Window.partitionBy(col("grp")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(col("x")).over(wAll))
+      .withColumn("z",
+        lit(slackDen) * (col("n") * col("x") - col("sx"))
+          - lit(slackNum) * col("sx"))
+      .withColumn("cum", sum(col("z")).over(wRun))
+      .withColumn("sv", col("cum") - least(lit(0L), min(col("cum")).over(wRun)))
+      .select(col("grp"), col("d"), col("x").as("x_micro"),
+        round(col("sv").cast("double")
+          / (lit(slackDen.toDouble) * col("n").cast("double")))
+          .cast("long").as("s_micro"))
+  }
+
   /** Merge a key's overlapping-or-touching intervals into islands (the
     * gaps-and-islands pattern): an interval starts a new island when its
     * start exceeds the running max end of everything before it. Output:

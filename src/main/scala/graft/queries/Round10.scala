@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, IncrementalAgg, Sampling, Stats, TimeSeries}
+
+/** Round-10 additions: CUSUM change detection, chi-square independence,
+  * bounded-depth BFS reachability (the transitive-closure shape DuckDB
+  * expresses as a recursive CTE), incremental aggregate maintenance, and
+  * temperature-scaled source mixing.
+  */
+object Round10 {
+  import Tables.t
+
+  def defs: Seq[Q] = Seq(
+
+    // ---- CUSUM changepoint --------------------------------------------
+    // one-sided Page CUSUM over each event type's daily totals, allowance
+    // k = mean/2. The max(0, ·) recursion is closed-formed into two
+    // running windows (see TimeSeries.cusum), so the oracle is plain
+    // window SQL — no recursion, bit-exact integer prefix sums.
+    Q("q127_cusum", (s, d) =>
+      TimeSeries.cusum(Tables.events(s, d), "event_type", "ts", "value"),
+      Some("""
+        WITH daily AS (
+          SELECT event_type AS grp, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 1000000.0) AS BIGINT))
+                   AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        st AS (SELECT grp, d, x,
+                 count(*) OVER (PARTITION BY grp) AS n,
+                 CAST(sum(x) OVER (PARTITION BY grp) AS BIGINT) AS sx
+               FROM daily),
+        z AS (SELECT grp, d, x, n, 2 * (n * x - sx) - 1 * sx AS zt FROM st),
+        c AS (SELECT grp, d, x, n,
+                 CAST(sum(zt) OVER (PARTITION BY grp ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+               FROM z),
+        sv AS (SELECT grp, d, x, n,
+                 cum - least(0, min(cum) OVER (PARTITION BY grp ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+               FROM c)
+        SELECT grp, d, x AS x_micro,
+               CAST(round(CAST(s AS DOUBLE) / (2.0 * n)) AS BIGINT) AS s_micro
+        FROM sv""")),
+
+    // ---- chi-square independence --------------------------------------
+    // order priority vs order status: is the mix independent? Per-cell
+    // statistic rearranged to integer-exact numerators (see
+    // Stats.chiSquare); the 1-row total rides an allow-listed broadcast.
+    Q("q128_chi2", (s, d) =>
+      Stats.chiSquare(t(s, d, "orders"), "o_orderpriority", "o_orderstatus"),
+      Some("""
+        WITH base AS (SELECT
+                coalesce(CAST(o_orderpriority AS VARCHAR), chr(1)) AS a,
+                coalesce(CAST(o_orderstatus AS VARCHAR), chr(1)) AS b
+              FROM orders),
+        cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+        ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        terms AS (SELECT n, a, b,
+                CAST(round(CAST(n * o - ra * cb AS DOUBLE)
+                  * CAST(n * o - ra * cb AS DOUBLE)
+                  / CAST(n * ra * cb AS DOUBLE) * 1000000.0) AS BIGINT)
+                  AS term
+              FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot)
+        SELECT max(n) AS n, count(DISTINCT a) AS r_cats,
+               count(DISTINCT b) AS c_cats,
+               (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+               CAST(sum(term) AS BIGINT) AS chi2_micro
+        FROM terms""")),
+
+    // ---- BFS reachability / transitive closure ------------------------
+    // minimal hop distance from seed parts through the mirrored
+    // part <-> supplier co-occurrence graph (q53's edge construction),
+    // depth-bounded at 3. Spark iterates a frontier join (Pregel BFS);
+    // DuckDB expresses the same fixpoint as WITH RECURSIVE — its working
+    // table IS the frontier, so both engines do identical rounds and
+    // min(dist) over enumerated pairs equals first-discovery distance.
+    Q("q129_reachability", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val fwd = Tables.spread(li.select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst"))).distinct()
+      val edges = fwd.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = t(s, d, "part").filter(col("p_partkey") % 101 === 0)
+        .select(col("p_partkey").as("id"))
+      Graph.reachability(edges, seeds, maxDepth = 3)
+    }, Some("""
+      WITH RECURSIVE
+      fwd AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+              FROM lineitem),
+      edges AS (SELECT src, dst FROM fwd
+                UNION ALL SELECT dst, src FROM fwd),
+      seeds AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 101 = 0),
+      r AS (SELECT id, 0 AS dist FROM seeds
+            UNION
+            SELECT e.dst AS id, r.dist + 1 AS dist
+            FROM r JOIN edges e ON e.src = r.id WHERE r.dist < 3)
+      SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM r GROUP BY 1""")),
+
+    // ---- incremental aggregate maintenance ----------------------------
+    // state over the first half of January + state over the second half,
+    // merged WITHOUT rescanning — the oracle recomputes from scratch and
+    // must hash-match exactly (the merge algebra is the thing under test)
+    Q("q130_incr_agg", (s, d) => {
+      val ev = Tables.events(s, d)
+      val split = "2024-01-16"
+      val old = IncrementalAgg.state(
+        ev.filter(to_date(col("ts")) < lit(split)),
+        Seq("event_type"), "value")
+      val delta = IncrementalAgg.state(
+        ev.filter(to_date(col("ts")) >= lit(split)),
+        Seq("event_type"), "value")
+      IncrementalAgg.readout(
+        IncrementalAgg.merge(Seq(old, delta), Seq("event_type")))
+    }, Some("""
+      WITH st AS (SELECT event_type, count(*) AS cnt,
+              CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT)
+                AS sum_micro,
+              min(CAST(round(value * 1000000.0) AS BIGINT)) AS min_micro,
+              max(CAST(round(value * 1000000.0) AS BIGINT)) AS max_micro
+            FROM events GROUP BY 1)
+      SELECT event_type, cnt, sum_micro, min_micro, max_micro,
+             CAST(round(CAST(sum_micro AS DOUBLE) / cnt) AS BIGINT)
+               AS avg_micro
+      FROM st""")),
+
+    // ---- temperature-scaled source mixture ----------------------------
+    // quota ∝ √n over the language groups (en 3x the tail), 250 total;
+    // members picked in Knuth-mix hash order so the draw reproduces on
+    // any partitioning
+    Q("text_temperature_mix", (s, d) =>
+      Sampling.temperatureSample(
+        t(s, d, "documents"), "lang", "doc_id", total = 250L),
+      Some(s"""
+        WITH counts AS (SELECT lang AS grp, count(*) AS n
+              FROM documents GROUP BY 1),
+        wts AS (SELECT grp,
+              CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS r
+              FROM counts),
+        tot AS (SELECT CAST(sum(r) AS BIGINT) AS rt FROM wts),
+        quotas AS (SELECT grp,
+              CAST(round(250 * CAST(r AS DOUBLE) / rt) AS BIGINT) AS quota
+              FROM wts CROSS JOIN tot),
+        ranked AS (SELECT doc_id AS id, lang AS grp,
+              row_number() OVER (PARTITION BY lang ORDER BY
+                ((doc_id % 1000000007) * 2654435761) % 1000000007 ASC,
+                doc_id ASC) AS rn
+              FROM documents)
+        SELECT id, grp FROM ranked JOIN quotas USING (grp)
+        WHERE rn <= quota"""))
+  )
+}

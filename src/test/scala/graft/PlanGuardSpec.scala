@@ -74,7 +74,13 @@ class PlanGuardSpec extends AnyFunSuite {
     // the recall audit runs both sides it compares: the IVF path's
     // broadcast sqrt(N)-seed assignment (sim_ivf's shape) and the labeled
     // brute-force exact baseline over the bounded query set (sim_topk's)
-    "sim_recall_audit" -> "broadcast seed assignment + bounded exact baseline")
+    "sim_recall_audit" -> "broadcast seed assignment + bounded exact baseline",
+    // the 1-row contingency total crossed onto the bounded R x C cell
+    // table — q113_mutual_info's exact shape
+    "q128_chi2" -> "1-row total x contingency cells",
+    // the 1-row weight total crossed onto the bounded per-group count
+    // table — text_mixture's exact shape
+    "text_temperature_mix" -> "1-row weight total x per-group counts")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

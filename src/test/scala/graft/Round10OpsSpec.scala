@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, IncrementalAgg, Sampling, Stats, TimeSeries}
+
+/** Hand-computed cases for the round-10 operators: CUSUM change detection,
+  * chi-square independence, BFS reachability, incremental aggregate
+  * maintenance, temperature-scaled sampling. */
+class Round10OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- TimeSeries.cusum ----------------------------------------------
+
+  test("cusum accumulates on a level shift and resets on a dip") {
+    // series 1,1,1,5,5 (mean 2.6, k = 1.3): z/(den·n) = x − 3.9 →
+    // manual S: max(0, −2.9) = 0, 0, 0, then 1.1, 2.2 — argmax at the
+    // last day of the shifted regime
+    val ev = Seq(
+      ("g", "2024-01-01", 1.0), ("g", "2024-01-02", 1.0),
+      ("g", "2024-01-03", 1.0), ("g", "2024-01-04", 5.0),
+      ("g", "2024-01-05", 5.0))
+      .toDF("grp", "ds", "v")
+      .withColumn("ts", to_timestamp(col("ds")))
+    val got = TimeSeries.cusum(ev, "grp", "ts", "v")
+      .orderBy(col("d"))
+      .select(col("s_micro")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 0L, 1100000L, 2200000L))
+  }
+
+  test("cusum on a constant series is identically zero") {
+    val ev = (1 to 6).map(i => ("g", f"2024-01-$i%02d", 2.0))
+      .toDF("grp", "ds", "v")
+      .withColumn("ts", to_timestamp(col("ds")))
+    val got = TimeSeries.cusum(ev, "grp", "ts", "v")
+      .select(col("s_micro")).as[Long].collect().toSet
+    assert(got == Set(0L))
+  }
+
+  // ---- Stats.chiSquare -----------------------------------------------
+
+  test("chi-square is zero under exact independence") {
+    // 2x2 with perfectly proportional margins: o = ra·cb/N in every cell
+    val df = (Seq.fill(20)(("x", "p")) ++ Seq.fill(20)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val row = Stats.chiSquare(df, "a", "b").head()
+    assert(row.getAs[Long]("n") == 60L)
+    assert(row.getAs[Long]("dof") == 1L)
+    assert(row.getAs[Long]("chi2_micro") == 0L)
+  }
+
+  test("chi-square matches the hand value on a dependent 2x2") {
+    // cells: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=30; N=80, all margins 40.
+    // chi2 = Σ (o−20)²/20 = 4·(100/20) = 20 exactly
+    val df = (Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q")))
+      .toDF("a", "b")
+    val row = Stats.chiSquare(df, "a", "b").head()
+    assert(row.getAs[Long]("chi2_micro") == 20000000L)
+  }
+
+  test("chi-square folds NULL to a category instead of dropping rows") {
+    val df = Seq(("x", Some("p")), ("x", None), ("y", Some("p")),
+      ("y", None)).toDF("a", "b")
+    val row = Stats.chiSquare(df, "a", "b").head()
+    assert(row.getAs[Long]("n") == 4L)
+    assert(row.getAs[Long]("c_cats") == 2L)
+  }
+
+  // ---- Graph.reachability --------------------------------------------
+
+  test("reachability reports minimal hop distance, depth-bounded") {
+    // path 1→2→3→4→5 plus shortcut 1→4: dist(4) must be 1 (not 3),
+    // dist(5) = 2; node 6 disconnected; depth 2 excludes nothing here
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (6L, 6L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.reachability(edges, seeds, maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("reachability stops early when the frontier drains") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.reachability(edges, seeds, maxDepth = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  // ---- IncrementalAgg ------------------------------------------------
+
+  test("merged partial states equal the full recompute bit-for-bit") {
+    val df = Seq(("a", 1.5), ("a", 2.25), ("b", -1.0), ("a", 0.125),
+      ("b", 7.0)).toDF("k", "v")
+    val full = IncrementalAgg.readout(
+      IncrementalAgg.state(df, Seq("k"), "v"))
+    val halves = Seq(df.limit(2), df.exceptAll(df.limit(2)))
+      .map(IncrementalAgg.state(_, Seq("k"), "v"))
+    val merged = IncrementalAgg.readout(
+      IncrementalAgg.merge(halves, Seq("k")))
+    assert(merged.orderBy("k").collect().toSeq ==
+      full.orderBy("k").collect().toSeq)
+  }
+
+  // ---- Sampling.temperatureSample ------------------------------------
+
+  test("temperature sampling flattens the mix toward sqrt weights") {
+    // groups: big 90 rows, small 10 rows. √90 : √10 ≈ 3:1 (vs 9:1 raw),
+    // total 40 → quotas round(40·0.75)=30 and round(40·0.25)=10
+    val df = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (101 to 110).map(i => (i.toLong, "small"))).toDF("id", "grp")
+    val got = Sampling.temperatureSample(df, "grp", "id", total = 40L)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(got("small") == 10L)
+    assert(got("big") == 30L)
+  }
+
+  test("temperature sampling is deterministic under repartitioning") {
+    val df = (1 to 50).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "grp")
+    val a = Sampling.temperatureSample(df, "grp", "id", 20L)
+      .collect().toSet
+    val b = Sampling.temperatureSample(df.repartition(7), "grp", "id", 20L)
+      .collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
