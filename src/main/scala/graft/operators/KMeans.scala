@@ -277,9 +277,10 @@ object KMeans {
       // re-join the (id, cid) argmin result with the cached co-partitioned
       // vectors — shuffle-free on both sides (same hashpartitioning(id))
       val a = scaledTrain.join(assignIds(scaledTrain, centroids, p), "id")
-      // integer centroid mean with FLOOR semantics (DuckDB's `//`): Spark's
-      // `div` truncates toward zero, which differs on negative sums, so the
-      // floor is taken through an exact double division (|sum| ≪ 2^52 and
+      // integer centroid mean with FLOOR semantics: Spark's `div` AND
+      // DuckDB's `//` both truncate toward zero, which differs on negative
+      // sums (round-10 finding: -7//2 = -3 in DuckDB), so BOTH sides take
+      // the floor through an exact double division (|sum| ≪ 2^52 and
       // a non-integral quotient is ≥ 1/n away from an integer — no
       // boundary-crossing rounding is possible). One dim-wide hash
       // aggregate: k rows of dim+1 longs through the shuffle — no
@@ -314,5 +315,51 @@ object KMeans {
     if (!(scaledTrain eq scaled)) scaledTrain.unpersist()
     scaled.unpersist()
     (result, finalCents)
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster — the clustering
+    * quality readout: for each vector, a = squared distance to its OWN
+    * centroid, b = min squared distance to any OTHER centroid,
+    * s = (b−a)/max(a,b) ∈ [−1, 1]. The full silhouette's per-pair mean
+    * distances are O(N²); the centroid form is the standard large-N
+    * surrogate and needs exactly ONE broadcast of the k-row codebook and
+    * one map-side-combinable aggregate over the N×k expansion — the same
+    * plan shape as the assignment round itself, corpus-linear.
+    *
+    * Determinism: distances are exact integer squared-L2 in the scaled
+    * space; s is integerized per ROW (round(1e6·(b−a)/max(a,b)) — one
+    * IEEE division on exact inputs) and the per-cluster mean divides two
+    * exact longs once. A vector equidistant-at-zero (on top of two
+    * centroids) defines s = 0 — both engines would otherwise diverge on
+    * 0/0. Output: (cluster, n, mean_sil_micro); near-zero means flag
+    * overlapping clusters, negative means misassignment.
+    */
+  def silhouette(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, scale: Long = 1000000L): DataFrame = {
+    val (asg, cents) = fit(emb, idCol, vecCol, k, iters, scale)
+    val scaled = scaledVectors(emb, idCol, vecCol, scale)
+    val dist = VecSqDist.vecSqDistLong(col("xs"), col("cs"))
+    val perVec = scaled.join(asg, Seq("id"))
+      .crossJoin(broadcast(cents))
+      .groupBy(col("id"))
+      .agg(max(when(col("cid") === col("cluster"), dist)).as("da"),
+        min(when(col("cid") =!= col("cluster"), dist)).as("db"),
+        max(col("cluster")).as("cluster"))
+    val out = perVec
+      .withColumn("sm", expr(
+        """CASE WHEN greatest(da, db) = 0 THEN 0L
+          |ELSE CAST(round(1000000.0 * CAST(db - da AS DOUBLE)
+          |  / CAST(greatest(da, db) AS DOUBLE)) AS BIGINT) END"""
+          .stripMargin))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("sm")).as("ssm"))
+      .select(col("cluster"), col("n"),
+        expr("CAST(round(CAST(ssm AS DOUBLE) / n) AS BIGINT)")
+          .as("mean_sil_micro"))
+      .persist()
+    out.count()
+    Checkpoints.release(asg)
+    Checkpoints.release(cents)
+    out
   }
 }

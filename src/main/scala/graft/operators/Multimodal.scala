@@ -204,6 +204,67 @@ object Multimodal {
     fp.unpersist(false)
     out
   }
+
+  /** SEGMENT-level perceptual near-dup — the video/scene analog of
+    * [[phashPairs]]: each payload splits into `nSegs` contiguous byte
+    * segments (where a real pipeline would cut GOPs / scenes), each
+    * segment gets its own 56-bit dHash, and near-dup segments are found
+    * ACROSS payloads and WITHIN one (shared intros, looped content) by
+    * the same pigeonhole-complete chunk banding. Everything from the
+    * grid down is [[PerceptualHash]] unchanged — one extra explode and
+    * a hex-substring slice per segment, still zero UDFs.
+    *
+    * Degenerate-fingerprint guard: segments whose fingerprint is 0 (flat
+    * or too-short spans — no gradient bits) would all collide in every
+    * band and flood the candidate join quadratically; they carry no
+    * perceptual signal, so both sides drop them (the simhash no-shingle
+    * filter's analog, applied symmetrically by the oracle).
+    *
+    * Scale shape: rows grow nSegs-fold but each hashes only its slice,
+    * so total hashing work stays one pass over the bytes; candidate
+    * buckets stay 7-bit chunks over the (id, seg) universe. Output:
+    * (id_a, seg_a, id_b, seg_b, hamming), (id_a, seg_a) < (id_b, seg_b),
+    * same-payload pairs included with seg_a < seg_b. */
+  def segmentPhashPairs(df: DataFrame, idCol: String, binCol: String,
+      nSegs: Int, maxHamming: Int = 6): DataFrame = {
+    require(nSegs > 0, s"nSegs must be > 0, got $nSegs")
+    require(maxHamming >= 0 && maxHamming <= PerceptualHash.Chunks - 1,
+      s"banded candidates are only complete for maxHamming <= " +
+        s"${PerceptualHash.Chunks - 1}; got $maxHamming")
+    val fp = df.select(col(idCol).as("id"), col(binCol).as("b"))
+      .filter(col("b").isNotNull && length(col("b")) > 0)
+      .withColumn("hxf", hex(col("b")))
+      .withColumn("bn", length(col("b")).cast("long"))
+      .withColumn("seg", explode(sequence(lit(0L), lit(nSegs - 1L))))
+      .withColumn("st", expr(s"seg * bn div $nSegs"))
+      .withColumn("en", expr(s"(seg + 1) * bn div $nSegs"))
+      .filter(col("en") > col("st"))
+      .withColumn("hx", expr(
+        "substring(hxf, CAST(2 * st + 1 AS INT), CAST(2 * (en - st) AS INT))"))
+      .withColumn("sbn", col("en") - col("st"))
+      .withColumn("cells", expr(PerceptualHash.sparkGridCells("hx", "sbn")))
+      .select(col("id"), col("seg"),
+        expr(PerceptualHash.sparkDHashBits("cells")).as("f"))
+      .filter(col("f") =!= 0L)
+      .persist()
+    fp.count()
+    val chunks = fp.select(col("id"), col("seg"), col("f"),
+      explode(expr(PerceptualHash.sparkChunks("f"))).as("ck"))
+    val out = chunks.as("a")
+      .join(chunks.as("c"), col("a.ck") === col("c.ck") &&
+        (col("a.id") < col("c.id") ||
+          (col("a.id") === col("c.id") && col("a.seg") < col("c.seg"))))
+      .select(col("a.id").as("id_a"), col("a.seg").as("seg_a"),
+        col("c.id").as("id_b"), col("c.seg").as("seg_b"),
+        bit_count(col("a.f").bitwiseXOR(col("c.f"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .persist()
+    out.count()
+    fp.unpersist(false)
+    out
+  }
 }
 
 /** The dHash fingerprint in both dialects (the [[graft.functions.HashExprs]]

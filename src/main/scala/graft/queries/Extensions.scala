@@ -109,7 +109,8 @@ object Extensions {
          |  FROM s JOIN c${i - 1} c ON s.block = c.block) WHERE rn = 1),
          |c$i AS (SELECT block, cid, list(v ORDER BY dim) AS cs FROM (
          |  SELECT a.block, a.cid, t.i AS dim,
-         |    CAST(sum(a.xs[t.i]) // count(*) AS BIGINT) AS v
+         |    CAST(floor(CAST(sum(a.xs[t.i]) AS DOUBLE) / count(*)) AS BIGINT)
+         |      AS v
          |  FROM a$i a CROSS JOIN range(1, ${bw + 1}) t(i) GROUP BY 1, 2, 3)
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")

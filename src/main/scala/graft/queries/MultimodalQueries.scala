@@ -214,5 +214,52 @@ object MultimodalQueries {
       SELECT doc_id,
              least((octet_length(encode(text)) + 63) // 64, 8) AS n_frames,
              ascii(text[1]) AS first_frame_byte
-      FROM documents""")))
+      FROM documents""")),
+
+    // SEGMENT-level perceptual dedup — the video/scene analog of
+    // mm_phash_dedup: each payload cut into 4 contiguous byte segments,
+    // each segment dHashed independently, near-dup segments found across
+    // payloads AND within one (shared intros, loops). Zero-fingerprint
+    // segments (no gradient signal) are dropped on both sides — the
+    // degenerate-bucket flood guard.
+    Q("mm_segment_dedup", (s, d) => {
+      val bin = Tables.ts(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      Multimodal.segmentPhashPairs(bin, "doc_id", "media",
+        nSegs = 4, maxHamming = 6)
+    }, Some {
+      import graft.operators.PerceptualHash
+      s"""
+      WITH b AS (SELECT doc_id, hex(encode(text)) AS hxf,
+                   octet_length(encode(text)) AS bn
+                 FROM documents
+                 WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+      sg AS (SELECT doc_id, seg, (seg * bn) // 4 AS st,
+               ((seg + 1) * bn) // 4 AS en, hxf
+             FROM b CROSS JOIN range(0, 4) t(seg)
+             WHERE ((seg + 1) * bn) // 4 > (seg * bn) // 4),
+      sb AS (SELECT doc_id, seg,
+               substring(hxf, CAST(2 * st + 1 AS INT),
+                 CAST(2 * (en - st) AS INT)) AS hx,
+               en - st AS bn
+             FROM sg),
+      c AS (SELECT doc_id, seg,
+              ${PerceptualHash.duckGridCells("hx", "bn")} AS cells
+            FROM sb),
+      f0 AS (SELECT doc_id, seg,
+               ${PerceptualHash.duckDHashBits("cells")} AS f
+             FROM c),
+      f AS (SELECT * FROM f0 WHERE f <> 0),
+      ck AS (SELECT doc_id, seg, f,
+               unnest(${PerceptualHash.duckChunks("f")}) AS ck
+             FROM f),
+      pp AS (SELECT DISTINCT a.doc_id AS id_a, a.seg AS seg_a,
+               c2.doc_id AS id_b, c2.seg AS seg_b,
+               CAST(bit_count(xor(a.f, c2.f)) AS BIGINT) AS hamming
+             FROM ck a JOIN ck c2 ON a.ck = c2.ck
+               AND (a.doc_id < c2.doc_id
+                    OR (a.doc_id = c2.doc_id AND a.seg < c2.seg))
+             WHERE bit_count(xor(a.f, c2.f)) <= 6)
+      SELECT id_a, seg_a, id_b, seg_b, hamming FROM pp"""
+    }))
 }

@@ -81,7 +81,8 @@ object ScaleOps {
          |  FROM s CROSS JOIN c${i - 1} c) WHERE rn = 1),
          |c$i AS (SELECT cid, list(v ORDER BY dim) AS cs FROM (
          |  SELECT a.cid, t.i AS dim,
-         |    CAST(sum(a.xs[t.i]) // count(*) AS BIGINT) AS v
+         |    CAST(floor(CAST(sum(a.xs[t.i]) AS DOUBLE) / count(*)) AS BIGINT)
+         |      AS v
          |  FROM a$i a CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2)
          |  GROUP BY cid)""".stripMargin
     }.mkString(",\n")
@@ -570,6 +571,35 @@ object ScaleOps {
           row_number() OVER (PARTITION BY grp
             ORDER BY score_micro DESC, term ASC) AS rank
         FROM sc) WHERE rank <= 3""")),
+
+    // clustering-quality readout: centroid-based (simplified) silhouette
+    // per cluster over the same k-means replay — ONE broadcast codebook +
+    // one map-side-combinable aggregate over the N x k expansion, same
+    // plan shape as an assignment round. Distances are exact integers;
+    // s integerizes per row before the per-cluster mean.
+    Q("sim_silhouette", (s, d) =>
+      KMeans.silhouette(t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2),
+      Some {
+        val dist =
+          "list_sum(list_transform(range(1, 65), i -> (s.xs[i] - c.cs[i]) * (s.xs[i] - c.cs[i])))"
+        s"""
+        WITH $kmeansCtes,
+        pv AS (SELECT s.id, a.cid AS cluster,
+                 max(CASE WHEN c.cid = a.cid THEN $dist END) AS da,
+                 min(CASE WHEN c.cid <> a.cid THEN $dist END) AS db
+               FROM s JOIN afinal a USING (id) CROSS JOIN c2 c
+               GROUP BY 1, 2),
+        sm AS (SELECT cluster,
+                 CASE WHEN greatest(da, db) = 0 THEN 0
+                   ELSE CAST(round(1000000.0 * CAST(db - da AS DOUBLE)
+                     / CAST(greatest(da, db) AS DOUBLE)) AS BIGINT) END AS sm
+               FROM pv)
+        SELECT cluster, count(*) AS n,
+               CAST(round(CAST(sum(sm) AS DOUBLE) / count(*)) AS BIGINT)
+                 AS mean_sil_micro
+        FROM sm GROUP BY 1"""
+      }),
 
     // semantic dedup end-to-end: embedding-cosine near-dup pairs -> graph
     // clustering -> per-vector (cluster, is_kept) — the same composition as

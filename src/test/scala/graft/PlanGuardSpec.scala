@@ -80,7 +80,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q128_chi2" -> "1-row total x contingency cells",
     // the 1-row weight total crossed onto the bounded per-group count
     // table — text_mixture's exact shape
-    "text_temperature_mix" -> "1-row weight total x per-group counts")
+    "text_temperature_mix" -> "1-row weight total x per-group counts",
+    // the broadcast k-row codebook crossed onto the corpus — the same
+    // deliberate row x k assignment expansion as q54's kmeans rounds
+    "sim_silhouette" -> "broadcast k-centroid codebook x corpus")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

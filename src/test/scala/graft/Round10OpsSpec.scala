@@ -106,6 +106,62 @@ class Round10OpsSpec extends AnyFunSuite {
       full.orderBy("k").collect().toSeq)
   }
 
+  // ---- KMeans.silhouette ---------------------------------------------
+
+  test("silhouette separates two tight far-apart clusters near +1") {
+    // two clusters at 0 and 100 with tiny spread: a ≈ 0-ish, b ≈ 10000
+    // in squared units → mean s per cluster must be > 0.9
+    val vecs = (Seq((1L, 0.0f), (2L, 0.1f), (3L, -0.1f),
+      (4L, 100.0f), (5L, 100.1f), (6L, 99.9f)))
+      .map { case (id, v) => (id, Array(v, v)) }
+      .toDF("id", "vec")
+    val got = graft.operators.KMeans
+      .silhouette(vecs, "id", "vec", k = 2, iters = 2)
+      .select(col("mean_sil_micro")).as[Long].collect()
+    assert(got.length == 2 && got.forall(_ > 900000L))
+  }
+
+  test("silhouette defines s = 0 when both distances are zero") {
+    // all points identical: both centroids collapse onto the data point,
+    // da = db = 0 — the 0/0 guard must yield 0, not NaN/NULL
+    val vecs = (1L to 4L).map(id => (id, Array(1.0f, 1.0f)))
+      .toDF("id", "vec")
+    val got = graft.operators.KMeans
+      .silhouette(vecs, "id", "vec", k = 2, iters = 1)
+      .select(col("mean_sil_micro")).as[Long].collect()
+    assert(got.forall(_ == 0L))
+  }
+
+  // ---- Multimodal.segmentPhashPairs ----------------------------------
+
+  test("segment phash finds the shared segment across two payloads") {
+    import graft.operators.Multimodal
+    // two payloads sharing an identical second half (the "same intro"
+    // case); halves are long and byte-diverse so fingerprints are nonzero
+    val shared = (0 until 256).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val a = (0 until 256).map(i => ((i * 53 + 7) % 256).toByte).toArray ++ shared
+    val b = (0 until 256).map(i => ((i * 91 + 3) % 256).toByte).toArray ++ shared
+    val df = Seq((1L, a), (2L, b)).toDF("id", "media")
+    val pairs = Multimodal
+      .segmentPhashPairs(df, "id", "media", nSegs = 2, maxHamming = 0)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // identical second halves → (1, seg1) x (2, seg1) at hamming 0
+    assert(pairs.contains((1L, 1L, 2L, 1L, 0L)))
+    // the unrelated first halves must NOT pair at hamming 0
+    assert(!pairs.exists { case (ia, sa, ib, sb, _) =>
+      ia == 1L && ib == 2L && sa == 0L && sb == 0L })
+  }
+
+  test("segment phash drops zero-fingerprint (flat) segments") {
+    import graft.operators.Multimodal
+    // constant bytes → no gradient bits → f = 0 → no pairs at all
+    val flat = Array.fill[Byte](512)(42)
+    val df = Seq((1L, flat), (2L, flat)).toDF("id", "media")
+    val pairs = Multimodal
+      .segmentPhashPairs(df, "id", "media", nSegs = 4, maxHamming = 6)
+    assert(pairs.isEmpty)
+  }
+
   // ---- Sampling.temperatureSample ------------------------------------
 
   test("temperature sampling flattens the mix toward sqrt weights") {
