@@ -482,4 +482,69 @@ object Graph {
     e.unpersist()
     visited
   }
+
+  /** Personalized PageRank: random walk with restart to a SEED set — the
+    * "importance relative to these nodes" ranking (seed-anchored corpus
+    * expansion: start from known-good domains/docs, rank the neighborhood).
+    * Differs from [[pageRank]] in exactly one term: the teleport mass
+    * lands only on seeds (scale/|S| each), all other arithmetic is the
+    * same exact-integer contract, so the result is bit-identical across
+    * engines and the oracle unrolls the rounds like q53's.
+    *
+    * The rank table stays SPARSE — only nodes reached by the walk carry
+    * rows — so early rounds touch the seed neighborhood, not the graph
+    * (the BFS-frontier property [[reachability]] exploits, with mass).
+    * Per round: ONE equi-join (rank onto the cached degree-folded edges)
+    * + ONE aggregate; the teleport rides the same aggregate as a unioned
+    * seed-row arm (no per-round second join — the dangling-mode trick).
+    * Requirement (as [[pageRank]] default mode): reached nodes must have
+    * out-edges — build edge lists bidirectionally for undirected graphs.
+    * Output: (id, rank) in `scale` units; absent node = rank 0.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      edgesDistinct: Boolean = false,
+      broadcastRank: Boolean = true): DataFrame = {
+    // broadcastRank default ON (opposite of pageRank): the PPR rank table
+    // starts seed-sized and grows with the walk's reach, so it broadcasts
+    // comfortably for seed-anchored expansion; flip OFF when the walk
+    // saturates a billion-node graph and the SMJ path is the right shape
+    def hinted(df: DataFrame) = if (broadcastRank) broadcast(df) else df
+    val raw = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val deduped = if (edgesDistinct) raw else raw.distinct()
+    val part = if (broadcastRank) deduped else deduped.repartition(col("src"))
+    val deg = part.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = part.join(broadcast(deg), "src").cache()
+    val sd = seeds.select(col("id").cast("long").as("id")).distinct().cache()
+    val ns = sd.count()
+    require(ns > 0, "personalized pagerank needs a non-empty seed set")
+    val unit = scale / ns
+    val teleport = (dampDen - dampNum) * unit / dampDen
+    val tele = sd.select(col("id"), lit(teleport).as("c"))
+    var rank = sd.select(col("id"), lit(unit).as("rank"))
+    var prevCkpt: Option[DataFrame] = None
+    for (i <- 0 until iters) {
+      rank = contributions(e, hinted(rank))
+        .select(col("id"), expr(s"$dampNum * m div $dampDen").as("c"))
+        .unionByName(tele)
+        .groupBy(col("id")).agg(sum(col("c")).as("rank"))
+      if ((i + 1) % 4 == 0 && i != iters - 1) {
+        rank = rank.localCheckpoint()
+        prevCkpt.foreach(Checkpoints.release)
+        prevCkpt = Some(rank)
+      }
+    }
+    val result =
+      if (prevCkpt.exists(_ eq rank)) rank
+      else {
+        val r = rank.localCheckpoint()
+        prevCkpt.foreach(Checkpoints.release)
+        r
+      }
+    e.unpersist(false)
+    sd.unpersist(false)
+    result
+  }
 }

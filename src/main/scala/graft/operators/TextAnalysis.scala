@@ -521,4 +521,38 @@ object TextAnalysis {
       .select(col("id"), col("shard"), col("pos"), col("n_bytes"),
         expr(s"(cum - n_bytes) div $targetBytes").as("file_idx"))
   }
+
+  /** Curriculum staging: rank documents by an integer difficulty score
+    * (mean token length in micro-chars — longer words ≈ harder text; any
+    * integer score column plugs in the same way) and cut the ranked corpus
+    * into `nStages` equal-count stages, easy → hard; within a stage the
+    * training order is the Knuth-mix hash of the id, so each stage is
+    * internally shuffled but globally reproducible — the easy-to-hard
+    * schedule curriculum training consumes.
+    *
+    * The stage cut is one global ntile window — the [[Stats.equiDepthHistogram]]
+    * caveat verbatim: a single ordered window means one sort task at the
+    * cut, fine to ~task-memory row counts; past that, sample the score
+    * distribution for approximate stage boundaries and broadcast them
+    * (the per-stage shuffle windows partition on the stage key and stay
+    * parallel at any scale). Output: (id, difficulty_micro, stage,
+    * ord_in_stage) — stage in 1..nStages.
+    */
+  def curriculum(docs: DataFrame, idCol: String, textCol: String,
+      nStages: Int): DataFrame = {
+    require(nStages > 0, s"nStages must be > 0, got $nStages")
+    val P = HashExprs.P
+    val scored = docs.select(col(idCol).as("id"),
+        expr(s"(length($textCol) * 1000000L) div size(split($textCol, ' '))")
+          .as("difficulty_micro"))
+    val cut = Window.orderBy(col("difficulty_micro").asc, col("id").asc)
+    val inStage = Window.partitionBy(col("stage"))
+      .orderBy(col("hkey").asc, col("id").asc)
+    scored
+      .withColumn("stage", ntile(nStages).over(cut).cast("long"))
+      .withColumn("hkey", expr(s"((id % $P) * 2654435761) % $P"))
+      .withColumn("ord_in_stage", row_number().over(inStage).cast("long"))
+      .select(col("id"), col("difficulty_micro"), col("stage"),
+        col("ord_in_stage"))
+  }
 }

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Graph, IncrementalAgg, Sampling, Stats, TimeSeries}
+import graft.operators.{Graph, IncrementalAgg, Sampling, Stats, TextAnalysis,
+  TimeSeries}
 
 /** Round-10 additions: CUSUM change detection, chi-square independence,
   * bounded-depth BFS reachability (the transitive-closure shape DuckDB
@@ -153,6 +154,75 @@ object Round10 {
                 doc_id ASC) AS rn
               FROM documents)
         SELECT id, grp FROM ranked JOIN quotas USING (grp)
-        WHERE rn <= quota"""))
+        WHERE rn <= quota""")),
+
+    // ---- curriculum staging -------------------------------------------
+    // easy -> hard stages by mean-token-length difficulty, hash-shuffled
+    // within a stage; the global ntile cut carries the equi-depth caveat
+    // (sample boundaries past one sort's capacity)
+    Q("text_curriculum", (s, d) =>
+      TextAnalysis.curriculum(
+        Tables.ts(s, d, "documents").filter(col("text").isNotNull),
+        "doc_id", "text", nStages = 4),
+      Some("""
+        WITH scored AS (SELECT doc_id AS id,
+                (length(text) * 1000000) // len(string_split(text, ' '))
+                  AS difficulty_micro
+              FROM documents WHERE text IS NOT NULL),
+        st AS (SELECT id, difficulty_micro,
+                CAST(ntile(4) OVER (ORDER BY difficulty_micro ASC, id ASC)
+                  AS BIGINT) AS stage,
+                ((id % 1000000007) * 2654435761) % 1000000007 AS hkey
+              FROM scored)
+        SELECT id, difficulty_micro, stage,
+               CAST(row_number() OVER (PARTITION BY stage
+                 ORDER BY hkey ASC, id ASC) AS BIGINT) AS ord_in_stage
+        FROM st""")),
+
+    // ---- personalized PageRank ----------------------------------------
+    // random walk with restart to the q129 seed set over the same
+    // mirrored co-occurrence graph — teleport mass lands ONLY on seeds;
+    // the oracle unrolls the 3 integer rounds (q53's discipline), with
+    // the teleport arm as a unioned seed row, exactly like the engine
+    Q("q131_ppr", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val fwd = Tables.spread(li.select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 10000000L).as("dst"))).distinct()
+      val edges = fwd.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = t(s, d, "part").filter(col("p_partkey") % 101 === 0)
+        .select(col("p_partkey").as("id"))
+      Graph.personalizedPageRank(edges, seeds, iters = 3,
+          edgesDistinct = true)
+        .select(col("id").as("node"), col("rank").as("rank_scaled"))
+    }, Some {
+      val rounds = (1 to 3).map { i =>
+        s"""m$i AS (SELECT e.dst AS id,
+           |         CAST(sum(r.rank // e.outdeg) AS BIGINT) AS m
+           |       FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY 1),
+           |r$i AS (SELECT id, CAST(sum(c) AS BIGINT) AS rank FROM (
+           |         SELECT id, 85 * m // 100 AS c FROM m$i
+           |         UNION ALL
+           |         SELECT id, tele AS c FROM seeds CROSS JOIN params)
+           |       GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH fwd AS (SELECT DISTINCT l_partkey AS src,
+              l_suppkey + 10000000 AS dst FROM lineitem),
+      edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+      deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+      e AS (SELECT edges.src, edges.dst, deg.outdeg
+            FROM edges JOIN deg USING (src)),
+      seeds AS (SELECT p_partkey AS id FROM part WHERE p_partkey % 101 = 0),
+      params AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS unit,
+              CAST((100 - 85) * (1000000000000 // count(*)) // 100 AS BIGINT)
+                AS tele
+            FROM seeds),
+      r0 AS (SELECT id, unit AS rank FROM seeds CROSS JOIN params),
+      $rounds
+      SELECT id AS node, rank AS rank_scaled FROM r3"""
+    })
   )
 }

@@ -644,6 +644,75 @@ object ScaleSmoke {
         })
         sn
       },
+      // BFS reachability on 10 DISJOINT graph copies (src+dst offset
+      // together) with 10x seeds: per-round frontier joins must track the
+      // frontier's edge neighborhood linearly — visited-set anti-joins
+      // never rescan settled regions
+      {
+        def reachEdges(li: DataFrame, off: Long): DataFrame =
+          li.select((col("l_partkey") + off).as("src"),
+            (col("l_suppkey") + 10000000L + off).as("dst"))
+        def seeds(off: Long): DataFrame =
+          spark.read.parquet(s"$sfDir/part.parquet")
+            .filter(col("p_partkey") % 101 === 0)
+            .select((col("p_partkey") + off).as("id"))
+        def mirror(fwd: DataFrame): DataFrame = {
+          val dd = fwd.distinct()
+          dd.select(explode(array(
+              struct(col("src"), col("dst")),
+              struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+            .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        }
+        val e10g = (0 until copies).map(c =>
+          reachEdges(l1, c.toLong * 100000000L)).reduce(_ unionByName _)
+        val s10g = (0 until copies).map(c =>
+          seeds(c.toLong * 100000000L)).reduce(_ unionByName _)
+        ("reachability", time("reachability 1x") {
+          val r = Graph.reachability(mirror(reachEdges(l1, 0L)), seeds(0L), 3)
+          noop(r)
+        }, time("reachability 10x") {
+          val r = Graph.reachability(mirror(e10g), s10g, 3)
+          noop(r)
+        })
+      },
+      // CUSUM with the group space salted 10x (50 groups): the whole
+      // statistic is one daily aggregate + group-partitioned windows, so
+      // cost must track the scan
+      {
+        import graft.operators.TimeSeries
+        def salted(ev: DataFrame): DataFrame =
+          graft.queries.Tables.normalizeEventTs(ev)
+        val ev10s = salted(ev10).withColumn("event_type",
+          concat(col("event_type"), lit("_"),
+            (col("event_id") % 10).cast("string")))
+        ("cusum", time("cusum 1x")(noop(
+            TimeSeries.cusum(salted(ev1), "event_type", "ts", "value"))),
+          time("cusum 10x")(noop(
+            TimeSeries.cusum(ev10s, "event_type", "ts", "value"))))
+      },
+      // chi-square: everything after the first aggregate is contingency-
+      // grain (15 cells) — scan-bound by construction
+      ("chi_square", time("chi_square 1x")(noop(
+          graft.operators.Stats.chiSquare(o1,
+            "o_orderpriority", "o_orderstatus"))),
+        time("chi_square 10x")(noop(
+          graft.operators.Stats.chiSquare(o10,
+            "o_orderpriority", "o_orderstatus")))),
+      // segment phash on the SALTED corpus (disjoint sub-corpora, pair
+      // rate constant): per-segment hashing is one pass over the bytes,
+      // candidates stay 7-bit-chunk-bucketed
+      {
+        import graft.operators.Multimodal
+        def bin(df: DataFrame): DataFrame =
+          df.select(col("doc_id"), col("text").cast("binary").as("media"))
+        ("segment_phash", time("segment_phash 1x") {
+          val r = Multimodal.segmentPhashPairs(bin(d1), "doc_id", "media", 4, 6)
+          noop(r); r.unpersist()
+        }, time("segment_phash 10x") {
+          val r = Multimodal.segmentPhashPairs(bin(d10salt), "doc_id", "media", 4, 6)
+          noop(r); r.unpersist()
+        })
+      },
       // per-session state bounded to maxLen rows before the collect
       ("top_paths", time("top_paths 1x")(noop(
           EventAnalytics.topPaths(

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Graph, IncrementalAgg, Sampling, Stats, TimeSeries}
+import graft.operators.{Graph, IncrementalAgg, Sampling, Stats, TextAnalysis, TimeSeries}
 
 /** Hand-computed cases for the round-10 operators: CUSUM change detection,
   * chi-square independence, BFS reachability, incremental aggregate
@@ -104,6 +104,60 @@ class Round10OpsSpec extends AnyFunSuite {
       IncrementalAgg.merge(halves, Seq("k")))
     assert(merged.orderBy("k").collect().toSeq ==
       full.orderBy("k").collect().toSeq)
+  }
+
+  // ---- Graph.personalizedPageRank ------------------------------------
+
+  test("ppr mass stays anchored to the seed, decays with distance") {
+    // 1 -> 2 -> 3 -> 1 cycle, seed {1}: the fixpoint is r1 = 0.15 +
+    // 0.85·r3 → (0.389, 0.330, 0.281) — seed highest, decaying along the
+    // walk. Early rounds transiently pile mass on the far node (round 2:
+    // r3 = 0.7225), so convergence needs iterations: 0.614^12 ≈ 3e-3.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val r = Graph.personalizedPageRank(edges, seeds, iters = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L))
+  }
+
+  test("ppr on disjoint components gives non-seed components zero") {
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val r = Graph.personalizedPageRank(edges, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r.contains(1L) && r.contains(2L))
+    assert(!r.contains(10L) && !r.contains(11L))
+  }
+
+  test("ppr teleport + flow conserves integer mass within rounding") {
+    // total mass each round = teleport-share + damped flow: bounded by
+    // scale, never exceeds it (integer divisions only lose mass)
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("id")
+    val r = Graph.personalizedPageRank(edges, seeds, iters = 4)
+      .agg(sum(col("rank"))).as[Long].head()
+    assert(r <= 1000000000000L && r > 990000000000L)
+  }
+
+  // ---- TextAnalysis.curriculum ---------------------------------------
+
+  test("curriculum stages cut easy to hard with shuffled within-stage order") {
+    // 8 docs, 2 stages: the 4 shortest-word docs must land in stage 1
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "aa bb cc"), (3L, "x y"), (4L, "ab cd"),
+      (5L, "lengthy wording here"), (6L, "substantial verbiage"),
+      (7L, "considerable terminology"), (8L, "extensive vocabulary"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.curriculum(docs, "doc_id", "text", nStages = 2)
+    val byStage = got.select(col("stage"), col("id")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byStage(1L) == Set(1L, 2L, 3L, 4L))
+    assert(byStage(2L) == Set(5L, 6L, 7L, 8L))
+    // ord_in_stage is a permutation of 1..4 within each stage
+    val ords = got.filter(col("stage") === 1)
+      .select(col("ord_in_stage")).as[Long].collect().toSet
+    assert(ords == Set(1L, 2L, 3L, 4L))
   }
 
   // ---- KMeans.silhouette ---------------------------------------------
