@@ -53,6 +53,39 @@ object Linkage {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
+  /** [[fuzzyPairs]] with the Jaro–Winkler scorer instead of Levenshtein —
+    * the similarity that rewards shared prefixes and tolerates
+    * transpositions (person/company names). Same blocked-equi-join shape
+    * and `maxBlockSize` hot-block cap; the score is the native
+    * [[graft.functions.JaroWinklerSim]] codegen expression, integerized
+    * to micro per pair (`round(jw·1e6)`) so thresholds and hashes are
+    * engine-exact. Output: (id_a, id_b, jw_micro) with
+    * jw_micro ≥ `minSimMicro`, id_a < id_b. */
+  def jaroPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockKey: Column, minSimMicro: Long,
+      maxBlockSize: Option[Int] = None): DataFrame = {
+    import graft.functions.JaroWinkler.jaroWinkler
+    val proj0 = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      blockKey.as("block"))
+    val proj = maxBlockSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("block"))
+        proj0.withColumn("bn", count(lit(1)).over(w))
+          .filter(col("bn") <= cap).drop("bn")
+      case None => proj0
+    }
+    val a = proj.select(col("id").as("id_a"), col("name").as("name_a"),
+      col("block"))
+    val b = proj.select(col("id").as("id_b"), col("name").as("name_b"),
+      col("block"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw_micro",
+        round(jaroWinkler(col("name_a"), col("name_b")) * 1e6).cast("long"))
+      .filter(col("jw_micro") >= minSimMicro)
+      .select(col("id_a"), col("id_b"), col("jw_micro"))
+  }
+
   /** Sorted-neighborhood candidate generation — the complementary
     * blocking strategy: records sorted by a key, each compared only to
     * its next `window − 1` neighbors in sort order. Catches matches that

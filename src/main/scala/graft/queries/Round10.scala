@@ -223,6 +223,29 @@ object Round10 {
       r0 AS (SELECT id, unit AS rank FROM seeds CROSS JOIN params),
       $rounds
       SELECT id AS node, rank AS rank_scaled FROM r3"""
-    })
+    }),
+
+    // ---- Jaro-Winkler record linkage ----------------------------------
+    // blocked pairs scored by the native JaroWinklerSim codegen
+    // expression (Spark ships no Jaro); DuckDB's built-in
+    // jaro_winkler_similarity IS the oracle — standard semantics verified
+    // probe-for-probe (0.7 boost threshold, prefix <= 4), micro-rounded
+    Q("q132_jaro_linkage", (s, d) =>
+      graft.operators.Linkage.jaroPairs(t(s, d, "customer"),
+        "c_custkey", "c_name", expr("right(c_name, 3)"),
+        minSimMicro = 900000L, maxBlockSize = Some(256)),
+      Some("""
+        WITH proj AS (SELECT c_custkey AS id, c_name AS name,
+                right(c_name, 3) AS block FROM customer),
+        capped AS (SELECT id, name, block FROM (
+                SELECT id, name, block,
+                  count(*) OVER (PARTITION BY block) AS bn FROM proj)
+              WHERE bn <= 256),
+        pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+                CAST(round(jaro_winkler_similarity(a.name, b.name) * 1e6)
+                  AS BIGINT) AS jw_micro
+              FROM capped a JOIN capped b
+                ON a.block = b.block AND a.id < b.id)
+        SELECT id_a, id_b, jw_micro FROM pairs WHERE jw_micro >= 900000"""))
   )
 }

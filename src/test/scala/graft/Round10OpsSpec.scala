@@ -140,6 +140,38 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(r <= 1000000000000L && r > 990000000000L)
   }
 
+  // ---- JaroWinkler ---------------------------------------------------
+
+  test("jaro-winkler kernel matches the textbook values") {
+    import graft.functions.JaroWinklerImpl.jw
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dwayne", "duane") - 0.84) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "abc") == 0.0 && jw("", "") == 0.0)
+    assert(jw("ab", "ba") == 0.0) // window 0: adjacent swap can't match
+    // boost threshold: prefix bonus must NOT apply at J <= 0.7
+    assert(math.abs(jw("ab", "axyz") - 0.5833333333333334) < 1e-12)
+    assert(math.abs(jw("crate", "trace") - 0.7333333333333334) < 1e-12)
+  }
+
+  test("jaro-winkler column expression equals the kernel, both eval paths") {
+    import graft.functions.JaroWinkler.jaroWinkler
+    import graft.functions.JaroWinklerImpl
+    val df = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
+      ("aaapppp", "ap"), ("Customer#1204", "Customer#1240"))
+      .toDF("a", "b")
+    val viaExpr = df.select(jaroWinkler(col("a"), col("b"))).as[Double]
+      .collect().toSeq
+    val viaKernel = df.as[(String, String)].collect()
+      .map { case (a, b) => JaroWinklerImpl.jw(a, b) }.toSeq
+    assert(viaExpr == viaKernel)
+    // null propagates
+    val n = Seq((Some("x"), Option.empty[String])).toDF("a", "b")
+      .select(jaroWinkler(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   // ---- TextAnalysis.curriculum ---------------------------------------
 
   test("curriculum stages cut easy to hard with shuffled within-stage order") {

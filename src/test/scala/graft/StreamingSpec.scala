@@ -240,6 +240,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(m("v") === ((5L, 4L)))
   }
 
+  test("incremental agg state maintains under foreachBatch, equals batch recompute") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.IncrementalAgg
+    val mem = MemoryStream[(String, Double)]
+    // running state table held across micro-batches: each batch folds in
+    // as partial-aggregate state; history is never rescanned (the monoid
+    // merge is the whole contract)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = IncrementalAgg.state(batch, Seq("k"), "v")
+          val merged = state match {
+            case Some(prev) => IncrementalAgg.merge(Seq(prev, s), Seq("k"))
+            case None => s
+          }
+          val ckpt = merged.localCheckpoint()
+          state.foreach(graft.operators.Checkpoints.release)
+          state = Some(ckpt)
+        }
+      }
+      .start()
+    val all = Seq(("a", 1.5), ("b", -2.0), ("a", 0.25),
+      ("b", 7.0), ("c", 3.0), ("a", -1.0))
+    mem.addData(all.take(2): _*); q.processAllAvailable()
+    mem.addData(all.slice(2, 4): _*); q.processAllAvailable()
+    mem.addData(all.drop(4): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = IncrementalAgg.readout(state.get)
+      .orderBy("k").collect().toSeq
+    val batch = IncrementalAgg.readout(
+        IncrementalAgg.state(all.toDF("k", "v"), Seq("k"), "v"))
+      .orderBy("k").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("scd2 dimension maintains under foreachBatch streaming upserts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
