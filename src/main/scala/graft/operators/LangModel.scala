@@ -187,4 +187,87 @@ object LangModel {
       .agg(sum(col("occ")).as("n_tokens"),
         sum(col("occ") * col("w_x1e6")).as("weight_x1e6"))
   }
+
+  /** Per-document bigram NLL under an interpolated KNESER-NEY smoothed
+    * bigram LM (Chen & Goodman 1998) trained on `docs` itself with the
+    * same `vocabSize`-capped vocabulary as [[bigramNll]] — the stronger
+    * perplexity-bucketing model: KN's continuation probability scores a
+    * word by how many CONTEXTS it follows, not how often it occurs, which
+    * is what separates boilerplate from fluent text.
+    *
+    * With the standard fixed discount D = 3/4:
+    * `p(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/Nbt`
+    * which over the common denominator `4·c1·Nbt` is the EXACT rational
+    * `(max(4·c12 − 3, 0)·Nbt + 3·N1+(w1·)·N1+(·w2)) / (4·c1·Nbt)` —
+    * numerator and denominator are exact longs (counts bounded by the
+    * capped alphabet), so the single mirrored `ln` per distinct model row
+    * is the only double op, integerized to micro-nats BEFORE the per-doc
+    * integer sum (the [[bigramNll]] order-free discipline). Scoring the
+    * training corpus keeps every scored bigram observed (c12 ≥ 1), so the
+    * max() branch never zeroes a probability and no backoff-to-unseen
+    * path is needed.
+    *
+    * Plan shape: identical to [[bigramNll]] — the model table is
+    * ≤ (vocabSize+1)² rows by construction (always broadcastable), the
+    * context/continuation marginals derive from it (bounded aggregates),
+    * `Nbt` is a bounded control-plane scalar, and per-doc scoring is one
+    * broadcast join + one integer-sum groupBy.
+    *
+    * Output: (doc, n_bigrams, kn_nll_x1e6, avg_kn_x1e6), one row per
+    * document with ≥ 2 tokens.
+    */
+  def knBigramNll(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val t = toks(docs, idCol, textCol)
+    val v = vocab(docs, idCol, textCol, vocabSize).persist()
+    v.count()
+    val unk = lit("<unk>")
+    val bg0 = t.filter(size(col("tk")) >= 2)
+      .select(col("doc"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("z"))
+      .select(col("doc"), col("z").getField("0").as("r1"),
+        col("z").getField("1").as("r2"))
+    val bg = bg0
+      .join(broadcast(v.select(col("term").as("t1"))),
+        col("r1") === col("t1"), "left")
+      .join(broadcast(v.select(col("term").as("t2"))),
+        col("r2") === col("t2"), "left")
+      .select(col("doc"),
+        when(col("t1").isNotNull, col("r1")).otherwise(unk).as("w1"),
+        when(col("t2").isNotNull, col("r2")).otherwise(unk).as("w2"))
+
+    // per-(doc, bigram) occurrence table for scoring; the model counts
+    // derive from the same bigram stream by RE-DERIVATION (the bigramNll
+    // lesson: the columnar cache build for millions of small strings costs
+    // more than the narrow codegen'd rescan). c12 is cap-bounded
+    // (≤ (vocabSize+1)² rows), so IT is persisted — it feeds two marginals
+    // plus the scalar type count and is tiny by construction.
+    val db = bg.groupBy(col("doc"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("occ"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .persist()
+    // context marginals: total count + distinct-successor count per w1
+    val c1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1"))
+    // continuation marginal: distinct-predecessor count per w2
+    val cw = c12.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val nbt = c12.count() // distinct bigram types — control-plane scalar
+    val model = c12.join(c1, "w1").join(cw, "w2")
+      .withColumn("nll_x1e6", expr(
+        // numerator and denominator are exact integer products CAST to
+        // DOUBLE as wholes (not built up in float — and on the oracle side
+        // not in DuckDB DECIMAL, whose width a three-factor product of
+        // fractional literals would overflow)
+        s"""CAST(round(-ln(
+           |  CAST(greatest(4 * c12 - 3, 0) * $nbt + 3 * n1 * nc AS DOUBLE)
+           |  / CAST(4 * c1 * $nbt AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"""
+          .stripMargin))
+    db.join(broadcast(model.select(col("w1"), col("w2"), col("nll_x1e6"))),
+        Seq("w1", "w2"))
+      .groupBy(col("doc"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * col("nll_x1e6")).as("kn_nll_x1e6"))
+      .withColumn("avg_kn_x1e6", expr("kn_nll_x1e6 div n_bigrams"))
+  }
 }

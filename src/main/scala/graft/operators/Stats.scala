@@ -482,6 +482,105 @@ object Stats {
         col("chi2_micro"))
   }
 
+  /** Mann-Whitney U rank-sum test between two groups of `valCol` — the
+    * nonparametric two-sample shift test (drift gates where the metric is
+    * heavy-tailed and a t-test's mean is meaningless). Values integerize at
+    * `valScale` before ranking, so ties are exact and engine-independent.
+    *
+    * Exactness: ranks never materialize per row. The sample reduces to one
+    * per-DISTINCT-VALUE table (value, n_a rows, t total rows); midranks use
+    * DOUBLED ranks (`dr = 2·cum_before + t + 1 = min_rank + max_rank`) so
+    * tied averages stay integers, giving the doubled rank sum
+    * `r2_a = Σ n_a·dr` and the doubled statistic
+    * `u_a_x2 = r2_a − n_a(n_a+1)` — all exact longs. The normal
+    * approximation applies the standard tie correction
+    * `var = n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1)))`; z is the single
+    * mirrored double op, rounded at 6.
+    *
+    * Plan shape: one hash aggregate to value grain, one ordered window
+    * OVER THE DISTINCT-VALUE TABLE (bounded by value-domain cardinality,
+    * not row count — integerized metrics have compact domains; pre-bucket
+    * upstream if yours doesn't), one 1-row final aggregate. No per-row
+    * rank shuffle at any scale.
+    *
+    * Output: one row (n_a, n_b, u_a_x2, z).
+    */
+  def mannWhitneyU(df: DataFrame, grpCol: String, valCol: String,
+      groupA: String, groupB: String, valScale: Double = 1e6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(grpCol).isin(groupA, groupB) && col(valCol).isNotNull)
+      .select(round(col(valCol) * valScale).cast("long").as("v"),
+        (col(grpCol) === groupA).as("isa"))
+    val pv = base.groupBy(col("v"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+        count(lit(1)).as("t"))
+    // ordered window over the per-value table: already aggregated, so the
+    // single-partition WindowExec sees |value domain| rows, not |sample|
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pv.withColumn("cb", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("dr", lit(2) * col("cb") + col("t") + 1)
+      .agg(sum(col("na")).as("n_a"),
+        (sum(col("t")) - sum(col("na"))).as("n_b"),
+        sum(col("na") * col("dr")).as("r2_a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      .select(col("n_a"), col("n_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1)).as("u_a_x2"),
+        col("ties"))
+      .withColumn("z", expr(
+        """round((CAST(u_a_x2 - n_a * n_b AS DOUBLE) / 2.0)
+          |  / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+          |      * ((n_a + n_b + 1)
+          |         - CAST(ties AS DOUBLE)
+          |           / ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE)))), 6)"""
+          .stripMargin))
+      .select(col("n_a"), col("n_b"), col("u_a_x2"), col("z"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic between two groups of
+    * `valCol`: `D = max_x |F_a(x) − F_b(x)|` — the distribution-equality
+    * drift gate that catches shape changes a mean/rank test misses.
+    *
+    * Exactness: per distinct integerized value, the inclusive cumulative
+    * counts give the exact integer ECDF-difference NUMERATOR
+    * `|cum_a·n_b − cum_b·n_a|`; the max over values and its smallest
+    * witnessing value are integer comparisons, and the only double op is
+    * the final mirrored `d_micro = round(1e6·maxdiff/(n_a·n_b))`.
+    *
+    * Same plan shape as [[mannWhitneyU]]: value-grain aggregate, one
+    * ordered window over the distinct-value table, 1-row result
+    * (n_a, n_b, d_micro, at_v).
+    */
+  def ksTest(df: DataFrame, grpCol: String, valCol: String,
+      groupA: String, groupB: String, valScale: Double = 1e6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(grpCol).isin(groupA, groupB) && col(valCol).isNotNull)
+      .select(round(col(valCol) * valScale).cast("long").as("v"),
+        (col(grpCol) === groupA).as("isa"))
+    val pv = base.groupBy(col("v"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ta"),
+        sum(when(col("isa"), 0L).otherwise(1L)).as("tb"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pv.withColumn("ca", sum(col("ta")).over(w))
+      .withColumn("cb", sum(col("tb")).over(w))
+      .withColumn("na", sum(col("ta")).over(wAll))
+      .withColumn("nb", sum(col("tb")).over(wAll))
+      .withColumn("diff", abs(col("ca") * col("nb") - col("cb") * col("na")))
+      .withColumn("md", max(col("diff")).over(wAll))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("diff")).as("maxdiff"),
+        min(when(col("diff") === col("md"), col("v"))).as("at_v"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(round(1e6 * maxdiff / (CAST(n_a AS DOUBLE) * n_b)) AS BIGINT)")
+          .as("d_micro"),
+        col("at_v"))
+  }
+
   /** ABC / Pareto classification: entities ranked by integer `valCol`
     * descending, classed by cumulative share of the total — A while the
     * running sum (including the current row) stays within `aPct`% of the

@@ -246,6 +246,171 @@ object Round10 {
                   AS BIGINT) AS jw_micro
               FROM capped a JOIN capped b
                 ON a.block = b.block AND a.id < b.id)
-        SELECT id_a, id_b, jw_micro FROM pairs WHERE jw_micro >= 900000"""))
+        SELECT id_a, id_b, jw_micro FROM pairs WHERE jw_micro >= 900000""")),
+
+    // ---- Mann-Whitney U rank-sum test ---------------------------------
+    // does 'click' value sit above/below 'purchase' value? Nonparametric
+    // shift test — ranks reduce to the per-DISTINCT-VALUE table (doubled
+    // midranks keep ties integer-exact); the one double op (z with tie
+    // correction) is mirrored text-for-text.
+    Q("q133_mann_whitney", (s, d) =>
+      Stats.mannWhitneyU(Tables.events(s, d), "event_type", "value",
+        "click", "purchase"),
+      Some("""
+        WITH base AS (SELECT CAST(round(value * 1000000.0) AS BIGINT) AS v,
+                (event_type = 'click') AS isa
+              FROM events
+              WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        pv AS (SELECT v, CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 count(*) AS t
+               FROM base GROUP BY 1),
+        w AS (SELECT *, coalesce(CAST(sum(t) OVER (ORDER BY v ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                 0) AS cb
+              FROM pv),
+        agg AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                  CAST(sum(t) - sum(na) AS BIGINT) AS n_b,
+                  CAST(sum(na * (2 * cb + t + 1)) AS BIGINT) AS r2_a,
+                  CAST(sum(t * t * t - t) AS BIGINT) AS ties
+                FROM w),
+        u AS (SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u_a_x2, ties FROM agg)
+        SELECT n_a, n_b, u_a_x2,
+               round((CAST(u_a_x2 - n_a * n_b AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                     * ((n_a + n_b + 1)
+                        - CAST(ties AS DOUBLE)
+                          / ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE)))), 6)
+                 AS z
+        FROM u""")),
+
+    // ---- Kolmogorov-Smirnov two-sample test ---------------------------
+    // distribution-shape drift between 'view' and 'error' values: exact
+    // integer ECDF-difference numerators per distinct value, one mirrored
+    // division for d_micro; at_v is the smallest value witnessing the max.
+    Q("q134_ks_test", (s, d) =>
+      Stats.ksTest(Tables.events(s, d), "event_type", "value",
+        "view", "error"),
+      Some("""
+        WITH base AS (SELECT CAST(round(value * 1000000.0) AS BIGINT) AS v,
+                (event_type = 'view') AS isa
+              FROM events
+              WHERE event_type IN ('view', 'error') AND value IS NOT NULL),
+        pv AS (SELECT v, CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+                 CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS tb
+               FROM base GROUP BY 1),
+        c AS (SELECT v,
+                CAST(sum(ta) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+                CAST(sum(tb) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+                CAST(sum(ta) OVER () AS BIGINT) AS na,
+                CAST(sum(tb) OVER () AS BIGINT) AS nb
+              FROM pv),
+        dd AS (SELECT *, abs(ca * nb - cb * na) AS diff FROM c),
+        d2 AS (SELECT *, max(diff) OVER () AS md FROM dd),
+        agg AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+                  max(diff) AS maxdiff,
+                  min(CASE WHEN diff = md THEN v END) AS at_v
+                FROM d2)
+        SELECT n_a, n_b,
+               CAST(round(1e6 * maxdiff / (CAST(n_a AS DOUBLE) * n_b))
+                 AS BIGINT) AS d_micro,
+               at_v
+        FROM agg""")),
+
+    // ---- modularity of the nation partition ---------------------------
+    // are co-supply relations nation-assortative? Modularity of the
+    // supplier co-purchase graph (suppliers sharing an order) under the
+    // s_nationkey partition — every emitted number is an exact long
+    // (num_c = 4·m·e_c − d_c² over the common denominator 4m²).
+    Q("q135_modularity", (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = Tables.spread(
+        li.select(col("l_orderkey"), col("l_suppkey").as("id_a"))
+          .join(li.select(col("l_orderkey"), col("l_suppkey").as("id_b")),
+            Seq("l_orderkey"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")))
+      val comms = t(s, d, "supplier")
+        .select(col("s_suppkey").as("id"), col("s_nationkey").as("comm"))
+      Graph.modularity(pairs, comms)
+    }, Some("""
+        WITH und AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+        mm AS (SELECT count(*) AS m FROM und),
+        deg AS (SELECT id, count(*) AS d FROM (
+                  SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+                GROUP BY 1),
+        cm AS (SELECT s_suppkey AS id, s_nationkey AS comm FROM supplier),
+        dt AS (SELECT comm, count(*) AS n_nodes,
+                 CAST(sum(d) AS BIGINT) AS d_tot
+               FROM deg JOIN cm USING (id) GROUP BY 1),
+        ei AS (SELECT cu.comm AS comm, count(*) AS e_intra
+               FROM und JOIN cm cu ON und.u = cu.id
+                        JOIN cm cv ON und.v = cv.id
+               WHERE cu.comm = cv.comm GROUP BY 1)
+        SELECT dt.comm, n_nodes, coalesce(e_intra, 0) AS e_intra, d_tot,
+               4 * mm.m * coalesce(e_intra, 0) - d_tot * d_tot AS num_c
+        FROM dt LEFT JOIN ei ON dt.comm = ei.comm CROSS JOIN mm""")),
+
+    // ---- rendezvous shard assignment ----------------------------------
+    // highest-random-weight export sharding over order keys: per-key
+    // argmax of the shared char hash across 8 shards — pure narrow
+    // projection (no shuffle/join/explode); the minimal-movement property
+    // under shard growth is asserted in OperatorsSpec.
+    Q("q136_shard_assign", (s, d) =>
+      graft.operators.Sharding.rendezvousAssign(
+        t(s, d, "orders").select(col("o_orderkey").cast("string").as("k")),
+        "k", 8)
+        .groupBy(col("shard")).agg(count(lit(1)).as("n_keys")),
+      Some(s"""
+        WITH a AS (SELECT ${graft.operators.Sharding.duckRendezvous(
+          "CAST(o_orderkey AS VARCHAR)", 8)} AS shard
+              FROM orders)
+        SELECT shard, count(*) AS n_keys FROM a GROUP BY 1""")),
+
+    // ---- Kneser-Ney smoothed perplexity --------------------------------
+    // the stronger perplexity-bucketing model: interpolated KN bigram LM
+    // (D = 3/4) on the 200-token-capped vocabulary — continuation
+    // probability scores words by distinct-context counts. The probability
+    // is an exact integer rational over 4·c1·Nbt; one mirrored ln per
+    // distinct model row, micro-nat integerized before the per-doc sum.
+    Q("text_kn_perplexity", (s, d) =>
+      graft.operators.LangModel.knBigramNll(
+        Tables.ts(s, d, "documents"), "doc_id", "text", 200)
+        .withColumnRenamed("doc", "doc_id"),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        uni AS (SELECT t AS term, count(*) AS cnt
+                FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+        vocab AS (SELECT term FROM uni ORDER BY cnt DESC, term ASC LIMIT 200),
+        bgr AS (SELECT doc_id,
+                  unnest(list_zip(list_slice(tk, 1, len(tk)-1),
+                                  list_slice(tk, 2, len(tk)))) AS z
+                FROM toks WHERE len(tk) >= 2),
+        bg AS (SELECT doc_id,
+                 CASE WHEN z[1] IN (SELECT term FROM vocab) THEN z[1] ELSE '<unk>' END AS w1,
+                 CASE WHEN z[2] IN (SELECT term FROM vocab) THEN z[2] ELSE '<unk>' END AS w2
+               FROM bgr),
+        db AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bg GROUP BY 1, 2, 3),
+        c12 AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c12 FROM db GROUP BY 1, 2),
+        c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1
+               FROM c12 GROUP BY 1),
+        cw AS (SELECT w2, count(*) AS nc FROM c12 GROUP BY 1),
+        nbt AS (SELECT count(*) AS nbt FROM c12),
+        model AS (SELECT c12.w1, c12.w2,
+                    CAST(round(-ln(
+                      CAST(greatest(4 * c12.c12 - 3, 0) * nbt.nbt
+                           + 3 * c1.n1 * cw.nc AS DOUBLE)
+                      / CAST(4 * c1.c1 * nbt.nbt AS DOUBLE)) * 1000000.0, 0)
+                      AS BIGINT) AS nll_x1e6
+                  FROM c12 JOIN c1 USING (w1) JOIN cw USING (w2)
+                  CROSS JOIN nbt)
+        SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+               CAST(sum(occ * nll_x1e6) AS BIGINT) AS kn_nll_x1e6,
+               CAST(sum(occ * nll_x1e6) // sum(occ) AS BIGINT) AS avg_kn_x1e6
+        FROM db JOIN model USING (w1, w2)
+        GROUP BY 1"""))
   )
 }

@@ -269,4 +269,98 @@ class Round10OpsSpec extends AnyFunSuite {
       .collect().toSet
     assert(a == b && a.nonEmpty)
   }
+
+  // ---- Stats.mannWhitneyU --------------------------------------------
+
+  test("mann-whitney matches the hand value on disjoint samples") {
+    // A = {1,2,3}, B = {4,5,6}: R_A = 6, U_A = 0 (A entirely below B);
+    // z = (0 − 4.5)/sqrt(3·3·7/12) = −4.5/√5.25 = −1.963961 (no ties)
+    val df = (Seq((1.0, "a"), (2.0, "a"), (3.0, "a"),
+      (4.0, "b"), (5.0, "b"), (6.0, "b"))).toDF("v", "g")
+    val row = Stats.mannWhitneyU(df, "g", "v", "a", "b").head()
+    assert(row.getAs[Long]("n_a") == 3L && row.getAs[Long]("n_b") == 3L)
+    assert(row.getAs[Long]("u_a_x2") == 0L)
+    assert(row.getAs[Double]("z") == -1.963961)
+  }
+
+  test("mann-whitney midranks keep ties exact") {
+    // A = {1,1}, B = {1,2}: the three 1s share midrank 2 → R_A = 4,
+    // U_A = 1 → doubled statistic 2
+    val df = Seq((1.0, "a"), (1.0, "a"), (1.0, "b"), (2.0, "b"))
+      .toDF("v", "g")
+    val row = Stats.mannWhitneyU(df, "g", "v", "a", "b").head()
+    assert(row.getAs[Long]("u_a_x2") == 2L)
+  }
+
+  // ---- Stats.ksTest --------------------------------------------------
+
+  test("ks statistic and witness value match the hand ECDFs") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: max gap at x = 2 (F_a = .5, F_b = 0)
+    // → D = 0.5; witness reported in integerized (×1e6) units
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map((_, "a")) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map((_, "b"))).toDF("v", "g")
+    val row = Stats.ksTest(df, "g", "v", "a", "b").head()
+    assert(row.getAs[Long]("d_micro") == 500000L)
+    assert(row.getAs[Long]("at_v") == 2000000L)
+  }
+
+  test("ks on identical samples is zero") {
+    val df = (Seq(1.0, 2.0, 3.0).map((_, "a")) ++
+      Seq(1.0, 2.0, 3.0).map((_, "b"))).toDF("v", "g")
+    assert(Stats.ksTest(df, "g", "v", "a", "b")
+      .head().getAs[Long]("d_micro") == 0L)
+  }
+
+  // ---- Graph.modularity ----------------------------------------------
+
+  test("modularity numerators match the barbell hand value") {
+    // two triangles {1,2,3} / {4,5,6} bridged by (3,4): m = 7,
+    // each side e_c = 3, d_c = 7 → num_c = 4·7·3 − 49 = 35 per side
+    // (Q = 70/196 ≈ 0.357)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val comms = Seq((1L, "x"), (2L, "x"), (3L, "x"),
+      (4L, "y"), (5L, "y"), (6L, "y")).toDF("id", "comm")
+    val got = Graph.modularity(edges, comms)
+      .select("comm", "e_intra", "d_tot", "num_c")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (c, e, d, n) => c -> ((e, d, n)) }.toMap
+    assert(got("x") == ((3L, 7L, 35L)) && got("y") == ((3L, 7L, 35L)))
+  }
+
+  test("modularity of a random-equivalent split is non-positive") {
+    // one community holding the whole graph: e_c = m, d_c = 2m →
+    // num_c = 4m² − 4m² = 0 (the Q = 0 identity)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("id_a", "id_b")
+    val comms = Seq((1L, "all"), (2L, "all"), (3L, "all")).toDF("id", "comm")
+    assert(Graph.modularity(edges, comms).head().getAs[Long]("num_c") == 0L)
+  }
+
+  // ---- Sharding.rendezvousAssign -------------------------------------
+
+  test("rendezvous assignment is total, in-range, and spread") {
+    import graft.operators.Sharding
+    val keys = (1 to 1000).map(i => s"key$i").toDF("k")
+    val got = Sharding.rendezvousAssign(keys, "k", 8)
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(got.keySet.subsetOf((0L until 8L).toSet))
+    assert(got.keySet.size == 8, s"all shards used, got ${got.keySet}")
+    assert(got.values.sum == 1000L)
+  }
+
+  test("rendezvous shard growth moves keys ONLY to the new shard") {
+    // THE rendezvous property: growing 8 → 9 shards, every key whose
+    // assignment changes must land on shard 8 — untouched shards keep
+    // their files verbatim at re-shard time
+    import graft.operators.Sharding
+    val keys = (1 to 500).map(i => s"key$i").toDF("k")
+    val a8 = Sharding.rendezvousAssign(keys, "k", 8)
+      .select(col("k"), col("shard").as("s8"))
+    val a9 = Sharding.rendezvousAssign(keys, "k", 9)
+      .select(col("k"), col("shard").as("s9"))
+    val moved = a8.join(a9, "k").filter(col("s8") =!= col("s9"))
+      .select("s9").as[Long].collect()
+    assert(moved.nonEmpty && moved.forall(_ == 8L),
+      s"moved keys must all land on the new shard, got ${moved.toSet}")
+  }
 }
