@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+import graft.operators.PerceptualHash
+
+/** Native evaluator for the perceptual dHash fingerprint
+  * ([[graft.operators.PerceptualHash]]): binary payload → 9×7 integer
+  * mean-byte grid → 56 horizontal-gradient bits, in one tight JVM pass
+  * over the bytes.
+  *
+  * Exists for the same reason as [[HashNative]]: the HOF formulation
+  * (`transform(sequence(0,62), k -> aggregate(...conv(substring(hex...))))`
+  * feeding an `aggregate` that reads the cell array 112 times) evaluates
+  * interpreted — Spark higher-order functions have no codegen — and
+  * measured ~2 ms per fingerprint at 300-byte payloads (4-5 s for 2 000
+  * segment fingerprints in `mm_segment_dedup`). This loop is O(bytes + 63)
+  * with no hex detour and no per-byte allocation.
+  *
+  * Parity: computes EXACTLY the integer math of
+  * [[PerceptualHash.duckGridCells]] + [[PerceptualHash.duckDHashBits]]
+  * (the DuckDB oracle): cell k spans bytes [k·bn div 63, (k+1)·bn div 63)
+  * of the payload, its value is the floor-mean of the UNSIGNED byte
+  * values (empty spans are 0), and gradient bit b (0-based, b = r·8+c) is
+  * set iff cell(r·9+c) > cell(r·9+c+1). All quantities are nonnegative
+  * longs; bit 55 is the highest ever set, so the fingerprint, its banded
+  * chunk extraction (div/mod) and XOR/bit_count verify stay in
+  * nonnegative BIGINT range in both engines.
+  */
+object PhashNative {
+
+  /** 56-bit dHash fingerprint of a binary column (null → null; empty
+    * payloads hash like the all-zero grid, i.e. 0 — callers filter empties
+    * before the pair join, as before). */
+  def dhash56(bin: Column): Column =
+    GraftColumnBridge.column(DHash56(GraftColumnBridge.expression(bin)))
+
+  case class DHash56(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val bn = bytes.length.toLong
+      val cells = new Array[Long](PerceptualHash.Cells)
+      var k = 0
+      while (k < PerceptualHash.Cells) {
+        val st = k * bn / PerceptualHash.Cells
+        val en = (k + 1) * bn / PerceptualHash.Cells
+        if (en > st) {
+          var sum = 0L
+          var i = st
+          while (i < en) {
+            sum += (bytes(i.toInt) & 0xFF).toLong
+            i += 1
+          }
+          cells(k) = sum / (en - st)
+        }
+        k += 1
+      }
+      var f = 0L
+      var b = 0
+      while (b < PerceptualHash.Bits) {
+        val idx = (b / 8) * PerceptualHash.GridW + (b % 8)
+        if (cells(idx) > cells(idx + 1)) f |= 1L << b
+        b += 1
+      }
+      f
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+}

@@ -174,7 +174,9 @@ object Multimodal {
     * pipeline unchanged.
     *
     * Scale shape: per-row hashing cost is one linear pass over the
-    * payload (hex fold inside Catalyst, no UDF); chunk buckets carry
+    * payload ([[graft.functions.PhashNative.dhash56]], a native Catalyst
+    * expression — the interpreted HOF formulation it replaced measured
+    * ~2 ms per 300-byte fingerprint); chunk buckets carry
     * 7 bits each so expected bucket size grows N/128 — the 100 TB path
     * widens the fingerprint/chunks exactly like the simhash scale note.
     * Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ `maxHamming`. */
@@ -185,10 +187,8 @@ object Multimodal {
         s"${PerceptualHash.Chunks - 1}; got $maxHamming")
     val fp = df.select(col(idCol).as("id"), col(binCol).as("b"))
       .filter(col("b").isNotNull && length(col("b")) > 0)
-      .withColumn("hx", hex(col("b")))
-      .withColumn("bn", length(col("b")).cast("long"))
-      .withColumn("cells", expr(PerceptualHash.sparkGridCells("hx", "bn")))
-      .select(col("id"), expr(PerceptualHash.sparkDHashBits("cells")).as("f"))
+      .select(col("id"),
+        graft.functions.PhashNative.dhash56(col("b")).as("f"))
       .persist()
     fp.count()
     val chunks = fp.select(col("id"), col("f"),
@@ -233,18 +233,16 @@ object Multimodal {
         s"${PerceptualHash.Chunks - 1}; got $maxHamming")
     val fp = df.select(col(idCol).as("id"), col(binCol).as("b"))
       .filter(col("b").isNotNull && length(col("b")) > 0)
-      .withColumn("hxf", hex(col("b")))
       .withColumn("bn", length(col("b")).cast("long"))
       .withColumn("seg", explode(sequence(lit(0L), lit(nSegs - 1L))))
       .withColumn("st", expr(s"seg * bn div $nSegs"))
       .withColumn("en", expr(s"(seg + 1) * bn div $nSegs"))
       .filter(col("en") > col("st"))
-      .withColumn("hx", expr(
-        "substring(hxf, CAST(2 * st + 1 AS INT), CAST(2 * (en - st) AS INT))"))
-      .withColumn("sbn", col("en") - col("st"))
-      .withColumn("cells", expr(PerceptualHash.sparkGridCells("hx", "sbn")))
+      // binary substring slices bytes (1-based pos), so the segment feeds
+      // the native fingerprint without the hex detour
       .select(col("id"), col("seg"),
-        expr(PerceptualHash.sparkDHashBits("cells")).as("f"))
+        graft.functions.PhashNative.dhash56(expr(
+          "substring(b, CAST(st + 1 AS INT), CAST(en - st AS INT))")).as("f"))
       .filter(col("f") =!= 0L)
       .persist()
     fp.count()
@@ -267,13 +265,15 @@ object Multimodal {
   }
 }
 
-/** The dHash fingerprint in both dialects (the [[graft.functions.HashExprs]]
-  * discipline: exact integer arithmetic, generated from the same constants,
-  * so the oracle reproduces it bit-for-bit). 9×7 grid → 8 gradient bits per
-  * row × 7 rows = 56 bits — deliberately < 63 so the fingerprint, its
-  * chunk extraction (div/mod) and the XOR/bit_count verify all stay in
-  * nonnegative BIGINT range in both engines (a 64-bit hash would put bit 63
-  * in the sign position, where arithmetic-shift / mod semantics diverge). */
+/** The dHash fingerprint constants + DuckDB-dialect mirror (the
+  * [[graft.functions.HashExprs]] discipline: exact integer arithmetic,
+  * generated from the same constants, so the oracle reproduces the Spark
+  * side — [[graft.functions.PhashNative.DHash56]], a native expression —
+  * bit-for-bit). 9×7 grid → 8 gradient bits per row × 7 rows = 56 bits —
+  * deliberately < 63 so the fingerprint, its chunk extraction (div/mod)
+  * and the XOR/bit_count verify all stay in nonnegative BIGINT range in
+  * both engines (a 64-bit hash would put bit 63 in the sign position,
+  * where arithmetic-shift / mod semantics diverge). */
 object PerceptualHash {
   val GridW = 9
   val GridH = 7
@@ -282,25 +282,6 @@ object PerceptualHash {
   val Chunks = 8
   val ChunkBits = Bits / Chunks // 7
   require(Chunks * ChunkBits == Bits)
-
-  /** hex string + byte length → 63 integer cells (mean byte value per
-    * contiguous span; empty spans — payloads shorter than the grid — are
-    * 0). `hx`/`bn` are COLUMN NAMES. */
-  def sparkGridCells(hx: String, bn: String): String =
-    s"""transform(sequence(0, ${Cells - 1}), k ->
-       |  CASE WHEN ((k + 1) * $bn) div $Cells > (k * $bn) div $Cells THEN
-       |    aggregate(sequence((k * $bn) div $Cells, ((k + 1) * $bn) div $Cells - 1), 0L,
-       |      (acc, i) -> acc + CAST(conv(substring($hx, CAST(2 * i + 1 AS INT), 2), 16, 10) AS BIGINT))
-       |    div (((k + 1) * $bn) div $Cells - (k * $bn) div $Cells)
-       |  ELSE 0L END)""".stripMargin
-
-  /** cells → 56-bit gradient fingerprint: bit (r·8+c) set iff
-    * cell(r, c) > cell(r, c+1) in the 9-wide row-major grid. */
-  def sparkDHashBits(cells: String): String =
-    s"""aggregate(sequence(0, ${Bits - 1}), 0L, (acc, b) ->
-       |  acc + IF(element_at($cells, CAST((b div 8) * $GridW + (b % 8) + 1 AS INT)) >
-       |           element_at($cells, CAST((b div 8) * $GridW + (b % 8) + 2 AS INT)),
-       |           shiftleft(1L, CAST(b AS INT)), 0L))""".stripMargin
 
   /** fingerprint → banded chunk keys (chunk index mixed in). */
   def sparkChunks(f: String): String =

@@ -89,6 +89,25 @@ class MultimodalSpec extends AnyFunSuite {
     pairs.unpersist(); same.unpersist()
   }
 
+  test("native dhash56 matches the hand fingerprint on a 1-byte-per-cell grid") {
+    import spark.implicits._
+    // 63 bytes → each grid cell is exactly one byte; alternate 200/100 so
+    // cell(i) > cell(i+1) iff i is even. Bit b (= r·8+c) reads cell
+    // r·9+c, whose parity is (r+c) mod 2 flipped by r (9 ≡ 1 mod 2):
+    // row r even → bits at even c (0x55), row r odd → odd c (0xAA)
+    val bytes = Array.tabulate(63)(i =>
+      (if (i % 2 == 0) 200 else 100).toByte)
+    val got = Seq((1L, bytes)).toDF("id", "media")
+      .select(graft.functions.PhashNative.dhash56(col("media")).as("f"))
+      .head().getLong(0)
+    assert(got === 0x55AA55AA55AA55L)
+    // empty payload → all-zero grid → fingerprint 0 (callers filter these)
+    val empty = Seq((1L, Array.empty[Byte])).toDF("id", "media")
+      .select(graft.functions.PhashNative.dhash56(col("media")).as("f"))
+      .head().getLong(0)
+    assert(empty === 0L)
+  }
+
   test("frame sample takes every stride-th byte up to maxFrames") {
     import spark.implicits._
     val bytes = Array.tabulate(300)(i => (i % 256).toByte)
