@@ -602,4 +602,81 @@ object Graph {
     und.unpersist(false)
     r
   }
+
+  /** HITS (Kleinberg) hubs-and-authorities over a DIRECTED edge list —
+    * the link-analysis readout PageRank can't give: on a bipartite
+    * buyer→product graph, authority scores the pointed-at side by the
+    * quality of its pointers and hub scores the pointing side by the
+    * quality of what it points at, mutually reinforcing.
+    *
+    * Exactness: power iteration with L1 (sum) normalization instead of
+    * the textbook L2 — the renormalized score is the exact floor
+    * `raw · scale div total`, all longs, so results are bit-identical
+    * across engines and partitionings and the oracle replays the rounds
+    * in chained CTEs (the q70 pagerank pattern). Overflow bound: each
+    * normalized score ≤ `scale`, so a raw in-sum ≤ |E|·scale and the
+    * renormalization product ≤ |E|·scale² — with the default micro scale
+    * (10⁶) that holds to |E| ≈ 9·10⁶ in long range; larger graphs raise
+    * to DECIMAL(38,0) with the same plan shape.
+    *
+    * Per-round plan: TWO edge⋈score joins and two per-node aggregates
+    * (auth from the hubs, then hubs from the fresh auth), each followed
+    * by a 1-row total collected to the driver and inlined (the dangling-
+    * mass control-plane pattern — measured cheaper than a broadcast
+    * re-join in the pagerank A/B). Edges are cached once; scores are
+    * node-sized and broadcast by default (`broadcastScores = false` for
+    * billion-node graphs keeps co-partitioned SMJ). Nodes missing from a
+    * side (never pointed at / never pointing) carry score 0 there.
+    *
+    * OWNERSHIP: the result is checkpoint-persisted; release with
+    * `Checkpoints.release` (the pageRank contract). Output:
+    * (id, auth_scaled, hub_scaled) per node, sums ≈ scale each.
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+      edgesDistinct: Boolean = false,
+      broadcastScores: Boolean = true): DataFrame = {
+    val raw = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e = (if (edgesDistinct) raw else raw.distinct()).cache()
+    val nodes = e.select(col("src").as("id")).distinct()
+      .union(e.select(col("dst").as("id")).distinct()).distinct().cache()
+    val n = nodes.count()
+    require(n > 0 && n <= scale, s"hits needs 0 < n <= scale, got n=$n")
+    def hinted(df: DataFrame) = if (broadcastScores) broadcast(df) else df
+    def renorm(rawScores: DataFrame, c: String): DataFrame = {
+      // 1-row control-plane total, inlined as a literal so the floor
+      // division `raw * scale div total` is mirrored verbatim
+      val tot = rawScores.agg(coalesce(sum(col(c)), lit(0L)))
+        .collect()(0).getLong(0)
+      require(tot > 0, "hits: zero total mass (graph has no edges?)")
+      nodes.join(hinted(rawScores), Seq("id"), "left")
+        .select(col("id"),
+          expr(s"coalesce($c, 0L) * ${scale}L div ${tot}L").as(c))
+    }
+    var hub = nodes.select(col("id"), lit(scale / n).as("h"))
+    var auth: DataFrame = null
+    val caches = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (i <- 0 until iters) {
+      val aRaw = e.join(hinted(hub.select(col("id").as("src"), col("h"))),
+          Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("a"))
+      auth = renorm(aRaw, "a").persist()
+      caches += auth
+      val hRaw = e.join(hinted(auth.select(col("id").as("dst"), col("a"))),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("h"))
+      hub = renorm(hRaw, "h")
+      if (i != iters - 1) { hub = hub.persist(); caches += hub }
+      // release superseded round caches (each round reads only its
+      // predecessor; the renorm collect just materialized the newest)
+      while (caches.length > 2) caches.remove(0).unpersist(false)
+    }
+    val out = auth.join(hub, Seq("id"))
+      .select(col("id"), col("a").as("auth_scaled"), col("h").as("hub_scaled"))
+    val r = out.localCheckpoint()
+    caches.foreach(_.unpersist(false))
+    e.unpersist(false)
+    nodes.unpersist(false)
+    r
+  }
 }

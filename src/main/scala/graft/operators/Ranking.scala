@@ -188,4 +188,59 @@ object Ranking {
       .withColumn("rrf", round(col("s").cast("double") / 1e12, 6))
       .drop("s")
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): corpus-level
+    * salient terms as the PageRank of the word co-occurrence graph —
+    * unlike raw frequency, a term ranks high when it co-occurs with OTHER
+    * well-connected terms, which is what separates topical vocabulary
+    * from boilerplate fill.
+    *
+    * Graph: adjacent whitespace-token pairs (window 1) across all docs,
+    * symmetrized and deduped; nodes are the shared deterministic char
+    * hash of the term ([[graft.functions.HashExprs]] — collisions merge
+    * words identically in both engines, so parity holds by construction).
+    * Ranks come from [[Graph.pageRank]] verbatim (integer-exact damped
+    * rounds; every node of the symmetric graph has an out-edge, so the
+    * default no-dangling mode applies); terms map back by min-word per
+    * hash and the top `topN` emit (term, rank_scaled, rank).
+    *
+    * Scale shape: the edge list is bounded by total token count (window
+    * 1), the pagerank loop inherits pageRank's shape, and the final
+    * global top-N is a TakeOrdered over node-grain rows. */
+  def textrankKeywords(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int, topN: Int): DataFrame = {
+    import graft.functions.HashExprs
+    val bg = docs
+      .select(split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> named_struct('w1', element_at(tk, i),
+          |                    'w2', element_at(tk, i + 1)))""".stripMargin))
+        .as("z"))
+      .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "" && col("w1") =!= col("w2"))
+    val hashed = bg.select(
+        expr(HashExprs.sparkCharHash("w1")).as("a"),
+        expr(HashExprs.sparkCharHash("w2")).as("b"))
+    val edges = hashed.select(col("a").as("src"), col("b").as("dst"))
+      .union(hashed.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    val ranks = Graph.pageRank(edges, iters, edgesDistinct = true,
+      broadcastRank = true)
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("term"), expr(HashExprs.sparkCharHash("term")).as("id"))
+      .groupBy(col("id")).agg(min(col("term")).as("term"))
+    val out = ranks.join(words, Seq("id"))
+      .select(col("term"), col("rank").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("term").asc)
+      .limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rank_scaled").desc, col("term").asc)).cast("long"))
+    val r = out.localCheckpoint()
+    Checkpoints.release(ranks)
+    r
+  }
 }

@@ -411,6 +411,134 @@ object Round10 {
                CAST(sum(occ * nll_x1e6) AS BIGINT) AS kn_nll_x1e6,
                CAST(sum(occ * nll_x1e6) // sum(occ) AS BIGINT) AS avg_kn_x1e6
         FROM db JOIN model USING (w1, w2)
-        GROUP BY 1"""))
+        GROUP BY 1""")),
+
+    // ---- HITS hubs & authorities --------------------------------------
+    // who are the hub buyers and the authority suppliers? HITS over the
+    // directed customer→supplier purchase graph: L1-normalized power
+    // iteration with exact floor renormalization (raw·scale div total),
+    // the per-round totals as control-plane scalars — the oracle unrolls
+    // the identical integer rounds (the q53/q70 pagerank pattern).
+    Q("q137_hits", (s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = Tables.spread(
+        o.join(li, o("o_orderkey") === li("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 10000000L).as("dst"))).distinct()
+      ScaleOps.withAqeOff(s) { ScaleOps.withShufflePartitions(s, 8) {
+        Graph.hits(edges, iters = 2, edgesDistinct = true)
+      } }
+    }, Some {
+      val iterCtes = (1 to 2).map { i =>
+        s"""ar$i AS (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
+           |  FROM e0 e JOIN h${i - 1} h ON e.src = h.id GROUP BY 1),
+           |ta$i AS (SELECT CAST(sum(a) AS BIGINT) AS t FROM ar$i),
+           |a$i AS (SELECT n.id,
+           |    CAST(coalesce(ar.a, 0) * 1000000 // ta.t AS BIGINT) AS a
+           |  FROM nodes n CROSS JOIN ta$i ta
+           |  LEFT JOIN ar$i ar ON n.id = ar.id),
+           |hr$i AS (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
+           |  FROM e0 e JOIN a$i a ON e.dst = a.id GROUP BY 1),
+           |th$i AS (SELECT CAST(sum(h) AS BIGINT) AS t FROM hr$i),
+           |h$i AS (SELECT n.id,
+           |    CAST(coalesce(hr.h, 0) * 1000000 // th.t AS BIGINT) AS h
+           |  FROM nodes n CROSS JOIN th$i th
+           |  LEFT JOIN hr$i hr ON n.id = hr.id)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH e0 AS (SELECT DISTINCT o.o_custkey AS src,
+                    l.l_suppkey + 10000000 AS dst
+                  FROM orders o JOIN lineitem l
+                    ON o.o_orderkey = l.l_orderkey),
+      nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+      params AS (SELECT CAST(1000000 // count(*) AS BIGINT) AS unit
+                 FROM nodes),
+      h0 AS (SELECT id, unit AS h FROM nodes CROSS JOIN params),
+      $iterCtes
+      SELECT a2.id, a2.a AS auth_scaled, h2.h AS hub_scaled
+      FROM a2 JOIN h2 USING (id)"""
+    }),
+
+    // ---- Count-Min sketch ---------------------------------------------
+    // bounded-state frequency estimation: a 4×64 CMS of per-user event
+    // counts (cell-wise additive across shards — the 100 TB merge story),
+    // graded against the exact counts; the one-sided error (est ≥ true)
+    // is structural and the spec asserts it.
+    Q("sketch_countmin", (s, d) =>
+      graft.operators.CountMinSketch.estimates(
+        Tables.events(s, d), "user_id", depth = 4, width = 64)
+        .select(col("k").as("user_id"), col("true_cnt"), col("est_cnt")),
+      Some(s"""
+        WITH keys AS (SELECT user_id AS k, count(*) AS true_cnt
+                      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        cells AS (SELECT c.d AS d, c.bucket AS bucket, count(*) AS cnt
+                  FROM (SELECT unnest(${graft.operators.CountMinSketch
+                      .duckBuckets("user_id", 4, 64)}) AS c
+                        FROM events WHERE user_id IS NOT NULL)
+                  GROUP BY 1, 2),
+        probes AS (SELECT k, true_cnt,
+                     unnest(${graft.operators.CountMinSketch
+                      .duckBuckets("k", 4, 64)}) AS c
+                   FROM keys)
+        SELECT k AS user_id, true_cnt, CAST(min(cells.cnt) AS BIGINT) AS est_cnt
+        FROM probes JOIN cells
+          ON probes.c.d = cells.d AND probes.c.bucket = cells.bucket
+        GROUP BY 1, 2""")),
+
+    // ---- TextRank keywords --------------------------------------------
+    // corpus keywords as PageRank over the adjacent-token co-occurrence
+    // graph (symmetrized window-1 edges, nodes = shared char hashes so
+    // both engines merge collisions identically); ranks replay q53's
+    // integer rounds, terms map back by min-word per hash, top 10.
+    Q("text_textrank", (s, d) =>
+      ScaleOps.withAqeOff(s) { ScaleOps.withShufflePartitions(s, 8) {
+        graft.operators.Ranking.textrankKeywords(
+          Tables.ts(s, d, "documents"), "doc_id", "text",
+          iters = 2, topN = 10)
+      } },
+      Some {
+        import graft.functions.HashExprs
+        val iterCtes = (1 to 2).map { i =>
+          s"""c$i AS (SELECT e.dst AS id, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS m
+             |  FROM edges e JOIN r${i - 1} r ON e.src = r.id
+             |               JOIN deg d ON e.src = d.src
+             |  GROUP BY 1),
+             |r$i AS (SELECT n.id,
+             |    CAST(p.tp + (85 * coalesce(c.m, 0)) // 100 AS BIGINT) AS rank
+             |  FROM nodes n CROSS JOIN params p
+             |  LEFT JOIN c$i c ON n.id = c.id)""".stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+        pr AS (SELECT unnest(list_zip(list_slice(tk, 1, len(tk)-1),
+                                      list_slice(tk, 2, len(tk)))) AS z
+               FROM toks WHERE len(tk) >= 2),
+        wp AS (SELECT z[1] AS w1, z[2] AS w2 FROM pr
+               WHERE z[1] <> '' AND z[2] <> '' AND z[1] <> z[2]),
+        hp AS (SELECT ${HashExprs.duckCharHash("w1")} AS a,
+                      ${HashExprs.duckCharHash("w2")} AS b
+               FROM wp),
+        edges AS (SELECT a AS src, b AS dst FROM hp
+                  UNION SELECT b, a FROM hp),
+        nodes AS (SELECT DISTINCT src AS id FROM edges),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        params AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS unit,
+                     CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT) AS tp
+                   FROM nodes),
+        r0 AS (SELECT id, unit AS rank FROM nodes CROSS JOIN params),
+        $iterCtes,
+        wm AS (SELECT ${HashExprs.duckCharHash("term")} AS id,
+                      min(term) AS term
+               FROM (SELECT unnest(string_split(text, ' ')) AS term
+                     FROM documents)
+               WHERE term <> '' GROUP BY 1),
+        ranked AS (SELECT wm.term, r2.rank AS rank_scaled,
+                     row_number() OVER (ORDER BY r2.rank DESC, wm.term ASC)
+                       AS rank
+                   FROM r2 JOIN wm ON r2.id = wm.id)
+        SELECT term, rank_scaled, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 10"""
+      })
   )
 }

@@ -363,4 +363,56 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(moved.nonEmpty && moved.forall(_ == 8L),
       s"moved keys must all land on the new shard, got ${moved.toSet}")
   }
+
+  // ---- Graph.hits ----------------------------------------------------
+
+  test("hits matches the hand-run L1 power iteration") {
+    // edges 1→3, 2→3, 2→4; scale 1e6, unit 250000.
+    // round 1: aRaw={3:500000,4:250000} ta=750000 → a={3:666666,4:333333}
+    //          hRaw={1:666666,2:999999} th=1666665 → h={1:400000,2:600000}
+    // round 2: aRaw={3:1000000,4:600000} ta=1600000 → a={3:625000,4:375000}
+    //          hRaw={1:625000,2:1000000} th=1625000 → h={1:384615,2:615384}
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(3L) == ((625000L, 0L)) && got(4L) == ((375000L, 0L)))
+    assert(got(1L) == ((0L, 384615L)) && got(2L) == ((0L, 615384L)))
+  }
+
+  // ---- CountMinSketch ------------------------------------------------
+
+  test("count-min estimates are exact without collisions, >= true always") {
+    import graft.operators.CountMinSketch
+    // few keys vs wide sketch: no collisions possible to matter at d=4
+    val df = (Seq.fill(5)(10L) ++ Seq.fill(3)(20L) ++ Seq(30L)).toDF("k")
+    val got = CountMinSketch.estimates(df, "k", depth = 4, width = 1024)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == ((5L, 5L)) && got(20L) == ((3L, 3L)) &&
+      got(30L) == ((1L, 1L)))
+    // narrow sketch (width 2): collisions guaranteed, one-sided error only
+    val many = (1L to 100L).flatMap(k => Seq.fill((k % 3 + 1).toInt)(k))
+      .toDF("k")
+    val est = CountMinSketch.estimates(many, "k", depth = 4, width = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(est.length == 100)
+    assert(est.forall { case (_, t, e) => e >= t },
+      "CMS estimates must never undercount")
+  }
+
+  // ---- Ranking.textrankKeywords --------------------------------------
+
+  test("textrank ranks the co-occurrence hub word first") {
+    import graft.operators.Ranking
+    // 'core' neighbors every other word; satellites only touch 'core' —
+    // the hub must out-rank all satellites at any iteration count
+    val docs = Seq(
+      (1L, "core alpha core beta core gamma"),
+      (2L, "delta core epsilon core zeta core")).toDF("doc_id", "text")
+    val out = Ranking.textrankKeywords(docs, "doc_id", "text",
+      iters = 2, topN = 3).as[(String, Long, Long)].collect()
+    assert(out.head._1 == "core" && out.head._3 == 1L)
+    assert(out.length == 3)
+    assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted.reverse,
+      "ranks must be emitted in descending score order")
+  }
 }
