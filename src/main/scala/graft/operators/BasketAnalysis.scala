@@ -64,4 +64,62 @@ object BasketAnalysis {
         round(col("nb").cast("double") * col("s_ab") /
           (col("s_a") * col("s_b")), 6).as("lift"))
   }
+
+  /** Item-item collaborative-filtering neighbors: per item, the `topK`
+    * most-similar items by binary cosine over the user-interaction sets —
+    * `cos(i, j) = c_ij / √(n_i·n_j)` with `c_ij` the users interacting
+    * with both and `n_i` each item's user count. The "users who engaged
+    * with X also engaged with Y" recommender primitive, and (read over
+    * documents × sources) a source-affinity readout for corpus curation.
+    *
+    * Exactness: all counts are exact longs over distinct (user, item)
+    * memberships; the single mirrored double op is
+    * `cos_micro = round(10⁶·c/√(n_i·n_j))`. Per-item neighbor ranking
+    * breaks ties (cos, then neighbor id) so the top-k cut is total-ordered.
+    *
+    * Plan shape: candidate pairs come from the per-user self-equi-join —
+    * Σ C(|user items|, 2), never a cartesian — with `maxUserItems`
+    * enforcing the bound exactly like [[rules]]' basket cap (over-cap
+    * users are dropped whole BEFORE pairing and norms, keeping cosines
+    * consistent with the mined universe; a crawler account touching 10⁵
+    * items is a skew bomb, not a taste profile). The per-item top-k is a
+    * window over the bounded pair table, partitioned on the item.
+    *
+    * Output: (item, neighbor, c, cos_micro, rn), rn ≤ `topK`, both
+    * directions of every pair. */
+  def itemCosine(df: DataFrame, userCol: String, itemCol: String,
+      topK: Int, maxUserItems: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m0 = df.select(col(userCol).as("u"), col(itemCol).as("it"))
+      .filter(col("u").isNotNull && col("it").isNotNull)
+      .distinct()
+    val m = maxUserItems match {
+      case Some(cap) =>
+        val w = Window.partitionBy(col("u"))
+        m0.withColumn("un", count(lit(1)).over(w))
+          .filter(col("un") <= cap).drop("un")
+      case None => m0
+    }
+    val norms = m.groupBy(col("it")).agg(count(lit(1)).as("n"))
+    val pairs = m.select(col("u"), col("it").as("ia"))
+      .join(m.select(col("u"), col("it").as("ib")), Seq("u"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
+    val directed = pairs.select(col("ia").as("item"), col("ib").as("neighbor"),
+        col("c"))
+      .unionByName(pairs.select(col("ib").as("item"), col("ia").as("neighbor"),
+        col("c")))
+    val scored = directed
+      .join(norms.select(col("it").as("item"), col("n").as("n_i")), Seq("item"))
+      .join(norms.select(col("it").as("neighbor"), col("n").as("n_j")),
+        Seq("neighbor"))
+      .withColumn("cos_micro", expr(
+        "CAST(round(1e6 * c / sqrt(CAST(n_i AS DOUBLE) * n_j)) AS BIGINT)"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cos_micro").desc, col("neighbor").asc)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("item"), col("neighbor"), col("c"), col("cos_micro"),
+        col("rn"))
+  }
 }

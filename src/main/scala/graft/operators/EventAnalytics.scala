@@ -145,6 +145,65 @@ object EventAnalytics {
       round(col("n") / sum(col("n")).over(rowTotal), 6))
   }
 
+  /** Stationary distribution of the [[transitionMatrix]] chain: `iters`
+    * exact-integer power rounds of `x·P` from uniform — "where does the
+    * user population settle" (the steady-state page/event mix). States
+    * appearing only as a successor (chain ends) get a SELF-LOOP so their
+    * mass persists instead of leaking (the standard absorbing-state fix,
+    * applied identically by the oracle).
+    *
+    * Exactness: round k+1 mass of state j is
+    * `Σ_i x_k(i)·n_ij div tot_i` — floor per (i,j) term, all longs.
+    * With the default giga `scale`, each term's product is
+    * ≤ scale·tot_i ≤ 10⁹·tot_i: in long range while row totals stay
+    * under ~9·10⁹ transitions; beyond that (the 100 TB clickstream)
+    * switch the product to DECIMAL(38,0) — plan shape unchanged. Floor
+    * losses make Σx drift a few units below scale per round; they are
+    * NOT renormalized (the oracle replays the identical drift).
+    *
+    * Plan shape: the transition matrix is bounded by |state|² (hash
+    * aggregate over the log, map-side combined); each round is one
+    * state-sized join of x onto the matrix plus one aggregate — the
+    * pagerank shape on a bounded graph, no per-round log rescans.
+    * Output: (state, mass_scaled). */
+  def stationaryDistribution(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, tieCol: String, iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val counts = events
+      .filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .withColumn("prev", lag(col(typeCol), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col(typeCol).as("next"))
+      .agg(count(lit(1)).as("n"))
+    val states = counts.select(col("prev").as("state"))
+      .union(counts.select(col("next").as("state"))).distinct()
+    val sinks = states.join(counts.select(col("prev").as("state")).distinct(),
+        Seq("state"), "left_anti")
+      .select(col("state").as("prev"), col("state").as("next"),
+        lit(1L).as("n"))
+    val tot = counts.unionByName(sinks).groupBy(col("prev"))
+      .agg(sum(col("n")).as("tot"))
+    val e = counts.unionByName(sinks).join(tot, Seq("prev")).cache()
+    val nStates = states.count()
+    require(nStates > 0, "stationaryDistribution over an empty chain")
+    var x = states.select(col("state"), lit(scale / nStates).as("m"))
+    for (_ <- 0 until iters) {
+      x = e.join(broadcast(x.select(col("state").as("prev"), col("m"))),
+          Seq("prev"))
+        .select(col("next").as("state"), expr("m * n div tot").as("c"))
+        .groupBy(col("state")).agg(sum(col("c")).as("m"))
+    }
+    // zero-mass states (no inbound transitions) fall out of the aggregate;
+    // the readout re-lists them with explicit 0 so every state reports
+    val r = states.join(x, Seq("state"), "left")
+      .select(col("state"), coalesce(col("m"), lit(0L)).as("mass_scaled"))
+      .localCheckpoint()
+    e.unpersist(false)
+    r
+  }
+
   /** First-touch / last-touch conversion attribution: every `convType`
     * event is credited to the user's earliest touch overall (first-touch
     * model) and to the latest touch at-or-before the conversion

@@ -539,6 +539,82 @@ object Round10 {
                    FROM r2 JOIN wm ON r2.id = wm.id)
         SELECT term, rank_scaled, CAST(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 10"""
+      }),
+
+    // ---- item-item collaborative filtering ----------------------------
+    // "bought X also bought Y": per-part top-5 neighbors by binary cosine
+    // over customer interaction sets. Exact integer counts; one mirrored
+    // round(1e6·c/√(n_i·n_j)); the per-user pair join rides the same
+    // enforced cap as the basket rules (over-cap users dropped whole).
+    Q("q138_item_cf", (s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val ui = Tables.spread(
+        o.join(li, o("o_orderkey") === li("l_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_partkey").as("it")))
+      graft.operators.BasketAnalysis.itemCosine(ui, "u", "it",
+        topK = 5, maxUserItems = Some(200))
+    }, Some("""
+        WITH m0 AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        m AS (SELECT u, it FROM (
+                SELECT u, it, count(*) OVER (PARTITION BY u) AS un FROM m0)
+              WHERE un <= 200),
+        norms AS (SELECT it, count(*) AS n FROM m GROUP BY 1),
+        p AS (SELECT a.it AS ia, b.it AS ib, count(*) AS c
+              FROM m a JOIN m b ON a.u = b.u AND a.it < b.it GROUP BY 1, 2),
+        dd AS (SELECT ia AS item, ib AS neighbor, c FROM p
+               UNION ALL SELECT ib, ia, c FROM p),
+        sc AS (SELECT dd.item, dd.neighbor, dd.c,
+                 CAST(round(1e6 * dd.c
+                   / sqrt(CAST(ni.n AS DOUBLE) * nj.n)) AS BIGINT) AS cos_micro
+               FROM dd JOIN norms ni ON dd.item = ni.it
+                       JOIN norms nj ON dd.neighbor = nj.it),
+        r AS (SELECT *, row_number() OVER (PARTITION BY item
+                ORDER BY cos_micro DESC, neighbor ASC) AS rn
+              FROM sc)
+        SELECT item, neighbor, c, cos_micro, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= 5""")),
+
+    // ---- Markov stationary distribution -------------------------------
+    // where does the event mix settle? 3 exact-integer power rounds of
+    // x·P over the per-user transition chain, chain-end states self-
+    // looped so mass persists; floor losses are replayed, not
+    // renormalized. The oracle unrolls the identical rounds.
+    Q("q139_markov_stationary", (s, d) =>
+      graft.operators.EventAnalytics.stationaryDistribution(
+        Tables.events(s, d), "user_id", "ts", "event_type", "event_id",
+        iters = 3),
+      Some {
+        val iterCtes = (1 to 3).map { i =>
+          s"""x$i AS (SELECT e.next AS state,
+             |    CAST(sum(x.m * e.n // e.tot) AS BIGINT) AS m
+             |  FROM e JOIN x${i - 1} x ON e.prev = x.state GROUP BY 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""
+        WITH seq AS (SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        counts AS (SELECT prev, event_type AS next, count(*) AS n
+                   FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        states AS (SELECT prev AS state FROM counts
+                   UNION SELECT next FROM counts),
+        sinks AS (SELECT state AS prev, state AS next, 1::BIGINT AS n
+                  FROM states
+                  WHERE state NOT IN (SELECT DISTINCT prev FROM counts)),
+        ec AS (SELECT prev, next, n FROM counts
+               UNION ALL SELECT prev, next, n FROM sinks),
+        tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM ec GROUP BY 1),
+        e AS (SELECT ec.prev, ec.next, ec.n, tot.tot
+              FROM ec JOIN tot USING (prev)),
+        ns AS (SELECT count(*) AS ns FROM states),
+        x0 AS (SELECT state, CAST(1000000000 // ns AS BIGINT) AS m
+               FROM states CROSS JOIN ns),
+        $iterCtes
+        SELECT s.state, coalesce(x3.m, 0) AS mass_scaled
+        FROM states s LEFT JOIN x3 ON s.state = x3.state"""
       })
   )
 }

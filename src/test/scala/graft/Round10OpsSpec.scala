@@ -415,4 +415,46 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted.reverse,
       "ranks must be emitted in descending score order")
   }
+
+  // ---- BasketAnalysis.itemCosine -------------------------------------
+
+  test("item cosine matches hand values and enforces the user cap") {
+    import graft.operators.BasketAnalysis
+    // u1:{A,B} u2:{A,B} u3:{A,C} → n(A)=3 n(B)=2 n(C)=1; c(AB)=2 c(AC)=1
+    // cos(A,B)=2/√6→816497 micro; cos(A,C)=1/√3→577350 micro
+    val df = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C")).toDF("u", "it")
+    val got = BasketAnalysis.itemCosine(df, "u", "it", topK = 5)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("A", "B")) == ((2L, 816497L, 1L)))
+    assert(got(("A", "C")) == ((1L, 577350L, 2L)))
+    assert(got(("B", "A")) == ((2L, 816497L, 1L)))
+    // a 3-item user over cap 2 is dropped WHOLE: its pairs and its norm
+    // contributions vanish together
+    val wide = df.union(Seq((4L, "A"), (4L, "B"), (4L, "C")).toDF("u", "it"))
+    val capped = BasketAnalysis.itemCosine(wide, "u", "it", topK = 5,
+      maxUserItems = Some(2))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(capped == got, "over-cap user must not change any statistic")
+  }
+
+  // ---- EventAnalytics.stationaryDistribution -------------------------
+
+  test("markov stationary masses match the hand-run integer rounds") {
+    import graft.operators.EventAnalytics
+    // u1: a,b,a,b → a→b ×2, b→a ×1; u2: a,c → a→c ×1; c is a sink
+    // (self-looped). 3 rounds from uniform 333333333:
+    // x3 = {a: 222222222, b: 148148148, c: 629629629}
+    val ev = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 11L), (1L, 3L, "a", 12L),
+      (1L, 4L, "b", 13L), (2L, 1L, "a", 20L), (2L, 2L, "c", 21L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = EventAnalytics.stationaryDistribution(ev, "user_id", "ts",
+        "event_type", "event_id", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 222222222L, "b" -> 148148148L,
+      "c" -> 629629629L))
+  }
 }
