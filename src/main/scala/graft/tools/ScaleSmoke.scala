@@ -713,6 +713,62 @@ object ScaleSmoke {
           noop(r); r.unpersist()
         })
       },
+      // HITS on 10x edges (10x customers, shared suppliers): the two
+      // per-round join+aggregate passes must track the edge list
+      // linearly; score frames stay node-sized broadcasts
+      {
+        def purchases(o: DataFrame, l: DataFrame): DataFrame =
+          o.join(l, o("o_orderkey") === l("l_orderkey"))
+            .select(col("o_custkey").as("src"),
+              (col("l_suppkey") + 10000000L).as("dst"))
+        ("hits", time("hits 1x")(noop(
+            Graph.hits(purchases(o1, l1), iters = 2))),
+          time("hits 10x")(noop(
+            Graph.hits(purchases(o10, l10), iters = 2))))
+      },
+      // TextRank on the salted corpus (10x docs AND 10x vocabulary → 10x
+      // graph nodes/edges): tokenize + pagerank rounds must track tokens
+      // linearly; the top-10 cut is a TakeOrdered, not a global sort
+      ("textrank", time("textrank 1x") {
+        val r = Ranking.textrankKeywords(d1, "doc_id", "text", 2, 10)
+        noop(r)
+      }, time("textrank 10x") {
+        val r = Ranking.textrankKeywords(d10salt, "doc_id", "text", 2, 10)
+        noop(r)
+      }),
+      // item-CF with a degenerate 5000-item account: capped runtime must
+      // sit at ~the clean run (the assoc_rules_hotcap story — uncapped,
+      // the one account alone is C(5000,2) ≈ 12.5M pair rows in one task)
+      {
+        def ui(l: DataFrame): DataFrame =
+          l.select(col("l_orderkey").as("u"), col("l_partkey").as("it"))
+        val hot = spark.range(5000)
+          .select(lit(999999999L).as("u"), col("id").as("it"))
+        ("item_cf_hotcap", time("item_cf clean capped")(noop(
+            graft.operators.BasketAnalysis.itemCosine(ui(l1), "u", "it",
+              5, Some(64)))),
+          time("item_cf +hot capped")(noop(
+            graft.operators.BasketAnalysis.itemCosine(
+              ui(l1).unionByName(hot), "u", "it", 5, Some(64)))))
+      },
+      // Count-Min build+probe on 10x events with 10x users: sketch state
+      // is d×w regardless, so cost must track the log linearly (the
+      // whole point of the bounded-state sketch)
+      ("countmin", time("countmin 1x")(noop(
+          graft.operators.CountMinSketch.estimates(ev1, "user_id", 4, 64))),
+        time("countmin 10x")(noop(
+          graft.operators.CountMinSketch.estimates(ev10, "user_id", 4, 64)))),
+      // Markov stationary on 10x events: the transition matrix stays
+      // |types|²-bounded, so the log pays one window+aggregate pass and
+      // the power rounds cost ~nothing at any log size
+      ("stationary", time("stationary 1x")(noop(
+          EventAnalytics.stationaryDistribution(
+            graft.queries.Tables.normalizeEventTs(ev1), "user_id", "ts",
+            "event_type", "event_id", 3))),
+        time("stationary 10x")(noop(
+          EventAnalytics.stationaryDistribution(
+            graft.queries.Tables.normalizeEventTs(ev10), "user_id", "ts",
+            "event_type", "event_id", 3)))),
       // per-session state bounded to maxLen rows before the collect
       ("top_paths", time("top_paths 1x")(noop(
           EventAnalytics.topPaths(
