@@ -460,32 +460,6 @@ object Round10 {
       FROM a2 JOIN h2 USING (id)"""
     }),
 
-    // ---- Count-Min sketch ---------------------------------------------
-    // bounded-state frequency estimation: a 4×64 CMS of per-user event
-    // counts (cell-wise additive across shards — the 100 TB merge story),
-    // graded against the exact counts; the one-sided error (est ≥ true)
-    // is structural and the spec asserts it.
-    Q("sketch_countmin", (s, d) =>
-      graft.operators.CountMinSketch.estimates(
-        Tables.events(s, d), "user_id", depth = 4, width = 64)
-        .select(col("k").as("user_id"), col("true_cnt"), col("est_cnt")),
-      Some(s"""
-        WITH keys AS (SELECT user_id AS k, count(*) AS true_cnt
-                      FROM events WHERE user_id IS NOT NULL GROUP BY 1),
-        cells AS (SELECT c.d AS d, c.bucket AS bucket, count(*) AS cnt
-                  FROM (SELECT unnest(${graft.operators.CountMinSketch
-                      .duckBuckets("user_id", 4, 64)}) AS c
-                        FROM events WHERE user_id IS NOT NULL)
-                  GROUP BY 1, 2),
-        probes AS (SELECT k, true_cnt,
-                     unnest(${graft.operators.CountMinSketch
-                      .duckBuckets("k", 4, 64)}) AS c
-                   FROM keys)
-        SELECT k AS user_id, true_cnt, CAST(min(cells.cnt) AS BIGINT) AS est_cnt
-        FROM probes JOIN cells
-          ON probes.c.d = cells.d AND probes.c.bucket = cells.bucket
-        GROUP BY 1, 2""")),
-
     // ---- TextRank keywords --------------------------------------------
     // corpus keywords as PageRank over the adjacent-token co-occurrence
     // graph (symmetrized window-1 edges, nodes = shared char hashes so

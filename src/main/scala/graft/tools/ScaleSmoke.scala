@@ -751,13 +751,6 @@ object ScaleSmoke {
             graft.operators.BasketAnalysis.itemCosine(
               ui(l1).unionByName(hot), "u", "it", 5, Some(64)))))
       },
-      // Count-Min build+probe on 10x events with 10x users: sketch state
-      // is d×w regardless, so cost must track the log linearly (the
-      // whole point of the bounded-state sketch)
-      ("countmin", time("countmin 1x")(noop(
-          graft.operators.CountMinSketch.estimates(ev1, "user_id", 4, 64))),
-        time("countmin 10x")(noop(
-          graft.operators.CountMinSketch.estimates(ev10, "user_id", 4, 64)))),
       // Markov stationary on 10x events: the transition matrix stays
       // |types|²-bounded, so the log pays one window+aggregate pass and
       // the power rounds cost ~nothing at any log size

@@ -379,26 +379,6 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got(1L) == ((0L, 384615L)) && got(2L) == ((0L, 615384L)))
   }
 
-  // ---- CountMinSketch ------------------------------------------------
-
-  test("count-min estimates are exact without collisions, >= true always") {
-    import graft.operators.CountMinSketch
-    // few keys vs wide sketch: no collisions possible to matter at d=4
-    val df = (Seq.fill(5)(10L) ++ Seq.fill(3)(20L) ++ Seq(30L)).toDF("k")
-    val got = CountMinSketch.estimates(df, "k", depth = 4, width = 1024)
-      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(got(10L) == ((5L, 5L)) && got(20L) == ((3L, 3L)) &&
-      got(30L) == ((1L, 1L)))
-    // narrow sketch (width 2): collisions guaranteed, one-sided error only
-    val many = (1L to 100L).flatMap(k => Seq.fill((k % 3 + 1).toInt)(k))
-      .toDF("k")
-    val est = CountMinSketch.estimates(many, "k", depth = 4, width = 2)
-      .as[(Long, Long, Long)].collect()
-    assert(est.length == 100)
-    assert(est.forall { case (_, t, e) => e >= t },
-      "CMS estimates must never undercount")
-  }
-
   // ---- Ranking.textrankKeywords --------------------------------------
 
   test("textrank ranks the co-occurrence hub word first") {
