@@ -771,4 +771,72 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct(), shMat)
   }
+
+  /** EXACT word-set Jaccard join by prefix filtering (AllPairs/PPJoin,
+    * Bayardo et al. 2007 / Xiao et al. 2008) — the scale path that keeps
+    * COMPLETENESS: [[minhashNearDups]] banding can miss true pairs and
+    * [[ngramNearDups]]' `maxShingleDf` cap trades completeness for
+    * boundedness, but the prefix filter is a lossless candidate bound.
+    * Sort every doc's distinct tokens by GLOBAL rarity (df asc, token
+    * asc); a doc of n tokens posts only its first
+    * `p = n − ⌈τ·n⌉ + 1` tokens. Any pair with Jaccard ≥ τ overlaps in
+    * more than (1−τ)·max(na, nb) tokens, so both sides must post a shared
+    * token inside those windows — candidates are complete, and because
+    * prefixes are each doc's RAREST tokens, posting lists stay short
+    * exactly where df is large (the common token that floods an uncapped
+    * inverted index never enters a long doc's prefix).
+    *
+    * `⌈τ·n⌉` is the integer `(tauMilli·n + 999) div 1000`; the verify is
+    * the pure integer inequality `inter·1000 ≥ tauMilli·(na+nb−inter)`
+    * over exact full-set intersection counts, and the emitted score is
+    * floor-exact `jac_micro = 10⁶·inter div union`. No doubles anywhere.
+    *
+    * Plan shape: one distinct-token explode, one df aggregate, a per-doc
+    * rarity window (keyed on the doc — corpus-parallel), the candidate
+    * postings join over prefix tokens only, and an intersection count
+    * via two key joins of the candidate pairs back onto the token table.
+    * Output: (id_a, id_b, inter, jac_micro), id_a < id_b, Jaccard ≥ τ. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      tauMilli: Int): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    require(integralType(idType),
+      s"prefixJaccardPairs requires an integral id column, got $idType")
+    val tok = shingleTable(docs, idCol, textCol)
+      .select(col("id").cast("long").as("id"), explode(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+    prefixJaccardPairsFromTokens(tok, tauMilli, idType)
+  }
+
+  /** The [[prefixJaccardPairs]] kernel over an arbitrary pre-built
+    * distinct (id, s) token table — same algorithm on any token domain
+    * (word hashes, shingles, feature ids). */
+  def prefixJaccardPairsFromTokens(tokens: DataFrame, tauMilli: Int,
+      idType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauMilli > 0 && tauMilli <= 1000,
+      s"tauMilli must be in (0, 1000], got $tauMilli")
+    val tok = materialized(tokens.select(col("id"), col("s")))
+    val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val dfreq = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = tok.join(dfreq, "s").join(sizes, "id")
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)))
+      .filter(col("r") <= col("n") -
+        expr(s"($tauMilli * n + 999) div 1000") + 1)
+      .select(col("id"), col("s"))
+    val cand = postingsPairs(prefix).distinct()
+    val inter = cand
+      .join(tok.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(tok.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    finalized(inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .filter(col("inter") * 1000 >=
+        lit(tauMilli) * (col("na") + col("nb") - col("inter")))
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"), col("inter"),
+        expr("1000000 * inter div (na + nb - inter)").as("jac_micro")), tok)
+  }
 }

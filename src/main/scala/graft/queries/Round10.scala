@@ -589,6 +589,46 @@ object Round10 {
         $iterCtes
         SELECT s.state, coalesce(x3.m, 0) AS mass_scaled
         FROM states s LEFT JOIN x3 ON s.state = x3.state"""
+      }),
+
+    // ---- prefix-filter EXACT Jaccard join -----------------------------
+    // the lossless scale path for similarity joins: each doc posts only
+    // its p = n − ⌈τn⌉ + 1 globally-RAREST shingles (AllPairs/PPJoin
+    // prefix filter — candidates complete for Jaccard ≥ τ by pigeonhole,
+    // unlike minhash banding or df-capped postings), then exact integer
+    // verify. Same shingle domain as dedup_ngram, plus exact scores.
+    Q("dedup_prefix_jaccard", (s, d) =>
+      graft.operators.Dedup.prefixJaccardPairs(
+        Tables.ts(s, d, "documents"), "doc_id", "text", tauMilli = 700),
+      Some {
+        import graft.functions.{HashExprs => H}
+        s"""
+        WITH wh AS (SELECT doc_id, ${H.duckWordHashes("text")} AS wh
+                    FROM documents),
+        shl AS (SELECT doc_id, ${H.duckShingles("wh")} AS sh FROM wh),
+        tok AS (SELECT doc_id AS id, s FROM
+                  (SELECT doc_id, unnest(sh) AS s FROM shl)
+                WHERE s IS NOT NULL),
+        sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY 1),
+        dfreq AS (SELECT s, count(*) AS df FROM tok GROUP BY 1),
+        pfx AS (SELECT id, s FROM (
+                  SELECT t.id, t.s, sz.n,
+                    row_number() OVER (PARTITION BY t.id
+                      ORDER BY d.df ASC, t.s ASC) AS r
+                  FROM tok t JOIN dfreq d USING (s) JOIN sizes sz USING (id))
+                WHERE r <= n - ((700 * n + 999) // 1000) + 1),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM pfx a JOIN pfx b ON a.s = b.s AND a.id < b.id),
+        inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+                  FROM cand c JOIN tok ta ON ta.id = c.id_a
+                              JOIN tok tb ON tb.id = c.id_b AND tb.s = ta.s
+                  GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+               CAST(1000000 * i.inter // (sa.n + sb.n - i.inter) AS BIGINT)
+                 AS jac_micro
+        FROM inter i JOIN sizes sa ON i.id_a = sa.id
+                     JOIN sizes sb ON i.id_b = sb.id
+        WHERE i.inter * 1000 >= 700 * (sa.n + sb.n - i.inter)"""
       })
   )
 }

@@ -751,6 +751,18 @@ object ScaleSmoke {
             graft.operators.BasketAnalysis.itemCosine(
               ui(l1).unionByName(hot), "u", "it", 5, Some(64)))))
       },
+      // prefix-filter exact Jaccard on the salted corpus (disjoint
+      // sub-corpora, constant dup rate): candidates come only from each
+      // doc's rarest p shingles, so postings stay short where df is
+      // large — cost must track the corpus linearly, with NO completeness
+      // loss (the capped-postings / banding paths trade that away)
+      ("prefix_jaccard", time("prefix_jaccard 1x") {
+        val r = Dedup.prefixJaccardPairs(d1, "doc_id", "text", 700)
+        noop(r); r.unpersist()
+      }, time("prefix_jaccard 10x") {
+        val r = Dedup.prefixJaccardPairs(d10salt, "doc_id", "text", 700)
+        noop(r); r.unpersist()
+      }),
       // Markov stationary on 10x events: the transition matrix stays
       // |types|²-bounded, so the log pays one window+aggregate pass and
       // the power rounds cost ~nothing at any log size

@@ -420,6 +420,33 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(capped == got, "over-cap user must not change any statistic")
   }
 
+  // ---- Dedup.prefixJaccardPairs --------------------------------------
+
+  test("prefix-filter jaccard matches the uncapped exact path completely") {
+    import graft.operators.Dedup
+    // near-dup pair (0/1: one word changed), a containment-ish pair, and
+    // unrelated docs; the prefix filter must reproduce EXACTLY the pairs
+    // of the exhaustive postings path at the same threshold
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "totally different words appear in this document here now yes"))
+      .toDF("doc_id", "text")
+    val pf = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 700)
+    val got = pf.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = Dedup.ngramNearDups(docs, "doc_id", "text", 7, 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want && got.contains((2L, 3L)),
+      s"prefix filter must be lossless: got $got want $want")
+    // identical docs: 8 shared 3-shingles of 8 → jac 1.0 exactly
+    val row = pf.filter(col("id_a") === 2L).head()
+    assert(row.getAs[Long]("inter") == 8L &&
+      row.getAs[Long]("jac_micro") == 1000000L)
+    pf.unpersist()
+  }
+
   // ---- EventAnalytics.stationaryDistribution -------------------------
 
   test("markov stationary masses match the hand-run integer rounds") {
