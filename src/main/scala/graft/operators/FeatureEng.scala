@@ -86,10 +86,11 @@ object FeatureEng {
     * per-source scale). All rank arithmetic is integer:
     * pooled index = ceil(rn·N/n) = (rn·N + n − 1) div n over (value,
     * rowKey) total orders, and the mapped value is an exact data value —
-    * no interpolation. The pooled reference is a global ranked pass —
-    * run it on entity-grain or sampled data past one sort's capacity
-    * (same contract as [[graft.operators.Stats.equiDepthHistogram]]).
-    * Output: (rk, grp, v, norm).
+    * no interpolation. The pooled reference rank is a
+    * [[graft.operators.GlobalRank]] sharded pass (broadcast quantile-cut
+    * boundaries + per-shard windows), parallel at any row count; the
+    * total row count rides the same offset aggregate, saving the old
+    * separate `count()` job. Output: (rk, grp, v, norm).
     */
   def quantileNormalize(df: DataFrame, grpCol: String, valCol: String,
       rowKey: String): DataFrame = {
@@ -100,12 +101,10 @@ object FeatureEng {
       .withColumn("rn", row_number().over(Window.partitionBy(col("grp"))
         .orderBy(col("v").asc, col("rk").asc)).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
-    val pooled = base
-      .select(col("v").as("pv"), col("rk"))
-      .withColumn("idx", row_number().over(
-        Window.orderBy(col("pv").asc, col("rk").asc)).cast("long"))
-      .select(col("idx"), col("pv"))
-    val total = base.count()
+    val (pooledRanked, total) = graft.operators.GlobalRank.withRowNumber(
+      base.select(col("v").as("pv"), col("rk")),
+      col("pv"), asc = true, col("rk"), "idx")
+    val pooled = pooledRanked.select(col("idx"), col("pv"))
     ranked
       .withColumn("idx", expr(s"(rn * ${total}L + n - 1) div n"))
       .join(pooled, Seq("idx"))

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed global-rank primitive — the cure for the single-partition
+  * `WindowExec` that an unpartitioned `Window.orderBy(...)` plans (Spark
+  * logs `WARN WindowExec: No Partition Defined` and serializes the WHOLE
+  * input through one task: the one plan shape in this repo that does not
+  * survive a 100× scale-up).
+  *
+  * Strategy (the broadcast-boundary variant of the
+  * [[Linkage.sortedNeighborhood]] range-shard pattern): cut the value
+  * domain into `shards` ranges with a one-pass quantile sketch, broadcast
+  * the cut points as LITERALS so the shard id is a pure deterministic
+  * function of the row (no persisted frame needed to freeze a sampled
+  * partitioning — the hazard `repartitionByRange` has across two jobs),
+  * aggregate per-shard row counts (a ≤`shards`-row collect, the usual
+  * control-plane scalar), and run the rank window PARTITIONED by the shard
+  * id with each shard's global offset added back. Because the shard
+  * assignment is monotone in the value (rows with equal values always land
+  * in the same shard), the concatenation of per-shard (value, tie) orders
+  * IS the global order, and the emitted ranks are bit-identical to the
+  * one-task `row_number().over(Window.orderBy(value, tie))` — verified by
+  * the unchanged DuckDB oracle hashes of every converted query.
+  *
+  * Cost: one sketch pass + one count aggregate + one hash exchange for the
+  * windows — all full-width and fully parallel; the sketch keeps bounded
+  * memory (Greenwald-Khanna) at any input size. Skewed value domains
+  * degrade gracefully: a hot value maps to ONE shard (never split —
+  * required for correctness), so the worst case for one pathological value
+  * is the old single-task sort for that value's rows only.
+  *
+  * Contracts: `value` must cast to long without loss (micro-scaled
+  * integers throughout this repo; |v| must stay clear of Long.MinValue so
+  * descending negation cannot overflow); for descending order NULL values
+  * sort FIRST here (the negated-ascending convention), unlike Spark's
+  * default desc NULLS LAST — callers pass non-null measures (counts/sums),
+  * which every in-repo site does.
+  */
+object GlobalRank {
+
+  private val SV = "__gr_sv"
+  private val SHARD = "__gr_shard"
+
+  /** Quantile cut points of `sv` (already direction-adjusted), floored to
+    * long. Deduplicated: a constant column yields ZERO cuts (one shard) —
+    * never an empty shard per duplicate boundary. */
+  private def cutPoints(df: DataFrame, sv: Column, shards: Int): Array[Long] = {
+    if (shards <= 1) return Array.empty
+    val probs = (1 until shards).map(_.toDouble / shards).toArray
+    df.select(sv.cast("double").as("__d")).filter(col("__d").isNotNull)
+      .stat.approxQuantile("__d", probs, 0.001)
+      .map(d => math.floor(d).toLong).distinct.sorted
+  }
+
+  /** Monotone shard id: number of cut points strictly below `sv`. Equal
+    * values always share a shard; NULL compares to null → 0 (shard 0,
+    * matching asc NULLS FIRST). A fold of ≤`shards` codegen'd long
+    * comparisons — no HOF, no re-hash. */
+  private def shardOf(cuts: Array[Long], sv: Column): Column =
+    cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(sv > lit(c), 1).otherwise(0)
+    }
+
+  /** Core: adds `rankCol` = global 1-based row_number over
+    * (`value` asc-or-desc, `tie` asc) and, when `cumOf` is set, `cumCol` =
+    * global running sum of `cumOf` over the same order. Returns the frame
+    * (original columns + the added ones) plus (total row count, total sum).
+    */
+  private def rankedCore(df: DataFrame, value: Column, asc: Boolean,
+      tie: Column, rankCol: String,
+      cumOf: Option[(Column, String)]): (DataFrame, Long, Long) = {
+    val spark = df.sparkSession
+    val shards = spark.sessionState.conf.numShufflePartitions
+    val sv = if (asc) value.cast("long") else -value.cast("long")
+    val svDf = df.withColumn(SV, sv)
+    val cuts = cutPoints(svDf, col(SV), shards)
+    val assigned = svDf.withColumn(SHARD, shardOf(cuts, col(SV)))
+    // per-shard count (+ optional sum) — ≤ shards rows, driver-side fold
+    val sumExpr = cumOf.map(_._1).getOrElse(lit(0L)).cast("long")
+    val perShard = assigned.groupBy(col(SHARD))
+      .agg(count(lit(1)).as("__c"), sum(sumExpr).as("__s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .sortBy(_._1)
+    val total = perShard.map(_._2).sum
+    val grand = perShard.map(_._3).sum
+    // offset(p) = rows (resp. sum) in shards strictly before p
+    var cAcc = 0L; var sAcc = 0L
+    val offs = perShard.map { case (p, c, s) =>
+      val o = (p, cAcc, sAcc); cAcc += c; sAcc += s; o
+    }
+    val cntOff = typedLit(offs.map(o => o._1 -> o._2).toMap)
+    val w = Window.partitionBy(col(SHARD)).orderBy(col(SV).asc, tie.asc)
+    val ranked0 = assigned.withColumn(rankCol,
+      row_number().over(w).cast("long") +
+        coalesce(element_at(cntOff, col(SHARD)), lit(0L)))
+    val ranked = cumOf match {
+      case Some((c, cumCol)) =>
+        val sumOff = typedLit(offs.map(o => o._1 -> o._3).toMap)
+        ranked0.withColumn(cumCol,
+          sum(c.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
+            coalesce(element_at(sumOff, col(SHARD)), lit(0L)))
+      case None => ranked0
+    }
+    (ranked.drop(SV, SHARD), total, grand)
+  }
+
+  /** Global 1-based row_number over (`value` asc/desc, `tie` asc), plus
+    * the total row count (free from the offset aggregate — saves callers a
+    * separate `count()` pass). */
+  def withRowNumber(df: DataFrame, value: Column, asc: Boolean, tie: Column,
+      rankCol: String): (DataFrame, Long) = {
+    val (out, n, _) = rankedCore(df, value, asc, tie, rankCol, None)
+    (out, n)
+  }
+
+  /** SQL-standard NTILE(buckets) over (`value` asc/desc, `tie` asc):
+    * derived arithmetically from the global rank — first n%B buckets get
+    * ceil(n/B) rows — exactly Spark's and DuckDB's NTILE. */
+  def withNtile(df: DataFrame, value: Column, asc: Boolean, tie: Column,
+      buckets: Int, bucketCol: String): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val rk = "__gr_rn"
+    val (ranked, n) = withRowNumber(df, value, asc, tie, rk)
+    val q = n / buckets
+    val r = n % buckets
+    val bucket =
+      if (q == 0) col(rk) // n < buckets: bucket i holds exactly row i
+      else expr(s"CASE WHEN $rk <= ${r * (q + 1)} " +
+        s"THEN ($rk - 1) div ${q + 1} + 1 " +
+        s"ELSE $r + ($rk - ${r * (q + 1)} - 1) div $q + 1 END")
+    ranked.withColumn(bucketCol, bucket.cast("long")).drop(rk)
+  }
+
+  /** Global running sum of `sumOf` over (`value` asc/desc, `tie` asc) into
+    * `cumCol`, plus the grand total (the `sum() OVER ()` companion,
+    * without a second full-frame window). The rank column is internal. */
+  def withCumSum(df: DataFrame, value: Column, asc: Boolean, tie: Column,
+      sumOf: Column, cumCol: String): (DataFrame, Long) = {
+    val rk = "__gr_rn"
+    val (out, _, grand) =
+      rankedCore(df, value, asc, tie, rk, Some((sumOf, cumCol)))
+    (out.drop(rk), grand)
+  }
+}

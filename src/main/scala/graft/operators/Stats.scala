@@ -181,17 +181,17 @@ object Stats {
   /** Equi-depth histogram of integer `valCol`: `buckets` near-equal-count
     * bins via ntile over the (value, rowKey) total order — rank-based, so
     * boundaries are exact values from the data, never interpolated
-    * floats. Output: (bucket, n, lo, hi). The ranked pass is a global
-    * sort — run it on value-grain or sampled data when the row count
-    * outgrows one sort (the KLL sketch profile is the streaming-scale
-    * alternative).
+    * floats. Output: (bucket, n, lo, hi). The ranked pass is the
+    * [[GlobalRank]] sharded window (quantile-cut shards + offset add) —
+    * fully parallel at any row count, bit-identical to the single-task
+    * global ntile.
     */
   def equiDepthHistogram(df: DataFrame, valCol: String, rowKey: String,
       buckets: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.select(col(valCol).cast("long").as("v"), col(rowKey).as("rk"))
-      .withColumn("bucket", ntile(buckets).over(
-        Window.orderBy(col("v").asc, col("rk").asc)).cast("long"))
+    val base = df.select(col(valCol).cast("long").as("v"),
+      col(rowKey).as("rk"))
+    GlobalRank.withNtile(base, col("v"), asc = true, col("rk"),
+        buckets, "bucket")
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
         max(col("v")).as("hi"))
@@ -392,18 +392,30 @@ object Stats {
     val scored = ents.crossJoin(broadcast(anchor))
       .withColumn("recency_days",
         datediff(col("anchor"), col("last_d")).cast("long"))
-    scored
-      .withColumn("r", lit(6) - ntile(5).over(
-        Window.orderBy(col("recency_days").asc, col("ent").asc)))
-      .withColumn("f", lit(6) - ntile(5).over(
-        Window.orderBy(col("frequency").desc, col("ent").asc)))
-      .withColumn("m", lit(6) - ntile(5).over(
-        Window.orderBy(col("monetary").desc, col("ent").asc)))
+    // Three global ntiles over the ENTITY-grain table (reduced, but still
+    // unbounded) — each runs as a GlobalRank sharded window, chained on
+    // one frame. Chaining is fine plan-wise: each pass's control jobs
+    // (sketch + counts) re-run the upstream, so freeze the entity table
+    // once — it is the one aggregate all three orders share.
+    val frozen = scored.persist()
+    frozen.count()
+    val r5 = GlobalRank.withNtile(frozen, col("recency_days"), asc = true,
+      col("ent"), 5, "rt")
+    val f5 = GlobalRank.withNtile(r5, col("frequency"), asc = false,
+      col("ent"), 5, "ft")
+    val m5 = GlobalRank.withNtile(f5, col("monetary"), asc = false,
+      col("ent"), 5, "mt")
+    val out = m5
+      .withColumn("r", lit(6L) - col("rt"))
+      .withColumn("f", lit(6L) - col("ft"))
+      .withColumn("m", lit(6L) - col("mt"))
       .select(col("ent"), col("recency_days"), col("frequency"),
-        col("monetary"),
-        col("r").cast("long").as("r"), col("f").cast("long").as("f"),
-        col("m").cast("long").as("m"),
+        col("monetary"), col("r"), col("f"), col("m"),
         concat(col("r"), col("f"), col("m")).as("segment"))
+      .persist()
+    out.count()
+    frozen.unpersist(false)
+    out
   }
 
   /** Mutual information between two categorical columns, in micro-nats:
@@ -599,16 +611,14 @@ object Stats {
     val ents = df.select(col(entCol).as("ent"),
         col(valCol).cast("long").as("v"))
       .groupBy(col("ent")).agg(sum(col("v")).as("v"))
-    val ord = Window.orderBy(col("v").desc, col("ent").asc)
-    ents
-      .withColumn("cum", sum(col("v")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("v")).over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-      .select(col("ent"), col("v"),
-        when(col("cum") * 100 <= col("total") * aPct, "A")
-          .when(col("cum") * 100 <= col("total") * bPct, "B")
-          .otherwise("C").as("abc_class"))
+    // Global running sum over (v desc, ent asc) via the GlobalRank sharded
+    // prefix-sum; the grand total comes back from the same offset
+    // aggregate — no second full-frame window.
+    val (cum, total) = GlobalRank.withCumSum(ents, col("v"), asc = false,
+      col("ent"), col("v"), "cum")
+    cum.select(col("ent"), col("v"),
+      when(col("cum") * 100 <= lit(total) * aPct, "A")
+        .when(col("cum") * 100 <= lit(total) * bPct, "B")
+        .otherwise("C").as("abc_class"))
   }
 }

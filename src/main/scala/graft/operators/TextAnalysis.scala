@@ -530,13 +530,11 @@ object TextAnalysis {
     * internally shuffled but globally reproducible — the easy-to-hard
     * schedule curriculum training consumes.
     *
-    * The stage cut is one global ntile window — the [[Stats.equiDepthHistogram]]
-    * caveat verbatim: a single ordered window means one sort task at the
-    * cut, fine to ~task-memory row counts; past that, sample the score
-    * distribution for approximate stage boundaries and broadcast them
-    * (the per-stage shuffle windows partition on the stage key and stay
-    * parallel at any scale). Output: (id, difficulty_micro, stage,
-    * ord_in_stage) — stage in 1..nStages.
+    * The stage cut is a [[GlobalRank]] sharded ntile (quantile-cut shards,
+    * broadcast boundaries, per-shard windows + offsets) — fully parallel
+    * at corpus grain; the per-stage shuffle windows partition on the stage
+    * key and stay parallel at any scale. Output: (id, difficulty_micro,
+    * stage, ord_in_stage) — stage in 1..nStages.
     */
   def curriculum(docs: DataFrame, idCol: String, textCol: String,
       nStages: Int): DataFrame = {
@@ -545,11 +543,11 @@ object TextAnalysis {
     val scored = docs.select(col(idCol).as("id"),
         expr(s"(length($textCol) * 1000000L) div size(split($textCol, ' '))")
           .as("difficulty_micro"))
-    val cut = Window.orderBy(col("difficulty_micro").asc, col("id").asc)
+    val staged = GlobalRank.withNtile(scored, col("difficulty_micro"),
+      asc = true, col("id"), nStages, "stage")
     val inStage = Window.partitionBy(col("stage"))
       .orderBy(col("hkey").asc, col("id").asc)
-    scored
-      .withColumn("stage", ntile(nStages).over(cut).cast("long"))
+    staged
       .withColumn("hkey", expr(s"((id % $P) * 2654435761) % $P"))
       .withColumn("ord_in_stage", row_number().over(inStage).cast("long"))
       .select(col("id"), col("difficulty_micro"), col("stage"),

@@ -774,6 +774,31 @@ object ScaleSmoke {
           EventAnalytics.stationaryDistribution(
             graft.queries.Tables.normalizeEventTs(ev10), "user_id", "ts",
             "event_type", "event_id", 3)))),
+      // GlobalRank sharded ntile at CORPUS grain (the round-11 rewrite of
+      // the single-partition global-rank window): quantile-cut shards +
+      // per-shard windows must track the scan linearly — the one-task
+      // global sort this replaced scales only with single-executor memory
+      ("equidepth", time("equidepth 1x")(noop(
+          graft.operators.Stats.equiDepthHistogram(
+            l1.withColumn("cents",
+              expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+              .withColumn("rk",
+                col("l_orderkey") * 10 + col("l_linenumber")),
+            "cents", "rk", 20))),
+        time("equidepth 10x")(noop(
+          graft.operators.Stats.equiDepthHistogram(
+            l10.withColumn("cents",
+              expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+              .withColumn("rk",
+                col("l_orderkey") * 10 + col("l_linenumber")),
+            "cents", "rk", 20)))),
+      // curriculum staging: the stage cut is the same GlobalRank sharded
+      // ntile; the in-stage shuffle windows partition on the stage key —
+      // both passes must track the corpus linearly
+      ("curriculum", time("curriculum 1x")(noop(
+          graft.operators.TextAnalysis.curriculum(d1, "doc_id", "text", 5))),
+        time("curriculum 10x")(noop(
+          graft.operators.TextAnalysis.curriculum(d10, "doc_id", "text", 5)))),
       // per-session state bounded to maxLen rows before the collect
       ("top_paths", time("top_paths 1x")(noop(
           EventAnalytics.topPaths(

@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.GlobalRank
+
+/** GlobalRank must be bit-identical to the single-partition global window
+  * it replaces — checked directly against `Window.orderBy(...)` here (the
+  * converted operators' DuckDB oracles re-check end to end). Data is
+  * adversarial on purpose: heavy ties (so quantile cut points collide and
+  * dedupe), skew (one hot value), and a non-trivial tiebreak order.
+  */
+class GlobalRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 10k rows, values in a small skewed domain → ties everywhere, cut-point
+  // dedup exercised; id is a deterministic permutation-ish tiebreak
+  def data() = spark.range(10000)
+    .select(col("id"),
+      (pmod(col("id") * 2654435761L, lit(97)) +
+        when(pmod(col("id"), lit(7)) === 0, 0).otherwise(1000)).as("v"))
+
+  test("withRowNumber matches the global single-partition window (asc)") {
+    val (got, n) = GlobalRank.withRowNumber(data(), col("v"), asc = true,
+      col("id"), "rn")
+    assert(n === 10000L)
+    val want = data().withColumn("rn_want",
+      row_number().over(Window.orderBy(col("v").asc, col("id").asc))
+        .cast("long"))
+    val bad = got.join(want, Seq("id", "v"))
+      .filter(col("rn") =!= col("rn_want")).count()
+    assert(bad === 0L)
+  }
+
+  test("withRowNumber matches the global window (desc via negation)") {
+    val (got, _) = GlobalRank.withRowNumber(data(), col("v"), asc = false,
+      col("id"), "rn")
+    val want = data().withColumn("rn_want",
+      row_number().over(Window.orderBy(col("v").desc, col("id").asc))
+        .cast("long"))
+    val bad = got.join(want, Seq("id", "v"))
+      .filter(col("rn") =!= col("rn_want")).count()
+    assert(bad === 0L)
+  }
+
+  test("withNtile matches Spark ntile for ragged bucket sizes") {
+    // 10000 % 7 != 0 → first n%B buckets take the extra row
+    val got = GlobalRank.withNtile(data(), col("v"), asc = true,
+      col("id"), 7, "b")
+    val want = data().withColumn("b_want",
+      ntile(7).over(Window.orderBy(col("v").asc, col("id").asc))
+        .cast("long"))
+    val bad = got.join(want, Seq("id", "v"))
+      .filter(col("b") =!= col("b_want")).count()
+    assert(bad === 0L)
+  }
+
+  test("withNtile with more buckets than rows = bucket per rank") {
+    val tiny = data().filter(col("id") < 5)
+    val got = GlobalRank.withNtile(tiny, col("v"), asc = true,
+      col("id"), 64, "b")
+    val want = tiny.withColumn("b_want",
+      ntile(64).over(Window.orderBy(col("v").asc, col("id").asc))
+        .cast("long"))
+    val bad = got.join(want, Seq("id", "v"))
+      .filter(col("b") =!= col("b_want")).count()
+    assert(bad === 0L)
+  }
+
+  test("withCumSum matches the global running + grand-total windows") {
+    val (got, grand) = GlobalRank.withCumSum(data(), col("v"), asc = false,
+      col("id"), col("v"), "cum")
+    val w = Window.orderBy(col("v").desc, col("id").asc)
+    val want = data()
+      .withColumn("cum_want", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot_want", sum(col("v")).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val bad = got.join(want, Seq("id", "v"))
+      .filter(col("cum") =!= col("cum_want")).count()
+    assert(bad === 0L)
+    val tot = want.select(max(col("tot_want"))).as[Long].head()
+    assert(grand === tot)
+  }
+
+  test("constant value column collapses to one shard, ranks still exact") {
+    val const = spark.range(100).select(col("id"), lit(42L).as("v"))
+    val (got, n) = GlobalRank.withRowNumber(const, col("v"), asc = true,
+      col("id"), "rn")
+    assert(n === 100L)
+    assert(got.filter(col("rn") =!= col("id") + 1).count() === 0L)
+  }
+
+  test("empty input yields empty output, zero totals") {
+    val empty = spark.range(0).select(col("id"), col("id").as("v"))
+    val (got, n) = GlobalRank.withRowNumber(empty, col("v"), asc = true,
+      col("id"), "rn")
+    assert(n === 0L)
+    assert(got.count() === 0L)
+  }
+
+  test("no single-partition WindowExec in the physical plan") {
+    val (got, _) = GlobalRank.withRowNumber(data(), col("v"), asc = true,
+      col("id"), "rn")
+    val wins = got.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "found a WindowExec with no partition spec (single-task sort)")
+  }
+}
