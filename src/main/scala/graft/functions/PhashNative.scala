@@ -39,9 +39,49 @@ object PhashNative {
   def dhash56(bin: Column): Column =
     GraftColumnBridge.column(DHash56(GraftColumnBridge.expression(bin)))
 
+  /** Decodable PNG/JPEG payloads → their REAL 9×7 grayscale grid bytes
+    * ([[graft.operators.MediaCodec.decodeImageGrid]], JDK ImageIO);
+    * anything else passes through unchanged. Composed as
+    * `dhash56(imageGridOrRaw(b))` this gives a true image dHash for real
+    * images (63 grid bytes = one byte per cell, so the byte-span grid IS
+    * the pixel grid) and the byte-span fingerprint for other payloads —
+    * the production pipeline downstream is identical either way.
+    * Note the decoded branch is not DuckDB-replayable (no codec there);
+    * oracle queries run on non-image payloads, and the decoded path is
+    * pinned by MultimodalSpec's hand-computed PNG fingerprint. */
+  def imageGridOrRaw(bin: Column): Column =
+    GraftColumnBridge.column(ImageGridOrRaw(GraftColumnBridge.expression(bin)))
+
+  case class ImageGridOrRaw(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def checkInputDataTypes() = {
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"image_grid_or_raw requires a BINARY input, got ${child.dataType.catalogString}")
+    }
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      graft.operators.MediaCodec.decodeImageGrid(bytes).getOrElse(bytes)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   case class DHash56(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    // analysis-time type check: a non-binary input should fail in the
+    // analyzer, not as a runtime ClassCastException mid-job (the
+    // VecDot/JaroWinkler discipline)
+    override def checkInputDataTypes() = {
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dhash56 requires a BINARY input, got ${child.dataType.catalogString}")
+    }
     override protected def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
       val bn = bytes.length.toLong

@@ -520,6 +520,44 @@ object Dedup {
       .toDF("id_a", "id_b")
   }
 
+  /** [[postingsPairs]] with the PPJoin length + positional filters applied
+    * AT EMISSION (Xiao et al. 2008): postings rows carry each doc's token
+    * count `n` and the token's 1-based rarity position `r`, so a pair
+    * emission can be dropped lazily when
+    *  - length filter: `min(na,nb)·1000 < tauMilli·max(na,nb)` — Jaccard
+    *    can never reach τ across that size gap, or
+    *  - positional filter: `1 + min(na−ra, nb−rb) < α` where
+    *    `α = ⌈τ·(na+nb)/(1+τ)⌉` is the required overlap — both token lists
+    *    are sorted in the SAME global (df, token) order, so the shared
+    *    token plus everything after it upper-bounds the intersection.
+    * Both are LOSSLESS: a τ-pair's first shared token lies inside both
+    * prefixes (the AllPairs completeness argument) and its emission passes
+    * the positional bound, so at least one emission per true pair
+    * survives. Near-threshold non-matches stop here instead of paying the
+    * two verify joins. */
+  private def postingsPairsPpjoin(ex: DataFrame, tauMilli: Int): DataFrame = {
+    val spark0 = ex.sparkSession
+    import spark0.implicits._
+    val tau = tauMilli.toLong
+    ex.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("id").as("_1"),
+        col("n").as("_2"), col("r").cast("long").as("_3")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids")).as[Array[(Long, Long, Long)]]
+      .flatMap { ids =>
+        for {
+          i <- ids.indices.iterator
+          j <- Iterator.range(i + 1, ids.length)
+          (ida, na, ra) = ids(i)
+          (idb, nb, rb) = ids(j)
+          if math.min(na, nb) * 1000 >= tau * math.max(na, nb)
+          if 1L + math.min(na - ra, nb - rb) >=
+            (tau * (na + nb) + 1000L + tau - 1) / (1000L + tau)
+        } yield (ida, idb)
+      }
+      .toDF("id_a", "id_b")
+  }
+
   /** id -> 30-bit simhash fingerprint over the doc's distinct shingle-hash
     * set. Shingle-level (not unigram) simhash: on narrow shared vocabularies
     * unigram frequency profiles barely differ between documents, while
@@ -816,7 +854,10 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(tauMilli > 0 && tauMilli <= 1000,
       s"tauMilli must be in (0, 1000], got $tauMilli")
-    val tok = materialized(tokens.select(col("id"), col("s")))
+    // defensive distinct: a non-distinct (id, s) table would silently
+    // inflate sizes/df/intersections (wrong Jaccard, broken completeness)
+    // — one extra hash aggregate on a table the df pass shuffles anyway
+    val tok = materialized(tokens.select(col("id"), col("s")).distinct())
     val sizes = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val dfreq = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = tok.join(dfreq, "s").join(sizes, "id")
@@ -824,8 +865,8 @@ object Dedup {
         Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)))
       .filter(col("r") <= col("n") -
         expr(s"($tauMilli * n + 999) div 1000") + 1)
-      .select(col("id"), col("s"))
-    val cand = postingsPairs(prefix).distinct()
+      .select(col("id"), col("s"), col("n"), col("r"))
+    val cand = postingsPairsPpjoin(prefix, tauMilli).distinct()
     val inter = cand
       .join(tok.select(col("id").as("id_a"), col("s")), Seq("id_a"))
       .join(tok.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))

@@ -110,4 +110,53 @@ object FeatureEng {
       .join(pooled, Seq("idx"))
       .select(col("rk"), col("grp"), col("v"), col("pv").as("norm"))
   }
+
+  /** Jensen-Shannon divergence between two slices' CATEGORICAL
+    * distributions — the bounded, symmetric drift monitor that
+    * complements [[psiDrift]] (PSI needs a numeric domain + binning; JSD
+    * reads any category column and never goes infinite on empty cells).
+    *
+    * Exact-arithmetic form: with per-category counts a_c (slice A,
+    * total n_a) and b_c,
+    * `p_c/m_c = 2·a_c·n_b / (a_c·n_b + b_c·n_a)` — an exact integer
+    * rational — so JSD = ½·Σ p_c·ln(p_c/m_c) + ½·Σ q_c·ln(q_c/m_c)
+    * needs ONE mirrored ln per distinct category per side, integerized
+    * to micro-nats BEFORE the count-weighted sums (the engine's
+    * order-free discipline); the two closing divisions by 2n ride exact
+    * longs. Absent categories contribute exactly 0 (their p_c = 0 side)
+    * — guarded, never NaN. Bounded in [0, ln 2 ≈ 693147 micro].
+    *
+    * Plan: one aggregate per slice to category grain, one full outer
+    * join of the two (category-grain), two 1-row totals broadcast, one
+    * final 1-row aggregate. Output: (n_a, n_b, n_cats, jsd_micro).
+    */
+  def jsDivergence(dfA: DataFrame, dfB: DataFrame,
+      catCol: String): DataFrame = {
+    def cnts(df: DataFrame, out: String): DataFrame =
+      df.select(coalesce(col(catCol).cast("string"), lit(""))
+          .as("cat"))
+        .groupBy(col("cat")).agg(count(lit(1)).as(out))
+    val joined = cnts(dfA, "a").join(cnts(dfB, "b"), Seq("cat"), "full")
+      .select(col("cat"), coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"))
+    val tot = joined.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("ta", expr(
+        """CASE WHEN a = 0 THEN 0L ELSE a * CAST(round(ln(
+          |  2.0 * CAST(a AS DOUBLE) * n_b
+          |  / (CAST(a AS DOUBLE) * n_b + CAST(b AS DOUBLE) * n_a))
+          |  * 1000000.0) AS BIGINT) END""".stripMargin))
+      .withColumn("tb", expr(
+        """CASE WHEN b = 0 THEN 0L ELSE b * CAST(round(ln(
+          |  2.0 * CAST(b AS DOUBLE) * n_a
+          |  / (CAST(a AS DOUBLE) * n_b + CAST(b AS DOUBLE) * n_a))
+          |  * 1000000.0) AS BIGINT) END""".stripMargin))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_cats"), sum(col("ta")).as("sa"),
+        sum(col("tb")).as("sb"))
+      .select(col("n_a"), col("n_b"), col("n_cats"), expr(
+        """CAST(round(CAST(sa AS DOUBLE) / (2.0 * n_a)
+          |  + CAST(sb AS DOUBLE) / (2.0 * n_b)) AS BIGINT)"""
+          .stripMargin).as("jsd_micro"))
+  }
 }

@@ -635,6 +635,9 @@ object Graph {
   def hits(edges: DataFrame, iters: Int, scale: Long = 1000000L,
       edgesDistinct: Boolean = false,
       broadcastScores: Boolean = true): DataFrame = {
+    // iters == 0 would leave `auth` null and NPE at the final join — guard
+    // it like the node-count bound below
+    require(iters > 0, s"hits needs iters > 0, got $iters")
     val raw = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val e = (if (edgesDistinct) raw else raw.distinct()).cache()

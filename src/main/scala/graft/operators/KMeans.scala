@@ -118,6 +118,53 @@ object KMeans {
       .select(col("id"), unpack(col("p")).cast("long").as("cid"))
   }
 
+  /** Assignment-only pass against FROZEN per-group integer centroids
+    * `(groupCol, cid, cs)` — the persisted-index append/query path
+    * ([[Similarity.appendPqIndex]]): new vectors are scaled and argmin'd
+    * exactly like [[fitGroupedSampled]]'s closing pass (same integer
+    * scaling, packed-min hash aggregate, cid tie-break), so appended
+    * codes equal what a build under these centroids would assign. The
+    * packing envelope covers BOTH sides (batch vectors and the frozen
+    * centroids): a small appended batch must not shrink the overflow
+    * bound below what centroids trained on a wider corpus can reach.
+    * Returns (groupCol, id, cluster). */
+  def assignGroupedFrozen(emb: DataFrame, cents: DataFrame,
+      groupCol: String, idCol: String, vecCol: String, k: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(k > 0 && k < TieRadix, s"need 0 < k < $TieRadix, got $k")
+    val scaled = emb.select(col(groupCol), col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, v -> CAST(round(CAST(v AS DOUBLE) * $scale.0) AS BIGINT))")
+        .as("xs"))
+    val radix = math.max(java.lang.Long.highestOneBit(math.max(k - 1, 1)) * 2, 2L)
+    val rowS = scaled.select(max(size(col("xs"))),
+      max(expr("array_max(transform(xs, x -> abs(x)))"))).first()
+    val rowC = cents.select(max(size(col("cs"))),
+      max(expr("array_max(transform(cs, x -> abs(x)))"))).first()
+    val p =
+      if (rowS.isNullAt(0) || rowS.isNullAt(1) || rowC.isNullAt(1))
+        Packing(useLong = false, radix, 0)
+      else {
+        val dim = math.max(rowS.getInt(0), rowC.getInt(0))
+        val span = BigInt(rowS.getLong(1)) + BigInt(rowC.getLong(1))
+        val bound = BigInt(dim) * span.pow(2) * radix + k
+        Packing(bound < BigInt(Long.MaxValue), radix, dim)
+      }
+    val dist = VecSqDist.vecSqDistLong(col("xs"), col("cs"))
+    val (packed, unpack) =
+      if (p.useLong)
+        (dist * lit(p.radix) + col("cid"),
+          (c: org.apache.spark.sql.Column) => c % p.radix)
+      else
+        (dist.cast("decimal(20,0)") * lit(TieRadix) + col("cid"),
+          (c: org.apache.spark.sql.Column) => c % TieRadix)
+    scaled.join(broadcast(cents), Seq(groupCol))
+      .withColumn("packed", packed)
+      .groupBy(col(groupCol), col("id"))
+      .agg(min(col("packed")).as("p"))
+      .select(col(groupCol), col("id"),
+        unpack(col("p")).cast("long").as("cluster"))
+  }
+
   /** `iters` rounds of [assign → recompute centroids], then a final
     * assignment under the last centroids. Returns `(id, cluster)` with
     * cluster in 0..k-1 (centroid rank order).

@@ -38,6 +38,19 @@ import org.apache.spark.sql.functions._
   */
 object LangModel {
 
+  /** Eagerly materialize the (doc-grain) scorer result, then release the
+    * bounded vocab/model caches it was built from — the Dedup.finalized
+    * discipline: CacheManager holds persisted plans until explicit
+    * unpersist, so a long-lived session calling the scorers repeatedly
+    * would otherwise accumulate caches without bound. The returned frame
+    * stays persisted: it is the operator's output. */
+  private def finalized(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   private def toks(docs: DataFrame, idCol: String, textCol: String) =
     docs.select(col(idCol).as("doc"), split(col(textCol), " ").as("tk"))
 
@@ -124,13 +137,15 @@ object LangModel {
     // model is ≤ (vocabSize+1)² rows by construction — always
     // broadcastable, so the doc-bigram stream never shuffles on the
     // bigram key), then one integer-sum groupBy(doc)
-    db.join(broadcast(model.select(col("w1"), col("w2"), col("nll_x1e6"))),
-        Seq("w1", "w2"))
-      .groupBy(col("doc"))
-      .agg(sum(col("occ")).as("n_bigrams"),
-        sum(col("occ") * col("nll_x1e6")).as("nll_x1e6"))
-      .withColumn("avg_nll_x1e6",
-        expr("nll_x1e6 div n_bigrams"))
+    finalized(
+      db.join(broadcast(model.select(col("w1"), col("w2"), col("nll_x1e6"))),
+          Seq("w1", "w2"))
+        .groupBy(col("doc"))
+        .agg(sum(col("occ")).as("n_bigrams"),
+          sum(col("occ") * col("nll_x1e6")).as("nll_x1e6"))
+        .withColumn("avg_nll_x1e6",
+          expr("nll_x1e6 div n_bigrams")),
+      v)
   }
 
   /** DSIR-style importance weights: how much more likely is each document
@@ -263,11 +278,13 @@ object LangModel {
            |  CAST(greatest(4 * c12 - 3, 0) * $nbt + 3 * n1 * nc AS DOUBLE)
            |  / CAST(4 * c1 * $nbt AS DOUBLE)) * 1000000.0, 0) AS BIGINT)"""
           .stripMargin))
-    db.join(broadcast(model.select(col("w1"), col("w2"), col("nll_x1e6"))),
-        Seq("w1", "w2"))
-      .groupBy(col("doc"))
-      .agg(sum(col("occ")).as("n_bigrams"),
-        sum(col("occ") * col("nll_x1e6")).as("kn_nll_x1e6"))
-      .withColumn("avg_kn_x1e6", expr("kn_nll_x1e6 div n_bigrams"))
+    finalized(
+      db.join(broadcast(model.select(col("w1"), col("w2"), col("nll_x1e6"))),
+          Seq("w1", "w2"))
+        .groupBy(col("doc"))
+        .agg(sum(col("occ")).as("n_bigrams"),
+          sum(col("occ") * col("nll_x1e6")).as("kn_nll_x1e6"))
+        .withColumn("avg_kn_x1e6", expr("kn_nll_x1e6 div n_bigrams")),
+      v, c12)
   }
 }

@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs as a partition-local batch transform.
   *
   * The Spark-side plumbing here is real and tested — schema, partitioning,
-  * batch iteration shape, magic-byte sniffing — while the actual codec call
-  * is STUBBED behind [[MediaCodec.decodeStub]] (this container ships no
-  * image/audio libraries): it produces a deterministic fake feature vector
-  * from the bytes. Swapping in a real decoder (JNI ffmpeg, ImageIO, an ONNX
-  * encoder) changes exactly that one function; everything else — including
-  * the 100 TB behavior (no shuffle, executor-local batches, fixed-width
-  * output schema) — is already in place.
+  * batch iteration shape, magic-byte sniffing — and so is the IMAGE codec:
+  * PNG/JPEG payloads decode through JDK ImageIO
+  * ([[MediaCodec.decodeImageGrid]] — java.desktop, no external
+  * dependency) into the perceptual-hash grid and the feature path. Audio/
+  * video decode stays STUBBED behind [[MediaCodec.decodeStub]] (no
+  * ffmpeg in this container): a deterministic fake feature vector from
+  * the bytes, with the swap point marked. Everything else — including the
+  * 100 TB behavior (no shuffle, executor-local batches, fixed-width
+  * output schema) — is in place either way.
   */
 object Multimodal {
 
@@ -63,17 +65,19 @@ object Multimodal {
          |  sequence(0, least(int((length($binCol) + ${stride - 1}) div $stride) - 1, ${maxFrames - 1})),
          |  i -> substring($binCol, i * $stride + 1, 1)) END""".stripMargin))
 
-  /** Partition-local batch "decode" + feature extraction. The iterator shape
+  /** Partition-local batch decode + feature extraction. The iterator shape
     * (consume a partition's rows as one batch stream, emit fixed-width
-    * vectors) is exactly what a real model-inference UDF needs; only
-    * [[MediaCodec.decodeStub]] is fake. */
+    * vectors) is exactly what a real model-inference UDF needs. Decodable
+    * PNG/JPEG payloads get REAL pixel-statistic features
+    * ([[MediaCodec.decode]], JDK ImageIO); other formats keep the marked
+    * [[MediaCodec.decodeStub]]. */
   def decodeFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
       rows.map { r =>
         MediaFeatures(r.id, r.format,
           if (r.media == null) 0 else r.media.length,
-          MediaCodec.decodeStub(r.media, dim))
+          MediaCodec.decode(r.media, dim))
       }
     }
   }
@@ -166,12 +170,16 @@ object Multimodal {
     * share one degenerate fingerprint — the quadratic-flood guard, same
     * as simhash's no-shingle filter; byte-exact dedup owns that case).
     *
-    * The GRID step is the marked decode stub: a real implementation
-    * decodes the image and resizes to grayscale 9×7; here each cell is
-    * the integer mean of the raw payload bytes in its span —
-    * deterministic, byte-exact on arbitrary binary, and oracle-
-    * replayable. Everything downstream of the grid is the production
-    * pipeline unchanged.
+    * The GRID step decodes REAL images: payloads that sniff as PNG/JPEG
+    * and decode under JDK ImageIO are grayscale-resampled to the true 9×7
+    * pixel grid ([[MediaCodec.decodeImageGrid]] via
+    * [[graft.functions.PhashNative.imageGridOrRaw]]); everything else
+    * keeps the byte-span grid (each cell the integer mean of its payload
+    * byte span — deterministic, byte-exact on arbitrary binary, and
+    * oracle-replayable; the decoded branch is pinned by the spec's
+    * hand-computed PNG fingerprint instead, since DuckDB has no codec).
+    * Everything downstream of the grid is the production pipeline
+    * unchanged.
     *
     * Scale shape: per-row hashing cost is one linear pass over the
     * payload ([[graft.functions.PhashNative.dhash56]], a native Catalyst
@@ -188,7 +196,8 @@ object Multimodal {
     val fp = df.select(col(idCol).as("id"), col(binCol).as("b"))
       .filter(col("b").isNotNull && length(col("b")) > 0)
       .select(col("id"),
-        graft.functions.PhashNative.dhash56(col("b")).as("f"))
+        graft.functions.PhashNative.dhash56(
+          graft.functions.PhashNative.imageGridOrRaw(col("b"))).as("f"))
       .persist()
     fp.count()
     val chunks = fp.select(col("id"), col("f"),
@@ -318,9 +327,86 @@ object PerceptualHash {
 /** The codec seam. Everything above this call is production plumbing;
   * this function is the marked stub. */
 object MediaCodec {
-  /** STUB — no media libraries in this container. Deterministic fake
-    * features: a rolling byte hash folded into `dim` float lanes. A real
-    * implementation would decode and run an encoder here. */
+
+  /** REAL image decode for PNG/JPEG via JDK ImageIO (java.desktop ships
+    * with every JRE — no new dependency): decode, then area-average
+    * grayscale-resample to the [[PerceptualHash]] 9×7 grid, one luma byte
+    * per cell. Cell pixel spans use the same floor-division boundary rule
+    * as the byte-span grid (`[c·w div 9, (c+1)·w div 9)`, widened to at
+    * least one pixel for tiny images), luma is integer ITU-R 601
+    * (`(299r + 587g + 114b) div 1000` — a pure-gray pixel maps to exactly
+    * its gray value), and the cell value is the floor-mean over the span —
+    * all integer math, deterministic for a given decoded bitmap.
+    *
+    * Returns None for non-image formats, truncated/corrupt payloads, or
+    * anything ImageIO cannot decode — callers fall back to the byte-span
+    * path, so a corrupt image degrades to the old behavior instead of
+    * failing the job. */
+  def decodeImageGrid(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 8) return None
+    val fmt = Multimodal.sniffFormat(bytes)
+    if (fmt != "png" && fmt != "jpeg") return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Byte](PerceptualHash.Cells)
+      var cy = 0
+      while (cy < PerceptualHash.GridH) {
+        val y0 = cy * h / PerceptualHash.GridH
+        val y1 = math.min(h,
+          math.max(y0 + 1, (cy + 1) * h / PerceptualHash.GridH))
+        var cx = 0
+        while (cx < PerceptualHash.GridW) {
+          val x0 = cx * w / PerceptualHash.GridW
+          val x1 = math.min(w,
+            math.max(x0 + 1, (cx + 1) * w / PerceptualHash.GridW))
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              val luma = (299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+              sum += luma
+              x += 1
+            }
+            y += 1
+          }
+          out(cy * PerceptualHash.GridW + cx) =
+            (sum / ((x1 - x0).toLong * (y1 - y0))).toByte
+          cx += 1
+        }
+        cy += 1
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Feature vector: REAL pixel statistics when the payload decodes as an
+    * image (the 63 grid lumas folded into `dim` lanes — same fold as the
+    * stub, over decoded intensity instead of raw container bytes);
+    * [[decodeStub]] otherwise. */
+  def decode(bytes: Array[Byte], dim: Int): Array[Float] =
+    decodeImageGrid(bytes) match {
+      case Some(grid) =>
+        val out = new Array[Float](dim)
+        var i = 0
+        while (i < grid.length) {
+          out(i % dim) = (out(i % dim) * 31f + (grid(i) & 0xff)) % 997f
+          i += 1
+        }
+        out
+      case None => decodeStub(bytes, dim)
+    }
+
+  /** STUB for non-image formats (this container ships no audio/video
+    * libraries). Deterministic fake features: a rolling byte hash folded
+    * into `dim` float lanes. A real implementation would decode and run
+    * an encoder here. */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (bytes != null) {

@@ -36,23 +36,36 @@ object Sharding {
 
   /** `df` plus a `shard` column in `[0, nShards)` assigned by rendezvous
     * hashing over `keyCol` (read as a string; normalize/trim upstream if
-    * the key domain needs it). */
+    * the key domain needs it). Evaluated by the native
+    * [[graft.functions.ShardNative.RendezvousShard]] expression — the
+    * key is hashed ONCE and each shard pays a few integer ops on its
+    * prefix via the polynomial-hash composition, replacing the
+    * O(nShards·|key|) interpreted HOF chain (the PhashNative lesson);
+    * [[hofShardExpr]] keeps the HOF formulation for the parity spec. */
   def rendezvousAssign(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    df.withColumn("shard", graft.functions.ShardNative.rendezvousShard(
+      col(keyCol).cast("string"), nShards))
+  }
+
+  /** The original HOF shard expression over a SQL string expression —
+    * retained as the independent reference the native expression is
+    * parity-tested against (and the formulation the DuckDB oracle
+    * mirrors verbatim). */
+  private[graft] def hofShardExpr(key: String, nShards: Int): String = {
     val score = HashExprs.sparkCharHash(
-      s"concat(CAST(i AS STRING), ':', CAST(`$keyCol` AS STRING))")
+      s"concat(CAST(i AS STRING), ':', $key)")
     // 's' carried as BIGINT so the column type matches the oracle side
     // (DuckDB range() yields BIGINTs) — the driver compares schemas.
     // Inner transform computes each raw hash ONCE; the indexed outer
     // transform squares it (h < P ≈ 2³⁰, so h² < 2⁶⁰ stays in long).
-    df.withColumn("shard", expr(
-      s"""aggregate(
-         |  transform(
-         |    transform(sequence(0, ${nShards - 1}), i -> $score),
-         |    (x, i) -> named_struct('h', (x * x) % ${HashExprs.P},
-         |                           's', CAST(i AS BIGINT))),
-         |  named_struct('h', CAST(-1 AS BIGINT), 's', CAST(-1 AS BIGINT)),
-         |  (acc, x) -> IF(x.h > acc.h, x, acc)).s""".stripMargin))
+    s"""aggregate(
+       |  transform(
+       |    transform(sequence(0, ${nShards - 1}), i -> $score),
+       |    (x, i) -> named_struct('h', (x * x) % ${HashExprs.P},
+       |                           's', CAST(i AS BIGINT))),
+       |  named_struct('h', CAST(-1 AS BIGINT), 's', CAST(-1 AS BIGINT)),
+       |  (acc, x) -> IF(x.h > acc.h, x, acc)).s""".stripMargin
   }
 
   /** The DuckDB mirror of [[rendezvousAssign]]'s shard expression, over a

@@ -59,6 +59,31 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Mutual nearest neighbors: pairs where each vector sits in the
+    * OTHER's top-k — the alignment/anchor-mining primitive (parallel-
+    * corpus pair mining, cross-snapshot entity matching, MNN batch
+    * correction): a one-directional top-k match can be a hub artifact
+    * (one popular vector absorbs everyone), mutuality filters hubs out
+    * by construction. One top-k pass over the corpus
+    * ([[bruteForceTopK]] here; swap any ANN top-k with the same schema
+    * for the corpus-scale path) + ONE self-join of the k·N candidate
+    * list on the reversed pair — never touches raw vectors again. The
+    * cosine is symmetric (the shared fold reads the component pairs in
+    * the same order from either side), so both directions carry the
+    * identical rounded score. Output: (id_a, id_b, cos), id_a < id_b. */
+  def mutualTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      broadcastCorpus: Boolean = false): DataFrame = {
+    val tk = bruteForceTopK(emb, emb, idCol, vecCol, k, broadcastCorpus)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    tk.as("f")
+      .join(tk.select(col("query_id").as("neighbor_id"),
+        col("neighbor_id").as("query_id")).as("r"),
+        Seq("query_id", "neighbor_id"))
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cos"))
+  }
+
   /** Vectors annotated with their random-projection LSH bucket. */
   def withBucket(emb: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, dim: Int): DataFrame =
@@ -844,6 +869,114 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Persist a PQ index for [[queryPqIndex]] — the compression analog of
+    * [[buildIvfIndex]]'s lifecycle: `dir/codebooks` holds the per-block
+    * integer centroids (block, code, cs), `dir/codes` the per-vector
+    * compressed codes (id, block, code), `dir/meta` the geometry
+    * (dim, subspaces, codebook, scale). Codebook training and full-corpus
+    * code assignment — the expensive passes — are paid ONCE at build; a
+    * later query session reads the broadcast-sized codebooks and pays ADC
+    * only (|corpus|·subspaces code lookups, zero raw-vector I/O — the
+    * production shape where codes are ~32× smaller than float rows).
+    * Same integer arithmetic as [[pqTopK]], so querying a corpus against
+    * its own freshly-built index reproduces pqTopK's ranks exactly.
+    * `trainMaxRows` keeps the deterministic hash-sampled training path
+    * ([[trainingSample]]); `trainOn` pins training to an explicit slice
+    * (the append≡rebuild equality harness — a rebuild over an appended
+    * corpus reproduces the incremental index only when it trains on the
+    * ORIGINAL build slice, since appended codebooks are frozen);
+    * assignment always covers the full build slice. */
+  def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dir: String, subspaces: Int = 8, codebook: Int = 16, iters: Int = 2,
+      scale: Long = 1000000L, trainMaxRows: Long = 0L,
+      trainOn: DataFrame = null): Unit = {
+    val spark = emb.sparkSession
+    val corpus = emb.select(col(idCol), col(vecCol)).persist()
+    val statsRow = corpus
+      .select(max(size(col(vecCol))), count(lit(1))).collect()(0)
+    require(!statsRow.isNullAt(0),
+      s"buildPqIndex: corpus is empty or $vecCol is all-null")
+    val dim = statsRow.getInt(0)
+    require(subspaces > 0 && subspaces <= dim,
+      s"need 0 < subspaces <= dim; got $subspaces over dim $dim")
+    val bounds = sliceBounds(dim, subspaces)
+    val train =
+      if (trainOn != null) trainOn.select(col(idCol), col(vecCol))
+      else trainingSample(corpus, idCol, statsRow.getLong(1),
+        trainMaxRows, codebook)
+    val (codes, cents, fittedCkpts) = fitBlocks(corpus, train, idCol,
+      vecCol, bounds, codebook, iters, scale)
+    spark.range(1).select(lit(dim).as("dim"),
+        lit(subspaces).as("subspaces"), lit(codebook).as("codebook"),
+        lit(scale).as("scale"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    cents.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    fittedCkpts.foreach(Checkpoints.release)
+    corpus.unpersist(false)
+  }
+
+  /** Append a batch of NEW vectors to a [[buildPqIndex]] index without
+    * retraining: the persisted codebooks are the quantizer contract
+    * (frozen at build, like [[appendIvfIndex]]'s seeds), so the batch
+    * pays one broadcast-codebook argmin over its own rows + a parquet
+    * append — cost tracks the BATCH, never the indexed corpus. The
+    * assignment rule is bit-identical to the build's closing pass
+    * ([[KMeans.assignGroupedFrozen]]), so append-then-query equals a
+    * one-shot build over the union whenever that build would train on
+    * the original slice (e.g. the slice holds the rank seeds / training
+    * sample) — asserted in the suite. Ids must be new (no dedup here). */
+  def appendPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = emb.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    val dim = meta.getAs[Int]("dim")
+    val subspaces = meta.getAs[Int]("subspaces")
+    val codebook = meta.getAs[Int]("codebook")
+    val scale = meta.getAs[Long]("scale")
+    val bounds = sliceBounds(dim, subspaces)
+    val cents = spark.read.parquet(s"$dir/codebooks")
+      .select(col("block"), col("code").as("cid"), col("cs"))
+    val exploded = (0 until subspaces).map { b =>
+      normSlice(emb, idCol, vecCol, bounds, b).withColumn("block", lit(b))
+    }.reduce(_ unionByName _)
+    KMeans.assignGroupedFrozen(exploded, cents, "block", "id", "vb",
+        codebook, scale)
+      .select(col("id"), col("block"), col("cluster").as("code"))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Top-k search against a [[buildPqIndex]] index on disk: the query
+    * session reads the (subspaces × codebook)-row codebooks, builds the
+    * broadcast ADC table from its own queries, and scores the code table
+    * with one shuffle-free join + a map-side-combinable sum — never
+    * touching a raw corpus vector ([[pqTopK]]'s scoring tail verbatim,
+    * so ranks are bit-identical to an in-session pqTopK under the same
+    * codebooks). Output: (query_id, neighbor_id, rank). */
+  def queryPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    val bounds = sliceBounds(meta.getAs[Int]("dim"),
+      meta.getAs[Int]("subspaces"))
+    val scale = meta.getAs[Long]("scale")
+    val cents = spark.read.parquet(s"$dir/codebooks")
+    val table = adcTable(queries.select(col(idCol), col(vecCol)), cents,
+      idCol, vecCol, bounds, scale)
+    val codes = spark.read.parquet(s"$dir/codes")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    codes
+      .join(broadcast(table), Seq("block", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(sum(col("pd")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** Embedding-space label quality probe: per label, how many of its

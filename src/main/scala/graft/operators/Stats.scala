@@ -511,14 +511,23 @@ object Stats {
     *
     * Plan shape: one hash aggregate to value grain, one ordered window
     * OVER THE DISTINCT-VALUE TABLE (bounded by value-domain cardinality,
-    * not row count — integerized metrics have compact domains; pre-bucket
-    * upstream if yours doesn't), one 1-row final aggregate. No per-row
-    * rank shuffle at any scale.
+    * not row count — integerized metrics have compact domains), one 1-row
+    * final aggregate. No per-row rank shuffle at any scale. The
+    * compactness caveat is ENFORCED, not advisory: the value-grain
+    * cardinality is counted (one extra hash aggregate — the guard's
+    * price) and the operator refuses above `maxDistinctValues` rather
+    * than silently rebuilding the per-row single-task window this design
+    * exists to avoid — coarsen `valScale` or raise the bound.
+    *
+    * Degenerate case: when every value is tied across both groups the
+    * tie-corrected variance is 0 and z would be 0/0 — z is NULL there
+    * (and when either group is empty), mirrored in the oracle.
     *
     * Output: one row (n_a, n_b, u_a_x2, z).
     */
   def mannWhitneyU(df: DataFrame, grpCol: String, valCol: String,
-      groupA: String, groupB: String, valScale: Double = 1e6): DataFrame = {
+      groupA: String, groupB: String, valScale: Double = 1e6,
+      maxDistinctValues: Int = 1 << 22): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df
       .filter(col(grpCol).isin(groupA, groupB) && col(valCol).isNotNull)
@@ -527,6 +536,7 @@ object Stats {
     val pv = base.groupBy(col("v"))
       .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
         count(lit(1)).as("t"))
+    requireCompactDomain("mannWhitneyU", pv, maxDistinctValues)
     // ordered window over the per-value table: already aggregated, so the
     // single-partition WindowExec sees |value domain| rows, not |sample|
     val w = Window.orderBy(col("v").asc)
@@ -541,13 +551,33 @@ object Stats {
         (col("r2_a") - col("n_a") * (col("n_a") + 1)).as("u_a_x2"),
         col("ties"))
       .withColumn("z", expr(
-        """round((CAST(u_a_x2 - n_a * n_b AS DOUBLE) / 2.0)
-          |  / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
-          |      * ((n_a + n_b + 1)
-          |         - CAST(ties AS DOUBLE)
-          |           / ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE)))), 6)"""
-          .stripMargin))
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE)
+          |  WHEN (n_a + n_b + 1)
+          |       - CAST(ties AS DOUBLE)
+          |         / ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE)) <= 0
+          |  THEN CAST(NULL AS DOUBLE)
+          |  ELSE round((CAST(u_a_x2 - n_a * n_b AS DOUBLE) / 2.0)
+          |    / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+          |        * ((n_a + n_b + 1)
+          |           - CAST(ties AS DOUBLE)
+          |             / ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE)))), 6)
+          |  END""".stripMargin))
       .select(col("n_a"), col("n_b"), col("u_a_x2"), col("z"))
+  }
+
+  /** The [[mannWhitneyU]]/[[ksTest]] compactness gate: counts the
+    * value-grain table (bounded control-plane scalar) and refuses when it
+    * exceeds the cap — a continuous metric at too fine a `valScale` would
+    * otherwise silently rebuild the per-row single-task global window the
+    * value-grain design avoids. */
+  private def requireCompactDomain(op: String, pv: DataFrame,
+      maxDistinctValues: Int): Unit = {
+    val nv = pv.count()
+    require(nv <= maxDistinctValues,
+      s"$op: $nv distinct integerized values exceed " +
+        s"maxDistinctValues=$maxDistinctValues; the ordered window over " +
+        "the value-grain table would approach per-row scale — coarsen " +
+        "valScale (fewer distinct integerized values) or raise the bound")
   }
 
   /** Two-sample Kolmogorov-Smirnov statistic between two groups of
@@ -561,11 +591,13 @@ object Stats {
     * the final mirrored `d_micro = round(1e6·maxdiff/(n_a·n_b))`.
     *
     * Same plan shape as [[mannWhitneyU]]: value-grain aggregate, one
-    * ordered window over the distinct-value table, 1-row result
+    * ordered window over the distinct-value table (compactness ENFORCED
+    * via the same `maxDistinctValues` count-guard), 1-row result
     * (n_a, n_b, d_micro, at_v).
     */
   def ksTest(df: DataFrame, grpCol: String, valCol: String,
-      groupA: String, groupB: String, valScale: Double = 1e6): DataFrame = {
+      groupA: String, groupB: String, valScale: Double = 1e6,
+      maxDistinctValues: Int = 1 << 22): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df
       .filter(col(grpCol).isin(groupA, groupB) && col(valCol).isNotNull)
@@ -574,6 +606,7 @@ object Stats {
     val pv = base.groupBy(col("v"))
       .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ta"),
         sum(when(col("isa"), 0L).otherwise(1L)).as("tb"))
+    requireCompactDomain("ksTest", pv, maxDistinctValues)
     val w = Window.orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy(col("v").asc)
@@ -620,5 +653,219 @@ object Stats {
       when(col("cum") * 100 <= lit(total) * aPct, "A")
         .when(col("cum") * 100 <= lit(total) * bPct, "B")
         .otherwise("C").as("abc_class"))
+  }
+
+  /** Doubled midranks of integer values at VALUE grain — the shared
+    * rank kernel of [[spearman]]/[[aucScore]] (and the arithmetic of
+    * [[mannWhitneyU]]'s `dr`): per distinct value,
+    * `dr = 2·(rows before) + (rows at value) + 1 = min_rank + max_rank`,
+    * so tied midranks stay integers. The prefix count rides the
+    * [[GlobalRank]] sharded cumulative — value-grain but fully parallel,
+    * so an (almost-)continuous metric needs no compactness cap here.
+    * Input: (v: long, t: rows at v). Output: + (dr). */
+  private def doubledMidranks(pv: DataFrame): DataFrame = {
+    val (cum, _) = GlobalRank.withCumSum(pv, col("v"), asc = true,
+      col("v"), col("t"), "cumt")
+    cum.withColumn("dr", lit(2) * (col("cumt") - col("t")) + col("t") + 1)
+  }
+
+  /** Spearman rank correlation between two numeric columns — the
+    * monotone-association gate (quality score vs length, price vs
+    * quantity) that Pearson's linearity assumption breaks on. Both
+    * variables integerize at their scale, reduce to value grain, take
+    * exact DOUBLED midranks ([[doubledMidranks]] — ties handled the
+    * textbook way), and each row joins its two ranks back (two key joins
+    * against value-grain tables). ρ is then Pearson over the doubled
+    * ranks: all moment sums (Σa, Σb, Σab, Σa², Σb²) are EXACT integer
+    * aggregates; the closing `(n·Σab − Σa·Σb) / √(...)` is one mirrored
+    * double expression over those exact longs, rounded at 6. n²-scale
+    * products ride doubles identically in both engines (they exceed
+    * 2⁶³ long before they exceed IEEE range).
+    * Output: one row (n, rho). */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      xScale: Double = 1e6, yScale: Double = 1e6): DataFrame = {
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(round(col(xCol) * xScale).cast("long").as("x"),
+        round(col(yCol) * yScale).cast("long").as("y"))
+    def ranksOf(c: String): DataFrame = doubledMidranks(
+      base.groupBy(col(c).as("v")).agg(count(lit(1)).as("t")))
+      .select(col("v").as(c), col("dr").as(s"dr_$c"))
+    base.join(ranksOf("x"), Seq("x")).join(ranksOf("y"), Seq("y"))
+      .agg(count(lit(1)).as("n"), sum(col("dr_x")).as("sa"),
+        sum(col("dr_y")).as("sb"),
+        sum(col("dr_x") * col("dr_y")).as("sab"),
+        sum(col("dr_x") * col("dr_x")).as("saa"),
+        sum(col("dr_y") * col("dr_y")).as("sbb"))
+      .select(col("n"), expr(
+        """round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+          |  / sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
+          |       * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)"""
+          .stripMargin).as("rho"))
+  }
+
+  /** ROC AUC of a score against a binary label, with exact midrank tie
+    * handling — the standard evaluation of a quality/filter classifier at
+    * corpus scale. AUC = U⁺/(n⁺·n⁻) where U⁺ is the Mann-Whitney
+    * statistic of the positive class; with [[doubledMidranks]],
+    * `auc_micro = round(10⁶ · (Σ⁺dr − n⁺(n⁺+1)·... )` — concretely
+    * `u2 = Σ_{v} pos(v)·dr(v) − n⁺(n⁺+1)` is the DOUBLED U, and
+    * `auc_micro = round(10⁶·u2 / (2·n⁺·n⁻))` is the single mirrored
+    * division. Rank arithmetic is value-grain and rides the GlobalRank
+    * sharded prefix sum — no compactness cap needed, no per-row window.
+    * Output: one row (n_pos, n_neg, auc_micro).
+    */
+  def aucScore(df: DataFrame, labelCol: Column, scoreCol: Column,
+      valScale: Double = 1e6): DataFrame = {
+    val base = df
+      .filter(labelCol.isNotNull && scoreCol.isNotNull)
+      .select(round(scoreCol * valScale).cast("long").as("v"),
+        labelCol.cast("boolean").as("pos"))
+    val pv = base.groupBy(col("v"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("t"))
+    doubledMidranks(pv)
+      .agg(sum(col("np")).as("n_pos"),
+        (sum(col("t")) - sum(col("np"))).as("n_neg"),
+        sum(col("np") * col("dr")).as("r2"))
+      .select(col("n_pos"), col("n_neg"), expr(
+        """CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS BIGINT)
+          |ELSE CAST(round(1e6 * CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+          |  / (2.0 * CAST(n_pos AS DOUBLE) * n_neg)) AS BIGINT) END"""
+          .stripMargin).as("auc_micro"))
+  }
+
+  /** Gini coefficient of an entity-level value distribution — the
+    * concentration audit (is 90% of the corpus from 1% of sources?):
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending (value,
+    * entity) order. The corpus reduces to entity grain, ranks ride
+    * [[GlobalRank]] (no single-task sort), and Σᵢ i·xᵢ is an exact long
+    * (caller contract: n²·max(v) must stay clear of 2⁶³ — at petabyte
+    * grain pre-aggregate entities or rescale v); the closing division is
+    * one mirrored double, micro-scaled. Negative values are refused (the
+    * coefficient is undefined there). Output: one row (n, total, gini_micro). */
+  def gini(df: DataFrame, entCol: String, valCol: String): DataFrame = {
+    val ents = df.select(col(entCol).as("ent"),
+        col(valCol).cast("long").as("v"))
+      .groupBy(col("ent")).agg(sum(col("v")).as("v"))
+      .filter(col("v").isNotNull)
+    val (ranked, n) = GlobalRank.withRowNumber(ents, col("v"), asc = true,
+      col("ent"), "i")
+    ranked
+      .agg(min(col("v")).as("minv"), sum(col("v")).as("total"),
+        sum(col("i") * col("v")).as("siv"))
+      .select(lit(n).as("n"), col("total"), col("minv"), col("siv"))
+      .withColumn("gini_micro", expr(
+        s"""CASE WHEN n = 0 OR total <= 0 OR minv < 0
+           |THEN CAST(NULL AS BIGINT)
+           |ELSE CAST(round(1e6 * (2.0 * CAST(siv AS DOUBLE)
+           |  - CAST(n + 1 AS DOUBLE) * total)
+           |  / (CAST(n AS DOUBLE) * total)) AS BIGINT) END""".stripMargin))
+      .select(col("n"), col("total"), col("gini_micro"))
+  }
+
+  /** Cohen's kappa between two categorical raters — chance-corrected
+    * agreement (human label vs model label, two labeling runs):
+    * κ = (pₒ − pₑ)/(1 − pₑ) = (n·Σdiag − Σ_c rowₙ·colₙ) /
+    * (n² − Σ_c rowₙ·colₙ) over the exact contingency table. Same plan
+    * shape as [[mutualInformation]]: one aggregate to (a, b) cells,
+    * margins derived from it, one mirrored division, micro-scaled. NULLs
+    * fold to the control-char sentinel (a real category). Degenerate
+    * pₑ = 1 (both raters constant) → NULL. Output: one row
+    * (n, po_micro, pe_micro, kappa_micro). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.select(
+      coalesce(col(aCol).cast("string"), lit("")).as("a"),
+      coalesce(col(bCol).cast("string"), lit("")).as("b"))
+    val joint = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+    val ma = joint.groupBy(col("a")).agg(sum(col("nab")).as("na"))
+    val mb = joint.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
+    val stats = joint
+      .agg(sum(col("nab")).as("n"),
+        sum(when(col("a") === col("b"), col("nab")).otherwise(0L))
+          .as("agree"))
+    val pe = ma.join(mb, ma("a") === mb("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("spe"))
+    stats.crossJoin(broadcast(pe))
+      .select(col("n"),
+        expr("CAST(round(1e6 * CAST(agree AS DOUBLE) / n) AS BIGINT)")
+          .as("po_micro"),
+        expr("CAST(round(1e6 * CAST(spe AS DOUBLE) / (CAST(n AS DOUBLE) * n)) AS BIGINT)")
+          .as("pe_micro"),
+        expr(
+          """CASE WHEN CAST(n AS DOUBLE) * n = CAST(spe AS DOUBLE)
+            |THEN CAST(NULL AS BIGINT)
+            |ELSE CAST(round(1e6
+            |  * (CAST(n AS DOUBLE) * agree - CAST(spe AS DOUBLE))
+            |  / (CAST(n AS DOUBLE) * n - CAST(spe AS DOUBLE))) AS BIGINT)
+            |END""".stripMargin).as("kappa_micro"))
+  }
+
+  /** Benford first-digit audit of a positive numeric column — the
+    * fabricated-data / unit-mixup smell test on financial-ish fields.
+    * Per digit d ∈ 1..9: observed count, expected share
+    * `log10(1 + 1/d)` (micro), and the χ² contribution
+    * `(obs − exp)²/exp` (micro) — the total rides the same 9-row frame.
+    * First digit extraction is integer string arithmetic on the LONG
+    * value (no float log10 of the value itself); non-positive rows are
+    * excluded and counted nowhere. One corpus aggregate to 9 rows.
+    * Output: (digit, n_obs, expected_micro, chi2_micro). */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val base = df.select(col(valCol).cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(expr("CAST(substring(CAST(v AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+    val digits = base.sparkSession.range(1, 10)
+      .select(col("id").as("digit"))
+    val counts = base.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = counts.agg(coalesce(sum(col("n_obs")), lit(0L)).as("n"))
+    digits.join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("exp_d", expr(
+        "CAST(n AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))"))
+      .select(col("digit"), col("n_obs"),
+        expr("CAST(round(1e6 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS BIGINT)")
+          .as("expected_micro"),
+        expr(
+          """CASE WHEN n = 0 THEN CAST(NULL AS BIGINT)
+            |ELSE CAST(round(1e6 * (CAST(n_obs AS DOUBLE) - exp_d)
+            |  * (CAST(n_obs AS DOUBLE) - exp_d) / exp_d) AS BIGINT) END"""
+            .stripMargin).as("chi2_micro"))
+  }
+
+  /** Per-group ordinary-least-squares line fit y = a·x + b — the cheap
+    * trend extractor (tokens vs time per source, price vs quantity per
+    * segment) in closed form: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²),
+    * intercept = (Σy − slope·Σx)/n. Both variables integerize at their
+    * scale so the five moment sums are EXACT longs (caller contract:
+    * n·max(x·y) clear of 2⁶³ at the chosen scales); the closing algebra
+    * is mirrored doubles rounded at 6, NULL slope on a degenerate
+    * (constant-x) group. One corpus scan, one hash aggregate per group.
+    * Output: (grp, n, slope, intercept). */
+  def olsFit(df: DataFrame, grpCol: String, xCol: String, yCol: String,
+      xScale: Double = 1e2, yScale: Double = 1e2): DataFrame = {
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(grpCol).as("grp"),
+        round(col(xCol) * xScale).cast("long").as("x"),
+        round(col(yCol) * yScale).cast("long").as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("den", expr(
+        "CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"))
+      .select(col("grp"), col("n"),
+        expr(
+          s"""CASE WHEN den = 0.0 THEN CAST(NULL AS DOUBLE)
+             |ELSE round((CAST(n AS DOUBLE) * sxy
+             |  - CAST(sx AS DOUBLE) * sy) / den * ${xScale / yScale}, 6)
+             |END""".stripMargin).as("slope"),
+        expr(
+          s"""CASE WHEN den = 0.0 THEN CAST(NULL AS DOUBLE)
+             |ELSE round((CAST(sy AS DOUBLE)
+             |  - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / den
+             |    * sx) / n / $yScale, 6) END""".stripMargin)
+          .as("intercept"))
   }
 }

@@ -553,4 +553,29 @@ object TextAnalysis {
       .select(col("id"), col("difficulty_micro"), col("stage"),
         col("ord_in_stage"))
   }
+
+  /** Per-document token-distribution Shannon entropy in micro-nats — the
+    * repetition/gibberish detector on the information-theory axis: spammy
+    * "buy buy buy" text scores near 0, diverse prose near ln(L). Using
+    * `H = ln L − (Σ_w c_w·ln c_w)/L` over per-document token counts,
+    * each distinct (doc, token) count pays ONE mirrored ln integerized to
+    * micro-nats BEFORE the count-weighted sum (order-free), and the
+    * closing `ln L − s/L` is a single mirrored double rounded to a
+    * BIGINT. One token explode + two doc-keyed hash aggregates —
+    * corpus-linear, map-side combined, no windows.
+    * Output: (id, n_tokens, entropy_micro). */
+  def tokenEntropy(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("clnc",
+        col("c") * expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("clnc")).as("s"))
+      .select(col("id"), col("n_tokens"), expr(
+        """CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000.0
+          |  - CAST(s AS DOUBLE) / n_tokens) AS BIGINT)"""
+          .stripMargin).as("entropy_micro"))
+  }
 }

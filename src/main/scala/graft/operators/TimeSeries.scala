@@ -291,6 +291,52 @@ object TimeSeries {
           .cast("long").as("s_micro"))
   }
 
+  /** Autocorrelation of each group's daily EVENT-COUNT series at lags
+    * 1..`maxLag` — the seasonality probe (weekly traffic rhythm, batch-
+    * job cadence) run before any forecasting model: r_k near 1 at k = 7
+    * means a weekly cycle. Exact arithmetic by multiplying the mean
+    * through: with S = Σx and n days,
+    * `r_k = Σ_t (n·x_t − S)(n·x_{t+k} − S) / Σ_t (n·x_t − S)²` — the n²
+    * scaling cancels, every sum is an exact long (daily counts keep
+    * n·x ≪ 2³¹, squares ≪ 2⁶³ — the cusum headroom note), and the
+    * single division mirrors as one double, micro-scaled. Lag pairing is
+    * by the group's date-ordered row index (`row_number` over the
+    * BOUNDED day-grain table — group-partitioned, parallel), then one
+    * self-join per exploded lag on (grp, rn + k): day-grain × maxLag
+    * rows, never corpus-grain. Constant series → NULL (variance 0).
+    * Output: (grp, lag, n_days, acf_micro). */
+  def acf(events: DataFrame, grpCol: String, tsCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val daily = events.select(col(grpCol).as("grp"),
+        to_date(col(tsCol)).as("d"))
+      .groupBy(col("grp"), col("d"))
+      .agg(count(lit(1)).as("x"))
+    val wAll = Window.partitionBy(col("grp"))
+    val wOrd = Window.partitionBy(col("grp")).orderBy(col("d"))
+    val idx = daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sx", sum(col("x")).over(wAll))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("cx", col("n") * col("x") - col("sx"))
+      .select(col("grp"), col("rn"), col("n"), col("cx"))
+    val den = idx.groupBy(col("grp"))
+      .agg(max(col("n")).as("n_days"), sum(col("cx") * col("cx")).as("den"))
+    val lags = idx.select(col("grp"), col("rn"), col("cx"),
+        explode(expr(s"sequence(1, ${maxLag}L)")).as("lag"))
+      .withColumn("rn2", col("rn") + col("lag"))
+    val num = lags.join(
+        idx.select(col("grp"), col("rn").as("rn2"), col("cx").as("cxl")),
+        Seq("grp", "rn2"))
+      .groupBy(col("grp"), col("lag"))
+      .agg(sum(col("cx") * col("cxl")).as("num"))
+    den.join(num, Seq("grp"))
+      .select(col("grp"), col("lag"), col("n_days"), expr(
+        """CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
+          |ELSE CAST(round(1e6 * CAST(num AS DOUBLE) / den) AS BIGINT)
+          |END""".stripMargin).as("acf_micro"))
+  }
+
   /** Merge a key's overlapping-or-touching intervals into islands (the
     * gaps-and-islands pattern): an interval starts a new island when its
     * start exceeds the running max end of everything before it. Output:

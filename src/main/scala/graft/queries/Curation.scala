@@ -82,6 +82,70 @@ object Curation {
        |SELECT CAST(i - 1 AS BIGINT) AS dim_idx, w AS pc_x1e6 FROM w2""".stripMargin
   }
 
+  /** Deterministic replay of the persisted-PQ-index pipeline
+    * ([[graft.operators.Similarity.buildPqIndex]]/`queryPqIndex` at the
+    * sim_pq_* parameters: dim 64, 8 blocks × 8 dims, 16-code codebooks,
+    * 2 Lloyd iters, queries id % 10 = 0, top 10) — the sim_ivfpq CTE
+    * machinery minus the IVF half. `trainWhere` restricts the Lloyd
+    * training slice (TRUE for full-corpus training; `id < 1000` for the
+    * append-lifecycle entry, whose codebooks froze at build time); code
+    * ASSIGNMENT and ADC scoring always run corpus-wide. */
+  private def pqIndexOracle(trainWhere: String): String = {
+    val blocks = 8; val bw = 8; val codebook = 16
+    val sqd8 = (x: String, c: String) =>
+      s"list_sum(list_transform(range(1, ${bw + 1}), j -> ($x[j] - $c[j]) * ($x[j] - $c[j])))"
+    val rounds = (1 to 2).map { i =>
+      s"""a$i AS (SELECT block, id, xs, cid FROM (
+         |  SELECT s.block, s.id, s.xs, c.cid,
+         |    row_number() OVER (PARTITION BY s.block, s.id
+         |      ORDER BY ${sqd8("s.xs", "c.cs")} ASC, c.cid ASC) AS rn
+         |  FROM st s JOIN c${i - 1} c ON s.block = c.block) WHERE rn = 1),
+         |c$i AS (SELECT block, cid, list(v ORDER BY dim) AS cs FROM (
+         |  SELECT a.block, a.cid, t.i AS dim,
+         |    CAST(floor(CAST(sum(a.xs[t.i]) AS DOUBLE) / count(*)) AS BIGINT)
+         |      AS v
+         |  FROM a$i a CROSS JOIN range(1, ${bw + 1}) t(i) GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    |WITH e AS (SELECT vec_id AS id, embedding AS v,
+    |      SQRT(${V.duckDot("embedding", "embedding")}) AS nrm
+    |    FROM embeddings),
+    |q AS (SELECT id, v, nrm FROM e WHERE id % 10 = 0),
+    |s AS (SELECT id, b.blk AS block,
+    |    list_transform(range(1, ${bw + 1}),
+    |      i -> CAST(round(v[b.blk * $bw + i]::DOUBLE / nrm * 1000000.0) AS BIGINT)) AS xs
+    |  FROM e CROSS JOIN range(0, $blocks) b(blk)),
+    |st AS (SELECT * FROM s WHERE $trainWhere),
+    |sq AS (SELECT id, b.blk AS block,
+    |    list_transform(range(1, ${bw + 1}),
+    |      i -> CAST(round(v[b.blk * $bw + i]::DOUBLE / nrm * 1000000.0) AS BIGINT)) AS xs
+    |  FROM q CROSS JOIN range(0, $blocks) b(blk)),
+    |c0 AS (SELECT block, rn - 1 AS cid, xs AS cs FROM (
+    |  SELECT block, xs, row_number() OVER (PARTITION BY block ORDER BY id) AS rn
+    |  FROM st) WHERE rn <= $codebook),
+    |$rounds,
+    |codes AS (SELECT block, id, cid AS code FROM (
+    |  SELECT s.block, s.id, c.cid,
+    |    row_number() OVER (PARTITION BY s.block, s.id
+    |      ORDER BY ${sqd8("s.xs", "c.cs")} ASC, c.cid ASC) AS rn
+    |  FROM s JOIN c2 c ON s.block = c.block) WHERE rn = 1),
+    |adc AS (SELECT sq.id AS query_id, sq.block, c.cid AS code,
+    |    ${sqd8("sq.xs", "c.cs")} AS pd
+    |  FROM sq JOIN c2 c ON sq.block = c.block),
+    |cand AS (SELECT adc.query_id, codes.id AS neighbor_id,
+    |    sum(adc.pd) AS adist
+    |  FROM codes JOIN adc ON adc.block = codes.block
+    |                     AND adc.code = codes.code
+    |  WHERE adc.query_id <> codes.id
+    |  GROUP BY 1, 2)
+    |SELECT query_id, neighbor_id, rank FROM (
+    |  SELECT query_id, neighbor_id,
+    |    row_number() OVER (PARTITION BY query_id
+    |      ORDER BY adist ASC, neighbor_id ASC) AS rank
+    |  FROM cand) WHERE rank <= 10""".stripMargin
+  }
+
   def defs: Seq[Q] = Seq(
     // ---- record linkage (entity resolution) --------------------------
     // blocked fuzzy-match join: candidates share a 16-char name-prefix
@@ -674,6 +738,50 @@ object Curation {
       Similarity.queryIvfIndex(s, dir.toString, e, "vec_id", "embedding",
         k = 3, nprobe = 2)
     }, Some(ivfIndexOracle)),
+
+    // ---- persisted PQ index: codebooks + codes on disk ---------------
+    // the compression analog of sim_ivf_index: codebook training + full
+    // code assignment paid at BUILD, the query session pays ADC over the
+    // code table only — no raw vector is ever read back. The oracle
+    // replays the whole pipeline (sim_ivfpq's CTE machinery minus the
+    // IVF half): integer Lloyd per block, codes, ADC sums, (adist, id)
+    // top-10. AQE-off/8-partition scope — the iterative index build is
+    // ~100 small sequential jobs (the sim_ivfpq measurement).
+    Q("sim_pq_index", (s, d) =>
+      ScaleOps.withAqeOff(s) { ScaleOps.withShufflePartitions(s, 8) {
+        val dir = java.nio.file.Files.createTempDirectory("pq-index")
+        dir.toFile.deleteOnExit()
+        val e = t(s, d, "embeddings")
+        Similarity.buildPqIndex(e, "vec_id", "embedding", dir.toString)
+        Similarity.queryPqIndex(s, dir.toString,
+          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          k = 10)
+      } }, Some(pqIndexOracle("TRUE"))),
+
+    // PQ index APPEND lifecycle: codebooks are the frozen quantizer
+    // contract (the sim_ivf_append discipline) — the build slice carries
+    // the rank seeds and the full training set, so appending the rest
+    // batch-wise (one broadcast-codebook argmin per batch, cost tracking
+    // the batch) then querying must equal the one-shot build trained on
+    // that slice: the oracle trains its Lloyd CTEs on id < 1000 and
+    // assigns codes corpus-wide.
+    Q("sim_pq_append", (s, d) =>
+      ScaleOps.withAqeOff(s) { ScaleOps.withShufflePartitions(s, 8) {
+        val dir = java.nio.file.Files.createTempDirectory("pq-append")
+        dir.toFile.deleteOnExit()
+        val e = t(s, d, "embeddings")
+        Similarity.buildPqIndex(e.filter(col("vec_id") < 1000), "vec_id",
+          "embedding", dir.toString)
+        Similarity.appendPqIndex(
+          e.filter(col("vec_id") >= 1000 && col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dir.toString)
+        Similarity.appendPqIndex(
+          e.filter(col("vec_id") >= 1000 && col("vec_id") % 2 === 1),
+          "vec_id", "embedding", dir.toString)
+        Similarity.queryPqIndex(s, dir.toString,
+          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          k = 10)
+      } }, Some(pqIndexOracle("id < 1000"))),
 
     // ---- hybrid retrieval: reciprocal-rank fusion --------------------
     // lexical (whole-query BM25, top 50) + semantic (cosine to a fixed

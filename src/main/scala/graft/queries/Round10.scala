@@ -275,12 +275,17 @@ object Round10 {
                 FROM w),
         u AS (SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u_a_x2, ties FROM agg)
         SELECT n_a, n_b, u_a_x2,
-               round((CAST(u_a_x2 - n_a * n_b AS DOUBLE) / 2.0)
-                 / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
-                     * ((n_a + n_b + 1)
-                        - CAST(ties AS DOUBLE)
-                          / ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE)))), 6)
-                 AS z
+               CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE)
+                 WHEN (n_a + n_b + 1)
+                      - CAST(ties AS DOUBLE)
+                        / ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE)) <= 0
+                 THEN CAST(NULL AS DOUBLE)
+                 ELSE round((CAST(u_a_x2 - n_a * n_b AS DOUBLE) / 2.0)
+                   / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                       * ((n_a + n_b + 1)
+                          - CAST(ties AS DOUBLE)
+                            / ((n_a + n_b) * CAST(n_a + n_b - 1 AS DOUBLE)))), 6)
+                 END AS z
         FROM u""")),
 
     // ---- Kolmogorov-Smirnov two-sample test ---------------------------

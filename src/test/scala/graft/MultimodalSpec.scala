@@ -108,6 +108,86 @@ class MultimodalSpec extends AnyFunSuite {
     assert(empty === 0L)
   }
 
+  test("real PNG decode matches the hand-computed grid and fingerprint") {
+    import spark.implicits._
+    import graft.operators.{MediaCodec, PerceptualHash}
+    // 18×14 gray PNG, 2×2 pixels per grid cell, columns alternating
+    // 200/100 by CELL: pure-gray luma is exact (299+587+114 = 1000), so
+    // every cell is exactly 200 or 100 and bit b (= r·8+c) is set iff c is
+    // even → 0x55 per row byte → 0x55555555555555
+    val img = new java.awt.image.BufferedImage(18, 14,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 18; y <- 0 until 14) {
+      val v = if ((x / 2) % 2 == 0) 200 else 100
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(graft.operators.Multimodal.sniffFormat(png) == "png")
+    val grid = MediaCodec.decodeImageGrid(png).get
+    assert(grid.length == PerceptualHash.Cells)
+    for (k <- 0 until PerceptualHash.Cells) {
+      val want = if ((k % PerceptualHash.GridW) % 2 == 0) 200 else 100
+      assert((grid(k) & 0xff) == want, s"cell $k")
+    }
+    val fp = Seq((1L, png)).toDF("id", "media")
+      .select(graft.functions.PhashNative.dhash56(
+        graft.functions.PhashNative.imageGridOrRaw(col("media"))).as("f"))
+      .head().getLong(0)
+    assert(fp === 0x55555555555555L)
+    // non-image payloads pass through imageGridOrRaw unchanged
+    val raw = Array.tabulate(63)(i => (if (i % 2 == 0) 200 else 100).toByte)
+    val viaGrid = Seq((1L, raw)).toDF("id", "media")
+      .select(graft.functions.PhashNative.dhash56(
+        graft.functions.PhashNative.imageGridOrRaw(col("media"))).as("f"))
+      .head().getLong(0)
+    val direct = Seq((1L, raw)).toDF("id", "media")
+      .select(graft.functions.PhashNative.dhash56(col("media")).as("f"))
+      .head().getLong(0)
+    assert(viaGrid === direct)
+  }
+
+  test("phash pairs match re-encoded real images across formats") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // the same smooth gradient scene written as PNG and as JPEG (lossy,
+    // different container bytes entirely) must land within the Hamming
+    // gate; a reversed-gradient scene must not pair with either
+    def scene(rev: Boolean): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(36, 28,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 36; y <- 0 until 28) {
+        val t = if (rev) 35 - x else x
+        val v = 40 + t * 5
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, enc(scene(false), "png")),
+      (2L, enc(scene(false), "jpg")),
+      (3L, enc(scene(true), "png"))).toDF("id", "media")
+    val pairs = Multimodal.phashPairs(df, "id", "media", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("native dhash56 rejects non-binary input at analysis time") {
+    import spark.implicits._
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, "not bytes")).toDF("id", "media")
+        .select(graft.functions.PhashNative.dhash56(col("id")).as("f"))
+        .head()
+    }
+    assert(e.getMessage.toLowerCase.contains("binary"))
+  }
+
   test("frame sample takes every stride-th byte up to maxFrames") {
     import spark.implicits._
     val bytes = Array.tabulate(300)(i => (i % 256).toByte)

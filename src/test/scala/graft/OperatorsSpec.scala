@@ -268,6 +268,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(answers(dirA) === answers(dirU))
   }
 
+  test("pq index: query == in-session pqTopK; append == pinned-train rebuild") {
+    val dirF = java.nio.file.Files.createTempDirectory("pq-full").toString
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", dirF)
+    val q = emb.filter(col("vec_id") < 30)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // parity: querying a corpus against its own fresh index reproduces
+    // the in-session PQ scorer exactly (same codebooks, same ADC tail)
+    val viaIndex = rows(Similarity.queryPqIndex(spark, dirF, q,
+      "vec_id", "embedding", 3))
+    val inSession = Similarity.pqTopK(q, emb, "vec_id", "embedding", 3)
+    assert(viaIndex === rows(inSession))
+    inSession.unpersist()
+    // append≡rebuild: frozen codebooks are the quantizer contract — the
+    // rebuild must train on the ORIGINAL slice to reproduce them
+    val dirA = java.nio.file.Files.createTempDirectory("pq-app-a").toString
+    val dirU = java.nio.file.Files.createTempDirectory("pq-app-u").toString
+    val slice = emb.filter(col("vec_id") < 200)
+    Similarity.buildPqIndex(slice, "vec_id", "embedding", dirA)
+    Similarity.appendPqIndex(emb.filter(col("vec_id") >= 200), "vec_id",
+      "embedding", dirA)
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", dirU,
+      trainOn = slice)
+    def answers(dir: String) = rows(Similarity.queryPqIndex(spark, dir, q,
+      "vec_id", "embedding", 3))
+    assert(answers(dirA) === answers(dirU))
+  }
+
   test("diverseSample: per-cluster quota holds and selection is partitioning-invariant") {
     import graft.operators.Sampling
     val s1 = Sampling.diverseSample(emb, "vec_id", "embedding", 8, 2, 5)

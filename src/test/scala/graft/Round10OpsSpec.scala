@@ -292,6 +292,35 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("u_a_x2") == 2L)
   }
 
+  test("mann-whitney all-tied degenerate case yields NULL z, not NaN") {
+    // every value identical across both groups → tie-corrected variance 0
+    val df = Seq((7.0, "a"), (7.0, "a"), (7.0, "b"), (7.0, "b"))
+      .toDF("v", "g")
+    // all tied → midrank 2.5 each → U_A = n_a·n_b/2 = 2 (doubled: 4),
+    // exactly the null mean — only the variance degenerates
+    val row = Stats.mannWhitneyU(df, "g", "v", "a", "b").head()
+    assert(row.getAs[Long]("u_a_x2") == 4L)
+    assert(row.isNullAt(row.fieldIndex("z")))
+  }
+
+  test("mann-whitney/ks refuse a non-compact value domain") {
+    val wide = spark.range(200)
+      .select((col("id").cast("double") / 7.0).as("v"),
+        when(col("id") % 2 === 0, "a").otherwise("b").as("g"))
+    val eMw = intercept[IllegalArgumentException] {
+      Stats.mannWhitneyU(wide, "g", "v", "a", "b",
+        maxDistinctValues = 100)
+    }
+    assert(eMw.getMessage.contains("valScale"))
+    val eKs = intercept[IllegalArgumentException] {
+      Stats.ksTest(wide, "g", "v", "a", "b", maxDistinctValues = 100)
+    }
+    assert(eKs.getMessage.contains("valScale"))
+    // coarsening valScale brings the domain back under the cap
+    assert(Stats.mannWhitneyU(wide, "g", "v", "a", "b", valScale = 1.0,
+      maxDistinctValues = 100).count() == 1L)
+  }
+
   // ---- Stats.ksTest --------------------------------------------------
 
   test("ks statistic and witness value match the hand ECDFs") {
@@ -348,6 +377,26 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got.values.sum == 1000L)
   }
 
+  test("native rendezvous shard matches the HOF chain bit-for-bit") {
+    import graft.operators.Sharding
+    // adversarial key mix: plain, numeric, empty, ':' inside, non-ASCII
+    // (the split('')/ascii() code-point stream), long keys; 12 shards so
+    // multi-digit prefixes hit the native digit loop
+    val keys = ((1 to 300).map(i => s"key$i") ++
+      (1 to 300).map(_.toString) ++
+      Seq("", ":", "a:b", "héllo wörld", "日本語テキスト",
+        "x" * 500)).toDF("k")
+    for (n <- Seq(1, 8, 12, 101)) {
+      val native = Sharding.rendezvousAssign(keys, "k", n)
+        .select(col("k"), col("shard"))
+      val hof = keys.withColumn("shard_hof",
+        expr(Sharding.hofShardExpr("CAST(`k` AS STRING)", n)))
+      val bad = native.join(hof, "k")
+        .filter(col("shard") =!= col("shard_hof")).count()
+      assert(bad == 0L, s"nShards=$n")
+    }
+  }
+
   test("rendezvous shard growth moves keys ONLY to the new shard") {
     // THE rendezvous property: growing 8 → 9 shards, every key whose
     // assignment changes must land on shard 8 — untouched shards keep
@@ -377,6 +426,14 @@ class Round10OpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got(3L) == ((625000L, 0L)) && got(4L) == ((375000L, 0L)))
     assert(got(1L) == ((0L, 384615L)) && got(2L) == ((0L, 615384L)))
+  }
+
+  test("hits refuses iters <= 0 instead of NPEing at the final join") {
+    val edges = Seq((1L, 3L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.hits(edges, iters = 0)
+    }
+    assert(e.getMessage.contains("iters"))
   }
 
   // ---- Ranking.textrankKeywords --------------------------------------
@@ -445,6 +502,50 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("inter") == 8L &&
       row.getAs[Long]("jac_micro") == 1000000L)
     pf.unpersist()
+  }
+
+  test("ppjoin filters stay lossless at the threshold boundary") {
+    import graft.operators.Dedup
+    // exact-threshold pair (7 shared of 8+8 → J = 7/9 ≥ 0.7), a
+    // just-below pair (6 of 8+8 → J = 0.6), and a size-skewed pair the
+    // LENGTH filter must prune at candidate time (4 vs 12 tokens → even
+    // full containment caps J at 1/3)
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g z"),
+      (3L, "a b c d e f y x"),
+      (4L, "a b c d"),
+      (5L, "a b c d e f g h i j k l"))
+      .toDF("doc_id", "text")
+    val tok = docs.select(col("doc_id").as("id"),
+      explode(split(col("text"), " ")).as("s"))
+    val got = Dedup.prefixJaccardPairsFromTokens(tok, 700)
+      .select("id_a", "id_b", "jac_micro")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute-force oracle over all C(5,2) pairs
+    val sets = Map(1L -> "abcdefgh", 2L -> "abcdefgz", 3L -> "abcdefyx",
+      4L -> "abcd", 5L -> "abcdefghijkl").view.mapValues(_.toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      un = (sets(a) ++ sets(b)).size
+      if inter * 1000 >= 700 * un
+    } yield (a, b, 1000000L * inter / un)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(got.contains((1L, 2L, 777777L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("prefix jaccard is robust to a non-distinct token table") {
+    import graft.operators.Dedup
+    val tok = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "c"))
+      .toDF("id", "s")
+    // duplicates must not inflate sizes/df/intersections: J(1,2) = 1.0
+    val got = Dedup.prefixJaccardPairsFromTokens(tok, 700)
+      .select("id_a", "id_b", "inter", "jac_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3L, 1000000L)))
   }
 
   // ---- EventAnalytics.stationaryDistribution -------------------------
