@@ -13,7 +13,8 @@ object SparkEntry {
   def all: Seq[Q] =
     Relational.defs ++ Scalar.defs ++ Advanced.defs ++ Coverage.defs ++
       Extensions.defs ++ MultimodalQueries.defs ++ ScaleOps.defs ++
-      Surface.defs ++ Curation.defs ++ Pipeline.defs ++ Round10.defs
+      Surface.defs ++ Curation.defs ++ Pipeline.defs ++ Round10.defs ++
+      Round11.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -44,6 +44,19 @@ object GlobalRank {
   private val SV = "__gr_sv"
   private val SHARD = "__gr_shard"
 
+  /** A non-foldable constant partition key for windows over tables that
+    * are BOUNDED by construction (top-N lists, day/replica/digit grain,
+    * cap-guarded value grain): `pmod(hash(anchor), 1)` is always 0 but
+    * survives constant folding (a literal key is folded away and the spec
+    * reverts to empty — verified in GlobalRankSpec), so WindowExec
+    * carries an EXPLICIT single-partition spec and the
+    * `No Partition Defined` warning channel stays reserved for
+    * unintended corpus-grain windows. The hash is one cheap op per row
+    * of an already-bounded table; the exchange it plans is the same
+    * all-to-one move the empty spec required. Do NOT use on unbounded
+    * input — that is what the sharded ranks above are for. */
+  def boundedKey(anchor: Column): Column = pmod(hash(anchor), lit(1))
+
   /** Quantile cut points of `sv` (already direction-adjusted), floored to
     * long. Deduplicated: a constant column yields ZERO cuts (one shard) —
     * never an empty shard per duplicate boundary. */

@@ -55,7 +55,9 @@ object KMeans {
         .as("xs"))
 
   private def seedCentroids(scaled: DataFrame, k: Int): DataFrame = {
-    val seedW = Window.orderBy(col("id"))
+    // runs over the limit(k) seed rows only — bounded
+    val seedW = Window.partitionBy(GlobalRank.boundedKey(col("id")))
+      .orderBy(col("id"))
     scaled.orderBy(col("id")).limit(k)
       .select((row_number().over(seedW) - 1).cast("long").as("cid"),
         col("xs").as("cs"))

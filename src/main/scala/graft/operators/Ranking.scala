@@ -122,7 +122,9 @@ object Ranking {
     // window over the full posting-matched doc set); the row_number window
     // then runs over topN rows only
     val top = agg.orderBy(col("s").desc, col("doc").asc).limit(topN)
-    val w = Window.orderBy(col("s").desc, col("doc").asc)
+    // bounded: topN rows only (explicit single-partition key)
+    val w = Window.partitionBy(GlobalRank.boundedKey(col("doc")))
+      .orderBy(col("s").desc, col("doc").asc)
     top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("doc"), col("rank"),
         round(col("s").cast("double") / 1e9, 6).as("score"))
@@ -182,7 +184,9 @@ object Ranking {
     val sumCol = sum(round(lit(1e12) / (lit(kConst) + col("rank")))
       .cast("long")).as("s")
     val fused = tagged.groupBy(col("id")).agg(sumCol, rankCols: _*)
-    val w = Window.orderBy(col("s").desc, col("id").asc)
+    // bounded: input ranking lists are bounded by contract
+    val w = Window.partitionBy(GlobalRank.boundedKey(col("id")))
+      .orderBy(col("s").desc, col("id").asc)
     fused.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topN)
       .withColumn("rrf", round(col("s").cast("double") / 1e12, 6))
@@ -238,7 +242,9 @@ object Ranking {
       .orderBy(col("rank_scaled").desc, col("term").asc)
       .limit(topN)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("rank_scaled").desc, col("term").asc)).cast("long"))
+        // bounded: topN rows only
+        Window.partitionBy(GlobalRank.boundedKey(col("term")))
+          .orderBy(col("rank_scaled").desc, col("term").asc)).cast("long"))
     val r = out.localCheckpoint()
     Checkpoints.release(ranks)
     r

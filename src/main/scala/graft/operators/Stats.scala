@@ -174,7 +174,10 @@ object Stats {
       .groupBy(col("ent")).agg(min(col("d")).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("new_entities"))
       .withColumn("cum_entities", sum(col("new_entities")).over(
-        Window.orderBy(col("d").asc)
+        // day-grain table — bounded by the calendar; explicit
+        // single-partition key keeps the warning channel clean
+        Window.partitionBy(GlobalRank.boundedKey(col("d")))
+          .orderBy(col("d").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
@@ -240,13 +243,15 @@ object Stats {
       .withColumn("m",
         expr("CAST(round(CAST(swv AS DOUBLE) / sw) AS BIGINT)"))
       .withColumn("rn", row_number().over(
-        Window.orderBy(col("m").asc, col("b").asc)))
+        Window.partitionBy(GlobalRank.boundedKey(col("b")))
+          .orderBy(col("m").asc, col("b").asc)))
       // rank indices from the SURVIVING replica count (a window count over
       // the B-row bounded table — free next to the rn sort), not the
       // requested one: if zero-weight replicas were dropped, a
       // requested-count hi-rank may not exist and ci_hi would silently go
       // NULL instead of the degraded-but-valid band
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy(GlobalRank.boundedKey(col("b")))))
     val bounds = reps.agg(
       count(lit(1)).as("b_replicas"),
       max(when(col("rn") === greatest(expr("(bn * 25 + 999) div 1000"),
@@ -296,9 +301,11 @@ object Stats {
         .select(col("b"), col("m").as("mb")), Seq("b"))
       .withColumn("dv", col("ma") - col("mb"))
       .withColumn("rn", row_number().over(
-        Window.orderBy(col("dv").asc, col("b").asc)))
+        Window.partitionBy(GlobalRank.boundedKey(col("b")))
+          .orderBy(col("dv").asc, col("b").asc)))
       // surviving-count rank indices — see poissonBootstrap
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy(GlobalRank.boundedKey(col("b")))))
     val band = diffs.agg(
       max(when(col("rn") === greatest(expr("(bn * 25 + 999) div 1000"),
         lit(1L)), col("dv"))).as("ci_lo_micro"),
@@ -348,11 +355,12 @@ object Stats {
     * at 6.
     */
   def zipfFit(freqs: DataFrame, itemCol: String, freqCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranked = freqs.select(col(itemCol).as("item"),
-        col(freqCol).cast("long").as("f"))
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("f").desc, col("item").asc)).cast("long"))
+    // vocabulary-grain rank — unbounded in principle, so it rides the
+    // GlobalRank sharded row_number rather than a one-task window
+    val (rankedIn, _) = GlobalRank.withRowNumber(
+      freqs.select(col(itemCol).as("item"), col(freqCol).cast("long").as("f")),
+      col("f"), asc = false, col("item"), "r")
+    val ranked = rankedIn
       .select(
         expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1e3) AS BIGINT)").as("x"),
         expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1e3) AS BIGINT)").as("y"))
@@ -539,7 +547,10 @@ object Stats {
     requireCompactDomain("mannWhitneyU", pv, maxDistinctValues)
     // ordered window over the per-value table: already aggregated, so the
     // single-partition WindowExec sees |value domain| rows, not |sample|
-    val w = Window.orderBy(col("v").asc)
+    // value-grain table bounded by the enforced compactness gate —
+    // explicit single-partition key (see GlobalRank.boundedKey)
+    val w = Window.partitionBy(GlobalRank.boundedKey(col("v")))
+      .orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     pv.withColumn("cb", coalesce(sum(col("t")).over(w), lit(0L)))
       .withColumn("dr", lit(2) * col("cb") + col("t") + 1)
@@ -607,9 +618,12 @@ object Stats {
       .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ta"),
         sum(when(col("isa"), 0L).otherwise(1L)).as("tb"))
     requireCompactDomain("ksTest", pv, maxDistinctValues)
-    val w = Window.orderBy(col("v").asc)
+    // value-grain, compactness-gated — explicit single-partition key
+    val w = Window.partitionBy(GlobalRank.boundedKey(col("v")))
+      .orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy(col("v").asc)
+    val wAll = Window.partitionBy(GlobalRank.boundedKey(col("v")))
+      .orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     pv.withColumn("ca", sum(col("ta")).over(w))
       .withColumn("cb", sum(col("tb")).over(w))

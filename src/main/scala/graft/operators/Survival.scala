@@ -35,9 +35,15 @@ object Survival {
     val total = subj.agg(count(lit(1)).as("n"))
     val byT = subj.groupBy(col("t"))
       .agg(sum(col("obs")).as("d"), count(lit(1)).as("c"))
-    val before = Window.orderBy(col("t"))
+    // duration-grain risk table (days/weeks — a survival curve's step
+    // count is display-bounded); explicit single-partition key so the
+    // WindowExec warning channel stays reserved for unintended
+    // corpus-grain windows (see GlobalRank.boundedKey)
+    val before = Window.partitionBy(GlobalRank.boundedKey(col("t")))
+      .orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = Window.orderBy(col("t"))
+    val cum = Window.partitionBy(GlobalRank.boundedKey(col("t")))
+      .orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byT
       .withColumn("left_before",

@@ -292,11 +292,17 @@ object Coverage {
                                    FROM part p2
                                    WHERE p2.p_brand = p1.p_brand)""")),
 
-    // ntile quantile binning (deterministic: total order via custkey tiebreak)
+    // ntile quantile binning (deterministic: total order via custkey
+    // tiebreak). The rank rides the GlobalRank sharded ntile — the
+    // 2-decimal balance maps monotonically+injectively to integer cents,
+    // so the (cents, custkey) order IS the (balance, custkey) order and
+    // the deciles are bit-identical to the one-task window's, without a
+    // single-partition WindowExec at corpus grain.
     Q("q39_ntile", (s, d) => {
-      val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-      t(s, d, "customer")
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+      graft.operators.GlobalRank.withNtile(
+        t(s, d, "customer").withColumn("__cents",
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)")),
+        col("__cents"), asc = true, col("c_custkey"), 10, "decile")
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"),
           min(col("c_acctbal")).as("min_bal"),

@@ -102,6 +102,22 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(got.count() === 0L)
   }
 
+  test("boundedKey survives constant folding into the WindowExec spec") {
+    // a literal partition key is folded away (verified: partitionBy(lit(1))
+    // plans an EMPTY spec) — boundedKey must not be
+    val df = spark.range(10).toDF("id")
+    val w = Window.partitionBy(GlobalRank.boundedKey(col("id")))
+      .orderBy(col("id"))
+    val out = df.withColumn("rn", row_number().over(w))
+    assert(out.collect().map(_.getInt(1)).sorted.toSeq == (1 to 10))
+    val specs = out.queryExecution.sparkPlan.collect {
+      case x: org.apache.spark.sql.execution.window.WindowExec =>
+        x.partitionSpec
+    }
+    assert(specs.nonEmpty && specs.forall(_.nonEmpty),
+      s"boundedKey was folded out of the window spec: $specs")
+  }
+
   test("no single-partition WindowExec in the physical plan") {
     val (got, _) = GlobalRank.withRowNumber(data(), col("v"), asc = true,
       col("id"), "rn")

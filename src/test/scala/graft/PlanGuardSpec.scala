@@ -26,6 +26,14 @@ class PlanGuardSpec extends AnyFunSuite {
     // labeled exact baselines: the all-pairs score IS the semantics, and
     // the broadcast side is the bounded query/probe set
     "sim_topk" -> "brute-force exact baseline (labeled)",
+    // exact top-k feeding the mutual join — the corpus side is the
+    // broadcast build, the data-to-data mutual match is an equi-join
+    "sim_mnn" -> "exact top-k baseline feeding the mutual equi-join",
+    // 1-row totals frames crossed onto bounded tables (contingency /
+    // 9-digit / category-grain) — the scalar-broadcast pattern
+    "q143_kappa" -> "1-row pe total x 1-row agreement stats",
+    "q144_benford" -> "1-row corpus total x 9-digit frame",
+    "q146_jsd" -> "1-row slice totals x category-grain counts",
     "sim_knn_label" -> "bounded labeled query set vs corpus",
     // index-build stages join each vector to k≈sqrt(N) broadcast seeds /
     // probe cells; the data-to-data path stays an equi-join on cell id
