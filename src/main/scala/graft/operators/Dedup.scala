@@ -880,4 +880,75 @@ object Dedup {
         col("id_b").cast(idType).as("id_b"), col("inter"),
         expr("1000000 * inter div (na + nb - inter)").as("jac_micro")), tok)
   }
+
+  /** Shingle sets + LSH band postings for one doc slice — the unit both
+    * [[buildMinhashIndex]] and [[appendMinhashIndex]] write. */
+  private def minhashIndexTables(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    import graft.functions.HashNative
+    import graft.functions.HashExprs.sparkBands
+    val sh = materialized(shingleTable(docs, idCol, textCol))
+    val postings = sh
+      .select(col("id"), HashNative.minhashSig(col("sh")).as("mh"))
+      .select(col("id"), explode(expr(sparkBands("mh"))).as("bv"))
+    (sh, postings)
+  }
+
+  /** Persist a MinHash-LSH near-duplicate index: `dir/shingles` (id,
+    * shingle set — the verify side) and `dir/postings` (id, band value —
+    * the candidate side). The production shape of [[minhashNearDups]] at
+    * 100 TB: the corpus is sketched ONCE, and each day's crawl pays only
+    * its own shingling plus joins against the stored postings — the
+    * [[IncrementalDedup]] lifecycle for near-dups, completing the
+    * persisted-index triad (IVF and PQ for vectors, this for text).
+    * Hash functions are plan literals, so build/append/query all agree by
+    * construction; append ≡ rebuild exactly (no trained state — unlike
+    * IVF seeds, band boundaries are data-independent). */
+  def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val (sh, postings) = minhashIndexTables(docs, idCol, textCol)
+    sh.write.mode("overwrite").parquet(s"$dir/shingles")
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    sh.unpersist(false)
+  }
+
+  /** Append a batch of NEW docs to a [[buildMinhashIndex]] index — one
+    * shingling pass over the BATCH plus two parquet appends; never
+    * rescans the indexed corpus. Ids must be new (the index does not
+    * dedup ids). */
+  def appendMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val (sh, postings) = minhashIndexTables(docs, idCol, textCol)
+    sh.write.mode("append").parquet(s"$dir/shingles")
+    postings.write.mode("append").parquet(s"$dir/postings")
+    sh.unpersist(false)
+  }
+
+  /** Near-duplicate lookup of a probe slice against a
+    * [[buildMinhashIndex]] index: probes are shingled and banded (batch
+    * cost only), candidates come from the stored postings (equi-join on
+    * band value), and the exact-Jaccard verify joins the stored shingle
+    * sets — identical semantics to [[minhashNearDups]] between probes and
+    * the indexed corpus, with the corpus side read from disk instead of
+    * recomputed. Self-matches (a probe id also present in the index) are
+    * excluded. Output: (probe_id, match_id, one row per verified pair). */
+  def queryMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, idCol: String, textCol: String,
+      num: Int = 7, den: Int = 10): DataFrame = {
+    val (psh, pBands) = minhashIndexTables(probes, idCol, textCol)
+    val postings = spark.read.parquet(s"$dir/postings")
+    val cand = pBands.as("a")
+      .join(postings.as("b"),
+        col("a.bv") === col("b.bv") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("probe_id"), col("b.id").as("match_id"))
+      .distinct()
+    val corpusSh = spark.read.parquet(s"$dir/shingles")
+    finalized(cand
+      .join(psh.select(col("id").as("probe_id"), col("sh").as("sa")),
+        Seq("probe_id"))
+      .join(corpusSh.select(col("id").as("match_id"), col("sh").as("sb")),
+        Seq("match_id"))
+      .filter(jaccardGe(num, den))
+      .select(col("probe_id"), col("match_id")), psh)
+  }
 }

@@ -57,6 +57,20 @@ object GlobalRank {
     * input — that is what the sharded ranks above are for. */
   def boundedKey(anchor: Column): Column = pmod(hash(anchor), lit(1))
 
+  /** Inputs at or below this row count take the single-window fast path:
+    * a `boundedKey`-partitioned window computes identical rank/cumsum
+    * values in ONE task with none of the sketch/offset machinery — 128k
+    * (long, tie) rows sort in milliseconds and sit far below task
+    * memory. The adaptive small-side discipline of
+    * [[Dedup.connectedComponents]]: callers that already hold the EXACT
+    * row count (they persisted + counted the aggregate feeding the rank)
+    * pass it as `knownCount`; unknown (-1) or large counts keep the
+    * fully-parallel sharded path. */
+  val SmallInput = 131072L
+
+  private def fastEligible(knownCount: Long): Boolean =
+    knownCount >= 0 && knownCount <= SmallInput
+
   /** Quantile cut points of `sv` (already direction-adjusted), floored to
     * long. Deduplicated: a constant column yields ZERO cuts (one shard) —
     * never an empty shard per duplicate boundary. */
@@ -78,57 +92,85 @@ object GlobalRank {
     }
 
   /** Core: adds `rankCol` = global 1-based row_number over
-    * (`value` asc-or-desc, `tie` asc) and, when `cumOf` is set, `cumCol` =
-    * global running sum of `cumOf` over the same order. Returns the frame
-    * (original columns + the added ones) plus (total row count, total sum).
-    */
+    * (`value` asc-or-desc, `tie` asc) and, for each `(expr, name)` in
+    * `cums`, a global running sum of `expr` over the same order into
+    * column `name` — all the cumulative columns ride the SAME per-shard
+    * window and the SAME ≤`shards`-row offset aggregate. Returns the
+    * frame (original columns + the added ones) plus (total row count,
+    * grand total per cumulative). */
   private def rankedCore(df: DataFrame, value: Column, asc: Boolean,
-      tie: Column, rankCol: String,
-      cumOf: Option[(Column, String)]): (DataFrame, Long, Long) = {
+      tie: Column, rankCol: String, cums: Seq[(Column, String)],
+      knownCount: Long = -1L): (DataFrame, Long, Seq[Long]) = {
     val spark = df.sparkSession
     val shards = spark.sessionState.conf.numShufflePartitions
     val sv = if (asc) value.cast("long") else -value.cast("long")
     val svDf = df.withColumn(SV, sv)
+    if (fastEligible(knownCount)) {
+      // small-input fast path: ONE deliberately-single-partition window
+      // (explicit boundedKey spec) — same SV/tie order, identical values
+      val w = Window.partitionBy(boundedKey(tie))
+        .orderBy(col(SV).asc, tie.asc)
+      val ranked0 = svDf.withColumn(rankCol,
+        row_number().over(w).cast("long"))
+      val ranked = cums.foldLeft(ranked0) { case (acc, (c, cumCol)) =>
+        acc.withColumn(cumCol, sum(c.cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      }
+      val grands =
+        if (cums.isEmpty) Seq.empty[Long]
+        else {
+          val aggs = cums.zipWithIndex.map { case ((c, _), i) =>
+            sum(c.cast("long")).as(s"__s$i") }
+          val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+          cums.indices.map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
+        }
+      return (ranked.drop(SV), knownCount, grands)
+    }
     val cuts = cutPoints(svDf, col(SV), shards)
     val assigned = svDf.withColumn(SHARD, shardOf(cuts, col(SV)))
-    // per-shard count (+ optional sum) — ≤ shards rows, driver-side fold
-    val sumExpr = cumOf.map(_._1).getOrElse(lit(0L)).cast("long")
+    // per-shard count (+ sums) — ≤ shards rows, driver-side fold
+    val sumAggs = cums.zipWithIndex.map { case ((c, _), i) =>
+      sum(c.cast("long")).as(s"__s$i")
+    }
     val perShard = assigned.groupBy(col(SHARD))
-      .agg(count(lit(1)).as("__c"), sum(sumExpr).as("__s"))
+      .agg(count(lit(1)).as("__c"), sumAggs: _*)
       .collect()
       .map(r => (r.getInt(0), r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2)))
+        cums.indices.map(i =>
+          if (r.isNullAt(2 + i)) 0L else r.getLong(2 + i))))
       .sortBy(_._1)
     val total = perShard.map(_._2).sum
-    val grand = perShard.map(_._3).sum
-    // offset(p) = rows (resp. sum) in shards strictly before p
-    var cAcc = 0L; var sAcc = 0L
-    val offs = perShard.map { case (p, c, s) =>
-      val o = (p, cAcc, sAcc); cAcc += c; sAcc += s; o
+    val grands = cums.indices.map(i => perShard.map(_._3(i)).sum)
+    // offset(p) = rows (resp. sums) in shards strictly before p
+    var cAcc = 0L
+    val sAcc = Array.fill(cums.size)(0L)
+    val offs = perShard.map { case (p, c, ss) =>
+      val o = (p, cAcc, sAcc.toSeq); cAcc += c
+      cums.indices.foreach(i => sAcc(i) += ss(i)); o
     }
     val cntOff = typedLit(offs.map(o => o._1 -> o._2).toMap)
     val w = Window.partitionBy(col(SHARD)).orderBy(col(SV).asc, tie.asc)
     val ranked0 = assigned.withColumn(rankCol,
       row_number().over(w).cast("long") +
         coalesce(element_at(cntOff, col(SHARD)), lit(0L)))
-    val ranked = cumOf match {
-      case Some((c, cumCol)) =>
-        val sumOff = typedLit(offs.map(o => o._1 -> o._3).toMap)
-        ranked0.withColumn(cumCol,
+    val ranked = cums.zipWithIndex.foldLeft(ranked0) {
+      case (acc, ((c, cumCol), i)) =>
+        val sumOff = typedLit(offs.map(o => o._1 -> o._3(i)).toMap)
+        acc.withColumn(cumCol,
           sum(c.cast("long")).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) +
             coalesce(element_at(sumOff, col(SHARD)), lit(0L)))
-      case None => ranked0
     }
-    (ranked.drop(SV, SHARD), total, grand)
+    (ranked.drop(SV, SHARD), total, grands)
   }
 
   /** Global 1-based row_number over (`value` asc/desc, `tie` asc), plus
     * the total row count (free from the offset aggregate — saves callers a
     * separate `count()` pass). */
   def withRowNumber(df: DataFrame, value: Column, asc: Boolean, tie: Column,
-      rankCol: String): (DataFrame, Long) = {
-    val (out, n, _) = rankedCore(df, value, asc, tie, rankCol, None)
+      rankCol: String, knownCount: Long = -1L): (DataFrame, Long) = {
+    val (out, n, _) = rankedCore(df, value, asc, tie, rankCol, Nil,
+      knownCount)
     (out, n)
   }
 
@@ -136,10 +178,11 @@ object GlobalRank {
     * derived arithmetically from the global rank — first n%B buckets get
     * ceil(n/B) rows — exactly Spark's and DuckDB's NTILE. */
   def withNtile(df: DataFrame, value: Column, asc: Boolean, tie: Column,
-      buckets: Int, bucketCol: String): DataFrame = {
+      buckets: Int, bucketCol: String,
+      knownCount: Long = -1L): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
     val rk = "__gr_rn"
-    val (ranked, n) = withRowNumber(df, value, asc, tie, rk)
+    val (ranked, n) = withRowNumber(df, value, asc, tie, rk, knownCount)
     val q = n / buckets
     val r = n % buckets
     val bucket =
@@ -154,10 +197,25 @@ object GlobalRank {
     * `cumCol`, plus the grand total (the `sum() OVER ()` companion,
     * without a second full-frame window). The rank column is internal. */
   def withCumSum(df: DataFrame, value: Column, asc: Boolean, tie: Column,
-      sumOf: Column, cumCol: String): (DataFrame, Long) = {
+      sumOf: Column, cumCol: String,
+      knownCount: Long = -1L): (DataFrame, Long) = {
     val rk = "__gr_rn"
-    val (out, _, grand) =
-      rankedCore(df, value, asc, tie, rk, Some((sumOf, cumCol)))
-    (out.drop(rk), grand)
+    val (out, _, grands) =
+      rankedCore(df, value, asc, tie, rk, Seq((sumOf, cumCol)), knownCount)
+    (out.drop(rk), grands.head)
+  }
+
+  /** Several global running sums over ONE (`value` asc/desc, `tie` asc)
+    * order — all riding the same sharded window and one offset aggregate
+    * (the PR-curve shape: cumulative positives AND cumulative totals down
+    * the score order). Returns the frame plus (row count, grand total per
+    * cumulative, in `sums` order). */
+  def withCumSums(df: DataFrame, value: Column, asc: Boolean, tie: Column,
+      sums: Seq[(Column, String)],
+      knownCount: Long = -1L): (DataFrame, Long, Seq[Long]) = {
+    val rk = "__gr_rn"
+    val (out, n, grands) = rankedCore(df, value, asc, tie, rk, sums,
+      knownCount)
+    (out.drop(rk), n, grands)
   }
 }

@@ -682,4 +682,62 @@ object Graph {
     nodes.unpersist(false)
     r
   }
+
+  /** Strongly connected components of a BOUNDED-node directed graph —
+    * the recurrence structure of a state machine (event-type transition
+    * graphs, crawl/redirect maps, workflow DAG validation: an SCC of
+    * size > 1 is a cycle): scc(v) = min{u : v→*u and u→*v} (v itself
+    * always qualifies), so two mutually-reachable nodes share a label
+    * and a DAG gets all-singleton labels.
+    *
+    * Implementation is transitive closure by frontier iteration (the
+    * [[reachability]] join shape run to fixpoint — rounds = graph
+    * diameter, each a key join + distinct), then ONE self-join of the
+    * closure against its transpose and a min aggregate. Closure size is
+    * O(n·reach) — honest ONLY at state-machine node counts, which is
+    * what the `maxNodes` guard enforces (the per-NODE grain analog of
+    * [[hits]]' `n <= scale` bound; corpus-grain SCC needs the multi-pivot
+    * forward-backward decomposition, out of scope here). Node ids ride
+    * through as longs. Output: (id, scc) — scc = smallest node id in the
+    * component. */
+  def scc(edges: DataFrame, maxNodes: Int = 10000,
+      maxDepth: Int = 64): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val n = nodes.count()
+    require(n <= maxNodes,
+      s"scc: $n nodes exceed maxNodes=$maxNodes — this closure-based SCC " +
+        "is for state-machine-grain graphs; decompose or raise the bound")
+    // closure: reach(v, u) with v→*u (reflexive); frontier = pairs added
+    // last round, so each round joins only NEW pairs against the edges
+    var reach = nodes.select(col("id").as("v"), col("id").as("u"))
+      .localCheckpoint()
+    var frontier = reach
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val grown = frontier.join(e, frontier("u") === e("src"))
+        .select(frontier("v"), e("dst").as("u")).distinct()
+      val fresh = grown.join(reach, Seq("v", "u"), "left_anti")
+        .localCheckpoint()
+      val merged = reach.union(fresh).localCheckpoint()
+      Checkpoints.release(reach)
+      if (frontier ne merged) Checkpoints.release(frontier)
+      reach = merged
+      frontier = fresh
+    }
+    val out = reach.as("f")
+      .join(reach.select(col("v").as("u"), col("u").as("v")).as("b"),
+        Seq("v", "u"))
+      .groupBy(col("v").as("id")).agg(min(col("u")).as("scc"))
+      .persist()
+    out.count()
+    Checkpoints.release(reach)
+    Checkpoints.release(frontier)
+    e.unpersist(false)
+    nodes.unpersist(false)
+    out
+  }
 }

@@ -1047,6 +1047,71 @@ object Similarity {
           .as("n_pure"))
   }
 
+  /** Per-dimension embedding-column health stats — the first thing to
+    * look at before trusting a 100 TB embedding corpus: a dead dimension
+    * (all zeros), a collapsed one (near-zero variance), or a wildly
+    * off-scale one each break cosine geometry silently. Components are
+    * integerized at 1e6 (exact long sums; the mirrored-rounding discipline
+    * of [[centroidPurity]]), variance closes as the exact integer
+    * E[x²]−E[x]² chain in ONE mirrored double division, and the zero
+    * fraction counts exact-grid zeros. One posexplode + one dim-grain hash
+    * aggregate — map-side combined, never a window; output is dim rows.
+    * Overflow audit: |xi| ≤ 1e6-grid component c ⇒ Σxi² ≤ n·c²; at
+    * c ≈ 1e6 (unit-norm vectors) a long holds n up to ~9e6 per dimension
+    * — larger corpora pass a coarser `compScale`.
+    * Output: (dim 1-based, n, mean_micro, var_micro, n_zero). */
+  def dimStats(emb: DataFrame, vecCol: String,
+      compScale: Double = 1e6): DataFrame = {
+    emb.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("xi", round(col("x") * compScale).cast("long"))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
+        sum(col("xi") * col("xi")).as("sxx"),
+        sum(when(col("xi") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim"), col("n"),
+        expr("CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT)")
+          .as("mean_micro"),
+        expr(
+          """CAST(round((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)
+            |  / (CAST(n AS DOUBLE) * n)) AS BIGINT)""".stripMargin)
+          .as("var_micro"),
+        col("n_zero"))
+  }
+
+  /** Label confusion matrix in embedding space — the full-matrix readout
+    * behind [[centroidPurity]]'s per-label diagonal: assign every vector
+    * to its nearest label centroid (exact-integer centroid sums, shared
+    * squared-distance fold, deterministic (d, label) argmin) and count
+    * (true label, nearest label) pairs. Off-diagonal mass names WHICH
+    * labels collide — the weak-label audit a relabeling pass starts from.
+    * Centroids are bounded by the label vocabulary and broadcast; one
+    * corpus scan against them. Output: (lbl, nearest, n). */
+  def labelConfusion(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val comp = emb
+      .select(col(labelCol).as("lbl"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("xi", round(col("x") * 1e6).cast("long"))
+      .groupBy(col("lbl"), col("pos"))
+      .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+    val cents = comp
+      .withColumn("c", col("sx").cast("double") / col("n") / 1e6)
+      .groupBy(col("lbl"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("ca"))
+      .select(col("lbl").as("clbl"),
+        expr("transform(ca, s -> s.c)").as("cvec"))
+    emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", expr(sparkSqDistD("v", "cvec")))
+      .groupBy(col("id"), col("lbl"))
+      .agg(min(struct(col("d"), col("clbl"))).as("m"))
+      .select(col("lbl"), col("m.clbl").as("nearest"))
+      .groupBy(col("lbl"), col("nearest"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Top principal component of the (mean-centered) embedding corpus by
     * power iteration — the primitive behind OPQ-style rotations, embedding
     * whitening, and "which direction did the encoder drift" diagnostics

@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Eagerly materialize an operator result, then release the cached
+    * inputs it was built from (the Dedup.finalized discipline) — the
+    * GlobalRank consumers below cache their AGGREGATE inputs because the
+    * sharded rank machinery scans its input three times (quantile sketch,
+    * shard counts, the windows); without the cache each scan re-runs the
+    * upstream shuffle. The returned frame stays persisted: it is the
+    * operator's output (1-row stats or value/entity-grain tables). */
+  private def finalized(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count()
+    cached.foreach(_.unpersist(false))
+    out
+  }
+
   /** Per-group ordinary-least-squares trend of `yCol` (integerized at
     * `yScale`) against integer `xCol`:
     * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n.
@@ -356,10 +370,13 @@ object Stats {
     */
   def zipfFit(freqs: DataFrame, itemCol: String, freqCol: String): DataFrame = {
     // vocabulary-grain rank — unbounded in principle, so it rides the
-    // GlobalRank sharded row_number rather than a one-task window
+    // GlobalRank sharded row_number rather than a one-task window; the
+    // caller's frequency table is usually itself an aggregate, so cache
+    // it across the rank machinery's scans
+    val base = freqs.select(col(itemCol).as("item"),
+      col(freqCol).cast("long").as("f")).persist()
     val (rankedIn, _) = GlobalRank.withRowNumber(
-      freqs.select(col(itemCol).as("item"), col(freqCol).cast("long").as("f")),
-      col("f"), asc = false, col("item"), "r")
+      base, col("f"), asc = false, col("item"), "r", base.count())
     val ranked = rankedIn
       .select(
         expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1e3) AS BIGINT)").as("x"),
@@ -371,11 +388,11 @@ object Stats {
       col("sx").cast("double") * col("sx")
     val slope = (col("n").cast("double") * col("sxy") -
       col("sx").cast("double") * col("sy")) / den
-    m.select(col("n").as("n_items"),
+    finalized(m.select(col("n").as("n_items"),
       when(den =!= 0.0, round(slope, 6)).as("slope"),
       when(den =!= 0.0,
         round((col("sy") - slope * col("sx")) / col("n") / 1e3, 6))
-        .as("intercept"))
+        .as("intercept")), base)
   }
 
   /** RFM segmentation: per entity, recency (days since its last event,
@@ -401,19 +418,22 @@ object Stats {
       .withColumn("recency_days",
         datediff(col("anchor"), col("last_d")).cast("long"))
     // Three global ntiles over the ENTITY-grain table (reduced, but still
-    // unbounded) — each runs as a GlobalRank sharded window, chained on
-    // one frame. Chaining is fine plan-wise: each pass's control jobs
-    // (sketch + counts) re-run the upstream, so freeze the entity table
-    // once — it is the one aggregate all three orders share.
+    // unbounded) — each a GlobalRank sharded window over the SAME frozen
+    // frame, computed INDEPENDENTLY and joined back on the entity key.
+    // (The first cut chained them through one frame; each pass's control
+    // jobs then re-ran the previous pass's windows and the entry measured
+    // 10× its pre-conversion time. Independent passes over the cached
+    // entity table keep every control job a cache scan.)
     val frozen = scored.persist()
-    frozen.count()
-    val r5 = GlobalRank.withNtile(frozen, col("recency_days"), asc = true,
-      col("ent"), 5, "rt")
-    val f5 = GlobalRank.withNtile(r5, col("frequency"), asc = false,
-      col("ent"), 5, "ft")
-    val m5 = GlobalRank.withNtile(f5, col("monetary"), asc = false,
-      col("ent"), 5, "mt")
-    val out = m5
+    val nEnts = frozen.count()
+    def tile(c: Column, asc: Boolean, out: String): DataFrame =
+      GlobalRank.withNtile(frozen.select(col("ent"), c.as("v")),
+          col("v"), asc, col("ent"), 5, out, nEnts)
+        .select(col("ent"), col(out))
+    val out = frozen
+      .join(tile(col("recency_days"), asc = true, "rt"), Seq("ent"))
+      .join(tile(col("frequency"), asc = false, "ft"), Seq("ent"))
+      .join(tile(col("monetary"), asc = false, "mt"), Seq("ent"))
       .withColumn("r", lit(6L) - col("rt"))
       .withColumn("f", lit(6L) - col("ft"))
       .withColumn("m", lit(6L) - col("mt"))
@@ -658,15 +678,17 @@ object Stats {
     val ents = df.select(col(entCol).as("ent"),
         col(valCol).cast("long").as("v"))
       .groupBy(col("ent")).agg(sum(col("v")).as("v"))
+      .persist()
     // Global running sum over (v desc, ent asc) via the GlobalRank sharded
     // prefix-sum; the grand total comes back from the same offset
-    // aggregate — no second full-frame window.
+    // aggregate — no second full-frame window. The entity aggregate is
+    // cached across the rank machinery's scans (finalized releases it).
     val (cum, total) = GlobalRank.withCumSum(ents, col("v"), asc = false,
-      col("ent"), col("v"), "cum")
-    cum.select(col("ent"), col("v"),
+      col("ent"), col("v"), "cum", ents.count())
+    finalized(cum.select(col("ent"), col("v"),
       when(col("cum") * 100 <= lit(total) * aPct, "A")
         .when(col("cum") * 100 <= lit(total) * bPct, "B")
-        .otherwise("C").as("abc_class"))
+        .otherwise("C").as("abc_class")), ents)
   }
 
   /** Doubled midranks of integer values at VALUE grain — the shared
@@ -677,9 +699,10 @@ object Stats {
     * [[GlobalRank]] sharded cumulative — value-grain but fully parallel,
     * so an (almost-)continuous metric needs no compactness cap here.
     * Input: (v: long, t: rows at v). Output: + (dr). */
-  private def doubledMidranks(pv: DataFrame): DataFrame = {
+  private def doubledMidranks(pv: DataFrame,
+      knownCount: Long = -1L): DataFrame = {
     val (cum, _) = GlobalRank.withCumSum(pv, col("v"), asc = true,
-      col("v"), col("t"), "cumt")
+      col("v"), col("t"), "cumt", knownCount)
     cum.withColumn("dr", lit(2) * (col("cumt") - col("t")) + col("t") + 1)
   }
 
@@ -702,10 +725,19 @@ object Stats {
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(round(col(xCol) * xScale).cast("long").as("x"),
         round(col(yCol) * yScale).cast("long").as("y"))
-    def ranksOf(c: String): DataFrame = doubledMidranks(
-      base.groupBy(col(c).as("v")).agg(count(lit(1)).as("t")))
-      .select(col("v").as(c), col("dr").as(s"dr_$c"))
-    base.join(ranksOf("x"), Seq("x")).join(ranksOf("y"), Seq("y"))
+    // the value-grain count tables feed the rank machinery's three scans
+    // — cached, released by finalized
+    val pvx = base.groupBy(col("x").as("v")).agg(count(lit(1)).as("t"))
+      .persist()
+    val pvy = base.groupBy(col("y").as("v")).agg(count(lit(1)).as("t"))
+      .persist()
+    // the counts double as the GlobalRank small-input hint (the cached
+    // value-grain tables are exactly what the rank machinery scans)
+    def ranksOf(c: String, pv: DataFrame): DataFrame =
+      doubledMidranks(pv, pv.count())
+        .select(col("v").as(c), col("dr").as(s"dr_$c"))
+    finalized(base.join(ranksOf("x", pvx), Seq("x"))
+      .join(ranksOf("y", pvy), Seq("y"))
       .agg(count(lit(1)).as("n"), sum(col("dr_x")).as("sa"),
         sum(col("dr_y")).as("sb"),
         sum(col("dr_x") * col("dr_y")).as("sab"),
@@ -715,7 +747,7 @@ object Stats {
         """round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
           |  / sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
           |       * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)"""
-          .stripMargin).as("rho"))
+          .stripMargin).as("rho")), pvx, pvy)
   }
 
   /** ROC AUC of a score against a binary label, with exact midrank tie
@@ -738,7 +770,8 @@ object Stats {
     val pv = base.groupBy(col("v"))
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
         count(lit(1)).as("t"))
-    doubledMidranks(pv)
+      .persist()
+    finalized(doubledMidranks(pv, pv.count())
       .agg(sum(col("np")).as("n_pos"),
         (sum(col("t")) - sum(col("np"))).as("n_neg"),
         sum(col("np") * col("dr")).as("r2"))
@@ -746,7 +779,7 @@ object Stats {
         """CASE WHEN n_pos = 0 OR n_neg = 0 THEN CAST(NULL AS BIGINT)
           |ELSE CAST(round(1e6 * CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
           |  / (2.0 * CAST(n_pos AS DOUBLE) * n_neg)) AS BIGINT) END"""
-          .stripMargin).as("auc_micro"))
+          .stripMargin).as("auc_micro")), pv)
   }
 
   /** Gini coefficient of an entity-level value distribution — the
@@ -763,9 +796,10 @@ object Stats {
         col(valCol).cast("long").as("v"))
       .groupBy(col("ent")).agg(sum(col("v")).as("v"))
       .filter(col("v").isNotNull)
+      .persist()
     val (ranked, n) = GlobalRank.withRowNumber(ents, col("v"), asc = true,
-      col("ent"), "i")
-    ranked
+      col("ent"), "i", ents.count())
+    val res = ranked
       .agg(min(col("v")).as("minv"), sum(col("v")).as("total"),
         sum(col("i") * col("v")).as("siv"))
       .select(lit(n).as("n"), col("total"), col("minv"), col("siv"))
@@ -776,6 +810,7 @@ object Stats {
            |  - CAST(n + 1 AS DOUBLE) * total)
            |  / (CAST(n AS DOUBLE) * total)) AS BIGINT) END""".stripMargin))
       .select(col("n"), col("total"), col("gini_micro"))
+    finalized(res, ents)
   }
 
   /** Cohen's kappa between two categorical raters — chance-corrected
@@ -848,38 +883,149 @@ object Stats {
             .stripMargin).as("chi2_micro"))
   }
 
-  /** Per-group ordinary-least-squares line fit y = a·x + b — the cheap
-    * trend extractor (tokens vs time per source, price vs quantity per
-    * segment) in closed form: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²),
-    * intercept = (Σy − slope·Σx)/n. Both variables integerize at their
-    * scale so the five moment sums are EXACT longs (caller contract:
-    * n·max(x·y) clear of 2⁶³ at the chosen scales); the closing algebra
-    * is mirrored doubles rounded at 6, NULL slope on a degenerate
-    * (constant-x) group. One corpus scan, one hash aggregate per group.
-    * Output: (grp, n, slope, intercept). */
-  def olsFit(df: DataFrame, grpCol: String, xCol: String, yCol: String,
-      xScale: Double = 1e2, yScale: Double = 1e2): DataFrame = {
-    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select(col(grpCol).as("grp"),
-        round(col(xCol) * xScale).cast("long").as("x"),
-        round(col(yCol) * yScale).cast("long").as("y"))
-      .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
-      .withColumn("den", expr(
-        "CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx"))
-      .select(col("grp"), col("n"),
+  /** Precision/recall curve of a score against a binary label — one row
+    * per DISTINCT score value (the curve's natural grain): thresholding
+    * at that value (inclusive, descending), `tp` and `n_kept` are the
+    * cumulative positive/total counts down the score order, and
+    * precision = tp/n_kept, recall = tp/P,
+    * F1 = 2·tp/(n_kept + P) — the last an exact integer rational, so all
+    * three are single mirrored divisions (micro). Both cumulative rides
+    * share ONE [[GlobalRank]] sharded pass (no per-row window, no
+    * compactness cap needed); the output is value-grain — downsample
+    * upstream (coarser `valScale`) if a plotted curve needs fewer points.
+    * Output: (v, n_kept, tp, precision_micro, recall_micro, f1_micro),
+    * descending-threshold order by v. */
+  def prCurve(df: DataFrame, labelCol: Column, scoreCol: Column,
+      valScale: Double = 1e6): DataFrame = {
+    val base = df
+      .filter(labelCol.isNotNull && scoreCol.isNotNull)
+      .select(round(scoreCol * valScale).cast("long").as("v"),
+        labelCol.cast("boolean").as("pos"))
+    val pv = base.groupBy(col("v"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("t"))
+      .persist()
+    val (cum, _, grands) = GlobalRank.withCumSums(pv, col("v"),
+      asc = false, col("v"),
+      Seq(col("np") -> "tp", col("t") -> "n_kept"), pv.count())
+    val totalPos = grands.head
+    finalized(cum.select(col("v"), col("n_kept"), col("tp"),
+      expr("CAST(round(1e6 * CAST(tp AS DOUBLE) / n_kept) AS BIGINT)")
+        .as("precision_micro"),
+      expr(s"CAST(round(1e6 * CAST(tp AS DOUBLE) / ${totalPos}L) AS BIGINT)")
+        .as("recall_micro"),
+      expr(s"CAST(round(1e6 * 2.0 * tp / (n_kept + ${totalPos}L)) AS BIGINT)")
+        .as("f1_micro")), pv)
+  }
+
+  /** Decile lift / calibration table of a score against a binary label —
+    * the model-evaluation companion of [[aucScore]]: rank the corpus by
+    * score DESCENDING into `nBins` equal-count bins ([[GlobalRank]]
+    * sharded ntile; bin 1 = highest scores), then per bin report size,
+    * positives, mean score, positive rate, lift vs the base rate
+    * (`rate_bin/rate_all`), and the cumulative gain (share of ALL
+    * positives captured through this bin). Counts and score sums are
+    * exact longs; the rates/lift/gain are single mirrored divisions
+    * (micro). The per-bin reduction is one hash aggregate; the cumulative
+    * runs on the `nBins`-row table (explicit bounded single-partition
+    * key). Output: (bin, n, n_pos, mean_score_micro, pos_rate_micro,
+    * lift_micro, cum_gain_micro). */
+  def liftTable(df: DataFrame, labelCol: Column, scoreCol: Column,
+      tieCol: Column, nBins: Int = 10,
+      valScale: Double = 1e6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBins > 0, s"nBins must be > 0, got $nBins")
+    val base = df
+      .filter(labelCol.isNotNull && scoreCol.isNotNull)
+      .select(round(scoreCol * valScale).cast("long").as("v"),
+        labelCol.cast("boolean").as("pos"), tieCol.as("tk"))
+    val binned = GlobalRank.withNtile(base, col("v"), asc = false,
+      col("tk"), nBins, "bin")
+    val per = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("v")).as("sv"))
+    val tot = per.agg(sum(col("n")).as("nn"), sum(col("n_pos")).as("pp"))
+    val wc = Window.partitionBy(GlobalRank.boundedKey(col("bin")))
+      .orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wc))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("CAST(round(CAST(sv AS DOUBLE) / n) AS BIGINT)")
+          .as("mean_score_micro"),
+        expr("CAST(round(1e6 * CAST(n_pos AS DOUBLE) / n) AS BIGINT)")
+          .as("pos_rate_micro"),
         expr(
-          s"""CASE WHEN den = 0.0 THEN CAST(NULL AS DOUBLE)
-             |ELSE round((CAST(n AS DOUBLE) * sxy
-             |  - CAST(sx AS DOUBLE) * sy) / den * ${xScale / yScale}, 6)
-             |END""".stripMargin).as("slope"),
+          """CASE WHEN pp = 0 THEN CAST(NULL AS BIGINT)
+            |ELSE CAST(round(1e6 * (CAST(n_pos AS DOUBLE) / n)
+            |  / (CAST(pp AS DOUBLE) / nn)) AS BIGINT) END""".stripMargin)
+          .as("lift_micro"),
         expr(
-          s"""CASE WHEN den = 0.0 THEN CAST(NULL AS DOUBLE)
-             |ELSE round((CAST(sy AS DOUBLE)
-             |  - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / den
-             |    * sx) / n / $yScale, 6) END""".stripMargin)
-          .as("intercept"))
+          """CASE WHEN pp = 0 THEN CAST(NULL AS BIGINT)
+            |ELSE CAST(round(1e6 * CAST(cum_pos AS DOUBLE) / pp) AS BIGINT)
+            |END""".stripMargin).as("cum_gain_micro"))
+  }
+
+  /** ROC curve of a score against a binary label — the threshold-grain
+    * companion of [[aucScore]] (the scalar is the area under exactly this
+    * curve) and the false-positive view [[prCurve]] lacks: one row per
+    * DISTINCT score value, thresholding inclusive-descending, with
+    * tpr = tp/P and fpr = fp/N (fp = kept − tp, N = total − P). Both
+    * cumulative counts ride ONE [[GlobalRank]] multi-sum sharded pass —
+    * value-grain, fully parallel, no compactness cap; P and N come back
+    * from the same offset aggregate (no second corpus pass). NULL rate on
+    * a degenerate side (all-positive or all-negative input). Output:
+    * (v, tp, fp, tpr_micro, fpr_micro). */
+  def rocCurve(df: DataFrame, labelCol: Column, scoreCol: Column,
+      valScale: Double = 1e6): DataFrame = {
+    val base = df
+      .filter(labelCol.isNotNull && scoreCol.isNotNull)
+      .select(round(scoreCol * valScale).cast("long").as("v"),
+        labelCol.cast("boolean").as("pos"))
+    val pv = base.groupBy(col("v"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        count(lit(1)).as("t"))
+      .persist()
+    val (cum, _, grands) = GlobalRank.withCumSums(pv, col("v"),
+      asc = false, col("v"),
+      Seq(col("np") -> "tp", col("t") -> "kept"), pv.count())
+    val totalPos = grands.head
+    val totalNeg = grands(1) - totalPos
+    finalized(cum
+      .select(col("v"), col("tp"), (col("kept") - col("tp")).as("fp"))
+      .withColumn("tpr_micro",
+        if (totalPos == 0L) lit(null).cast("long")
+        else expr(s"CAST(round(1e6 * CAST(tp AS DOUBLE) / ${totalPos}L) " +
+          "AS BIGINT)"))
+      .withColumn("fpr_micro",
+        if (totalNeg == 0L) lit(null).cast("long")
+        else expr(s"CAST(round(1e6 * CAST(fp AS DOUBLE) / ${totalNeg}L) " +
+          "AS BIGINT)")), pv)
+  }
+
+  /** Frequency-of-frequency spectrum of an item distribution — the
+    * Good-Turing/vocabulary-health readout: for each occurrence count c,
+    * how many distinct items occur exactly c times, what share of the
+    * corpus mass they carry, and the count-of-counts a smoother consumes.
+    * Two hash aggregates (item grain, then count grain) + one 1-row total
+    * crossed on — never a window. Input is (item, weight) at ROW grain;
+    * items aggregate by exact long sums. Output:
+    * (freq, n_items, mass, mass_share_micro). */
+  def freqSpectrum(df: DataFrame, itemCol: Column,
+      weight: Column = lit(1L)): DataFrame = {
+    val items = df.filter(itemCol.isNotNull)
+      .groupBy(itemCol.as("item"))
+      .agg(sum(weight.cast("long")).as("f"))
+    val spec = items.groupBy(col("f").as("freq"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("f")).as("mass"))
+    val tot = spec.agg(sum(col("mass")).as("total"))
+    spec.crossJoin(broadcast(tot))
+      .select(col("freq"), col("n_items"), col("mass"),
+        expr(
+          """CASE WHEN total = 0 THEN CAST(NULL AS BIGINT)
+            |ELSE CAST(round(1e6 * CAST(mass AS DOUBLE) / total) AS BIGINT)
+            |END""".stripMargin).as("mass_share_micro"))
   }
 }

@@ -190,6 +190,36 @@ object Extensions {
       Some(s"""$minhashPairCtes
         |SELECT id_a, id_b FROM pairs""".stripMargin)),
 
+    // persisted MinHash-LSH index lifecycle — the production near-dup
+    // shape at 100 TB: sketch the corpus ONCE (build on slice A, append
+    // slice B without rescanning A), then each day's probes (slice C) pay
+    // only their own shingling + joins against the stored postings. The
+    // oracle replays the full banding over everything and restricts to
+    // probe×corpus pairs — append ≡ rebuild because band boundaries are
+    // data-independent (no trained state, unlike IVF seeds).
+    Q("dedup_minhash_index", (s, d) => {
+      val docs = Tables.ts(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("mh-index").toString
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", dir)
+      Dedup.appendMinhashIndex(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", dir)
+      Dedup.queryMinhashIndex(s, dir,
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", 7, 10)
+    }, Some(s"""$docsSql,
+      |mh AS (SELECT doc_id, ${H.duckMinhash("sh")} AS mh FROM sh),
+      |bands AS (SELECT doc_id, unnest(${H.duckBands("mh")}) AS bv FROM mh),
+      |cand AS (SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS match_id
+      |         FROM bands a JOIN bands b ON a.bv = b.bv
+      |           AND a.doc_id <> b.doc_id
+      |         WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2)
+      |SELECT probe_id, match_id
+      |FROM cand JOIN sh sa ON cand.probe_id = sa.doc_id
+      |          JOIN sh sb ON cand.match_id = sb.doc_id
+      |WHERE len(list_intersect(sa.sh, sb.sh)) * 10
+      |      >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7"""
+      .stripMargin)),
+
     // pairs -> duplicate clusters -> survivors: connected components via
     // min-label propagation (Spark) vs transitive closure (DuckDB recursive
     // CTE) — independent algorithms, identical fixpoint

@@ -189,10 +189,11 @@ object Round11 {
 
     // ---- per-group OLS line fit ---------------------------------------
     // price-vs-quantity trend per return flag: exact integer moment sums
-    // (quantity at 1e0, price at cents), mirrored closed-form algebra.
+    // (integer quantity, price at cents), mirrored closed-form algebra —
+    // the existing olsTrend kernel pointed at a second surface.
     Q("q145_ols", (s, d) =>
-      Stats.olsFit(t(s, d, "lineitem"), "l_returnflag", "l_quantity",
-        "l_extendedprice", xScale = 1.0, yScale = 100.0),
+      Stats.olsTrend(t(s, d, "lineitem"), "l_returnflag", "l_quantity",
+        "l_extendedprice", yScale = 100.0),
       Some("""
         WITH base AS (SELECT l_returnflag AS grp,
                 CAST(round(l_quantity * 1.0) AS BIGINT) AS x,
@@ -209,7 +210,7 @@ object Round11 {
         SELECT grp, n,
                CASE WHEN den = 0.0 THEN CAST(NULL AS DOUBLE)
                ELSE round((CAST(n AS DOUBLE) * sxy
-                 - CAST(sx AS DOUBLE) * sy) / den * 0.01, 6) END AS slope,
+                 - CAST(sx AS DOUBLE) * sy) / den / 100.0, 6) END AS slope,
                CASE WHEN den = 0.0 THEN CAST(NULL AS DOUBLE)
                ELSE round((CAST(sy AS DOUBLE)
                  - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / den
@@ -304,6 +305,215 @@ object Round11 {
                END AS acf_micro
         FROM den JOIN pairs ON den.grp = pairs.grp""")),
 
+    // ---- precision/recall curve ---------------------------------------
+    // thresholding the quality score against the lang label at every
+    // distinct value: both cumulatives ride ONE GlobalRank sharded pass;
+    // precision/recall/F1 are single mirrored divisions (F1 an exact
+    // integer rational 2·tp/(n_kept+P)).
+    Q("q148_pr_curve", (s, d) =>
+      Stats.prCurve(Tables.ts(s, d, "documents"),
+        col("lang") === "en",
+        TextAnalysis.qualityScoreX1e4("text").cast("double"),
+        valScale = 1.0),
+      Some("""
+        WITH sc AS (SELECT ((
+          (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 10000
+                WHEN length(text) < 100 THEN length(text) * 100
+                ELSE 2000 END) * 4
+          + (len(list_filter(string_split(text, ' '),
+               tk -> tk IN ('the', 'a', 'of', 'and'))) * 30000)
+              // len(string_split(text, ' '))
+          + ((length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) * 30000)
+              // length(text)
+        ) // 10) AS q, (lang = 'en') AS pos FROM documents),
+        base AS (SELECT CAST(round(q * 1.0) AS BIGINT) AS v, pos FROM sc),
+        pv AS (SELECT v, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                 count(*) AS t
+               FROM base GROUP BY 1),
+        c AS (SELECT v,
+                CAST(sum(np) OVER (ORDER BY v DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp,
+                CAST(sum(t) OVER (ORDER BY v DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_kept,
+                CAST(sum(np) OVER () AS BIGINT) AS pp
+              FROM pv)
+        SELECT v, n_kept, tp,
+               CAST(round(1e6 * CAST(tp AS DOUBLE) / n_kept) AS BIGINT)
+                 AS precision_micro,
+               CAST(round(1e6 * CAST(tp AS DOUBLE) / pp) AS BIGINT)
+                 AS recall_micro,
+               CAST(round(1e6 * 2.0 * tp / (n_kept + pp)) AS BIGINT)
+                 AS f1_micro
+        FROM c""")),
+
+    // ---- decile lift / calibration table ------------------------------
+    // equal-count score deciles (GlobalRank sharded ntile, bin 1 =
+    // highest scores): per-bin positive rate, lift vs the base rate, and
+    // cumulative gain — the model-evaluation table next to q141_auc.
+    Q("q149_lift", (s, d) =>
+      Stats.liftTable(Tables.ts(s, d, "documents"),
+        col("lang") === "en",
+        TextAnalysis.qualityScoreX1e4("text").cast("double"),
+        col("doc_id"), nBins = 10, valScale = 1.0),
+      Some("""
+        WITH sc AS (SELECT doc_id, ((
+          (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 10000
+                WHEN length(text) < 100 THEN length(text) * 100
+                ELSE 2000 END) * 4
+          + (len(list_filter(string_split(text, ' '),
+               tk -> tk IN ('the', 'a', 'of', 'and'))) * 30000)
+              // len(string_split(text, ' '))
+          + ((length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) * 30000)
+              // length(text)
+        ) // 10) AS q, (lang = 'en') AS pos FROM documents),
+        base AS (SELECT doc_id, CAST(round(q * 1.0) AS BIGINT) AS v, pos
+              FROM sc),
+        binned AS (SELECT v, pos,
+                CAST(ntile(10) OVER (ORDER BY v DESC, doc_id ASC)
+                  AS BIGINT) AS bin
+              FROM base),
+        per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_pos,
+                  CAST(sum(v) AS BIGINT) AS sv
+                FROM binned GROUP BY 1),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                  CAST(sum(n_pos) AS BIGINT) AS pp FROM per),
+        cum AS (SELECT per.*, nn, pp,
+                  CAST(sum(n_pos) OVER (ORDER BY bin ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_pos
+                FROM per CROSS JOIN tot)
+        SELECT bin, n, n_pos,
+               CAST(round(CAST(sv AS DOUBLE) / n) AS BIGINT)
+                 AS mean_score_micro,
+               CAST(round(1e6 * CAST(n_pos AS DOUBLE) / n) AS BIGINT)
+                 AS pos_rate_micro,
+               CASE WHEN pp = 0 THEN CAST(NULL AS BIGINT)
+               ELSE CAST(round(1e6 * (CAST(n_pos AS DOUBLE) / n)
+                 / (CAST(pp AS DOUBLE) / nn)) AS BIGINT) END AS lift_micro,
+               CASE WHEN pp = 0 THEN CAST(NULL AS BIGINT)
+               ELSE CAST(round(1e6 * CAST(cum_pos AS DOUBLE) / pp)
+                 AS BIGINT) END AS cum_gain_micro
+        FROM cum""")),
+
+    // ---- strongly connected components of the event-type machine -----
+    // which event types form recurrent loops? Transition edges from
+    // consecutive per-user events, node ids = shared char hashes (so
+    // both engines label identically), scc = min mutually-reachable id,
+    // mapped back to the type string of that minimal node.
+    Q("q150_scc", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = ev
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(expr(graft.functions.HashExprs.sparkCharHash("prev"))
+            .as("src"),
+          expr(graft.functions.HashExprs.sparkCharHash("event_type"))
+            .as("dst"))
+        .distinct()
+      val labels = graft.operators.Graph.scc(trans)
+      val names = ev.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          expr(graft.functions.HashExprs.sparkCharHash("event_type"))
+            .as("id"))
+      // labels stays persisted (the Graph.scc output-ownership contract —
+      // unpersisting before this join materializes would recompute through
+      // the released closure checkpoints)
+      labels.join(names, "id")
+        .join(names.select(col("event_type").as("scc_type"),
+          col("id").as("scc")), "scc")
+        .select(col("event_type"), col("scc_type"))
+    }, Some(s"""
+        WITH RECURSIVE ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                event_id, event_type FROM events),
+        tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS p, event_type AS c
+               FROM ev),
+        edges AS (SELECT DISTINCT
+                ${graft.functions.HashExprs.duckCharHash("p")} AS src,
+                ${graft.functions.HashExprs.duckCharHash("c")} AS dst
+              FROM tr WHERE p IS NOT NULL),
+        nodesq AS (SELECT src AS id FROM edges
+                   UNION SELECT dst FROM edges),
+        reach(v, u) AS (
+          SELECT id, id FROM nodesq
+          UNION
+          SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src),
+        lbl AS (SELECT f.v AS id, min(f.u) AS scc
+                FROM reach f JOIN reach b ON f.v = b.u AND f.u = b.v
+                GROUP BY 1),
+        names AS (SELECT DISTINCT event_type,
+                ${graft.functions.HashExprs.duckCharHash("event_type")} AS id
+              FROM ev)
+        SELECT n1.event_type, n2.event_type AS scc_type
+        FROM lbl JOIN names n1 ON lbl.id = n1.id
+                 JOIN names n2 ON lbl.scc = n2.id""")),
+
+    // ---- hard-negative mining -----------------------------------------
+    // contrastive-training negatives: each query's nearest neighbors with
+    // a DIFFERENT label — close in embedding space but semantically
+    // wrong, the examples a contrastive loss learns most from. One
+    // bounded-query exact top-k + two label joins; rank preserved from
+    // the unfiltered neighbor list so consumers see how near each
+    // negative sat.
+    Q("sim_hard_negatives", (s, d) => {
+      val e = t(s, d, "embeddings")
+      val topk = Similarity.bruteForceTopK(e.filter(col("vec_id") < 50),
+        e, "vec_id", "embedding", 10, broadcastCorpus = true)
+      topk
+        .join(e.select(col("vec_id").as("query_id"),
+          col("label").as("ql")), "query_id")
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nl")), "neighbor_id")
+        .filter(col("ql") =!= col("nl"))
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("cos"), col("nl").as("neg_label"))
+    }, Some(s"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+              FROM embeddings WHERE vec_id < 50),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+              FROM embeddings),
+        scored AS (SELECT query_id, neighbor_id, ql, nl,
+            ${V.duckCosine("qv", "cv")} AS cos,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY ${V.duckCosine("qv", "cv")} DESC, neighbor_id ASC)
+              AS rank
+          FROM q JOIN c ON query_id <> neighbor_id)
+        SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos,
+               nl AS neg_label
+        FROM scored WHERE rank <= 10 AND ql <> nl""")),
+
+    // ---- tokenizer fertility by language ------------------------------
+    // BPE tokens per whitespace word, per lang — the tokenizer-prep
+    // metric that flags languages a vocabulary serves poorly (fertility
+    // far above ~1.3 ⇒ the language fragments into sub-word confetti).
+    Q("text_fertility", (s, d) =>
+      Tables.ts(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount("text")).as("n_words"),
+          sum(TextAnalysis.bpeTokenCount("text")).as("n_bpe"))
+        .withColumn("fertility_micro",
+          expr("1000000 * n_bpe div n_words")),
+      Some("""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+               CAST(sum(len(regexp_extract_all(text,
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]+'))) AS BIGINT) AS n_bpe,
+               1000000 * CAST(sum(len(regexp_extract_all(text,
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]+'))) AS BIGINT)
+                 // CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                 AS fertility_micro
+        FROM documents GROUP BY 1""")),
+
     // ---- mutual nearest neighbors -------------------------------------
     // alignment pairs: both sides in each other's exact top-5 — the
     // hub-resistant matching primitive; one top-k pass + one self-join
@@ -323,5 +533,130 @@ object Round11 {
         SELECT f.query_id AS id_a, f.neighbor_id AS id_b, f.cos
         FROM tk f JOIN tk r ON f.query_id = r.neighbor_id
                            AND f.neighbor_id = r.query_id
-        WHERE f.query_id < f.neighbor_id""")))
+        WHERE f.query_id < f.neighbor_id""")),
+
+    // ---- ROC curve ------------------------------------------------------
+    // the threshold-grain curve under q141's AUC scalar: tpr/fpr per
+    // distinct score value, both cumulatives on ONE GlobalRank multi-sum
+    // sharded pass (the q148 machinery pointed at the false-positive axis).
+    Q("q151_roc", (s, d) =>
+      Stats.rocCurve(Tables.ts(s, d, "documents"),
+        col("lang") === "en",
+        TextAnalysis.qualityScoreX1e4("text").cast("double"),
+        valScale = 1.0),
+      Some("""
+        WITH sc AS (SELECT ((
+          (CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 10000
+                WHEN length(text) < 100 THEN length(text) * 100
+                ELSE 2000 END) * 4
+          + (len(list_filter(string_split(text, ' '),
+               tk -> tk IN ('the', 'a', 'of', 'and'))) * 30000)
+              // len(string_split(text, ' '))
+          + ((length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) * 30000)
+              // length(text)
+        ) // 10) AS q, (lang = 'en') AS pos FROM documents),
+        base AS (SELECT CAST(round(q * 1.0) AS BIGINT) AS v, pos FROM sc),
+        pv AS (SELECT v, CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                 count(*) AS t
+               FROM base GROUP BY 1),
+        c AS (SELECT v,
+                CAST(sum(np) OVER (ORDER BY v DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS tp,
+                CAST(sum(t) OVER (ORDER BY v DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS kept,
+                CAST(sum(np) OVER () AS BIGINT) AS pp,
+                CAST(sum(t) OVER () - sum(np) OVER () AS BIGINT) AS nn
+              FROM pv)
+        SELECT v, tp, kept - tp AS fp,
+               CASE WHEN pp = 0 THEN CAST(NULL AS BIGINT)
+               ELSE CAST(round(1e6 * CAST(tp AS DOUBLE) / pp) AS BIGINT) END
+                 AS tpr_micro,
+               CASE WHEN nn = 0 THEN CAST(NULL AS BIGINT)
+               ELSE CAST(round(1e6 * CAST(kept - tp AS DOUBLE) / nn)
+                 AS BIGINT) END AS fpr_micro
+        FROM c""")),
+
+    // ---- token frequency-of-frequency spectrum --------------------------
+    // the Good-Turing / vocabulary-health readout: how many distinct
+    // tokens occur exactly c times, and what share of the corpus mass the
+    // c-count tokens carry. Two hash aggregates + one broadcast total —
+    // never a window; hapax mass (freq = 1) is the "is the tokenizer
+    // fragmenting?" number next to text_fertility.
+    Q("text_freq_spectrum", (s, d) =>
+      Stats.freqSpectrum(
+        Tables.ts(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0),
+        col("tok")),
+      Some("""
+        WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+        items AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM tok
+                  WHERE length(tok) > 0 GROUP BY 1),
+        spec AS (SELECT f AS freq, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(f) AS BIGINT) AS mass
+                 FROM items GROUP BY 1),
+        tot AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM spec)
+        SELECT freq, n_items, mass,
+               CASE WHEN total = 0 THEN CAST(NULL AS BIGINT)
+               ELSE CAST(round(1e6 * CAST(mass AS DOUBLE) / total)
+                 AS BIGINT) END AS mass_share_micro
+        FROM spec, tot""")),
+
+    // ---- per-dimension embedding health ---------------------------------
+    // dead / collapsed / off-scale dimensions break cosine geometry
+    // silently: exact 1e6-grid component sums, integer E[x²]−E[x]² chain,
+    // one dim-grain map-side-combined aggregate.
+    Q("sim_dim_stats", (s, d) =>
+      Similarity.dimStats(t(s, d, "embeddings"), "embedding"),
+      Some("""
+        WITH ex AS (SELECT i AS dim,
+                CAST(round(embedding[i] * 1e6) AS BIGINT) AS xi
+              FROM embeddings,
+                UNNEST(generate_series(1, len(embedding))) AS u(i)
+              WHERE embedding IS NOT NULL),
+        agg AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(xi) AS BIGINT) AS sx,
+                  CAST(sum(xi * xi) AS BIGINT) AS sxx,
+                  CAST(sum(CASE WHEN xi = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_zero
+                FROM ex GROUP BY 1)
+        SELECT dim, n,
+               CAST(round(CAST(sx AS DOUBLE) / n) AS BIGINT) AS mean_micro,
+               CAST(round((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)
+                 / (CAST(n AS DOUBLE) * n)) AS BIGINT) AS var_micro,
+               n_zero
+        FROM agg""")),
+
+    // ---- embedding label confusion matrix -------------------------------
+    // the full-matrix readout behind q112's per-label purity diagonal:
+    // WHICH labels collide in embedding space (the weak-label audit a
+    // relabeling pass starts from). Bounded broadcast centroids, one
+    // corpus scan, deterministic (d, label) argmin.
+    Q("sim_label_confusion", (s, d) =>
+      Similarity.labelConfusion(t(s, d, "embeddings"),
+        "vec_id", "embedding", "label"),
+      Some(s"""
+        WITH comp AS (
+          SELECT label AS lbl, i AS pos,
+                 CAST(sum(CAST(round(embedding[i] * 1e6) AS BIGINT))
+                   AS BIGINT) AS sx,
+                 count(*) AS n
+          FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+          GROUP BY 1, 2),
+        cents AS (SELECT lbl AS clbl,
+                    list(sx::DOUBLE / n / 1e6 ORDER BY pos) AS cvec
+                  FROM comp GROUP BY 1),
+        dist AS (SELECT e.vec_id AS id, e.label AS lbl, c.clbl,
+                   ${graft.functions.VectorExprs.duckSqDistD(
+                     "e.embedding", "c.cvec")} AS d
+                 FROM embeddings e CROSS JOIN cents c),
+        near AS (SELECT id, lbl, clbl AS nearest FROM (
+                   SELECT *, row_number() OVER
+                     (PARTITION BY id ORDER BY d, clbl) AS rn FROM dist)
+                 WHERE rn = 1)
+        SELECT lbl, nearest, count(*) AS n
+        FROM near GROUP BY 1, 2""")))
 }

@@ -799,6 +799,56 @@ object ScaleSmoke {
           graft.operators.TextAnalysis.curriculum(d1, "doc_id", "text", 5))),
         time("curriculum 10x")(noop(
           graft.operators.TextAnalysis.curriculum(d10, "doc_id", "text", 5)))),
+      // GlobalRank-backed Spearman: value-grain midranks + two joins —
+      // must track the scan linearly (the rank never runs per-row)
+      ("spearman", time("spearman 1x")(noop(
+          graft.operators.Stats.spearman(l1, "l_quantity",
+            "l_extendedprice", 1.0, 100.0))),
+        time("spearman 10x")(noop(
+          graft.operators.Stats.spearman(l10, "l_quantity",
+            "l_extendedprice", 1.0, 100.0)))),
+      // persisted-PQ-index append: the batch argmins against the FROZEN
+      // broadcast codebooks and appends parquet — cost must track the
+      // BATCH (fixed 1x here) while the INDEXED corpus grows 10x; ratio
+      // ≈ 1 is the claim (the IncrementalDedup lifecycle for codes)
+      {
+        import graft.operators.Similarity
+        val batch = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + 900000000L)
+        def appendCost(corpus: DataFrame, tag: String): Double = {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"pq-smoke-$tag").toString
+          Similarity.buildPqIndex(corpus, "vec_id", "embedding", dir,
+            trainMaxRows = 1024L)
+          time(s"pq_append $tag")(
+            Similarity.appendPqIndex(batch, "vec_id", "embedding", dir))
+        }
+        ("pq_append_batch", appendCost(e1, "1x"), appendCost(e10, "10x"))
+      },
+      // persisted MinHash index append: the batch shingles itself and
+      // appends postings — cost must track the BATCH (fixed 1x slice)
+      // while the INDEXED corpus grows 10x; ratio ≈ 1 is the lifecycle
+      // claim (the pq_append_batch discipline for the text index)
+      {
+        val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 900000000L)
+        def mhAppendCost(corpus: DataFrame, tag: String): Double = {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"mh-smoke-$tag").toString
+          Dedup.buildMinhashIndex(corpus, "doc_id", "text", dir)
+          time(s"mh_append $tag")(
+            Dedup.appendMinhashIndex(batch, "doc_id", "text", dir))
+        }
+        ("mh_append_batch", mhAppendCost(d1, "1x"), mhAppendCost(d10, "10x"))
+      },
+      // per-dimension embedding stats: one posexplode + one dim-grain
+      // map-side-combined aggregate — corpus-linear, dim-bounded output
+      ("dim_stats", time("dim_stats 1x")(noop(
+          graft.operators.Similarity.dimStats(e1, "embedding"))),
+        time("dim_stats 10x")(noop(
+          graft.operators.Similarity.dimStats(e10, "embedding")))),
       // per-session state bounded to maxLen rows before the collect
       ("top_paths", time("top_paths 1x")(noop(
           EventAnalytics.topPaths(

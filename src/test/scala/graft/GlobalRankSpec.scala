@@ -102,6 +102,31 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(got.count() === 0L)
   }
 
+  test("small-input fast path returns identical ranks, ntiles and cumsums") {
+    val d = data().filter(col("id") < 3000)
+    val n = d.count()
+    val (fast, nf) = GlobalRank.withRowNumber(d, col("v"), asc = false,
+      col("id"), "rn", knownCount = n)
+    val (sharded, ns) = GlobalRank.withRowNumber(d, col("v"), asc = false,
+      col("id"), "rn")
+    assert(nf === ns)
+    assert(fast.join(sharded.withColumnRenamed("rn", "rn2"),
+      Seq("id", "v")).filter(col("rn") =!= col("rn2")).count() === 0L)
+    val ntF = GlobalRank.withNtile(d, col("v"), asc = true, col("id"), 7,
+      "b", knownCount = n)
+    val ntS = GlobalRank.withNtile(d, col("v"), asc = true, col("id"), 7,
+      "b")
+    assert(ntF.join(ntS.withColumnRenamed("b", "b2"), Seq("id", "v"))
+      .filter(col("b") =!= col("b2")).count() === 0L)
+    val (csF, gF) = GlobalRank.withCumSum(d, col("v"), asc = true,
+      col("id"), col("v"), "cum", knownCount = n)
+    val (csS, gS) = GlobalRank.withCumSum(d, col("v"), asc = true,
+      col("id"), col("v"), "cum")
+    assert(gF === gS)
+    assert(csF.join(csS.withColumnRenamed("cum", "cum2"), Seq("id", "v"))
+      .filter(col("cum") =!= col("cum2")).count() === 0L)
+  }
+
   test("boundedKey survives constant folding into the WindowExec spec") {
     // a literal partition key is folded away (verified: partitionBy(lit(1))
     // plans an EMPTY spec) — boundedKey must not be

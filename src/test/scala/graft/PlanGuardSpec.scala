@@ -29,9 +29,15 @@ class PlanGuardSpec extends AnyFunSuite {
     // exact top-k feeding the mutual join — the corpus side is the
     // broadcast build, the data-to-data mutual match is an equi-join
     "sim_mnn" -> "exact top-k baseline feeding the mutual equi-join",
+    // bounded query set (vec_id < 50) against the broadcast corpus —
+    // the sim_topk shape plus two label equi-joins
+    "sim_hard_negatives" -> "bounded query set, exact top-k baseline",
     // 1-row totals frames crossed onto bounded tables (contingency /
     // 9-digit / category-grain) — the scalar-broadcast pattern
     "q143_kappa" -> "1-row pe total x 1-row agreement stats",
+    "q149_lift" -> "1-row corpus totals x nBins-row bin table",
+    "text_freq_spectrum" -> "1-row mass total x count-grain spectrum",
+    "sim_label_confusion" -> "bounded label-centroid table x corpus",
     "q144_benford" -> "1-row corpus total x 9-digit frame",
     "q146_jsd" -> "1-row slice totals x category-grain counts",
     "sim_knn_label" -> "bounded labeled query set vs corpus",

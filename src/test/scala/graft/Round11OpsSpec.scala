@@ -92,12 +92,12 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(e1 === 301030L)
   }
 
-  // ---- Stats.olsFit -----------------------------------------------------
+  // ---- Stats.olsTrend (re-used kernel) ----------------------------------------------------
 
   test("ols: exact line recovered, constant-x group NULL slope") {
     val line = Seq(("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0),
       ("c", 5.0, 1.0), ("c", 5.0, 9.0)).toDF("grp", "x", "y")
-    val got = Stats.olsFit(line, "grp", "x", "y", 1.0, 1.0)
+    val got = Stats.olsTrend(line, "grp", "x", "y", yScale = 1.0)
       .collect().map(r => r.getString(0) -> r).toMap
     assert(got("g").getDouble(2) === 2.0) // slope
     assert(got("g").getDouble(3) === 1.0) // intercept
@@ -151,6 +151,67 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> -833333L, 2L -> 666667L))
   }
 
+  // ---- Stats.prCurve ----------------------------------------------------
+
+  test("pr curve: hand thresholds, monotone recall, F1 as exact rational") {
+    // scores desc: 4(+), 3(−), 2(+), 1(−) → thresholds:
+    // v=4: tp=1 n=1 P=1.0 R=0.5 F1=2/3; v=3: tp=1 n=2 P=.5 R=.5 F1=.5
+    // v=2: tp=2 n=3 P=2/3 R=1 F1=0.8; v=1: tp=2 n=4 P=.5 R=1 F1=2/3
+    val df = Seq((4.0, true), (3.0, false), (2.0, true), (1.0, false))
+      .toDF("s", "l")
+    val got = Stats.prCurve(df, col("l"), col("s"), 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(4L) === ((1000000L, 500000L, 666667L)))
+    assert(got(3L) === ((500000L, 500000L, 500000L)))
+    assert(got(2L) === ((666667L, 1000000L, 800000L)))
+    assert(got(1L) === ((500000L, 1000000L, 666667L)))
+  }
+
+  // ---- Stats.liftTable --------------------------------------------------
+
+  test("lift table: top-bin lift, cumulative gain reaches 1") {
+    // 8 rows, 4 bins of 2; positives concentrated in the top scores
+    val df = (1 to 8).map(i => (i.toLong, 9.0 - i, i <= 2))
+      .toDF("id", "s", "l")
+    val got = Stats.liftTable(df, col("l"), col("s"), col("id"), nBins = 4,
+        valScale = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6)))).toMap
+    // bin 1 = two highest scores = the two positives: rate 1.0 vs base
+    // 0.25 → lift 4.0; cum gain 1.0 from bin 1 onward
+    assert(got(1L) === ((2L, 2L, 4000000L, 1000000L)))
+    assert(got(2L) === ((2L, 0L, 0L, 1000000L)))
+    assert(got(4L)._4 === 1000000L)
+  }
+
+  // ---- Graph.scc --------------------------------------------------------
+
+  test("scc: cycles share the min label, DAG nodes stay singleton") {
+    import graft.operators.Graph
+    // 1↔2 cycle, 3↔4 cycle, 2→3 bridge (one-way), 5 dangling via 4→5
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (2L, 3L),
+      (4L, 5L)).toDF("src", "dst")
+    val got = Graph.scc(edges)
+    val m = got.as[(Long, Long)].collect().toMap
+    got.unpersist()
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val d = Graph.scc(dag)
+    val dm = d.as[(Long, Long)].collect().toMap
+    d.unpersist()
+    assert(dm === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("scc refuses past the node bound") {
+    import graft.operators.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.scc(edges, maxNodes = 2)
+    }
+    assert(e.getMessage.contains("maxNodes"))
+  }
+
   // ---- Similarity.mutualTopK -------------------------------------------
 
   test("mutual top-k keeps only reciprocal pairs") {
@@ -169,5 +230,113 @@ class Round11OpsSpec extends AnyFunSuite {
       broadcastCorpus = true)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(all === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  // ---- Stats.rocCurve ----------------------------------------------------
+
+  test("roc curve: hand thresholds, degenerate side yields NULL rate") {
+    // scores desc: 4(+), 3(−), 2(+), 1(−); P = 2, N = 2
+    // v=4: tp=1 fp=0; v=3: tp=1 fp=1; v=2: tp=2 fp=1; v=1: tp=2 fp=2
+    val df = Seq((4.0, true), (3.0, false), (2.0, true), (1.0, false))
+      .toDF("s", "l")
+    val got = Stats.rocCurve(df, col("l"), col("s"), 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(4L) === ((1L, 0L, 500000L, 0L)))
+    assert(got(3L) === ((1L, 1L, 500000L, 500000L)))
+    assert(got(2L) === ((2L, 1L, 1000000L, 500000L)))
+    assert(got(1L) === ((2L, 2L, 1000000L, 1000000L)))
+    // all-positive input: fpr has no denominator
+    val onePos = Seq((1.0, true), (2.0, true)).toDF("s", "l")
+    val r = Stats.rocCurve(onePos, col("l"), col("s"), 1.0).collect()
+    assert(r.forall(_.isNullAt(4)) && r.forall(!_.isNullAt(3)))
+  }
+
+  // ---- Stats.freqSpectrum -------------------------------------------------
+
+  test("freq spectrum: count-of-counts and mass shares by hand") {
+    // a×3, b×2, c×2, d×1 → freq 1: 1 item mass 1; freq 2: 2 items mass 4;
+    // freq 3: 1 item mass 3; total 8
+    val toks = Seq("a", "a", "a", "b", "b", "c", "c", "d").toDF("tok")
+    val got = Stats.freqSpectrum(toks, col("tok"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 1L, 125000L)),
+      2L -> ((2L, 4L, 500000L)),
+      3L -> ((1L, 3L, 375000L))))
+  }
+
+  // ---- Similarity.dimStats -----------------------------------------------
+
+  test("dim stats: exact mean/var chain, zero counting") {
+    // dim1: (1.0, 0.0) → mean 5e5, var (Σx²·n−(Σx)²)/n² = (1e12·2−1e12)/4
+    // = 2.5e11; dim2: (0.5, 0.5) → mean 5e5, var 0, no zeros
+    val emb = Seq(
+      (1L, Array(1.0f, 0.5f)),
+      (2L, Array(0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(emb, "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((2L, 500000L, 250000000000L, 1L)))
+    assert(got(2L) === ((2L, 500000L, 0L, 0L)))
+  }
+
+  // ---- Similarity.labelConfusion ------------------------------------------
+
+  test("label confusion: separable labels diagonal, planted confusion counted") {
+    // label 1 clusters on x-axis, label 2 on y-axis; one label-1 vector
+    // planted inside label 2's cluster → (1, 2, 1) off-diagonal
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.0f, 1.0f), 2),
+      (4L, Array(0.1f, 0.9f), 2),
+      (5L, Array(0.0f, 0.95f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelConfusion(emb, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got((1, 1)) === 2L)
+    assert(got((1, 2)) === 1L)
+    assert(got((2, 2)) === 2L)
+    assert(got.keySet === Set((1, 1), (1, 2), (2, 2)))
+  }
+
+  // ---- Dedup minhash index lifecycle --------------------------------------
+
+  test("minhash index: append = rebuild, query finds cross-slice dups") {
+    import graft.operators.Dedup
+    // per-doc filler words (no cross-talk between unrelated docs): 30/2
+    // identical (index slice A vs probe), 10/5 near-identical (slice B vs
+    // probe), 31 and 13 unique
+    def filler(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (30L, s"alpha ${filler("a")}"),
+      (31L, s"omega ${filler("w")}"),
+      (10L, s"beta ${filler("b")}"),
+      (13L, s"gamma ${filler("c")}"),
+      (2L, s"alpha ${filler("a")}"),
+      (5L, s"beta ${filler("b")} extra")
+    ).toDF("doc_id", "text")
+    val a = docs.filter(col("doc_id") % 3 === 0) // 30
+    val b = docs.filter(col("doc_id") % 3 === 1) // 31, 10, 13
+    val probes = docs.filter(col("doc_id") % 3 === 2) // 2, 5
+    val dir1 = java.nio.file.Files.createTempDirectory("mh-t1").toString
+    Dedup.buildMinhashIndex(a, "doc_id", "text", dir1)
+    Dedup.appendMinhashIndex(b, "doc_id", "text", dir1)
+    val incr = Dedup.queryMinhashIndex(spark, dir1, probes,
+      "doc_id", "text").as[(Long, Long)].collect().toSet
+    // rebuild over A ∪ B in one shot — identical answer (no trained state)
+    val dir2 = java.nio.file.Files.createTempDirectory("mh-t2").toString
+    Dedup.buildMinhashIndex(a.unionByName(b), "doc_id", "text", dir2)
+    val full = Dedup.queryMinhashIndex(spark, dir2, probes,
+      "doc_id", "text").as[(Long, Long)].collect().toSet
+    assert(incr === full)
+    // probe 2 is byte-identical to indexed 30 — every band collides, the
+    // pair is certain; probe 5 vs indexed 10 is Jaccard 0.9, so IF banding
+    // candidates anything for 5 it can only be 10 (all other docs are
+    // disjoint); nothing else pairs
+    assert(incr.contains((2L, 30L)))
+    assert(incr.filter(_._1 == 5L).subsetOf(Set((5L, 10L))))
+    assert(incr.subsetOf(Set((2L, 30L), (5L, 10L))))
   }
 }
