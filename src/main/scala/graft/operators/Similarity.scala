@@ -1079,6 +1079,45 @@ object Similarity {
         col("n_zero"))
   }
 
+  /** Int8 post-training-quantization audit of an embedding column — what
+    * affine (scale/zero-point) int8 storage would cost, per dimension:
+    * min/max on the exact 1e6 grid, each component quantized to
+    * q = round(255·(x−min)/range) and dequantized back, and the
+    * reconstruction error accumulated as EXACT integer grid residuals
+    * (e = xi − round(min + q·range/255) — both rounds are mirrored
+    * single-double ops, so the residual is engine-exact; Σe² stays in a
+    * long at any corpus: |e| ≤ range/510 + 1). Degenerate (constant)
+    * dimensions quantize to q = 0 with zero error. Two corpus scans (one
+    * for per-dim min/max — a dim-bounded broadcast — one for the
+    * residuals), both map-side-combined aggregates over ONE posexplode.
+    * Output: (dim 1-based, n, min_micro, max_micro, sse, rmse_micro) —
+    * rmse in 1e6-grid units, the "is int8 good enough for this encoder"
+    * number next to [[dimStats]]. */
+  def int8QuantError(emb: DataFrame, vecCol: String,
+      compScale: Double = 1e6): DataFrame = {
+    val ex = emb.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        round(col("x") * compScale).cast("long").as("xi"))
+      .persist()
+    val ranges = ex.groupBy(col("dim"))
+      .agg(min(col("xi")).as("mn"), max(col("xi")).as("mx"))
+    val out = ex.join(broadcast(ranges), Seq("dim"))
+      .withColumn("q",
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          expr("CAST(round(255.0 * (xi - mn) / (mx - mn)) AS BIGINT)")))
+      .withColumn("e",
+        col("xi") - when(col("mx") === col("mn"), col("mn")).otherwise(
+          expr("CAST(round(mn + q * (mx - mn) / 255.0) AS BIGINT)")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), min(col("mn")).as("min_micro"),
+        min(col("mx")).as("max_micro"),
+        sum(col("e") * col("e")).as("sse"))
+      .withColumn("rmse_micro",
+        expr("CAST(round(sqrt(CAST(sse AS DOUBLE) / n)) AS BIGINT)"))
+    finalized(out, ex)
+  }
+
   /** Label confusion matrix in embedding space — the full-matrix readout
     * behind [[centroidPurity]]'s per-label diagonal: assign every vector
     * to its nearest label centroid (exact-integer centroid sums, shared

@@ -967,6 +967,38 @@ object Stats {
             |END""".stripMargin).as("cum_gain_micro"))
   }
 
+  /** Per-group exact discrete quantiles — the length-distribution band
+    * report (doc length per language, order value per segment): for each
+    * percent p, the smallest value whose cumulative count reaches
+    * ceil(p·n/100) (classic discrete-quantile semantics — always an
+    * observed value, no interpolation, so parity is pure integer
+    * arithmetic). One (grp, value)-grain aggregate, one cumulative window
+    * PARTITIONED BY the group (co-partitioned with the aggregate's
+    * shuffle — never a global window), and one conditional-min fold per
+    * percent. Group cardinality is the output bound; value grain is the
+    * window's partition size — fine wherever a per-group sort fits a
+    * task, which is the regime a banded report targets (coarsen `valCol`
+    * upstream otherwise). Output: (grp, n, q<p1>, q<p2>, ...). */
+  def groupQuantiles(df: DataFrame, grpCol: String, valCol: String,
+      percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be within [1, 100], got $percents")
+    val pv = df.filter(col(valCol).isNotNull)
+      .select(col(grpCol).as("grp"), col(valCol).cast("long").as("v"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("t"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pv.withColumn("cum", sum(col("t")).over(w))
+      .withColumn("n", sum(col("t")).over(Window.partitionBy(col("grp"))))
+    val aggs = percents.map { p =>
+      // cum >= ceil(p*n/100)  ⇔  100*cum >= p*n (integer-exact)
+      min(when(col("cum") * 100 >= col("n") * p, col("v"))).as(s"q$p")
+    }
+    cum.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), aggs: _*)
+  }
+
   /** ROC curve of a score against a binary label — the threshold-grain
     * companion of [[aucScore]] (the scalar is the area under exactly this
     * curve) and the false-positive view [[prCurve]] lacks: one row per

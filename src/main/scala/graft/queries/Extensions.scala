@@ -220,6 +220,95 @@ object Extensions {
       |      >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7"""
       .stripMargin)),
 
+    // STREAMING probe against the persisted MinHash index — the
+    // crawl-ingest production shape: the corpus index sits on disk
+    // (build + append as above), and the day's documents arrive as a
+    // STREAM that shingles/bands itself inline (no persist on an
+    // unbounded frame), stream-static joins the stored postings, and
+    // verifies exact Jaccard against the stored shingle sets. Candidate
+    // multiplicity (several band collisions per pair) is deduped at the
+    // sink, where the result is a bounded table. Same semantics as
+    // dedup_minhash_index, so the oracle is the same banding replay.
+    Q("dedup_stream_index_probe", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.functions.HashNative
+      import graft.functions.HashExprs.sparkBands
+      val docs = Tables.ts(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("mh-sidx").toString
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", dir)
+      Dedup.appendMinhashIndex(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", dir)
+      val sch = Tables.t(s, d, "documents").schema
+      val probes = s.readStream.schema(sch)
+        .parquet(Tables.stagedStreamDir(d, "documents"))
+        .filter(col("doc_id") % 3 === 2)
+      val psh = probes
+        .select(col("doc_id").as("probe_id"),
+          HashNative.wordHashes(col("text")).as("wh"))
+        .select(col("probe_id"), HashNative.shingleHashes(col("wh")).as("sa"))
+      val pBands = psh
+        .withColumn("mh", HashNative.minhashSig(col("sa")))
+        .select(col("probe_id"), col("sa"),
+          explode(expr(sparkBands("mh"))).as("bv"))
+      val postings = s.read.parquet(s"$dir/postings")
+        .select(col("id").as("match_id"), col("bv"))
+      val corpusSh = s.read.parquet(s"$dir/shingles")
+        .select(col("id").as("match_id"), col("sh").as("sb"))
+      val verified = pBands
+        .join(postings, Seq("bv"))
+        .filter(col("probe_id") =!= col("match_id"))
+        .join(corpusSh, Seq("match_id"))
+        .withColumn("inter", size(array_intersect(
+          expr("filter(sa, x -> x IS NOT NULL)"), col("sb"))))
+        .filter(col("inter") * 10 >=
+          (size(col("sa")) + size(col("sb")) - col("inter")) * 7)
+        .select(col("probe_id"), col("match_id"))
+      val q = verified.writeStream.format("memory")
+        .queryName("mh_sidx_stream")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("mh_sidx_stream").distinct()
+    }, Some(s"""$docsSql,
+      |mh AS (SELECT doc_id, ${H.duckMinhash("sh")} AS mh FROM sh),
+      |bands AS (SELECT doc_id, unnest(${H.duckBands("mh")}) AS bv FROM mh),
+      |cand AS (SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS match_id
+      |         FROM bands a JOIN bands b ON a.bv = b.bv
+      |           AND a.doc_id <> b.doc_id
+      |         WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2)
+      |SELECT probe_id, match_id
+      |FROM cand JOIN sh sa ON cand.probe_id = sa.doc_id
+      |          JOIN sh sb ON cand.match_id = sb.doc_id
+      |WHERE len(list_intersect(sa.sh, sb.sh)) * 10
+      |      >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * 7"""
+      .stripMargin)),
+
+    // cross-source duplicate overlap matrix: near-dup pairs rolled up by
+    // the (source, source) they straddle — the "which feeds re-crawl each
+    // other" audit that decides dataset precedence before dedup keeps one
+    // copy. Canonical unordered source pair so both directions land in
+    // one cell; pair volume is the minhash near-dup output, orders of
+    // magnitude below corpus grain.
+    Q("dedup_source_overlap", (s, d) => {
+      val docs = Tables.ts(s, d, "documents")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", 7, 10)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("sb")), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_lo"),
+          greatest(col("sa"), col("sb")).as("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }, Some(s"""$minhashPairCtes
+      |SELECT least(da.source, db.source) AS source_lo,
+      |       greatest(da.source, db.source) AS source_hi,
+      |       count(*) AS n_pairs
+      |FROM pairs JOIN documents da ON pairs.id_a = da.doc_id
+      |           JOIN documents db ON pairs.id_b = db.doc_id
+      |GROUP BY 1, 2""".stripMargin)),
+
     // pairs -> duplicate clusters -> survivors: connected components via
     // min-label propagation (Spark) vs transitive closure (DuckDB recursive
     // CTE) — independent algorithms, identical fixpoint

@@ -15,6 +15,32 @@ import graft.operators.{FeatureEng, Similarity, Stats, TextAnalysis,
 object Round11 {
   import Tables.t
 
+  /** Generated DuckDB oracle for [[Q sim_dim_corr]]: the q96_corr_matrix
+    * moment algebra expanded over embedding dims 1..`dims` (28 UNION arms
+    * at 8 — hand-writing them invites typos; the generator mirrors
+    * `Stats.corrMatrix`'s exact integer moments + one closing double). */
+  private def dimCorrOracle(dims: Int): String = {
+    val cols = (1 to dims).map(i =>
+      s"CAST(round(embedding[$i] * 1e6) AS BIGINT) AS d$i").mkString(", ")
+    val moments = (1 to dims).flatMap(i => Seq(
+      s"CAST(sum(d$i) AS BIGINT) AS s$i",
+      s"CAST(sum(d$i * d$i) AS BIGINT) AS ss$i")) ++
+      (for (i <- 1 to dims; j <- 1 to dims if i < j)
+        yield s"CAST(sum(d$i * d$j) AS BIGINT) AS sx${i}_$j")
+    val arms = for (i <- 1 to dims; j <- 1 to dims if i < j) yield {
+      val va = s"(n::DOUBLE * ss$i - s$i::DOUBLE * s$i)"
+      val vb = s"(n::DOUBLE * ss$j - s$j::DOUBLE * s$j)"
+      s"""SELECT 'd$i' AS col_a, 'd$j' AS col_b,
+         |  CASE WHEN n > 0 AND $va > 0 AND $vb > 0
+         |  THEN round((n::DOUBLE * sx${i}_$j - s$i::DOUBLE * s$j)
+         |    / (sqrt($va) * sqrt($vb)), 6)
+         |  ELSE CAST(NULL AS DOUBLE) END AS r FROM m""".stripMargin
+    }
+    s"""WITH b AS (SELECT $cols FROM embeddings),
+       |m AS (SELECT count(*) AS n, ${moments.mkString(", ")} FROM b)
+       |${arms.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   def defs: Seq[Q] = Seq(
 
     // ---- Spearman rank correlation ------------------------------------
@@ -658,5 +684,96 @@ object Round11 {
                      (PARTITION BY id ORDER BY d, clbl) AS rn FROM dist)
                  WHERE rn = 1)
         SELECT lbl, nearest, count(*) AS n
-        FROM near GROUP BY 1, 2""")))
+        FROM near GROUP BY 1, 2""")),
+
+    // ---- int8 quantization audit ----------------------------------------
+    // what affine int8 storage costs per dimension: min/max on the exact
+    // 1e6 grid, mirrored quantize/dequantize rounds, exact integer
+    // residuals — the "is int8 good enough for this encoder" number next
+    // to sim_dim_stats.
+    Q("sim_int8_quant", (s, d) =>
+      Similarity.int8QuantError(t(s, d, "embeddings"), "embedding"),
+      Some("""
+        WITH ex AS (SELECT i AS dim,
+                CAST(round(embedding[i] * 1e6) AS BIGINT) AS xi
+              FROM embeddings,
+                UNNEST(generate_series(1, len(embedding))) AS u(i)
+              WHERE embedding IS NOT NULL),
+        rg AS (SELECT dim, CAST(min(xi) AS BIGINT) AS mn,
+                 CAST(max(xi) AS BIGINT) AS mx
+               FROM ex GROUP BY 1),
+        qd AS (SELECT ex.dim, xi, mn, mx,
+                 CASE WHEN mx = mn THEN 0
+                 ELSE CAST(round(255.0 * (xi - mn) / (mx - mn)) AS BIGINT)
+                 END AS q
+               FROM ex JOIN rg ON ex.dim = rg.dim),
+        er AS (SELECT dim, mn, mx,
+                 xi - (CASE WHEN mx = mn THEN mn
+                       ELSE CAST(round(mn + q * (mx - mn) / 255.0) AS BIGINT)
+                       END) AS e
+               FROM qd)
+        SELECT dim, CAST(count(*) AS BIGINT) AS n,
+               min(mn) AS min_micro, min(mx) AS max_micro,
+               CAST(sum(e * e) AS BIGINT) AS sse,
+               CAST(round(sqrt(CAST(sum(e * e) AS DOUBLE) / count(*)))
+                 AS BIGINT) AS rmse_micro
+        FROM er GROUP BY 1""")),
+
+    // ---- embedding dimension correlation probe ---------------------------
+    // redundant (highly correlated) dimensions mean wasted width — the
+    // whitening/OPQ motivation next to sim_pca_power. The ONE-aggregate
+    // corrMatrix kernel over a probe prefix of 8 dims (the cell count is
+    // C(dims,2); the probe shape is what a geometry audit reads, full-width
+    // correlation belongs to the covariance pipeline): corpus scanned
+    // once, 45 exact integer moments, 28 closing doubles from literals.
+    Q("sim_dim_corr", (s, d) =>
+      Stats.corrMatrix(t(s, d, "embeddings"), (1 to 8).map(i =>
+        s"d$i" -> round(element_at(col("embedding"), i) * 1e6))),
+      Some(dimCorrOracle(8))),
+
+    // ---- language-ID confusion matrix ------------------------------------
+    // the full matrix under q143's kappa scalar: WHICH declared languages
+    // the n-gram heuristic mistakes for which — the per-cell audit that
+    // says whether 'und' fallbacks or a specific language pair drive the
+    // disagreement. One scan + one hash aggregate.
+    Q("text_lang_confusion", (s, d) =>
+      Tables.ts(s, d, "documents")
+        .select(col("lang"), TextAnalysis.langId("text").as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n")),
+      Some {
+        val scores = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+          s"len(list_filter(string_split(text, ' '), tk -> tk IN ${TextAnalysis.sqlSet(ms)})) AS s_$lang"
+        }.mkString(",\n          ")
+        val langs = TextAnalysis.LangMarkers.map(_._1)
+        val maxExpr = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val caseExpr = langs.map(l => s"WHEN s_$l = $maxExpr THEN '$l'")
+          .mkString("CASE ", " ", " ELSE 'und' END")
+        s"""WITH scored AS (SELECT lang, $scores FROM documents)
+          |SELECT lang, $caseExpr AS pred, count(*) AS n
+          |FROM scored GROUP BY 1, 2""".stripMargin
+      }),
+
+    // ---- per-language document-length quantile bands ----------------------
+    // p50/p90/p99 doc length per lang — the banded length report a
+    // truncation/packing policy reads. Exact discrete quantiles (smallest
+    // value reaching ceil(p·n/100)), integer arithmetic end to end; the
+    // cumulative window partitions on the GROUP, never globally.
+    Q("text_length_quantiles", (s, d) =>
+      Stats.groupQuantiles(Tables.ts(s, d, "documents"), "lang", "n_chars"),
+      Some("""
+        WITH pv AS (SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v,
+                count(*) AS t
+              FROM documents GROUP BY 1, 2),
+        c AS (SELECT grp, v, t,
+                CAST(sum(t) OVER (PARTITION BY grp ORDER BY v ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+                CAST(sum(t) OVER (PARTITION BY grp) AS BIGINT) AS n
+              FROM pv)
+        SELECT grp, max(n) AS n,
+               min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS q50,
+               min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS q90,
+               min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS q99
+        FROM c GROUP BY 1""")))
 }

@@ -301,6 +301,38 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.keySet === Set((1, 1), (1, 2), (2, 2)))
   }
 
+  // ---- Stats.groupQuantiles -------------------------------------------------
+
+  test("group quantiles: discrete semantics by hand, per-group isolation") {
+    // g: 1..10 → q50 = 5 (cum 5 ≥ 5), q90 = 9, q99 = 10 (ceil(9.9) = 10)
+    // h: all 7s → every quantile 7
+    val df = ((1 to 10).map(v => ("g", v.toLong)) ++
+      Seq(("h", 7L), ("h", 7L))).toDF("grp", "v")
+    val got = Stats.groupQuantiles(df, "grp", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("g") === ((10L, 5L, 9L, 10L)))
+    assert(got("h") === ((2L, 7L, 7L, 7L)))
+  }
+
+  // ---- Similarity.int8QuantError -------------------------------------------
+
+  test("int8 quant: exact residuals, constant dim zero-error") {
+    // dim1 (0, 1, 0.5): mn=0 mx=1e6; q = (0, 255, 128); dequant =
+    // (0, 1e6, 501961); e = (0, 0, -1961); sse = 1961² = 3845521;
+    // rmse = round(sqrt(3845521/3)) = 1132. dim2 constant → all zero.
+    val emb = Seq(
+      (1L, Array(0.0f, 0.25f)),
+      (2L, Array(1.0f, 0.25f)),
+      (3L, Array(0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val got = Similarity.int8QuantError(emb, "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got(1L) === ((3L, 0L, 1000000L, 3845521L, 1132L)))
+    assert(got(2L) === ((3L, 250000L, 250000L, 0L, 0L)))
+  }
+
   // ---- Dedup minhash index lifecycle --------------------------------------
 
   test("minhash index: append = rebuild, query finds cross-slice dups") {
