@@ -218,4 +218,14 @@ object GlobalRank {
       knownCount)
     (out.drop(rk), n, grands)
   }
+
+  /** [[withCumSums]] keeping the global rank column too — for consumers
+    * that need BOTH running sums and a successor join (rank r ⋈ r+1 is
+    * the distributed `lead()`: the step-width term of a piecewise-constant
+    * CDF integral, the gap test of a sortedness audit). One rankedCore
+    * pass; nothing extra over withCumSums. */
+  def withRankedCumSums(df: DataFrame, value: Column, asc: Boolean,
+      tie: Column, rankCol: String, sums: Seq[(Column, String)],
+      knownCount: Long = -1L): (DataFrame, Long, Seq[Long]) =
+    rankedCore(df, value, asc, tie, rankCol, sums, knownCount)
 }

@@ -935,12 +935,17 @@ object Stats {
       valScale: Double = 1e6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBins > 0, s"nBins must be > 0, got $nBins")
+    // the (v, pos, tk) projection carries the caller's scoring expression
+    // (often regex/HOF-expensive per row) — persist it across the rank
+    // machinery's scans and let the exact count arm the GlobalRank
+    // small-input fast path (finalized releases it below)
     val base = df
       .filter(labelCol.isNotNull && scoreCol.isNotNull)
       .select(round(scoreCol * valScale).cast("long").as("v"),
         labelCol.cast("boolean").as("pos"), tieCol.as("tk"))
+      .persist()
     val binned = GlobalRank.withNtile(base, col("v"), asc = false,
-      col("tk"), nBins, "bin")
+      col("tk"), nBins, "bin", base.count())
     val per = binned.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
@@ -949,7 +954,7 @@ object Stats {
     val wc = Window.partitionBy(GlobalRank.boundedKey(col("bin")))
       .orderBy(col("bin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per.crossJoin(broadcast(tot))
+    finalized(per.crossJoin(broadcast(tot))
       .withColumn("cum_pos", sum(col("n_pos")).over(wc))
       .select(col("bin"), col("n"), col("n_pos"),
         expr("CAST(round(CAST(sv AS DOUBLE) / n) AS BIGINT)")
@@ -964,7 +969,7 @@ object Stats {
         expr(
           """CASE WHEN pp = 0 THEN CAST(NULL AS BIGINT)
             |ELSE CAST(round(1e6 * CAST(cum_pos AS DOUBLE) / pp) AS BIGINT)
-            |END""".stripMargin).as("cum_gain_micro"))
+            |END""".stripMargin).as("cum_gain_micro")), base)
   }
 
   /** Per-group exact discrete quantiles — the length-distribution band
@@ -1034,6 +1039,49 @@ object Stats {
         if (totalNeg == 0L) lit(null).cast("long")
         else expr(s"CAST(round(1e6 * CAST(fp AS DOUBLE) / ${totalNeg}L) " +
           "AS BIGINT)")), pv)
+  }
+
+  /** Exact 1-D Wasserstein (earth-mover) distance between two groups'
+    * value distributions — the drift measure that, unlike [[ksTest]]'s
+    * max-gap and the bin-count JSD, weighs HOW FAR mass moved:
+    * W₁ = ∫|F_A − F_B| dv over the piecewise-constant empirical CDFs.
+    * Exactly integerized: value-grain counts, both cumulatives on ONE
+    * [[GlobalRank]] multi-sum sharded pass (no compactness cap), the
+    * successor step width dv from a rank r ⋈ r+1 self-join (the
+    * distributed `lead()` — the top value contributes no width), and each
+    * term |ca·n_b − cb·n_a|·dv accumulated in DECIMAL(38,0) (cross-
+    * multiplied CDFs stay integers; the product can pass 2⁶³ at large n ×
+    * wide domains). ONE closing mirrored double divides by n_a·n_b·scale.
+    * Output: (n_a, n_b, w1_micro) — micro-units of the ORIGINAL value
+    * scale; NULL on an empty side. */
+  def wasserstein1(df: DataFrame, grpCol: String, valCol: String,
+      groupA: String, groupB: String,
+      valScale: Double = 1e6): DataFrame = {
+    val base = df
+      .filter(col(grpCol).isin(groupA, groupB) && col(valCol).isNotNull)
+      .select(round(col(valCol) * valScale).cast("long").as("v"),
+        (col(grpCol) === groupA).as("isa"))
+    val pv = base.groupBy(col("v"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("ta"),
+        sum(when(col("isa"), 0L).otherwise(1L)).as("tb"))
+      .persist()
+    val (cum, _, grands) = GlobalRank.withRankedCumSums(pv, col("v"),
+      asc = true, col("v"), "r",
+      Seq(col("ta") -> "ca", col("tb") -> "cb"), pv.count())
+    val (na, nb) = (grands.head, grands(1))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val terms = cum.select(col("v"), col("r"), col("ca"), col("cb"))
+      .join(cum.select((col("r") - 1).as("r"), col("v").as("vn")), Seq("r"))
+      .select((abs(col("ca") * nb - col("cb") * na).cast(dec) *
+        (col("vn") - col("v")).cast(dec)).as("term"))
+    // a single distinct value has no successor rows — an empty term set
+    // is W1 = 0 (identical point masses), not NULL
+    val res = terms.agg(coalesce(sum(col("term")), lit(0).cast(dec)).as("s"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        if (na == 0L || nb == 0L) lit(null).cast("long").as("w1_micro")
+        else expr(("CAST(round(1e6 * CAST(s AS DOUBLE) / " +
+          s"(${na}e0 * ${nb}e0 * $valScale)) AS BIGINT)")).as("w1_micro"))
+    finalized(res, pv)
   }
 
   /** Frequency-of-frequency spectrum of an item distribution — the

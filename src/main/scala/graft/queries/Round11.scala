@@ -775,5 +775,44 @@ object Round11 {
                min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS q50,
                min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS q90,
                min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS q99
-        FROM c GROUP BY 1""")))
+        FROM c GROUP BY 1""")),
+
+    // ---- Wasserstein-1 distribution shift --------------------------------
+    // earth-mover distance between returned and delivered line-price
+    // distributions — unlike KS (max gap) and JSD (bin counts), W₁ weighs
+    // HOW FAR the mass moved. Exact CDF integral: value-grain counts, one
+    // GlobalRank multi-sum pass, successor widths from the rank r ⋈ r+1
+    // join, DECIMAL term accumulation, one closing mirrored double.
+    // Dollars (valScale 1) keep the value grain at ~100k (the cents grain
+    // adds nothing to a distance already integrating over the domain).
+    Q("q152_wasserstein", (s, d) =>
+      Stats.wasserstein1(t(s, d, "lineitem"), "l_returnflag",
+        "l_extendedprice", "R", "N", valScale = 1.0),
+      Some("""
+        WITH base AS (SELECT CAST(round(l_extendedprice * 1.0) AS BIGINT)
+                AS v, (l_returnflag = 'R') AS isa
+              FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        pv AS (SELECT v,
+                 CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+                 CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS tb
+               FROM base GROUP BY 1),
+        c AS (SELECT v, row_number() OVER (ORDER BY v ASC) AS r,
+                CAST(sum(ta) OVER (ORDER BY v ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS ca,
+                CAST(sum(tb) OVER (ORDER BY v ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cb,
+                CAST(sum(ta) OVER () AS BIGINT) AS na,
+                CAST(sum(tb) OVER () AS BIGINT) AS nb
+              FROM pv),
+        terms AS (SELECT CAST(abs(f.ca * f.nb - f.cb * f.na) AS HUGEINT)
+                    * (g.v - f.v) AS term
+                  FROM c f JOIN c g ON g.r = f.r + 1),
+        tot AS (SELECT max(na) AS na, max(nb) AS nb FROM c)
+        SELECT na AS n_a, nb AS n_b,
+               CAST(round(1e6 * CAST((SELECT coalesce(sum(term), 0)
+                   FROM terms) AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * nb * 1.0)) AS BIGINT) AS w1_micro
+        FROM tot""")))
 }

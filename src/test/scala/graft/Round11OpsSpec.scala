@@ -301,6 +301,25 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.keySet === Set((1, 1), (1, 2), (2, 2)))
   }
 
+  // ---- Stats.wasserstein1 ----------------------------------------------------
+
+  test("wasserstein: split mass, identical zero, constant shift") {
+    // A = {0, 2}, B = {1}: move 0.5 mass distance 1 each way → W1 = 1
+    val df = Seq(("a", 0.0), ("a", 2.0), ("b", 1.0)).toDF("g", "x")
+    val r = Stats.wasserstein1(df, "g", "x", "a", "b", 1.0).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 1L, 1000000L)))
+    // identical distributions → 0
+    val same = Seq(("a", 3.0), ("a", 7.0), ("b", 3.0), ("b", 7.0))
+      .toDF("g", "x")
+    assert(Stats.wasserstein1(same, "g", "x", "a", "b", 1.0)
+      .head().getLong(2) === 0L)
+    // constant shift by 5 → W1 = 5
+    val shift = Seq(("a", 0.0), ("a", 1.0), ("b", 5.0), ("b", 6.0))
+      .toDF("g", "x")
+    assert(Stats.wasserstein1(shift, "g", "x", "a", "b", 1.0)
+      .head().getLong(2) === 5000000L)
+  }
+
   // ---- Stats.groupQuantiles -------------------------------------------------
 
   test("group quantiles: discrete semantics by hand, per-group isolation") {
