@@ -127,6 +127,32 @@ class GlobalRankSpec extends AnyFunSuite {
       .filter(col("cum") =!= col("cum2")).count() === 0L)
   }
 
+  test("multi-cumsum rides one pass: fast = sharded, grands = agg truth") {
+    // two running sums over ONE order (the PR-curve / Wasserstein shape),
+    // plus the rank column for successor joins
+    val d = data().filter(col("id") < 3000)
+      .withColumn("w", col("id") % 7)
+    val n = d.count()
+    def run(kc: Long) = GlobalRank.withRankedCumSums(d, col("v"),
+      asc = true, col("id"), "r",
+      Seq(col("v") -> "cv", col("w") -> "cw"), kc)
+    val (fast, nf, gF) = run(n)
+    val (sharded, ns, gS) = run(-1L)
+    assert(nf === ns && gF === gS)
+    val truth = d.agg(sum(col("v")), sum(col("w"))).head()
+    assert(gF === Seq(truth.getLong(0), truth.getLong(1)))
+    assert(fast.join(sharded.select(col("id"), col("r").as("r2"),
+        col("cv").as("cv2"), col("cw").as("cw2")), Seq("id"))
+      .filter(col("r") =!= col("r2") || col("cv") =!= col("cv2") ||
+        col("cw") =!= col("cw2")).count() === 0L)
+    // the rank column supports the successor (lead) join: rank r+1 has a
+    // value >= rank r everywhere
+    val succ = sharded.select(col("r"), col("v"))
+      .join(sharded.select((col("r") - 1).as("r"), col("v").as("vn")),
+        Seq("r"))
+    assert(succ.filter(col("vn") < col("v")).count() === 0L)
+  }
+
   test("boundedKey survives constant folding into the WindowExec spec") {
     // a literal partition key is folded away (verified: partitionBy(lit(1))
     // plans an EMPTY spec) — boundedKey must not be
