@@ -386,12 +386,93 @@ object MediaCodec {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Feature vector: REAL pixel statistics when the payload decodes as an
-    * image (the 63 grid lumas folded into `dim` lanes — same fold as the
-    * stub, over decoded intensity instead of raw container bytes);
+  /** REAL PCM WAV decode → [[PerceptualHash.Cells]]-window amplitude
+    * envelope, the audio analog of [[decodeImageGrid]]'s luma grid: walk
+    * the RIFF chunks (canonical "WAVE" + "fmt " + "data"; PCM format 1,
+    * 16-bit only — anything else falls back like a corrupt image), fold
+    * channels to mono frames, window the frames with the image grid's
+    * integer boundaries, take mean |amplitude| per window, and normalize
+    * to bytes by the loudest window — so a uniform gain change yields the
+    * SAME envelope, and the downstream difference hash
+    * ([[graft.functions.PhashNative]] over these cells) is volume-
+    * invariant the way the image dHash is brightness-scale-invariant.
+    * PCM needs no codec library: this decode is as real as ImageIO's.
+    * None on anything malformed — callers degrade to the byte-span path.
+    */
+  def decodeWavEnvelope(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (Multimodal.sniffFormat(bytes) != "riff") return None
+    def tag(o: Int): String =
+      if (o + 4 > bytes.length) ""
+      else new String(bytes.slice(o, o + 4), "US-ASCII")
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (tag(8) != "WAVE") return None
+    var off = 12
+    var channels = 0
+    var dataOff = -1
+    var dataLen = 0L
+    while (off + 8 <= bytes.length && (channels == 0 || dataOff < 0)) {
+      val t = tag(off)
+      val sz = u32(off + 4)
+      if (t == "fmt ") {
+        if (off + 8 + 16 > bytes.length) return None
+        if (u16(off + 8) != 1 || u16(off + 8 + 14) != 16) return None // PCM16
+        channels = u16(off + 8 + 2)
+        if (channels < 1) return None
+      } else if (t == "data") {
+        dataOff = off + 8
+        dataLen = math.min(sz, (bytes.length - dataOff).toLong)
+      }
+      if (sz > Int.MaxValue - 16) return None
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (channels == 0 || dataOff < 0) return None
+    val frames = (dataLen / (2L * channels)).toInt
+    if (frames < 1) return None
+    val cells = PerceptualHash.Cells
+    val env = new Array[Long](cells)
+    val cnt = new Array[Long](cells)
+    var f = 0
+    while (f < frames) {
+      // channel-folded |amplitude| of frame f
+      var s = 0L
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + 2 * (f * channels + c)
+        val v = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+        s += math.abs(v.toLong)
+        c += 1
+      }
+      val w = math.min(cells - 1, (f.toLong * cells / frames).toInt)
+      env(w) += s / channels
+      cnt(w) += 1
+      f += 1
+    }
+    var mx = 0L
+    var i = 0
+    while (i < cells) {
+      if (cnt(i) > 0) env(i) = env(i) / cnt(i)
+      if (env(i) > mx) mx = env(i)
+      i += 1
+    }
+    val out = new Array[Byte](cells)
+    i = 0
+    while (i < cells) {
+      out(i) = if (mx == 0) 0 else (env(i) * 255 / mx).toByte
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Feature vector: REAL signal statistics when the payload decodes —
+    * image grid lumas (PNG/JPEG via ImageIO) or the PCM WAV amplitude
+    * envelope — folded into `dim` lanes (same fold as the stub, over
+    * decoded intensity instead of raw container bytes);
     * [[decodeStub]] otherwise. */
   def decode(bytes: Array[Byte], dim: Int): Array[Float] =
-    decodeImageGrid(bytes) match {
+    decodeImageGrid(bytes).orElse(decodeWavEnvelope(bytes)) match {
       case Some(grid) =>
         val out = new Array[Float](dim)
         var i = 0
@@ -403,10 +484,10 @@ object MediaCodec {
       case None => decodeStub(bytes, dim)
     }
 
-  /** STUB for non-image formats (this container ships no audio/video
-    * libraries). Deterministic fake features: a rolling byte hash folded
-    * into `dim` float lanes. A real implementation would decode and run
-    * an encoder here. */
+  /** STUB for formats with no in-JDK decode path (video codecs; this
+    * container ships no media libraries). Deterministic fake features: a
+    * rolling byte hash folded into `dim` float lanes. A real
+    * implementation would decode and run an encoder here. */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (bytes != null) {

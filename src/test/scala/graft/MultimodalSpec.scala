@@ -148,6 +148,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaGrid === direct)
   }
 
+  test("real PCM WAV decode: hand envelope, volume invariance, stereo fold") {
+    import graft.operators.{MediaCodec, PerceptualHash}
+    def wav(samples: Array[Int], channels: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+      bb.putShort(1); bb.putShort(channels.toShort)
+      bb.putInt(8000); bb.putInt(8000 * 2 * channels)
+      bb.putShort((2 * channels).toShort); bb.putShort(16)
+      bb.put("data".getBytes("US-ASCII")); bb.putInt(dataLen)
+      samples.foreach(s0 => bb.putShort(s0.toShort))
+      bb.array()
+    }
+    val cells = PerceptualHash.Cells
+    // 63 mono frames, |amplitude| (f+1)·100 with alternating sign:
+    // envelope (f+1)·100, max 6300 → byte = (f+1)·255/63 exactly
+    def amp(f: Int, scale: Int) =
+      (if (f % 2 == 0) 1 else -1) * (f + 1) * scale
+    val mono = wav(Array.tabulate(cells)(f => amp(f, 100)), 1)
+    val env = MediaCodec.decodeWavEnvelope(mono).get
+    assert(env.length === cells)
+    for (f <- 0 until cells)
+      assert((env(f) & 0xff) === (f + 1) * 255 / 63, s"window $f")
+    // uniform gain change (half volume) → IDENTICAL normalized envelope
+    val half = wav(Array.tabulate(cells)(f => amp(f, 50)), 1)
+    assert(MediaCodec.decodeWavEnvelope(half).get.toSeq === env.toSeq)
+    // stereo with both channels equal folds to the mono envelope
+    val stereo = wav(Array.tabulate(cells * 2)(i => amp(i / 2, 100)), 2)
+    assert(MediaCodec.decodeWavEnvelope(stereo).get.toSeq === env.toSeq)
+    // malformed payloads degrade to None, never throw: too short, and a
+    // non-PCM format tag (2 = ADPCM needs a codec, exactly what the
+    // fallback contract excludes); a data-truncated file still decodes
+    // over the frames it has (the min() clamp) rather than failing
+    assert(MediaCodec.decodeWavEnvelope(mono.take(40)).isEmpty)
+    val adpcm = mono.clone(); adpcm(20) = 2 // fmt audioFormat LE lo byte
+    assert(MediaCodec.decodeWavEnvelope(adpcm).isEmpty)
+    assert(MediaCodec.decodeWavEnvelope(mono.take(50)).isDefined)
+    // and decode() routes WAV through the real envelope, not the stub
+    assert(MediaCodec.decode(mono, 8).toSeq ===
+      MediaCodec.decode(half, 8).toSeq)
+    assert(MediaCodec.decode(mono, 8).toSeq !==
+      MediaCodec.decodeStub(mono, 8).toSeq)
+  }
+
   test("phash pairs match re-encoded real images across formats") {
     import spark.implicits._
     import graft.operators.Multimodal
