@@ -7,10 +7,15 @@ import graft.operators.{FeatureEng, Similarity, Stats, TextAnalysis,
   TimeSeries}
 
 /** Round-11 additions: rank statistics on the new distributed global-rank
-  * primitive (Spearman, ROC AUC, Gini), classifier-evaluation and
-  * data-quality audits (Cohen's kappa, Benford first-digit, per-group
-  * OLS), distribution drift (Jensen-Shannon), token-entropy scoring,
-  * autocorrelation seasonality, and mutual-nearest-neighbor alignment.
+  * primitive (Spearman, ROC AUC, Gini), classifier-evaluation tables and
+  * curves (Cohen's kappa, PR/ROC curves, decile lift, label confusion),
+  * data-quality audits (Benford first-digit, per-group OLS, language-ID
+  * confusion, per-group quantile bands, frequency spectrum), distribution
+  * drift (Jensen-Shannon, exact 1-D Wasserstein), embedding health
+  * (per-dimension stats, int8 quantization error, dimension correlation),
+  * token-entropy scoring, tokenizer fertility, autocorrelation
+  * seasonality, mutual-nearest-neighbor alignment, hard-negative mining,
+  * and strongly connected components.
   */
 object Round11 {
   import Tables.t
