@@ -62,7 +62,15 @@ object TextAnalysis {
 
   /** Quality score ×10^4: integer-weighted mix of length band, stopword
     * ratio and vowel ratio — a deterministic filter heuristic. */
-  def qualityScoreX1e4(text: String): Column = expr(
+  def qualityScoreX1e4(text: String): Column =
+    graft.functions.QualityNative.qualityScoreX1e4(expr(text))
+
+  /** The SQL formulation [[qualityScoreX1e4]]'s native expression
+    * replaced (HOF `filter` evaluates interpreted) — kept as the parity
+    * reference: the spec asserts native ≡ SQL over the corpus, the same
+    * discipline as the codegen/interpreted parity tests of the other
+    * native expressions. */
+  private[graft] def qualityScoreX1e4Sql(text: String): Column = expr(
     s"""(
        |  (CASE WHEN length($text) BETWEEN 100 AND 2000 THEN 10000
        |        WHEN length($text) < 100 THEN length($text) * 100

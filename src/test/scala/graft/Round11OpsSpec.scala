@@ -301,6 +301,38 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got.keySet === Set((1, 1), (1, 2), (2, 2)))
   }
 
+  // ---- QualityNative.qualityScoreX1e4 ----------------------------------------
+
+  test("native quality score = SQL formulation on corpus + adversarial strings") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    // empty text is excluded from the comparison frame: under ANSI the
+    // SQL path THROWS on its div-by-zero-length; the native expression
+    // deliberately degrades to NULL instead (asserted separately below)
+    val edge = Seq(
+      " ",                      // two empty tokens, zero hits
+      "a",                      // a stopword that is also a vowel
+      "the the  the ",          // double space + trailing space empties
+      "and of a the",           // all four stopwords
+      "xyz qrs tln",            // zero vowels, zero hits
+      "θ unicode ø the",        // non-ASCII code points
+      ("w " * 60) + "the",      // many tokens
+      "z" * 2500                // above the length band
+    ).toDF("text")
+    for (frame <- Seq(docs, edge)) {
+      val cmp = frame.select(
+        TextAnalysis.qualityScoreX1e4("text").as("nat"),
+        TextAnalysis.qualityScoreX1e4Sql("text").as("sql"))
+      assert(cmp.filter(
+        !(col("nat") <=> col("sql"))).count() === 0L)
+    }
+    // NULL shape: empty text is NULL in both paths
+    val nulls = Seq("").toDF("text")
+      .select(TextAnalysis.qualityScoreX1e4("text").as("q")).head()
+    assert(nulls.isNullAt(0))
+  }
+
   // ---- Stats.wasserstein1 ----------------------------------------------------
 
   test("wasserstein: split mass, identical zero, constant shift") {
