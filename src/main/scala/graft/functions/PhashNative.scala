@@ -39,16 +39,21 @@ object PhashNative {
   def dhash56(bin: Column): Column =
     GraftColumnBridge.column(DHash56(GraftColumnBridge.expression(bin)))
 
-  /** Decodable PNG/JPEG payloads → their REAL 9×7 grayscale grid bytes
-    * ([[graft.operators.MediaCodec.decodeImageGrid]], JDK ImageIO);
+  /** Decodable payloads → their REAL 63-cell perceptual grid: PNG/JPEG
+    * via the 9×7 grayscale grid
+    * ([[graft.operators.MediaCodec.decodeImageGrid]], JDK ImageIO), PCM
+    * WAV via the 63-window amplitude envelope
+    * ([[graft.operators.MediaCodec.decodeWavEnvelope]], volume-invariant);
     * anything else passes through unchanged. Composed as
     * `dhash56(imageGridOrRaw(b))` this gives a true image dHash for real
-    * images (63 grid bytes = one byte per cell, so the byte-span grid IS
-    * the pixel grid) and the byte-span fingerprint for other payloads —
-    * the production pipeline downstream is identical either way.
-    * Note the decoded branch is not DuckDB-replayable (no codec there);
-    * oracle queries run on non-image payloads, and the decoded path is
-    * pinned by MultimodalSpec's hand-computed PNG fingerprint. */
+    * images, a true audio difference-hash for real PCM audio (63 grid
+    * bytes = one byte per cell, so the byte-span grid IS the signal
+    * grid), and the byte-span fingerprint for other payloads — the
+    * production pipeline downstream is identical in all three cases.
+    * Note the decoded branches are not DuckDB-replayable (no codec
+    * there); oracle queries run on non-media payloads, and the decoded
+    * paths are pinned by MultimodalSpec's hand-computed PNG and WAV
+    * fingerprints. */
   def imageGridOrRaw(bin: Column): Column =
     GraftColumnBridge.column(ImageGridOrRaw(GraftColumnBridge.expression(bin)))
 
@@ -64,7 +69,9 @@ object PhashNative {
     }
     override protected def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
-      graft.operators.MediaCodec.decodeImageGrid(bytes).getOrElse(bytes)
+      graft.operators.MediaCodec.decodeImageGrid(bytes)
+        .orElse(graft.operators.MediaCodec.decodeWavEnvelope(bytes))
+        .getOrElse(bytes)
     }
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }

@@ -193,6 +193,25 @@ class MultimodalSpec extends AnyFunSuite {
       MediaCodec.decode(half, 8).toSeq)
     assert(MediaCodec.decode(mono, 8).toSeq !==
       MediaCodec.decodeStub(mono, 8).toSeq)
+    // e2e perceptual path: dhash56(imageGridOrRaw(wav)) = the envelope's
+    // difference hash, and the half-volume re-master lands at Hamming 0
+    // of the original (the audio analog of the PNG↔JPEG pairing)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def fp(bytes: Array[Byte]): Long =
+      Seq((1L, bytes)).toDF("id", "media")
+        .select(graft.functions.PhashNative.dhash56(
+          graft.functions.PhashNative.imageGridOrRaw(col("media"))).as("f"))
+        .head().getLong(0)
+    val direct =
+      Seq((1L, env)).toDF("id", "media")
+        .select(graft.functions.PhashNative.dhash56(col("media")).as("f"))
+        .head().getLong(0)
+    assert(fp(mono) === direct)
+    assert(fp(half) === fp(mono))
+    // a reversed-envelope signal (loud → quiet) must not collide
+    val rev = wav(Array.tabulate(cells)(f => amp(f, 100)).reverse, 1)
+    assert(java.lang.Long.bitCount(fp(rev) ^ fp(mono)) > 7)
   }
 
   test("phash pairs match re-encoded real images across formats") {
