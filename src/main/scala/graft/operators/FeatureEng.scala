@@ -133,7 +133,7 @@ object FeatureEng {
   def jsDivergence(dfA: DataFrame, dfB: DataFrame,
       catCol: String): DataFrame = {
     def cnts(df: DataFrame, out: String): DataFrame =
-      df.select(coalesce(col(catCol).cast("string"), lit(""))
+      df.select(coalesce(col(catCol).cast("string"), lit("\u0001"))
           .as("cat"))
         .groupBy(col("cat")).agg(count(lit(1)).as(out))
     val joined = cnts(dfA, "a").join(cnts(dfB, "b"), Seq("cat"), "full")

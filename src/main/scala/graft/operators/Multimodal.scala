@@ -399,7 +399,7 @@ object MediaCodec {
     * PCM needs no codec library: this decode is as real as ImageIO's.
     * None on anything malformed — callers degrade to the byte-span path.
     */
-  def decodeWavEnvelope(bytes: Array[Byte]): Option[Array[Byte]] = {
+  def decodeWavEnvelope(bytes: Array[Byte]): Option[Array[Byte]] = try {
     if (bytes == null || bytes.length < 44) return None
     if (Multimodal.sniffFormat(bytes) != "riff") return None
     def tag(o: Int): String =
@@ -409,24 +409,27 @@ object MediaCodec {
     def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
       ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
     if (tag(8) != "WAVE") return None
-    var off = 12
+    // off rides a Long: a malformed chunk size near u32-max would wrap an
+    // Int cursor negative and index before the array — Long arithmetic
+    // makes the loop guard terminate the walk instead.
+    var off = 12L
     var channels = 0
     var dataOff = -1
     var dataLen = 0L
     while (off + 8 <= bytes.length && (channels == 0 || dataOff < 0)) {
-      val t = tag(off)
-      val sz = u32(off + 4)
+      val o = off.toInt // off <= bytes.length here, so it fits an Int
+      val t = tag(o)
+      val sz = u32(o + 4)
       if (t == "fmt ") {
-        if (off + 8 + 16 > bytes.length) return None
-        if (u16(off + 8) != 1 || u16(off + 8 + 14) != 16) return None // PCM16
-        channels = u16(off + 8 + 2)
+        if (o + 8 + 16 > bytes.length) return None
+        if (u16(o + 8) != 1 || u16(o + 8 + 14) != 16) return None // PCM16
+        channels = u16(o + 8 + 2)
         if (channels < 1) return None
       } else if (t == "data") {
-        dataOff = off + 8
+        dataOff = o + 8
         dataLen = math.min(sz, (bytes.length - dataOff).toLong)
       }
-      if (sz > Int.MaxValue - 16) return None
-      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      off += 8L + sz + (sz & 1L) // chunks are word-aligned; sz < 2^32
     }
     if (channels == 0 || dataOff < 0) return None
     val frames = (dataLen / (2L * channels)).toInt
@@ -464,7 +467,7 @@ object MediaCodec {
       i += 1
     }
     Some(out)
-  }
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Feature vector: REAL signal statistics when the payload decodes —
     * image grid lumas (PNG/JPEG via ImageIO) or the PCM WAV amplitude

@@ -1221,4 +1221,41 @@ object Similarity {
     (0 until dim).map(i => (i.toLong, w(i).toLong))
       .toDF("dim_idx", "pc_x1e6")
   }
+
+  /** Dimension-truncation recall audit (the Matryoshka question): if
+    * retrieval kept only the FIRST `dims` coordinates of every embedding —
+    * half the index bytes, half the ADC work — what fraction of the
+    * true full-dimension top-k survives? recall@k per query of
+    * truncated-cosine top-k against full-cosine top-k, both exact
+    * [[bruteForceTopK]] rankings over the same corpus (deterministic
+    * tie order, so the oracle replays both bit-for-bit). Run it before
+    * committing to a truncated index layout; pair with
+    * [[int8QuantError]] for the precision axis.
+    *
+    * Scale: queries are a bounded audit panel (`nQueries`), so both
+    * rankings are panel × corpus broadcast-joined scans — corpus-linear,
+    * shuffle-free candidate generation, per-query TakeOrdered-sized
+    * windows. Output: (query_id, n_hits, recall_bp). */
+  def truncationRecall(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, dims: Int, nQueries: Int): DataFrame = {
+    require(dims >= 1 && k >= 1 && nQueries >= 1,
+      s"bad audit config: dims=$dims k=$k nQueries=$nQueries")
+    val queries = emb.filter(col(idCol) < nQueries)
+    val full = bruteForceTopK(queries, emb, idCol, vecCol, k,
+        broadcastCorpus = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val truncQ = queries.select(col(idCol),
+      slice(col(vecCol), 1, dims).as(vecCol))
+    val truncC = emb.select(col(idCol),
+      slice(col(vecCol), 1, dims).as(vecCol))
+    val trunc = bruteForceTopK(truncQ, truncC, idCol, vecCol, k,
+        broadcastCorpus = true)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    full.join(trunc, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("kk"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        expr("n_hits * 10000 div kk").as("recall_bp"))
+  }
 }

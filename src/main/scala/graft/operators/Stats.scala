@@ -824,8 +824,8 @@ object Stats {
     * (n, po_micro, pe_micro, kappa_micro). */
   def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val base = df.select(
-      coalesce(col(aCol).cast("string"), lit("")).as("a"),
-      coalesce(col(bCol).cast("string"), lit("")).as("b"))
+      coalesce(col(aCol).cast("string"), lit("\u0001")).as("a"),
+      coalesce(col(bCol).cast("string"), lit("\u0001")).as("b"))
     val joint = base.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
     val ma = joint.groupBy(col("a")).agg(sum(col("nab")).as("na"))
     val mb = joint.groupBy(col("b")).agg(sum(col("nab")).as("nb"))
@@ -1072,7 +1072,8 @@ object Stats {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val terms = cum.select(col("v"), col("r"), col("ca"), col("cb"))
       .join(cum.select((col("r") - 1).as("r"), col("v").as("vn")), Seq("r"))
-      .select((abs(col("ca") * nb - col("cb") * na).cast(dec) *
+      .select((abs(col("ca").cast(dec) * lit(nb).cast(dec) -
+        col("cb").cast(dec) * lit(na).cast(dec)) *
         (col("vn") - col("v")).cast(dec)).as("term"))
     // a single distinct value has no successor rows — an empty term set
     // is W1 = 0 (identical point masses), not NULL
@@ -1107,5 +1108,47 @@ object Stats {
           """CASE WHEN total = 0 THEN CAST(NULL AS BIGINT)
             |ELSE CAST(round(1e6 * CAST(mass AS DOUBLE) / total) AS BIGINT)
             |END""".stripMargin).as("mass_share_micro"))
+  }
+
+  /** Weight of evidence + information value of a categorical feature
+    * against a binary label — the credit-scoring-born feature screen a
+    * curation pipeline runs before trusting a source/lang/shard column as
+    * a quality signal: WoE_c = ln(share of positives in c / share of
+    * negatives in c), IV = Σ_c (p_c − q_c)·WoE_c. Jeffreys-style 0.5
+    * smoothing keeps single-class categories finite; halves are cleared
+    * by doubling, so each WoE is ONE double ln of an EXACT integer
+    * rational `((2·np+1)·(2N+C)) / ((2·nn+1)·(2P+C))` (P/N = positive /
+    * negative totals, C = category count) — order-free, micro-scaled per
+    * category before any sum. The IV contribution mirrors as two exact
+    * integer ratios and one multiply per category. Plan: one corpus
+    * aggregate to category grain, one 1-row total (positive/negative
+    * totals + category count) broadcast; everything after is
+    * category-cardinality-bounded. NULL categories fold to the \\u0001
+    * sentinel ([[mutualInformation]]).
+    * Output: (cat, n_pos, n_neg, woe_micro, iv_micro) per category. */
+  def weightOfEvidence(df: DataFrame, catCol: Column,
+      label: Column): DataFrame = {
+    val cats = df
+      .select(coalesce(catCol.cast("string"), lit("\u0001")).as("cat"),
+        label.cast("boolean").as("y"))
+      .filter(col("y").isNotNull)
+      .groupBy(col("cat"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("n_neg"))
+    val tot = cats.agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("tn"),
+      count(lit(1)).as("c"))
+    cats.crossJoin(broadcast(tot))
+      .withColumn("woe_micro", expr(
+        """CAST(round(1e6 * ln(
+          |  ((2.0 * n_pos + 1) * (2.0 * tn + c))
+          |  / ((2.0 * n_neg + 1) * (2.0 * tp + c)))) AS BIGINT)""".stripMargin))
+      .withColumn("iv_micro", expr(
+        """CAST(round(1e6 * ((2.0 * n_pos + 1) / (2.0 * tp + c)
+          |               - (2.0 * n_neg + 1) / (2.0 * tn + c))
+          |  * ln(((2.0 * n_pos + 1) * (2.0 * tn + c))
+          |       / ((2.0 * n_neg + 1) * (2.0 * tp + c)))) AS BIGINT)"""
+          .stripMargin))
+      .select(col("cat"), col("n_pos"), col("n_neg"), col("woe_micro"),
+        col("iv_micro"))
   }
 }

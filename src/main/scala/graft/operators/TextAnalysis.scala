@@ -586,4 +586,163 @@ object TextAnalysis {
           |  - CAST(s AS DOUBLE) / n_tokens) AS BIGINT)"""
           .stripMargin).as("entropy_micro"))
   }
+
+  /** Winnowing position cap: selected-fingerprint encoding packs
+    * (gram hash, position) into one BIGINT `h·K + (K − pos)` so the
+    * rightmost-minimum window selection is a plain `array_min` (min h,
+    * ties → max pos) — no struct aggregate, fully codegen'd. K bounds the
+    * per-document gram count; h < P < 2³⁰ keeps the packed value < 2⁵⁰. */
+  val WinnowPosCap = 1L << 20
+
+  /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the MOSS
+    * algorithm): hash every word 3-gram IN ORDER, slide a window of `w`
+    * consecutive gram hashes, and keep the window's minimum (rightmost on
+    * ties — the "robust winnowing" rule that makes selection depend only
+    * on local context). The selected set carries the guarantee exact
+    * Jaccard/minhash fingerprints lack: ANY shared word run of length
+    * ≥ w + 2 between two documents shares at least one selected
+    * fingerprint, at ~2/(w+1) the density of full gram hashing — the
+    * plagiarism/near-dup primitive that localizes WHERE the overlap is
+    * (the position rides along), not just that it exists.
+    *
+    * Plan: pure narrow per-document projection — word hashes → ordered
+    * gram hashes (bound once as a column, so window lambdas index the
+    * SAME array, no recompute) → per-window packed `array_min` →
+    * `array_distinct` → explode. No shuffle until the caller aggregates;
+    * documents shorter than 3 words contribute no rows (no grams), and
+    * docs with fewer than `w` grams yield one whole-array window (the
+    * standard short-document case). Corpus-linear at any scale.
+    * Output: (id, pos, fp) — pos the 1-based gram index of the selected
+    * hash. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 4): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val K = WinnowPosCap
+    val wh = HashExprs.sparkWordHashes(textCol)
+    val grams = docs.select(col(idCol).as("id"), expr(
+        s"""CASE WHEN size($wh) >= 3 THEN transform(
+           |  sequence(0, size($wh) - 3),
+           |  i -> ((element_at($wh, i+1) * 31 + element_at($wh, i+2)) % ${HashExprs.P}
+           |        * 31 + element_at($wh, i+3)) % ${HashExprs.P})
+           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("g"))
+      .withColumn("m", size(col("g")))
+      .filter(col("m") >= 1)
+    grams
+      .withColumn("sel", expr(
+        s"""array_distinct(transform(sequence(0, greatest(m - $w, 0)),
+           |  j -> array_min(transform(sequence(j + 1, least(j + $w, m)),
+           |         p -> element_at(g, p) * ${K}L + ${K}L - p))))"""
+          .stripMargin))
+      .select(col("id"), explode(col("sel")).as("e"))
+      .select(col("id"), (lit(K) - col("e") % K).as("pos"),
+        expr(s"e div ${K}L").as("fp"))
+  }
+
+  /** Winnowing near-dup pairs: postings join on selected fingerprints
+    * ([[winnowFingerprints]]), pairs sharing at least `minShared`
+    * DISTINCT fingerprint hashes. The df cap drops fingerprints appearing
+    * in more than `dfCap` documents before pairing (boilerplate grams
+    * would otherwise emit O(df²) pairs — the containment-join discipline,
+    * a lossy-only-for-stopword-fps cap the caller sizes). Pair emission is
+    * Σ C(df, 2) over surviving postings — never all-pairs.
+    * Output: (id_a, id_b, n_shared), id_a < id_b. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, minShared: Int = 3, dfCap: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, w)
+      .select(col("id"), col("fp")).distinct()
+    val kept = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("fp"))
+    val posts = fps.join(kept, Seq("fp"))
+    posts.as("a").join(posts.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Vocabulary-growth curve in CORPUS ORDER (Heaps'-law readout): after
+    * the first r documents (ordered by `idCol` — the deterministic stand-in
+    * for ingest order), how many tokens have been seen and how many
+    * DISTINCT word types? The curve is the diminishing-returns monitor of
+    * a data-collection program: a flattening vocab curve says new data is
+    * re-treading old vocabulary. Token counts ride a [[GlobalRank]]
+    * sharded cumulative sum (never a single-partition
+    * window); first occurrences are `min(rank)` per word — one explode +
+    * one word-grain aggregate — folded back as per-rank new-type counts.
+    * Emitted every `step`-th rank plus the final rank, so output stays
+    * bounded no matter the corpus size.
+    * Output: (r, cum_tokens, cum_types). */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      step: Long = 10L): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val base = docs.select(col(idCol).as("id"),
+        split(col(textCol), " ").as("ws"))
+      .persist()
+    val n = base.count()
+    val (ranked, _) = GlobalRank.withRowNumber(
+      base, col("id"), asc = true, col("id"), "r", n)
+    val rankedW = ranked.persist()
+    val firsts = rankedW
+      .select(col("r"), explode(array_distinct(col("ws"))).as("w"))
+      .groupBy(col("w")).agg(min(col("r")).as("fr"))
+      .groupBy(col("fr").as("r")).agg(count(lit(1)).as("nw"))
+    val perDoc = rankedW
+      .select(col("r"), size(col("ws")).cast("long").as("ntok"))
+      .join(firsts, Seq("r"), "left")
+      .select(col("r"), col("ntok"), coalesce(col("nw"), lit(0L)).as("nw"))
+    val (cum, _, _) = GlobalRank.withCumSums(perDoc, col("r"), asc = true,
+      col("r"), Seq(col("ntok") -> "cum_tokens", col("nw") -> "cum_types"),
+      n)
+    val out = cum
+      .filter(col("r") % step === 0 || col("r") === n)
+      .select(col("r"), col("cum_tokens"), col("cum_types"))
+      .persist()
+    out.count()
+    base.unpersist(false); rankedW.unpersist(false)
+    out
+  }
+
+  /** Heaps'-law fit V = k·Nᵝ over the [[vocabGrowth]] curve: OLS of
+    * ln(cum_types) on ln(cum_tokens) across the sampled points. Each point
+    * pays two mirrored `ln`s integerized to micro BEFORE the moment sums;
+    * the moments ride DECIMAL(38,0) (micro-lns are ~10⁷, squares ~10¹⁴ —
+    * long sums would wrap past ~10⁵ points; decimal keeps the fit exact at
+    * any sample count, and DuckDB's HUGEINT sums mirror it). β for natural
+    * text sits in (0.4, 0.7); β drifting up over ingest rounds means the
+    * corpus keeps finding genuinely new vocabulary.
+    * Output: 1 row (n_points, beta_micro, lnk_micro). */
+  def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
+      step: Long = 10L): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = vocabGrowth(docs, idCol, textCol, step)
+      .filter(col("cum_tokens") > 0 && col("cum_types") > 0)
+      .select(
+        expr("CAST(round(1e6 * ln(CAST(cum_tokens AS DOUBLE))) AS BIGINT)")
+          .as("x"),
+        expr("CAST(round(1e6 * ln(CAST(cum_types AS DOUBLE))) AS BIGINT)")
+          .as("y"))
+    pts.agg(count(lit(1)).as("n_points"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .select(col("n_points"), expr(
+        """CASE WHEN n_points = 0 OR CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |  = CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) THEN CAST(NULL AS BIGINT)
+          |ELSE CAST(round(1e6
+          |  * (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+          |END""".stripMargin).as("beta_micro"), expr(
+        """CASE WHEN n_points = 0 OR CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |  = CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) THEN CAST(NULL AS BIGINT)
+          |ELSE CAST(round(
+          |  (CAST(sy AS DOUBLE) - (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |    / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |    * CAST(sx AS DOUBLE)) / n_points) AS BIGINT)
+          |END""".stripMargin).as("lnk_micro"))
+  }
 }

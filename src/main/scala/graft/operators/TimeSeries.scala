@@ -299,19 +299,28 @@ object TimeSeries {
     * `r_k = Σ_t (n·x_t − S)(n·x_{t+k} − S) / Σ_t (n·x_t − S)²` — the n²
     * scaling cancels, every sum is an exact long (daily counts keep
     * n·x ≪ 2³¹, squares ≪ 2⁶³ — the cusum headroom note), and the
-    * single division mirrors as one double, micro-scaled. Lag pairing is
-    * by the group's date-ordered row index (`row_number` over the
-    * BOUNDED day-grain table — group-partitioned, parallel), then one
-    * self-join per exploded lag on (grp, rn + k): day-grain × maxLag
-    * rows, never corpus-grain. Constant series → NULL (variance 0).
-    * Output: (grp, lag, n_days, acf_micro). */
+    * single division mirrors as one double, micro-scaled. Lag k means a
+    * CALENDAR lag of k days: each group's [min(d), max(d)] range is
+    * densified (`sequence` + left join, zero-count days contribute x = 0)
+    * before indexing, so r₇ reads as "one week earlier" even on sparse
+    * series — without the densify, lag 7 would silently mean "7th prior
+    * OBSERVED day". The dense table stays day-grain bounded (span days ×
+    * groups), then one self-join per exploded lag on (grp, rn + k):
+    * day-grain × maxLag rows, never corpus-grain. Constant series → NULL
+    * (variance 0). Output: (grp, lag, n_days, acf_micro). */
   def acf(events: DataFrame, grpCol: String, tsCol: String,
       maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    val daily = events.select(col(grpCol).as("grp"),
+    val observed = events.select(col(grpCol).as("grp"),
         to_date(col(tsCol)).as("d"))
       .groupBy(col("grp"), col("d"))
       .agg(count(lit(1)).as("x"))
+    val daily = observed.groupBy(col("grp"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("grp"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .join(observed, Seq("grp", "d"), "left")
+      .select(col("grp"), col("d"), coalesce(col("x"), lit(0L)).as("x"))
     val wAll = Window.partitionBy(col("grp"))
     val wOrd = Window.partitionBy(col("grp")).orderBy(col("d"))
     val idx = daily
@@ -362,5 +371,49 @@ object TimeSeries {
         count(lit(1)).as("n_intervals"))
       .select(col("key"), col("island_start"), col("island_end"),
         col("n_intervals"))
+  }
+
+  /** Theil-Sen robust trend of each group's daily event counts — the
+    * outlier-proof replacement for the per-group OLS slope (one traffic
+    * spike drags least-squares; the MEDIAN of pairwise slopes shrugs it
+    * off, 29.3% breakdown point). For every day pair i < j (CALENDAR time
+    * axis: t = epoch day, so gaps weigh correctly without densifying),
+    * slope_ij = (x_j − x_i)/(t_j − t_i), micro-rounded — ONE mirrored
+    * double division per pair, deterministic tie order (slope, t_i, t_j).
+    * The median is the SQL-standard lower median (rank ⌈m/2⌉ by
+    * row_number — an exact element, not an interpolated average, so the
+    * hash compare is integer-exact).
+    *
+    * Scale: pairs are DAY-grain per group — C(span, 2) ≈ 66 k pairs for a
+    * year — generated by a range self-join inside each group partition and
+    * ranked by a GROUP-partitioned window (parallel across groups, never
+    * a corpus-grain single partition). For multi-decade spans, bucket to
+    * weeks first; the day-grain contract is documented, not enforced.
+    * Output: (grp, n_days, n_pairs, slope_micro) — slope in events/day
+    * micro-units; groups with one day (no pairs) are absent. */
+  def theilSen(events: DataFrame, grpCol: String, tsCol: String): DataFrame = {
+    val daily = events.select(col(grpCol).as("grp"),
+        to_date(col(tsCol)).as("d"))
+      .groupBy(col("grp"), col("d"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("grp"), datediff(col("d"), lit("1970-01-01")).cast("long")
+        .as("t"), col("x"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.grp") === col("b.grp") && col("a.t") < col("b.t"))
+      .select(col("a.grp").as("grp"), col("a.t").as("ti"),
+        col("b.t").as("tj"),
+        expr("CAST(round(1e6 * CAST(b.x - a.x AS DOUBLE) / (b.t - a.t)) " +
+          "AS BIGINT)").as("slope_micro"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("slope_micro").asc, col("ti").asc, col("tj").asc)
+    val cnt = Window.partitionBy(col("grp"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(cnt))
+      .filter(col("rn") === (col("m") + 1) / 2)
+      .join(daily.groupBy(col("grp")).agg(count(lit(1)).as("n_days")),
+        Seq("grp"))
+      .select(col("grp"), col("n_days"), col("m").as("n_pairs"),
+        col("slope_micro"))
   }
 }

@@ -307,14 +307,22 @@ object Round11 {
 
     // ---- autocorrelation of daily event counts ------------------------
     // weekly-rhythm probe: ACF at lags 1..7 per event type over the
-    // date-ordered daily count series; mean multiplied through so every
+    // CALENDAR-densified daily count series (zero-count days ride as
+    // x = 0, so lag 7 is a true week); mean multiplied through so every
     // sum is an exact long, one mirrored division per (grp, lag).
     Q("q147_acf", (s, d) =>
       TimeSeries.acf(Tables.events(s, d), "event_type", "ts", 7),
       Some("""
-        WITH daily AS (SELECT event_type AS grp,
+        WITH obs AS (SELECT event_type AS grp,
                 CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, count(*) AS x
               FROM events GROUP BY 1, 2),
+        spans AS (SELECT grp, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1),
+        dense AS (SELECT grp, CAST(unnest(generate_series(d0, d1,
+                INTERVAL 1 DAY)) AS DATE) AS d FROM spans),
+        daily AS (SELECT dense.grp, dense.d,
+                CAST(coalesce(obs.x, 0) AS BIGINT) AS x
+              FROM dense LEFT JOIN obs
+                ON obs.grp = dense.grp AND obs.d = dense.d),
         st AS (SELECT grp, x,
                 CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
                 CAST(sum(x) OVER (PARTITION BY grp) AS BIGINT) AS sx,

@@ -188,6 +188,16 @@ class MultimodalSpec extends AnyFunSuite {
     val adpcm = mono.clone(); adpcm(20) = 2 // fmt audioFormat LE lo byte
     assert(MediaCodec.decodeWavEnvelope(adpcm).isEmpty)
     assert(MediaCodec.decodeWavEnvelope(mono.take(50)).isDefined)
+    // a crafted chunk size near u32-max must NOT wrap the cursor negative
+    // and index before the array — the Long walk just runs off the end
+    val huge = mono.clone()
+    huge(16) = 0xf8.toByte; huge(17) = 0xff.toByte // fmt chunk size
+    huge(18) = 0xff.toByte; huge(19) = 0xff.toByte //  = 0xfffffff8
+    assert(MediaCodec.decodeWavEnvelope(huge).isEmpty)
+    val hugeData = mono.clone() // data-chunk size 0xfffffff8: dataLen
+    hugeData(40) = 0xf8.toByte; hugeData(41) = 0xff.toByte // clamps to
+    hugeData(42) = 0xff.toByte; hugeData(43) = 0xff.toByte // real bytes
+    assert(MediaCodec.decodeWavEnvelope(hugeData).get.toSeq === env.toSeq)
     // and decode() routes WAV through the real envelope, not the stub
     assert(MediaCodec.decode(mono, 8).toSeq ===
       MediaCodec.decode(half, 8).toSeq)

@@ -151,6 +151,25 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> -833333L, 2L -> 666667L))
   }
 
+  test("acf: sparse days densify — lag is calendar, not observed-row") {
+    // events on Mar 1, 3, 5 only (1 each) → dense series over 5 calendar
+    // days is x = 1,0,1,0,1: S = 3, n = 5, cx = 5x − 3 = (2,−3,2,−3,2)
+    // den = 3·4 + 2·9 = 30; lag1: 2·(−6)+2·(−6) = −24 → −800000
+    // lag2: 3 pairs of +4 and... cx pairs (2,2),(−3,−3),(2,2) = 4+9+4=17
+    // → 17/30 = 566667. Without densify lag1 would pair observed days
+    // (all x = 1, constant → den 0 → NULL).
+    val ev = Seq(1L -> "2024-03-01 09:00:00", 2L -> "2024-03-03 09:00:00",
+        3L -> "2024-03-05 09:00:00")
+      .toDF("event_id", "tss")
+      .select(col("event_id"), lit("t").as("grp"),
+        to_timestamp(col("tss")).as("ts"))
+    val got = TimeSeries.acf(ev, "grp", "ts", 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => t._1 -> t._2).toMap === Map(1L -> 5L, 2L -> 5L))
+    assert(got.map(t => t._1 -> t._3).toMap ===
+      Map(1L -> -800000L, 2L -> 566667L))
+  }
+
   // ---- Stats.prCurve ----------------------------------------------------
 
   test("pr curve: hand thresholds, monotone recall, F1 as exact rational") {
