@@ -49,6 +49,9 @@ object HashNative {
     * the wide-fingerprint scale variant, no DuckDB oracle. */
   def simhash64(sh: Column): Column =
     col(SimHash(GraftColumnBridge.expression(sh), bits = 64))
+  /** Winnowing selected fingerprints, packed `hash·K + (K − pos)`. */
+  def winnowSelect(g: Column, w: Int, posCap: Long): Column =
+    col(WinnowSelect(GraftColumnBridge.expression(g), w, posCap))
 
   case class WordHashes(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -175,6 +178,47 @@ object HashNative {
         b += 1
       }
       f
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
+  /** Winnowing window selection (Schleimer-Wilkerson-Aiken) over an
+    * in-order gram-hash array: for every window of `w` consecutive grams
+    * keep the packed minimum `g[p]·K + (K − p)` (p the 1-based gram
+    * index — min hash, RIGHTMOST position on ties), distinct across
+    * windows in first-occurrence order. Exactly the
+    * `array_distinct(transform(sequence(0, greatest(m-w,0)), j ->
+    * array_min(transform(sequence(j+1, least(j+w,m)), p -> g[p]*K+K-p))))`
+    * HOF chain — which Spark evaluates INTERPRETED with the gram
+    * subexpression re-inlined into the lambda by project collapse
+    * (O(m²·w) per row and worse once filter pushdown duplicates it into a
+    * predicate; the round-12 hang). One tight O(m·w) loop per row instead.
+    * Docs with fewer than `w` grams yield the single whole-array window;
+    * an empty gram array yields an empty selection. */
+  case class WinnowSelect(child: Expression, w: Int, posCap: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val g = input.asInstanceOf[ArrayData]
+      val m = g.numElements()
+      if (m < 1) return new GenericArrayData(Array.empty[Any])
+      val nWin = math.max(m - w, 0) + 1
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val buf = new java.util.ArrayList[Any]()
+      var j = 0
+      while (j < nWin) {
+        var mn = Long.MaxValue
+        var p = j + 1
+        val end = math.min(j + w, m)
+        while (p <= end) {
+          val v = g.getLong(p - 1) * posCap + posCap - p
+          if (v < mn) mn = v
+          p += 1
+        }
+        if (seen.add(mn)) buf.add(mn)
+        j += 1
+      }
+      new GenericArrayData(buf.toArray)
     }
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }

@@ -1137,16 +1137,20 @@ object Stats {
         sum(when(col("y"), 0L).otherwise(1L)).as("n_neg"))
     val tot = cats.agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("tn"),
       count(lit(1)).as("c"))
+    // the 2n+1 / 2N+C factors stay EXACT BIGINTs cast to DOUBLE: a bare
+    // `2.0 * n` literal is DECIMAL in Spark SQL (scale-6-truncated
+    // quotient) but DOUBLE-promoted in DuckDB — the one-micro drift trap
     cats.crossJoin(broadcast(tot))
       .withColumn("woe_micro", expr(
         """CAST(round(1e6 * ln(
-          |  ((2.0 * n_pos + 1) * (2.0 * tn + c))
-          |  / ((2.0 * n_neg + 1) * (2.0 * tp + c)))) AS BIGINT)""".stripMargin))
+          |  (CAST(2*n_pos+1 AS DOUBLE) * CAST(2*tn+c AS DOUBLE))
+          |  / (CAST(2*n_neg+1 AS DOUBLE) * CAST(2*tp+c AS DOUBLE)))) AS BIGINT)"""
+          .stripMargin))
       .withColumn("iv_micro", expr(
-        """CAST(round(1e6 * ((2.0 * n_pos + 1) / (2.0 * tp + c)
-          |               - (2.0 * n_neg + 1) / (2.0 * tn + c))
-          |  * ln(((2.0 * n_pos + 1) * (2.0 * tn + c))
-          |       / ((2.0 * n_neg + 1) * (2.0 * tp + c)))) AS BIGINT)"""
+        """CAST(round(1e6 * (CAST(2*n_pos+1 AS DOUBLE) / CAST(2*tp+c AS DOUBLE)
+          |               - CAST(2*n_neg+1 AS DOUBLE) / CAST(2*tn+c AS DOUBLE))
+          |  * ln((CAST(2*n_pos+1 AS DOUBLE) * CAST(2*tn+c AS DOUBLE))
+          |       / (CAST(2*n_neg+1 AS DOUBLE) * CAST(2*tp+c AS DOUBLE)))) AS BIGINT)"""
           .stripMargin))
       .select(col("cat"), col("n_pos"), col("n_neg"), col("woe_micro"),
         col("iv_micro"))

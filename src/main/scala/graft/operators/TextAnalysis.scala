@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.HashExprs
+import graft.functions.{HashExprs, HashNative}
 
 /** Text-analysis operators for training-data pipelines: token counting,
   * quality scoring, language-ID heuristics, document fingerprinting.
@@ -605,34 +605,30 @@ object TextAnalysis {
     * plagiarism/near-dup primitive that localizes WHERE the overlap is
     * (the position rides along), not just that it exists.
     *
-    * Plan: pure narrow per-document projection — word hashes → ordered
-    * gram hashes (bound once as a column, so window lambdas index the
-    * SAME array, no recompute) → per-window packed `array_min` →
-    * `array_distinct` → explode. No shuffle until the caller aggregates;
-    * documents shorter than 3 words contribute no rows (no grams), and
-    * docs with fewer than `w` grams yield one whole-array window (the
-    * standard short-document case). Corpus-linear at any scale.
+    * Plan: pure narrow per-document projection — native word hashes →
+    * in-order gram hashes ([[graft.functions.HashNative.GramHashes]]) →
+    * native per-window packed-min selection
+    * ([[graft.functions.HashNative.WinnowSelect]]) → explode. The HOF
+    * formulation of the selection step is a trap at this nesting depth:
+    * Spark evaluates lambdas interpreted AND project collapse re-inlines
+    * the gram array into every lambda reference (plus filter pushdown
+    * duplicates the whole chain into predicates), turning O(m·w) per doc
+    * into O(m²·w)+ — the native expression is one tight loop. No shuffle
+    * until the caller aggregates; documents shorter than 3 words
+    * contribute no grams hence no rows, and docs with fewer than `w`
+    * grams yield one whole-array window (the standard short-document
+    * case). Corpus-linear at any scale.
     * Output: (id, pos, fp) — pos the 1-based gram index of the selected
     * hash. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 4): DataFrame = {
     require(w >= 1, s"window must be >= 1, got $w")
     val K = WinnowPosCap
-    val wh = HashExprs.sparkWordHashes(textCol)
-    val grams = docs.select(col(idCol).as("id"), expr(
-        s"""CASE WHEN size($wh) >= 3 THEN transform(
-           |  sequence(0, size($wh) - 3),
-           |  i -> ((element_at($wh, i+1) * 31 + element_at($wh, i+2)) % ${HashExprs.P}
-           |        * 31 + element_at($wh, i+3)) % ${HashExprs.P})
-           |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("g"))
-      .withColumn("m", size(col("g")))
-      .filter(col("m") >= 1)
-    grams
-      .withColumn("sel", expr(
-        s"""array_distinct(transform(sequence(0, greatest(m - $w, 0)),
-           |  j -> array_min(transform(sequence(j + 1, least(j + $w, m)),
-           |         p -> element_at(g, p) * ${K}L + ${K}L - p))))"""
-          .stripMargin))
+    docs
+      .select(col(idCol).as("id"),
+        HashNative.winnowSelect(
+          HashNative.gramHashes(HashNative.wordHashes(col(textCol)), 3),
+          w, K).as("sel"))
       .select(col("id"), explode(col("sel")).as("e"))
       .select(col("id"), (lit(K) - col("e") % K).as("pos"),
         expr(s"e div ${K}L").as("fp"))
@@ -648,17 +644,29 @@ object TextAnalysis {
     * Output: (id_a, id_b, n_shared), id_a < id_b. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 4, minShared: Int = 3, dfCap: Int = 50): DataFrame = {
+    // fps is cached: the HOF fingerprint extraction is the expensive
+    // narrow pass, and it feeds the df filter plus BOTH pair-join sides
     val fps = winnowFingerprints(docs, idCol, textCol, w)
-      .select(col("id"), col("fp")).distinct()
+      .select(col("id"), col("fp")).distinct().persist()
     val kept = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select(col("fp"))
+    // renamed-column self-join (the BasketAnalysis discipline): aliased
+    // frames with identical lineage can silently resolve both sides of a
+    // col("a.fp") === col("b.fp") predicate to ONE attribute — a
+    // trivially-true condition that degenerates the equi-join into a
+    // cartesian. Seq-key joins over renamed projections cannot.
     val posts = fps.join(kept, Seq("fp"))
-    posts.as("a").join(posts.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val out = posts.select(col("fp"), col("id").as("id_a"))
+      .join(posts.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .persist()
+    out.count()
+    fps.unpersist(false)
+    out
   }
 
   /** Vocabulary-growth curve in CORPUS ORDER (Heaps'-law readout): after

@@ -398,11 +398,17 @@ object TimeSeries {
       .agg(count(lit(1)).as("x"))
       .select(col("grp"), datediff(col("d"), lit("1970-01-01")).cast("long")
         .as("t"), col("x"))
-    val pairs = daily.as("a").join(daily.as("b"),
-        col("a.grp") === col("b.grp") && col("a.t") < col("b.t"))
-      .select(col("a.grp").as("grp"), col("a.t").as("ti"),
-        col("b.t").as("tj"),
-        expr("CAST(round(1e6 * CAST(b.x - a.x AS DOUBLE) / (b.t - a.t)) " +
+    // renamed-column self-join: a col("a.t") < col("b.t") predicate over
+    // two aliases of ONE lineage can resolve both sides to the same
+    // attribute (t < t = false → silently empty); Seq-key join over
+    // renamed projections is unambiguous
+    val pairs = daily.select(col("grp"), col("t").as("ti"),
+        col("x").as("xi"))
+      .join(daily.select(col("grp"), col("t").as("tj"), col("x").as("xj")),
+        Seq("grp"))
+      .filter(col("ti") < col("tj"))
+      .select(col("grp"), col("ti"), col("tj"),
+        expr("CAST(round(1e6 * CAST(xj - xi AS DOUBLE) / (tj - ti)) " +
           "AS BIGINT)").as("slope_micro"))
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("slope_micro").asc, col("ti").asc, col("tj").asc)
@@ -410,7 +416,7 @@ object TimeSeries {
     pairs
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("m", count(lit(1)).over(cnt))
-      .filter(col("rn") === (col("m") + 1) / 2)
+      .filter(expr("rn = (m + 1) div 2"))
       .join(daily.groupBy(col("grp")).agg(count(lit(1)).as("n_days")),
         Seq("grp"))
       .select(col("grp"), col("n_days"), col("m").as("n_pairs"),

@@ -97,7 +97,14 @@ class PlanGuardSpec extends AnyFunSuite {
     "text_temperature_mix" -> "1-row weight total x per-group counts",
     // the broadcast k-row codebook crossed onto the corpus — the same
     // deliberate row x k assignment expansion as q54's kmeans rounds
-    "sim_silhouette" -> "broadcast k-centroid codebook x corpus")
+    "sim_silhouette" -> "broadcast k-centroid codebook x corpus",
+    // the 1-row positive/negative grand totals crossed onto the bounded
+    // per-category count table — q113_mutual_info's exact shape
+    "q153_woe" -> "1-row class totals x per-category counts",
+    // the recall audit's exact baseline: bounded query set (vec_id < 20)
+    // scored brute-force against the corpus at full and truncated dims —
+    // sim_topk's labeled all-pairs shape, twice
+    "sim_truncation_recall" -> "bounded query set, exact baselines (2 dims)")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
