@@ -850,6 +850,35 @@ object Stats {
             |END""".stripMargin).as("kappa_micro"))
   }
 
+  /** McNemar's test of two PAIRED binary predicates — the right
+    * comparison when two document filters (or two model versions) score
+    * the SAME rows: accuracy deltas hide which side flips which rows;
+    * McNemar looks only at the discordant cells b = |A ∧ ¬B| and
+    * c = |¬A ∧ B| and asks whether the flips are symmetric,
+    * χ² = (b − c)²/(b + c) (1 df). Everything is an exact long off ONE
+    * corpus aggregate — (b − c)² stays in long for any corpus that fits
+    * row counts in a long — and the single mirrored division is the only
+    * double. NULL predicate values fold to false (a filter that abstains
+    * rejects). Degenerate b + c = 0 (perfect agreement) → NULL stat.
+    * Output: one row (n, b, c, mcnemar_micro).
+    *
+    * Plan: one narrow projection + one 1-row hash aggregate — no join, no
+    * window, no shuffle beyond the final reduce. Scale-free. */
+  def mcnemar(df: DataFrame, aPred: Column, bPred: Column): DataFrame = {
+    val base = df.select(
+      coalesce(aPred, lit(false)).as("a"),
+      coalesce(bPred, lit(false)).as("b"))
+    base.agg(count(lit(1)).as("n"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("b_cnt"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("c_cnt"))
+      .select(col("n"), col("b_cnt").as("b"), col("c_cnt").as("c"),
+        expr("""CASE WHEN b_cnt + c_cnt = 0 THEN CAST(NULL AS BIGINT)
+          |ELSE CAST(round(1e6
+          |  * CAST((b_cnt - c_cnt) * (b_cnt - c_cnt) AS DOUBLE)
+          |  / (b_cnt + c_cnt)) AS BIGINT) END""".stripMargin)
+          .as("mcnemar_micro"))
+  }
+
   /** Benford first-digit audit of a positive numeric column — the
     * fabricated-data / unit-mixup smell test on financial-ish fields.
     * Per digit d ∈ 1..9: observed count, expected share

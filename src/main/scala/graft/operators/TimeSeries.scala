@@ -422,4 +422,53 @@ object TimeSeries {
       .select(col("grp"), col("n_days"), col("m").as("n_pairs"),
         col("slope_micro"))
   }
+
+  /** Mann-Kendall trend test of each group's daily event counts — the
+    * significance companion to [[theilSen]] (the standard pairing:
+    * Theil-Sen estimates the slope, Mann-Kendall says whether a monotone
+    * trend exists at all, distribution-free). S = Σ_{i<j} sgn(x_j − x_i)
+    * over day pairs on the calendar axis; the tie-corrected variance
+    * rides the EXACT integer `var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)`
+    * (= 18·Var S, over tie groups of the daily count value), and the
+    * normal-approximation z (with the ±1 continuity correction) is the
+    * single mirrored double: `z = (S ∓ 1)/sqrt(var18/18)`, micro-scaled.
+    *
+    * Scale: identical shape to [[theilSen]] — day-grain pairs generated
+    * per group by the renamed-projection self-join, everything else
+    * group-grain aggregates; no window at all here. Degenerate var18 = 0
+    * (all days equal) → z NULL. Groups with a single day are absent.
+    * Output: (grp, n_days, n_pairs, s_stat, var18, z_micro). */
+  def mannKendall(events: DataFrame, grpCol: String, tsCol: String): DataFrame = {
+    val daily = events.select(col(grpCol).as("grp"),
+        to_date(col(tsCol)).as("d"))
+      .groupBy(col("grp"), col("d"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("grp"), datediff(col("d"), lit("1970-01-01")).cast("long")
+        .as("t"), col("x"))
+    val sAgg = daily.select(col("grp"), col("t").as("ti"), col("x").as("xi"))
+      .join(daily.select(col("grp"), col("t").as("tj"), col("x").as("xj")),
+        Seq("grp"))
+      .filter(col("ti") < col("tj"))
+      .groupBy(col("grp"))
+      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val nDays = daily.groupBy(col("grp")).agg(count(lit(1)).as("n_days"))
+    val tie18 = daily.groupBy(col("grp"), col("x"))
+      .agg(count(lit(1)).as("tt"))
+      .groupBy(col("grp"))
+      .agg(sum(col("tt") * (col("tt") - 1L) * (lit(2L) * col("tt") + 5L))
+        .as("tie18"))
+    sAgg.join(nDays, Seq("grp")).join(tie18, Seq("grp"))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1L)
+          * (lit(2L) * col("n_days") + 5L) - col("tie18"))
+      .select(col("grp"), col("n_days"), col("n_pairs"), col("s_stat"),
+        col("var18"),
+        expr("""CASE WHEN var18 = 0 THEN CAST(NULL AS BIGINT)
+          |WHEN s_stat = 0 THEN 0L
+          |ELSE CAST(round(1e6
+          |  * (CAST(s_stat AS DOUBLE) - CASE WHEN s_stat > 0 THEN 1 ELSE -1 END)
+          |  / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT) END"""
+          .stripMargin).as("z_micro"))
+  }
 }
