@@ -202,6 +202,15 @@ object HashNative {
       val g = input.asInstanceOf[ArrayData]
       val m = g.numElements()
       if (m < 1) return new GenericArrayData(Array.empty[Any])
+      // the packed encoding g[p]·K + (K − p) is only injective-and-ordered
+      // while p ≤ K: one over-long document would otherwise SILENTLY pack
+      // negative offsets and corrupt the window-minimum selection — fail
+      // loud instead (chunk the document first; TextAnalysis.chunk is the
+      // bounded-row contract for pathological concatenated-crawl rows)
+      require(m <= posCap,
+        s"WinnowSelect: $m grams exceed the position cap $posCap — the " +
+          "packed (hash, position) encoding cannot represent positions " +
+          "past the cap; split the document (TextAnalysis.chunk) first")
       val nWin = math.max(m - w, 0) + 1
       val seen = new java.util.HashSet[java.lang.Long]()
       val buf = new java.util.ArrayList[Any]()

@@ -591,8 +591,15 @@ object TextAnalysis {
     * (gram hash, position) into one BIGINT `h·K + (K − pos)` so the
     * rightmost-minimum window selection is a plain `array_min` (min h,
     * ties → max pos) — no struct aggregate, fully codegen'd. K bounds the
-    * per-document gram count; h < P < 2³⁰ keeps the packed value < 2⁵⁰. */
-  val WinnowPosCap = 1L << 20
+    * per-document gram count; h < P < 2³⁰ keeps the packed value < 2⁶¹,
+    * so K = 2³¹ spends the position headroom a long actually has: a
+    * 2-billion-gram document (~10 GB of text in one row — past any
+    * realistic row size) is the first input that can hit the cap, and
+    * [[graft.functions.HashNative.WinnowSelect]] fails LOUD there instead
+    * of silently packing negative (K − p) offsets. The decoded
+    * (pos = K − e mod K, fp = e div K) values are invariant to K, so
+    * raising the cap changes no emitted fingerprint. */
+  val WinnowPosCap = 1L << 31
 
   /** Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the MOSS
     * algorithm): hash every word 3-gram IN ORDER, slide a window of `w`
@@ -644,7 +651,7 @@ object TextAnalysis {
     * Output: (id_a, id_b, n_shared), id_a < id_b. */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 4, minShared: Int = 3, dfCap: Int = 50): DataFrame = {
-    // fps is cached: the HOF fingerprint extraction is the expensive
+    // fps is cached: the native WinnowSelect extraction is the expensive
     // narrow pass, and it feeds the df filter plus BOTH pair-join sides
     val fps = winnowFingerprints(docs, idCol, textCol, w)
       .select(col("id"), col("fp")).distinct().persist()
@@ -723,34 +730,54 @@ object TextAnalysis {
   def heapsLaw(docs: DataFrame, idCol: String, textCol: String,
       step: Long = 10L): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val pts = vocabGrowth(docs, idCol, textCol, step)
+    val vg = vocabGrowth(docs, idCol, textCol, step)
+    val moments = vg
       .filter(col("cum_tokens") > 0 && col("cum_types") > 0)
       .select(
         expr("CAST(round(1e6 * ln(CAST(cum_tokens AS DOUBLE))) AS BIGINT)")
           .as("x"),
         expr("CAST(round(1e6 * ln(CAST(cum_types AS DOUBLE))) AS BIGINT)")
           .as("y"))
-    pts.agg(count(lit(1)).as("n_points"),
+      .agg(count(lit(1)).as("n_points"),
         sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
         sum((col("x") * col("y")).cast(dec)).as("sxy"),
         sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    // materialize the 1-row moment aggregate (bounded control-plane
+    // collect) so the persisted growth curve can be RELEASED here — the
+    // lazy plan would otherwise pin vocabGrowth's cache until the caller's
+    // action, a bounded-but-real leak per invocation
+    val spark = docs.sparkSession
+    val row = moments.collect()(0)
+    vg.unpersist(false)
+    heapsFit(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row), 1), moments.schema))
+  }
+
+  /** Closed-form OLS readout over a 1-row (n_points, sx, sy, sxy, sxx)
+    * DECIMAL(38,0) moment frame — split from [[heapsLaw]] so the
+    * degenerate-variance guard is testable on constructed moments. The
+    * slope numerator `n·sxy − sx·sy` and denominator `n·sxx − sx²` are
+    * computed in EXACT decimal arithmetic (past 2⁵³ the double-multiplied
+    * forms lose bits — at 10⁶ sampled points the moments sit well past
+    * it), the zero-variance guard compares the exact denominator to zero
+    * (a double-cast comparison can collide two DIFFERENT moments into a
+    * spurious NULL), and the ONLY doubles are the final mirrored
+    * divisions of the two exact integers — DuckDB mirrors them as
+    * HUGEINT-exact differences cast to DOUBLE the same way. */
+  private[graft] def heapsFit(moments: DataFrame): DataFrame =
+    moments
+      .withColumn("nm", expr(
+        "CAST(n_points AS DECIMAL(38,0)) * sxy - sx * sy"))
+      .withColumn("dn", expr(
+        "CAST(n_points AS DECIMAL(38,0)) * sxx - sx * sx"))
       .select(col("n_points"), expr(
-        """CASE WHEN n_points = 0 OR CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-          |  = CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) THEN CAST(NULL AS BIGINT)
+        """CASE WHEN n_points = 0 OR dn = 0 THEN CAST(NULL AS BIGINT)
           |ELSE CAST(round(1e6
-          |  * (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
-          |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-          |  / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-          |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+          |  * (CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE))) AS BIGINT)
           |END""".stripMargin).as("beta_micro"), expr(
-        """CASE WHEN n_points = 0 OR CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-          |  = CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) THEN CAST(NULL AS BIGINT)
+        """CASE WHEN n_points = 0 OR dn = 0 THEN CAST(NULL AS BIGINT)
           |ELSE CAST(round(
-          |  (CAST(sy AS DOUBLE) - (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
-          |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-          |    / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-          |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |  (CAST(sy AS DOUBLE) - CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE)
           |    * CAST(sx AS DOUBLE)) / n_points) AS BIGINT)
           |END""".stripMargin).as("lnk_micro"))
-  }
 }

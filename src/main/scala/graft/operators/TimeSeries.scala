@@ -387,17 +387,33 @@ object TimeSeries {
     * Scale: pairs are DAY-grain per group — C(span, 2) ≈ 66 k pairs for a
     * year — generated by a range self-join inside each group partition and
     * ranked by a GROUP-partitioned window (parallel across groups, never
-    * a corpus-grain single partition). For multi-decade spans, bucket to
-    * weeks first; the day-grain contract is documented, not enforced.
+    * a corpus-grain single partition). The day-grain contract is ENFORCED
+    * (the `requireCompactDomain` discipline of the Mann-Whitney/KS
+    * family): a group spanning more than `maxSpanDays` days fails loud —
+    * C(span, 2) day pairs in one group partition is exactly the skew bomb
+    * the cap exists for. For multi-decade series, bucket to weeks first
+    * and raise the bound deliberately.
     * Output: (grp, n_days, n_pairs, slope_micro) — slope in events/day
     * micro-units; groups with one day (no pairs) are absent. */
-  def theilSen(events: DataFrame, grpCol: String, tsCol: String): DataFrame = {
+  def theilSen(events: DataFrame, grpCol: String, tsCol: String,
+      maxSpanDays: Int = 2000): DataFrame = {
     val daily = events.select(col(grpCol).as("grp"),
         to_date(col(tsCol)).as("d"))
       .groupBy(col("grp"), col("d"))
       .agg(count(lit(1)).as("x"))
       .select(col("grp"), datediff(col("d"), lit("1970-01-01")).cast("long")
         .as("t"), col("x"))
+    // group-grain span check, one ≤|groups|-row aggregate folded to a
+    // 1-row max — the pair stage below is quadratic in the span, so the
+    // guard runs BEFORE any pair is emitted
+    val spanRow = daily.groupBy(col("grp"))
+      .agg((max(col("t")) - min(col("t")) + 1L).as("span"))
+      .agg(max(col("span"))).collect()(0)
+    val maxSpan = if (spanRow.isNullAt(0)) 0L else spanRow.getLong(0)
+    require(maxSpan <= maxSpanDays,
+      s"theilSen: a group spans $maxSpan days, past maxSpanDays=" +
+        s"$maxSpanDays — C(span, 2) day pairs in one group partition; " +
+        "bucket the series to weeks first or raise the bound deliberately")
     // renamed-column self-join: a col("a.t") < col("b.t") predicate over
     // two aliases of ONE lineage can resolve both sides to the same
     // attribute (t < t = false → silently empty); Seq-key join over

@@ -58,7 +58,7 @@ object Round12 {
         cats AS (SELECT cat,
                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
                 CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
-              FROM b GROUP BY 1),
+              FROM b WHERE y IS NOT NULL GROUP BY 1),
         tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tp,
                   CAST(sum(n_neg) AS BIGINT) AS tn,
                   CAST(count(*) AS BIGINT) AS c FROM cats)
@@ -190,26 +190,21 @@ object Round12 {
                 AND cum_tokens > 0 AND cum_types > 0),
         m AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
                 sum(x) AS sx, sum(y) AS sy,
-                sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+                sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts),
+        mm AS (SELECT n_points, sx, sy,
+                n_points * sxy - sx * sy AS nm,
+                n_points * sxx - sx * sx AS dn FROM m)
         SELECT n_points,
-          CASE WHEN n_points = 0 OR CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-            = CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) THEN CAST(NULL AS BIGINT)
+          CASE WHEN n_points = 0 OR dn = 0 THEN CAST(NULL AS BIGINT)
           ELSE CAST(round(1e6
-            * (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-            / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+            * (CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE))) AS BIGINT)
           END AS beta_micro,
-          CASE WHEN n_points = 0 OR CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-            = CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) THEN CAST(NULL AS BIGINT)
+          CASE WHEN n_points = 0 OR dn = 0 THEN CAST(NULL AS BIGINT)
           ELSE CAST(round(
-            (CAST(sy AS DOUBLE) - (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            (CAST(sy AS DOUBLE) - CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE)
               * CAST(sx AS DOUBLE)) / n_points) AS BIGINT)
           END AS lnk_micro
-        FROM m""")),
+        FROM mm""")),
 
     // ---- dimension-truncation recall audit ----------------------------
     // recall@5 of first-32-dims cosine top-5 vs full 64-dim top-5 over a

@@ -192,4 +192,79 @@ class Round12OpsSpec extends AnyFunSuite {
       k = 1, dims = 2, nQueries = 1).head()
     assert(got.getLong(1) === 0L && got.getLong(2) === 0L)
   }
+
+  // ---- round-13 hardening of the round-12 operators ----------------------
+
+  test("WinnowSelect: gram count past posCap fails loud, at the cap is fine") {
+    import graft.functions.HashNative
+    val df = Seq(Tuple1(Array(5L, 3L, 7L, 2L, 9L, 4L))).toDF("g")
+    // cap = 4 < 6 grams: the packed (K - p) offset would go negative for
+    // p in {5, 6} — must throw, never silently mis-select
+    val boom = intercept[Throwable] {
+      df.select(HashNative.winnowSelect(col("g"), 3, 4L).as("s")).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](boom)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("position cap"), s"unexpected failure: $msgs")
+    // cap = exactly m: every position packs non-negative — selection runs.
+    // Windows of 3 over [5,3,7,2,9,4] (1-based, K=6): window mins are
+    // 3*6+(6-2)=22 once, then 2*6+(6-4)=14 for the remaining three.
+    val ok = df.select(HashNative.winnowSelect(col("g"), 3, 6L).as("s"))
+      .head().getSeq[Long](0)
+    val decoded = ok.map(e => (e / 6L, 6L - e % 6L))
+    assert(decoded === Seq((3L, 2L), (2L, 4L)))
+  }
+
+  test("winnowFingerprints output is invariant to the posCap constant") {
+    // pos/fp decode must not depend on K: fp = h, pos = p for any K >= m
+    import graft.functions.HashNative
+    val g = Array(5L, 3L, 7L, 2L, 9L, 4L)
+    val df = Seq(Tuple1(g)).toDF("g")
+    def run(cap: Long): Seq[(Long, Long)] =
+      df.select(HashNative.winnowSelect(col("g"), 3, cap).as("s"))
+        .head().getSeq[Long](0).map(e => (e / cap, cap - e % cap))
+    assert(run(8L) === run(1L << 31))
+  }
+
+  test("heapsFit: degenerate check is DECIMAL-exact past 2^53") {
+    import org.apache.spark.sql.types._
+    // n*sxx = 9007199326062757 and sx*sx = 94906266^2 = 9007199326062756
+    // collide after a double cast (both round to ...756) but differ as
+    // decimals: the fit must NOT report the spurious zero-variance NULL
+    val schema = StructType(Seq(
+      StructField("n_points", LongType),
+      StructField("sx", DecimalType(38, 0)), StructField("sy", DecimalType(38, 0)),
+      StructField("sxy", DecimalType(38, 0)), StructField("sxx", DecimalType(38, 0))))
+    def dec(v: BigInt) = new java.math.BigDecimal(v.bigInteger)
+    assert(BigInt(94906266L) * 94906266L === BigInt("9007199326062756"))
+    val row = org.apache.spark.sql.Row(1L, dec(BigInt(94906266L)),
+      dec(BigInt(1L)), dec(BigInt(1L)), dec(BigInt("9007199326062757")))
+    val moments = spark.createDataFrame(
+      java.util.Arrays.asList(row), schema)
+    val got = TextAnalysis.heapsFit(moments).head()
+    assert(!got.isNullAt(1), "double-cast collision must not NULL the fit")
+    // and a GENUINELY degenerate pair of the same magnitude stays NULL
+    val row2 = org.apache.spark.sql.Row(1L, dec(BigInt(94906266L)),
+      dec(BigInt(1L)), dec(BigInt(1L)), dec(BigInt("9007199326062756")))
+    val got2 = TextAnalysis.heapsFit(spark.createDataFrame(
+      java.util.Arrays.asList(row2), schema)).head()
+    assert(got2.isNullAt(1) && got2.isNullAt(2))
+  }
+
+  test("theilSen: maxSpanDays guard refuses a multi-decade span") {
+    val ev = Seq(
+      ("a", java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+      ("a", java.sql.Timestamp.valueOf("1995-01-02 00:00:00")),
+      ("a", java.sql.Timestamp.valueOf("2015-06-01 00:00:00")))
+      .toDF("event_type", "ts")
+    val boom = intercept[IllegalArgumentException] {
+      TimeSeries.theilSen(ev, "event_type", "ts", maxSpanDays = 100)
+    }
+    assert(boom.getMessage.contains("maxSpanDays"))
+    // inside the bound: runs, and the hand case still holds
+    val ok = TimeSeries.theilSen(ev.filter(col("ts") < "2000-01-01"),
+      "event_type", "ts", maxSpanDays = 100)
+    assert(ok.count() === 1L)
+  }
 }
