@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   * whose two reps disagree by >30% gets one tie-breaker rep. All rep
   * times go to the full-fidelity JSON (`reps` array) so the spread itself
   * is on the record, and the artifact carries BOTH `sum_min` (headline)
-  * and `sum_first` (single-run-era comparable) totals;
+  * and `sum_first` (single-run-era comparable) totals, plus
+  * `calibration_first`/`calibration_last` — a fixed-cost in-memory
+  * aggregate timed before the first and after the last entry, so a
+  * degraded host is machine-readable in the artifact itself;
   * `leaked_storage_bytes` reports the MAX across reps (a leak in any rep
   * is a leak).
   */
@@ -330,6 +333,29 @@ object Bench {
       }
     }
 
+    // host-speed calibration: a FIXED-cost in-memory aggregate (no IO, no
+    // shuffle — spark.range sum, fully codegen'd) measured before the
+    // first entry and after the last. Round 12's official artifact was a
+    // 1.6x-degraded-host record that read as a code regression and cost a
+    // full adjudication cycle; with calibration_first/calibration_last in
+    // the artifact, any run's host factor is machine-readable (compare
+    // against the committed BASELINE.md calibration). min-of-2 so the
+    // first rep's one-off codegen/JIT doesn't bill to the host number.
+    def calibrate(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // mod-folded mix: per-element products stay < 2^57 and the SUM of
+        // 5e7 sub-1e9 residues stays < 2^56 — ANSI-safe at any range size
+        spark.range(50000000L)
+          .selectExpr("sum((id * 2654435761) % 1000000007) AS s",
+            "count(1) AS c")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val calFirst = calibrate()
+
     // optional arg: comma-separated query subset (iteration aid — the
     // driver always runs the full set)
     val subset = args.headOption.map(_.split(",").toSet)
@@ -341,11 +367,11 @@ object Bench {
     // Python Singer target), so ingest throughput is the directly comparable
     // number. Replay the events table as Singer JSONL through the full
     // pipeline (parse -> type -> flatten -> parquet write).
-    val loaderSecs = if (!subset.forall(_.contains("loader_singer_ingest"))) 0.0
+    val loaderReps: Seq[Double] =
+      if (!subset.forall(_.contains("loader_singer_ingest"))) Seq.empty
     else try {
       import org.apache.spark.sql.functions._
       val inDir = java.nio.file.Files.createTempDirectory("bench-singer")
-      val outDir = java.nio.file.Files.createTempDirectory("bench-singer-out")
       val events = spark.read.parquet(s"$sfDir/events.parquet")
         .withColumn("ts", col("ts").cast("string"))
       val nRows = events.count()
@@ -364,22 +390,33 @@ object Bench {
         .write.mode("overwrite").text(inDir.toString)
       java.nio.file.Files.writeString(
         inDir.resolve("0_schema.jsonl"), schemaLine + "\n")
-      val t0 = System.nanoTime()
-      graft.loader.SingerLoader.loadFile(spark, inDir.toString,
-        graft.core.GraftConfig(hdfsDestinationPath = outDir.toString,
-          compressionMethod = "snappy", skipExistingFiles = true,
-          maxRecordsPerFile = 10000))
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(s"[bench] loader ingested $nRows rows in $dt s (${(nRows / dt).toInt} rows/s)")
-      dt
+      // min-of-2 like every query entry (round 12: the loader was the ONE
+      // single-rep number in the artifact, so a contended host could tank
+      // it with no second look) — same staged input, fresh output dir per
+      // rep so skip_existing never short-circuits the second run
+      def rep(): Double = {
+        val outDir = java.nio.file.Files.createTempDirectory("bench-singer-out")
+        val t0 = System.nanoTime()
+        graft.loader.SingerLoader.loadFile(spark, inDir.toString,
+          graft.core.GraftConfig(hdfsDestinationPath = outDir.toString,
+            compressionMethod = "snappy", skipExistingFiles = true,
+            maxRecordsPerFile = 10000))
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(s"[bench] loader ingested $nRows rows in $dt s (${(nRows / dt).toInt} rows/s)")
+        dt
+      }
+      Seq(rep(), rep())
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] loader bench failed: ${e.getMessage}"); -1.0
+      System.err.println(s"[bench] loader bench failed: ${e.getMessage}")
+      Seq(-1.0)
     }
+    val calLast = calibrate()
 
     val all =
       if (!subset.forall(_.contains("loader_singer_ingest"))) results
-      else results :+ Entry("loader_singer_ingest", loaderSecs, 0L, 0L,
-        Seq(loaderSecs))
+      else results :+ Entry("loader_singer_ingest",
+        if (loaderReps.exists(_ < 0)) -1.0 else loaderReps.min,
+        0L, 0L, loaderReps)
 
     def fmt(v: Double) = {
       // centisecond precision, trailing zeros stripped ("0.30"->"0.3",
@@ -426,7 +463,7 @@ object Bench {
     val budget = 1800
     val ordered = all.sortBy(e => (-e.secs, e.name))
       .map(e => s""""${shortKey(e.name)}":${fmt(e.secs)}""")
-    val head = s"""{"metric":"total","value":${fmt(total)},"first":${fmt(totalFirst)},"unit":"sec",$failedPart"qdrop":DDD,"queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"first":${fmt(totalFirst)},"unit":"sec","calibration_first":${fmt(calFirst)},"calibration_last":${fmt(calLast)},$failedPart"qdrop":DDD,"queries":{"""
     val tailFixed = s"""},"sf":"$sfDir"}"""
     var used = head.length + tailFixed.length
     val kept = ordered.takeWhile { s =>
@@ -444,7 +481,7 @@ object Bench {
       val reps = e.reps.map(fmt3).mkString("[", ",", "]")
       s""""${e.name}":{"sec":${fmt3(e.secs)},"gc_ms":${e.gcMs},"leaked_storage_bytes":${e.leakedBytes},"reps":$reps}"""
     }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":${fmt3(total)},"sum_min":${fmt3(total)},"sum_first":${fmt3(totalFirst)},"unit":"sec","failed":${failed.mkString("[", ",", "]")},"queries":$fullEntries,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt3(total)},"sum_min":${fmt3(total)},"sum_first":${fmt3(totalFirst)},"calibration_first":${fmt3(calFirst)},"calibration_last":${fmt3(calLast)},"unit":"sec","failed":${failed.mkString("[", ",", "]")},"queries":$fullEntries,"sf":"$sfDir"}"""
     // durable full-fidelity copy: round-2's stdout tail was truncated
     // mid-JSON, losing the dedup timings ("parsed": null in BENCH_r02)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")

@@ -219,6 +219,49 @@ object GlobalRank {
     (out.drop(rk), n, grands)
   }
 
+  /** Global running MINIMUM of `minOf` (long, non-null) over
+    * (`value` asc/desc, `tie` asc) into `cumCol` — min is associative
+    * like sum, so the exact sharded machinery applies: per-shard window
+    * min combined (via `least`) with the min of all STRICTLY-PRIOR
+    * shards, broadcast as a literal map off one ≤`shards`-row aggregate.
+    * The suffix-min consumer (Benjamini-Hochberg's adjusted p =
+    * min over j ≥ i of m·p₍ⱼ₎/j) runs this with `asc = false` — a running
+    * min down the reversed order IS the suffix min, with no
+    * corpus-grain single-partition window at any test count. */
+  def withCumMin(df: DataFrame, value: Column, asc: Boolean, tie: Column,
+      minOf: Column, cumCol: String, knownCount: Long = -1L): DataFrame = {
+    val MV = "__gr_mv"
+    val spark = df.sparkSession
+    val shards = spark.sessionState.conf.numShufflePartitions
+    val sv = if (asc) value.cast("long") else -value.cast("long")
+    val svDf = df.withColumn(SV, sv).withColumn(MV, minOf.cast("long"))
+    if (fastEligible(knownCount)) {
+      val w = Window.partitionBy(boundedKey(tie))
+        .orderBy(col(SV).asc, tie.asc)
+      return svDf.withColumn(cumCol, min(col(MV)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .drop(SV, MV)
+    }
+    val cuts = cutPoints(svDf, col(SV), shards)
+    val assigned = svDf.withColumn(SHARD, shardOf(cuts, col(SV)))
+    val perShard = assigned.groupBy(col(SHARD))
+      .agg(min(col(MV)).as("__m")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    // offset(p) = min over shards strictly before p (identity = MaxValue)
+    var acc = Long.MaxValue
+    val offs = perShard.map { case (p, m) =>
+      val o = (p, acc); acc = math.min(acc, m); o
+    }
+    val minOff = typedLit(offs.toMap)
+    val w = Window.partitionBy(col(SHARD)).orderBy(col(SV).asc, tie.asc)
+    assigned.withColumn(cumCol,
+        least(min(col(MV)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          coalesce(element_at(minOff, col(SHARD)), lit(Long.MaxValue))))
+      .drop(SV, SHARD, MV)
+  }
+
   /** [[withCumSums]] keeping the global rank column too — for consumers
     * that need BOTH running sums and a successor join (rank r ⋈ r+1 is
     * the distributed `lead()`: the step-width term of a piecewise-constant

@@ -72,9 +72,18 @@ object Similarity {
     * the same order from either side), so both directions carry the
     * identical rounded score. Output: (id_a, id_b, cos), id_a < id_b. */
   def mutualTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      broadcastCorpus: Boolean = false): DataFrame = {
-    val tk = bruteForceTopK(emb, emb, idCol, vecCol, k, broadcastCorpus)
-      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      broadcastCorpus: Boolean = false): DataFrame =
+    mutualPairs(bruteForceTopK(emb, emb, idCol, vecCol, k, broadcastCorpus))
+
+  /** The mutuality join alone, over ANY `(query_id, neighbor_id, cos)`
+    * top-k frame — the schema contract every top-k producer in this file
+    * shares ([[bruteForceTopK]], [[rpLshTopK]], [[ivfTopK]],
+    * [[queryIvfIndex]], [[queryPqIndex]]). ONE self-join of the k·N
+    * candidate list on the reversed pair; never touches raw vectors. The
+    * cosine is symmetric (both directions carry the identical rounded
+    * score), so either side's `cos` is THE pair score. */
+  def mutualPairs(topk: DataFrame): DataFrame = {
+    val tk = topk.select(col("query_id"), col("neighbor_id"), col("cos"))
     tk.as("f")
       .join(tk.select(col("query_id").as("neighbor_id"),
         col("neighbor_id").as("query_id")).as("r"),
@@ -83,6 +92,20 @@ object Similarity {
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
         col("cos"))
   }
+
+  /** Index-backed mutual nearest neighbors — the corpus-scale path the
+    * [[mutualTopK]] scaladoc promises: top-k comes from the PERSISTED IVF
+    * index ([[queryIvfIndex]] — seeds + probed cells only, never the N×N
+    * score matrix), then [[mutualPairs]] runs the same reversed-pair
+    * join. Cost: |corpus|·(nprobe/nCells) candidate scoring + one k·N
+    * self-join — at 10⁹ vectors the exact path's N² is unrunnable while
+    * this stays probe-bounded; recall follows the one-directional index
+    * recall squared (BOTH directions must surface the pair), so size
+    * nprobe one notch higher than a plain top-k query would. */
+  def mutualTopKIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 2): DataFrame =
+    mutualPairs(queryIvfIndex(spark, dir, emb, idCol, vecCol, k, nprobe))
 
   /** Vectors annotated with their random-projection LSH bucket. */
   def withBucket(emb: DataFrame, idCol: String, vecCol: String,

@@ -1184,4 +1184,204 @@ object Stats {
       .select(col("cat"), col("n_pos"), col("n_neg"), col("woe_micro"),
         col("iv_micro"))
   }
+
+  /** Cramér's V association strength between two categoricals — the
+    * normalized companion to [[chiSquare]]: χ² grows with n, so it says
+    * "dependent?" but never "how much"; V = √(χ²/(n·(min(r,c)−1))) maps
+    * it to [0,1] (the effect size a schema audit ranks column pairs by).
+    * Rides [[chiSquare]]'s output verbatim — same per-cell micro-rounded
+    * exact-integer terms — plus two mirrored double ops (one division,
+    * one sqrt). Degenerate single-category margins (min(r,c) = 1: V's
+    * denominator is 0) → NULL.
+    * Output: one row (n, r_cats, c_cats, chi2_micro, v_micro). */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquare(df, aCol, bCol)
+      .select(col("n"), col("r_cats"), col("c_cats"), col("chi2_micro"),
+        expr(
+          """CASE WHEN least(r_cats, c_cats) <= 1 OR n = 0
+            |  THEN CAST(NULL AS BIGINT)
+            |ELSE CAST(round(1e6 * sqrt(CAST(chi2_micro AS DOUBLE) / 1e6
+            |  / (CAST(n AS DOUBLE) * (least(r_cats, c_cats) - 1))))
+            |  AS BIGINT) END""".stripMargin).as("v_micro"))
+
+  /** Cochran's Q test of k ≥ 2 PAIRED binary predicates — [[mcnemar]]'s
+    * k-treatment generalization (three filter versions scored on the same
+    * corpus rows: do the pass rates differ at all?).
+    * `Q = (k−1)·(k·ΣGⱼ² − T²) / (k·T − ΣLᵢ²)` with Gⱼ the per-predicate
+    * success totals, Lᵢ the per-row success counts, T = ΣGⱼ = ΣLᵢ — all
+    * exact longs off ONE corpus aggregate (k + 2 sums); the single
+    * mirrored division is the only double. NULL predicate values fold to
+    * false (the [[mcnemar]] abstain-rejects rule). Degenerate
+    * k·T = ΣLᵢ² (every row all-true or all-false — no discordance) →
+    * NULL. Q ~ χ²(k−1) under H₀.
+    * Output: one row (n, k, t, q_micro). */
+  def cochranQ(df: DataFrame, preds: Seq[Column]): DataFrame = {
+    require(preds.size >= 2, s"cochranQ needs >= 2 predicates, got ${preds.size}")
+    val k = preds.size
+    val ind = df.select(preds.zipWithIndex.map { case (p, i) =>
+      coalesce(p, lit(false)).cast("long").as(s"x$i") }: _*)
+      .withColumn("l", preds.indices.map(i => col(s"x$i")).reduce(_ + _))
+    val aggs = preds.indices.map(i => sum(col(s"x$i")).as(s"g$i")) ++ Seq(
+      count(lit(1)).as("n"), coalesce(sum(col("l")), lit(0L)).as("t"),
+      coalesce(sum(col("l") * col("l")), lit(0L)).as("sl2"))
+    ind.agg(aggs.head, aggs.tail: _*)
+      .withColumn("sg2", preds.indices
+        .map(i => coalesce(col(s"g$i"), lit(0L))
+          * coalesce(col(s"g$i"), lit(0L))).reduce(_ + _))
+      .select(col("n"), lit(k.toLong).as("k"), col("t"), expr(
+        // k·Σg² and T² pass 2⁶³ near 3·10⁹ rows — the numerator
+        // difference rides doubles (mirrored); the denominator k·T − ΣL²
+        // stays an exact long at any corpus size (≤ k·n)
+        s"""CASE WHEN ${k}L * t - sl2 = 0 THEN CAST(NULL AS BIGINT)
+           |ELSE CAST(round(1e6 * ${k - 1}.0
+           |  * (${k}.0 * sg2 - CAST(t AS DOUBLE) * t)
+           |  / (${k}L * t - sl2)) AS BIGINT) END""".stripMargin)
+          .as("q_micro"))
+  }
+
+  /** Kruskal-Wallis H test — the k-group extension of [[mannWhitneyU]]
+    * (one-way ANOVA on ranks): do ≥ 2 groups of `valCol` share a
+    * location, distribution-free? Values integerize at `valScale`;
+    * pooled EXACT doubled midranks ride the [[doubledMidranks]]
+    * value-grain machinery (compactness ENFORCED by the same guard), the
+    * per-group doubled rank sums `r2_g = Σ c·dr = 2·R_g` are exact
+    * longs, and each group's `R_g²/n_g = r2_g²/(4·n_g)` term is
+    * micro-rounded per GROUP then summed (the [[chiSquare]] per-cell
+    * discipline — r2² would pass 2⁶³ near 2·10⁹ rows, so the square is
+    * a mirrored double). `h = 12·S/(n(n+1)) − 3(n+1)`; the tie
+    * correction divides by `1 − Σ(t³−t)/(n³−n)` with the tie sum in
+    * exact DECIMAL (one hot value's t³ wraps a long past ~2·10⁶ rows).
+    * Degenerates: fewer than 2 groups, or all values tied (correction
+    * denominator 0) → NULL h_corr; h itself NULL only below 2 rows.
+    * Output: one row (n, n_groups, h_micro, h_corr_micro). */
+  def kruskalWallis(df: DataFrame, grpCol: String, valCol: String,
+      valScale: Double = 1e6, maxDistinctValues: Int = 1 << 22): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .filter(col(grpCol).isNotNull && col(valCol).isNotNull)
+      .select(col(grpCol).cast("string").as("g"),
+        round(col(valCol) * valScale).cast("long").as("v"))
+    val pv = base.groupBy(col("v")).agg(count(lit(1)).as("t")).persist()
+    requireCompactDomain("kruskalWallis", pv, maxDistinctValues)
+    val dmid = doubledMidranks(pv, pv.count())
+      .select(col("v"), col("dr"))
+    val per = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .join(dmid, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("ng"), sum(col("c") * col("dr")).as("r2"))
+      .withColumn("term", expr(
+        "CAST(round(1e6 * CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) " +
+          "/ (4.0 * ng)) AS BIGINT)"))
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(col("term")), lit(0L)).as("s_micro"))
+    val tie = pv.agg(coalesce(sum(col("t")), lit(0L)).as("n"),
+      coalesce(sum((col("t").cast(dec) * col("t") * col("t"))
+        - col("t").cast(dec)), lit(BigDecimal(0)).cast(dec)).as("tie3"))
+    finalized(per.crossJoin(broadcast(tie))
+      .select(col("n"), col("n_groups"), expr(
+        """CASE WHEN n < 2 OR n_groups < 2 THEN CAST(NULL AS BIGINT)
+          |ELSE CAST(round(1e6
+          |  * (12.0 * (CAST(s_micro AS DOUBLE) / 1e6)
+          |       / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)))
+          |  AS BIGINT) END""".stripMargin).as("h_micro"), expr(
+        """CASE WHEN n < 2 OR n_groups < 2
+          |  OR CAST(n AS DOUBLE) * n * n - n - CAST(tie3 AS DOUBLE) = 0.0
+          |  THEN CAST(NULL AS BIGINT)
+          |ELSE CAST(round(1e6
+          |  * (12.0 * (CAST(s_micro AS DOUBLE) / 1e6)
+          |       / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+          |  * (CAST(n AS DOUBLE) * n * n - n)
+          |  / (CAST(n AS DOUBLE) * n * n - n - CAST(tie3 AS DOUBLE)))
+          |  AS BIGINT) END""".stripMargin).as("h_corr_micro")), pv)
+  }
+
+  /** Kendall's τ-b rank correlation between two numerics with compact
+    * integerized domains — the concordance companion to [[spearman]]
+    * (bounded influence of a single wild pair; the τ the as-of/ordering
+    * audits quote). The sample reduces to JOINT value cells
+    * (x, y, count); concordant/discordant pair MASSES are one
+    * cell-pair join under `x_b > x_a` (cells ≤ `maxCells`, ENFORCED —
+    * the join is broadcast-nested-loop by construction, which is exactly
+    * why the cap exists): `C = Σ c_a·c_b [y_b > y_a]`,
+    * `D = Σ c_a·c_b [y_b < y_a]`, both exact longs. Tie masses ride the
+    * margins (`n1 = Σ t_x(t_x−1)/2`, `n2 = Σ t_y(t_y−1)/2`), and
+    * `τ_b = (C−D)/√((n0−n1)(n0−n2))` is the single mirrored double
+    * (n0-scale products pass 2⁶³ around 3·10⁹ rows — doubles carry them
+    * identically in both engines past that). Degenerate all-tied margins
+    * → NULL.
+    * Output: one row (n, n_cells, conc, disc, tau_micro). */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String,
+      xScale: Double = 1e6, yScale: Double = 1e6,
+      maxCells: Int = 1 << 14): DataFrame = {
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(round(col(xCol) * xScale).cast("long").as("x"),
+        round(col(yCol) * yScale).cast("long").as("y"))
+    val cells = base.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+      .persist()
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendallTauB: $nCells joint value cells exceed maxCells=$maxCells; " +
+        "the cell-pair join would approach per-row scale — coarsen the " +
+        "scales (fewer distinct integerized values) or raise the bound")
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+      col("c").as("ca"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+      col("c").as("cb"))
+    val pairs = a.join(broadcast(b), col("xb") > col("xa"))
+      .agg(
+        coalesce(sum(when(col("yb") > col("ya"), col("ca") * col("cb"))
+          .otherwise(0L)), lit(0L)).as("conc"),
+        coalesce(sum(when(col("yb") < col("ya"), col("ca") * col("cb"))
+          .otherwise(0L)), lit(0L)).as("disc"))
+    val margins = cells
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+        count(lit(1)).as("n_cells"))
+    val tx = cells.groupBy(col("x")).agg(sum(col("c")).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1L)), lit(0L)).as("tx2"))
+    val ty = cells.groupBy(col("y")).agg(sum(col("c")).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1L)), lit(0L)).as("ty2"))
+    finalized(margins.crossJoin(broadcast(pairs))
+      .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(col("n"), col("n_cells"), col("conc"), col("disc"), expr(
+        """CASE WHEN n < 2
+          |  OR CAST(n AS DOUBLE) * (n - 1) - tx2 = 0.0
+          |  OR CAST(n AS DOUBLE) * (n - 1) - ty2 = 0.0
+          |  THEN CAST(NULL AS BIGINT)
+          |ELSE CAST(round(1e6 * (conc - disc)
+          |  / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - CAST(tx2 AS DOUBLE) / 2)
+          |       * (CAST(n AS DOUBLE) * (n - 1) / 2 - CAST(ty2 AS DOUBLE) / 2)))
+          |  AS BIGINT) END""".stripMargin).as("tau_micro")), cells)
+  }
+
+  /** Benjamini-Hochberg FDR adjustment over a frame of per-test p-values
+    * (micro-scaled longs) — the multiple-comparisons closer for every
+    * per-group test in this file: run [[TimeSeries.pettitt]] /
+    * [[mannWhitneyU]] / [[chiSquare]] per stream, then ask which
+    * discoveries survive at FDR q. `p_adj(i) = min over j ≥ i of
+    * m·p₍ⱼ₎/j` (capped at 1): the global p-rank rides
+    * [[GlobalRank.withRowNumber]], the raw `m·p/rank` is one mirrored
+    * double division micro-rounded per test, and the suffix min is ONE
+    * [[GlobalRank.withCumMin]] pass down the reversed rank order — no
+    * corpus-grain window at any test count. Reject test i at level q
+    * iff p_adj ≤ q. NULL p-values are dropped (a test that did not run
+    * is not a discovery).
+    * Output: (k, p_micro, rn, p_adj_micro) per test. */
+  def bhAdjust(tests: DataFrame, keyCol: String, pCol: String): DataFrame = {
+    val base = tests
+      .select(col(keyCol).as("k"), col(pCol).cast("long").as("p_micro"))
+      .filter(col("p_micro").isNotNull)
+      .persist()
+    val m = base.count()
+    val (ranked, _) = GlobalRank.withRowNumber(base, col("p_micro"),
+      asc = true, col("k"), "rn", m)
+    val v = ranked.withColumn("v", expr(
+      s"least(1000000L, CAST(round(${m}L * CAST(p_micro AS DOUBLE) / rn) " +
+        "AS BIGINT))"))
+    finalized(GlobalRank
+      .withCumMin(v, col("rn"), asc = false, col("k"), col("v"),
+        "p_adj_micro", m)
+      .select(col("k"), col("p_micro"), col("rn"), col("p_adj_micro")),
+      base)
+  }
 }

@@ -764,6 +764,50 @@ object TextAnalysis {
     * spurious NULL), and the ONLY doubles are the final mirrored
     * divisions of the two exact integers — DuckDB mirrors them as
     * HUGEINT-exact differences cast to DOUBLE the same way. */
+  /** Per-document n-gram repetition signals (the Gopher/MassiveText
+    * quality-rule family): for each n in `ns`, the fraction of the
+    * document's n-gram POSITIONS covered by the single most frequent
+    * n-gram (`topN_micro` — catches "subscribe now subscribe now ..."
+    * loops) and by n-grams occurring more than once (`dupN_micro` —
+    * catches internally-templated listings/boilerplate). Both are exact
+    * integer rationals per document: `max(c)/m` and `Σ_{c≥2} c / m` over
+    * the per-(doc, gram) counts, m = tokens − n + 1 gram slots — one
+    * mirrored micro division each. Grams are the native in-order hash
+    * chain ([[graft.functions.HashNative.GramHashes]] — no string n-gram
+    * materialization); per n the plan is one explode + one (doc, gram)
+    * hash aggregate + one doc-grain aggregate, corpus-linear, shuffling
+    * on (doc, gram). Documents with fewer than n tokens have no gram
+    * slots → NULL fractions for that n (never a 0/0).
+    * Output: (id, n_tokens, then per n: topN_micro, dupN_micro). */
+  def docRepetition(docs: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 5, 10)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct == ns,
+      s"ns must be distinct and >= 1, got $ns")
+    val base = docs.select(col(idCol).as("id"),
+        HashNative.wordHashes(col(textCol)).as("wh"))
+      .persist()
+    val out = ns.foldLeft(
+      base.select(col("id"), size(col("wh")).cast("long").as("n_tokens"))) {
+      (acc, n) =>
+        val per = base
+          .select(col("id"),
+            explode(HashNative.gramHashes(col("wh"), n)).as("g"))
+          .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("id"))
+          .agg(sum(col("c")).as("m"), max(col("c")).as("mx"),
+            sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+          .select(col("id"),
+            expr("CAST(round(1e6 * CAST(mx AS DOUBLE) / m) AS BIGINT)")
+              .as(s"top${n}_micro"),
+            expr("CAST(round(1e6 * CAST(dup AS DOUBLE) / m) AS BIGINT)")
+              .as(s"dup${n}_micro"))
+        acc.join(per, Seq("id"), "left")
+    }.persist()
+    out.count()
+    base.unpersist(false)
+    out
+  }
+
   private[graft] def heapsFit(moments: DataFrame): DataFrame =
     moments
       .withColumn("nm", expr(

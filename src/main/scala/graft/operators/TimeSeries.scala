@@ -487,4 +487,58 @@ object TimeSeries {
           |  / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT) END"""
           .stripMargin).as("z_micro"))
   }
+
+  /** Pettitt single-changepoint test of each group's daily event counts —
+    * the rank-based "WHEN did the level shift?" companion to [[cusum]]
+    * (which needs a known target mean) and [[mannKendall]] (which
+    * assumes a monotone drift): `U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j)`,
+    * `K = max_t |U_t|`, the argmax is the changepoint candidate, and
+    * `p ≈ 2·exp(−6K²/(n³+n²))` is the standard approximation.
+    *
+    * Exactness without pairs: `U_t − U_{t−1} = Σ_{j≠t} sgn(x_t − x_j)
+    * = dr_t − (n+1)` with `dr` the within-group DOUBLED midrank of the
+    * day's count ([[graft.operators.Stats]] midrank identity:
+    * #less − #greater = dr − n − 1) — so the whole statistic is one
+    * value-grain rank window plus one day-grain cumulative sum, BOTH
+    * group-partitioned: O(n) per group where the textbook form is
+    * O(n²), no span cap needed, all integers exact. K's witness is the
+    * smallest t on ties; the max-|U| scan excludes t = n (U_n ≡ 0). The
+    * single mirrored double is the exp; p is clamped to 1 before
+    * micro-rounding. Single-day groups are absent (no interior split).
+    * Output: (grp, n_days, k_stat, t_at, p_micro) — t_at in epoch days. */
+  def pettitt(events: DataFrame, grpCol: String, tsCol: String): DataFrame = {
+    val daily = events.select(col(grpCol).as("grp"),
+        to_date(col(tsCol)).as("d"))
+      .groupBy(col("grp"), col("d"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("grp"), datediff(col("d"), lit("1970-01-01")).cast("long")
+        .as("t"), col("x"))
+    val wv = Window.partitionBy(col("grp")).orderBy(col("x").asc)
+    val dmid = daily.groupBy(col("grp"), col("x"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cumb", coalesce(sum(col("c")).over(
+        wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("dr", lit(2L) * col("cumb") + col("c") + 1L)
+      .select(col("grp"), col("x"), col("dr"))
+    val nd = daily.groupBy(col("grp")).agg(count(lit(1)).as("n_days"))
+    val wt = Window.partitionBy(col("grp")).orderBy(col("t").asc)
+    val u = daily.join(dmid, Seq("grp", "x")).join(nd, Seq("grp"))
+      .withColumn("vt", col("dr") - col("n_days") - 1L)
+      .withColumn("ut", sum(col("vt")).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rnk", row_number().over(wt))
+      .filter(col("rnk") < col("n_days"))
+    val wk = Window.partitionBy(col("grp"))
+      .orderBy(abs(col("ut")).desc, col("t").asc)
+    u.withColumn("pick", row_number().over(wk))
+      .filter(col("pick") === 1)
+      .withColumn("k_stat", abs(col("ut")))
+      .select(col("grp"), col("n_days"), col("k_stat"), col("t").as("t_at"),
+        expr(
+          """CAST(round(1e6 * least(1.0,
+            |  2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE) * k_stat
+            |    / (CAST(n_days AS DOUBLE) * n_days * n_days
+            |       + CAST(n_days AS DOUBLE) * n_days)))) AS BIGINT)"""
+            .stripMargin).as("p_micro"))
+  }
 }

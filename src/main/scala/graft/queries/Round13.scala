@@ -1,0 +1,415 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashExprs => H, VectorExprs => V}
+import graft.operators.{Similarity, Stats, TextAnalysis, TimeSeries}
+
+/** Round-13 additions. First, the two operators that shipped in round 12
+  * with scaladoc but no declared query (the repo's own rule: every public
+  * operator gets a green CORRECTNESS row): McNemar's paired-predicate
+  * test and the Mann-Kendall trend test. The rest of the round follows
+  * below as the new-operator families land.
+  *
+  * Discipline unchanged: declarative Spark plan + operation-for-operation
+  * DuckDB oracle; doubles only as mirrored divisions/roots/lns of exact
+  * integers, micro-scaled.
+  */
+object Round13 {
+  import Tables.t
+
+  /** Shared Pettitt CTE chain over `events` with the given group
+    * expression, mirroring [[TimeSeries.pettitt]]: daily counts →
+    * within-group doubled midranks → U_t cumulative → max-|U| pick →
+    * 1-row-per-group (grp, n_days, k_stat, t_at, p_micro) as CTE `pt`. */
+  private def duckPettitt(grpSql: String): String = s"""
+    daily AS (SELECT $grpSql AS grp,
+        CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd,
+        CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    dt AS (SELECT grp,
+        CAST(date_diff('day', DATE '1970-01-01', dd) AS BIGINT) AS t, x
+      FROM daily),
+    gv AS (SELECT grp, x, CAST(count(*) AS BIGINT) AS c
+      FROM dt GROUP BY 1, 2),
+    dm AS (SELECT grp, x,
+        2 * CAST(coalesce(sum(c) OVER (PARTITION BY grp ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          + c + 1 AS dr
+      FROM gv),
+    nd AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days
+      FROM dt GROUP BY 1),
+    uu AS (SELECT dt.grp AS grp, t,
+        CAST(sum(dr - n_days - 1) OVER (PARTITION BY dt.grp ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ut,
+        row_number() OVER (PARTITION BY dt.grp ORDER BY t) AS rnk, n_days
+      FROM dt JOIN dm ON dt.grp = dm.grp AND dt.x = dm.x
+              JOIN nd ON dt.grp = nd.grp),
+    pk AS (SELECT grp, n_days, t, ut,
+        row_number() OVER (PARTITION BY grp ORDER BY abs(ut) DESC, t ASC)
+          AS pick
+      FROM uu WHERE rnk < n_days),
+    pt AS (SELECT grp, n_days, CAST(abs(ut) AS BIGINT) AS k_stat,
+        t AS t_at,
+        CAST(round(1e6 * least(1.0,
+          2.0 * exp(-6.0 * CAST(abs(ut) AS DOUBLE) * abs(ut)
+            / (CAST(n_days AS DOUBLE) * n_days * n_days
+               + CAST(n_days AS DOUBLE) * n_days)))) AS BIGINT) AS p_micro
+      FROM pk WHERE pick = 1)"""
+
+  /** DuckDB in-order word n-gram hash chain over a `wh` BIGINT[] column
+    * — mirrors [[graft.functions.HashNative.GramHashes]] for any n. */
+  private def duckGramChain(n: Int): String =
+    (2 to n).foldLeft("wh[i+1]")((acc, j) => s"($acc * 31 + wh[i+$j]) % ${H.P}")
+
+  def defs: Seq[Q] = Seq(
+
+    // ---- McNemar paired-predicate test ---------------------------------
+    // do "click events" and "high-value events" disagree symmetrically on
+    // the SAME rows? Only the discordant cells matter: one corpus
+    // aggregate, one mirrored division.
+    Q("q155_mcnemar", (s, d) =>
+      Stats.mcnemar(Tables.events(s, d),
+        col("event_type") === "click", col("value") > 50d),
+      Some("""
+        WITH base AS (SELECT
+                coalesce(event_type = 'click', false) AS a,
+                coalesce(value > 50, false) AS b
+              FROM events),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+                CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt
+              FROM base)
+        SELECT n, b_cnt AS b, c_cnt AS c,
+          CASE WHEN b_cnt + c_cnt = 0 THEN CAST(NULL AS BIGINT)
+          ELSE CAST(round(1e6
+            * CAST((b_cnt - c_cnt) * (b_cnt - c_cnt) AS DOUBLE)
+            / (b_cnt + c_cnt)) AS BIGINT) END AS mcnemar_micro
+        FROM agg""")),
+
+    // ---- Mann-Kendall trend test ----------------------------------------
+    // the significance companion to q154's Theil-Sen slope: S over daily
+    // count pairs, EXACT tie-corrected var18, continuity-corrected z as
+    // the single mirrored double.
+    Q("q156_mann_kendall", (s, d) =>
+      TimeSeries.mannKendall(Tables.events(s, d), "event_type", "ts"),
+      Some("""
+        WITH daily AS (SELECT event_type AS grp,
+                CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd,
+                CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+        dt AS (SELECT grp,
+                CAST(date_diff('day', DATE '1970-01-01', dd) AS BIGINT) AS t,
+                x FROM daily),
+        sp AS (SELECT a.grp,
+                CAST(sum(CASE WHEN b.x > a.x THEN 1
+                              WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                  AS s_stat,
+                CAST(count(*) AS BIGINT) AS n_pairs
+              FROM dt a JOIN dt b ON a.grp = b.grp AND a.t < b.t
+              GROUP BY 1),
+        nd AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days
+              FROM daily GROUP BY 1),
+        tie AS (SELECT grp,
+                CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie18
+              FROM (SELECT grp, x, CAST(count(*) AS BIGINT) AS tt
+                    FROM daily GROUP BY 1, 2) GROUP BY 1),
+        j AS (SELECT sp.grp, n_days, n_pairs, s_stat,
+                n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS var18
+              FROM sp JOIN nd ON sp.grp = nd.grp
+                      JOIN tie ON sp.grp = tie.grp)
+        SELECT grp, n_days, n_pairs, s_stat, CAST(var18 AS BIGINT) AS var18,
+          CASE WHEN var18 = 0 THEN CAST(NULL AS BIGINT)
+               WHEN s_stat = 0 THEN 0
+               ELSE CAST(round(1e6
+                 * (CAST(s_stat AS DOUBLE)
+                    - CASE WHEN s_stat > 0 THEN 1 ELSE -1 END)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18.0)) AS BIGINT)
+          END AS z_micro
+        FROM j""")),
+
+    // ---- index-backed mutual nearest neighbors ---------------------------
+    // the corpus-scale MNN path: both directions' top-5 come from the
+    // PERSISTED IVF index (seeds + probed cells only), mutuality is the
+    // reversed-pair join, and the declared output is the recall audit —
+    // every EXACT mutual pair with a hit flag for whether the index path
+    // surfaced it (the sim_recall_audit discipline, at pair grain).
+    Q("sim_mnn_ivf", (s, d) => {
+      val e = t(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("mnn-ivf").toString
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", dir, nCells = 8)
+      val approx = Similarity.mutualTopKIvf(s, dir, e, "vec_id",
+          "embedding", k = 5, nprobe = 2)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+      val exact = Similarity.mutualTopK(e, "vec_id", "embedding", k = 5,
+          broadcastCorpus = true)
+        .select(col("id_a"), col("id_b"))
+      exact.join(approx, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("hit"), lit(0L)).as("hit"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      seeds AS (SELECT id AS cell, v AS sv FROM e ORDER BY id LIMIT 8),
+      assign AS (SELECT id, cell,
+          row_number() OVER (PARTITION BY id ORDER BY scos DESC, cell ASC)
+            AS arank
+        FROM (SELECT e.id, s.cell, ${V.duckCosine("e.v", "s.sv")} AS scos
+              FROM e CROSS JOIN seeds s)),
+      cand AS (SELECT DISTINCT p.id AS query_id, n.id AS neighbor_id
+        FROM (SELECT id, cell FROM assign WHERE arank <= 2) p
+        JOIN (SELECT id, cell FROM assign WHERE arank = 1) n
+          ON p.cell = n.cell
+        WHERE p.id <> n.id),
+      ivf AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY ${V.duckCosine("a.v", "b.v")} DESC,
+                neighbor_id ASC) AS rank
+          FROM cand JOIN e a ON cand.query_id = a.id
+                    JOIN e b ON cand.neighbor_id = b.id)
+        WHERE rank <= 5),
+      am AS (SELECT f.query_id AS id_a, f.neighbor_id AS id_b
+        FROM ivf f JOIN ivf r ON f.query_id = r.neighbor_id
+                             AND f.neighbor_id = r.query_id
+        WHERE f.query_id < f.neighbor_id),
+      ex AS (SELECT query_id, neighbor_id FROM (
+          SELECT a.id AS query_id, c.id AS neighbor_id,
+            row_number() OVER (PARTITION BY a.id
+              ORDER BY ${V.duckCosine("a.v", "c.v")} DESC, c.id ASC) AS rank
+          FROM e a JOIN e c ON a.id <> c.id)
+        WHERE rank <= 5),
+      em AS (SELECT f.query_id AS id_a, f.neighbor_id AS id_b
+        FROM ex f JOIN ex r ON f.query_id = r.neighbor_id
+                           AND f.neighbor_id = r.query_id
+        WHERE f.query_id < f.neighbor_id)
+      SELECT em.id_a, em.id_b,
+        CAST(CASE WHEN am.id_a IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+          AS hit
+      FROM em LEFT JOIN am ON em.id_a = am.id_a AND em.id_b = am.id_b""")),
+
+    // ---- Cramér's V ------------------------------------------------------
+    // effect SIZE of the source x lang association over documents — chi2
+    // says dependent, V says how much; the column-pair ranking a schema
+    // audit sorts by.
+    Q("q157_cramers_v", (s, d) =>
+      Stats.cramersV(t(s, d, "documents"), "source", "lang"),
+      Some("""
+        WITH base AS (SELECT
+                coalesce(CAST(source AS VARCHAR), chr(1)) AS a,
+                coalesce(CAST(lang AS VARCHAR), chr(1)) AS b
+              FROM documents),
+        cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+        ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY 1),
+        cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        terms AS (SELECT n, a, b,
+                CAST(round(CAST(n * o - ra * cb AS DOUBLE)
+                  * CAST(n * o - ra * cb AS DOUBLE)
+                  / CAST(n * ra * cb AS DOUBLE) * 1000000.0) AS BIGINT)
+                  AS term
+              FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot),
+        agg AS (SELECT max(n) AS n, count(DISTINCT a) AS r_cats,
+                count(DISTINCT b) AS c_cats,
+                CAST(sum(term) AS BIGINT) AS chi2_micro
+              FROM terms)
+        SELECT n, r_cats, c_cats, chi2_micro,
+          CASE WHEN least(r_cats, c_cats) <= 1 OR n = 0
+            THEN CAST(NULL AS BIGINT)
+          ELSE CAST(round(1e6 * sqrt(CAST(chi2_micro AS DOUBLE) / 1e6
+            / (CAST(n AS DOUBLE) * (least(r_cats, c_cats) - 1))))
+            AS BIGINT) END AS v_micro
+        FROM agg""")),
+
+    // ---- Cochran's Q -----------------------------------------------------
+    // three paired predicates on the SAME event rows (click?, high-value?,
+    // even-user?): do the pass rates differ at all — McNemar's k-way form.
+    Q("q158_cochran_q", (s, d) =>
+      Stats.cochranQ(Tables.events(s, d), Seq(
+        col("event_type") === "click", col("value") > 50d,
+        pmod(col("user_id"), lit(2L)) === 0L)),
+      Some("""
+        WITH b AS (SELECT
+                CAST(coalesce(event_type = 'click', false) AS BIGINT) AS x0,
+                CAST(coalesce(value > 50, false) AS BIGINT) AS x1,
+                CAST(coalesce(user_id % 2 = 0, false) AS BIGINT) AS x2
+              FROM events),
+        r AS (SELECT x0, x1, x2, x0 + x1 + x2 AS l FROM b),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(x0) AS BIGINT) AS g0, CAST(sum(x1) AS BIGINT) AS g1,
+                CAST(sum(x2) AS BIGINT) AS g2,
+                CAST(sum(l) AS BIGINT) AS t,
+                CAST(sum(l * l) AS BIGINT) AS sl2
+              FROM r)
+        SELECT n, CAST(3 AS BIGINT) AS k, t,
+          CASE WHEN 3 * t - sl2 = 0 THEN CAST(NULL AS BIGINT)
+          ELSE CAST(round(1e6 * 2.0
+            * (3.0 * (g0 * g0 + g1 * g1 + g2 * g2)
+               - CAST(t AS DOUBLE) * t)
+            / (3 * t - sl2)) AS BIGINT) END AS q_micro
+        FROM a""")),
+
+    // ---- Kruskal-Wallis --------------------------------------------------
+    // do the five event types share a value distribution location? pooled
+    // exact doubled midranks at value grain, per-group term micro-rounded
+    // (the chi2 per-cell discipline), exact-DECIMAL tie correction.
+    Q("q159_kruskal", (s, d) =>
+      Stats.kruskalWallis(Tables.events(s, d), "event_type", "value"),
+      Some("""
+        WITH base AS (SELECT CAST(event_type AS VARCHAR) AS g,
+                CAST(round(value * 1e6) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY 1),
+        dm AS (SELECT v,
+                2 * (CAST(sum(t) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - t) + t + 1 AS dr
+              FROM pv),
+        gvc AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2),
+        per AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                CAST(sum(c * dr) AS BIGINT) AS r2
+              FROM gvc JOIN dm USING (v) GROUP BY 1),
+        terms AS (SELECT g,
+                CAST(round(1e6 * CAST(r2 AS DOUBLE) * r2 / (4.0 * ng))
+                  AS BIGINT) AS term
+              FROM per),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(coalesce(sum(term), 0) AS BIGINT) AS s_micro
+              FROM terms),
+        tie AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+                coalesce(sum(t * t * t - t), 0) AS tie3
+              FROM pv)
+        SELECT n, n_groups,
+          CASE WHEN n < 2 OR n_groups < 2 THEN CAST(NULL AS BIGINT)
+          ELSE CAST(round(1e6
+            * (12.0 * (CAST(s_micro AS DOUBLE) / 1e6)
+                 / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1)))
+            AS BIGINT) END AS h_micro,
+          CASE WHEN n < 2 OR n_groups < 2
+            OR CAST(n AS DOUBLE) * n * n - n - CAST(tie3 AS DOUBLE) = 0.0
+            THEN CAST(NULL AS BIGINT)
+          ELSE CAST(round(1e6
+            * (12.0 * (CAST(s_micro AS DOUBLE) / 1e6)
+                 / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+            * (CAST(n AS DOUBLE) * n * n - n)
+            / (CAST(n AS DOUBLE) * n * n - n - CAST(tie3 AS DOUBLE)))
+            AS BIGINT) END AS h_corr_micro
+        FROM agg CROSS JOIN tie""")),
+
+    // ---- Pettitt changepoint ---------------------------------------------
+    // WHEN did each event type's daily level shift? Rank-based U_t via the
+    // doubled-midrank identity — O(n) per group, no pair stage at all.
+    Q("q160_pettitt", (s, d) =>
+      TimeSeries.pettitt(Tables.events(s, d), "event_type", "ts"),
+      Some(s"""
+        WITH ${duckPettitt("event_type")}
+        SELECT grp, n_days, k_stat, t_at, p_micro FROM pt""")),
+
+    // ---- Benjamini-Hochberg FDR ------------------------------------------
+    // 50 parallel Pettitt tests (user-id buckets as pseudo-streams), then
+    // the BH adjusted p per test: which changepoint discoveries survive?
+    // Suffix min rides the sharded GlobalRank cummin — no corpus-grain
+    // window at any test count.
+    Q("q161_bh_fdr", (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ub", pmod(col("user_id"), lit(50L)).cast("string"))
+      Stats.bhAdjust(
+        TimeSeries.pettitt(ev, "ub", "ts")
+          .select(col("grp"), col("p_micro")),
+        "grp", "p_micro")
+    }, Some(s"""
+      WITH ${duckPettitt("CAST(user_id % 50 AS VARCHAR)")},
+      p AS (SELECT grp AS k, p_micro FROM pt),
+      r AS (SELECT k, p_micro,
+          CAST(row_number() OVER (ORDER BY p_micro, k) AS BIGINT) AS rn,
+          CAST(count(*) OVER () AS BIGINT) AS m
+        FROM p),
+      v AS (SELECT k, p_micro, rn,
+          least(1000000, CAST(round(m * CAST(p_micro AS DOUBLE) / rn)
+            AS BIGINT)) AS v
+        FROM r)
+      SELECT k, p_micro, rn,
+        CAST(min(v) OVER (ORDER BY rn DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS p_adj_micro
+      FROM v""")),
+
+    // ---- Kendall tau-b ---------------------------------------------------
+    // ordered-quantity vs discount concordance over lineitem: compact
+    // joint cells (50 x 11), one bounded cell-pair join, exact C/D masses.
+    Q("q162_kendall", (s, d) =>
+      Stats.kendallTauB(t(s, d, "lineitem"), "l_quantity", "l_discount",
+        xScale = 1.0, yScale = 100.0),
+      Some("""
+        WITH base AS (SELECT CAST(round(l_quantity * 1.0) AS BIGINT) AS x,
+                CAST(round(l_discount * 100.0) AS BIGINT) AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2),
+        p AS (SELECT
+                CAST(coalesce(sum(CASE WHEN b.y > a.y THEN a.c * b.c
+                  ELSE 0 END), 0) AS BIGINT) AS conc,
+                CAST(coalesce(sum(CASE WHEN b.y < a.y THEN a.c * b.c
+                  ELSE 0 END), 0) AS BIGINT) AS disc
+              FROM cells a JOIN cells b ON b.x > a.x),
+        m AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+        txa AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT) AS tx2
+              FROM (SELECT CAST(sum(c) AS BIGINT) AS t
+                    FROM cells GROUP BY x)),
+        tya AS (SELECT CAST(coalesce(sum(t * (t - 1)), 0) AS BIGINT) AS ty2
+              FROM (SELECT CAST(sum(c) AS BIGINT) AS t
+                    FROM cells GROUP BY y))
+        SELECT n, n_cells, conc, disc,
+          CASE WHEN n < 2
+            OR CAST(n AS DOUBLE) * (n - 1) - tx2 = 0.0
+            OR CAST(n AS DOUBLE) * (n - 1) - ty2 = 0.0
+            THEN CAST(NULL AS BIGINT)
+          ELSE CAST(round(1e6 * (conc - disc)
+            / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2
+                    - CAST(tx2 AS DOUBLE) / 2)
+                 * (CAST(n AS DOUBLE) * (n - 1) / 2
+                    - CAST(ty2 AS DOUBLE) / 2))) AS BIGINT) END
+            AS tau_micro
+        FROM m CROSS JOIN p CROSS JOIN txa CROSS JOIN tya""")),
+
+    // ---- Gopher n-gram repetition ----------------------------------------
+    // per-document repetition quality signals: top-gram and duplicate-gram
+    // position fractions for n = 2, 3, 5, 10 — the loop/boilerplate
+    // detectors a pretraining filter stacks with qualityScore.
+    Q("text_repetition", (s, d) =>
+      TextAnalysis.docRepetition(Tables.ts(s, d, "documents"), "doc_id",
+        "text"),
+      Some {
+        val ns = Seq(2, 3, 5, 10)
+        val perN = ns.map { n =>
+          s"""g$n AS (SELECT id, unnest(CASE WHEN len(wh) >= $n
+             |    THEN list_transform(range(0, len(wh) - ${n - 1}),
+             |      i -> ${duckGramChain(n)})
+             |    ELSE CAST([] AS BIGINT[]) END) AS g
+             |  FROM wht),
+             |c$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS c
+             |  FROM g$n GROUP BY 1, 2),
+             |a$n AS (SELECT id,
+             |    CAST(round(1e6 * CAST(max(c) AS DOUBLE) / sum(c))
+             |      AS BIGINT) AS top${n}_micro,
+             |    CAST(round(1e6 * CAST(sum(CASE WHEN c >= 2 THEN c
+             |      ELSE 0 END) AS DOUBLE) / sum(c)) AS BIGINT)
+             |      AS dup${n}_micro
+             |  FROM c$n GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        val cols = ns.map(n => s"top${n}_micro, dup${n}_micro").mkString(", ")
+        val joins = ns.map(n => s"LEFT JOIN a$n ON tok.id = a$n.id")
+          .mkString(" ")
+        s"""
+        WITH wht AS (SELECT doc_id AS id,
+                ${H.duckWordHashes("text")} AS wh FROM documents),
+        tok AS (SELECT id, CAST(len(wh) AS BIGINT) AS n_tokens FROM wht),
+        $perN
+        SELECT tok.id, n_tokens, $cols
+        FROM tok $joins"""
+      })
+  )
+}

@@ -29,6 +29,18 @@ class PlanGuardSpec extends AnyFunSuite {
     // exact top-k feeding the mutual join — the corpus side is the
     // broadcast build, the data-to-data mutual match is an equi-join
     "sim_mnn" -> "exact top-k baseline feeding the mutual equi-join",
+    // the index path itself is probes + cell equi-joins; the BNLJ comes
+    // from the LABELED exact-MNN baseline the recall audit compares to
+    "sim_mnn_ivf" -> "labeled exact-MNN recall baseline x IVF mutual set",
+    // 1-row moment/total frames crossed together (the kappa pattern) —
+    // kruskal: 1-row group-term sum x 1-row tie totals
+    "q159_kruskal" -> "1-row term aggregate x 1-row tie totals",
+    // chiSquare's 1-row corpus total crossed onto the contingency cells
+    // (the q128 shape, inherited verbatim by the V readout)
+    "q157_cramers_v" -> "1-row corpus total x contingency cells",
+    // the cell-pair theta join (x_b > x_a) over the maxCells-ENFORCED
+    // joint-value table, plus its 1-row margin frames — all bounded
+    "q162_kendall" -> "cap-enforced joint-value cell pairs + 1-row margins",
     // bounded query set (vec_id < 50) against the broadcast corpus —
     // the sim_topk shape plus two label equi-joins
     "sim_hard_negatives" -> "bounded query set, exact top-k baseline",
