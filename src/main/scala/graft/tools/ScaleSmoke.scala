@@ -857,7 +857,53 @@ object ScaleSmoke {
         time("top_paths 10x")(noop(
           EventAnalytics.topPaths(
             graft.queries.Tables.normalizeEventTs(ev10), "user_id", "ts",
-            "event_type", "event_id", 1800L * 1000000L, 5, 20)))))
+            "event_type", "event_id", 1800L * 1000000L, 5, 20)))),
+      // winnowing near-dup pairs on the SALTED corpus (disjoint
+      // sub-corpora, constant dup rate): fingerprint extraction is one
+      // narrow native pass, and the dfCap bounds every posting before the
+      // pair join — Σ C(df,2) must track the corpus, never blow up on
+      // boilerplate grams (the assoc_rules_hotcap discipline)
+      {
+        import graft.operators.TextAnalysis
+        def wp(d: DataFrame): Unit = {
+          val r = TextAnalysis.winnowPairs(d, "doc_id", "text", 4, 3, 50)
+          noop(r); r.unpersist()
+        }
+        ("winnow_pairs", time("winnow_pairs 1x")(wp(d1)),
+          time("winnow_pairs 10x")(wp(d10salt)))
+      },
+      // vocabulary-growth curve: both cumulatives ride the sharded
+      // GlobalRank pass and first occurrences are one word-grain
+      // aggregate — must track tokens linearly, no corpus-grain window
+      {
+        import graft.operators.TextAnalysis
+        def vg(d: DataFrame): Unit = {
+          val r = TextAnalysis.vocabGrowth(d, "doc_id", "text", 10L)
+          noop(r); r.unpersist()
+        }
+        ("vocab_growth", time("vocab_growth 1x")(vg(d1)),
+          time("vocab_growth 10x")(vg(d10)))
+      },
+      // index-backed mutual NN, FIXED query batch against a 1x vs 10x
+      // INDEXED corpus (auto nCells ~ sqrt N): a query session pays
+      // seeds + probed cells only — per-query candidates grow ~sqrt(N)
+      // (expect ~3x at 10x), while the exact-MNN baseline would pay the
+      // full N x N rescore (100x). Build cost is outside the timer (the
+      // build-once / query-many lifecycle the index exists for).
+      {
+        import graft.operators.Similarity
+        val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .filter(col("vec_id") % 10 === 0)
+        def mnnCost(corpus: DataFrame, tag: String): Double = {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"mnn-smoke-$tag").toString
+          Similarity.buildIvfIndex(corpus, "vec_id", "embedding", dir)
+          time(s"mnn_ivf_query $tag")(noop(Similarity.mutualPairs(
+            Similarity.queryIvfIndex(spark, dir, queries, "vec_id",
+              "embedding", k = 5, nprobe = 2))))
+        }
+        ("mnn_ivf_query", mnnCost(e1, "1x"), mnnCost(e10, "10x"))
+      })
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
     results.foreach { case (n, a, b) =>
