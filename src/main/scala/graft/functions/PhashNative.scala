@@ -57,6 +57,38 @@ object PhashNative {
   def imageGridOrRaw(bin: Column): Column =
     GraftColumnBridge.column(ImageGridOrRaw(GraftColumnBridge.expression(bin)))
 
+  /** GIF payloads → their per-frame 63-cell luma grids (stored rasters,
+    * bounded to `maxFrames`); empty array for anything else. The real
+    * video-frame decode path ([[graft.operators.MediaCodec
+    * .decodeGifFrames]]) — compose `dhash56` over the exploded grids for
+    * frame-level perceptual dedup. Not DuckDB-replayable (codec); pinned
+    * by MultimodalSpec's constructed two-frame GIF. */
+  def gifFrameGrids(bin: Column, maxFrames: Int): Column =
+    GraftColumnBridge.column(
+      GifFrameGrids(GraftColumnBridge.expression(bin), maxFrames))
+
+  case class GifFrameGrids(child: Expression, maxFrames: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(BinaryType, containsNull = false)
+    override def checkInputDataTypes() = {
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gif_frame_grids requires a BINARY input, got ${child.dataType.catalogString}")
+    }
+    override protected def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[Array[Byte]]
+      val frames = graft.operators.MediaCodec
+        .decodeGifFrames(bytes, maxFrames)
+        .getOrElse(Seq.empty)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        frames.toArray[Any])
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   case class ImageGridOrRaw(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType

@@ -9,12 +9,17 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing here is real and tested — schema, partitioning,
   * batch iteration shape, magic-byte sniffing — and so is the IMAGE codec:
-  * PNG/JPEG payloads decode through JDK ImageIO
+  * PNG/JPEG/GIF payloads decode through JDK ImageIO
   * ([[MediaCodec.decodeImageGrid]] — java.desktop, no external
-  * dependency) into the perceptual-hash grid and the feature path. Audio/
-  * video decode stays STUBBED behind [[MediaCodec.decodeStub]] (no
-  * ffmpeg in this container): a deterministic fake feature vector from
-  * the bytes, with the swap point marked. Everything else — including the
+  * dependency) into the perceptual-hash grid and the feature path, PCM
+  * WAV decodes through the RIFF walk, and animated-GIF FRAMES decode
+  * per-frame ([[MediaCodec.decodeGifFrames]] →
+  * [[Multimodal.videoFramePhashes]] / [[Multimodal.videoFrameDupPairs]]
+  * — the real video-frame path for the one multi-frame container the
+  * JDK ships a codec for). True video codecs stay STUBBED behind
+  * [[MediaCodec.decodeStub]] (no ffmpeg in this container): a
+  * deterministic fake feature vector from the bytes, with the swap point
+  * marked. Everything else — including the
   * 100 TB behavior (no shuffle, executor-local batches, fixed-width
   * output schema) — is in place either way.
   */
@@ -31,6 +36,7 @@ object Multimodal {
         sig.zipWithIndex.forall { case (b, i) => (bytes(i) & 0xff) == b }
     if (startsWith(0x89, 0x50, 0x4e, 0x47)) "png"
     else if (startsWith(0xff, 0xd8, 0xff)) "jpeg"
+    else if (startsWith(0x47, 0x49, 0x46, 0x38)) "gif" // GIF87a/GIF89a
     else if (startsWith(0x52, 0x49, 0x46, 0x46)) "riff" // wav/avi container
     else if (startsWith(0x49, 0x44, 0x33)) "mp3"
     else "unknown"
@@ -46,6 +52,7 @@ object Multimodal {
       .withColumn("format",
         when(substring(b, 1, 4) === sig(0x89, 0x50, 0x4e, 0x47), "png")
           .when(substring(b, 1, 3) === sig(0xff, 0xd8, 0xff), "jpeg")
+          .when(substring(b, 1, 4) === sig(0x47, 0x49, 0x46, 0x38), "gif")
           .when(substring(b, 1, 4) === sig(0x52, 0x49, 0x46, 0x46), "riff")
           .when(substring(b, 1, 3) === sig(0x49, 0x44, 0x33), "mp3")
           .otherwise("unknown"))
@@ -272,6 +279,61 @@ object Multimodal {
     fp.unpersist(false)
     out
   }
+
+  /** REAL video-frame perceptual hashes: animated-GIF payloads decode to
+    * per-frame luma grids ([[MediaCodec.decodeGifFrames]] — the one
+    * multi-frame container the JDK decodes; true codecs remain behind
+    * the documented stub) and each frame gets the production 56-bit
+    * dHash. One narrow projection (native decode expression → posexplode
+    * → native dhash56), no shuffle, frame count bounded per payload by
+    * `maxFrames`. Non-GIF payloads contribute no rows.
+    * Output: (id, frame_idx, f) — f = 0 means a flat/gradient-free frame
+    * (callers filter, as in [[segmentPhashPairs]]). */
+  def videoFramePhashes(df: DataFrame, idCol: String, binCol: String,
+      maxFrames: Int = 32): DataFrame = {
+    require(maxFrames > 0, s"maxFrames must be > 0, got $maxFrames")
+    df.select(col(idCol).as("id"), col(binCol).as("b"))
+      .filter(col("b").isNotNull && length(col("b")) > 0)
+      .select(col("id"), posexplode(
+        graft.functions.PhashNative.gifFrameGrids(col("b"), maxFrames)))
+      .select(col("id"), col("pos").cast("long").as("frame_idx"),
+        graft.functions.PhashNative.dhash56(col("col")).as("f"))
+  }
+
+  /** Frame-level perceptual near-dup ACROSS payloads and WITHIN one (the
+    * shared-intro / looped-content question, now over REAL decoded GIF
+    * frames instead of byte segments): [[videoFramePhashes]] rows run the
+    * same pigeonhole-complete chunk banding + exact Hamming verify as
+    * [[segmentPhashPairs]], zero-fingerprint flood guard included.
+    * Output: (id_a, frame_a, id_b, frame_b, hamming),
+    * (id_a, frame_a) < (id_b, frame_b). */
+  def videoFrameDupPairs(df: DataFrame, idCol: String, binCol: String,
+      maxFrames: Int = 32, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= PerceptualHash.Chunks - 1,
+      s"banded candidates are only complete for maxHamming <= " +
+        s"${PerceptualHash.Chunks - 1}; got $maxHamming")
+    val fp = videoFramePhashes(df, idCol, binCol, maxFrames)
+      .filter(col("f") =!= 0L)
+      .persist()
+    fp.count()
+    val chunks = fp.select(col("id"), col("frame_idx"), col("f"),
+      explode(expr(PerceptualHash.sparkChunks("f"))).as("ck"))
+    val out = chunks.as("a")
+      .join(chunks.as("c"), col("a.ck") === col("c.ck") &&
+        (col("a.id") < col("c.id") ||
+          (col("a.id") === col("c.id") &&
+            col("a.frame_idx") < col("c.frame_idx"))))
+      .select(col("a.id").as("id_a"), col("a.frame_idx").as("frame_a"),
+        col("c.id").as("id_b"), col("c.frame_idx").as("frame_b"),
+        bit_count(col("a.f").bitwiseXOR(col("c.f"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .persist()
+    out.count()
+    fp.unpersist(false)
+    out
+  }
 }
 
 /** The dHash fingerprint constants + DuckDB-dialect mirror (the
@@ -345,45 +407,100 @@ object MediaCodec {
   def decodeImageGrid(bytes: Array[Byte]): Option[Array[Byte]] = {
     if (bytes == null || bytes.length < 8) return None
     val fmt = Multimodal.sniffFormat(bytes)
-    if (fmt != "png" && fmt != "jpeg") return None
+    // gif included: ImageIO.read returns the FIRST stored frame of an
+    // animated GIF, so a still/animated GIF gets a real image grid for
+    // the feature/phash paths; the per-frame walk is [[decodeGifFrames]]
+    if (fmt != "png" && fmt != "jpeg" && fmt != "gif") return None
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth < 1 || img.getHeight < 1) return None
-      val w = img.getWidth
-      val h = img.getHeight
-      val out = new Array[Byte](PerceptualHash.Cells)
-      var cy = 0
-      while (cy < PerceptualHash.GridH) {
-        val y0 = cy * h / PerceptualHash.GridH
-        val y1 = math.min(h,
-          math.max(y0 + 1, (cy + 1) * h / PerceptualHash.GridH))
-        var cx = 0
-        while (cx < PerceptualHash.GridW) {
-          val x0 = cx * w / PerceptualHash.GridW
-          val x1 = math.min(w,
-            math.max(x0 + 1, (cx + 1) * w / PerceptualHash.GridW))
-          var sum = 0L
-          var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) {
-              val rgb = img.getRGB(x, y)
-              val luma = (299 * ((rgb >> 16) & 0xff) +
-                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
-              sum += luma
-              x += 1
-            }
-            y += 1
-          }
-          out(cy * PerceptualHash.GridW + cx) =
-            (sum / ((x1 - x0).toLong * (y1 - y0))).toByte
-          cx += 1
-        }
-        cy += 1
-      }
-      Some(out)
+      Some(lumaGrid(img))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The shared 9×7 grayscale resample: integer cell boundaries, integer
+    * luma (299/587/114 per mille), integer cell mean — deterministic on
+    * any JVM, one pass per pixel. */
+  private def lumaGrid(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](PerceptualHash.Cells)
+    var cy = 0
+    while (cy < PerceptualHash.GridH) {
+      val y0 = cy * h / PerceptualHash.GridH
+      val y1 = math.min(h,
+        math.max(y0 + 1, (cy + 1) * h / PerceptualHash.GridH))
+      var cx = 0
+      while (cx < PerceptualHash.GridW) {
+        val x0 = cx * w / PerceptualHash.GridW
+        val x1 = math.min(w,
+          math.max(x0 + 1, (cx + 1) * w / PerceptualHash.GridW))
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            val luma = (299 * ((rgb >> 16) & 0xff) +
+              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+            sum += luma
+            x += 1
+          }
+          y += 1
+        }
+        out(cy * PerceptualHash.GridW + cx) =
+          (sum / ((x1 - x0).toLong * (y1 - y0))).toByte
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** REAL animated-GIF frame decode → per-frame 9×7 luma grids, bounded
+    * to `maxFrames` — the first true VIDEO-frame path (GIF is the one
+    * multi-frame container the JDK decodes without codec libraries; real
+    * codecs stay behind [[decodeStub]]). Frames are the STORED rasters in
+    * stream order (an optimized GIF's partial frames hash as stored —
+    * deterministic, and identical stored frames still collide, which is
+    * what frame-level dedup needs). None for non-GIF payloads or anything
+    * the reader rejects; a GIF whose first frame decodes but whose k-th
+    * is truncated yields the frames before the damage. */
+  def decodeGifFrames(bytes: Array[Byte],
+      maxFrames: Int): Option[Seq[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 8) return None
+    if (Multimodal.sniffFormat(bytes) != "gif") return None
+    var stream: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      stream = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) return None
+      reader = readers.next()
+      reader.setInput(stream, false, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var i = 0
+      var ok = true
+      while (ok && i < maxFrames) {
+        val frame =
+          try Option(reader.read(i))
+          catch { case scala.util.control.NonFatal(_) => None }
+        frame match {
+          case Some(img) if img.getWidth > 0 && img.getHeight > 0 =>
+            buf += lumaGrid(img); i += 1
+          case _ => ok = false
+        }
+      }
+      if (buf.isEmpty) None else Some(buf.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally {
+      if (reader != null) reader.dispose()
+      if (stream != null)
+        try stream.close()
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** REAL PCM WAV decode → [[PerceptualHash.Cells]]-window amplitude

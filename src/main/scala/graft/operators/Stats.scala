@@ -736,13 +736,20 @@ object Stats {
     def ranksOf(c: String, pv: DataFrame): DataFrame =
       doubledMidranks(pv, pv.count())
         .select(col("v").as(c), col("dr").as(s"dr_$c"))
+    // the SQUARED-rank moment sums pass 2⁶³ near 2-3·10⁶ rows (dr ≤ 2n,
+    // so Σdr² ~ 4n³) — ANSI Spark fails loud there; DECIMAL(38,0) keeps
+    // them exact to 10³⁸ rows³ and DuckDB's HUGEINT sums mirror it (the
+    // heapsLaw moment discipline). Per-row products stay in long to 2³¹
+    // rows; the closing expression reads the moments through the same
+    // exact-integer→double conversion either way.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     finalized(base.join(ranksOf("x", pvx), Seq("x"))
       .join(ranksOf("y", pvy), Seq("y"))
       .agg(count(lit(1)).as("n"), sum(col("dr_x")).as("sa"),
         sum(col("dr_y")).as("sb"),
-        sum(col("dr_x") * col("dr_y")).as("sab"),
-        sum(col("dr_x") * col("dr_x")).as("saa"),
-        sum(col("dr_y") * col("dr_y")).as("sbb"))
+        sum((col("dr_x") * col("dr_y")).cast(dec)).as("sab"),
+        sum((col("dr_x") * col("dr_x")).cast(dec)).as("saa"),
+        sum((col("dr_y") * col("dr_y")).cast(dec)).as("sbb"))
       .select(col("n"), expr(
         """round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
           |  / sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
@@ -1352,6 +1359,79 @@ object Stats {
           |  / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - CAST(tx2 AS DOUBLE) / 2)
           |       * (CAST(n AS DOUBLE) * (n - 1) / 2 - CAST(ty2 AS DOUBLE) / 2)))
           |  AS BIGINT) END""".stripMargin).as("tau_micro")), cells)
+  }
+
+  /** Friedman test of k treatments over n complete blocks — the BLOCKED
+    * companion to [[kruskalWallis]] (each block is its own mini-ranking,
+    * so block-to-block level shifts cancel: the right shape for "do the
+    * k pipeline variants differ, day by day?"). Values integerize at
+    * `valScale`; within-block EXACT doubled midranks ride a
+    * block-partitioned window whose partitions hold exactly k rows
+    * (bounded by construction — never corpus-grain); the per-treatment
+    * doubled rank sums `r2_j = 2·R_j` are exact longs and each
+    * treatment's `R_j² = r2_j²/4` term is micro-rounded per TREATMENT
+    * then summed (the [[chiSquare]] discipline).
+    * `χ²_F = 12·S/(n·k·(k+1)) − 3·n·(k+1)`; the tie correction divides
+    * by `1 − Σ(t³−t)/(n·k·(k²−1))` with the within-block tie sum in
+    * exact DECIMAL. The design is ENFORCED complete: exactly one value
+    * per (block, treatment) and every block covering all k treatments —
+    * fail loud, never a silently-biased rank sum (densify with zeros
+    * upstream if absence means zero). Degenerate all-tied blocks
+    * (correction denominator 0) → NULL corrected stat.
+    * Output: one row (n_blocks, k, chi2_micro, chi2_corr_micro). */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String, valScale: Double = 1e6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(blockCol).cast("string").as("b"),
+        col(treatCol).cast("string").as("t"),
+        round(col(valCol) * valScale).cast("long").as("v"))
+      .persist()
+    // completeness guard: one ≤|blocks|+1-row control-plane check
+    val kRow = base.agg(countDistinct(col("t")).as("k"),
+      count(lit(1)).as("nr"), countDistinct(col("b"), col("t")).as("bt"),
+      countDistinct(col("b")).as("nb")).collect()(0)
+    val k = kRow.getLong(0)
+    require(k >= 2, s"friedman needs >= 2 treatments, got $k")
+    require(kRow.getLong(1) == kRow.getLong(2),
+      "friedman: duplicate (block, treatment) cells — pre-aggregate to " +
+        "one value per cell first")
+    require(kRow.getLong(2) == kRow.getLong(3) * k,
+      "friedman: incomplete blocks (some block is missing a treatment) " +
+        "— densify with zeros upstream if absence means zero")
+    val wv = Window.partitionBy(col("b")).orderBy(col("v").asc)
+    val dmid = base.groupBy(col("b"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cumb", coalesce(sum(col("c")).over(
+        wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("dr", lit(2L) * col("cumb") + col("c") + 1L)
+      .select(col("b"), col("v"), col("dr"))
+    val perT = base.join(dmid, Seq("b", "v"))
+      .groupBy(col("t")).agg(sum(col("dr")).as("r2"))
+      .withColumn("term", expr(
+        "CAST(round(1e6 * CAST(r2 AS DOUBLE) * r2 / 4.0) AS BIGINT)"))
+      .agg(coalesce(sum(col("term")), lit(0L)).as("s_micro"))
+    val tie = base.groupBy(col("b"), col("v")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum((col("c").cast(dec) * col("c") * col("c"))
+        - col("c").cast(dec)), lit(BigDecimal(0)).cast(dec)).as("tie3"))
+    val nb = kRow.getLong(3)
+    finalized(perT.crossJoin(broadcast(tie))
+      .select(lit(nb).as("n_blocks"), lit(k).as("k"), expr(
+        s"""CAST(round(1e6
+           |  * (12.0 * (CAST(s_micro AS DOUBLE) / 1e6)
+           |       / (${nb}.0 * $k * ${k + 1}) - 3.0 * $nb * ${k + 1}))
+           |  AS BIGINT)""".stripMargin).as("chi2_micro"), expr(
+        s"""CASE WHEN ${nb}.0 * $k * (${k}.0 * $k - 1) - CAST(tie3 AS DOUBLE) = 0.0
+           |  THEN CAST(NULL AS BIGINT)
+           |ELSE CAST(round(1e6
+           |  * (12.0 * (CAST(s_micro AS DOUBLE) / 1e6)
+           |       / (${nb}.0 * $k * ${k + 1}) - 3.0 * $nb * ${k + 1})
+           |  * (${nb}.0 * $k * (${k}.0 * $k - 1))
+           |  / (${nb}.0 * $k * (${k}.0 * $k - 1) - CAST(tie3 AS DOUBLE)))
+           |  AS BIGINT) END""".stripMargin).as("chi2_corr_micro")),
+      base)
   }
 
   /** Benjamini-Hochberg FDR adjustment over a frame of per-test p-values

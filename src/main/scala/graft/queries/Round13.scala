@@ -375,6 +375,64 @@ object Round13 {
             AS tau_micro
         FROM m CROSS JOIN p CROSS JOIN txa CROSS JOIN tya""")),
 
+    // ---- Friedman blocked rank test ----------------------------------------
+    // do the event types differ, DAY BY DAY? blocks = calendar days
+    // (zero-densified so the design is complete), treatments = types,
+    // within-block exact doubled midranks over k-row partitions.
+    Q("q163_friedman", (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("dd"), col("event_type").as("et"))
+      val days = ev.select(col("dd")).distinct()
+      val types = ev.select(col("et")).distinct()
+      val counts = ev.groupBy(col("dd"), col("et"))
+        .agg(count(lit(1)).as("cnt"))
+      val dense = days.crossJoin(types)
+        .join(counts, Seq("dd", "et"), "left")
+        .select(col("dd").cast("string").as("b"), col("et").as("t"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      Stats.friedman(dense, "b", "t", "cnt", valScale = 1.0)
+    }, Some("""
+      WITH ev AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd,
+              event_type AS et FROM events),
+      days AS (SELECT DISTINCT dd FROM ev),
+      types AS (SELECT DISTINCT et FROM ev),
+      cnts AS (SELECT dd, et, CAST(count(*) AS BIGINT) AS cnt
+            FROM ev GROUP BY 1, 2),
+      dense AS (SELECT CAST(days.dd AS VARCHAR) AS b, types.et AS t,
+              CAST(round(coalesce(cnt, 0) * 1.0) AS BIGINT) AS v
+            FROM days CROSS JOIN types
+            LEFT JOIN cnts ON days.dd = cnts.dd AND types.et = cnts.et),
+      bv AS (SELECT b, v, CAST(count(*) AS BIGINT) AS c
+            FROM dense GROUP BY 1, 2),
+      dm AS (SELECT b, v,
+              2 * CAST(coalesce(sum(c) OVER (PARTITION BY b ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) + c + 1 AS dr
+            FROM bv),
+      pt AS (SELECT t, CAST(sum(dr) AS BIGINT) AS r2
+            FROM dense JOIN dm USING (b, v) GROUP BY 1),
+      ag AS (SELECT CAST(coalesce(sum(
+              CAST(round(1e6 * CAST(r2 AS DOUBLE) * r2 / 4.0) AS BIGINT)),
+              0) AS BIGINT) AS s_micro FROM pt),
+      meta AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb,
+              CAST(count(DISTINCT t) AS BIGINT) AS k FROM dense),
+      tie AS (SELECT coalesce(sum(c * c * c - c), 0) AS tie3 FROM bv)
+      SELECT nb AS n_blocks, k,
+        CAST(round(1e6
+          * (12.0 * (CAST(s_micro AS DOUBLE) / 1e6)
+               / (CAST(nb AS DOUBLE) * k * (k + 1))
+             - 3.0 * nb * (k + 1))) AS BIGINT) AS chi2_micro,
+        CASE WHEN CAST(nb AS DOUBLE) * k * (CAST(k AS DOUBLE) * k - 1)
+            - CAST(tie3 AS DOUBLE) = 0.0 THEN CAST(NULL AS BIGINT)
+        ELSE CAST(round(1e6
+          * (12.0 * (CAST(s_micro AS DOUBLE) / 1e6)
+               / (CAST(nb AS DOUBLE) * k * (k + 1))
+             - 3.0 * nb * (k + 1))
+          * (CAST(nb AS DOUBLE) * k * (CAST(k AS DOUBLE) * k - 1))
+          / (CAST(nb AS DOUBLE) * k * (CAST(k AS DOUBLE) * k - 1)
+             - CAST(tie3 AS DOUBLE))) AS BIGINT) END AS chi2_corr_micro
+      FROM meta CROSS JOIN ag CROSS JOIN tie""")),
+
     // ---- Gopher n-gram repetition ----------------------------------------
     // per-document repetition quality signals: top-gram and duplicate-gram
     // position fractions for n = 2, 3, 5, 10 — the loop/boilerplate

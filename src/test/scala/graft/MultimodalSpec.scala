@@ -284,4 +284,85 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("frames")).collect().head.getSeq[Array[Byte]](0)
     assert(capped.length === 8)
   }
+
+  // ---- real GIF frame decode ------------------------------------------------
+
+  /** A flat-shaded scene (few distinct colors, so the GIF palette
+    * quantization is lossless and the decode is pixel-exact). */
+  private def gifScene(rev: Boolean): java.awt.image.BufferedImage = {
+    val im = new java.awt.image.BufferedImage(36, 28,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 36; y <- 0 until 28) {
+      val t = if (rev) 35 - x else x
+      val v = 40 + (t / 4) * 20 // 9 gray levels: well under the palette
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    im
+  }
+
+  /** Encode frames as one animated GIF via the JDK sequence writer. */
+  private def animatedGif(
+      frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(
+      new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("decodeGifFrames: two stored frames, bounded, non-GIF -> None") {
+    val gif = animatedGif(Seq(gifScene(false), gifScene(true)))
+    assert(Multimodal.sniffFormat(gif) === "gif")
+    val frames = MediaCodec.decodeGifFrames(gif, 32).get
+    assert(frames.length === 2)
+    // each frame's grid must equal the SAME scene decoded standalone
+    // (palette round-trip is lossless on the flat-shaded scene)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gifScene(false), "gif", bos)
+    val still = MediaCodec.decodeImageGrid(bos.toByteArray).get
+    assert(frames.head.toSeq === still.toSeq)
+    assert(frames.head.toSeq !== frames(1).toSeq)
+    // maxFrames bound
+    assert(MediaCodec.decodeGifFrames(gif, 1).get.length === 1)
+    // non-GIF payloads decode no frames
+    assert(MediaCodec.decodeGifFrames("plain text".getBytes, 32).isEmpty)
+  }
+
+  test("videoFrameDupPairs: shared frame across GIFs pairs, others don't") {
+    import spark.implicits._
+    // the SHARED frame must carry gradient bits (a monotone gradient
+    // dHashes to 0 and the flood guard drops it — by design): use the
+    // stripe scene as the shared raster. A = [stripes, rev-gradient],
+    // B = [fwd-gradient, stripes]: expect exactly (A,0) ~ (B,1).
+    val stripes = {
+      val im = new java.awt.image.BufferedImage(36, 28,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 36; y <- 0 until 28)
+        im.setRGB(x, y, if (x % 8 < 4) 0x202020 else 0xe0e0e0)
+      im
+    }
+    val a = animatedGif(Seq(stripes, gifScene(true)))
+    val b = animatedGif(Seq(gifScene(false), stripes))
+    val df = Seq((1L, a), (2L, b), (3L, "not a gif".getBytes)).toDF("id", "media")
+    val ph = Multimodal.videoFramePhashes(df, "id", "media")
+    val rows = ph.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.keySet === Set((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)))
+    assert(rows((1L, 0L)) === rows((2L, 1L))) // identical stored frame
+    assert(rows((1L, 0L)) !== 0L)
+    // the monotone forward gradient carries no gradient bits -> 0 -> the
+    // guard keeps it out of the pair join
+    assert(rows((2L, 0L)) === 0L)
+    val pairs = Multimodal.videoFrameDupPairs(df, "id", "media",
+        maxHamming = 0)
+      .select("id_a", "frame_a", "id_b", "frame_b")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 0L, 2L, 1L)))
+  }
 }

@@ -38,6 +38,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // chiSquare's 1-row corpus total crossed onto the contingency cells
     // (the q128 shape, inherited verbatim by the V readout)
     "q157_cramers_v" -> "1-row corpus total x contingency cells",
+    // calendar-grain days x type-grain treatments densify (both bounded)
+    // plus the 1-row term/tie aggregates crossed at the close
+    "q163_friedman" -> "bounded calendar x treatment densify + 1-row closes",
     // the cell-pair theta join (x_b > x_a) over the maxCells-ENFORCED
     // joint-value table, plus its 1-row margin frames — all bounded
     "q162_kendall" -> "cap-enforced joint-value cell pairs + 1-row margins",

@@ -148,6 +148,38 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(boom.getMessage.contains("maxDistinctValues"))
   }
 
+  // ---- Stats.friedman ---------------------------------------------------------
+
+  test("friedman: hand 3-block x 3-treatment case") {
+    // per-block ranks: b1 1,2,3 / b2 1,2,3 / b3 1,3,2
+    // R = (3, 7, 8) -> chi2 = (12/36)*122 - 36 = 4.6667, no ties
+    val df = Seq(
+      ("b1", "A", 1d), ("b1", "B", 2d), ("b1", "C", 3d),
+      ("b2", "A", 2d), ("b2", "B", 4d), ("b2", "C", 6d),
+      ("b3", "A", 1d), ("b3", "B", 3d), ("b3", "C", 2d))
+      .toDF("b", "t", "v")
+    val r = Stats.friedman(df, "b", "t", "v", valScale = 1.0).head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === math.round(1e6 * (12.0 * 122 / 36 - 36)))
+    assert(r.getLong(3) === r.getLong(2)) // no ties: correction = 1
+  }
+
+  test("friedman: design guards fail loud; all-tied -> NULL corrected") {
+    val dup = Seq(("b1", "A", 1d), ("b1", "A", 2d), ("b1", "B", 3d))
+      .toDF("b", "t", "v")
+    assert(intercept[IllegalArgumentException] {
+      Stats.friedman(dup, "b", "t", "v", 1.0)
+    }.getMessage.contains("duplicate"))
+    val incomplete = Seq(("b1", "A", 1d), ("b1", "B", 2d), ("b2", "A", 3d))
+      .toDF("b", "t", "v")
+    assert(intercept[IllegalArgumentException] {
+      Stats.friedman(incomplete, "b", "t", "v", 1.0)
+    }.getMessage.contains("incomplete"))
+    val allTied = Seq(("b1", "A", 1d), ("b1", "B", 1d),
+      ("b2", "A", 2d), ("b2", "B", 2d)).toDF("b", "t", "v")
+    assert(Stats.friedman(allTied, "b", "t", "v", 1.0).head().isNullAt(3))
+  }
+
   // ---- Stats.kendallTauB -----------------------------------------------------
 
   test("kendallTauB: hand concordance, ties, degenerate margin") {
