@@ -27,7 +27,7 @@ object Round12 {
     * mirroring [[TextAnalysis.winnowFingerprints]] with w = 4, k = 3:
     * ordered word-3-gram hashes, per-window packed `list_min` (min hash,
     * rightmost position on ties), distinct per document. */
-  private def duckWinnowSel: String = {
+  private[queries] def duckWinnowSel: String = {
     val wh = H.duckWordHashes("text")
     s"""gr AS (SELECT doc_id AS id,
        |    CASE WHEN len(wh) >= 3 THEN list_transform(

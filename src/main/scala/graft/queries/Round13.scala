@@ -18,6 +18,8 @@ import graft.operators.{Similarity, Stats, TextAnalysis, TimeSeries}
 object Round13 {
   import Tables.t
 
+  private val K = TextAnalysis.WinnowPosCap
+
   /** Shared Pettitt CTE chain over `events` with the given group
     * expression, mirroring [[TimeSeries.pettitt]]: daily counts →
     * within-group doubled midranks → U_t cumulative → max-|U| pick →
@@ -61,6 +63,38 @@ object Round13 {
     * — mirrors [[graft.functions.HashNative.GramHashes]] for any n. */
   private def duckGramChain(n: Int): String =
     (2 to n).foldLeft("wh[i+1]")((acc, j) => s"($acc * 31 + wh[i+$j]) % ${H.P}")
+
+  private val RepNs = Seq(2, 3, 5, 10)
+
+  /** Shared repetition CTE chain (documents → per-doc n-gram repetition
+    * fractions), mirroring [[TextAnalysis.docRepetition]]: ends with
+    * `rep(id, n_tokens, topN_micro/dupN_micro per n in [[RepNs]])`. */
+  private def duckRepetition: String = {
+    val perN = RepNs.map { n =>
+      s"""g$n AS (SELECT id, unnest(CASE WHEN len(wh) >= $n
+         |    THEN list_transform(range(0, len(wh) - ${n - 1}),
+         |      i -> ${duckGramChain(n)})
+         |    ELSE CAST([] AS BIGINT[]) END) AS g
+         |  FROM wht),
+         |c$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM g$n GROUP BY 1, 2),
+         |a$n AS (SELECT id,
+         |    CAST(round(1e6 * CAST(max(c) AS DOUBLE) / sum(c))
+         |      AS BIGINT) AS top${n}_micro,
+         |    CAST(round(1e6 * CAST(sum(CASE WHEN c >= 2 THEN c
+         |      ELSE 0 END) AS DOUBLE) / sum(c)) AS BIGINT)
+         |      AS dup${n}_micro
+         |  FROM c$n GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val cols = RepNs.map(n => s"top${n}_micro, dup${n}_micro").mkString(", ")
+    val joins = RepNs.map(n => s"LEFT JOIN a$n ON tok.id = a$n.id")
+      .mkString(" ")
+    s"""wht AS (SELECT doc_id AS id,
+       |    ${H.duckWordHashes("text")} AS wh FROM documents),
+       |tok AS (SELECT id, CAST(len(wh) AS BIGINT) AS n_tokens FROM wht),
+       |$perN,
+       |rep AS (SELECT tok.id, n_tokens, $cols FROM tok $joins)""".stripMargin
+  }
 
   def defs: Seq[Q] = Seq(
 
@@ -440,34 +474,104 @@ object Round13 {
     Q("text_repetition", (s, d) =>
       TextAnalysis.docRepetition(Tables.ts(s, d, "documents"), "doc_id",
         "text"),
-      Some {
-        val ns = Seq(2, 3, 5, 10)
-        val perN = ns.map { n =>
-          s"""g$n AS (SELECT id, unnest(CASE WHEN len(wh) >= $n
-             |    THEN list_transform(range(0, len(wh) - ${n - 1}),
-             |      i -> ${duckGramChain(n)})
-             |    ELSE CAST([] AS BIGINT[]) END) AS g
-             |  FROM wht),
-             |c$n AS (SELECT id, g, CAST(count(*) AS BIGINT) AS c
-             |  FROM g$n GROUP BY 1, 2),
-             |a$n AS (SELECT id,
-             |    CAST(round(1e6 * CAST(max(c) AS DOUBLE) / sum(c))
-             |      AS BIGINT) AS top${n}_micro,
-             |    CAST(round(1e6 * CAST(sum(CASE WHEN c >= 2 THEN c
-             |      ELSE 0 END) AS DOUBLE) / sum(c)) AS BIGINT)
-             |      AS dup${n}_micro
-             |  FROM c$n GROUP BY 1)""".stripMargin
-        }.mkString(",\n")
-        val cols = ns.map(n => s"top${n}_micro, dup${n}_micro").mkString(", ")
-        val joins = ns.map(n => s"LEFT JOIN a$n ON tok.id = a$n.id")
-          .mkString(" ")
-        s"""
-        WITH wht AS (SELECT doc_id AS id,
-                ${H.duckWordHashes("text")} AS wh FROM documents),
-        tok AS (SELECT id, CAST(len(wh) AS BIGINT) AS n_tokens FROM wht),
-        $perN
-        SELECT tok.id, n_tokens, $cols
-        FROM tok $joins"""
-      })
+      Some(s"""
+        WITH $duckRepetition
+        SELECT * FROM rep""")),
+
+    // ---- Gopher repetition gate ------------------------------------------
+    // per-source breach rates of the repetition thresholds — "how much of
+    // each source would the loop/boilerplate rules drop?", the report a
+    // data-mix decision reads. Short docs (no gram slots) never breach.
+    Q("text_repetition_gate", (s, d) => {
+      val rep = TextAnalysis.docRepetition(Tables.ts(s, d, "documents"),
+        "doc_id", "text")
+      val src = t(s, d, "documents")
+        .select(col("doc_id").as("id"),
+          coalesce(col("source"), lit("\u0001")).as("source"))
+      rep.join(src, Seq("id"))
+        .withColumn("breach",
+          (coalesce(col("top2_micro"), lit(0L)) > 200000L ||
+            coalesce(col("dup5_micro"), lit(0L)) > 150000L ||
+            coalesce(col("dup10_micro"), lit(0L)) > 100000L)
+            .cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("breach")).as("n_breach"))
+        .select(col("source"), col("n_docs"), col("n_breach"),
+          expr("n_breach * 10000 div n_docs").as("breach_bp"))
+    }, Some(s"""
+      WITH $duckRepetition,
+      j AS (SELECT coalesce(d.source, chr(1)) AS source,
+          CASE WHEN coalesce(top2_micro, 0) > 200000
+            OR coalesce(dup5_micro, 0) > 150000
+            OR coalesce(dup10_micro, 0) > 100000 THEN 1 ELSE 0 END AS breach
+        FROM rep JOIN documents d ON rep.id = d.doc_id)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(breach) AS BIGINT) AS n_breach,
+        CAST(sum(breach) * 10000 // count(*) AS BIGINT) AS breach_bp
+      FROM j GROUP BY 1""")),
+
+    // ---- winnow-fingerprint dedup clusters ---------------------------------
+    // connected components over the MOSS near-dup pair graph (the
+    // dedup_clusters composition pointed at winnowing's local-guarantee
+    // pairs): cluster = min reachable doc id, keep id == cluster.
+    Q("dedup_winnow_clusters", (s, d) => {
+      val docs = Tables.ts(s, d, "documents")
+      val pairs = TextAnalysis.winnowPairs(docs, "doc_id", "text",
+          w = 4, minShared = 3, dfCap = 50)
+        .select(col("id_a"), col("id_b"))
+      val out = graft.operators.Dedup
+        .connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id"), col("cluster"),
+          (col("id") === col("cluster")).as("is_kept"))
+      pairs.unpersist(false)
+      out
+    }, Some(s"""
+      WITH RECURSIVE ${Round12.duckWinnowSel},
+      fps AS (SELECT DISTINCT id, CAST(e // $K AS BIGINT) AS fp FROM sel),
+      kept AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+      posts AS (SELECT fps.id, fps.fp FROM fps JOIN kept USING (fp)),
+      pairs AS (SELECT a.id AS id_a, b.id AS id_b
+        FROM posts a JOIN posts b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY 1, 2 HAVING count(*) >= 3),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS id, min(dst) AS cluster,
+             (src = min(dst)) AS is_kept
+      FROM reach GROUP BY src""")),
+
+    // ---- IVF cell-balance audit --------------------------------------------
+    // per-cell occupancy of the persisted IVF index — skewed cells mean
+    // probe-cost variance at query time (the operational health check a
+    // vector-store rollout watches); reads the hive-partitioned cells dir.
+    Q("sim_ivf_balance", (s, d) => {
+      val e = t(s, d, "embeddings")
+      val dir = java.nio.file.Files.createTempDirectory("ivf-balance")
+        .toString
+      Similarity.buildIvfIndex(e, "vec_id", "embedding", dir, nCells = 8)
+      val cells = s.read.parquet(s"$dir/cells")
+      val tot = cells.agg(count(lit(1)).as("n_total"))
+      cells.groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"),
+          expr("n_vecs * 10000 div n_total").as("share_bp"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      seeds AS (SELECT id AS cell, v AS sv FROM e ORDER BY id LIMIT 8),
+      assign AS (SELECT id, cell,
+          row_number() OVER (PARTITION BY id ORDER BY scos DESC, cell ASC)
+            AS arank
+        FROM (SELECT e.id, s.cell, ${V.duckCosine("e.v", "s.sv")} AS scos
+              FROM e CROSS JOIN seeds s)),
+      c AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM assign WHERE arank = 1 GROUP BY 1),
+      tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM c)
+      SELECT cell, n_vecs,
+        CAST(n_vecs * 10000 // n_total AS BIGINT) AS share_bp
+      FROM c CROSS JOIN tt"""))
   )
 }

@@ -41,6 +41,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // calendar-grain days x type-grain treatments densify (both bounded)
     // plus the 1-row term/tie aggregates crossed at the close
     "q163_friedman" -> "bounded calendar x treatment densify + 1-row closes",
+    // the 1-row index total crossed onto the nCells-row occupancy table,
+    // plus the build stage's broadcast seed assignment (the sim_ivf shape)
+    "sim_ivf_balance" -> "1-row total x nCells occupancy + seed assignment",
     // the cell-pair theta join (x_b > x_a) over the maxCells-ENFORCED
     // joint-value table, plus its 1-row margin frames — all bounded
     "q162_kendall" -> "cap-enforced joint-value cell pairs + 1-row margins",
