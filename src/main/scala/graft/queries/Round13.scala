@@ -471,7 +471,7 @@ object Round13 {
     // per-document repetition quality signals: top-gram and duplicate-gram
     // position fractions for n = 2, 3, 5, 10 — the loop/boilerplate
     // detectors a pretraining filter stacks with qualityScore.
-    Q("text_repetition", (s, d) =>
+    Q("text_gopher_repetition", (s, d) =>
       TextAnalysis.docRepetition(Tables.ts(s, d, "documents"), "doc_id",
         "text"),
       Some(s"""
