@@ -1276,11 +1276,16 @@ object Stats {
       .join(dmid, Seq("v"))
       .groupBy(col("g"))
       .agg(sum(col("c")).as("ng"), sum(col("c") * col("dr")).as("r2"))
+      // the micro term grows ~10⁶·n³/k and passes 2⁶³ near 10⁵ rows
+      // (found by the sf0.1 verify) — accumulate the rounded doubles in
+      // DECIMAL(38,0); DuckDB mirrors with a HUGEINT cast of the SAME
+      // rounded double, both exact conversions of an integral double
       .withColumn("term", expr(
         "CAST(round(1e6 * CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) " +
-          "/ (4.0 * ng)) AS BIGINT)"))
+          "/ (4.0 * ng)) AS DECIMAL(38,0))"))
       .agg(count(lit(1)).as("n_groups"),
-        coalesce(sum(col("term")), lit(0L)).as("s_micro"))
+        coalesce(sum(col("term")),
+          lit(BigDecimal(0)).cast(dec)).as("s_micro"))
     val tie = pv.agg(coalesce(sum(col("t")), lit(0L)).as("n"),
       coalesce(sum((col("t").cast(dec) * col("t") * col("t"))
         - col("t").cast(dec)), lit(BigDecimal(0)).cast(dec)).as("tie3"))
@@ -1410,9 +1415,12 @@ object Stats {
       .select(col("b"), col("v"), col("dr"))
     val perT = base.join(dmid, Seq("b", "v"))
       .groupBy(col("t")).agg(sum(col("dr")).as("r2"))
+      // same DECIMAL accumulation as kruskalWallis: the micro term grows
+      // ~10⁶·(n_blocks·k)² and passes 2⁶³ near 10⁶ blocks
       .withColumn("term", expr(
-        "CAST(round(1e6 * CAST(r2 AS DOUBLE) * r2 / 4.0) AS BIGINT)"))
-      .agg(coalesce(sum(col("term")), lit(0L)).as("s_micro"))
+        "CAST(round(1e6 * CAST(r2 AS DOUBLE) * r2 / 4.0) AS DECIMAL(38,0))"))
+      .agg(coalesce(sum(col("term")),
+        lit(BigDecimal(0)).cast(dec)).as("s_micro"))
     val tie = base.groupBy(col("b"), col("v")).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum((col("c").cast(dec) * col("c") * col("c"))
         - col("c").cast(dec)), lit(BigDecimal(0)).cast(dec)).as("tie3"))

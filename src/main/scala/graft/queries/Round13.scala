@@ -306,10 +306,10 @@ object Round13 {
               FROM gvc JOIN dm USING (v) GROUP BY 1),
         terms AS (SELECT g,
                 CAST(round(1e6 * CAST(r2 AS DOUBLE) * r2 / (4.0 * ng))
-                  AS BIGINT) AS term
+                  AS HUGEINT) AS term
               FROM per),
         agg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
-                CAST(coalesce(sum(term), 0) AS BIGINT) AS s_micro
+                coalesce(sum(term), 0) AS s_micro
               FROM terms),
         tie AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
                 coalesce(sum(t * t * t - t), 0) AS tie3
@@ -445,9 +445,9 @@ object Round13 {
             FROM bv),
       pt AS (SELECT t, CAST(sum(dr) AS BIGINT) AS r2
             FROM dense JOIN dm USING (b, v) GROUP BY 1),
-      ag AS (SELECT CAST(coalesce(sum(
-              CAST(round(1e6 * CAST(r2 AS DOUBLE) * r2 / 4.0) AS BIGINT)),
-              0) AS BIGINT) AS s_micro FROM pt),
+      ag AS (SELECT coalesce(sum(
+              CAST(round(1e6 * CAST(r2 AS DOUBLE) * r2 / 4.0) AS HUGEINT)),
+              0) AS s_micro FROM pt),
       meta AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb,
               CAST(count(DISTINCT t) AS BIGINT) AS k FROM dense),
       tie AS (SELECT coalesce(sum(c * c * c - c), 0) AS tie3 FROM bv)
