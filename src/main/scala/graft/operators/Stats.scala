@@ -1442,6 +1442,77 @@ object Stats {
       base)
   }
 
+  /** One-vs-rest Kolmogorov-Smirnov drift audit across ALL groups in one
+    * pass — the per-stream drift gate ([[ksTest]] asks "A vs B"; a
+    * 50-source ingest asks "which source's distribution drifted from the
+    * pool?", and running k pairwise tests is k scans). Per group g:
+    * `D_g = max_v |F_g(v) − F_rest(v)|` with the EXACT integer numerator
+    * `|cum_g·(n − n_g) − (cum_all − cum_g)·n_g|`, max and its smallest
+    * witnessing value by integer comparison; the asymptotic one-term
+    * p ≈ 2·exp(−2·(n_g·n_r/n)·D²) is the mirrored double tail, clamped
+    * to 1.
+    *
+    * Plan: one pooled value-grain aggregate (compactness ENFORCED — the
+    * [[mannWhitneyU]] guard), one group×value densify (k·d rows, both
+    * factors bounded: d by the guard, the product by `maxCells`), one
+    * GROUP-partitioned cumulative window, one bounded-table global
+    * cumulative for the pool. Feed the p column to [[bhAdjust]] for the
+    * which-discoveries-survive readout.
+    * Output: (grp, n_g, d_micro, at_v, p_micro) per group with ≥ 1 row. */
+  def ksDriftOneVsRest(df: DataFrame, grpCol: String, valCol: String,
+      valScale: Double = 1e6, maxDistinctValues: Int = 1 << 16,
+      maxCells: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(grpCol).isNotNull && col(valCol).isNotNull)
+      .select(col(grpCol).cast("string").as("g"),
+        round(col(valCol) * valScale).cast("long").as("v"))
+    val pv = base.groupBy(col("v")).agg(count(lit(1)).as("t")).persist()
+    requireCompactDomain("ksDriftOneVsRest", pv, maxDistinctValues)
+    val nValues = pv.count()
+    // pooled cumulative on the BOUNDED value table (deliberate
+    // single-partition window — the boundedKey contract)
+    val pooled = pv
+      .withColumn("cuma", sum(col("t")).over(
+        Window.partitionBy(GlobalRank.boundedKey(col("v")))
+          .orderBy(col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("v"), col("cuma"))
+    val groups = base.groupBy(col("g")).agg(count(lit(1)).as("ng"))
+      .persist()
+    val nGroups = groups.count()
+    require(nGroups * nValues <= maxCells,
+      s"ksDriftOneVsRest: $nGroups groups x $nValues values exceed " +
+        s"maxCells=$maxCells — coarsen valScale or raise the bound")
+    val tot = groups.agg(coalesce(sum(col("ng")), lit(0L)).as("n"))
+    val cells = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("v").asc)
+    val dense = groups.crossJoin(broadcast(pooled))
+      .join(cells, Seq("g", "v"), "left")
+      .withColumn("cumg", coalesce(sum(coalesce(col("c"), lit(0L))).over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", abs(col("cumg") * (col("n") - col("ng"))
+        - (col("cuma") - col("cumg")) * col("ng")))
+    val wk = Window.partitionBy(col("g"))
+      .orderBy(col("num").desc, col("v").asc)
+    finalized(dense
+      .withColumn("pick", row_number().over(wk))
+      .filter(col("pick") === 1 && col("ng") < col("n") && col("ng") > 0)
+      .select(col("g").as("grp"), col("ng").as("n_g"),
+        expr("""CAST(round(1e6 * CAST(num AS DOUBLE)
+          |  / (CAST(ng AS DOUBLE) * (n - ng))) AS BIGINT)"""
+          .stripMargin).as("d_micro"),
+        col("v").as("at_v"),
+        expr("""CAST(round(1e6 * least(1.0, 2.0 * exp(
+          |  -2.0 * (CAST(ng AS DOUBLE) * (n - ng) / n)
+          |  * (CAST(num AS DOUBLE) / (CAST(ng AS DOUBLE) * (n - ng)))
+          |  * (CAST(num AS DOUBLE) / (CAST(ng AS DOUBLE) * (n - ng)))
+          |  ))) AS BIGINT)""".stripMargin).as("p_micro")),
+      pv, groups)
+  }
+
   /** Benjamini-Hochberg FDR adjustment over a frame of per-test p-values
     * (micro-scaled longs) — the multiple-comparisons closer for every
     * per-group test in this file: run [[TimeSeries.pettitt]] /

@@ -467,6 +467,55 @@ object Round13 {
              - CAST(tie3 AS DOUBLE))) AS BIGINT) END AS chi2_corr_micro
       FROM meta CROSS JOIN ag CROSS JOIN tie""")),
 
+    // ---- one-vs-rest KS drift audit ----------------------------------------
+    // which source's length distribution drifted from the pool? All k
+    // sources in ONE pass: exact integer ECDF-difference numerators over
+    // the densified group x value grid, asymptotic 2exp(-2*neff*D^2) tail.
+    // The per-source p column is exactly what q161's bhAdjust consumes.
+    Q("q164_ks_drift", (s, d) =>
+      Stats.ksDriftOneVsRest(t(s, d, "documents"), "source", "n_chars",
+        valScale = 1.0),
+      Some("""
+        WITH base AS (SELECT CAST(source AS VARCHAR) AS g,
+                CAST(round(n_chars * 1.0) AS BIGINT) AS v
+              FROM documents
+              WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY 1),
+        pooled AS (SELECT v, CAST(sum(t) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cuma FROM pv),
+        grps AS (SELECT g, CAST(count(*) AS BIGINT) AS ng
+              FROM base GROUP BY 1),
+        tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n FROM grps),
+        cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2),
+        dense AS (SELECT grps.g AS g, ng, pooled.v AS v, cuma,
+                coalesce(c, 0) AS c0
+              FROM grps CROSS JOIN pooled
+              LEFT JOIN cells ON grps.g = cells.g AND pooled.v = cells.v),
+        cum AS (SELECT g, ng, v, cuma,
+                CAST(sum(c0) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumg
+              FROM dense),
+        nm AS (SELECT g, ng, v, n,
+                abs(cumg * (n - ng) - (cuma - cumg) * ng) AS num
+              FROM cum CROSS JOIN tot),
+        pick AS (SELECT g, ng, v, num, n,
+                row_number() OVER (PARTITION BY g
+                  ORDER BY num DESC, v ASC) AS pick
+              FROM nm)
+        SELECT g AS grp, ng AS n_g,
+          CAST(round(1e6 * CAST(num AS DOUBLE)
+            / (CAST(ng AS DOUBLE) * (n - ng))) AS BIGINT) AS d_micro,
+          v AS at_v,
+          CAST(round(1e6 * least(1.0, 2.0 * exp(
+            -2.0 * (CAST(ng AS DOUBLE) * (n - ng) / n)
+            * (CAST(num AS DOUBLE) / (CAST(ng AS DOUBLE) * (n - ng)))
+            * (CAST(num AS DOUBLE) / (CAST(ng AS DOUBLE) * (n - ng)))
+            ))) AS BIGINT) AS p_micro
+        FROM pick WHERE pick = 1 AND ng < n AND ng > 0""")),
+
     // ---- Gopher n-gram repetition ----------------------------------------
     // per-document repetition quality signals: top-gram and duplicate-gram
     // position fractions for n = 2, 3, 5, 10 — the loop/boilerplate

@@ -44,6 +44,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // the 1-row index total crossed onto the nCells-row occupancy table,
     // plus the build stage's broadcast seed assignment (the sim_ivf shape)
     "sim_ivf_balance" -> "1-row total x nCells occupancy + seed assignment",
+    // group x pooled-value densify, BOTH factors cap-enforced (compact
+    // domain + maxCells), plus the 1-row total crossed on
+    "q164_ks_drift" -> "cap-enforced group x value densify + 1-row total",
     // the cell-pair theta join (x_b > x_a) over the maxCells-ENFORCED
     // joint-value table, plus its 1-row margin frames — all bounded
     "q162_kendall" -> "cap-enforced joint-value cell pairs + 1-row margins",

@@ -222,6 +222,37 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(TimeSeries.pettitt(solo, "event_type", "ts").count() === 0L)
   }
 
+  // ---- Stats.ksDriftOneVsRest ---------------------------------------------------
+
+  test("ksDriftOneVsRest: hand disjoint-group D and p") {
+    // a=[1,2], b=[3,4]: D = 1.0 for both (disjoint supports), witness at
+    // the group's last value; p = 2*exp(-2*(2*2/4)*1) = 2e^-2
+    val df = Seq(("a", 1d), ("a", 2d), ("b", 3d), ("b", 4d)).toDF("g", "v")
+    val got = Stats.ksDriftOneVsRest(df, "g", "v", valScale = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getLong(1) === 2L)
+    assert(got("a").getLong(2) === 1000000L)
+    assert(got("a").getLong(3) === 2L) // max first reached at v = 2
+    assert(got("a").getLong(4) === math.round(1e6 * 2.0 * math.exp(-2.0)))
+    assert(got("b").getLong(2) === 1000000L)
+    // identical distributions: D = 0 via the exact numerator, p clamps 1
+    val same = Seq(("a", 1d), ("a", 2d), ("b", 1d), ("b", 2d)).toDF("g", "v")
+    val s0 = Stats.ksDriftOneVsRest(same, "g", "v", valScale = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(s0("a").getLong(2) === 0L && s0("a").getLong(4) === 1000000L)
+    // single group: no rest to compare against -> empty
+    val solo = Seq(("a", 1d), ("a", 2d)).toDF("g", "v")
+    assert(Stats.ksDriftOneVsRest(solo, "g", "v", 1.0).count() === 0L)
+  }
+
+  test("ksDriftOneVsRest: maxCells guard refuses a wide grid") {
+    val wide = (0 until 64).map(i => (s"g${i % 8}", i.toDouble)).toDF("g", "v")
+    val boom = intercept[IllegalArgumentException] {
+      Stats.ksDriftOneVsRest(wide, "g", "v", 1.0, maxCells = 64L)
+    }
+    assert(boom.getMessage.contains("maxCells"))
+  }
+
   // ---- Stats.bhAdjust / GlobalRank.withCumMin ---------------------------------
 
   test("bhAdjust: hand suffix-min adjustment") {
