@@ -488,6 +488,62 @@ object TimeSeries {
           .stripMargin).as("z_micro"))
   }
 
+  /** Siegel repeated-median slope of each group's daily event counts —
+    * [[theilSen]]'s higher-breakdown sibling (Theil-Sen survives ~29%
+    * contaminated points; the median-of-medians survives 50%): for each
+    * day i take the MEDIAN of its pairwise slopes to every other day,
+    * then the median of those per-day medians. Both stages are exact
+    * lower-median selections (rank ⌈m/2⌉ by row_number, ties broken on
+    * the partner/day axis), each slope one mirrored micro-rounded
+    * division — the [[theilSen]] discipline, including the ENFORCED
+    * `maxSpanDays` contract on the C(span,2)-shaped pair stage (pairs
+    * materialize in both directions here, same asymptotics).
+    * Windows: per-(group, day) for stage one, per-group day-grain for
+    * stage two — never corpus-grain.
+    * Output: (grp, n_days, slope_micro); single-day groups are absent. */
+  def siegelSlope(events: DataFrame, grpCol: String, tsCol: String,
+      maxSpanDays: Int = 2000): DataFrame = {
+    val daily = events.select(col(grpCol).as("grp"),
+        to_date(col(tsCol)).as("d"))
+      .groupBy(col("grp"), col("d"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("grp"), datediff(col("d"), lit("1970-01-01")).cast("long")
+        .as("t"), col("x"))
+    val spanRow = daily.groupBy(col("grp"))
+      .agg((max(col("t")) - min(col("t")) + 1L).as("span"))
+      .agg(max(col("span"))).collect()(0)
+    val maxSpan = if (spanRow.isNullAt(0)) 0L else spanRow.getLong(0)
+    require(maxSpan <= maxSpanDays,
+      s"siegelSlope: a group spans $maxSpan days, past maxSpanDays=" +
+        s"$maxSpanDays — C(span, 2) day pairs in one group partition; " +
+        "bucket the series to weeks first or raise the bound deliberately")
+    val pairs = daily.select(col("grp"), col("t").as("ti"),
+        col("x").as("xi"))
+      .join(daily.select(col("grp"), col("t").as("tj"), col("x").as("xj")),
+        Seq("grp"))
+      .filter(col("ti") =!= col("tj"))
+      .select(col("grp"), col("ti"), col("tj"),
+        expr("CAST(round(1e6 * CAST(xj - xi AS DOUBLE) / (tj - ti)) " +
+          "AS BIGINT)").as("slope_micro"))
+    val w1 = Window.partitionBy(col("grp"), col("ti"))
+      .orderBy(col("slope_micro").asc, col("tj").asc)
+    val c1 = Window.partitionBy(col("grp"), col("ti"))
+    val perDay = pairs
+      .withColumn("rn", row_number().over(w1).cast("long"))
+      .withColumn("m", count(lit(1)).over(c1))
+      .filter(expr("rn = (m + 1) div 2"))
+      .select(col("grp"), col("ti"), col("slope_micro").as("med_i"))
+    val w2 = Window.partitionBy(col("grp"))
+      .orderBy(col("med_i").asc, col("ti").asc)
+    val c2 = Window.partitionBy(col("grp"))
+    perDay
+      .withColumn("rn", row_number().over(w2).cast("long"))
+      .withColumn("m", count(lit(1)).over(c2))
+      .filter(expr("rn = (m + 1) div 2"))
+      .select(col("grp"), col("m").as("n_days"),
+        col("med_i").as("slope_micro"))
+  }
+
   /** Pettitt single-changepoint test of each group's daily event counts —
     * the rank-based "WHEN did the level shift?" companion to [[cusum]]
     * (which needs a known target mean) and [[mannKendall]] (which

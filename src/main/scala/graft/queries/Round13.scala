@@ -467,6 +467,72 @@ object Round13 {
              - CAST(tie3 AS DOUBLE))) AS BIGINT) END AS chi2_corr_micro
       FROM meta CROSS JOIN ag CROSS JOIN tie""")),
 
+    // ---- Siegel repeated-median trend --------------------------------------
+    // the 50%-breakdown robust slope next to q154's Theil-Sen: per-day
+    // median of pairwise slopes, then the median of the medians — both
+    // exact lower-median selections on the capped day-grain pair table.
+    Q("q165_siegel", (s, d) =>
+      TimeSeries.siegelSlope(Tables.events(s, d), "event_type", "ts"),
+      Some("""
+        WITH daily AS (SELECT event_type AS grp,
+                CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dd,
+                CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+        dt AS (SELECT grp,
+                CAST(date_diff('day', DATE '1970-01-01', dd) AS BIGINT) AS t,
+                x FROM daily),
+        p AS (SELECT a.grp, a.t AS ti, b.t AS tj,
+                CAST(round(1e6 * CAST(b.x - a.x AS DOUBLE) / (b.t - a.t))
+                  AS BIGINT) AS slope_micro
+              FROM dt a JOIN dt b ON a.grp = b.grp AND a.t <> b.t),
+        r1 AS (SELECT grp, ti, slope_micro,
+                CAST(row_number() OVER (PARTITION BY grp, ti
+                  ORDER BY slope_micro, tj) AS BIGINT) AS rn,
+                CAST(count(*) OVER (PARTITION BY grp, ti) AS BIGINT) AS m
+              FROM p),
+        med1 AS (SELECT grp, ti, slope_micro AS med_i
+              FROM r1 WHERE rn = (m + 1) // 2),
+        r2 AS (SELECT grp, med_i,
+                CAST(row_number() OVER (PARTITION BY grp
+                  ORDER BY med_i, ti) AS BIGINT) AS rn,
+                CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS m
+              FROM med1)
+        SELECT grp, m AS n_days, med_i AS slope_micro
+        FROM r2 WHERE rn = (m + 1) // 2""")),
+
+    // ---- winnow dedup yield curve -------------------------------------------
+    // pair yield per min-shared-fingerprint threshold (1..5) off ONE
+    // postings pass — the tuning table for dedup_winnow's threshold:
+    // cumulative counts over the n_shared histogram, never a re-run per
+    // threshold.
+    Q("dedup_winnow_yield", (s, d) => {
+      val pairs = TextAnalysis.winnowPairs(Tables.ts(s, d, "documents"),
+        "doc_id", "text", w = 4, minShared = 1, dfCap = 50)
+      val hist = pairs.groupBy(col("n_shared")).agg(count(lit(1)).as("c"))
+      val out = s.range(1, 6).select(col("id").as("min_shared"))
+        .join(hist, hist("n_shared") >= col("min_shared"), "left")
+        .groupBy(col("min_shared"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_pairs"))
+      out.persist().count()
+      pairs.unpersist(false)
+      out
+    }, Some(s"""
+      WITH ${Round12.duckWinnowSel},
+      fps AS (SELECT DISTINCT id, CAST(e // $K AS BIGINT) AS fp FROM sel),
+      kept AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+      posts AS (SELECT fps.id, fps.fp FROM fps JOIN kept USING (fp)),
+      pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+              CAST(count(*) AS BIGINT) AS n_shared
+        FROM posts a JOIN posts b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY 1, 2),
+      hist AS (SELECT n_shared, CAST(count(*) AS BIGINT) AS c FROM pairs
+        GROUP BY 1),
+      th AS (SELECT unnest(range(1, 6)) AS min_shared)
+      SELECT CAST(min_shared AS BIGINT) AS min_shared,
+        CAST(coalesce(sum(c), 0) AS BIGINT) AS n_pairs
+      FROM th LEFT JOIN hist ON hist.n_shared >= th.min_shared
+      GROUP BY 1""")),
+
     // ---- one-vs-rest KS drift audit ----------------------------------------
     // which source's length distribution drifted from the pool? All k
     // sources in ONE pass: exact integer ECDF-difference numerators over

@@ -47,6 +47,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // group x pooled-value densify, BOTH factors cap-enforced (compact
     // domain + maxCells), plus the 1-row total crossed on
     "q164_ks_drift" -> "cap-enforced group x value densify + 1-row total",
+    // 5-row threshold frame theta-joined onto the bounded n_shared
+    // histogram (cumulative-ge rollup) — both sides tiny by construction
+    "dedup_winnow_yield" -> "5-row thresholds x bounded n_shared histogram",
     // the cell-pair theta join (x_b > x_a) over the maxCells-ENFORCED
     // joint-value table, plus its 1-row margin frames — all bounded
     "q162_kendall" -> "cap-enforced joint-value cell pairs + 1-row margins",

@@ -313,6 +313,26 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(d2.isNullAt(4))                             // < 3 tokens
   }
 
+  // ---- TimeSeries.siegelSlope ---------------------------------------------
+
+  test("siegelSlope: hand median-of-medians differs from Theil-Sen") {
+    // daily counts [1,2,4] on days 0,1,2: pairwise slopes {1, 1.5, 2};
+    // per-day medians (lower): day0 [1,1.5]->1, day1 [1,2]->1,
+    // day2 [1.5,2]->1.5 -> median of medians = 1.0; Theil-Sen says 1.5
+    val ev = dailyEvents("s", Seq(1, 2, 4)).toDF("event_type", "ts")
+    val sg = TimeSeries.siegelSlope(ev, "event_type", "ts").head()
+    assert(sg.getLong(1) === 3L && sg.getLong(2) === 1000000L)
+    assert(TimeSeries.theilSen(ev, "event_type", "ts").head()
+      .getLong(3) === 1500000L)
+    // span guard mirrors theilSen's
+    val far = (dailyEvents("s", Seq(1)) ++ Seq(("s",
+      java.sql.Timestamp.valueOf("2035-01-01 00:00:00"))))
+      .toDF("event_type", "ts")
+    assert(intercept[IllegalArgumentException] {
+      TimeSeries.siegelSlope(far, "event_type", "ts", maxSpanDays = 100)
+    }.getMessage.contains("maxSpanDays"))
+  }
+
   // ---- Similarity.mutualPairs / mutualTopKIvf ------------------------------
 
   test("mutualPairs: only reversed pairs survive, pair emitted once") {
