@@ -676,6 +676,61 @@ object TextAnalysis {
     out
   }
 
+  /** Persist a winnow-fingerprint postings index — the MOSS analog of
+    * [[graft.operators.Dedup.buildMinhashIndex]]'s lifecycle:
+    * `dir/postings` holds the DISTINCT (id, fp) selected-fingerprint
+    * postings. Fingerprint selection is data-independent (no trained
+    * state — like MinHash bands, unlike IVF seeds), so append ≡ rebuild
+    * by construction. */
+  def buildWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, w: Int = 4): Unit =
+    winnowFingerprints(docs, idCol, textCol, w)
+      .select(col("id"), col("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$dir/postings")
+
+  /** Append a batch of NEW docs to a [[buildWinnowIndex]] index — one
+    * native winnowing pass over the BATCH plus one parquet append; never
+    * rescans the indexed corpus. Ids must be new (the index does not
+    * dedup ids). */
+  def appendWinnowIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, w: Int = 4): Unit =
+    winnowFingerprints(docs, idCol, textCol, w)
+      .select(col("id"), col("fp")).distinct()
+      .write.mode("append").parquet(s"$dir/postings")
+
+  /** Shared-run lookup of a probe slice against a [[buildWinnowIndex]]
+    * index: probes winnow themselves (batch cost only), candidates come
+    * from the stored postings (equi-join on fingerprint), and pairs
+    * sharing ≥ `minShared` DISTINCT fingerprints survive — identical
+    * semantics to [[winnowPairs]] between probes and the indexed corpus,
+    * with the corpus side read from disk instead of re-winnowed. The
+    * `dfCap` boilerplate guard measures document frequency over the
+    * STORED index (the stable corpus-side statistic — probe batches must
+    * not be able to promote a stopword fingerprint past the cap from the
+    * outside). Self-matches (a probe id also present in the index) are
+    * excluded. Output: (probe_id, match_id, n_shared). */
+  def queryWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, probes: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, minShared: Int = 3, dfCap: Int = 50): DataFrame = {
+    val pf = winnowFingerprints(probes, idCol, textCol, w)
+      .select(col("id").as("probe_id"), col("fp")).distinct().persist()
+    val postings = spark.read.parquet(s"$dir/postings")
+    val kept = postings.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("fp"))
+    val out = pf
+      .join(kept, Seq("fp"))
+      .join(postings.select(col("fp"), col("id").as("match_id")),
+        Seq("fp"))
+      .filter(col("probe_id") =!= col("match_id"))
+      .groupBy(col("probe_id"), col("match_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .persist()
+    out.count()
+    pf.unpersist(false)
+    out
+  }
+
   /** Vocabulary-growth curve in CORPUS ORDER (Heaps'-law readout): after
     * the first r documents (ordered by `idCol` — the deterministic stand-in
     * for ingest order), how many tokens have been seen and how many

@@ -533,6 +533,36 @@ object Round13 {
       FROM th LEFT JOIN hist ON hist.n_shared >= th.min_shared
       GROUP BY 1""")),
 
+    // ---- persisted winnow-postings index lifecycle ---------------------------
+    // the MOSS index at crawl scale: winnow the corpus ONCE (build on
+    // slice A, append slice B without rescanning A — selection is
+    // data-independent, so append ≡ rebuild), then the day's probes pay
+    // only their own winnowing + joins against the stored postings. The
+    // df cap measures the STORED corpus, so outside batches cannot
+    // promote a boilerplate fingerprint past it.
+    Q("dedup_winnow_index", (s, d) => {
+      val docs = Tables.ts(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("wn-index").toString
+      TextAnalysis.buildWinnowIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", dir)
+      TextAnalysis.appendWinnowIndex(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", dir)
+      TextAnalysis.queryWinnowIndex(s, dir,
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text",
+        w = 4, minShared = 3, dfCap = 50)
+    }, Some(s"""
+      WITH ${Round12.duckWinnowSel},
+      fps AS (SELECT DISTINCT id, CAST(e // $K AS BIGINT) AS fp FROM sel),
+      idx AS (SELECT id, fp FROM fps WHERE id % 3 <> 2),
+      kept AS (SELECT fp FROM idx GROUP BY fp HAVING count(*) <= 50),
+      probe AS (SELECT id, fp FROM fps WHERE id % 3 = 2)
+      SELECT p.id AS probe_id, i.id AS match_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM probe p JOIN kept k ON p.fp = k.fp
+                   JOIN idx i ON i.fp = p.fp
+      WHERE p.id <> i.id
+      GROUP BY 1, 2 HAVING count(*) >= 3""")),
+
     // ---- one-vs-rest KS drift audit ----------------------------------------
     // which source's length distribution drifted from the pool? All k
     // sources in ONE pass: exact integer ECDF-difference numerators over

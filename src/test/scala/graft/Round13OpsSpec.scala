@@ -313,6 +313,35 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(d2.isNullAt(4))                             // < 3 tokens
   }
 
+  // ---- TextAnalysis winnow index lifecycle ----------------------------------
+
+  test("winnow index: append == rebuild, df cap measured on the index side") {
+    // base doc repeated so its fingerprints are shared; the probe shares
+    // a >= w+2 run with it -> guaranteed shared fingerprint
+    val run = "alpha beta gamma delta epsilon zeta eta theta"
+    val idx1 = Seq((1L, run + " one two three"),
+      (2L, "unrelated words entirely different content here now"))
+      .toDF("doc_id", "text")
+    val idx2 = Seq((3L, run + " four five six")).toDF("doc_id", "text")
+    val probes = Seq((10L, run + " seven eight nine")).toDF("doc_id", "text")
+    val dirA = java.nio.file.Files.createTempDirectory("wn-a").toString
+    TextAnalysis.buildWinnowIndex(idx1, "doc_id", "text", dirA)
+    TextAnalysis.appendWinnowIndex(idx2, "doc_id", "text", dirA)
+    val dirB = java.nio.file.Files.createTempDirectory("wn-b").toString
+    TextAnalysis.buildWinnowIndex(idx1.unionByName(idx2), "doc_id", "text",
+      dirB)
+    def q(dir: String, cap: Int = 50) =
+      TextAnalysis.queryWinnowIndex(spark, dir, probes, "doc_id", "text",
+        w = 4, minShared = 1, dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val viaAppend = q(dirA)
+    assert(viaAppend === q(dirB), "append must equal one-shot rebuild")
+    assert(viaAppend.map(_._2) === Set(1L, 3L)) // both run-sharing docs
+    // cap = 1: the shared-run fingerprints have index df = 2 -> dropped
+    assert(q(dirA, cap = 1).isEmpty)
+  }
+
   // ---- TimeSeries.siegelSlope ---------------------------------------------
 
   test("siegelSlope: hand median-of-medians differs from Theil-Sen") {
