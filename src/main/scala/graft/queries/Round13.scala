@@ -563,6 +563,67 @@ object Round13 {
       WHERE p.id <> i.id
       GROUP BY 1, 2 HAVING count(*) >= 3""")),
 
+    // ---- STREAMING probe against the winnow index ----------------------------
+    // the crawl-ingest shape for the MOSS index: the postings sit on disk
+    // (build + append as above), the day's documents arrive as a STREAM
+    // that winnows itself inline (native expressions, stateless
+    // projection — no state store), stream-static joins the df-capped
+    // stored postings, and the shared-fingerprint threshold applies at
+    // the sink where the result is a bounded table (the
+    // dedup_stream_index_probe discipline). Same semantics as
+    // dedup_winnow_index, so the oracle is the same replay.
+    Q("dedup_stream_winnow_probe", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.functions.HashNative
+      val docs = Tables.ts(s, d, "documents")
+      val dir = java.nio.file.Files.createTempDirectory("wn-sidx").toString
+      TextAnalysis.buildWinnowIndex(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", dir)
+      TextAnalysis.appendWinnowIndex(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", dir)
+      val sch = Tables.t(s, d, "documents").schema
+      val probes = s.readStream.schema(sch)
+        .parquet(Tables.stagedStreamDir(d, "documents"))
+        .filter(col("doc_id") % 3 === 2)
+      val pf = probes.select(col("doc_id").as("probe_id"),
+          HashNative.winnowSelect(HashNative.gramHashes(
+            HashNative.wordHashes(col("text")), 3), 4,
+            TextAnalysis.WinnowPosCap).as("sel"))
+        .select(col("probe_id"), explode(col("sel")).as("e"))
+        .select(col("probe_id"),
+          expr(s"e div ${TextAnalysis.WinnowPosCap}L").as("fp"))
+      val postings = s.read.parquet(s"$dir/postings")
+      val kept = postings.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select(col("fp"))
+      val keptPostings = postings.join(kept, Seq("fp"))
+        .select(col("fp"), col("id").as("match_id"))
+      val matched = pf.join(keptPostings, Seq("fp"))
+        .filter(col("probe_id") =!= col("match_id"))
+        .select(col("probe_id"), col("match_id"), col("fp"))
+      val q = matched.writeStream.format("memory")
+        .queryName("wn_sidx_stream")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // fingerprint multiplicity (one fp selected at several positions)
+      // dedups at the SINK, where the result is bounded — then the
+      // distinct-shared-fingerprint threshold
+      s.table("wn_sidx_stream").distinct()
+        .groupBy(col("probe_id"), col("match_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    }, Some(s"""
+      WITH ${Round12.duckWinnowSel},
+      fps AS (SELECT DISTINCT id, CAST(e // $K AS BIGINT) AS fp FROM sel),
+      idx AS (SELECT id, fp FROM fps WHERE id % 3 <> 2),
+      kept AS (SELECT fp FROM idx GROUP BY fp HAVING count(*) <= 50),
+      probe AS (SELECT id, fp FROM fps WHERE id % 3 = 2)
+      SELECT p.id AS probe_id, i.id AS match_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM probe p JOIN kept k ON p.fp = k.fp
+                   JOIN idx i ON i.fp = p.fp
+      WHERE p.id <> i.id
+      GROUP BY 1, 2 HAVING count(*) >= 3""")),
+
     // ---- one-vs-rest KS drift audit ----------------------------------------
     // which source's length distribution drifted from the pool? All k
     // sources in ONE pass: exact integer ECDF-difference numerators over
