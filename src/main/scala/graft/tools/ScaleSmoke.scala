@@ -903,6 +903,28 @@ object ScaleSmoke {
               "embedding", k = 5, nprobe = 2))))
         }
         ("mnn_ivf_query", mnnCost(e1, "1x"), mnnCost(e10, "10x"))
+      },
+      // winnow-index probe, FIXED probe batch against a 1x vs 10x stored
+      // postings index: a probe session pays its own winnowing + the
+      // df-capped postings joins — cost must track the BATCH (the
+      // mh_append_batch discipline for the MOSS index); build cost is
+      // outside the timer (build-once / probe-many lifecycle)
+      {
+        import graft.operators.TextAnalysis
+        val probeBatch = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 900000000L)
+        def wnProbeCost(corpus: DataFrame, tag: String): Double = {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"wn-smoke-$tag").toString
+          TextAnalysis.buildWinnowIndex(corpus, "doc_id", "text", dir)
+          time(s"wn_probe $tag") {
+            val r = TextAnalysis.queryWinnowIndex(spark, dir, probeBatch,
+              "doc_id", "text", 4, 3, 50)
+            noop(r); r.unpersist()
+          }
+        }
+        ("wn_probe_batch", wnProbeCost(d1, "1x"), wnProbeCost(d10salt, "10x"))
       })
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")
