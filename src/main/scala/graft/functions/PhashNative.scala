@@ -57,17 +57,20 @@ object PhashNative {
   def imageGridOrRaw(bin: Column): Column =
     GraftColumnBridge.column(ImageGridOrRaw(GraftColumnBridge.expression(bin)))
 
-  /** GIF payloads → their per-frame 63-cell luma grids (stored rasters,
-    * bounded to `maxFrames`); empty array for anything else. The real
-    * video-frame decode path ([[graft.operators.MediaCodec
-    * .decodeGifFrames]]) — compose `dhash56` over the exploded grids for
-    * frame-level perceptual dedup. Not DuckDB-replayable (codec); pinned
-    * by MultimodalSpec's constructed two-frame GIF. */
-  def gifFrameGrids(bin: Column, maxFrames: Int): Column =
+  /** Video payloads → their per-frame 63-cell luma grids, bounded to
+    * `maxFrames`; empty array for anything else. The real video-frame
+    * decode path ([[graft.operators.MediaCodec.decodeVideoFrames]]:
+    * animated GIF stored rasters + MJPEG-in-AVI `movi` chunks — the two
+    * multi-frame containers the JDK decodes; true codecs stay behind the
+    * stub) — compose `dhash56` over the exploded grids for frame-level
+    * perceptual dedup. The GIF branch IS DuckDB-replayable for
+    * SyntheticGif-constructed payloads (mm_video_frames); the JPEG
+    * branch is pinned by MultimodalSpec's constructed MJPEG AVI. */
+  def videoFrameGrids(bin: Column, maxFrames: Int): Column =
     GraftColumnBridge.column(
-      GifFrameGrids(GraftColumnBridge.expression(bin), maxFrames))
+      VideoFrameGrids(GraftColumnBridge.expression(bin), maxFrames))
 
-  case class GifFrameGrids(child: Expression, maxFrames: Int)
+  case class VideoFrameGrids(child: Expression, maxFrames: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType =
       org.apache.spark.sql.types.ArrayType(BinaryType, containsNull = false)
@@ -76,12 +79,12 @@ object PhashNative {
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"gif_frame_grids requires a BINARY input, got ${child.dataType.catalogString}")
+          s"video_frame_grids requires a BINARY input, got ${child.dataType.catalogString}")
     }
     override protected def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
       val frames = graft.operators.MediaCodec
-        .decodeGifFrames(bytes, maxFrames)
+        .decodeVideoFrames(bytes, maxFrames)
         .getOrElse(Seq.empty)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         frames.toArray[Any])

@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG/GIF payloads decode through JDK ImageIO
   * ([[MediaCodec.decodeImageGrid]] — java.desktop, no external
   * dependency) into the perceptual-hash grid and the feature path, PCM
-  * WAV decodes through the RIFF walk, and animated-GIF FRAMES decode
-  * per-frame ([[MediaCodec.decodeGifFrames]] →
-  * [[Multimodal.videoFramePhashes]] / [[Multimodal.videoFrameDupPairs]]
-  * — the real video-frame path for the one multi-frame container the
-  * JDK ships a codec for). True video codecs stay STUBBED behind
+  * WAV decodes through the RIFF walk, and VIDEO FRAMES decode per-frame
+  * for both multi-frame containers the JDK can handle — animated GIF
+  * stored rasters ([[MediaCodec.decodeGifFrames]]) and MJPEG-in-AVI
+  * `movi` chunks ([[MediaCodec.decodeAviFrames]]), unified behind
+  * [[MediaCodec.decodeVideoFrames]] →
+  * [[Multimodal.videoFramePhashes]] / [[Multimodal.videoFrameDupPairs]].
+  * True inter-frame video codecs (H.264/VP9) stay STUBBED behind
   * [[MediaCodec.decodeStub]] (no ffmpeg in this container): a
   * deterministic fake feature vector from the bytes, with the swap point
   * marked. Everything else — including the
@@ -280,13 +282,14 @@ object Multimodal {
     out
   }
 
-  /** REAL video-frame perceptual hashes: animated-GIF payloads decode to
-    * per-frame luma grids ([[MediaCodec.decodeGifFrames]] — the one
-    * multi-frame container the JDK decodes; true codecs remain behind
-    * the documented stub) and each frame gets the production 56-bit
+  /** REAL video-frame perceptual hashes: animated-GIF and MJPEG-AVI
+    * payloads decode to per-frame luma grids
+    * ([[MediaCodec.decodeVideoFrames]] — the two multi-frame containers
+    * the JDK decodes; true inter-frame codecs remain behind the
+    * documented stub) and each frame gets the production 56-bit
     * dHash. One narrow projection (native decode expression → posexplode
     * → native dhash56), no shuffle, frame count bounded per payload by
-    * `maxFrames`. Non-GIF payloads contribute no rows.
+    * `maxFrames`. Undecodable payloads contribute no rows.
     * Output: (id, frame_idx, f) — f = 0 means a flat/gradient-free frame
     * (callers filter, as in [[segmentPhashPairs]]). */
   def videoFramePhashes(df: DataFrame, idCol: String, binCol: String,
@@ -295,7 +298,7 @@ object Multimodal {
     df.select(col(idCol).as("id"), col(binCol).as("b"))
       .filter(col("b").isNotNull && length(col("b")) > 0)
       .select(col("id"), posexplode(
-        graft.functions.PhashNative.gifFrameGrids(col("b"), maxFrames)))
+        graft.functions.PhashNative.videoFrameGrids(col("b"), maxFrames)))
       .select(col("id"), col("pos").cast("long").as("frame_idx"),
         graft.functions.PhashNative.dhash56(col("col")).as("f"))
   }
@@ -503,6 +506,84 @@ object MediaCodec {
     }
   }
 
+  /** REAL MJPEG-in-AVI video-frame decode → per-frame 9×7 luma grids,
+    * bounded to `maxFrames` — the RIFF generalization of
+    * [[decodeWavEnvelope]]'s chunk walk meeting [[decodeImageGrid]]'s
+    * ImageIO JPEG path: walk the top-level RIFF 'AVI ' chunks to the
+    * `LIST movi` payload, then walk its `##dc`/`##db` video chunks
+    * (descending one level into `LIST rec ` interleave groups, where
+    * capture tools put frames) and decode every JPEG-bearing one. MJPEG
+    * is just concatenated baseline JPEGs, so this decode is as real as
+    * ImageIO's; true inter-frame codecs (H.264/VP9) remain behind
+    * [[decodeStub]]. None for non-AVI payloads or when no frame decodes;
+    * a damaged k-th frame is skipped, not fatal (each JPEG is
+    * independent — the MJPEG property). */
+  def decodeAviFrames(bytes: Array[Byte],
+      maxFrames: Int): Option[Seq[Array[Byte]]] = try {
+    if (bytes == null || bytes.length < 12) return None
+    if (Multimodal.sniffFormat(bytes) != "riff") return None
+    def tag(o: Int): String =
+      if (o + 4 > bytes.length) ""
+      else new String(bytes.slice(o, o + 4), "US-ASCII")
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (tag(8) != "AVI ") return None
+    // top-level walk to LIST 'movi' (Long cursor: the WAV-walk guard
+    // against a malformed size wrapping an Int cursor negative)
+    var off = 12L
+    var moviOff = -1L
+    var moviEnd = -1L
+    while (off + 8 <= bytes.length && moviOff < 0) {
+      val o = off.toInt
+      val sz = u32(o + 4)
+      if (tag(o) == "LIST" && tag(o + 8) == "movi") {
+        moviOff = o + 12L
+        moviEnd = math.min(bytes.length.toLong, o + 8L + sz)
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    if (moviOff < 0) return None
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isVideoId(t: String): Boolean =
+      t.length == 4 && t(0).isDigit && t(1).isDigit &&
+        (t.endsWith("dc") || t.endsWith("db"))
+    def walk(start: Long, end: Long, depth: Int): Unit = {
+      var p = start
+      while (p + 8 <= end && buf.size < maxFrames) {
+        val o = p.toInt
+        val t = tag(o)
+        val sz = u32(o + 4)
+        val dataEnd = math.min(end, o + 8L + sz)
+        if (t == "LIST" && depth == 0 && tag(o + 8) == "rec ")
+          walk(o + 12L, dataEnd, depth + 1)
+        else if (isVideoId(t) && dataEnd - (o + 8) >= 4 &&
+            (bytes(o + 8) & 0xff) == 0xff && (bytes(o + 9) & 0xff) == 0xd8)
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                bytes.slice(o + 8, dataEnd.toInt)))
+            if (img != null && img.getWidth > 0 && img.getHeight > 0)
+              buf += lumaGrid(img)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        p += 8L + sz + (sz & 1L)
+      }
+    }
+    walk(moviOff, moviEnd, 0)
+    if (buf.isEmpty) None else Some(buf.toSeq)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The unified video-frame seam: GIF → [[decodeGifFrames]], AVI →
+    * [[decodeAviFrames]] (MJPEG), anything else (true codecs) → None.
+    * What [[graft.functions.PhashNative.videoFrameGrids]] evaluates. */
+  def decodeVideoFrames(bytes: Array[Byte],
+      maxFrames: Int): Option[Seq[Array[Byte]]] =
+    if (bytes == null || bytes.length < 8) None
+    else Multimodal.sniffFormat(bytes) match {
+      case "gif" => decodeGifFrames(bytes, maxFrames)
+      case "riff" => decodeAviFrames(bytes, maxFrames)
+      case _ => None
+    }
+
   /** REAL PCM WAV decode → [[PerceptualHash.Cells]]-window amplitude
     * envelope, the audio analog of [[decodeImageGrid]]'s luma grid: walk
     * the RIFF chunks (canonical "WAVE" + "fmt " + "data"; PCM format 1,
@@ -604,10 +685,12 @@ object MediaCodec {
       case None => decodeStub(bytes, dim)
     }
 
-  /** STUB for formats with no in-JDK decode path (video codecs; this
-    * container ships no media libraries). Deterministic fake features: a
-    * rolling byte hash folded into `dim` float lanes. A real
-    * implementation would decode and run an encoder here. */
+  /** STUB for formats with no in-JDK decode path — now ONLY true
+    * inter-frame video codecs (H.264/VP9/AV1; this container ships no
+    * media libraries): images, PCM WAV, animated GIF, and MJPEG-AVI all
+    * have REAL decodes above. Deterministic fake features: a rolling
+    * byte hash folded into `dim` float lanes. A real implementation
+    * would decode and run an encoder here. */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (bytes != null) {

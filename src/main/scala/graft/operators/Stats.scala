@@ -1231,14 +1231,16 @@ object Stats {
     val aggs = preds.indices.map(i => sum(col(s"x$i")).as(s"g$i")) ++ Seq(
       count(lit(1)).as("n"), coalesce(sum(col("l")), lit(0L)).as("t"),
       coalesce(sum(col("l") * col("l")), lit(0L)).as("sl2"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     ind.agg(aggs.head, aggs.tail: _*)
       .withColumn("sg2", preds.indices
-        .map(i => coalesce(col(s"g$i"), lit(0L))
-          * coalesce(col(s"g$i"), lit(0L))).reduce(_ + _))
+        .map(i => coalesce(col(s"g$i"), lit(0L)).cast(dec)
+          * coalesce(col(s"g$i"), lit(0L)).cast(dec)).reduce(_ + _))
       .select(col("n"), lit(k.toLong).as("k"), col("t"), expr(
-        // k·Σg² and T² pass 2⁶³ near 3·10⁹ rows — the numerator
-        // difference rides doubles (mirrored); the denominator k·T − ΣL²
-        // stays an exact long at any corpus size (≤ k·n)
+        // k·Σg² and T² pass 2⁶³ near 3·10⁹ rows — Σg² accumulates in
+        // exact DECIMAL(38,0) (the kruskalWallis discipline) and the
+        // numerator difference rides doubles (mirrored); the denominator
+        // k·T − ΣL² stays an exact long at any corpus size (≤ k·n)
         s"""CASE WHEN ${k}L * t - sl2 = 0 THEN CAST(NULL AS BIGINT)
            |ELSE CAST(round(1e6 * ${k - 1}.0
            |  * (${k}.0 * sg2 - CAST(t AS DOUBLE) * t)
@@ -1315,12 +1317,15 @@ object Stats {
     * cell-pair join under `x_b > x_a` (cells ≤ `maxCells`, ENFORCED —
     * the join is broadcast-nested-loop by construction, which is exactly
     * why the cap exists): `C = Σ c_a·c_b [y_b > y_a]`,
-    * `D = Σ c_a·c_b [y_b < y_a]`, both exact longs. Tie masses ride the
-    * margins (`n1 = Σ t_x(t_x−1)/2`, `n2 = Σ t_y(t_y−1)/2`), and
-    * `τ_b = (C−D)/√((n0−n1)(n0−n2))` is the single mirrored double
-    * (n0-scale products pass 2⁶³ around 3·10⁹ rows — doubles carry them
-    * identically in both engines past that). Degenerate all-tied margins
-    * → NULL.
+    * `D = Σ c_a·c_b [y_b < y_a]`, both exact longs — they are OUTPUT
+    * columns, so they stay BIGINT rather than DECIMAL, and since each is
+    * bounded by n(n−1)/2 the exact sum FAILS LOUD (ANSI) past n ≈ 6·10⁹
+    * rows instead of silently wrapping; the same bound covers the tie
+    * masses on the margins (`n1 = Σ t_x(t_x−1)/2`,
+    * `n2 = Σ t_y(t_y−1)/2`). Only `τ_b = (C−D)/√((n0−n1)(n0−n2))` rides
+    * a mirrored double (the n0-scale PRODUCTS under the root pass 2⁶³
+    * around 3·10⁹ rows — doubles carry them identically in both
+    * engines). Degenerate all-tied margins → NULL.
     * Output: one row (n, n_cells, conc, disc, tau_micro). */
   def kendallTauB(df: DataFrame, xCol: String, yCol: String,
       xScale: Double = 1e6, yScale: Double = 1e6,

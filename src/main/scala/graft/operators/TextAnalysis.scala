@@ -808,17 +808,6 @@ object TextAnalysis {
       spark.sparkContext.parallelize(Seq(row), 1), moments.schema))
   }
 
-  /** Closed-form OLS readout over a 1-row (n_points, sx, sy, sxy, sxx)
-    * DECIMAL(38,0) moment frame — split from [[heapsLaw]] so the
-    * degenerate-variance guard is testable on constructed moments. The
-    * slope numerator `n·sxy − sx·sy` and denominator `n·sxx − sx²` are
-    * computed in EXACT decimal arithmetic (past 2⁵³ the double-multiplied
-    * forms lose bits — at 10⁶ sampled points the moments sit well past
-    * it), the zero-variance guard compares the exact denominator to zero
-    * (a double-cast comparison can collide two DIFFERENT moments into a
-    * spurious NULL), and the ONLY doubles are the final mirrored
-    * divisions of the two exact integers — DuckDB mirrors them as
-    * HUGEINT-exact differences cast to DOUBLE the same way. */
   /** Per-document n-gram repetition signals (the Gopher/MassiveText
     * quality-rule family): for each n in `ns`, the fraction of the
     * document's n-gram POSITIONS covered by the single most frequent
@@ -863,6 +852,17 @@ object TextAnalysis {
     out
   }
 
+  /** Closed-form OLS readout over a 1-row (n_points, sx, sy, sxy, sxx)
+    * DECIMAL(38,0) moment frame — split from [[heapsLaw]] so the
+    * degenerate-variance guard is testable on constructed moments. The
+    * slope numerator `n·sxy − sx·sy` and denominator `n·sxx − sx²` are
+    * computed in EXACT decimal arithmetic (past 2⁵³ the double-multiplied
+    * forms lose bits — at 10⁶ sampled points the moments sit well past
+    * it), the zero-variance guard compares the exact denominator to zero
+    * (a double-cast comparison can collide two DIFFERENT moments into a
+    * spurious NULL), and the ONLY doubles are the final mirrored
+    * divisions of the two exact integers — DuckDB mirrors them as
+    * HUGEINT-exact differences cast to DOUBLE the same way. */
   private[graft] def heapsFit(moments: DataFrame): DataFrame =
     moments
       .withColumn("nm", expr(

@@ -420,7 +420,7 @@ object Round13 {
       val types = ev.select(col("et")).distinct()
       val counts = ev.groupBy(col("dd"), col("et"))
         .agg(count(lit(1)).as("cnt"))
-      val dense = days.crossJoin(types)
+      val dense = days.crossJoin(broadcast(types))
         .join(counts, Seq("dd", "et"), "left")
         .select(col("dd").cast("string").as("b"), col("et").as("t"),
           coalesce(col("cnt"), lit(0L)).as("cnt"))

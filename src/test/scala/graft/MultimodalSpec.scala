@@ -365,4 +365,77 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(pairs === Set((1L, 0L, 2L, 1L)))
   }
+
+  // ---- real MJPEG-in-AVI frame decode ---------------------------------------
+
+  private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** RIFF chunk: fourcc + LE u32 size + data (+ pad byte to word-align). */
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + data.length + (data.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array()
+  }
+  private def riffList(typ: String, payload: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("US-ASCII") ++ payload)
+
+  /** Minimal MJPEG AVI: RIFF('AVI ', dummy hdrl, LIST movi(frames)).
+    * `recWrap` puts each frame inside a LIST 'rec ' interleave group. */
+  private def mjpegAvi(frames: Seq[Array[Byte]],
+      recWrap: Boolean = false): Array[Byte] = {
+    val movi = frames.zipWithIndex.flatMap { case (f, i) =>
+      val c = riffChunk(f"$i%02ddc", f)
+      (if (recWrap) riffList("rec ", c) else c).toSeq
+    }.toArray
+    riffChunk("RIFF",
+      "AVI ".getBytes("US-ASCII") ++
+        riffList("hdrl", riffChunk("avih", new Array[Byte](56))) ++
+        riffList("movi", movi))
+  }
+
+  test("decodeAviFrames: MJPEG frames = standalone JPEG grids; WAV/none -> None") {
+    val f0 = jpegBytes(gifScene(false))
+    val f1 = jpegBytes(gifScene(true))
+    val avi = mjpegAvi(Seq(f0, f1))
+    assert(Multimodal.sniffFormat(avi) === "riff")
+    val frames = MediaCodec.decodeAviFrames(avi, 32).get
+    assert(frames.length === 2)
+    // MJPEG = concatenated independent JPEGs: each frame grid must equal
+    // the SAME JPEG payload decoded through the still-image path
+    assert(frames(0).toSeq === MediaCodec.decodeImageGrid(f0).get.toSeq)
+    assert(frames(1).toSeq === MediaCodec.decodeImageGrid(f1).get.toSeq)
+    // maxFrames bound + rec-interleaved layout
+    assert(MediaCodec.decodeAviFrames(avi, 1).get.length === 1)
+    val rec = mjpegAvi(Seq(f0, f1), recWrap = true)
+    assert(MediaCodec.decodeAviFrames(rec, 32).get.length === 2)
+    // a WAV is RIFF but not AVI; a frameless AVI decodes nothing
+    assert(MediaCodec.decodeAviFrames(wav, 32).isEmpty)
+    assert(MediaCodec.decodeAviFrames(mjpegAvi(Seq.empty), 32).isEmpty)
+    // a damaged frame is skipped, not fatal (the MJPEG independence
+    // property): frame 0 truncated mid-scan, frame 1 still decodes
+    val broken = mjpegAvi(Seq(f0.take(f0.length / 2), f1))
+    assert(MediaCodec.decodeAviFrames(broken, 32).get.length === 1)
+  }
+
+  test("videoFramePhashes: GIF and MJPEG-AVI payloads hash through one path") {
+    import spark.implicits._
+    val gif = animatedGif(Seq(gifScene(false), gifScene(true)))
+    val avi = mjpegAvi(Seq(jpegBytes(gifScene(false))))
+    val df = Seq((1L, gif), (2L, avi), (3L, "neither".getBytes))
+      .toDF("id", "media")
+    val rows = Multimodal.videoFramePhashes(df, "id", "media")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.keySet === Set((1L, 0L), (1L, 1L), (2L, 0L)))
+    // the AVI frame is the same scene as GIF frame 0: JPEG is lossy so
+    // grids may differ slightly, but the dHash of the flat-shaded scene
+    // must land within a small Hamming radius of the lossless GIF's
+    val ham = java.lang.Long.bitCount(rows((1L, 0L)) ^ rows((2L, 0L)))
+    assert(ham <= 6, s"gif-vs-mjpeg hamming $ham")
+  }
 }

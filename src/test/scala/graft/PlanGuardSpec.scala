@@ -47,6 +47,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // group x pooled-value densify, BOTH factors cap-enforced (compact
     // domain + maxCells), plus the 1-row total crossed on
     "q164_ks_drift" -> "cap-enforced group x value densify + 1-row total",
+    // the q164 densify shape twice (doclen + evval families), inherited
+    // by the composed drift->FDR chain
+    "q166_drift_fdr" -> "two cap-enforced KS densifies + 1-row totals",
     // 5-row threshold frame theta-joined onto the bounded n_shared
     // histogram (cumulative-ge rollup) — both sides tiny by construction
     "dedup_winnow_yield" -> "5-row thresholds x bounded n_shared histogram",
