@@ -60,4 +60,6 @@ object TypedAggregators {
     def outputEncoder: Encoder[Seq[TopKItem]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
+
+
 }

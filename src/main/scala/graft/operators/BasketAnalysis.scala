@@ -77,8 +77,10 @@ object BasketAnalysis {
     * `cos_micro = round(10⁶·c/√(n_i·n_j))`. Per-item neighbor ranking
     * breaks ties (cos, then neighbor id) so the top-k cut is total-ordered.
     *
-    * Plan shape: candidate pairs come from the per-user self-equi-join —
-    * Σ C(|user items|, 2), never a cartesian — with `maxUserItems`
+    * Plan shape: one user-grain basket aggregate (collect_set) feeds
+    * BOTH the norms and the candidate pairs — the Σ C(|user items|, 2)
+    * pair space is generated per basket by an array transform (map-side
+    * compute, never a join, never a cartesian) — with `maxUserItems`
     * enforcing the bound exactly like [[rules]]' basket cap (over-cap
     * users are dropped whole BEFORE pairing and norms, keeping cosines
     * consistent with the mined universe; a crawler account touching 10⁵
@@ -90,31 +92,56 @@ object BasketAnalysis {
   def itemCosine(df: DataFrame, userCol: String, itemCol: String,
       topK: Int, maxUserItems: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m0 = df.select(col(userCol).as("u"), col(itemCol).as("it"))
+    // ONE user-grain aggregate replaces the round-10 distinct + cap
+    // window + per-user self-equi-join (three shuffles of the membership
+    // table): collect_set dedups (u, it) within the group, the cap is a
+    // free size() filter on the basket row, and the C(n_u, 2) pair space
+    // is GENERATED per basket by two codegen'd Generates (posexplode +
+    // slice — NOT a transform() lambda chain: higher-order functions
+    // evaluate interpreted and allocate the per-row pair array whole,
+    // where the Generate pair streams). Same enforced bound (over-cap
+    // users dropped whole), same pair universe — parity-checked row-set
+    // equal to the round-10 formulation at sf0.1 in the round-14 profile.
+    val baskets = df.select(col(userCol).as("u"), col(itemCol).as("it"))
       .filter(col("u").isNotNull && col("it").isNotNull)
-      .distinct()
-    val m = maxUserItems match {
-      case Some(cap) =>
-        val w = Window.partitionBy(col("u"))
-        m0.withColumn("un", count(lit(1)).over(w))
-          .filter(col("un") <= cap).drop("un")
-      case None => m0
+      .groupBy(col("u"))
+      .agg(array_sort(collect_set(col("it"))).as("its"))
+    val capped = maxUserItems match {
+      case Some(cap) => baskets.filter(size(col("its")) <= cap)
+      case None => baskets
     }
-    val norms = m.groupBy(col("it")).agg(count(lit(1)).as("n"))
-    val pairs = m.select(col("u"), col("it").as("ia"))
-      .join(m.select(col("u"), col("it").as("ib")), Seq("u"))
-      .filter(col("ia") < col("ib"))
+    // norms come from the FULL capped membership (single-item users count
+    // toward n_i even though they generate no pairs); the identical
+    // `capped` subtree reuses the basket exchange
+    val norms = capped.select(explode(col("its")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("n"))
+    // its is sorted ascending, so generated pairs satisfy ia < ib
+    val pairs = capped.filter(size(col("its")) >= 2)
+      .select(col("its"), posexplode(col("its")).as(Seq("i", "ia")))
+      .select(col("ia"), explode(expr("slice(its, i + 2, size(its))")).as("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
-    val directed = pairs.select(col("ia").as("item"), col("ib").as("neighbor"),
-        col("c"))
-      .unionByName(pairs.select(col("ib").as("item"), col("ia").as("neighbor"),
-        col("c")))
-    val scored = directed
-      .join(norms.select(col("it").as("item"), col("n").as("n_i")), Seq("item"))
-      .join(norms.select(col("it").as("neighbor"), col("n").as("n_j")),
-        Seq("neighbor"))
-      .withColumn("cos_micro", expr(
-        "CAST(round(1e6 * c / sqrt(CAST(n_i AS DOUBLE) * n_j)) AS BIGINT)"))
+    // norms attach on the UNDIRECTED pair table (half the directed row
+    // count; AQE broadcasts the item-grain build side at runtime), and
+    // both directions come from one explode — never a union re-read
+    val scored = pairs
+      .join(norms.select(col("it").as("ia"), col("n").as("n_a")), Seq("ia"))
+      .join(norms.select(col("it").as("ib"), col("n").as("n_b")), Seq("ib"))
+      .select(explode(array(
+        struct(col("ia").as("item"), col("ib").as("neighbor"), col("c"),
+          col("n_a").as("n_i"), col("n_b").as("n_j")),
+        struct(col("ib").as("item"), col("ia").as("neighbor"), col("c"),
+          col("n_b").as("n_i"), col("n_a").as("n_j")))).as("d"))
+      .select(col("d.item").as("item"), col("d.neighbor").as("neighbor"),
+        col("d.c").as("c"), expr(
+        "CAST(round(1e6 * d.c / sqrt(CAST(d.n_i AS DOUBLE) * d.n_j)) AS BIGINT)")
+        .as("cos_micro"))
+    // the top-k cut stays a WINDOW: Spark's rank-limit pushdown plans a
+    // map-side WindowGroupLimit, so only ~k-per-item-per-task rows cross
+    // the exchange, and the round-14 profile measured the bounded-
+    // aggregate alternative (a TopK-style typed UDAF over the directed
+    // table) SLOWER than the codegen'd sort — object-buffer updates per
+    // pair row cost more than sorting compact rows — so q58's map-side-
+    // combine argument does not transfer here
     val w = Window.partitionBy(col("item"))
       .orderBy(col("cos_micro").desc, col("neighbor").asc)
     scored.withColumn("rn", row_number().over(w).cast("long"))
