@@ -852,6 +852,45 @@ object TextAnalysis {
     out
   }
 
+  /** CCNet/C4-style line-level boilerplate removal: a line that appears
+    * in more than `maxLineDf` distinct documents is corpus boilerplate
+    * (cookie banners, nav chrome, per-source templates) and is dropped
+    * from EVERY document; the document survives with its remaining lines
+    * in original order. The per-line document frequency is the exact
+    * count of distinct doc ids per line (CCNet counts documents, not
+    * occurrences — a doc repeating its own line doesn't inflate df), and
+    * lines travel the df aggregate as md5 keys so the shuffle carries a
+    * 32-char hash, not the line text (md5 is bit-identical in Spark and
+    * DuckDB, so even a collision would be mirrored).
+    *
+    * Plan: one posexplode to line grain (corpus-linear), one
+    * combine-friendly (hash → distinct-doc count) aggregate, one line →
+    * df equi-join, one doc-grain reassembly aggregate. No corpus-grain
+    * window, nothing all-pairs — scan-bound at 100 TB.
+    *
+    * Output: one row per input document —
+    * (id, n_lines, n_kept, kept_hash) with kept_hash = md5 of the
+    * surviving lines rejoined by `\n` (md5('') for a fully-boilerplate
+    * doc), so the oracle pins the reassembled TEXT, not just counts. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      maxLineDf: Long): DataFrame = {
+    require(maxLineDf >= 1, s"maxLineDf must be >= 1, got $maxLineDf")
+    val lines = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "ln")))
+      .withColumn("h", md5(col("ln")))
+    val dfreq = lines.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("ldf"))
+    lines.join(dfreq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("ldf") <= maxLineDf, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(
+          when(col("ldf") <= maxLineDf, struct(col("pos"), col("ln"))))),
+          x => x("ln")), "\n")).as("kept_hash"))
+  }
+
   /** Closed-form OLS readout over a 1-row (n_points, sx, sy, sxy, sxx)
     * DECIMAL(38,0) moment frame — split from [[heapsLaw]] so the
     * degenerate-variance guard is testable on constructed moments. The

@@ -1,12 +1,54 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.Stats
+import graft.operators.{Pii, Stats, TextAnalysis}
 
 /** Round-14 queries: the drift→FDR composed pipeline (the advertised
-  * chain q164 + q161 were built for, oracle-checked END TO END). */
+  * chain q164 + q161 were built for, oracle-checked END TO END), CCNet
+  * line-level boilerplate removal, and the PII scan/redact stage. */
 object Round14 {
   import Tables.t
+
+  /** Synthetic multi-line documents for the line-dedup family: a global
+    * boilerplate line (df = corpus size), a per-source template line
+    * (df = source size), then the doc's own words in 10-word lines —
+    * the construct half of the construct→process→oracle pattern (the
+    * testdata text is a single-line word stream, so line structure is
+    * built, deterministically, from doc fields). */
+  private val lineAugSpark: String =
+    """concat('ACCEPT COOKIES TO CONTINUE', chr(10),
+      |  'via ', source, chr(10),
+      |  array_join(transform(
+      |    sequence(0, CAST((size(split(text, ' ')) + 9) div 10 AS INT) - 1),
+      |    i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' ')),
+      |    chr(10)))""".stripMargin
+
+  private val lineAugDuck: String =
+    """'ACCEPT COOKIES TO CONTINUE' || chr(10)
+      |  || 'via ' || source || chr(10)
+      |  || array_to_string(list_transform(
+      |       range(0, (len(string_split(text, ' ')) + 9) // 10),
+      |       i -> array_to_string(list_slice(string_split(text, ' '),
+      |              CAST(i * 10 + 1 AS INT), CAST(i * 10 + 10 AS INT)), ' ')),
+      |       chr(10))""".stripMargin
+
+  /** Deterministic PII injection (emails / phones / IPv4s / ID runs
+    * keyed off doc_id) appended to the raw text — the oracle re-runs the
+    * IDENTICAL regex pipeline, so injected and any natural hits are
+    * both covered; injection just guarantees the scan has work. */
+  private def piiAug(cast: String): String =
+    s"""text
+       |  || CASE WHEN doc_id % 3 = 0 THEN ' user' || CAST(doc_id % 100 AS $cast)
+       |            || '@mail' || CAST(doc_id % 10 AS $cast) || '.net'
+       |     ELSE '' END
+       |  || CASE WHEN doc_id % 3 = 1 THEN ' 555-123-'
+       |            || lpad(CAST(doc_id % 10000 AS $cast), 4, '0')
+       |     ELSE '' END
+       |  || CASE WHEN doc_id % 3 = 2 THEN ' 10.0.' || CAST(doc_id % 256 AS $cast)
+       |            || '.' || CAST((doc_id * 7) % 256 AS $cast)
+       |     ELSE '' END
+       |  || CASE WHEN doc_id % 5 = 0 THEN ' ' || lpad(CAST(doc_id AS $cast), 12, '0')
+       |     ELSE '' END""".stripMargin
 
   /** The q164 one-vs-rest KS CTE chain, factored so a multi-family FDR
     * composition can instantiate it per feature without 40-line
@@ -95,5 +137,87 @@ object Round14 {
         CAST(min(v) OVER (ORDER BY rn DESC
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           <= 50000 AS sig
-      FROM v""")))
+      FROM v""")),
+
+    // ---- CCNet line-level boilerplate removal ----------------------------
+    // corpus-frequent lines (cookie banner df = N, per-source template
+    // df = source size) are dropped from every document; the oracle pins
+    // the REASSEMBLED text via md5, not just counts. maxLineDf = 30:
+    // at sf0.01 only the global banner breaches; at sf0.1 the source
+    // templates (df 250) breach too — the threshold semantics get
+    // exercised both ways across the verify scales.
+    Q("text_line_dedup", (s, d) => {
+      val docs = Tables.ts(s, d, "documents")
+        .withColumn("aug", expr(lineAugSpark))
+      TextAnalysis.lineDedup(docs, "doc_id", "aug", maxLineDf = 30L)
+    }, Some(s"""
+      WITH aug AS (SELECT doc_id, $lineAugDuck AS t FROM documents),
+      lsx AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM aug),
+      lines AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              ls[CAST(i AS INT)] AS ln
+            FROM lsx, unnest(range(1, len(ls) + 1)) AS t(i)),
+      dfq AS (SELECT md5(ln) AS h, count(DISTINCT doc_id) AS ldf
+            FROM lines GROUP BY 1),
+      j AS (SELECT l.doc_id, l.pos, l.ln, d.ldf
+            FROM lines l JOIN dfq d ON md5(l.ln) = d.h)
+      SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(coalesce(sum(CASE WHEN ldf <= 30 THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_kept,
+        md5(coalesce(string_agg(CASE WHEN ldf <= 30 THEN ln END, chr(10)
+          ORDER BY pos), '')) AS kept_hash
+      FROM j GROUP BY 1""")),
+
+    // ---- PII scan + redaction --------------------------------------------
+    // the privacy-scrub stage: sequential email/IPv4/phone/ID-run regex
+    // detection and sentinel redaction, oracle = the identical RE2/Java-
+    // agreeing regex chain in DuckDB (counts AND the full redacted text).
+    Q("text_pii_scan", (s, d) => {
+      val docs = Tables.ts(s, d, "documents")
+        .withColumn("aug", expr(piiAug("STRING")))
+      Pii.redact(docs, "doc_id", "aug")
+    }, Some {
+      val nCols = Pii.patterns.zipWithIndex.map { case ((cat, re, _), i) =>
+        s"CAST(len(regexp_extract_all(${Pii.duckTextBefore("t", i)}, '$re')) AS BIGINT) AS n_$cat"
+      }.mkString(",\n        ")
+      s"""
+      WITH aug AS (SELECT doc_id, ${piiAug("VARCHAR")} AS t FROM documents)
+      SELECT doc_id AS id,
+        $nCols,
+        ${Pii.duckTextBefore("t", Pii.patterns.size)} AS redacted
+      FROM aug"""
+    }),
+
+    // ---- per-source PII exposure report -----------------------------------
+    // the release-review rollup composed on the scan: per source, doc
+    // counts, per-category totals, and the share of docs carrying ANY
+    // PII (exact micro ratio).
+    Q("text_pii_rate", (s, d) => {
+      val docs = Tables.ts(s, d, "documents")
+        .withColumn("aug", expr(piiAug("STRING")))
+      val red = Pii.redact(docs, "doc_id", "aug")
+        .join(t(s, d, "documents")
+          .select(col("doc_id").as("id"), col("source")), Seq("id"))
+      Pii.exposureReport(red, "source")
+    }, Some {
+      val nCols = Pii.patterns.zipWithIndex.map { case ((cat, re, _), i) =>
+        s"CAST(len(regexp_extract_all(${Pii.duckTextBefore("t", i)}, '$re')) AS BIGINT) AS n_$cat"
+      }.mkString(",\n              ")
+      val tots = Pii.patterns.map { case (cat, _, _) =>
+        s"CAST(sum(n_$cat) AS BIGINT) AS tot_$cat" }.mkString(",\n        ")
+      val anyPii = Pii.patterns.map { case (cat, _, _) => s"n_$cat > 0" }
+        .mkString(" OR ")
+      s"""
+      WITH aug AS (SELECT doc_id, source, ${piiAug("VARCHAR")} AS t
+            FROM documents),
+      sc AS (SELECT doc_id, source,
+              $nCols
+            FROM aug)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        $tots,
+        CAST(coalesce(sum(CASE WHEN $anyPii THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS n_docs_with_pii,
+        CAST(round(1e6 * coalesce(sum(CASE WHEN $anyPii THEN 1 ELSE 0 END), 0)
+          / count(*)) AS BIGINT) AS pii_rate_micro
+      FROM sc GROUP BY 1"""
+    }))
 }

@@ -59,6 +59,72 @@ class Round14OpsSpec extends AnyFunSuite {
       assert(bytes.toSeq === gifBytes(id).toSeq, s"id=$id payload")
   }
 
+  // ---- lineDedup -------------------------------------------------------
+
+  test("lineDedup: corpus-frequent lines drop, order survives, empty doc hashes md5('')") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "BANNER\nalpha beta\ngamma"),
+      (2L, "BANNER\ndelta"),
+      (3L, "BANNER\nalpha beta\nepsilon"),
+      (4L, "BANNER")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .lineDedup(docs, "doc_id", "text", maxLineDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // BANNER df=4 > 2 dropped; 'alpha beta' df=2 kept; singles kept
+    assert(out(1L) === ((3L, 2L, m("alpha beta\ngamma"))))
+    assert(out(2L) === ((2L, 1L, m("delta"))))
+    assert(out(3L) === ((3L, 2L, m("alpha beta\nepsilon"))))
+    assert(out(4L) === ((1L, 0L, m(""))))
+    // df counts DOCUMENTS: a doc repeating its own line doesn't breach
+    val rep = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    val out2 = graft.operators.TextAnalysis
+      .lineDedup(rep, "doc_id", "text", maxLineDf = 1)
+      .filter(col("id") === 1L).collect()(0)
+    assert(out2.getLong(1) === 3L && out2.getLong(2) === 3L)
+  }
+
+  // ---- Pii --------------------------------------------------------------
+
+  test("Pii.redact: sequential counts and sentinel substitution") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to bob.smith@corp.example.org today"),
+      (2L, "call 555-123-4567 or 555-999-0000"),
+      (3L, "host 192.168.0.1 acct 123456789012"),
+      (4L, "nothing here"),
+      // a 10-digit run formatted as a phone must count as PHONE not ID
+      (5L, "5551234567 and 555-123-4567")).toDF("doc_id", "text")
+    val out = graft.operators.Pii.redact(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    assert(out(1L) === ((1L, 0L, 0L, 0L, "write to <EMAIL> today")))
+    assert(out(2L) === ((0L, 0L, 2L, 0L, "call <PHONE> or <PHONE>")))
+    assert(out(3L) === ((0L, 1L, 0L, 1L, "host <IP> acct <ID>")))
+    assert(out(4L) === ((0L, 0L, 0L, 0L, "nothing here")))
+    assert(out(5L) === ((0L, 0L, 1L, 1L, "<ID> and <PHONE>")))
+  }
+
+  test("Pii.exposureReport: per-group totals and any-PII rate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a", "x@y.io and z@w.ai"),
+      (2L, "a", "clean"),
+      (3L, "b", "call 555-123-4567")).toDF("doc_id", "g", "text")
+    val red = graft.operators.Pii.redact(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"), col("g")), Seq("id"))
+    val rep = graft.operators.Pii.exposureReport(red, "g")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(rep("a") === Seq(2L, 2L, 0L, 0L, 0L, 1L, 500000L))
+    assert(rep("b") === Seq(1L, 0L, 0L, 1L, 0L, 1L, 1000000L))
+  }
+
   test("videoFramePhashes over SyntheticGif payloads = formula dHash") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 2L, 3L, 10L, 100L)
