@@ -287,4 +287,72 @@ object LangModel {
         .withColumn("avg_kn_x1e6", expr("kn_nll_x1e6 div n_bigrams")),
       v, c12)
   }
+
+  /** DoReMi-style domain-mixture reweighting (Xie et al. 2023,
+    * "Doremi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining", reduced to its deterministic excess-loss form): the
+    * domains whose proxy loss exceeds the corpus-wide mean get their
+    * mixture weight exponentiated UP, round after round, and the
+    * published recipe trains on the ROUND-AVERAGED weights — the
+    * group-DRO exponentiated-gradient update with a static reference.
+    *
+    * `perDoc` is any per-document (domain, loss) frame — e.g.
+    * [[bigramNll]] joined to the source column; losses are micro-nat
+    * longs. Per-domain mean and the corpus mean are EXACT integer
+    * divisions; `excess_d = max(mean_d − mean_corpus, 0)`.
+    *
+    * Each of the `rounds` updates is
+    * `w'_d = round(10⁶ · u_d / Σu)` with
+    * `u_d = round(w_d · exp(η · excess_d / 10¹²))` — the factor is the
+    * ONE mirrored double op per domain per round, micro-rounded to an
+    * exact long BEFORE the sum, so Σu is order-independent and every
+    * round's input is exact integers: cross-engine double drift cannot
+    * compound across rounds (the chiSquare per-cell discipline applied
+    * to an iteration).
+    *
+    * Scale shape: ONE corpus-grain aggregate (domain×loss sums); the EG
+    * iteration runs on the k-row domain table (k = |domains|, bounded)
+    * as `rounds` tiny agg+broadcast stages — never corpus-grain.
+    * Output: (grp, n_docs, mean_loss_micro, excess_micro, w_micro
+    * [final round], w_avg_micro [round-averaged, the DoReMi readout]). */
+  def doremiMixture(perDoc: DataFrame, grpCol: String, lossCol: String,
+      etaMicro: Long = 200000L, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val dom0 = perDoc
+      .filter(col(grpCol).isNotNull && col(lossCol).isNotNull)
+      .select(col(grpCol).cast("string").as("grp"),
+        col(lossCol).cast("long").as("loss"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("loss")).as("s"))
+      .withColumn("mean_loss_micro", expr("s div n_docs"))
+    val tot = dom0.agg(sum(col("s")).as("st"), sum(col("n_docs")).as("nt"),
+      count(lit(1)).as("k"))
+    val dom = dom0.crossJoin(broadcast(tot))
+      .withColumn("excess_micro",
+        greatest(col("mean_loss_micro") - expr("st div nt"), lit(0L)))
+      .select(col("grp"), col("n_docs"), col("mean_loss_micro"),
+        col("excess_micro"), col("k"))
+      .persist()
+    dom.count()
+    val w0 = dom.withColumn("w", expr("CAST(round(1e6 / k) AS BIGINT)"))
+      .withColumn("w_sum", lit(0L))
+    val last = (1 to rounds).foldLeft(w0) { (acc, _) =>
+      val u = acc.withColumn("u", expr(
+        s"CAST(round(w * exp($etaMicro * excess_micro / 1e12)) AS BIGINT)"))
+      val su = u.agg(sum(col("u")).as("su"))
+      u.crossJoin(broadcast(su))
+        .withColumn("w", expr(
+          "CAST(round(1e6 * u / CAST(su AS DOUBLE)) AS BIGINT)"))
+        .withColumn("w_sum", col("w_sum") + col("w"))
+        .drop("u", "su")
+    }
+    val out = last
+      .withColumn("w_avg_micro", expr(s"w_sum div ${rounds}L"))
+      .select(col("grp"), col("n_docs"), col("mean_loss_micro"),
+        col("excess_micro"), col("w").as("w_micro"), col("w_avg_micro"))
+      .persist()
+    out.count()
+    dom.unpersist(false)
+    out
+  }
 }

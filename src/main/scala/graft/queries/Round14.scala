@@ -15,7 +15,7 @@ object Round14 {
     * the construct half of the construct→process→oracle pattern (the
     * testdata text is a single-line word stream, so line structure is
     * built, deterministically, from doc fields). */
-  private val lineAugSpark: String =
+  private[graft] val lineAugSpark: String =
     """concat('ACCEPT COOKIES TO CONTINUE', chr(10),
       |  'via ', source, chr(10),
       |  array_join(transform(
@@ -219,5 +219,81 @@ object Round14 {
         CAST(round(1e6 * coalesce(sum(CASE WHEN $anyPii THEN 1 ELSE 0 END), 0)
           / count(*)) AS BIGINT) AS pii_rate_micro
       FROM sc GROUP BY 1"""
+    }),
+
+    // ---- DoReMi domain-mixture reweighting ---------------------------------
+    // the data-mix optimizer: per-source bigram-NLL proxy loss (the
+    // text_lm_perplexity model), excess over the corpus mean, 8 rounds of
+    // exponentiated-gradient reweighting on the domain table, round-
+    // averaged weights as the recipe's readout. Every round micro-rounds
+    // the exp factor to an exact long BEFORE the normalizing sum, so the
+    // oracle's unrolled CTE chain replays the iteration bit-for-bit.
+    Q("text_doremi_mixture", (s, d) => {
+      val nll = graft.operators.LangModel.bigramNll(
+        Tables.ts(s, d, "documents"), "doc_id", "text", 200)
+      val perDoc = nll.select(col("doc").as("doc_id"), col("avg_nll_x1e6"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+      val out = graft.operators.LangModel.doremiMixture(
+        perDoc, "source", "avg_nll_x1e6", etaMicro = 200000L, rounds = 8)
+      // doremiMixture's output is materialized (ownership contract), so
+      // the proxy-loss cache can be released here
+      nll.unpersist(false)
+      out
+    }, Some {
+      val roundCtes = (1 to 8).map { r =>
+        s"""u$r AS (SELECT grp, n_docs, mean_loss_micro, excess_micro, w_sum,
+           |    CAST(round(w * exp(200000 * excess_micro / 1e12)) AS BIGINT) AS u
+           |  FROM w${r - 1}),
+           |w$r AS (SELECT grp, n_docs, mean_loss_micro, excess_micro,
+           |    CAST(round(1e6 * u / CAST(sum(u) OVER () AS DOUBLE))
+           |      AS BIGINT) AS w,
+           |    w_sum + CAST(round(1e6 * u / CAST(sum(u) OVER () AS DOUBLE))
+           |      AS BIGINT) AS w_sum
+           |  FROM u$r)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      uni AS (SELECT t AS term, count(*) AS cnt
+              FROM (SELECT unnest(tk) AS t FROM toks) GROUP BY 1),
+      vocab AS (SELECT term FROM uni ORDER BY cnt DESC, term ASC LIMIT 200),
+      vn AS (SELECT count(*) AS v FROM vocab),
+      bgr AS (SELECT doc_id,
+                unnest(list_zip(list_slice(tk, 1, len(tk)-1),
+                                list_slice(tk, 2, len(tk)))) AS z
+              FROM toks WHERE len(tk) >= 2),
+      bg AS (SELECT doc_id,
+               CASE WHEN z[1] IN (SELECT term FROM vocab) THEN z[1] ELSE '<unk>' END AS w1,
+               CASE WHEN z[2] IN (SELECT term FROM vocab) THEN z[2] ELSE '<unk>' END AS w2
+             FROM bgr),
+      db AS (SELECT doc_id, w1, w2, count(*) AS occ FROM bg GROUP BY 1, 2, 3),
+      c12 AS (SELECT w1, w2, sum(occ) AS c12 FROM db GROUP BY 1, 2),
+      c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      model AS (SELECT c12.w1, c12.w2,
+                  CAST(round(-ln((c12.c12 + 1.0) / (c1.c1 + (vn.v + 1.0))) * 1000000.0, 0) AS BIGINT) AS nll_x1e6
+                FROM c12 JOIN c1 USING (w1) CROSS JOIN vn),
+      pd AS (SELECT db.doc_id,
+               CAST(sum(occ * nll_x1e6) // sum(occ) AS BIGINT) AS loss
+             FROM db JOIN model USING (w1, w2)
+             GROUP BY 1),
+      dom0 AS (SELECT d.source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(pd.loss) AS BIGINT) AS s
+               FROM pd JOIN documents d USING (doc_id)
+               WHERE d.source IS NOT NULL
+               GROUP BY 1),
+      tot AS (SELECT CAST(sum(s) AS BIGINT) AS st,
+                CAST(sum(n_docs) AS BIGINT) AS nt,
+                CAST(count(*) AS BIGINT) AS k
+              FROM dom0),
+      w0 AS (SELECT grp, n_docs, s // n_docs AS mean_loss_micro,
+               greatest(s // n_docs - st // nt, CAST(0 AS BIGINT))
+                 AS excess_micro,
+               CAST(round(1e6 / k) AS BIGINT) AS w,
+               CAST(0 AS BIGINT) AS w_sum
+             FROM dom0 CROSS JOIN tot),
+      $roundCtes
+      SELECT grp, n_docs, mean_loss_micro, excess_micro,
+        w AS w_micro, w_sum // 8 AS w_avg_micro
+      FROM w8"""
     }))
 }

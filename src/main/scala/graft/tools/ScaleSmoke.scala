@@ -925,6 +925,42 @@ object ScaleSmoke {
           }
         }
         ("wn_probe_batch", wnProbeCost(d1, "1x"), wnProbeCost(d10salt, "10x"))
+      },
+      // CCNet line dedup (round 14): line-grain explode + md5-keyed
+      // distinct-doc df aggregate + order-preserving reassembly —
+      // corpus-linear. The salted copies keep content lines per-copy-
+      // unique like 1x; only the constructed banner/template dfs grow,
+      // which changes the drop SET, not the plan shape.
+      {
+        import graft.operators.TextAnalysis
+        def ld(d: DataFrame, tag: String): Double = {
+          val aug = d.withColumn("aug",
+            expr(graft.queries.Round14.lineAugSpark))
+          time(s"line_dedup $tag")(
+            noop(TextAnalysis.lineDedup(aug, "doc_id", "aug", 30L)))
+        }
+        ("line_dedup", ld(d1, "1x"), ld(d10salt, "10x"))
+      },
+      // PII scan + redact (round 14): four sequential codegen'd regex
+      // passes in one projection — pure scan-bound work
+      {
+        import graft.operators.Pii
+        def pr(d: DataFrame, tag: String): Double =
+          time(s"pii_redact $tag")(noop(Pii.redact(d, "doc_id", "text")))
+        ("pii_redact", pr(d1, "1x"), pr(d10, "10x"))
+      },
+      // synthetic-GIF video-frame decode + dHash (round 14): per-row
+      // construct + JDK LZW decode + native fingerprint — embarrassingly
+      // parallel, no shuffle at all
+      {
+        import graft.operators.Multimodal
+        def vf(d: DataFrame, tag: String): Double = {
+          val g = d.select(col("doc_id")).withColumn("media",
+            expr(graft.queries.SyntheticGif.mediaSql("doc_id")))
+          time(s"video_frames $tag")(noop(
+            Multimodal.videoFramePhashes(g, "doc_id", "media")))
+        }
+        ("video_frames", vf(d1, "1x"), vf(d10, "10x"))
       })
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")

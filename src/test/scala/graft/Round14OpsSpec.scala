@@ -125,6 +125,48 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(rep("b") === Seq(1L, 0L, 0L, 1L, 0L, 1L, 1000000L))
   }
 
+  // ---- doremiMixture ----------------------------------------------------
+
+  test("doremiMixture: high-excess domain gains weight, rounds conserve mass") {
+    import spark.implicits._
+    // domain a: loss 1.0 nats, b: 2.0, c: 3.0 (micro) — corpus mean 2.0,
+    // so excess = (0, 0, 1e6) and only c is upweighted
+    val perDoc = Seq(
+      ("a", 1000000L), ("a", 1000000L),
+      ("b", 2000000L), ("b", 2000000L),
+      ("c", 3000000L), ("c", 3000000L)).toDF("g", "loss")
+    val out = graft.operators.LangModel
+      .doremiMixture(perDoc, "g", "loss", etaMicro = 200000L, rounds = 4)
+    val rows = out.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    out.unpersist()
+    assert(rows("a")._3 === 0L && rows("b")._3 === 0L)
+    assert(rows("c")._3 === 1000000L) // excess = mean_c - corpus mean
+    // c strictly above uniform, a/b strictly below and equal by symmetry
+    assert(rows("c")._4 > 333333L)
+    assert(rows("a")._4 === rows("b")._4)
+    assert(rows("a")._4 < 333333L)
+    // each round normalizes to ~1e6, so the final weights sum there too
+    val wSum = rows.values.map(_._4).sum
+    assert(math.abs(wSum - 1000000L) <= 3L)
+    // round-averaged weight sits between uniform and the final round
+    assert(rows("c")._5 > 333333L && rows("c")._5 < rows("c")._4)
+    // replay the 4 rounds in exact scala to pin the micro arithmetic
+    var w = Map("a" -> 333333L, "b" -> 333333L, "c" -> 333333L)
+    var ws = Map("a" -> 0L, "b" -> 0L, "c" -> 0L)
+    for (_ <- 1 to 4) {
+      val u = w.map { case (k, v) =>
+        k -> math.round(v * math.exp(
+          200000L * (if (k == "c") 1000000L else 0L) / 1e12)) }
+      val su = u.values.sum.toDouble
+      w = u.map { case (k, v) => k -> math.round(1e6 * v / su) }
+      ws = ws.map { case (k, v) => k -> (v + w(k)) }
+    }
+    assert(rows("c")._4 === w("c") && rows("a")._4 === w("a"))
+    assert(rows("c")._5 === ws("c") / 4)
+  }
+
   test("videoFramePhashes over SyntheticGif payloads = formula dHash") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 2L, 3L, 10L, 100L)
