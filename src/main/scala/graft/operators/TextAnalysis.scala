@@ -891,6 +891,39 @@ object TextAnalysis {
           x => x("ln")), "\n")).as("kept_hash"))
   }
 
+  /** Concat-and-chunk sequence packing — the step that turns a document
+    * corpus into fixed-length training sequences: documents are laid end
+    * to end in a deterministic global order (id asc) and cut every
+    * `seqLen` tokens, exactly the packing GPT-style pipelines apply
+    * before batching. Per document this reports which training sequences
+    * ("bins") it lands in: `start_bin = start_offset div L`,
+    * `end_bin = (end_offset − 1) div L`, and whether it straddles a cut
+    * (`crosses` — the fraction of crossing docs is the attention-mask
+    * fragmentation a packing review reads).
+    *
+    * The GLOBAL companion of [[packSequences]] (which bins per shard and
+    * restarts the offset at each source): one corpus-wide token stream,
+    * so the crossing flag is meaningful — that is what the attention
+    * mask pays for. The global running token offset rides
+    * [[GlobalRank.withCumSum]]'s sharded machinery — no corpus-grain
+    * single-partition window at any corpus size; everything else is a
+    * projection. Exact integer
+    * arithmetic throughout.
+    * Output: (id, n_tokens, start_bin, end_bin, crosses). */
+  def seqPack(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), tokenCount(textCol).as("n_tokens"))
+    val (cum, _) = GlobalRank.withCumSum(base, col("id"), asc = true,
+      col("id"), col("n_tokens"), "cum")
+    cum.select(col("id"), col("n_tokens"),
+      expr(s"(cum - n_tokens) div ${seqLen}L").as("start_bin"),
+      expr(s"(cum - 1) div ${seqLen}L").as("end_bin"))
+      .withColumn("crosses", col("end_bin") > col("start_bin"))
+  }
+
   /** Closed-form OLS readout over a 1-row (n_points, sx, sy, sxy, sxx)
     * DECIMAL(38,0) moment frame — split from [[heapsLaw]] so the
     * degenerate-variance guard is testable on constructed moments. The

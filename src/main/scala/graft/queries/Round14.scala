@@ -295,5 +295,67 @@ object Round14 {
       SELECT grp, n_docs, mean_loss_micro, excess_micro,
         w AS w_micro, w_sum // 8 AS w_avg_micro
       FROM w8"""
-    }))
+    }),
+
+    // ---- concat-and-chunk sequence packing ---------------------------------
+    // documents laid end to end in id order, cut every 512 tokens: per
+    // doc, its bin span and whether it straddles a cut. The global token
+    // offset rides the sharded GlobalRank cumsum — the oracle is the
+    // plain window formulation.
+    Q("text_seq_pack", (s, d) =>
+      TextAnalysis.seqPack(t(s, d, "documents"), "doc_id", "text", 512L)
+        .withColumnRenamed("id", "doc_id"),
+      Some("""
+        WITH base AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        c AS (SELECT doc_id, n_tokens,
+                sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM base)
+        SELECT doc_id, n_tokens,
+          CAST((cum - n_tokens) // 512 AS BIGINT) AS start_bin,
+          CAST((cum - 1) // 512 AS BIGINT) AS end_bin,
+          (cum - 1) // 512 > (cum - n_tokens) // 512 AS crosses
+        FROM c""")),
+
+    // ---- packing-efficiency rollup ------------------------------------------
+    // the review readout composed on the packing: per training sequence,
+    // how many documents touch it and how many start in it (span explode
+    // is bounded per doc by n_tokens/512 + 1), plus each bin's doc-count
+    // histogram downstream of a corpus where every doc is shorter than
+    // one sequence -> n_starts tracks throughput, n_docs tracks mask
+    // fragmentation.
+    Q("text_pack_bins", (s, d) => {
+      val packed = TextAnalysis.seqPack(
+        t(s, d, "documents"), "doc_id", "text", 512L)
+      packed
+        .select(col("id"), col("start_bin"),
+          explode(expr("sequence(start_bin, end_bin)")).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("start_bin") === col("bin"), 1L).otherwise(0L))
+            .as("n_starts"))
+    }, Some("""
+        WITH base AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+              WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        c AS (SELECT doc_id, n_tokens,
+                sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM base),
+        spans AS (SELECT doc_id,
+                CAST((cum - n_tokens) // 512 AS BIGINT) AS start_bin,
+                CAST((cum - 1) // 512 AS BIGINT) AS end_bin
+              FROM c),
+        ex AS (SELECT doc_id, start_bin,
+                unnest(range(start_bin, end_bin + 1)) AS bin
+              FROM spans)
+        SELECT CAST(bin AS BIGINT) AS bin,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(coalesce(sum(CASE WHEN start_bin = bin THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_starts
+        FROM ex GROUP BY 1""")))
 }

@@ -125,6 +125,22 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(rep("b") === Seq(1L, 0L, 0L, 1L, 0L, 1L, 1000000L))
   }
 
+  // ---- seqPack -----------------------------------------------------------
+
+  test("seqPack: global concat-and-chunk bins and crossing flags") {
+    import spark.implicits._
+    // token counts 3, 4, 5 with L = 4: offsets [0,3) [3,7) [7,12)
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .seqPack(docs, "doc_id", "text", 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((3L, 0L, 0L, false))) // [0,3) inside bin 0
+    assert(out(2L) === ((4L, 0L, 1L, true)))  // [3,7) straddles the cut at 4
+    assert(out(3L) === ((5L, 1L, 2L, true)))  // [7,12) straddles the cut at 8
+  }
+
   // ---- doremiMixture ----------------------------------------------------
 
   test("doremiMixture: high-excess domain gains weight, rounds conserve mass") {
