@@ -951,4 +951,65 @@ object Dedup {
       .filter(jaccardGe(num, den))
       .select(col("probe_id"), col("match_id")), psh)
   }
+
+  /** Exact duplicated-substring SCRUB (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every `k`-token span
+    * whose gram hash occurs at least `minOcc` times in the corpus —
+    * occurrences, not documents, so a document repeating ITSELF is
+    * scrubbed too, per the paper — marks its token positions duplicated
+    * in every occurrence, and the duplicated tokens are CUT from the
+    * document (the paper's ExactSubstr remedy, where the winnow/minhash
+    * families only detect document pairs).
+    *
+    * Plan: positional gram table ([[graft.functions.HashNative
+    * .gramHashes]] — in-order hash chain, no string n-gram
+    * materialization) → combine-friendly corpus occurrence count → the
+    * duplicated occurrences explode into their ≤ `k` covered positions
+    * (output bounded by k · dup-gram occurrences — corpus-linear, and on
+    * a mostly-unique corpus near zero) → distinct (doc, pos) coverage →
+    * one anti-join against the positional word table → order-preserving
+    * reassembly (the [[TextAnalysis.lineDedup]] shape). No corpus-grain
+    * window, nothing all-pairs.
+    *
+    * Output: one row per input doc — (id, n_tokens, n_dup_tokens,
+    * dup_frac_micro, scrubbed_hash = md5 of the surviving tokens joined
+    * by ' '; md5('') for a fully-duplicated doc). */
+  def exactSpanScrub(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minOcc: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+    val grams = base.select(col("id"), posexplode(
+        HashNative.gramHashes(HashNative.wordHashes(col("t")), k))
+        .as(Seq("p", "g")))
+    val dupG = grams.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc)
+      .select(col("g"))
+    val covered = grams.join(dupG, Seq("g"))
+      .select(col("id"),
+        explode(expr(s"sequence(p, p + ${k - 1})")).as("pos"))
+      .distinct()
+    val words = base.select(col("id"),
+      posexplode(split(col("t"), " ")).as(Seq("pos", "w")))
+    val kept = words.join(covered, Seq("id", "pos"), "left_anti")
+    val reassembled = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("w")))), x => x("w")), " "))
+          .as("scrubbed_hash"))
+    base.select(col("id"),
+        (size(split(col("t"), " "))).cast("long").as("n_tokens"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dup_tokens"),
+        expr("CAST(round(1e6 * (n_tokens - coalesce(n_kept, 0L)) " +
+          "/ n_tokens) AS BIGINT)").as("dup_frac_micro"),
+        coalesce(col("scrubbed_hash"),
+          lit(java.security.MessageDigest.getInstance("MD5")
+            .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString))
+          .as("scrubbed_hash"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.{HashExprs => H}
 import graft.operators.{Pii, Stats, TextAnalysis}
 
 /** Round-14 queries: the drift→FDR composed pipeline (the advertised
@@ -357,5 +358,62 @@ object Round14 {
           CAST(count(*) AS BIGINT) AS n_docs,
           CAST(coalesce(sum(CASE WHEN start_bin = bin THEN 1 ELSE 0 END), 0)
             AS BIGINT) AS n_starts
-        FROM ex GROUP BY 1""")))
+        FROM ex GROUP BY 1""")),
+
+    // ---- Lee et al. exact duplicated-substring scrub -----------------------
+    // the ExactSubstr REMEDY (cut the duplicated span), where the winnow/
+    // minhash families only detect pairs. Constructed duplication: a
+    // shared slogan on doc_id % 4 = 0 (cross-doc spans) and a copy of the
+    // doc's own first 10 words on doc_id % 7 = 0 (within-doc spans —
+    // occurrence-counted, per the paper). Oracle replays gram chains,
+    // coverage, and the reassembled scrubbed text via md5.
+    Q("dedup_exact_span", (s, d) => {
+      val aug = Tables.ts(s, d, "documents").withColumn("aug", expr(
+        """concat(text,
+          |  CASE WHEN doc_id % 4 = 0
+          |    THEN ' please subscribe to our newsletter today for more updates now'
+          |    ELSE '' END,
+          |  CASE WHEN doc_id % 7 = 0
+          |    THEN concat(' ', array_join(slice(split(text, ' '), 1, 10), ' '))
+          |    ELSE '' END)""".stripMargin))
+      graft.operators.Dedup.exactSpanScrub(aug, "doc_id", "aug", k = 6)
+    }, Some {
+      val gramChain = (2 to 6).foldLeft("wh[i+1]")((acc, j) =>
+        s"($acc * 31 + wh[i+$j]) % ${H.P}")
+      s"""
+      WITH aug AS (SELECT doc_id, text
+            || CASE WHEN doc_id % 4 = 0
+                 THEN ' please subscribe to our newsletter today for more updates now'
+                 ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' ' || array_to_string(
+                   list_slice(string_split(text, ' '), 1, 10), ' ')
+                 ELSE '' END AS t
+          FROM documents),
+      wht AS (SELECT doc_id AS id, ${H.duckWordHashes("t")} AS wh FROM aug),
+      g AS (SELECT id, CAST(i AS BIGINT) AS p, $gramChain AS gh
+            FROM wht, unnest(range(0, greatest(len(wh) - 5, 0))) AS t(i)),
+      dupg AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+      cov AS (SELECT DISTINCT g.id, g.p + u.u AS pos
+            FROM g JOIN dupg ON g.gh = dupg.gh,
+                 unnest(range(0, 6)) AS u(u)),
+      ws AS (SELECT doc_id AS id, string_split(t, ' ') AS ws FROM aug),
+      wpos AS (SELECT id, CAST(i - 1 AS BIGINT) AS pos,
+              ws[CAST(i AS INT)] AS w
+            FROM ws, unnest(range(1, len(ws) + 1)) AS t(i)),
+      kept AS (SELECT wpos.id, wpos.pos, wpos.w
+            FROM wpos LEFT JOIN cov
+              ON wpos.id = cov.id AND wpos.pos = cov.pos
+            WHERE cov.id IS NULL),
+      re AS (SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+              md5(string_agg(w, ' ' ORDER BY pos)) AS sh
+            FROM kept GROUP BY 1),
+      base AS (SELECT id, CAST(len(ws) AS BIGINT) AS n_tokens FROM ws)
+      SELECT base.id, n_tokens,
+        n_tokens - coalesce(n_kept, 0) AS n_dup_tokens,
+        CAST(round(1e6 * (n_tokens - coalesce(n_kept, 0)) / n_tokens)
+          AS BIGINT) AS dup_frac_micro,
+        coalesce(sh, md5('')) AS scrubbed_hash
+      FROM base LEFT JOIN re ON base.id = re.id"""
+    }))
 }

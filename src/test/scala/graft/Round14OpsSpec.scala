@@ -125,6 +125,37 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(rep("b") === Seq(1L, 0L, 0L, 1L, 0L, 1L, 1000000L))
   }
 
+  // ---- exactSpanScrub ----------------------------------------------------
+
+  test("exactSpanScrub: cross-doc and within-doc duplicated spans are cut") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // docs 1 and 2 share the 3-token span "x y z"; doc 3 repeats its own
+    // "p q r"; doc 4 is clean
+    val docs = Seq(
+      (1L, "a b x y z c"),
+      (2L, "d x y z e f g"),
+      (3L, "p q r s p q r"),
+      (4L, "u v w1 w2 w3 w4")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .exactSpanScrub(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(1L) === ((6L, 3L, m("a b c"))))
+    assert(out(2L) === ((7L, 3L, m("d e f g"))))
+    // within-doc: "p q r" occurs twice (positions 0-2 and 4-6) -> both cut
+    assert(out(3L) === ((7L, 6L, m("s"))))
+    assert(out(4L) === ((6L, 0L, m("u v w1 w2 w3 w4"))))
+    // a fully-duplicated doc survives as the empty string
+    val dup = Seq((1L, "t1 t2 t3"), (2L, "t1 t2 t3")).toDF("doc_id", "text")
+    val gone = graft.operators.Dedup
+      .exactSpanScrub(dup, "doc_id", "text", k = 3)
+      .filter(col("n_dup_tokens") === 3L).count()
+    assert(gone === 2L)
+  }
+
   // ---- seqPack -----------------------------------------------------------
 
   test("seqPack: global concat-and-chunk bins and crossing flags") {
