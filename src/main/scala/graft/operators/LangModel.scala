@@ -334,23 +334,32 @@ object LangModel {
         col("excess_micro"), col("k"))
       .persist()
     dom.count()
+    // each round references its predecessor twice (update + normalizing
+    // sum): an unbroken lineage doubles the plan tree per round, so every
+    // round ends in a localCheckpoint of the tiny k-row table (the
+    // pageRank discipline; the bradleyTerry iteration does the same)
     val w0 = dom.withColumn("w", expr("CAST(round(1e6 / k) AS BIGINT)"))
       .withColumn("w_sum", lit(0L))
+      .localCheckpoint()
     val last = (1 to rounds).foldLeft(w0) { (acc, _) =>
       val u = acc.withColumn("u", expr(
         s"CAST(round(w * exp($etaMicro * excess_micro / 1e12)) AS BIGINT)"))
       val su = u.agg(sum(col("u")).as("su"))
-      u.crossJoin(broadcast(su))
+      val next = u.crossJoin(broadcast(su))
         .withColumn("w", expr(
           "CAST(round(1e6 * u / CAST(su AS DOUBLE)) AS BIGINT)"))
         .withColumn("w_sum", col("w_sum") + col("w"))
         .drop("u", "su")
+        .localCheckpoint()
+      Checkpoints.release(acc)
+      next
     }
+    // checkpoint-backed result (the KMeans.assign ownership contract):
+    // callers release it with [[Checkpoints.release]] when done
     val out = last
       .withColumn("w_avg_micro", expr(s"w_sum div ${rounds}L"))
       .select(col("grp"), col("n_docs"), col("mean_loss_micro"),
         col("excess_micro"), col("w").as("w_micro"), col("w_avg_micro"))
-      .persist()
     out.count()
     dom.unpersist(false)
     out

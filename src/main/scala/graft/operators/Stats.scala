@@ -1548,4 +1548,93 @@ object Stats {
       .select(col("k"), col("p_micro"), col("rn"), col("p_adj_micro")),
       base)
   }
+
+  /** Bradley-Terry pairwise-strength fit via Hunter's (2004) MM updates —
+    * the model behind every pairwise-preference leaderboard (LLM eval
+    * arenas rank models with exactly this): given match outcomes
+    * (winner, loser), find strengths s with
+    * `P(i beats j) = s_i / (s_i + s_j)`. The MM iteration is
+    * `s'_i = W_i / Σ_j n_ij / (s_i + s_j)` (W_i = i's total wins,
+    * n_ij = matches between i and j), renormalized to Σs = k each round.
+    *
+    * Determinism discipline (the [[LangModel.doremiMixture]] pattern):
+    * strengths are micro longs; each round's per-cell term
+    * `t_ij = round(10¹² · n_ij / (s_i + s_j))` and per-item readout
+    * `u_i = round(10¹² · W_i / Σ_j t_ij)` are micro-rounded to exact
+    * longs BEFORE any sum, and the renormalization
+    * `s''_i = round(k·10⁶ · u_i / Σu)` divides two exact integers — so
+    * cross-engine double drift cannot compound across rounds.
+    *
+    * Scale shape: ONE corpus-grain aggregate (the win matrix — combine-
+    * friendly counts); items are ENFORCED ≤ `maxItems`, so the k²-cell
+    * iteration runs on bounded tables (`rounds` tiny join+agg stages).
+    * An item that never wins converges to strength 0; a zero pair-mass
+    * item (impossible from real matches) reads NULL, never a crash.
+    * Output: (item, n_wins, n_matches, s_micro) after `rounds` updates —
+    * a CHECKPOINT-BACKED frame: release with [[Checkpoints.release]]
+    * when done (the KMeans.assign ownership contract).
+    */
+  def bradleyTerry(matches: DataFrame, winCol: String, loseCol: String,
+      rounds: Int = 10, maxItems: Int = 1024): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val m1 = matches
+      .filter(col(winCol).isNotNull && col(loseCol).isNotNull &&
+        col(winCol) =!= col(loseCol))
+      .select(col(winCol).cast("string").as("w"),
+        col(loseCol).cast("string").as("l"))
+      .groupBy(col("w"), col("l")).agg(count(lit(1)).as("c"))
+      .persist()
+    val cells = m1.select(col("w").as("i"), col("l").as("j"), col("c"))
+      .unionByName(m1.select(col("l").as("i"), col("w").as("j"), col("c")))
+      .groupBy(col("i"), col("j")).agg(sum(col("c")).as("n"))
+      .persist()
+    val items = cells.groupBy(col("i").as("item"))
+      .agg(sum(col("n")).as("n_matches")).persist()
+    val k = items.count()
+    require(k <= maxItems,
+      s"bradleyTerry: $k items exceed maxItems=$maxItems; the k^2-cell " +
+        "iteration would leave bounded-table scale — bucket the items " +
+        "or raise the bound")
+    val wins = items
+      .join(m1.groupBy(col("w").as("item")).agg(sum(col("c")).as("n_wins")),
+        Seq("item"), "left")
+      .select(col("item"), coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+        col("n_matches"))
+    // each round references its predecessor TWICE (the per-item readout
+    // and the normalizing sum), so an unbroken lineage doubles the plan
+    // tree per round — 2^rounds analyzer cost. The round output is a
+    // ≤ k-row table: localCheckpoint flattens the plan for pocket change
+    // (the pageRank discipline, at every round because the table is tiny)
+    val s0 = wins.withColumn("s", lit(1000000L)).localCheckpoint()
+    val last = (1 to rounds).foldLeft(s0) { (acc, _) =>
+      val si = acc.select(col("item").as("i"), col("s").as("si"))
+      val sj = acc.select(col("item").as("j"), col("s").as("sj"))
+      val den = cells.join(si, Seq("i")).join(sj, Seq("j"))
+        .withColumn("t", expr("CAST(round(1e12 * n / (si + sj)) AS BIGINT)"))
+        .groupBy(col("i").as("item")).agg(sum(col("t")).as("den"))
+      val u = acc.join(den, Seq("item"))
+        .withColumn("u", expr(
+          """CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
+            |ELSE CAST(round(1e12 * n_wins / den) AS BIGINT) END"""
+            .stripMargin))
+      val su = u.agg(sum(col("u")).as("su"))
+      val next = u.crossJoin(broadcast(su))
+        .withColumn("s", expr(
+          s"CAST(round(${k}L * 1e6 * u / CAST(su AS DOUBLE)) AS BIGINT)"))
+        .drop("den", "u", "su")
+        .localCheckpoint()
+      Checkpoints.release(acc)
+      next
+    }
+    // checkpoint-backed result (the KMeans.assign ownership contract):
+    // the caller releases it with [[Checkpoints.release]] when done —
+    // re-persisting a projection over the final checkpoint would only
+    // add an evictable layer whose recompute needs the blocks anyway
+    val out = last
+      .select(col("item"), col("n_wins"), col("n_matches"),
+        col("s").as("s_micro"))
+    out.count()
+    m1.unpersist(false); cells.unpersist(false); items.unpersist(false)
+    out
+  }
 }

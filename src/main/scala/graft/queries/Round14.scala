@@ -243,10 +243,10 @@ object Round14 {
       out
     }, Some {
       val roundCtes = (1 to 8).map { r =>
-        s"""u$r AS (SELECT grp, n_docs, mean_loss_micro, excess_micro, w_sum,
+        s"""u$r AS MATERIALIZED (SELECT grp, n_docs, mean_loss_micro, excess_micro, w_sum,
            |    CAST(round(w * exp(200000 * excess_micro / 1e12)) AS BIGINT) AS u
            |  FROM w${r - 1}),
-           |w$r AS (SELECT grp, n_docs, mean_loss_micro, excess_micro,
+           |w$r AS MATERIALIZED (SELECT grp, n_docs, mean_loss_micro, excess_micro,
            |    CAST(round(1e6 * u / CAST(sum(u) OVER () AS DOUBLE))
            |      AS BIGINT) AS w,
            |    w_sum + CAST(round(1e6 * u / CAST(sum(u) OVER () AS DOUBLE))
@@ -286,7 +286,7 @@ object Round14 {
                 CAST(sum(n_docs) AS BIGINT) AS nt,
                 CAST(count(*) AS BIGINT) AS k
               FROM dom0),
-      w0 AS (SELECT grp, n_docs, s // n_docs AS mean_loss_micro,
+      w0 AS MATERIALIZED (SELECT grp, n_docs, s // n_docs AS mean_loss_micro,
                greatest(s // n_docs - st // nt, CAST(0 AS BIGINT))
                  AS excess_micro,
                CAST(round(1e6 / k) AS BIGINT) AS w,
@@ -415,5 +415,75 @@ object Round14 {
           AS BIGINT) AS dup_frac_micro,
         coalesce(sh, md5('')) AS scrubbed_hash
       FROM base LEFT JOIN re ON base.id = re.id"""
+    }),
+
+    // ---- Bradley-Terry pairwise strengths ----------------------------------
+    // the pairwise-preference leaderboard model (LLM eval arenas): head-
+    // to-head matches between event types (consecutive same-user events,
+    // higher value wins), 10 Hunter-MM rounds on the bounded k^2 cell
+    // table, every term micro-rounded before its sum so the oracle's
+    // unrolled CTEs replay the iteration exactly.
+    Q("q167_bradley_terry", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .withColumn("pt", lag(col("event_type"), 1).over(w))
+        .withColumn("pv", lag(col("value"), 1).over(w))
+        .filter(col("pt").isNotNull && col("pt") =!= col("event_type") &&
+          col("value").isNotNull && col("pv").isNotNull &&
+          col("value") =!= col("pv"))
+        .select(
+          when(col("value") > col("pv"), col("event_type"))
+            .otherwise(col("pt")).as("winner"),
+          when(col("value") > col("pv"), col("pt"))
+            .otherwise(col("event_type")).as("loser"))
+      Stats.bradleyTerry(pairs, "winner", "loser", rounds = 10)
+    }, Some {
+      val roundCtes = (1 to 10).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT c.i AS item,
+           |    CAST(sum(CAST(round(1e12 * c.n / (si.s + sj.s)) AS BIGINT))
+           |      AS BIGINT) AS den
+           |  FROM cells c JOIN s${r - 1} si ON c.i = si.item
+           |               JOIN s${r - 1} sj ON c.j = sj.item
+           |  GROUP BY 1),
+           |u$r AS MATERIALIZED (SELECT s.item, s.n_wins, s.n_matches,
+           |    CASE WHEN den = 0 THEN NULL
+           |         ELSE CAST(round(1e12 * s.n_wins / den) AS BIGINT)
+           |    END AS u
+           |  FROM s${r - 1} s JOIN d$r USING (item)),
+           |s$r AS MATERIALIZED (SELECT item, n_wins, n_matches,
+           |    CAST(round(k * 1e6 * u / CAST(sum(u) OVER () AS DOUBLE))
+           |      AS BIGINT) AS s
+           |  FROM u$r CROSS JOIN kk)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH seq AS (SELECT user_id, event_type, value,
+              lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pt,
+              lag(value) OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pv
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      mt AS (SELECT CASE WHEN value > pv THEN event_type ELSE pt END AS w,
+               CASE WHEN value > pv THEN pt ELSE event_type END AS l
+             FROM seq WHERE pt IS NOT NULL AND pt <> event_type
+               AND value IS NOT NULL AND pv IS NOT NULL AND value <> pv),
+      m1 AS MATERIALIZED (SELECT w, l, CAST(count(*) AS BIGINT) AS c FROM mt GROUP BY 1, 2),
+      cells AS MATERIALIZED (SELECT i, j, CAST(sum(c) AS BIGINT) AS n FROM (
+              SELECT w AS i, l AS j, c FROM m1
+              UNION ALL SELECT l AS i, w AS j, c FROM m1)
+            GROUP BY 1, 2),
+      items AS (SELECT i AS item, CAST(sum(n) AS BIGINT) AS n_matches
+            FROM cells GROUP BY 1),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM items),
+      wins AS (SELECT items.item,
+               CAST(coalesce(ww.nw, 0) AS BIGINT) AS n_wins, n_matches
+             FROM items LEFT JOIN (SELECT w AS item, sum(c) AS nw
+               FROM m1 GROUP BY 1) ww USING (item)),
+      s0 AS MATERIALIZED (SELECT item, n_wins, n_matches,
+               CAST(1000000 AS BIGINT) AS s FROM wins),
+      $roundCtes
+      SELECT item, n_wins, n_matches, s AS s_micro FROM s10"""
     }))
 }

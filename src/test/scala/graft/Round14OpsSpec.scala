@@ -125,6 +125,52 @@ class Round14OpsSpec extends AnyFunSuite {
     assert(rep("b") === Seq(1L, 0L, 0L, 1L, 0L, 1L, 1000000L))
   }
 
+  // ---- bradleyTerry ------------------------------------------------------
+
+  test("bradleyTerry: dominant item rises, symmetric matches stay equal") {
+    import spark.implicits._
+    // a beats b 3:1, b beats c 3:1, a beats c 4:0 — strict order a > b > c
+    val matches = (Seq.fill(3)(("a", "b")) ++ Seq(("b", "a")) ++
+      Seq.fill(3)(("b", "c")) ++ Seq(("c", "b")) ++
+      Seq.fill(4)(("a", "c"))).toDF("w", "l")
+    val out = graft.operators.Stats
+      .bradleyTerry(matches, "w", "l", rounds = 10)
+    val rows = out.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    graft.operators.Checkpoints.release(out)
+    assert(rows("a")._1 === 7L && rows("a")._2 === 8L)
+    assert(rows("b")._1 === 4L && rows("c")._1 === 1L)
+    assert(rows("a")._3 > rows("b")._3 && rows("b")._3 > rows("c")._3)
+    // strengths renormalize to k*1e6 each round
+    assert(math.abs(rows.values.map(_._3).sum - 3000000L) <= 3L)
+
+    // exact scala twin of one configuration pins the micro arithmetic
+    val cells = Map(("a", "b") -> 4L, ("b", "a") -> 4L,
+      ("b", "c") -> 4L, ("c", "b") -> 4L, ("a", "c") -> 4L, ("c", "a") -> 4L)
+    val wins = Map("a" -> 7L, "b" -> 4L, "c" -> 1L)
+    var s = Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L)
+    for (_ <- 1 to 10) {
+      val den = s.keys.map { i =>
+        i -> s.keys.filter(_ != i).map { j =>
+          math.round(1e12 * cells((i, j)) / (s(i) + s(j)))
+        }.sum
+      }.toMap
+      val u = s.keys.map(i => i -> math.round(1e12 * wins(i) / den(i))).toMap
+      val su = u.values.sum.toDouble
+      s = u.map { case (i, v) => i -> math.round(3L * 1e6 * v / su) }
+    }
+    assert(rows("a")._3 === s("a") && rows("b")._3 === s("b") &&
+      rows("c")._3 === s("c"))
+
+    // perfectly symmetric record -> equal strengths
+    val sym = Seq(("x", "y"), ("y", "x")).toDF("w", "l")
+    val so = graft.operators.Stats.bradleyTerry(sym, "w", "l", rounds = 5)
+    val sr = so.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    graft.operators.Checkpoints.release(so)
+    assert(sr("x") === sr("y"))
+  }
+
   // ---- exactSpanScrub ----------------------------------------------------
 
   test("exactSpanScrub: cross-doc and within-doc duplicated spans are cut") {
@@ -187,7 +233,7 @@ class Round14OpsSpec extends AnyFunSuite {
     val rows = out.collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5)))).toMap
-    out.unpersist()
+    graft.operators.Checkpoints.release(out)
     assert(rows("a")._3 === 0L && rows("b")._3 === 0L)
     assert(rows("c")._3 === 1000000L) // excess = mean_c - corpus mean
     // c strictly above uniform, a/b strictly below and equal by symmetry
