@@ -310,9 +310,11 @@ object LangModel {
     * compound across rounds (the chiSquare per-cell discipline applied
     * to an iteration).
     *
-    * Scale shape: ONE corpus-grain aggregate (domain×loss sums); the EG
-    * iteration runs on the k-row domain table (k = |domains|, bounded)
-    * as `rounds` tiny agg+broadcast stages — never corpus-grain.
+    * Scale shape: ONE corpus-grain aggregate (domain×loss sums) is the
+    * distributed part; the EG iteration is bounded control-plane work on
+    * the collected k-row domain table (k = |domains| — the k-means-
+    * centroid pattern; a Spark-side round loop pays a fixed multi-job
+    * latency per round for zero distributed benefit).
     * Output: (grp, n_docs, mean_loss_micro, excess_micro, w_micro
     * [final round], w_avg_micro [round-averaged, the DoReMi readout]). */
   def doremiMixture(perDoc: DataFrame, grpCol: String, lossCol: String,
@@ -332,36 +334,33 @@ object LangModel {
         greatest(col("mean_loss_micro") - expr("st div nt"), lit(0L)))
       .select(col("grp"), col("n_docs"), col("mean_loss_micro"),
         col("excess_micro"), col("k"))
-      .persist()
-    dom.count()
-    // each round references its predecessor twice (update + normalizing
-    // sum): an unbroken lineage doubles the plan tree per round, so every
-    // round ends in a localCheckpoint of the tiny k-row table (the
-    // pageRank discipline; the bradleyTerry iteration does the same)
-    val w0 = dom.withColumn("w", expr("CAST(round(1e6 / k) AS BIGINT)"))
-      .withColumn("w_sum", lit(0L))
-      .localCheckpoint()
-    val last = (1 to rounds).foldLeft(w0) { (acc, _) =>
-      val u = acc.withColumn("u", expr(
-        s"CAST(round(w * exp($etaMicro * excess_micro / 1e12)) AS BIGINT)"))
-      val su = u.agg(sum(col("u")).as("su"))
-      val next = u.crossJoin(broadcast(su))
-        .withColumn("w", expr(
-          "CAST(round(1e6 * u / CAST(su AS DOUBLE)) AS BIGINT)"))
-        .withColumn("w_sum", col("w_sum") + col("w"))
-        .drop("u", "su")
-        .localCheckpoint()
-      Checkpoints.release(acc)
-      next
+    // the EG iteration runs DRIVER-SIDE on the collected k-row domain
+    // table — bounded control-plane (the k-means-centroid pattern; a
+    // Spark-side round loop pays a fixed multi-job latency per round for
+    // zero distributed benefit, and the corpus-grain loss aggregate
+    // above is the distributed part). Math.exp / math.round on the
+    // nonnegative micro longs reproduce Spark's and DuckDB's doubles
+    // bit-for-bit, and every intermediate is micro-rounded exactly as
+    // the oracle's unrolled CTEs compute it.
+    val domRows = dom.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    val kk = domRows.headOption.map(_._5).getOrElse(1L)
+    var w = domRows.map(d => d._1 -> math.round(1e6 / kk)).toMap
+    var wSum = domRows.map(d => d._1 -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val u = domRows.map { case (g, _, _, ex, _) =>
+        g -> math.round(w(g) * math.exp(etaMicro * ex / 1e12))
+      }.toMap
+      val su = u.valuesIterator.sum.toDouble
+      w = u.map { case (g, v) => g -> math.round(1e6 * v / su) }
+      wSum = wSum.map { case (g, v) => g -> (v + w(g)) }
     }
-    // checkpoint-backed result (the KMeans.assign ownership contract):
-    // callers release it with [[Checkpoints.release]] when done
-    val out = last
-      .withColumn("w_avg_micro", expr(s"w_sum div ${rounds}L"))
-      .select(col("grp"), col("n_docs"), col("mean_loss_micro"),
-        col("excess_micro"), col("w").as("w_micro"), col("w_avg_micro"))
-    out.count()
-    dom.unpersist(false)
+    val spark = perDoc.sparkSession
+    import spark.implicits._
+    val out = domRows.toSeq.map { case (g, nd, ml, ex, _) =>
+      (g, nd, ml, ex, w(g), wSum(g) / rounds)
+    }.toDF("grp", "n_docs", "mean_loss_micro", "excess_micro",
+      "w_micro", "w_avg_micro")
     out
   }
 }

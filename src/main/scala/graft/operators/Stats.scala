@@ -1566,13 +1566,13 @@ object Stats {
     * cross-engine double drift cannot compound across rounds.
     *
     * Scale shape: ONE corpus-grain aggregate (the win matrix — combine-
-    * friendly counts); items are ENFORCED ≤ `maxItems`, so the k²-cell
-    * iteration runs on bounded tables (`rounds` tiny join+agg stages).
-    * An item that never wins converges to strength 0; a zero pair-mass
-    * item (impossible from real matches) reads NULL, never a crash.
-    * Output: (item, n_wins, n_matches, s_micro) after `rounds` updates —
-    * a CHECKPOINT-BACKED frame: release with [[Checkpoints.release]]
-    * when done (the KMeans.assign ownership contract).
+    * friendly counts) is the distributed part; items are ENFORCED
+    * ≤ `maxItems`, so the k²-cell MM iteration is bounded control-plane
+    * work and runs DRIVER-SIDE on the collected tables (the k-means-
+    * centroid pattern — a Spark-side round loop pays a fixed multi-job
+    * latency per round for zero distributed benefit; measured 4.5-5.8 s
+    * vs ~2 s at sf0.1). An item that never wins converges to strength 0.
+    * Output: (item, n_wins, n_matches, s_micro) after `rounds` updates.
     */
   def bradleyTerry(matches: DataFrame, winCol: String, loseCol: String,
       rounds: Int = 10, maxItems: Int = 1024): DataFrame = {
@@ -1600,40 +1600,45 @@ object Stats {
         Seq("item"), "left")
       .select(col("item"), coalesce(col("n_wins"), lit(0L)).as("n_wins"),
         col("n_matches"))
-    // each round references its predecessor TWICE (the per-item readout
-    // and the normalizing sum), so an unbroken lineage doubles the plan
-    // tree per round — 2^rounds analyzer cost. The round output is a
-    // ≤ k-row table: localCheckpoint flattens the plan for pocket change
-    // (the pageRank discipline, at every round because the table is tiny)
-    val s0 = wins.withColumn("s", lit(1000000L)).localCheckpoint()
-    val last = (1 to rounds).foldLeft(s0) { (acc, _) =>
-      val si = acc.select(col("item").as("i"), col("s").as("si"))
-      val sj = acc.select(col("item").as("j"), col("s").as("sj"))
-      val den = cells.join(si, Seq("i")).join(sj, Seq("j"))
-        .withColumn("t", expr("CAST(round(1e12 * n / (si + sj)) AS BIGINT)"))
-        .groupBy(col("i").as("item")).agg(sum(col("t")).as("den"))
-      val u = acc.join(den, Seq("item"))
-        .withColumn("u", expr(
-          """CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
-            |ELSE CAST(round(1e12 * n_wins / den) AS BIGINT) END"""
-            .stripMargin))
-      val su = u.agg(sum(col("u")).as("su"))
-      val next = u.crossJoin(broadcast(su))
-        .withColumn("s", expr(
-          s"CAST(round(${k}L * 1e6 * u / CAST(su AS DOUBLE)) AS BIGINT)"))
-        .drop("den", "u", "su")
-        .localCheckpoint()
-      Checkpoints.release(acc)
-      next
+    // the iteration runs DRIVER-SIDE on the collected bounded tables —
+    // the k-means-centroid control-plane pattern: cells ≤ k² and wins
+    // ≤ k rows by the ENFORCED maxItems bound, and a Spark-side round
+    // loop costs a fixed multi-job latency per round that dwarfs the
+    // arithmetic (measured 4.5-5.8 s vs ~2 s at sf0.1 for ZERO
+    // distributed work — the corpus-grain win-matrix aggregate above is
+    // the distributed part). Driver doubles reproduce the engines'
+    // bit-for-bit: Math.exp == Spark's exp == DuckDB's, and every
+    // intermediate is micro-rounded to a long exactly as the oracle's
+    // unrolled CTEs compute it (nonnegative values, so HALF_UP == the
+    // floor(x+0.5) of math.round).
+    val byI = cells.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val winRows = wins.collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+    val itemsArr = winRows.map(_._1)
+    var sMap = itemsArr.map(_ -> 1000000L).toMap
+    for (_ <- 1 to rounds) {
+      // den_i = Σ_j t_ij with each t micro-rounded first (t > 0 always:
+      // n ≥ 1 and at least one of any playing pair has a win, so
+      // strengths cannot all collapse — den = 0 is unreachable from
+      // real matches and guarded by the oracle's mirrored CASE)
+      val den = itemsArr.map { i =>
+        i -> byI(i).map { case (_, j, n) =>
+          math.round(1e12 * n / (sMap(i) + sMap(j)))
+        }.sum
+      }.toMap
+      val u = winRows.map { case (i, (nw, _)) =>
+        i -> (if (den(i) == 0L) 0L else math.round(1e12 * nw / den(i)))
+      }.toMap
+      val su = u.valuesIterator.sum.toDouble
+      sMap = itemsArr.map(i => i -> math.round(k * 1e6 * u(i) / su)).toMap
     }
-    // checkpoint-backed result (the KMeans.assign ownership contract):
-    // the caller releases it with [[Checkpoints.release]] when done —
-    // re-persisting a projection over the final checkpoint would only
-    // add an evictable layer whose recompute needs the blocks anyway
-    val out = last
-      .select(col("item"), col("n_wins"), col("n_matches"),
-        col("s").as("s_micro"))
-    out.count()
+    val spark = matches.sparkSession
+    import spark.implicits._
+    val out = winRows.toSeq
+      .map { case (i, (nw, nm)) => (i, nw, nm, sMap(i)) }
+      .toDF("item", "n_wins", "n_matches", "s_micro")
     m1.unpersist(false); cells.unpersist(false); items.unpersist(false)
     out
   }

@@ -4,9 +4,19 @@ import org.apache.spark.sql.functions._
 import graft.functions.{HashExprs => H}
 import graft.operators.{Pii, Stats, TextAnalysis}
 
-/** Round-14 queries: the drift→FDR composed pipeline (the advertised
-  * chain q164 + q161 were built for, oracle-checked END TO END), CCNet
-  * line-level boilerplate removal, and the PII scan/redact stage. */
+/** Round-14 queries — the curation-pipeline growth set:
+  *  - q166_drift_fdr: the drift→FDR composed pipeline (the advertised
+  *    chain q164 + q161 were built for), oracle-checked end to end;
+  *  - text_line_dedup: CCNet line-level boilerplate removal;
+  *  - text_pii_scan / text_pii_rate: the PII scrub stage + exposure report;
+  *  - text_doremi_mixture: DoReMi excess-loss domain reweighting;
+  *  - text_seq_pack / text_pack_bins: global concat-and-chunk packing;
+  *  - dedup_exact_span: Lee-et-al exact duplicated-substring scrub;
+  *  - q167_bradley_terry: pairwise-preference strength fit (Hunter MM).
+  * Iterative oracles (doremi, bradley-terry) mark every multi-referenced
+  * round CTE `AS MATERIALIZED` — DuckDB otherwise INLINES each reference
+  * and the doubled-per-round expansion re-opens the scanned parquet
+  * exponentially many times (observed as fd exhaustion at 10 rounds). */
 object Round14 {
   import Tables.t
 
@@ -237,8 +247,8 @@ object Round14 {
           Seq("doc_id"))
       val out = graft.operators.LangModel.doremiMixture(
         perDoc, "source", "avg_nll_x1e6", etaMicro = 200000L, rounds = 8)
-      // doremiMixture's output is materialized (ownership contract), so
-      // the proxy-loss cache can be released here
+      // doremiMixture consumed the proxy loss (its domain collect is the
+      // materialization), so the bigramNll cache can be released here
       nll.unpersist(false)
       out
     }, Some {
