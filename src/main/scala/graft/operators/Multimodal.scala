@@ -667,6 +667,94 @@ object MediaCodec {
     Some(out)
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** [[decodeWavStats]] silence threshold: 1% of 16-bit full scale. */
+  val SilenceAbs = 328L
+
+  /** [[decodeWavStats]] clipping threshold: |amplitude| at or above this
+    * counts as clipped (just under full scale — real clipping rarely
+    * pins the exact max). */
+  val ClipAbs = 30000L
+
+  /** REAL PCM WAV decode → integer signal statistics, the audio quality
+    * scorecard next to [[decodeWavEnvelope]]'s perceptual envelope: a
+    * curation pipeline gates audio shards on loudness (RMS), dynamic
+    * range (peak), silence ratio, clipping, and spectral activity
+    * (zero-crossing rate) before any expensive model sees the bytes.
+    * Same canonical-RIFF walk and PCM16 contract as the envelope decode;
+    * channels fold to a mono frame by truncating integer division (Java
+    * `/` — exact and engine-independent; the declared oracle query uses
+    * mono payloads so the fold is the identity there). All eight outputs
+    * are exact longs — `Σm²` tops out at 2³⁰ per frame, so the sum
+    * fails loud (never wraps silently) only past ~8·10⁹ frames, two
+    * days of 48 kHz audio in ONE payload:
+    * `[n_frames, channels, Σ|m|, Σm², max|m|, zero_crossings,
+    *   silence_frames (|m| < [[SilenceAbs]]),
+    *   clip_frames (|m| ≥ [[ClipAbs]])]`;
+    * a zero crossing is a strict sign change (zero frames break a run —
+    * +,0,+ does not cross). None on anything malformed. */
+  def decodeWavStats(bytes: Array[Byte]): Option[Array[Long]] = try {
+    if (bytes == null || bytes.length < 44) return None
+    if (Multimodal.sniffFormat(bytes) != "riff") return None
+    def tag(o: Int): String =
+      if (o + 4 > bytes.length) ""
+      else new String(bytes.slice(o, o + 4), "US-ASCII")
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (tag(8) != "WAVE") return None
+    var off = 12L // Long cursor: malformed sizes must end the walk, not wrap
+    var channels = 0
+    var dataOff = -1
+    var dataLen = 0L
+    while (off + 8 <= bytes.length && (channels == 0 || dataOff < 0)) {
+      val o = off.toInt
+      val t = tag(o)
+      val sz = u32(o + 4)
+      if (t == "fmt ") {
+        if (o + 8 + 16 > bytes.length) return None
+        if (u16(o + 8) != 1 || u16(o + 8 + 14) != 16) return None // PCM16
+        channels = u16(o + 8 + 2)
+        if (channels < 1) return None
+      } else if (t == "data") {
+        dataOff = o + 8
+        dataLen = math.min(sz, (bytes.length - dataOff).toLong)
+      }
+      off += 8L + sz + (sz & 1L)
+    }
+    if (channels == 0 || dataOff < 0) return None
+    val frames = (dataLen / (2L * channels)).toInt
+    if (frames < 1) return None
+    var sumAbs = 0L
+    var sumSq = 0L
+    var maxAbs = 0L
+    var zc = 0L
+    var silence = 0L
+    var clip = 0L
+    var prev = 0L
+    var f = 0
+    while (f < frames) {
+      var s = 0L
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + 2 * (f * channels + c)
+        s += ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+        c += 1
+      }
+      val m = s / channels
+      val a = math.abs(m)
+      sumAbs += a
+      sumSq += m * m
+      if (a > maxAbs) maxAbs = a
+      if (f > 0 && ((m > 0 && prev < 0) || (m < 0 && prev > 0))) zc += 1
+      if (a < SilenceAbs) silence += 1
+      if (a >= ClipAbs) clip += 1
+      prev = m
+      f += 1
+    }
+    Some(Array(frames.toLong, channels.toLong, sumAbs, sumSq, maxAbs,
+      zc, silence, clip))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Feature vector: REAL signal statistics when the payload decodes —
     * image grid lumas (PNG/JPEG via ImageIO) or the PCM WAV amplitude
     * envelope — folded into `dim` lanes (same fold as the stub, over

@@ -1642,4 +1642,185 @@ object Stats {
     m1.unpersist(false); cells.unpersist(false); items.unpersist(false)
     out
   }
+
+  /** Wilcoxon signed-rank test over PRE-INTEGERIZED pairs — the paired
+    * companion to [[mannWhitneyU]] (matched before/after measurements on
+    * the same entity, where the two-sample rank test would throw away the
+    * pairing). Input rows carry exact-long `xCol`/`yCol` (the caller
+    * integerizes — a per-entity sum of micro-rounded values stays exact
+    * where a double mean would not); zero differences drop per the
+    * textbook treatment, |d| takes pooled EXACT doubled midranks on the
+    * value-grain table ([[doubledMidranks]]; compactness ENFORCED), and
+    * the doubled positive-rank sum `w2p = Σ t⁺·dr = 2·W⁺` is an exact
+    * long. The normal approximation
+    * `z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)` is the only
+    * double, with the tie sum carried in DECIMAL(38,0) (one hot |d|
+    * value's t³ wraps a long past ~2·10⁶ pairs — the kruskalWallis
+    * lesson). Degenerate n = 0 (all pairs tied) or zero variance → NULL
+    * z. Output: one row (n_pairs, w2_plus, z).
+    *
+    * Scale: pair-grain aggregates + one value-grain rank pass — the
+    * mannWhitney plan shape; nothing is proportional to the pair count
+    * after the first groupBy. */
+  def wilcoxonSignedRank(pairs: DataFrame, xCol: String, yCol: String,
+      maxDistinctValues: Int = 1 << 22): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = pairs
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((col(xCol).cast("long") - col(yCol).cast("long")).as("dd"))
+      .filter(col("dd") =!= 0L)
+      .select(abs(col("dd")).as("v"), (col("dd") > 0L).as("pos"))
+    val pv = base.groupBy(col("v"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("tp"))
+      .persist()
+    requireCompactDomain("wilcoxonSignedRank", pv, maxDistinctValues)
+    val dmid = doubledMidranks(pv.select(col("v"), col("t")), pv.count())
+      .select(col("v"), col("dr"))
+    finalized(pv.join(dmid, Seq("v"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_pairs"),
+        coalesce(sum(col("tp") * col("dr")), lit(0L)).as("w2_plus"),
+        coalesce(sum((col("t").cast(dec) * col("t") * col("t"))
+          - col("t").cast(dec)), lit(BigDecimal(0)).cast(dec)).as("tie3"))
+      .select(col("n_pairs"), col("w2_plus"), expr(
+        """CASE WHEN n_pairs = 0 THEN CAST(NULL AS DOUBLE)
+          |  WHEN CAST(n_pairs AS DOUBLE) * (n_pairs + 1)
+          |       * (2 * n_pairs + 1) / 24.0
+          |       - CAST(tie3 AS DOUBLE) / 48.0 <= 0.0
+          |  THEN CAST(NULL AS DOUBLE)
+          |  ELSE round((CAST(w2_plus AS DOUBLE) / 2.0
+          |      - CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4.0)
+          |    / sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1)
+          |        * (2 * n_pairs + 1) / 24.0
+          |        - CAST(tie3 AS DOUBLE) / 48.0), 6)
+          |  END""".stripMargin).as("z")), pv)
+  }
+
+  /** Brown-Forsythe variance-homogeneity test: one-way ANOVA F over
+    * absolute deviations from each group's LOWER MEDIAN — the robust
+    * Levene variant, and the gate a location test (t/Mann-Whitney) wants
+    * checked before pooling variances. The lower median (the ⌈n/2⌉-th
+    * order statistic, an exact ELEMENT of the integerized domain rather
+    * than an interpolated average) keeps every deviation an exact long —
+    * documented deviation from the mean-of-two-middles textbook median,
+    * chosen so the hash compare is integer-exact on both engines.
+    *
+    * Plan: value-grain cells (g, v, c) with a per-GROUP ordered window
+    * (parallel across groups; pooled compactness ENFORCED by the
+    * mannWhitney guard) pick each group's median; deviations stay on the
+    * cell grain, so the moment sums `S_g = Σ c·z` and `Q_g = Σ c·z²`
+    * aggregate cells, not rows, with z² carried in DECIMAL(38,0)
+    * (micro-unit deviations square past 2⁶³ immediately). Between/within
+    * sums of squares use the computational identities
+    * `SSB = Σ S_g²/n_g − S²/N`, `SSW = Σ Q_g − Σ S_g²/n_g`, with each
+    * group's `round(1e6·S_g²/n_g)` micro-rounded then summed in DECIMAL
+    * (the kruskalWallis term discipline); `F = (SSB/(k−1))/(SSW/(N−k))`
+    * is the one closing mirrored double. Degenerates: k < 2, N ≤ k, or
+    * SSW = 0 → NULL f. Output: one row (n, n_groups, f_micro). */
+  def brownForsythe(df: DataFrame, grpCol: String, valCol: String,
+      valScale: Double = 1e6, maxDistinctValues: Int = 1 << 22): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .filter(col(grpCol).isNotNull && col(valCol).isNotNull)
+      .select(col(grpCol).cast("string").as("g"),
+        round(col(valCol) * valScale).cast("long").as("v"))
+    val cells = base.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c")).persist()
+    requireCompactDomain("brownForsythe",
+      cells.select(col("v")).distinct(), maxDistinctValues)
+    val wg = Window.partitionBy(col("g")).orderBy(col("v").asc)
+    val med = cells
+      .withColumn("cum", sum(col("c")).over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ng", sum(col("c")).over(
+        Window.partitionBy(col("g"))))
+      .filter(col("cum") * 2 >= col("ng") + 1)
+      .groupBy(col("g")).agg(min(col("v")).as("med"))
+    val per = cells.join(med, Seq("g"))
+      .withColumn("z", abs(col("v") - col("med")))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("ng"),
+        sum(col("c") * col("z")).as("sg"),
+        sum(col("c").cast(dec) * col("z") * col("z")).as("qg"))
+      .select(col("ng"), col("sg"), col("qg"), expr(
+        "CAST(round(1e6 * CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng) " +
+          "AS DECIMAL(38,0))").as("term"))
+      .agg(coalesce(sum(col("ng")), lit(0L)).as("n"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum(col("sg")), lit(0L)).as("s_all"),
+        coalesce(sum(col("qg")), lit(BigDecimal(0)).cast(dec)).as("q_all"),
+        coalesce(sum(col("term")), lit(BigDecimal(0)).cast(dec)).as("t_all"))
+    finalized(per.select(col("n"), col("n_groups"), expr(
+      """CASE WHEN n_groups < 2 OR n <= n_groups THEN CAST(NULL AS BIGINT)
+        |  WHEN CAST(q_all AS DOUBLE) - CAST(t_all AS DOUBLE) / 1e6 <= 0.0
+        |  THEN CAST(NULL AS BIGINT)
+        |  ELSE CAST(round(1e6
+        |    * ((CAST(t_all AS DOUBLE) / 1e6
+        |        - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n)
+        |       / (n_groups - 1))
+        |    / ((CAST(q_all AS DOUBLE) - CAST(t_all AS DOUBLE) / 1e6)
+        |       / (n - n_groups))) AS BIGINT)
+        |  END""".stripMargin).as("f_micro")), cells)
+  }
+
+  /** Dunn's post-hoc pairwise comparisons after [[kruskalWallis]], with
+    * the Benjamini-Hochberg closer — WHICH groups differ, once the
+    * omnibus H says some do. Pooled doubled midranks ride the same
+    * value-grain machinery (compactness ENFORCED); each group reduces to
+    * (n_g, Σ doubled ranks), and the C(k,2) pair stage is a self-join of
+    * the k-row GROUP table (broadcast by construction — k is the number
+    * of categories, never the row count). Per pair
+    * `z = |R̄_i − R̄_j| / √((N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/n_i+1/n_j))`
+    * with mean ranks `R̄ = r2/(2n)` as mirrored doubles and the tie sum
+    * in DECIMAL(38,0); the two-sided p uses Lin's (1989) logistic-tail
+    * approximation `p = min(1, 2·exp(−0.717z − 0.416z²))` — elementary
+    * ops only, so both engines compute the identical double (neither
+    * Spark SQL nor DuckDB exposes erf; the approximation is monotone in
+    * z, which is all the FDR ranking needs). The family then rides
+    * [[bhAdjust]] unchanged. Output: (k = "gi|gj", p_micro, rn,
+    * p_adj_micro) per unordered pair. */
+  def dunnPosthoc(df: DataFrame, grpCol: String, valCol: String,
+      valScale: Double = 1e6, maxDistinctValues: Int = 1 << 22): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .filter(col(grpCol).isNotNull && col(valCol).isNotNull)
+      .select(col(grpCol).cast("string").as("g"),
+        round(col(valCol) * valScale).cast("long").as("v"))
+    val pv = base.groupBy(col("v")).agg(count(lit(1)).as("t")).persist()
+    requireCompactDomain("dunnPosthoc", pv, maxDistinctValues)
+    val dmid = doubledMidranks(pv, pv.count()).select(col("v"), col("dr"))
+    val per = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .join(dmid, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("ng"), sum(col("c") * col("dr")).as("r2"))
+    val tie = pv.agg(coalesce(sum(col("t")), lit(0L)).as("n"),
+      coalesce(sum((col("t").cast(dec) * col("t") * col("t"))
+        - col("t").cast(dec)), lit(BigDecimal(0)).cast(dec)).as("tie3"))
+    val a = per.select(col("g").as("gi"), col("ng").as("ni"),
+      col("r2").as("ri"))
+    val b = per.select(col("g").as("gj"), col("ng").as("nj"),
+      col("r2").as("rj"))
+    val pairs = a.join(broadcast(b), col("gi") < col("gj"))
+      .crossJoin(broadcast(tie))
+      .withColumn("z", expr(
+        """CASE WHEN n < 2
+          |    OR CAST(n AS DOUBLE) * (n + 1) / 12.0
+          |       - CAST(tie3 AS DOUBLE) / (12.0 * (n - 1)) <= 0.0
+          |  THEN CAST(NULL AS DOUBLE)
+          |  ELSE abs(CAST(ri AS DOUBLE) / (2.0 * ni)
+          |      - CAST(rj AS DOUBLE) / (2.0 * nj))
+          |    / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+          |        - CAST(tie3 AS DOUBLE) / (12.0 * (n - 1)))
+          |      * (1.0 / ni + 1.0 / nj))
+          |  END""".stripMargin))
+      .select(concat(col("gi"), lit("|"), col("gj")).as("k"), expr(
+        """CASE WHEN z IS NULL THEN CAST(NULL AS BIGINT)
+          |  ELSE CAST(round(1e6 * least(1.0,
+          |    2.0 * exp(-0.717 * z - 0.416 * z * z))) AS BIGINT)
+          |  END""".stripMargin).as("p_micro"))
+    val out = bhAdjust(pairs, "k", "p_micro")
+    pv.unpersist(false)
+    out
+  }
 }

@@ -32,6 +32,19 @@ object TextAnalysis {
   def avgTokenLenX1e4(text: String): Column =
     expr(s"((length($text) - (size(split($text, ' ')) - 1)) * 10000) div size(split($text, ' '))")
 
+  /** Sentence count for the readability formulas: terminal-punctuation
+    * runs, floored at 1 (a fragment with no terminator is one sentence,
+    * not a division by zero). ASCII class only — Java and RE2 agree. */
+  def sentenceCount(text: String): Column = expr(
+    s"greatest(1L, CAST(size(regexp_extract_all($text, '[.!?]+', 0)) AS BIGINT))")
+
+  /** Heuristic syllable count: maximal vowel runs (`[aeiouy]+`), the
+    * standard dictionary-free approximation the Flesch-Kincaid family is
+    * routinely computed with (silent-e and diphthong errors wash out at
+    * corpus scale). */
+  def syllableCount(text: String): Column = expr(
+    s"CAST(size(regexp_extract_all($text, '[aeiouy]+', 0)) AS BIGINT)")
+
   /** Count of tokens drawn from a marker set. */
   def markerCount(text: String, markers: Seq[String]): Column =
     expr(s"size(filter(split($text, ' '), t -> t IN ${sqlSet(markers)}))")

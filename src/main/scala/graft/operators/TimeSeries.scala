@@ -597,4 +597,104 @@ object TimeSeries {
             |       + CAST(n_days AS DOUBLE) * n_days)))) AS BIGINT)"""
             .stripMargin).as("p_micro"))
   }
+
+  /** Ljung-Box portmanteau test on each group's daily-count
+    * autocorrelations — "is this series white noise, jointly over the
+    * first h lags?", the residual-diagnostics closer that a single
+    * [[acf]] spike can't answer (h marginal tests inflate the family
+    * error; Q pools them). Composes [[acf]] unchanged:
+    * `Q = n(n+2) Σ_{k≤h} r_k²/(n−k)` with each lag's
+    * `round(1e9·r_k²/(n−k))` nano-rounded THEN summed (exact longs — a
+    * cross-row double sum over the lag rows would be order-dependent),
+    * and the closing `q_micro = round(1e6·n(n+2)·Σ/1e9)` the one mirrored
+    * double. r_k reads the already-rounded `acf_micro` (deterministic by
+    * construction). Groups whose variance is 0 (NULL acf) drop their
+    * NULL lags; h_lags records how many lags actually contributed (a
+    * span shorter than maxLag yields fewer join rows — visible, not
+    * silent). Output: (grp, n_days, h_lags, q_micro).
+    *
+    * Scale: the lag table is (groups × maxLag) rows — everything heavy
+    * already happened inside [[acf]]'s day-grain plan. */
+  def ljungBox(events: DataFrame, grpCol: String, tsCol: String,
+      maxLag: Int): DataFrame = {
+    acf(events, grpCol, tsCol, maxLag)
+      .filter(col("acf_micro").isNotNull)
+      .withColumn("term_nano", expr(
+        """CAST(round(1e9
+          |  * (CAST(acf_micro AS DOUBLE) / 1e6)
+          |  * (CAST(acf_micro AS DOUBLE) / 1e6)
+          |  / (n_days - lag)) AS BIGINT)""".stripMargin))
+      .groupBy(col("grp"))
+      .agg(max(col("n_days")).as("n_days"),
+        count(lit(1)).as("h_lags"),
+        sum(col("term_nano")).as("s_nano"))
+      .select(col("grp"), col("n_days"), col("h_lags"), expr(
+        """CAST(round(1e6 * CAST(n_days AS DOUBLE) * (n_days + 2)
+          |  * (CAST(s_nano AS DOUBLE) / 1e9)) AS BIGINT)"""
+          .stripMargin).as("q_micro"))
+  }
+
+  /** Bounded-kernel exponentially-weighted moving average of each
+    * group's daily event counts — the smoothing pass that feeds anomaly
+    * thresholds and trend dashboards (recent days dominate, one spike
+    * decays geometrically instead of falling off a cliff the way a
+    * boxcar mean does). The kernel is TRUNCATED at `window` days
+    * (weights below that are < (1−α)^W of the head — numerically dead
+    * anyway), which turns the textbook infinite recursion into a
+    * day-grain kernel join: densified daily counts (the [[acf]] grid, so
+    * a silent gap day counts as 0 rather than stretching the kernel),
+    * each day joins its last W days via one exploded offset join, and
+    * `y_t = Σ_j w_j·x_{t−j} / Σ_j w_j` normalizes over the weights
+    * actually present (series head uses the truncated prefix — the
+    * pandas `adjust=True` convention). Weights `w_j = round(1e6·(1−α)^j)`
+    * are computed ONCE driver-side by iterated multiplication and enter
+    * both engines as the same literal table, so `num = Σ w_j·x` and
+    * `den = Σ w_j` are exact longs and the closing
+    * `round(1e6·num/den)` is the one mirrored double. Output:
+    * (grp, d, x, ewma_micro).
+    *
+    * Scale: day-grain × window rows per group (span·W, never
+    * row-count); the kernel join is co-partitioned on the group. */
+  def ewmaDaily(events: DataFrame, grpCol: String, tsCol: String,
+      alpha: Double, window: Int): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val wMicro = ewmaWeightsMicro(alpha, window)
+    val observed = events.select(col(grpCol).as("grp"),
+        to_date(col(tsCol)).as("d"))
+      .groupBy(col("grp"), col("d"))
+      .agg(count(lit(1)).as("x"))
+    val daily = observed.groupBy(col("grp"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("grp"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .join(observed, Seq("grp", "d"), "left")
+      .select(col("grp"), col("d"), coalesce(col("x"), lit(0L)).as("x"))
+    val wOrd = Window.partitionBy(col("grp")).orderBy(col("d"))
+    val idx = daily.withColumn("rn", row_number().over(wOrd).cast("long"))
+    val wLit = s"array(${wMicro.mkString("L, ")}L)"
+    val offs = idx.select(col("grp"), col("rn"),
+        posexplode(expr(wLit)).as(Seq("j", "w")))
+      .withColumn("rn2", col("rn") - col("j"))
+      .filter(col("rn2") >= 1L)
+    offs.join(idx.select(col("grp"), col("rn").as("rn2"),
+          col("x").as("xl")), Seq("grp", "rn2"))
+      .groupBy(col("grp"), col("rn"))
+      .agg(sum(col("w") * col("xl")).as("num"), sum(col("w")).as("den"))
+      .join(idx, Seq("grp", "rn"))
+      .select(col("grp"), col("d"), col("x"),
+        expr("CAST(round(1e6 * CAST(num AS DOUBLE) / den) AS BIGINT)")
+          .as("ewma_micro"))
+  }
+
+  /** The [[ewmaDaily]] kernel, micro-rounded — shared with the oracle
+    * generator so both engines read the SAME literal weights (iterated
+    * driver-side multiplication, not pow(): libm pow may differ from the
+    * JVM's by ULPs and the constants must be bit-identical). */
+  def ewmaWeightsMicro(alpha: Double, window: Int): Seq[Long] = {
+    val w = Array.ofDim[Double](window)
+    w(0) = 1.0
+    for (j <- 1 until window) w(j) = w(j - 1) * (1.0 - alpha)
+    w.map(x => math.round(x * 1e6)).toSeq
+  }
 }

@@ -1,0 +1,482 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{AudioNative, VectorExprs => V}
+import graft.operators.{Similarity, Stats, TextAnalysis, TimeSeries}
+
+/** Round-14 second wave — the evaluation-and-diagnostics growth set:
+  *  - q168_wilcoxon: paired signed-rank test (the matched-pairs gap in
+  *    the rank-test family);
+  *  - q169_brown_forsythe: variance-homogeneity gate (Levene on lower
+  *    medians);
+  *  - q170_dunn_fdr: Dunn's post-hoc after Kruskal-Wallis, closed with
+  *    BH-FDR — WHICH groups differ, not just whether some do;
+  *  - q171_ljung_box: portmanteau white-noise test composing q147's acf;
+  *  - q172_ewma: bounded-kernel exponential smoothing of daily counts
+  *    (shared-constant weights: the kernel is computed once driver-side
+  *    and enters both engines as the same literal table);
+  *  - text_readability: Flesch-Kincaid grade / reading-ease over the
+  *    documents corpus (vowel-run syllables, terminal-punctuation
+  *    sentences);
+  *  - sim_rank_eval: retrieval-quality metrics (NDCG@10, AP@10, first
+  *    relevant rank) for the label-relevance top-k — the missing eval
+  *    half of the ANN family (recall audits measure index fidelity;
+  *    this measures whether the RANKING is any good).
+  */
+object Round14b {
+  import Tables.t
+
+  /** [[TimeSeries.ewmaDaily]] kernel parameters — one definition feeds
+    * the Spark call AND the literal weight table in the oracle. */
+  private val EwmaAlpha = 0.25
+  private val EwmaWindow = 14
+  private val ewmaW: Seq[Long] = TimeSeries.ewmaWeightsMicro(EwmaAlpha, EwmaWindow)
+
+  /** Canonical mono PCM16 WAV header for 64-sample synthetic payloads
+    * (RIFF size 164, 8 kHz, block align 2, data length 128) — the
+    * construct half of mm_audio_stats' construct→decode→oracle pattern
+    * (the mm_media_headers discipline: the oracle recomputes the stats
+    * from the generating formula, so the REAL decode path is what's
+    * being checked). */
+  private val WavHeaderHex: String =
+    "52494646" + "A4000000" + "57415645" + "666D7420" + "10000000" +
+      "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+      "64617461" + "80000000"
+
+  /** The synthetic sample formula, shared verbatim by the Spark
+    * constructor and the DuckDB oracle: deterministic pseudo-signal in
+    * [−2000, 2000], amplified ×16 for every 7th doc so the clipping and
+    * silence gates both have work. `i` is the sample index expression. */
+  private def wavSample(i: String): String =
+    s"((doc_id * 31 + $i * 997) % 4001 - 2000)" +
+      " * (CASE WHEN doc_id % 7 = 0 THEN 16 ELSE 1 END)"
+
+  def defs: Seq[Q] = Seq(
+
+    // ---- Wilcoxon signed-rank --------------------------------------------
+    // does a user's view spend differ from their click spend, PAIRED by
+    // user? Per-user exact micro-sums (longs, not double means) feed the
+    // pre-integerized pair contract; zero-diff users drop, |d| midranks
+    // pool on the value grain.
+    Q("q168_wilcoxon", (s, d) => {
+      val ev = Tables.events(s, d)
+      val micro = expr("CAST(round(value * 1e6) AS BIGINT)")
+      val pairs = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "view", micro)).as("xv"),
+          sum(when(col("event_type") === "click", micro)).as("yv"))
+      Stats.wilcoxonSignedRank(pairs, "xv", "yv")
+    }, Some("""
+      WITH pr AS (SELECT user_id,
+              sum(CASE WHEN event_type = 'view'
+                  THEN CAST(round(value * 1e6) AS BIGINT) END) AS x,
+              sum(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 1e6) AS BIGINT) END) AS y
+            FROM events GROUP BY 1),
+      df AS (SELECT x - y AS dd FROM pr
+            WHERE x IS NOT NULL AND y IS NOT NULL AND x <> y),
+      pv AS (SELECT abs(dd) AS v, CAST(count(*) AS BIGINT) AS t,
+              CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+            FROM df GROUP BY 1),
+      dm AS (SELECT tp, t,
+              2 * (CAST(sum(t) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) - t) + t + 1 AS dr
+            FROM pv),
+      agg AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n_pairs,
+              CAST(coalesce(sum(tp * dr), 0) AS BIGINT) AS w2_plus,
+              coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tie3
+            FROM dm)
+      SELECT n_pairs, w2_plus,
+        CASE WHEN n_pairs = 0 THEN CAST(NULL AS DOUBLE)
+          WHEN CAST(n_pairs AS DOUBLE) * (n_pairs + 1)
+               * (2 * n_pairs + 1) / 24.0
+               - CAST(tie3 AS DOUBLE) / 48.0 <= 0.0
+          THEN CAST(NULL AS DOUBLE)
+          ELSE round((CAST(w2_plus AS DOUBLE) / 2.0
+              - CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4.0)
+            / sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1)
+                * (2 * n_pairs + 1) / 24.0
+                - CAST(tie3 AS DOUBLE) / 48.0), 6)
+          END AS z
+      FROM agg""")),
+
+    // ---- Brown-Forsythe --------------------------------------------------
+    // do the event types carry the SAME SPREAD of value? (the variance
+    // gate q159's location test silently assumes) — ANOVA F over |v −
+    // group lower median| on the value grain.
+    Q("q169_brown_forsythe", (s, d) =>
+      Stats.brownForsythe(Tables.events(s, d), "event_type", "value"),
+      Some("""
+        WITH base AS (SELECT CAST(event_type AS VARCHAR) AS g,
+                CAST(round(value * 1e6) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2),
+        cum AS (SELECT g, v, c,
+                CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cm,
+                CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS ng
+              FROM cells),
+        med AS (SELECT g, min(v) AS med FROM cum
+              WHERE cm * 2 >= ng + 1 GROUP BY 1),
+        per AS (SELECT cells.g, CAST(sum(c) AS BIGINT) AS ng,
+                CAST(sum(c * abs(v - med)) AS BIGINT) AS sg,
+                sum(CAST(c AS HUGEINT) * abs(v - med) * abs(v - med)) AS qg
+              FROM cells JOIN med ON cells.g = med.g GROUP BY 1),
+        terms AS (SELECT ng, sg, qg,
+                CAST(round(1e6 * CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                  / ng) AS HUGEINT) AS term
+              FROM per),
+        agg AS (SELECT CAST(coalesce(sum(ng), 0) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS n_groups,
+                CAST(coalesce(sum(sg), 0) AS BIGINT) AS s_all,
+                coalesce(sum(qg), 0) AS q_all,
+                coalesce(sum(term), 0) AS t_all
+              FROM terms)
+        SELECT n, n_groups,
+          CASE WHEN n_groups < 2 OR n <= n_groups THEN CAST(NULL AS BIGINT)
+            WHEN CAST(q_all AS DOUBLE) - CAST(t_all AS DOUBLE) / 1e6 <= 0.0
+            THEN CAST(NULL AS BIGINT)
+            ELSE CAST(round(1e6
+              * ((CAST(t_all AS DOUBLE) / 1e6
+                  - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n)
+                 / (n_groups - 1))
+              / ((CAST(q_all AS DOUBLE) - CAST(t_all AS DOUBLE) / 1e6)
+                 / (n - n_groups))) AS BIGINT)
+            END AS f_micro
+        FROM agg""")),
+
+    // ---- Dunn post-hoc + BH ------------------------------------------------
+    // q159 says the event types differ somewhere — WHICH pairs? k-row
+    // group table self-joined (C(5,2) = 10 pairs), Lin-approximated
+    // two-sided p, BH-FDR family closer.
+    Q("q170_dunn_fdr", (s, d) =>
+      Stats.dunnPosthoc(Tables.events(s, d), "event_type", "value"),
+      Some("""
+        WITH base AS (SELECT CAST(event_type AS VARCHAR) AS g,
+                CAST(round(value * 1e6) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY 1),
+        dm AS (SELECT v,
+                2 * (CAST(sum(t) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - t) + t + 1 AS dr
+              FROM pv),
+        gvc AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2),
+        per AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                CAST(sum(c * dr) AS BIGINT) AS r2
+              FROM gvc JOIN dm USING (v) GROUP BY 1),
+        tie AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+                coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tie3
+              FROM pv),
+        pz AS (SELECT a.g || '|' || b.g AS k,
+                CASE WHEN n < 2
+                    OR CAST(n AS DOUBLE) * (n + 1) / 12.0
+                       - CAST(tie3 AS DOUBLE) / (12.0 * (n - 1)) <= 0.0
+                  THEN CAST(NULL AS DOUBLE)
+                  ELSE abs(CAST(a.r2 AS DOUBLE) / (2.0 * a.ng)
+                      - CAST(b.r2 AS DOUBLE) / (2.0 * b.ng))
+                    / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                        - CAST(tie3 AS DOUBLE) / (12.0 * (n - 1)))
+                      * (1.0 / a.ng + 1.0 / b.ng))
+                  END AS z
+              FROM per a JOIN per b ON a.g < b.g CROSS JOIN tie),
+        p AS (SELECT k,
+                CAST(round(1e6 * least(1.0,
+                  2.0 * exp(-0.717 * z - 0.416 * z * z))) AS BIGINT)
+                  AS p_micro
+              FROM pz WHERE z IS NOT NULL),
+        r AS (SELECT k, p_micro,
+                CAST(row_number() OVER (ORDER BY p_micro, k) AS BIGINT) AS rn,
+                CAST(count(*) OVER () AS BIGINT) AS m
+              FROM p),
+        v AS (SELECT k, p_micro, rn,
+                least(1000000, CAST(round(m * CAST(p_micro AS DOUBLE) / rn)
+                  AS BIGINT)) AS v
+              FROM r)
+        SELECT k, p_micro, rn,
+          CAST(min(v) OVER (ORDER BY rn DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS p_adj_micro
+        FROM v""")),
+
+    // ---- Ljung-Box -------------------------------------------------------
+    // is each type's daily series white noise over the first 7 lags,
+    // jointly? Pure composition over q147's acf plan.
+    Q("q171_ljung_box", (s, d) =>
+      TimeSeries.ljungBox(Tables.events(s, d), "event_type", "ts", 7),
+      Some("""
+        WITH obs AS (SELECT event_type AS grp,
+                CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, count(*) AS x
+              FROM events GROUP BY 1, 2),
+        spans AS (SELECT grp, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1),
+        dense AS (SELECT grp, CAST(unnest(generate_series(d0, d1,
+                INTERVAL 1 DAY)) AS DATE) AS d FROM spans),
+        daily AS (SELECT dense.grp, dense.d,
+                CAST(coalesce(obs.x, 0) AS BIGINT) AS x
+              FROM dense LEFT JOIN obs
+                ON obs.grp = dense.grp AND obs.d = dense.d),
+        st AS (SELECT grp, x,
+                CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+                CAST(sum(x) OVER (PARTITION BY grp) AS BIGINT) AS sx,
+                CAST(row_number() OVER (PARTITION BY grp ORDER BY d)
+                  AS BIGINT) AS rn
+              FROM daily),
+        cxt AS (SELECT grp, rn, n, n * x - sx AS cx FROM st),
+        den AS (SELECT grp, CAST(max(n) AS BIGINT) AS n_days,
+                  CAST(sum(cx * cx) AS BIGINT) AS den
+                FROM cxt GROUP BY 1),
+        pairs AS (SELECT c.grp, CAST(t.range AS BIGINT) AS lag,
+                  CAST(sum(c.cx * c2.cx) AS BIGINT) AS num
+                FROM cxt c CROSS JOIN range(1, 8) t
+                JOIN cxt c2 ON c2.grp = c.grp AND c2.rn = c.rn + t.range
+                GROUP BY 1, 2),
+        acf AS (SELECT den.grp, lag, n_days,
+                CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(round(1e6 * CAST(num AS DOUBLE) / den) AS BIGINT)
+                END AS acf_micro
+              FROM den JOIN pairs ON den.grp = pairs.grp),
+        tm AS (SELECT grp, n_days,
+                CAST(round(1e9
+                  * (CAST(acf_micro AS DOUBLE) / 1e6)
+                  * (CAST(acf_micro AS DOUBLE) / 1e6)
+                  / (n_days - lag)) AS BIGINT) AS term
+              FROM acf WHERE acf_micro IS NOT NULL),
+        gq AS (SELECT grp, CAST(max(n_days) AS BIGINT) AS n_days,
+                CAST(count(*) AS BIGINT) AS h_lags,
+                CAST(sum(term) AS BIGINT) AS s_nano
+              FROM tm GROUP BY 1)
+        SELECT grp, n_days, h_lags,
+          CAST(round(1e6 * CAST(n_days AS DOUBLE) * (n_days + 2)
+            * (CAST(s_nano AS DOUBLE) / 1e9)) AS BIGINT) AS q_micro
+        FROM gq""")),
+
+    // ---- EWMA ------------------------------------------------------------
+    // 14-day truncated exponential smoothing of each type's daily counts;
+    // weights are ONE driver-side table, embedded verbatim in both
+    // engines (pow() ULPs can't diverge what neither engine computes).
+    Q("q172_ewma", (s, d) =>
+      TimeSeries.ewmaDaily(Tables.events(s, d), "event_type", "ts",
+        EwmaAlpha, EwmaWindow),
+      Some(s"""
+        WITH obs AS (SELECT event_type AS grp,
+                CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                CAST(count(*) AS BIGINT) AS x
+              FROM events GROUP BY 1, 2),
+        spans AS (SELECT grp, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1),
+        dense AS (SELECT grp, CAST(unnest(generate_series(d0, d1,
+                INTERVAL 1 DAY)) AS DATE) AS d FROM spans),
+        daily AS (SELECT dense.grp, dense.d,
+                CAST(coalesce(obs.x, 0) AS BIGINT) AS x
+              FROM dense LEFT JOIN obs
+                ON obs.grp = dense.grp AND obs.d = dense.d),
+        idx AS (SELECT grp, d, x,
+                CAST(row_number() OVER (PARTITION BY grp ORDER BY d)
+                  AS BIGINT) AS rn
+              FROM daily),
+        w(j, w) AS (VALUES ${ewmaW.zipWithIndex
+          .map { case (wm, j) => s"(CAST($j AS BIGINT), CAST($wm AS BIGINT))" }
+          .mkString(", ")}),
+        k AS (SELECT i.grp, i.rn,
+                CAST(sum(w.w * i2.x) AS BIGINT) AS num,
+                CAST(sum(w.w) AS BIGINT) AS den
+              FROM idx i CROSS JOIN w
+              JOIN idx i2 ON i2.grp = i.grp AND i2.rn = i.rn - w.j
+              GROUP BY 1, 2)
+        SELECT i.grp, i.d, i.x,
+          CAST(round(1e6 * CAST(num AS DOUBLE) / den) AS BIGINT)
+            AS ewma_micro
+        FROM k JOIN idx i ON i.grp = k.grp AND i.rn = k.rn""")),
+
+    // ---- readability -----------------------------------------------------
+    // Flesch-Kincaid grade + reading ease from three exact counts (words,
+    // terminal-punctuation sentences, vowel-run syllables): the classic
+    // complexity features next to text_quality in a curation scorecard.
+    Q("text_readability", (s, d) =>
+      Tables.ts(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount("text").as("n_words"),
+        TextAnalysis.sentenceCount("text").as("n_sents"),
+        TextAnalysis.syllableCount("text").as("n_syll"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+          expr("""CAST(round(1e6
+            |  * (0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+            |     + 11.8 * (CAST(n_syll AS DOUBLE) / n_words)
+            |     - 15.59)) AS BIGINT)""".stripMargin).as("fk_grade_micro"),
+          expr("""CAST(round(1e6
+            |  * (206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+            |     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)))
+            |  AS BIGINT)""".stripMargin).as("flesch_ease_micro")),
+      Some("""
+        WITH cnt AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+                  AS BIGINT)) AS n_sents,
+                CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+                  AS n_syll
+              FROM documents)
+        SELECT doc_id, n_words, n_sents, n_syll,
+          CAST(round(1e6
+            * (0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+               + 11.8 * (CAST(n_syll AS DOUBLE) / n_words)
+               - 15.59)) AS BIGINT) AS fk_grade_micro,
+          CAST(round(1e6
+            * (206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+               - 84.6 * (CAST(n_syll AS DOUBLE) / n_words)))
+            AS BIGINT) AS flesch_ease_micro
+        FROM cnt""")),
+
+    // ---- retrieval ranking metrics ----------------------------------------
+    // NDCG@10 / AP@10 / first-relevant-rank per query vector, with label
+    // equality as the binary relevance signal and the corpus label count
+    // as the ideal set size. Integer-exact per the determinism contract:
+    // DCG terms are per-rank micro-rounded THEN summed, AP precision
+    // terms ride the exact 1/2520 common denominator (LCM of 1..10), so
+    // the only doubles are the two closing mirrored divisions.
+    Q("sim_rank_eval", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 10
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+      val topk = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", k,
+        broadcastCorpus = true)
+      val lab = e.select(col("vec_id"), col("label"))
+      val rel = topk
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nl")), "neighbor_id")
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("ql")), "query_id")
+        .withColumn("rel", (col("nl") === col("ql")).cast("long"))
+      val wq = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
+      val perQ = rel
+        .withColumn("cum", sum(col("rel")).over(
+          wq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("query_id"))
+        .agg(min(when(col("rel") === 1L, col("rank"))).as("first_rel_rank"),
+          sum(when(col("rel") === 1L,
+            expr("CAST(round(1e6 / log2(rank + 1)) AS BIGINT)"))
+            .otherwise(0L)).as("dcg_micro"),
+          sum(col("rel") * col("cum") * expr("2520L div rank"))
+            .as("ap_units"))
+      val nrel = q.join(
+          e.groupBy(col("label")).agg(count(lit(1)).as("cl")), "label")
+        .select(col("vec_id").as("query_id"),
+          (col("cl") - 1L).as("n_rel_corpus"))
+      perQ.join(nrel, "query_id")
+        .withColumn("idcg_micro", expr(
+          s"""CASE WHEN n_rel_corpus < 1 THEN CAST(NULL AS BIGINT)
+            |ELSE aggregate(sequence(1L, least(n_rel_corpus, ${k}L)), 0L,
+            |  (acc, i) -> acc + CAST(round(1e6 / log2(i + 1)) AS BIGINT))
+            |END""".stripMargin))
+        .select(col("query_id"), col("n_rel_corpus"), col("first_rel_rank"),
+          col("dcg_micro"), col("idcg_micro"),
+          expr("""CASE WHEN idcg_micro IS NULL THEN CAST(NULL AS BIGINT)
+            |ELSE CAST(round(1e6 * CAST(dcg_micro AS DOUBLE) / idcg_micro)
+            |  AS BIGINT) END""".stripMargin).as("ndcg_micro"),
+          expr(s"""CASE WHEN n_rel_corpus < 1 THEN CAST(NULL AS BIGINT)
+            |ELSE CAST(round(1e6 * CAST(ap_units AS DOUBLE)
+            |  / (2520.0 * least(n_rel_corpus, ${k}L))) AS BIGINT)
+            |END""".stripMargin).as("ap_micro"))
+    }, Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+            FROM embeddings WHERE vec_id < 50),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+            FROM embeddings),
+      scored AS (SELECT query_id, ql, neighbor_id, nl,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY ${V.duckCosine("qv", "cv")} DESC, neighbor_id ASC)
+                AS BIGINT) AS rank
+            FROM q JOIN c ON query_id <> neighbor_id),
+      rel AS (SELECT query_id, rank,
+              CASE WHEN nl = ql THEN 1 ELSE 0 END AS rel
+            FROM scored WHERE rank <= 10),
+      cm AS (SELECT query_id, rank, rel,
+              CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM rel),
+      perq AS (SELECT query_id,
+              CAST(min(CASE WHEN rel = 1 THEN rank END) AS BIGINT)
+                AS first_rel_rank,
+              CAST(coalesce(sum(CASE WHEN rel = 1
+                THEN CAST(round(1e6 / log2(rank + 1)) AS BIGINT)
+                ELSE 0 END), 0) AS BIGINT) AS dcg_micro,
+              CAST(coalesce(sum(rel * cum * (2520 // rank)), 0) AS BIGINT)
+                AS ap_units
+            FROM cm GROUP BY 1),
+      nr AS (SELECT q.query_id,
+              CAST(cnt.cl - 1 AS BIGINT) AS n_rel_corpus
+            FROM q JOIN (SELECT label, count(*) AS cl FROM embeddings
+              GROUP BY 1) cnt ON q.ql = cnt.label),
+      jo AS (SELECT p.query_id, n_rel_corpus, first_rel_rank, dcg_micro,
+              ap_units,
+              CASE WHEN n_rel_corpus < 1 THEN CAST(NULL AS BIGINT)
+              ELSE CAST(list_sum(list_transform(
+                range(1, least(n_rel_corpus, 10) + 1),
+                i -> CAST(round(1e6 / log2(i + 1)) AS BIGINT))) AS BIGINT)
+              END AS idcg_micro
+            FROM perq p JOIN nr ON p.query_id = nr.query_id)
+      SELECT query_id, n_rel_corpus, first_rel_rank, dcg_micro, idcg_micro,
+        CASE WHEN idcg_micro IS NULL THEN CAST(NULL AS BIGINT)
+        ELSE CAST(round(1e6 * CAST(dcg_micro AS DOUBLE) / idcg_micro)
+          AS BIGINT) END AS ndcg_micro,
+        CASE WHEN n_rel_corpus < 1 THEN CAST(NULL AS BIGINT)
+        ELSE CAST(round(1e6 * CAST(ap_units AS DOUBLE)
+          / (2520.0 * least(n_rel_corpus, 10))) AS BIGINT)
+        END AS ap_micro
+      FROM jo""")),
+
+    // ---- audio signal stats ------------------------------------------------
+    // RMS / peak / zero-crossing / silence / clipping over REAL PCM16 WAV
+    // decode (MediaCodec.decodeWavStats): payloads are constructed in SQL
+    // from a shared formula, the engine decodes actual RIFF bytes, and
+    // the oracle recomputes the stats from the formula — any decode drift
+    // (offsets, sign extension, channel fold) breaks the hash.
+    Q("mm_audio_stats", (s, d) => {
+      val media = expr(
+        s"""unhex(concat('$WavHeaderHex',
+          |  aggregate(sequence(0L, 63L), '', (acc, i) -> concat(acc,
+          |    lpad(hex(pmod(${wavSample("i")}, 65536) % 256), 2, '0'),
+          |    lpad(hex(pmod(${wavSample("i")}, 65536) div 256), 2, '0')))
+          |))""".stripMargin)
+      Tables.ts(s, d, "documents")
+        .select(col("doc_id"), media.as("media"))
+        .withColumn("st", AudioNative.audioStats(col("media")))
+        .select(col("doc_id"),
+          element_at(col("st"), 1).as("n_frames"),
+          element_at(col("st"), 2).as("channels"),
+          expr("""CAST(round(1e6 * sqrt(CAST(element_at(st, 4) AS DOUBLE)
+            |  / element_at(st, 1))) AS BIGINT)""".stripMargin)
+            .as("rms_micro"),
+          element_at(col("st"), 5).as("max_abs"),
+          element_at(col("st"), 6).as("zero_cross"),
+          element_at(col("st"), 7).as("silence_frames"),
+          element_at(col("st"), 8).as("clip_frames"))
+    }, Some(s"""
+      WITH s AS (SELECT doc_id, CAST(t.range AS BIGINT) AS i,
+              ${wavSample("CAST(t.range AS BIGINT)")} AS m
+            FROM documents CROSS JOIN range(64) t),
+      st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+              CAST(sum(m * m) AS BIGINT) AS sum_sq,
+              CAST(max(abs(m)) AS BIGINT) AS max_abs,
+              CAST(sum(CASE WHEN abs(m) < 328 THEN 1 ELSE 0 END) AS BIGINT)
+                AS silence_frames,
+              CAST(sum(CASE WHEN abs(m) >= 30000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS clip_frames
+            FROM s GROUP BY 1),
+      zc AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS zc
+            FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            WHERE (b.m > 0 AND a.m < 0) OR (b.m < 0 AND a.m > 0)
+            GROUP BY 1)
+      SELECT st.doc_id, n_frames, CAST(1 AS BIGINT) AS channels,
+        CAST(round(1e6 * sqrt(CAST(sum_sq AS DOUBLE) / n_frames))
+          AS BIGINT) AS rms_micro,
+        max_abs,
+        CAST(coalesce(zc.zc, 0) AS BIGINT) AS zero_cross,
+        silence_frames, clip_frames
+      FROM st LEFT JOIN zc ON st.doc_id = zc.doc_id"""))
+  )
+}

@@ -1,0 +1,213 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.operators.{MediaCodec, Stats, TimeSeries}
+
+/** Round-14b operators: hand-computed references and degenerate shapes for
+  * the signed-rank / variance-gate / post-hoc family, the Ljung-Box / EWMA
+  * composition, and the PCM WAV stats decode. The sf-corpus behavior is
+  * covered by the oracle rows; these pin the closed forms on inputs small
+  * enough to verify by hand.
+  */
+class Round14bOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- Wilcoxon signed-rank -------------------------------------------
+
+  test("wilcoxonSignedRank: textbook small sample, ties and zero-diffs") {
+    // pairs (x, y): diffs d = x - y = [2, 2, -1, 0, 4] -> zero drops,
+    // |d| = [2, 2, 1, 4], midranks: 1 -> 1; {2, 2} -> 2.5; 4 -> 4.
+    // Positive d: both 2s and the 4 -> W+ = 2.5 + 2.5 + 4 = 9 (w2 = 18).
+    val pairs = Seq((5L, 3L), (7L, 5L), (2L, 3L), (9L, 9L), (8L, 4L))
+      .toDF("x", "y")
+    val r = Stats.wilcoxonSignedRank(pairs, "x", "y").collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_pairs") === 4L)
+    assert(r(0).getAs[Long]("w2_plus") === 18L)
+    // z = (9 - 4*5/4) / sqrt(4*5*9/24 - (2^3-2)/48)
+    val expectZ = (9.0 - 5.0) / math.sqrt(4.0 * 5 * 9 / 24.0 - 6.0 / 48.0)
+    assert(math.abs(r(0).getAs[Double]("z") - expectZ) < 1e-6)
+  }
+
+  test("wilcoxonSignedRank: all pairs tied -> degenerate NULL z") {
+    val pairs = Seq((1L, 1L), (4L, 4L)).toDF("x", "y")
+    val r = Stats.wilcoxonSignedRank(pairs, "x", "y").collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_pairs") === 0L)
+    assert(r(0).isNullAt(r(0).fieldIndex("z")))
+  }
+
+  // ---- Brown-Forsythe ---------------------------------------------------
+
+  test("brownForsythe: two groups, hand-computed F over lower-median deviations") {
+    // g=a: values 0, 2, 4 (median 2) -> z = [2, 0, 2]; S_a = 4, Q_a = 8
+    // g=b: values 0, 10, 20 (median 10) -> z = [10, 0, 10]; S_b = 20, Q_b = 200
+    // N = 6, k = 2; T = 1e6*(16/3) + 1e6*(400/3) rounded per group
+    val df = Seq(("a", 0L), ("a", 2L), ("a", 4L),
+      ("b", 0L), ("b", 10L), ("b", 20L)).toDF("g", "v")
+    val r = Stats.brownForsythe(df, "g", "v", valScale = 1.0).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n") === 6L)
+    assert(r(0).getAs[Long]("n_groups") === 2L)
+    val tAll = math.round(1e6 * 16.0 / 3) + math.round(1e6 * 400.0 / 3)
+    val ssb = tAll / 1e6 - 24.0 * 24 / 6
+    val ssw = 208.0 - tAll / 1e6
+    val expectF = math.round(1e6 * (ssb / 1.0) / (ssw / 4.0))
+    assert(r(0).getAs[Long]("f_micro") === expectF)
+  }
+
+  test("brownForsythe: single group and zero within-variance degenerate to NULL") {
+    val one = Seq(("a", 1L), ("a", 5L)).toDF("g", "v")
+    val r1 = Stats.brownForsythe(one, "g", "v", valScale = 1.0).collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("f_micro")))
+    // two constant groups: every deviation from the group median is 0,
+    // SSW = 0 -> NULL (not a division blow-up)
+    val sym = Seq(("a", 5L), ("a", 5L), ("b", 9L), ("b", 9L))
+      .toDF("g", "v")
+    val r2 = Stats.brownForsythe(sym, "g", "v", valScale = 1.0).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("f_micro")))
+  }
+
+  // ---- Dunn post-hoc -----------------------------------------------------
+
+  test("dunnPosthoc: 3 groups -> 3 BH-adjusted pairs, adjusted p monotone in rank") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L),
+      ("c", 1L), ("c", 6L), ("c", 3L)).toDF("g", "v")
+    val rows = Stats.dunnPosthoc(df, "g", "v", valScale = 1.0)
+      .orderBy(col("rn")).collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[String]("k")).toSet ===
+      Set("a|b", "a|c", "b|c"))
+    val padj = rows.map(_.getAs[Long]("p_adj_micro"))
+    assert(padj.forall(p => p >= 0L && p <= 1000000L))
+    // BH suffix-min: adjusted p is non-decreasing down the rank order
+    assert(padj.sliding(2).forall(w => w(0) <= w(1)))
+    // the most separated pair (a vs b, disjoint ranges) ranks first
+    assert(rows(0).getAs[String]("k") === "a|b")
+  }
+
+  // ---- Ljung-Box ----------------------------------------------------------
+
+  test("ljungBox: matches the closed form over acf's own output") {
+    val ev = Tables14b.dailyEvents(spark,
+      "g" -> Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8))
+    val acf = TimeSeries.acf(ev, "event_type", "ts", 3).collect()
+      .map(r => (r.getAs[Long]("lag"),
+        r.getAs[Long]("n_days"), r.getAs[Long]("acf_micro")))
+    val n = acf.head._2
+    val sNano = acf.map { case (lag, nd, a) =>
+      math.round(1e9 * (a / 1e6) * (a / 1e6) / (nd - lag)) }.sum
+    val expect = math.round(1e6 * n.toDouble * (n + 2) * (sNano / 1e9))
+    val lb = TimeSeries.ljungBox(ev, "event_type", "ts", 3).collect()
+    assert(lb.length === 1)
+    assert(lb(0).getAs[Long]("h_lags") === 3L)
+    assert(lb(0).getAs[Long]("q_micro") === expect)
+  }
+
+  test("ljungBox: constant series (zero variance) yields no row") {
+    val ev = Tables14b.dailyEvents(spark, "g" -> Seq(4, 4, 4, 4, 4, 4))
+    assert(TimeSeries.ljungBox(ev, "event_type", "ts", 2).count() === 0L)
+  }
+
+  // ---- EWMA ----------------------------------------------------------------
+
+  test("ewmaDaily: constant series smooths to itself; head uses truncated kernel") {
+    val ev = Tables14b.dailyEvents(spark, "g" -> Seq(7, 7, 7, 7, 7))
+    val rows = TimeSeries.ewmaDaily(ev, "event_type", "ts", 0.5, 3)
+      .orderBy("d").collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getAs[Long]("ewma_micro") === 7000000L))
+    // varying series: day 2 of [8, 2] with alpha=.5, window 3:
+    // w = [1e6, 5e5]; y = (1e6*2 + 5e5*8)/(1.5e6) = 4
+    val ev2 = Tables14b.dailyEvents(spark, "g" -> Seq(8, 2))
+    val r2 = TimeSeries.ewmaDaily(ev2, "event_type", "ts", 0.5, 3)
+      .orderBy("d").collect()
+    assert(r2(0).getAs[Long]("ewma_micro") === 8000000L)
+    assert(r2(1).getAs[Long]("ewma_micro") === 4000000L)
+  }
+
+  test("ewmaWeightsMicro: iterated multiplication, monotone decreasing") {
+    val w = TimeSeries.ewmaWeightsMicro(0.25, 5)
+    assert(w === Seq(1000000L, 750000L, 562500L, 421875L, 316406L))
+  }
+
+  // ---- WAV stats decode ------------------------------------------------
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def wav(channels: Int, samples: Seq[Seq[Int]]): Array[Byte] = {
+    val dataLen = samples.length * 2 * channels
+    val b = new scala.collection.mutable.ArrayBuffer[Byte]()
+    b ++= "RIFF".getBytes("US-ASCII") ++= le32(36 + dataLen)
+    b ++= "WAVE".getBytes("US-ASCII") ++= "fmt ".getBytes("US-ASCII")
+    b ++= le32(16) ++= le16(1) ++= le16(channels) ++= le32(8000)
+    b ++= le32(8000 * 2 * channels) ++= le16(2 * channels) ++= le16(16)
+    b ++= "data".getBytes("US-ASCII") ++= le32(dataLen)
+    for (fr <- samples; s <- fr) b ++= le16(s & 0xffff)
+    b.toArray
+  }
+
+  test("decodeWavStats: mono hand-computed stats incl. crossings, silence, clip") {
+    // frames: 100, -200, 0, 300, -30500, 32000
+    val bytes = wav(1, Seq(Seq(100), Seq(-200), Seq(0), Seq(300),
+      Seq(-30500), Seq(32000)))
+    val st = MediaCodec.decodeWavStats(bytes).get
+    assert(st(0) === 6L) // frames
+    assert(st(1) === 1L) // channels
+    assert(st(2) === 100L + 200 + 0 + 300 + 30500 + 32000) // sum |m|
+    assert(st(3) === 100L * 100 + 200L * 200 + 300L * 300 +
+      30500L * 30500 + 32000L * 32000) // sum m^2
+    assert(st(4) === 32000L) // max |m|
+    // crossings: 100->-200 (1), -200->0 (no: zero breaks), 0->300 (no),
+    // 300->-30500 (2), -30500->32000 (3)
+    assert(st(5) === 3L)
+    assert(st(6) === 4L) // |m| < 328: 100, 200, 0, 300
+    assert(st(7) === 2L) // 30500 and 32000 >= 30000
+  }
+
+  test("decodeWavStats: stereo channel fold is the truncating mean") {
+    // frame 1: (3, 4) -> 7/2 = 3; frame 2: (-3, -4) -> -7/2 = -3 (Java /)
+    val bytes = wav(2, Seq(Seq(3, 4), Seq(-3, -4)))
+    val st = MediaCodec.decodeWavStats(bytes).get
+    assert(st(0) === 2L)
+    assert(st(1) === 2L)
+    assert(st(2) === 6L)
+    assert(st(3) === 18L)
+    assert(st(5) === 1L) // 3 -> -3 crosses
+  }
+
+  test("decodeWavStats: malformed payloads -> None") {
+    assert(MediaCodec.decodeWavStats(null).isEmpty)
+    assert(MediaCodec.decodeWavStats(Array.fill[Byte](50)(0x41)).isEmpty)
+    // 8-bit WAV (bits=8) rejected by the PCM16 contract
+    val bad = wav(1, Seq(Seq(1)))
+    bad(34) = 8 // bits-per-sample low byte
+    assert(MediaCodec.decodeWavStats(bad).isEmpty)
+    // truncated: header only
+    assert(MediaCodec.decodeWavStats(wav(1, Seq(Seq(1))).take(44)).isEmpty)
+  }
+}
+
+/** Builders shared by the round-14b specs. */
+object Tables14b {
+  /** One event row per (day, replicate): series(k) counts on day k for a
+    * single-group event frame with the `events` schema subset the
+    * TimeSeries operators read. */
+  def dailyEvents(spark: org.apache.spark.sql.SparkSession,
+      series: (String, Seq[Int])): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val (g, xs) = series
+    xs.zipWithIndex.flatMap { case (x, day) =>
+      Seq.fill(x)((g, java.sql.Timestamp.valueOf(
+        f"2024-01-${day + 1}%02d 12:00:00")))
+    }.toDF("event_type", "ts")
+  }
+}
