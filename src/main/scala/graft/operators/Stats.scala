@@ -1812,7 +1812,7 @@ object Stats {
           |      - CAST(rj AS DOUBLE) / (2.0 * nj))
           |    / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
           |        - CAST(tie3 AS DOUBLE) / (12.0 * (n - 1)))
-          |      * (1.0 / ni + 1.0 / nj))
+          |      * (1.0D / ni + 1.0D / nj))
           |  END""".stripMargin))
       .select(concat(col("gi"), lit("|"), col("gj")).as("k"), expr(
         """CASE WHEN z IS NULL THEN CAST(NULL AS BIGINT)

@@ -697,4 +697,148 @@ object TimeSeries {
     for (j <- 1 until window) w(j) = w(j - 1) * (1.0 - alpha)
     w.map(x => math.round(x * 1e6)).toSeq
   }
+
+  /** Matrix profile (non-normalized exact variant) of each group's daily
+    * counts: for every length-`m` window, the SQUARED Euclidean distance
+    * to its nearest non-trivial neighbor window and that neighbor's
+    * position — the all-pairs motif/discord primitive (a window whose
+    * profile value spikes matches nothing else in the series = discord /
+    * anomaly; a near-zero value = repeated motif). Distances stay on the
+    * RAW count subsequences (every term an exact long), the documented
+    * deviation from the z-normalized textbook profile — normalization
+    * divides by per-window σ, which both breaks integer exactness and
+    * explodes on flat windows; for count series the raw-amplitude match
+    * is usually what the anomaly question means anyway. Trivial matches
+    * are excluded the standard way: |i − j| must exceed `exclusion`
+    * (default ⌊m/2⌋).
+    *
+    * Plan: the [[acf]] densified day grid (a gap day is a real zero, not
+    * a splice), window elements by ONE exploded offset join (day-grain ×
+    * m rows), pair distances by a per-group equi-join on the offset
+    * (C(span, 2)·m terms — day-grain quadratic, ENFORCED by the
+    * [[theilSen]] `maxSpanDays` gate because one group's span is exactly
+    * the partition that would blow up), then one symmetric union and an
+    * argmin struct-min per window (deterministic tie: smallest
+    * neighbor). Nothing is row-count-grain. Output: (grp, d, win_start,
+    * p_dist, nn_idx) for every window start day d at index win_start. */
+  def matrixProfile(events: DataFrame, grpCol: String, tsCol: String,
+      m: Int, exclusion: Int = -1, maxSpanDays: Int = 2000): DataFrame = {
+    require(m >= 2, s"window m must be >= 2, got $m")
+    val excl = if (exclusion >= 0) exclusion else m / 2
+    val observed = events.select(col(grpCol).as("grp"),
+        to_date(col(tsCol)).as("d"))
+      .groupBy(col("grp"), col("d"))
+      .agg(count(lit(1)).as("x"))
+    val spanRow = observed.groupBy(col("grp"))
+      .agg((datediff(max(col("d")), min(col("d"))) + 1L).as("span"))
+      .agg(max(col("span"))).collect()(0)
+    val maxSpan = if (spanRow.isNullAt(0)) 0L else spanRow.getLong(0)
+    require(maxSpan <= maxSpanDays,
+      s"matrixProfile: a group spans $maxSpan days, past maxSpanDays=" +
+        s"$maxSpanDays — C(span, 2) window pairs in one group " +
+        "partition; bucket to weeks first or raise the bound deliberately")
+    val daily = observed.groupBy(col("grp"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("grp"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .join(observed, Seq("grp", "d"), "left")
+      .select(col("grp"), col("d"), coalesce(col("x"), lit(0L)).as("x"))
+    val wOrd = Window.partitionBy(col("grp")).orderBy(col("d"))
+    val wAll = Window.partitionBy(col("grp"))
+    val idx = daily
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val wins = idx.select(col("grp"), col("rn"), col("n"),
+        explode(expr(s"sequence(0L, ${m - 1}L)")).as("t"))
+      .withColumn("rn2", col("rn") + col("t"))
+      .filter(col("rn") <= col("n") - (m - 1))
+      .join(idx.select(col("grp"), col("rn").as("rn2"), col("x").as("v")),
+        Seq("grp", "rn2"))
+      .select(col("grp"), col("rn").as("i"), col("t"), col("v"))
+    val ordered = wins.join(
+        wins.select(col("grp"), col("i").as("j"), col("t"),
+          col("v").as("vj")),
+        Seq("grp", "t"))
+      .filter(col("j") > col("i") + excl)
+      .groupBy(col("grp"), col("i"), col("j"))
+      .agg(sum((col("v") - col("vj")) * (col("v") - col("vj"))).as("dist"))
+    val sym = ordered.select(col("grp"), col("i"), col("j"), col("dist"))
+      .union(ordered.select(col("grp"), col("j").as("i"),
+        col("i").as("j"), col("dist")))
+    sym.groupBy(col("grp"), col("i"))
+      .agg(min(struct(col("dist"), col("j"))).as("nn"))
+      .select(col("grp"), col("i").as("win_start"),
+        col("nn.dist").as("p_dist"), col("nn.j").as("nn_idx"))
+      .join(idx.select(col("grp"), col("rn").as("win_start"), col("d")),
+        Seq("grp", "win_start"))
+      .select(col("grp"), col("d"), col("win_start"), col("p_dist"),
+        col("nn_idx"))
+  }
+
+  /** Wald-Wolfowitz runs test on each group's daily counts: is the
+    * above/below-median pattern RANDOM in time, or does it cluster
+    * (trend, regime) / alternate (overdispersion)? — the randomness gate
+    * next to [[TimeSeries.acf]] that catches serial structure a
+    * stationarity test ignores. Days score +1 above / −1 below the
+    * group's LOWER-median daily count (the exact order statistic, the
+    * brownForsythe discipline); days AT the median drop per the textbook
+    * treatment. The run count is one lag window over the surviving
+    * day-grain rows; `z = (R − μ)/σ` with `μ = 2·n₊·n₋/n + 1`,
+    * `σ² = 2n₊n₋(2n₊n₋ − n)/(n²(n−1))`, every moment an exact long and
+    * the closing division the one mirrored double, micro-rounded at
+    * scale 0 (fractional-scale round() is the one op the engines
+    * disagree on at half-ties — the resampleInterp lesson, hit live by
+    * this operator's first verify). Degenerates: all days on one side
+    * (σ = 0) or n < 2 → NULL z. Output: (grp, n_days, n_plus, n_minus,
+    * n_runs, z_micro). Everything is day-grain under the group
+    * partition — no corpus-grain stage at any scale. */
+  def runsTest(events: DataFrame, grpCol: String, tsCol: String): DataFrame = {
+    val observed = events.select(col(grpCol).as("grp"),
+        to_date(col(tsCol)).as("d"))
+      .groupBy(col("grp"), col("d"))
+      .agg(count(lit(1)).as("x"))
+    val daily = observed.groupBy(col("grp"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("grp"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .join(observed, Seq("grp", "d"), "left")
+      .select(col("grp"), col("d"), coalesce(col("x"), lit(0L)).as("x"))
+    val wgv = Window.partitionBy(col("grp")).orderBy(col("x").asc)
+    val med = daily.groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        wgv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nd", sum(col("c")).over(Window.partitionBy(col("grp"))))
+      .filter(col("cum") * 2 >= col("nd") + 1)
+      .groupBy(col("grp")).agg(min(col("x")).as("med"))
+    val signed = daily.join(med, Seq("grp"))
+      .filter(col("x") =!= col("med"))
+      .withColumn("s", when(col("x") > col("med"), 1L).otherwise(-1L))
+    val wOrd = Window.partitionBy(col("grp")).orderBy(col("d"))
+    signed
+      .withColumn("brk",
+        when(lag(col("s"), 1).over(wOrd).isNull
+          || lag(col("s"), 1).over(wOrd) =!= col("s"), 1L).otherwise(0L))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).as("n_minus"),
+        sum(col("brk")).as("n_runs"))
+      .select(col("grp"), col("n_days"), col("n_plus"), col("n_minus"),
+        col("n_runs"), expr(
+        // 2.0D, not 2.0: Spark parses a bare decimal literal as DECIMAL
+        // and decimal-scale division diverges from the oracle's double
+        // path by far more than an ULP (hit live at this operator's
+        // first verify: z off in the 6th decimal)
+        """CASE WHEN n_days < 2 OR n_plus = 0 OR n_minus = 0
+          |    OR 2.0D * n_plus * n_minus
+          |       * (2.0D * n_plus * n_minus - n_days) <= 0.0D
+          |  THEN CAST(NULL AS BIGINT)
+          |  ELSE CAST(round(1e6 * (CAST(n_runs AS DOUBLE)
+          |      - (2.0D * n_plus * n_minus / n_days + 1.0D))
+          |    / sqrt(2.0D * n_plus * n_minus
+          |        * (2.0D * n_plus * n_minus - n_days)
+          |        / (CAST(n_days AS DOUBLE) * n_days * (n_days - 1))))
+          |    AS BIGINT)
+          |  END""".stripMargin).as("z_micro"))
+  }
 }

@@ -477,6 +477,106 @@ object Round14b {
         max_abs,
         CAST(coalesce(zc.zc, 0) AS BIGINT) AS zero_cross,
         silence_frames, clip_frames
-      FROM st LEFT JOIN zc ON st.doc_id = zc.doc_id"""))
+      FROM st LEFT JOIN zc ON st.doc_id = zc.doc_id""")),
+
+    // ---- matrix profile ---------------------------------------------------
+    // which week of each type's daily traffic matches NOTHING else in the
+    // series (discord = anomaly) and which repeats (motif)? Exact
+    // non-normalized profile, m=7, exclusion zone 3.
+    Q("q173_matrix_profile", (s, d) =>
+      TimeSeries.matrixProfile(Tables.events(s, d), "event_type", "ts", 7),
+      Some("""
+        WITH obs AS (SELECT event_type AS grp,
+                CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, count(*) AS x
+              FROM events GROUP BY 1, 2),
+        spans AS (SELECT grp, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1),
+        dense AS (SELECT grp, CAST(unnest(generate_series(d0, d1,
+                INTERVAL 1 DAY)) AS DATE) AS d FROM spans),
+        daily AS (SELECT dense.grp, dense.d,
+                CAST(coalesce(obs.x, 0) AS BIGINT) AS x
+              FROM dense LEFT JOIN obs
+                ON obs.grp = dense.grp AND obs.d = dense.d),
+        idx AS (SELECT grp, d, x,
+                CAST(row_number() OVER (PARTITION BY grp ORDER BY d)
+                  AS BIGINT) AS rn,
+                CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+              FROM daily),
+        wins AS (SELECT i.grp, i.rn AS i, CAST(t.range AS BIGINT) AS t,
+                  i2.x AS v
+                FROM idx i CROSS JOIN range(7) t
+                JOIN idx i2 ON i2.grp = i.grp AND i2.rn = i.rn + t.range
+                WHERE i.rn <= i.n - 6),
+        pairs AS (SELECT a.grp, a.i, b.i AS j,
+                  CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dist
+                FROM wins a JOIN wins b
+                  ON b.grp = a.grp AND b.t = a.t AND b.i > a.i + 3
+                GROUP BY 1, 2, 3),
+        sym AS (SELECT grp, i, j, dist FROM pairs
+                UNION ALL
+                SELECT grp, j AS i, i AS j, dist FROM pairs),
+        prof AS (SELECT grp, i, dist, j,
+                  row_number() OVER (PARTITION BY grp, i
+                    ORDER BY dist, j) AS rk
+                FROM sym)
+        SELECT p.grp, idx.d, p.i AS win_start, p.dist AS p_dist,
+               p.j AS nn_idx
+        FROM prof p JOIN idx ON idx.grp = p.grp AND idx.rn = p.i
+        WHERE rk = 1""")),
+
+    // ---- runs test ---------------------------------------------------------
+    // is each type's above/below-median daily pattern random in time?
+    // (clustering = trend/regime; alternation = overdispersion)
+    Q("q174_runs_test", (s, d) =>
+      TimeSeries.runsTest(Tables.events(s, d), "event_type", "ts"),
+      Some("""
+        WITH obs AS (SELECT event_type AS grp,
+                CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, count(*) AS x
+              FROM events GROUP BY 1, 2),
+        spans AS (SELECT grp, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1),
+        dense AS (SELECT grp, CAST(unnest(generate_series(d0, d1,
+                INTERVAL 1 DAY)) AS DATE) AS d FROM spans),
+        daily AS (SELECT dense.grp, dense.d,
+                CAST(coalesce(obs.x, 0) AS BIGINT) AS x
+              FROM dense LEFT JOIN obs
+                ON obs.grp = dense.grp AND obs.d = dense.d),
+        vg AS (SELECT grp, x, CAST(count(*) AS BIGINT) AS c
+              FROM daily GROUP BY 1, 2),
+        cum AS (SELECT grp, x, c,
+                CAST(sum(c) OVER (PARTITION BY grp ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cm,
+                CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS nd
+              FROM vg),
+        med AS (SELECT grp, min(x) AS med FROM cum
+              WHERE cm * 2 >= nd + 1 GROUP BY 1),
+        sgn AS (SELECT daily.grp, d,
+                CASE WHEN x > med THEN 1 ELSE -1 END AS s
+              FROM daily JOIN med ON daily.grp = med.grp
+              WHERE x <> med),
+        brk AS (SELECT grp, s,
+                CASE WHEN lag(s) OVER (PARTITION BY grp ORDER BY d) IS NULL
+                  OR lag(s) OVER (PARTITION BY grp ORDER BY d) <> s
+                  THEN 1 ELSE 0 END AS brk
+              FROM sgn),
+        agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_plus,
+                CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_minus,
+                CAST(sum(brk) AS BIGINT) AS n_runs
+              FROM brk GROUP BY 1)
+        SELECT grp, n_days, n_plus, n_minus, n_runs,
+          CASE WHEN n_days < 2 OR n_plus = 0 OR n_minus = 0
+              OR 2.0 * n_plus * n_minus * (2.0 * n_plus * n_minus - n_days)
+                 <= 0.0
+            THEN CAST(NULL AS BIGINT)
+            ELSE CAST(round(1e6 * (CAST(n_runs AS DOUBLE)
+                - (2.0 * n_plus * n_minus / n_days + 1.0))
+              / sqrt(2.0 * n_plus * n_minus
+                  * (2.0 * n_plus * n_minus - n_days)
+                  / (CAST(n_days AS DOUBLE) * n_days * (n_days - 1))))
+              AS BIGINT)
+            END AS z_micro
+        FROM agg"""))
   )
 }

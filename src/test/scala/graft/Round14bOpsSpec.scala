@@ -135,6 +135,68 @@ class Round14bOpsSpec extends AnyFunSuite {
     assert(w === Seq(1000000L, 750000L, 562500L, 421875L, 316406L))
   }
 
+  // ---- matrix profile -----------------------------------------------------
+
+  test("matrixProfile: period-3 series finds its exact motifs, ties to smallest j") {
+    // counts 1,2,3 repeating over 9 days; m=3, exclusion 1:
+    // window i matches window i±3 exactly (dist 0)
+    val ev = Tables14b.dailyEvents(spark, "g" -> Seq(1, 2, 3, 1, 2, 3, 1, 2, 3))
+    val rows = TimeSeries.matrixProfile(ev, "event_type", "ts", 3)
+      .orderBy("win_start").collect()
+    assert(rows.length === 7)
+    assert(rows.forall(_.getAs[Long]("p_dist") === 0L))
+    // argmin tie-break: smallest neighbor index
+    val nn = rows.map(r => r.getAs[Long]("win_start") -> r.getAs[Long]("nn_idx"))
+    assert(nn.toSeq === Seq(1L -> 4L, 2L -> 5L, 3L -> 6L, 4L -> 1L,
+      5L -> 2L, 6L -> 3L, 7L -> 1L))
+  }
+
+  test("matrixProfile: discord window carries the largest profile value") {
+    // flat series with one spike: the windows containing the spike are
+    // the discords (largest min-distance)
+    val ev = Tables14b.dailyEvents(spark,
+      "g" -> Seq(2, 2, 2, 2, 9, 2, 2, 2, 2, 2))
+    val rows = TimeSeries.matrixProfile(ev, "event_type", "ts", 3)
+      .collect()
+    val byWin = rows.map(r =>
+      r.getAs[Long]("win_start") -> r.getAs[Long]("p_dist")).toMap
+    val spikeWins = Seq(3L, 4L, 5L) // windows covering day 5
+    val flatMax = byWin.filterNot(kv => spikeWins.contains(kv._1)).values.max
+    assert(spikeWins.map(byWin).min > flatMax)
+  }
+
+  test("matrixProfile: maxSpanDays gate fails loud") {
+    val ev = Tables14b.dailyEvents(spark, "g" -> Seq.fill(12)(1))
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.matrixProfile(ev, "event_type", "ts", 3, maxSpanDays = 10)
+    }
+    assert(e.getMessage.contains("maxSpanDays"))
+  }
+
+  // ---- runs test -----------------------------------------------------------
+
+  test("runsTest: hand-computed runs and z over a 6-day series") {
+    // counts 1,5,2,6,3,7 -> lower median 5 drops day 2; signs -,-,+,-,+
+    val ev = Tables14b.dailyEvents(spark, "g" -> Seq(1, 5, 2, 6, 3, 7))
+    val r = TimeSeries.runsTest(ev, "event_type", "ts").collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_days") === 5L)
+    assert(r(0).getAs[Long]("n_plus") === 2L)
+    assert(r(0).getAs[Long]("n_minus") === 3L)
+    assert(r(0).getAs[Long]("n_runs") === 4L)
+    val mu = 2.0 * 2 * 3 / 5 + 1.0
+    val sd = math.sqrt(2.0 * 2 * 3 * (2.0 * 2 * 3 - 5) / (25.0 * 4))
+    assert(r(0).getAs[Long]("z_micro") === math.round(1e6 * (4.0 - mu) / sd))
+  }
+
+  test("runsTest: one-sided series degenerates to NULL z") {
+    // all surviving days below the median -> n_plus = 0
+    val ev = Tables14b.dailyEvents(spark, "g" -> Seq(5, 1, 5, 1, 5, 1))
+    val r = TimeSeries.runsTest(ev, "event_type", "ts").collect()(0)
+    assert(r.getAs[Long]("n_plus") === 0L)
+    assert(r.isNullAt(r.fieldIndex("z_micro")))
+  }
+
   // ---- WAV stats decode ------------------------------------------------
 
   private def le16(v: Int): Array[Byte] =
