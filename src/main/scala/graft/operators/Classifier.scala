@@ -118,6 +118,115 @@ object Classifier {
        |FROM cells GROUP BY 1""".stripMargin
   }
 
+  /** Confusion-matrix + proper-scoring readout for the trained
+    * classifier, one row: count, the four confusion cells, Matthews
+    * correlation (the balance-robust single-number accuracy — NULL when
+    * any margin is empty), the Brier score (mean squared probability
+    * error — the PROPER score a quality filter should be tuned on), and
+    * the expected calibration error over `bins` equal-width bands.
+    *
+    * Exactness: cells are exact long counts; the Brier sum accumulates
+    * per-row `(sm − 10⁶·label)²` integers in DECIMAL(38,0) (1e12 per row
+    * wraps a long past ~10⁷ rows); ECE reduces to the exact integer
+    * identity `Σ_b |10⁶·n_pos_b − Σsm_b| / (10⁶·N)` — each band's
+    * |observed − mean-score| gap times its weight clears every division.
+    * The three closing expressions are single mirrored doubles
+    * (micro-rounded at scale 0). MCC's four-margin product overflows
+    * 2⁶³ at corpus scale, so it multiplies as doubles under the sqrt.
+    * Output: (n, tp, fp, fn, tn, mcc_micro, brier_micro, ece_micro). */
+  def evalMetrics(feat: DataFrame, xs: Seq[String], steps: Int,
+      lr: Double = 0.25, bins: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val scored = fitPredict(feat, xs, steps, lr)
+      .select(col("label").cast("long").as("lab"),
+        col("pred").cast("long").as("pr"),
+        round(col("score") * 1e6).cast("long").as("sm"),
+        least(floor(col("score") * bins), lit(bins - 1)).cast("long")
+          .as("bin"))
+      .persist()
+    val conf = scored.agg(count(lit(1)).as("n"),
+      sum(when(col("lab") === 1L && col("pr") === 1L, 1L).otherwise(0L))
+        .as("tp"),
+      sum(when(col("lab") === 0L && col("pr") === 1L, 1L).otherwise(0L))
+        .as("fp"),
+      sum(when(col("lab") === 1L && col("pr") === 0L, 1L).otherwise(0L))
+        .as("fn"),
+      sum(when(col("lab") === 0L && col("pr") === 0L, 1L).otherwise(0L))
+        .as("tn"),
+      coalesce(sum(((col("sm") - col("lab") * 1000000L).cast(dec)
+        * (col("sm") - col("lab") * 1000000L))),
+        lit(BigDecimal(0)).cast(dec)).as("bsum"))
+    val ece = scored.groupBy(col("bin"))
+      .agg(sum(col("lab")).as("npos"), sum(col("sm")).as("ssm"))
+      .agg(coalesce(sum(abs(col("npos") * 1000000L - col("ssm"))), lit(0L))
+        .as("egap"))
+    val out = conf.crossJoin(broadcast(ece))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"), expr(
+        """CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0
+          |    OR tn + fn = 0 THEN CAST(NULL AS BIGINT)
+          |  ELSE CAST(round(1e6
+          |    * (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+          |    / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+          |        * (tn + fp) * (tn + fn))) AS BIGINT)
+          |  END""".stripMargin).as("mcc_micro"),
+        expr("""CASE WHEN n = 0 THEN CAST(NULL AS BIGINT)
+          |ELSE CAST(round(CAST(bsum AS DOUBLE) / (1e6 * n)) AS BIGINT)
+          |END""".stripMargin).as("brier_micro"),
+        expr("""CASE WHEN n = 0 THEN CAST(NULL AS BIGINT)
+          |ELSE CAST(round(CAST(egap AS DOUBLE) / n) AS BIGINT)
+          |END""".stripMargin).as("ece_micro"))
+      .persist()
+    out.count()
+    scored.unpersist(false)
+    out
+  }
+
+  /** DuckDB replica of [[evalMetrics]]: same trajectory CTEs, same
+    * integer identities. */
+  def evalMetricsOracleSql(featSql: String, xs: Seq[String], steps: Int,
+      lr: Double, bins: Int): String = {
+    val zf = dot(xs, s"w$steps")
+    s"""${trajectoryCtes(featSql, xs, steps, lr)},
+       |scored AS (SELECT CAST(label AS BIGINT) AS lab,
+       |    CAST(${sigma(zf)} >= 0.5 AS BIGINT) AS pr,
+       |    CAST(round(round(${sigma(zf)}, 6) * 1e6) AS BIGINT) AS sm,
+       |    least(CAST(floor(round(${sigma(zf)}, 6) * $bins) AS BIGINT),
+       |      ${bins - 1}) AS bin
+       |  FROM feat, w$steps),
+       |conf AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN lab = 1 AND pr = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN lab = 0 AND pr = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN lab = 1 AND pr = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fn,
+       |    CAST(sum(CASE WHEN lab = 0 AND pr = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tn,
+       |    coalesce(sum(CAST((sm - lab * 1000000) AS HUGEINT)
+       |      * (sm - lab * 1000000)), 0) AS bsum
+       |  FROM scored),
+       |eceb AS (SELECT bin, CAST(sum(lab) AS BIGINT) AS npos,
+       |    CAST(sum(sm) AS BIGINT) AS ssm
+       |  FROM scored GROUP BY 1),
+       |ece AS (SELECT CAST(coalesce(sum(abs(npos * 1000000 - ssm)), 0)
+       |    AS BIGINT) AS egap FROM eceb)
+       |SELECT n, tp, fp, fn, tn,
+       |  CASE WHEN tp + fp = 0 OR tp + fn = 0 OR tn + fp = 0
+       |      OR tn + fn = 0 THEN CAST(NULL AS BIGINT)
+       |    ELSE CAST(round(1e6
+       |      * (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+       |      / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+       |          * (tn + fp) * (tn + fn))) AS BIGINT)
+       |    END AS mcc_micro,
+       |  CASE WHEN n = 0 THEN CAST(NULL AS BIGINT)
+       |    ELSE CAST(round(CAST(bsum AS DOUBLE) / (1e6 * n)) AS BIGINT)
+       |    END AS brier_micro,
+       |  CASE WHEN n = 0 THEN CAST(NULL AS BIGINT)
+       |    ELSE CAST(round(CAST(egap AS DOUBLE) / n) AS BIGINT)
+       |    END AS ece_micro
+       |FROM conf CROSS JOIN ece""".stripMargin
+  }
+
   private def dot(xs: Seq[String], wPrefix: String): String =
     xs.zipWithIndex.map { case (c, j) => s"$c * ${wPrefix}_$j" }
       .mkString("(", " + ", ")")

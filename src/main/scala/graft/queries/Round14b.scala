@@ -51,6 +51,54 @@ object Round14b {
     s"((doc_id * 31 + $i * 997) % 4001 - 2000)" +
       " * (CASE WHEN doc_id % 7 = 0 THEN 16 ELSE 1 END)"
 
+  /** 63-sample variant of [[WavHeaderHex]] (RIFF size 162, data 126
+    * bytes): 63 frames map 1:1 onto the 63 perceptual-envelope cells, so
+    * the envelope IS the |amplitude| sequence and a uniform gain change
+    * cancels EXACTLY in the integer normalization `e·255 div max` —
+    * byte-identical fingerprints across volume, provable in SQL. */
+  private val WavHeader63Hex: String =
+    "52494646" + "A2000000" + "57415645" + "666D7420" + "10000000" +
+      "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+      "64617461" + "7E000000"
+
+  /** Signal-CLASS sample formula for the audio dedup family: the signal
+    * depends only on `doc_id % 40` (so each class repeats across the
+    * corpus) while the ×16 amplification still keys off the raw doc_id —
+    * same class at different volume = the near-duplicate the
+    * volume-invariant envelope must collapse. */
+  private def wavClassSample(i: String): String =
+    s"(((doc_id % 40) * 53 + $i * 997) % 3001 - 1500)" +
+      " * (CASE WHEN doc_id % 7 = 0 THEN 16 ELSE 1 END)"
+
+  /** The Spark-side synthetic-WAV constructor over [[wavClassSample]]
+    * (shared by both audio envelope queries and the ScaleSmoke row). */
+  private[graft] val audioClassMediaSql: String =
+    s"""unhex(concat('$WavHeader63Hex',
+      |  aggregate(sequence(0L, 62L), '', (acc, i) -> concat(acc,
+      |    lpad(hex(pmod(${wavClassSample("i")}, 65536) % 256), 2, '0'),
+      |    lpad(hex(pmod(${wavClassSample("i")}, 65536) div 256), 2, '0')))
+      |))""".stripMargin
+
+  /** DuckDB: the volume-normalized 63-cell envelope fingerprint computed
+    * from [[wavClassSample]] FIRST PRINCIPLES (|m| per cell → ·255 div
+    * max → dHash bits) — the oracle half of the real decodeWavEnvelope
+    * path. Yields CTEs ending in `efp(doc_id, fp)`. */
+  private val duckEnvelopeFpCtes: String =
+    s"""es AS (SELECT doc_id, CAST(t.range AS BIGINT) AS f,
+       |        abs(${wavClassSample("CAST(t.range AS BIGINT)")}) AS a
+       |      FROM documents CROSS JOIN range(63) t),
+       |emx AS (SELECT doc_id, CAST(max(a) AS BIGINT) AS mx
+       |      FROM es GROUP BY 1),
+       |ecells AS (SELECT es.doc_id,
+       |        list(CASE WHEN mx = 0 THEN 0 ELSE a * 255 // mx END
+       |          ORDER BY f) AS cells
+       |      FROM es JOIN emx ON es.doc_id = emx.doc_id
+       |      GROUP BY 1),
+       |efp AS (SELECT doc_id,
+       |        ${graft.operators.PerceptualHash.duckDHashBits("cells")}
+       |          AS fp
+       |      FROM ecells)""".stripMargin
+
   def defs: Seq[Q] = Seq(
 
     // ---- Wilcoxon signed-rank --------------------------------------------
@@ -478,6 +526,192 @@ object Round14b {
         CAST(coalesce(zc.zc, 0) AS BIGINT) AS zero_cross,
         silence_frames, clip_frames
       FROM st LEFT JOIN zc ON st.doc_id = zc.doc_id""")),
+
+    // ---- audio perceptual envelope -----------------------------------------
+    // REAL decodeWavEnvelope end-to-end against a first-principles SQL
+    // mirror: 63 mono frames land 1:1 on the 63 envelope cells, so the
+    // oracle can recompute |m| -> x255 div max -> dHash without any
+    // decoder. Upgrades the WAV envelope path from spec-pinned constants
+    // to a corpus-wide oracle row.
+    Q("mm_audio_envelope", (s, d) => {
+      val media = expr(audioClassMediaSql)
+      Tables.ts(s, d, "documents")
+        .select(col("doc_id"), media.as("media"))
+        .select(col("doc_id"), graft.functions.PhashNative.dhash56(
+          graft.functions.PhashNative.imageGridOrRaw(col("media")))
+          .as("fp"))
+    }, Some(s"""
+      WITH $duckEnvelopeFpCtes
+      SELECT doc_id, fp FROM efp""")),
+
+    // ---- volume-invariant audio dedup ---------------------------------------
+    // duplicate classes over the envelope fingerprint: same signal class
+    // at x1 and x16 gain collapses to ONE fingerprint (the gain cancels
+    // exactly in the integer normalization) — the audio analog of the
+    // brightness-invariant image dHash dedup, grouped (not paired) so the
+    // output stays class-grain at any corpus size.
+    Q("mm_audio_dedup", (s, d) => {
+      val media = expr(audioClassMediaSql)
+      Tables.ts(s, d, "documents")
+        .select(col("doc_id"), media.as("media"))
+        .select(col("doc_id"), graft.functions.PhashNative.dhash56(
+          graft.functions.PhashNative.imageGridOrRaw(col("media")))
+          .as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+        .filter(col("n_docs") >= 2L)
+    }, Some(s"""
+      WITH $duckEnvelopeFpCtes
+      SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(min(doc_id) AS BIGINT) AS rep_doc
+      FROM efp GROUP BY 1 HAVING count(*) >= 2""")),
+
+    // ---- classifier eval metrics -------------------------------------------
+    // MCC + Brier + ECE for the q87/q114 quality classifier: the
+    // single-number scorecard (balance-robust accuracy, proper score,
+    // calibration gap) next to the per-bin reliability diagram.
+    Q("q175_eval_metrics", (s, d) => {
+      val nt = size(split(col("text"), " "))
+      val feat = t(s, d, "documents").select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("label"),
+        lit(1.0).as("x0"),
+        (nt.cast("double") / lit(100.0)).as("x1"),
+        (col("n_chars").cast("double") / nt / lit(10.0)).as("x2"),
+        (size(array_distinct(split(col("text"), " "))).cast("double") / nt)
+          .as("x3"))
+      graft.operators.Classifier.evalMetrics(feat,
+        Seq("x0", "x1", "x2", "x3"), steps = 3, lr = 0.25, bins = 10)
+    }, Some(graft.operators.Classifier.evalMetricsOracleSql(
+      Curation.lrFeatSql, Seq("x0", "x1", "x2", "x3"), steps = 3,
+      lr = 0.25, bins = 10))),
+
+    // ---- log-rank test -------------------------------------------------------
+    // do even and odd user cohorts churn at the same rate? q93's
+    // 30th-event churn proxy split into two cohorts, compared by the
+    // hypergeometric O-E machinery over pooled event times.
+    Q("q176_logrank", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val per = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("f"),
+          max(when(col("rn") === 30, col("us"))).as("kth"),
+          max(col("us")).as("l"))
+      val subj = per.select(
+        expr("CAST(user_id % 2 AS STRING)").as("cohort"),
+        expr("(coalesce(kth, l) - f) div 86400000000L").as("dur"),
+        col("kth").isNotNull.cast("long").as("obs"))
+      graft.operators.Survival.logRank(subj, "cohort", "dur", "obs",
+        "0", "1")
+    }, Some("""
+      WITH ranked AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS rn
+                      FROM events),
+      per AS (SELECT user_id, min(us) AS f,
+                max(CASE WHEN rn = 30 THEN us END) AS kth, max(us) AS l
+              FROM ranked GROUP BY 1),
+      subj AS (SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+                (coalesce(kth, l) - f) // 86400000000 AS t,
+                CASE WHEN kth IS NOT NULL THEN 1 ELSE 0 END AS obs
+               FROM per),
+      tot AS (SELECT CAST(sum(CASE WHEN g = '0' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n1,
+                CAST(count(*) AS BIGINT) AS n FROM subj),
+      byt AS (SELECT t,
+                CAST(sum(CASE WHEN g = '0' THEN obs ELSE 0 END) AS BIGINT)
+                  AS d1,
+                CAST(sum(obs) AS BIGINT) AS dt,
+                CAST(sum(CASE WHEN g = '0' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS c1,
+                CAST(count(*) AS BIGINT) AS ct
+              FROM subj GROUP BY 1),
+      cw AS (SELECT t, d1, dt, c1, ct,
+              CAST(coalesce(sum(c1) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS left1,
+              CAST(coalesce(sum(ct) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS leftt
+            FROM byt),
+      r AS (SELECT d1, dt, n1 - left1 AS n1t, n - leftt AS nt, n1, n
+            FROM cw, tot WHERE dt > 0),
+      terms AS (SELECT d1, dt, n1, n,
+              CAST(round(1e9 * CAST(dt AS DOUBLE) * n1t / nt) AS BIGINT)
+                AS e_nano,
+              CASE WHEN nt <= 1 THEN 0
+              ELSE CAST(round(1e9 * CAST(dt AS DOUBLE) * n1t * (nt - n1t)
+                  * (nt - dt)
+                / (CAST(nt AS DOUBLE) * nt * (nt - 1))) AS BIGINT)
+              END AS v_nano
+            FROM r),
+      agg AS (SELECT CAST(max(n1) AS BIGINT) AS n_a,
+              CAST(max(n) - max(n1) AS BIGINT) AS n_b,
+              CAST(count(*) AS BIGINT) AS n_times,
+              CAST(coalesce(sum(d1), 0) AS BIGINT) AS o_a,
+              CAST(coalesce(sum(e_nano), 0) AS BIGINT) AS e_a_nano,
+              CAST(coalesce(sum(v_nano), 0) AS BIGINT) AS v_nano
+            FROM terms)
+      SELECT n_a, n_b, n_times, o_a, e_a_nano, v_nano,
+        CASE WHEN v_nano <= 0 THEN CAST(NULL AS BIGINT)
+        ELSE CAST(round(1e6
+          * (CAST(o_a AS DOUBLE) - CAST(e_a_nano AS DOUBLE) / 1e9)
+          * (CAST(o_a AS DOUBLE) - CAST(e_a_nano AS DOUBLE) / 1e9)
+          / (CAST(v_nano AS DOUBLE) / 1e9)) AS BIGINT)
+        END AS chi2_micro
+      FROM agg""")),
+
+    // ---- Nelson-Aalen cumulative hazard --------------------------------------
+    // the additive hazard companion to q93's Kaplan-Meier, same subjects.
+    Q("q177_nelson_aalen", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val per = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("f"),
+          max(when(col("rn") === 30, col("us"))).as("kth"),
+          max(col("us")).as("l"))
+      val subj = per.select(
+        expr("(coalesce(kth, l) - f) div 86400000000L").as("dur"),
+        col("kth").isNotNull.cast("long").as("obs"))
+      graft.operators.Survival.nelsonAalen(subj, "dur", "obs")
+    }, Some("""
+      WITH ranked AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS rn
+                      FROM events),
+      per AS (SELECT user_id, min(us) AS f,
+                max(CASE WHEN rn = 30 THEN us END) AS kth, max(us) AS l
+              FROM ranked GROUP BY 1),
+      subj AS (SELECT (coalesce(kth, l) - f) // 86400000000 AS t,
+                CASE WHEN kth IS NOT NULL THEN 1 ELSE 0 END AS obs
+               FROM per),
+      tot AS (SELECT count(*) AS n FROM subj),
+      byt AS (SELECT t, CAST(sum(obs) AS BIGINT) AS d, count(*) AS c
+              FROM subj GROUP BY 1),
+      cw AS (SELECT t, d, c,
+              CAST(coalesce(sum(c) OVER (ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS left_before
+            FROM byt),
+      r AS (SELECT t, d, CAST(n - left_before AS BIGINT) AS n_risk
+            FROM cw, tot WHERE d > 0),
+      costs AS (SELECT t, d, n_risk,
+          CAST(round(d::DOUBLE / n_risk * 1e9) AS BIGINT) AS h_nano
+        FROM r)
+      SELECT t, n_risk, d AS n_event,
+             CAST(sum(h_nano) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_hazard_nano
+      FROM costs""")),
 
     // ---- matrix profile ---------------------------------------------------
     // which week of each type's daily traffic matches NOTHING else in the

@@ -961,6 +961,57 @@ object ScaleSmoke {
             Multimodal.videoFramePhashes(g, "doc_id", "media")))
         }
         ("video_frames", vf(d1, "1x"), vf(d10, "10x"))
+      },
+      // paired signed-rank (round 14b): per-user exact micro-sum pairs
+      // feed value-grain midranks — 10x users means 10x pairs into the
+      // first aggregate, but the rank pass rides the |d| value domain
+      {
+        import graft.operators.Stats
+        val ev1s = spark.read.parquet(s"$sfDir/events.parquet")
+        val ev10s = rep("events", Seq("event_id", "user_id"))
+          .persist(); ev10s.count()
+        def wx(ev: DataFrame, tag: String): Double = {
+          val micro = expr("CAST(round(value * 1e6) AS BIGINT)")
+          val pairs = ev.groupBy(col("user_id"))
+            .agg(sum(when(col("event_type") === "view", micro)).as("xv"),
+              sum(when(col("event_type") === "click", micro)).as("yv"))
+          time(s"wilcoxon $tag")(
+            noop(Stats.wilcoxonSignedRank(pairs, "xv", "yv")))
+        }
+        val r = ("wilcoxon_pairs", wx(ev1s, "1x"), wx(ev10s, "10x"))
+        ev10s.unpersist(false)
+        r
+      },
+      // matrix profile (round 14b): the window-pair stage is day-grain
+      // under the group partition — corpus growth only scales the first
+      // daily-count aggregate, the C(span,2) pair join is unchanged
+      {
+        import graft.operators.TimeSeries
+        import graft.queries.Tables
+        val ev1t = Tables.normalizeEventTs(
+          spark.read.parquet(s"$sfDir/events.parquet"))
+        val ev10t = Tables.normalizeEventTs(
+          rep("events", Seq("event_id", "user_id"))).persist()
+        ev10t.count()
+        def mp(ev: DataFrame, tag: String): Double =
+          time(s"matrix_profile $tag")(noop(
+            TimeSeries.matrixProfile(ev, "event_type", "ts", 7)))
+        val r = ("matrix_profile", mp(ev1t, "1x"), mp(ev10t, "10x"))
+        ev10t.unpersist(false)
+        r
+      },
+      // audio envelope fingerprint (round 14b): SQL construct + REAL PCM
+      // WAV decode + native dHash — embarrassingly parallel scan
+      {
+        import graft.functions.PhashNative
+        def ae(d: DataFrame, tag: String): Double = {
+          val m = d.select(col("doc_id")).withColumn("media",
+            expr(graft.queries.Round14b.audioClassMediaSql))
+          time(s"audio_envelope $tag")(noop(m.select(col("doc_id"),
+            PhashNative.dhash56(PhashNative.imageGridOrRaw(col("media")))
+              .as("fp"))))
+        }
+        ("audio_envelope", ae(d1, "1x"), ae(d10, "10x"))
       })
 
     println(f"\n${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ${"ratio"}%7s")

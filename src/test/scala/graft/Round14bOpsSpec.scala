@@ -197,6 +197,47 @@ class Round14bOpsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("z_micro")))
   }
 
+  // ---- survival: log-rank + Nelson-Aalen --------------------------------
+
+  test("logRank: hand-computed O/E/V over two small cohorts") {
+    // A: events at t=1, t=2; B: event at t=1, censored at t=3
+    val subj = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("b", 1L, 1L),
+      ("b", 3L, 0L)).toDF("g", "dur", "obs")
+    val r = graft.operators.Survival
+      .logRank(subj, "g", "dur", "obs", "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_a") === 2L)
+    assert(r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("n_times") === 2L)
+    assert(r.getAs[Long]("o_a") === 2L)
+    // t=1: e = 2*2/4 = 1, v = 2*2*2*2/(4^2*3) = 1/3
+    // t=2: e = 1*1/2 = 1/2, v = 1/(2^2*1) = 1/4
+    assert(r.getAs[Long]("e_a_nano") === 1500000000L)
+    assert(r.getAs[Long]("v_nano") === 333333333L + 250000000L)
+    val v = (333333333L + 250000000L) / 1e9
+    assert(r.getAs[Long]("chi2_micro") === math.round(1e6 * 0.25 / v))
+  }
+
+  test("logRank: empty cohort degenerates to NULL chi2") {
+    val subj = Seq(("a", 1L, 1L), ("a", 2L, 1L)).toDF("g", "dur", "obs")
+    val r = graft.operators.Survival
+      .logRank(subj, "g", "dur", "obs", "a", "b").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("chi2_micro")))
+  }
+
+  test("nelsonAalen: hazard steps accumulate the exact d/n terms") {
+    val subj = Seq((1L, 1L), (1L, 1L), (2L, 1L), (3L, 0L))
+      .toDF("dur", "obs")
+    val rows = graft.operators.Survival.nelsonAalen(subj, "dur", "obs")
+      .orderBy("t").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("t") === 1L)
+    assert(rows(0).getAs[Long]("n_risk") === 4L)
+    assert(rows(0).getAs[Long]("cum_hazard_nano") === 500000000L)
+    assert(rows(1).getAs[Long]("t") === 2L)
+    assert(rows(1).getAs[Long]("n_risk") === 2L)
+    assert(rows(1).getAs[Long]("cum_hazard_nano") === 1000000000L)
+  }
+
   // ---- WAV stats decode ------------------------------------------------
 
   private def le16(v: Int): Array[Byte] =
@@ -244,6 +285,42 @@ class Round14bOpsSpec extends AnyFunSuite {
     assert(st(2) === 6L)
     assert(st(3) === 18L)
     assert(st(5) === 1L) // 3 -> -3 crosses
+  }
+
+  test("decodeWavEnvelope: uniform gain cancels exactly at 63 frames") {
+    // 63 mono frames map 1:1 onto the 63 envelope cells, so the
+    // normalization e*255 div max sees (16a)*255 div (16*mx) = a*255
+    // div mx — byte-identical envelope across volume
+    val sig = (0 until 63).map(i => ((i * 997) % 3001) - 1500)
+    val quiet = MediaCodec.decodeWavEnvelope(wav(1, sig.map(Seq(_)))).get
+    val loud = MediaCodec.decodeWavEnvelope(
+      wav(1, sig.map(s => Seq(s * 16)))).get
+    assert(quiet.toSeq === loud.toSeq)
+    // and the envelope really is the normalized |amplitude| sequence
+    val mx = sig.map(math.abs).max
+    val want = sig.map(s => (math.abs(s) * 255 / mx).toByte)
+    assert(quiet.toSeq === want.toSeq)
+  }
+
+  // ---- classifier eval metrics ------------------------------------------
+
+  test("evalMetrics: hand-computed confusion, MCC, Brier, ECE on a fixed scoring") {
+    // steps=0 keeps w=0 -> every score is exactly 0.5, pred=true:
+    // tp = positives, fp = negatives, fn = tn = 0 -> MCC NULL;
+    // Brier = mean (0.5 - y)^2 = 0.25 -> 250000 micro;
+    // one bin (5), |1e6*n_pos - sum sm| = |2e6 - 5*5e5| = 5e5 over n=5
+    val feat = Seq((1.0, 1.0), (1.0, 1.0), (0.0, 1.0), (0.0, 1.0),
+      (0.0, 1.0)).toDF("label", "x0")
+    val r = graft.operators.Classifier
+      .evalMetrics(feat, Seq("x0"), steps = 0, bins = 10).collect()(0)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Long]("tp") === 2L)
+    assert(r.getAs[Long]("fp") === 3L)
+    assert(r.getAs[Long]("fn") === 0L)
+    assert(r.getAs[Long]("tn") === 0L)
+    assert(r.isNullAt(r.fieldIndex("mcc_micro")))
+    assert(r.getAs[Long]("brier_micro") === 250000L)
+    assert(r.getAs[Long]("ece_micro") === math.round(500000.0 / 5))
   }
 
   test("decodeWavStats: malformed payloads -> None") {
