@@ -1518,6 +1518,87 @@ object Stats {
       pv, groups)
   }
 
+  /** Anderson-Darling k-sample test (Scholz-Stephens A²ₐₖₙ, the
+    * tie-corrected midrank version): do k groups of `valCol` come from
+    * one distribution? — the tail-sensitive companion to
+    * [[ksDriftOneVsRest]] (KS weighs the middle of the ECDF; AD's
+    * `1/(F(1−F))` weight makes it the detector for tail drift, which is
+    * where quality-filter regressions usually hide). Per pooled distinct
+    * value j with mass h_j, the test compares each group's MID-cumulative
+    * `M_gj = cum_gj − h_gj/2` to the pooled `B_j = cum_j − h_j/2`; in
+    * DOUBLED units both are exact integers, and each (g, j) term
+    * `h_j·(N·M2 − n_g·B2)² / ((B2·(2N−B2) − N·h_j)·n_g)` is a ratio of
+    * exact integers (numerator squared as a mirrored double — it passes
+    * 2⁶³ immediately), micro-rounded THEN summed in DECIMAL(38,0).
+    * Terms whose denominator ≤ 0 (a single distinct value carrying the
+    * whole pool) are skipped, the standard treatment. The closing
+    * `A² = S·(N−1)/N` is one mirrored double. The raw A²ₐₖₙ is
+    * reported un-standardized (the σ_N normalization tables are a
+    * driver-side lookup, not an engine shape). Degenerate: < 2 groups
+    * or < 2 values → NULL.
+    *
+    * Same plan as [[ksDriftOneVsRest]]: pooled value-grain aggregate
+    * (compactness ENFORCED), k·d densify under `maxCells`, one
+    * group-partitioned cumulative window, one bounded pooled cumulative.
+    * Output: one row (n, n_groups, n_values, a2_micro). */
+  def andersonDarlingK(df: DataFrame, grpCol: String, valCol: String,
+      valScale: Double = 1e6, maxDistinctValues: Int = 1 << 16,
+      maxCells: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .filter(col(grpCol).isNotNull && col(valCol).isNotNull)
+      .select(col(grpCol).cast("string").as("g"),
+        round(col(valCol) * valScale).cast("long").as("v"))
+    val pv = base.groupBy(col("v")).agg(count(lit(1)).as("h")).persist()
+    requireCompactDomain("andersonDarlingK", pv, maxDistinctValues)
+    val nValues = pv.count()
+    val pooled = pv
+      .withColumn("cum", sum(col("h")).over(
+        Window.partitionBy(GlobalRank.boundedKey(col("v")))
+          .orderBy(col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("v"), col("h"), (lit(2) * col("cum") - col("h")).as("b2"))
+    val groups = base.groupBy(col("g")).agg(count(lit(1)).as("ng"))
+      .persist()
+    val nGroups = groups.count()
+    require(nGroups * nValues <= maxCells,
+      s"andersonDarlingK: $nGroups groups x $nValues values exceed " +
+        s"maxCells=$maxCells — coarsen valScale or raise the bound")
+    val tot = groups.agg(coalesce(sum(col("ng")), lit(0L)).as("n"))
+    val cells = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("v").asc)
+    val terms = groups.crossJoin(broadcast(pooled))
+      .join(cells, Seq("g", "v"), "left")
+      .withColumn("hg", coalesce(col("c"), lit(0L)))
+      .withColumn("m2", lit(2) * sum(col("hg")).over(
+        wg.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("hg"))
+      .crossJoin(broadcast(tot))
+      // denominator sign must be EXACT (a true-zero denominator read as
+      // a tiny double would explode the term): B2·(2N−B2) reaches N²,
+      // past 2⁶³ at corpus scale — compare in DECIMAL
+      .filter(col("b2").cast(dec) * (lit(2) * col("n") - col("b2"))
+        - col("n").cast(dec) * col("h") > lit(BigDecimal(0)).cast(dec))
+      .withColumn("t_micro", expr(
+        """CAST(round(1e6 * h
+          |  * (CAST(n AS DOUBLE) * m2 - CAST(ng AS DOUBLE) * b2)
+          |  * (CAST(n AS DOUBLE) * m2 - CAST(ng AS DOUBLE) * b2)
+          |  / ((CAST(b2 AS DOUBLE) * (2 * n - b2)
+          |      - CAST(n AS DOUBLE) * h) * ng))
+          |  AS DECIMAL(38,0))""".stripMargin))
+    finalized(terms
+      .agg(coalesce(sum(col("t_micro")), lit(BigDecimal(0)).cast(dec))
+        .as("s_micro"), max(col("n")).as("n"))
+      .select(col("n"), lit(nGroups).as("n_groups"),
+        lit(nValues).as("n_values"), expr(
+        s"""CASE WHEN $nGroups < 2 OR $nValues < 2 OR n IS NULL
+          |  THEN CAST(NULL AS BIGINT)
+          |ELSE CAST(round(CAST(s_micro AS DOUBLE) * (n - 1) / n)
+          |  AS BIGINT)
+          |END""".stripMargin).as("a2_micro")), pv, groups)
+  }
+
   /** Benjamini-Hochberg FDR adjustment over a frame of per-test p-values
     * (micro-scaled longs) — the multiple-comparisons closer for every
     * per-group test in this file: run [[TimeSeries.pettitt]] /

@@ -51,6 +51,15 @@ object Round14b {
     s"((doc_id * 31 + $i * 997) % 4001 - 2000)" +
       " * (CASE WHEN doc_id % 7 = 0 THEN 16 ELSE 1 END)"
 
+  /** The Spark-side 64-sample synthetic-WAV constructor over
+    * [[wavSample]] (shared by mm_audio_stats and the streaming gate). */
+  private val audioStatsMediaSql: String =
+    s"""unhex(concat('$WavHeaderHex',
+      |  aggregate(sequence(0L, 63L), '', (acc, i) -> concat(acc,
+      |    lpad(hex(pmod(${wavSample("i")}, 65536) % 256), 2, '0'),
+      |    lpad(hex(pmod(${wavSample("i")}, 65536) div 256), 2, '0')))
+      |))""".stripMargin
+
   /** 63-sample variant of [[WavHeaderHex]] (RIFF size 162, data 126
     * bytes): 63 frames map 1:1 onto the 63 perceptual-envelope cells, so
     * the envelope IS the |amplitude| sequence and a uniform gain change
@@ -484,12 +493,7 @@ object Round14b {
     // the oracle recomputes the stats from the formula — any decode drift
     // (offsets, sign extension, channel fold) breaks the hash.
     Q("mm_audio_stats", (s, d) => {
-      val media = expr(
-        s"""unhex(concat('$WavHeaderHex',
-          |  aggregate(sequence(0L, 63L), '', (acc, i) -> concat(acc,
-          |    lpad(hex(pmod(${wavSample("i")}, 65536) % 256), 2, '0'),
-          |    lpad(hex(pmod(${wavSample("i")}, 65536) div 256), 2, '0')))
-          |))""".stripMargin)
+      val media = expr(audioStatsMediaSql)
       Tables.ts(s, d, "documents")
         .select(col("doc_id"), media.as("media"))
         .withColumn("st", AudioNative.audioStats(col("media")))
@@ -565,6 +569,53 @@ object Round14b {
       SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
         CAST(min(doc_id) AS BIGINT) AS rep_doc
       FROM efp GROUP BY 1 HAVING count(*) >= 2""")),
+
+    // ---- streaming audio quality gate ---------------------------------------
+    // the multimodal x streaming composition: documents arrive as a
+    // stream, each constructs its WAV payload, the REAL PCM decode runs
+    // inside the micro-batch (AudioNative is a plain expression — no
+    // state), and the per-source admission rollup (clip-free AND <25%
+    // silence) accumulates in complete mode. Oracle = the batch
+    // semantics from the generating formula.
+    Q("mm_stream_audio_gate", (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sch = Tables.t(s, d, "documents").schema
+      val docs = s.readStream.schema(sch)
+        .parquet(Tables.stagedStreamDir(d, "documents"))
+      val agg = docs
+        .select(col("source"), expr(audioStatsMediaSql).as("media"))
+        .withColumn("st", AudioNative.audioStats(col("media")))
+        .select(col("source"),
+          element_at(col("st"), 1).as("nf"),
+          element_at(col("st"), 7).as("silence"),
+          element_at(col("st"), 8).as("clip"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("clip") === 0L && col("silence") * 4 < col("nf"),
+            1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("clip") > 0L, 1L).otherwise(0L)).as("n_clipped"))
+      val q = agg.writeStream.format("memory")
+        .queryName("mm_audio_stream")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("mm_audio_stream")
+    }, Some(s"""
+      WITH sa AS (SELECT doc_id, source,
+              ${wavSample("CAST(t.range AS BIGINT)")} AS m
+            FROM documents CROSS JOIN range(64) t),
+      st AS (SELECT doc_id, source,
+              CAST(count(*) AS BIGINT) AS nf,
+              CAST(sum(CASE WHEN abs(m) < 328 THEN 1 ELSE 0 END)
+                AS BIGINT) AS silence,
+              CAST(sum(CASE WHEN abs(m) >= 30000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS clip
+            FROM sa GROUP BY 1, 2)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN clip = 0 AND silence * 4 < nf
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        CAST(sum(CASE WHEN clip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clipped
+      FROM st GROUP BY 1""")),
 
     // ---- classifier eval metrics -------------------------------------------
     // MCC + Brier + ECE for the q87/q114 quality classifier: the
@@ -712,6 +763,60 @@ object Round14b {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS cum_hazard_nano
       FROM costs""")),
+
+    // ---- Anderson-Darling k-sample ----------------------------------------
+    // do the five event types share ONE value distribution, with tail
+    // sensitivity? (AD's 1/(F(1-F)) weight catches tail drift the KS
+    // family underweights) — midrank-exact doubled units, per-cell
+    // micro-rounded terms in DECIMAL.
+    Q("q178_anderson_darling", (s, d) =>
+      Stats.andersonDarlingK(Tables.events(s, d), "event_type", "value"),
+      Some("""
+        WITH base AS (SELECT CAST(event_type AS VARCHAR) AS g,
+                CAST(round(value * 1e6) AS BIGINT) AS v
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        pv AS (SELECT v, CAST(count(*) AS BIGINT) AS h FROM base GROUP BY 1),
+        pooled AS (SELECT v, h,
+                2 * CAST(sum(h) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - h AS b2
+              FROM pv),
+        grps AS (SELECT g, CAST(count(*) AS BIGINT) AS ng
+              FROM base GROUP BY 1),
+        tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n FROM grps),
+        cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2),
+        dense AS (SELECT grps.g, ng, pooled.v, h, b2,
+                CAST(coalesce(cells.c, 0) AS BIGINT) AS hg
+              FROM grps CROSS JOIN pooled
+              LEFT JOIN cells ON cells.g = grps.g AND cells.v = pooled.v),
+        mm AS (SELECT g, ng, v, h, b2,
+                2 * CAST(sum(hg) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - hg AS m2
+              FROM dense),
+        terms AS (SELECT n,
+                CAST(round(1e6 * h
+                  * (CAST(n AS DOUBLE) * m2 - CAST(ng AS DOUBLE) * b2)
+                  * (CAST(n AS DOUBLE) * m2 - CAST(ng AS DOUBLE) * b2)
+                  / ((CAST(b2 AS DOUBLE) * (2 * n - b2)
+                      - CAST(n AS DOUBLE) * h) * ng))
+                  AS HUGEINT) AS t_micro
+              FROM mm CROSS JOIN tot
+              WHERE CAST(b2 AS HUGEINT) * (2 * n - b2)
+                - CAST(n AS HUGEINT) * h > 0),
+        agg AS (SELECT coalesce(sum(t_micro), 0) AS s_micro,
+                CAST(max(n) AS BIGINT) AS n FROM terms),
+        gc AS (SELECT CAST(count(*) AS BIGINT) AS n_groups FROM grps),
+        vc AS (SELECT CAST(count(*) AS BIGINT) AS n_values FROM pv)
+        SELECT n, n_groups, n_values,
+          CASE WHEN n_groups < 2 OR n_values < 2 OR n IS NULL
+            THEN CAST(NULL AS BIGINT)
+          ELSE CAST(round(CAST(s_micro AS DOUBLE) * (n - 1) / n)
+            AS BIGINT)
+          END AS a2_micro
+        FROM agg CROSS JOIN gc CROSS JOIN vc""")),
 
     // ---- matrix profile ---------------------------------------------------
     // which week of each type's daily traffic matches NOTHING else in the

@@ -197,6 +197,33 @@ class Round14bOpsSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("z_micro")))
   }
 
+  // ---- Anderson-Darling k-sample -----------------------------------------
+
+  test("andersonDarlingK: hand-computed midrank terms on a 4-row pool") {
+    // a: {1,2}, b: {2,3}; doubled units: B2 = [1,4,7], group M2s worked
+    // by hand -> per-(g,j) micro terms 666667/2000000/666667 twice,
+    // S = 6666668, A2 = S*(N-1)/N = S*3/4
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val r = Stats.andersonDarlingK(df, "g", "v", valScale = 1.0)
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Long]("n_values") === 3L)
+    assert(r.getAs[Long]("a2_micro") === math.round(6666668.0 * 3 / 4))
+  }
+
+  test("andersonDarlingK: single group / single value degenerate to NULL") {
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val r1 = Stats.andersonDarlingK(one, "g", "v", valScale = 1.0)
+      .collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("a2_micro")))
+    val tied = Seq(("a", 5L), ("b", 5L)).toDF("g", "v")
+    val r2 = Stats.andersonDarlingK(tied, "g", "v", valScale = 1.0)
+      .collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("a2_micro")))
+  }
+
   // ---- survival: log-rank + Nelson-Aalen --------------------------------
 
   test("logRank: hand-computed O/E/V over two small cohorts") {
