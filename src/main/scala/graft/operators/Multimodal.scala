@@ -303,6 +303,38 @@ object Multimodal {
         graft.functions.PhashNative.dhash56(col("col")).as("f"))
   }
 
+  /** Per-payload motion profile over REAL decoded video frames: the L1
+    * luma-grid distance between each consecutive frame pair — the
+    * scene-cut / static-clip signal a video curation gate thresholds
+    * (near-zero motion = a still shipped as video; a spike = a cut
+    * boundary for segment sampling). Grids come from the same decode
+    * seam as [[videoFramePhashes]]; the distance is exact integer
+    * arithmetic over the 63 unsigned cell bytes (hex + conv per cell —
+    * HOF over a fixed 63-element sequence, no UDF), and the consecutive
+    * pairing is one self-join on (id, frame_idx + 1) — frame-grain,
+    * bounded by `maxFrames` per payload, no shuffle wider than the
+    * payload id. Single-frame payloads contribute no rows.
+    * Output: (id, frame_a, frame_b = frame_a + 1, motion_l1). */
+  def videoFrameMotion(df: DataFrame, idCol: String, binCol: String,
+      maxFrames: Int = 32): DataFrame = {
+    require(maxFrames > 0, s"maxFrames must be > 0, got $maxFrames")
+    val grids = df.select(col(idCol).as("id"), col(binCol).as("b"))
+      .filter(col("b").isNotNull && length(col("b")) > 0)
+      .select(col("id"), posexplode(
+        graft.functions.PhashNative.videoFrameGrids(col("b"), maxFrames)))
+      .select(col("id"), col("pos").cast("long").as("k"),
+        hex(col("col")).as("hx"))
+    val l1 = (0 until PerceptualHash.Cells).map { c =>
+      s"abs(${byteAt("a_hx", (c + 1).toString)} - ${byteAt("b_hx", (c + 1).toString)})"
+    }.mkString(" + ")
+    grids.select(col("id"), col("k"), col("hx").as("a_hx"))
+      .join(grids.select(col("id"), (col("k") - 1L).as("k"),
+        col("hx").as("b_hx")), Seq("id", "k"))
+      .select(col("id"), col("k").as("frame_a"),
+        (col("k") + 1L).as("frame_b"), expr(s"CAST($l1 AS BIGINT)")
+          .as("motion_l1"))
+  }
+
   /** Frame-level perceptual near-dup ACROSS payloads and WITHIN one (the
     * shared-intro / looped-content question, now over REAL decoded GIF
     * frames instead of byte segments): [[videoFramePhashes]] rows run the

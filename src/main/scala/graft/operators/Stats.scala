@@ -1599,6 +1599,101 @@ object Stats {
           |END""".stripMargin).as("a2_micro")), pv, groups)
   }
 
+  /** Jonckheere-Terpstra ordered-alternative test: does `valCol` TREND
+    * monotonically across the ordered groups of `grpCol` (ordered by the
+    * group key's natural sort)? — the directional sibling of
+    * [[kruskalWallis]]: when the alternative is "doses increase the
+    * response", KW burns power on unordered permutations that JT
+    * concentrates on the trend. `JT = Σ_{i<j} U_ij` over group pairs in
+    * key order, with each Mann-Whitney mass expanded on the dense
+    * group×value grid instead of a cell-pair join (which would be
+    * d²-quadratic): in DOUBLED units,
+    * `JT2 = Σ_{v,g} c_g(v)·(2·A_g(v) + B_g(v))` where `A_g(v)` sums the
+    * strictly-below-v cumulative of every EARLIER group and `B_g(v)`
+    * their mass at v — two bounded windows (one over values within each
+    * group, one over group order within each value) on the ENFORCED
+    * k·d grid, everything exact longs until the closing z. The normal
+    * approximation uses the tie-corrected variance (Lehmann), whose
+    * n³-scale moment sums ride DECIMAL(38,0); `z_micro` is the one
+    * mirrored double, micro-rounded at scale 0. Degenerates: < 2 groups
+    * or zero variance → NULL z. Output: one row (n, n_groups, jt2,
+    * z_micro). */
+  def jonckheereTerpstra(df: DataFrame, grpCol: String, valCol: String,
+      valScale: Double = 1e6, maxDistinctValues: Int = 1 << 16,
+      maxCells: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .filter(col(grpCol).isNotNull && col(valCol).isNotNull)
+      .select(col(grpCol).cast("string").as("g"),
+        round(col(valCol) * valScale).cast("long").as("v"))
+    val pv = base.groupBy(col("v")).agg(count(lit(1)).as("t")).persist()
+    requireCompactDomain("jonckheereTerpstra", pv, maxDistinctValues)
+    val nValues = pv.count()
+    val groups = base.groupBy(col("g")).agg(count(lit(1)).as("ng"))
+      .persist()
+    val nGroups = groups.count()
+    require(nGroups * nValues <= maxCells,
+      s"jonckheereTerpstra: $nGroups groups x $nValues values exceed " +
+        s"maxCells=$maxCells — coarsen valScale or raise the bound")
+    val cells = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val wgv = Window.partitionBy(col("g")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wvg = Window.partitionBy(col("v")).orderBy(col("g").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dense = groups.crossJoin(broadcast(pv.select(col("v"))))
+      .join(cells, Seq("g", "v"), "left")
+      .withColumn("cg", coalesce(col("c"), lit(0L)))
+      .withColumn("below", coalesce(sum(col("cg")).over(wgv), lit(0L)))
+      .withColumn("a", coalesce(sum(col("below")).over(wvg), lit(0L)))
+      .withColumn("b", coalesce(sum(col("cg")).over(wvg), lit(0L)))
+    val jt = dense
+      .agg(coalesce(sum(col("cg") * (lit(2) * col("a") + col("b"))),
+        lit(0L)).as("jt2"))
+    // tie-corrected moments: group sizes and pooled tie masses, the
+    // n³-scale sums in DECIMAL (one hot group/value wraps a long)
+    val gm = groups.agg(
+      coalesce(sum(col("ng")), lit(0L)).as("n"),
+      count(lit(1)).as("k"),
+      coalesce(sum(col("ng").cast(dec) * col("ng")), lit(BigDecimal(0))
+        .cast(dec)).as("s2g"),
+      coalesce(sum(col("ng").cast(dec) * (col("ng") - 1)
+        * (lit(2) * col("ng") + 5)), lit(BigDecimal(0)).cast(dec))
+        .as("g25"),
+      coalesce(sum(col("ng").cast(dec) * (col("ng") - 1)
+        * (col("ng") - 2)), lit(BigDecimal(0)).cast(dec)).as("g3"),
+      coalesce(sum(col("ng").cast(dec) * (col("ng") - 1)),
+        lit(BigDecimal(0)).cast(dec)).as("g2"))
+    val tm = pv.agg(
+      coalesce(sum(col("t").cast(dec) * (col("t") - 1)
+        * (lit(2) * col("t") + 5)), lit(BigDecimal(0)).cast(dec))
+        .as("t25"),
+      coalesce(sum(col("t").cast(dec) * (col("t") - 1) * (col("t") - 2)),
+        lit(BigDecimal(0)).cast(dec)).as("t3"),
+      coalesce(sum(col("t").cast(dec) * (col("t") - 1)),
+        lit(BigDecimal(0)).cast(dec)).as("t2"))
+    finalized(jt.crossJoin(broadcast(gm)).crossJoin(broadcast(tm))
+      // variance as its own column so the z guard can test it: an
+      // all-tied pool drives it to <= 0 and round(x/0.0) would fail
+      // loud at the BIGINT cast (ANSI) instead of going NULL
+      .withColumn("varr", expr(
+        """CASE WHEN k < 2 OR n < 3 THEN CAST(NULL AS DOUBLE)
+          |ELSE (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+          |    - CAST(g25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72.0
+          |  + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+          |    / (36.0 * n * (n - 1) * (n - 2))
+          |  + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+          |    / (8.0 * n * (n - 1))
+          |END""".stripMargin))
+      .select(col("n"), col("k").as("n_groups"), col("jt2"), expr(
+        """CASE WHEN varr IS NULL OR varr <= 0.0D THEN CAST(NULL AS BIGINT)
+          |ELSE CAST(round(1e6
+          |  * (CAST(jt2 AS DOUBLE) / 2.0
+          |     - (CAST(n AS DOUBLE) * n - CAST(s2g AS DOUBLE)) / 4.0)
+          |  / sqrt(varr)) AS BIGINT)
+          |END""".stripMargin).as("z_micro")), pv, groups)
+  }
+
   /** Benjamini-Hochberg FDR adjustment over a frame of per-test p-values
     * (micro-scaled longs) — the multiple-comparisons closer for every
     * per-group test in this file: run [[TimeSeries.pettitt]] /

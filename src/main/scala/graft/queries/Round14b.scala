@@ -570,6 +570,96 @@ object Round14b {
         CAST(min(doc_id) AS BIGINT) AS rep_doc
       FROM efp GROUP BY 1 HAVING count(*) >= 2""")),
 
+    // ---- Jonckheere-Terpstra ordered trend ----------------------------------
+    // does order value TREND across the priority ladder 1-URGENT..5-LOW?
+    // (the directional question q159's unordered KW can't ask) — dense
+    // k x d grid, two bounded windows, exact doubled JT mass.
+    Q("q179_jonckheere", (s, d) =>
+      Stats.jonckheereTerpstra(t(s, d, "orders"), "o_orderpriority",
+        "o_totalprice", valScale = 0.01),
+      Some("""
+        WITH base AS (SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+                CAST(round(o_totalprice * 0.01) AS BIGINT) AS v
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+        pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY 1),
+        grps AS (SELECT g, CAST(count(*) AS BIGINT) AS ng
+              FROM base GROUP BY 1),
+        cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+              FROM base GROUP BY 1, 2),
+        dense AS (SELECT grps.g, pv.v, CAST(coalesce(c, 0) AS BIGINT) AS cg
+              FROM grps CROSS JOIN pv
+              LEFT JOIN cells ON cells.g = grps.g AND cells.v = pv.v),
+        wb AS (SELECT g, v, cg,
+                CAST(coalesce(sum(cg) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below
+              FROM dense),
+        ab AS (SELECT g, v, cg,
+                CAST(coalesce(sum(below) OVER (PARTITION BY v ORDER BY g
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS a,
+                CAST(coalesce(sum(cg) OVER (PARTITION BY v ORDER BY g
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS b
+              FROM wb),
+        jt AS (SELECT CAST(coalesce(sum(cg * (2 * a + b)), 0) AS BIGINT)
+                AS jt2 FROM ab),
+        gm AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                CAST(count(*) AS BIGINT) AS k,
+                coalesce(sum(CAST(ng AS HUGEINT) * ng), 0) AS s2g,
+                coalesce(sum(CAST(ng AS HUGEINT) * (ng - 1)
+                  * (2 * ng + 5)), 0) AS g25,
+                coalesce(sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)),
+                  0) AS g3,
+                coalesce(sum(CAST(ng AS HUGEINT) * (ng - 1)), 0) AS g2
+              FROM grps),
+        tm AS (SELECT
+                coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)),
+                  0) AS t25,
+                coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)), 0)
+                  AS t3,
+                coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0) AS t2
+              FROM pv),
+        vr AS (SELECT n, k, jt2, s2g,
+                CASE WHEN k < 2 OR n < 3 THEN CAST(NULL AS DOUBLE)
+                ELSE (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                    - CAST(g25 AS DOUBLE) - CAST(t25 AS DOUBLE)) / 72.0
+                  + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                    / (36.0 * n * (n - 1) * (n - 2))
+                  + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                    / (8.0 * n * (n - 1))
+                END AS varr
+              FROM jt CROSS JOIN gm CROSS JOIN tm)
+        SELECT n, k AS n_groups, jt2,
+          CASE WHEN varr IS NULL OR varr <= 0.0 THEN CAST(NULL AS BIGINT)
+          ELSE CAST(round(1e6
+            * (CAST(jt2 AS DOUBLE) / 2.0
+               - (CAST(n AS DOUBLE) * n - CAST(s2g AS DOUBLE)) / 4.0)
+            / sqrt(varr)) AS BIGINT)
+          END AS z_micro
+        FROM vr""")),
+
+    // ---- video motion profile -----------------------------------------------
+    // consecutive-frame L1 luma distance over the REAL GIF decode — the
+    // scene-cut / static-clip signal; oracle straight from the
+    // SyntheticGif generating formula.
+    Q("mm_video_motion", (s, d) => {
+      val docs = Tables.ts(s, d, "documents").select(col("doc_id"))
+        .withColumn("media", expr(SyntheticGif.mediaSql("doc_id")))
+      graft.operators.Multimodal
+        .videoFrameMotion(docs, "doc_id", "media")
+        .withColumnRenamed("id", "doc_id")
+    }, Some(s"""
+      WITH ${SyntheticGif.duckFramesCte()}
+      SELECT a.doc_id, a.frame_idx AS frame_a, b.frame_idx AS frame_b,
+        CAST(list_sum(list_transform(range(1, 64), i ->
+          abs(a.cells[CAST(i AS INT)] - b.cells[CAST(i AS INT)])))
+          AS BIGINT) AS motion_l1
+      FROM g a JOIN g b
+        ON b.doc_id = a.doc_id AND b.frame_idx = a.frame_idx + 1""")),
+
     // ---- streaming audio quality gate ---------------------------------------
     // the multimodal x streaming composition: documents arrive as a
     // stream, each constructs its WAV payload, the REAL PCM decode runs

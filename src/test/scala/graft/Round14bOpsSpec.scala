@@ -224,6 +224,53 @@ class Round14bOpsSpec extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("a2_micro")))
   }
 
+  // ---- Jonckheere-Terpstra -------------------------------------------------
+
+  test("jonckheereTerpstra: hand-computed doubled JT mass and tie-corrected z") {
+    // a: {1,2}, b: {2,3}, c: {4}; U_ab = 3.5, U_ac = 2, U_bc = 2
+    // -> JT2 = 15; mean = (25 - 9)/4 = 4; var = 246/72 + 0 + 8/160
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L), ("c", 4L))
+      .toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(df, "g", "v", valScale = 1.0)
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Long]("n_groups") === 3L)
+    assert(r.getAs[Long]("jt2") === 15L)
+    val variance = 246.0 / 72.0 + 4.0 * 2.0 / (8.0 * 5 * 4)
+    val z = (15.0 / 2.0 - 4.0) / math.sqrt(variance)
+    assert(r.getAs[Long]("z_micro") === math.round(1e6 * z))
+  }
+
+  test("jonckheereTerpstra: all values tied -> NULL z") {
+    val df = Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("g", "v")
+    val r = Stats.jonckheereTerpstra(df, "g", "v", valScale = 1.0)
+      .collect()(0)
+    assert(r.isNullAt(r.fieldIndex("z_micro")))
+  }
+
+  // ---- video frame motion ---------------------------------------------------
+
+  test("videoFrameMotion: consecutive-frame L1 matches the SyntheticGif formula") {
+    import graft.operators.Multimodal
+    val media = Seq(2L, 5L, 8L).toDF("doc_id") // 1 + id%3 = 3 frames each
+      .withColumn("media",
+        expr(graft.queries.SyntheticGif.mediaSql("doc_id")))
+    val rows = Multimodal.videoFrameMotion(media, "doc_id", "media")
+      .collect()
+    assert(rows.length === 6) // 3 docs x 2 consecutive pairs
+    def pix(id: Long, k: Int, c: Int): Int =
+      ((id * 11 + k * 17 + (c % 9) * 23 + (c / 9) * 5) % 128).toInt
+    for (r <- rows) {
+      val id = r.getAs[Long]("id")
+      val ka = r.getAs[Long]("frame_a").toInt
+      val want = (0 until 63)
+        .map(c => math.abs(2 * pix(id, ka, c) - 2 * pix(id, ka + 1, c)))
+        .sum.toLong
+      assert(r.getAs[Long]("motion_l1") === want, s"id=$id frame=$ka")
+      assert(r.getAs[Long]("frame_b") === ka + 1L)
+    }
+  }
+
   // ---- survival: log-rank + Nelson-Aalen --------------------------------
 
   test("logRank: hand-computed O/E/V over two small cohorts") {
