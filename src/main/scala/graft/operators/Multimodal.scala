@@ -243,13 +243,12 @@ object Multimodal {
     * buckets stay 7-bit chunks over the (id, seg) universe. Output:
     * (id_a, seg_a, id_b, seg_b, hamming), (id_a, seg_a) < (id_b, seg_b),
     * same-payload pairs included with seg_a < seg_b. */
-  def segmentPhashPairs(df: DataFrame, idCol: String, binCol: String,
-      nSegs: Int, maxHamming: Int = 6): DataFrame = {
-    require(nSegs > 0, s"nSegs must be > 0, got $nSegs")
-    require(maxHamming >= 0 && maxHamming <= PerceptualHash.Chunks - 1,
-      s"banded candidates are only complete for maxHamming <= " +
-        s"${PerceptualHash.Chunks - 1}; got $maxHamming")
-    val fp = df.select(col(idCol).as("id"), col(binCol).as("b"))
+  /** The (id, seg, f) segment-fingerprint projection shared by the pair
+    * and probe stages: nSegs byte slices per payload, native dhash56 per
+    * slice, zero (gradient-free) fingerprints dropped. */
+  private def segmentPhashes(df: DataFrame, idCol: String, binCol: String,
+      nSegs: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(binCol).as("b"))
       .filter(col("b").isNotNull && length(col("b")) > 0)
       .withColumn("bn", length(col("b")).cast("long"))
       .withColumn("seg", explode(sequence(lit(0L), lit(nSegs - 1L))))
@@ -262,7 +261,14 @@ object Multimodal {
         graft.functions.PhashNative.dhash56(expr(
           "substring(b, CAST(st + 1 AS INT), CAST(en - st AS INT))")).as("f"))
       .filter(col("f") =!= 0L)
-      .persist()
+
+  def segmentPhashPairs(df: DataFrame, idCol: String, binCol: String,
+      nSegs: Int, maxHamming: Int = 6): DataFrame = {
+    require(nSegs > 0, s"nSegs must be > 0, got $nSegs")
+    require(maxHamming >= 0 && maxHamming <= PerceptualHash.Chunks - 1,
+      s"banded candidates are only complete for maxHamming <= " +
+        s"${PerceptualHash.Chunks - 1}; got $maxHamming")
+    val fp = segmentPhashes(df, idCol, binCol, nSegs).persist()
     fp.count()
     val chunks = fp.select(col("id"), col("seg"), col("f"),
       explode(expr(PerceptualHash.sparkChunks("f"))).as("ck"))
@@ -280,6 +286,40 @@ object Multimodal {
     out.count()
     fp.unpersist(false)
     out
+  }
+
+  /** Batch-vs-corpus segment perceptual probe — the INCREMENTAL shape of
+    * [[segmentPhashPairs]] (a crawl batch asks "which stored media do my
+    * segments near-match?" without re-pairing the stored corpus against
+    * itself): corpus segments fingerprint+band once, probe segments band
+    * the same way, and the ONLY join is probe-chunks × corpus-chunks —
+    * candidate cost tracks the BATCH, not the corpus pair count, which
+    * is what makes this the 100 TB admission path (the all-pairs form is
+    * quadratic in stored media by construction on low-entropy payloads —
+    * measured in BASELINE's round-14 note). Same pigeonhole-complete
+    * chunk banding + exact Hamming verify; probe ids may overlap corpus
+    * ids (self-matches are filtered). Output: (probe_id, probe_seg,
+    * match_id, match_seg, hamming). */
+  def segmentPhashProbe(corpus: DataFrame, probes: DataFrame,
+      idCol: String, binCol: String, nSegs: Int,
+      maxHamming: Int = 6): DataFrame = {
+    require(nSegs > 0, s"nSegs must be > 0, got $nSegs")
+    require(maxHamming >= 0 && maxHamming <= PerceptualHash.Chunks - 1,
+      s"banded candidates are only complete for maxHamming <= " +
+        s"${PerceptualHash.Chunks - 1}; got $maxHamming")
+    def chunks(df: DataFrame) =
+      segmentPhashes(df, idCol, binCol, nSegs)
+        .select(col("id"), col("seg"), col("f"),
+          explode(expr(PerceptualHash.sparkChunks("f"))).as("ck"))
+    chunks(probes).as("p")
+      .join(chunks(corpus).as("c"),
+        col("p.ck") === col("c.ck") && col("p.id") =!= col("c.id"))
+      .select(col("p.id").as("probe_id"), col("p.seg").as("probe_seg"),
+        col("c.id").as("match_id"), col("c.seg").as("match_seg"),
+        bit_count(col("p.f").bitwiseXOR(col("c.f"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** REAL video-frame perceptual hashes: animated-GIF and MJPEG-AVI

@@ -707,6 +707,53 @@ object Round14b {
           AS n_clipped
       FROM st GROUP BY 1""")),
 
+    // ---- segment perceptual probe (batch vs corpus) -------------------------
+    // the incremental admission shape of mm_segment_dedup: every 10th doc
+    // arrives as a probe batch and asks which STORED segments it
+    // near-matches — probe-chunks x corpus-chunks is the only join, so
+    // cost tracks the batch (the all-pairs form is quadratic in stored
+    // media by construction on low-entropy payloads; BASELINE r14 note).
+    Q("mm_segment_probe", (s, d) => {
+      val bin = Tables.ts(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      graft.operators.Multimodal.segmentPhashProbe(
+        bin.filter(col("doc_id") % 10 =!= 0),
+        bin.filter(col("doc_id") % 10 === 0),
+        "doc_id", "media", nSegs = 4, maxHamming = 6)
+    }, Some {
+      import graft.operators.PerceptualHash
+      s"""
+      WITH b AS (SELECT doc_id, hex(encode(text)) AS hxf,
+                   octet_length(encode(text)) AS bn
+                 FROM documents
+                 WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+      sg AS (SELECT doc_id, seg, (seg * bn) // 4 AS st,
+               ((seg + 1) * bn) // 4 AS en, hxf
+             FROM b CROSS JOIN range(0, 4) t(seg)
+             WHERE ((seg + 1) * bn) // 4 > (seg * bn) // 4),
+      sb AS (SELECT doc_id, seg,
+               substring(hxf, CAST(2 * st + 1 AS INT),
+                 CAST(2 * (en - st) AS INT)) AS hx,
+               en - st AS bn
+             FROM sg),
+      c AS (SELECT doc_id, seg,
+              ${PerceptualHash.duckGridCells("hx", "bn")} AS cells
+            FROM sb),
+      f0 AS (SELECT doc_id, seg,
+               ${PerceptualHash.duckDHashBits("cells")} AS f
+             FROM c),
+      f AS (SELECT * FROM f0 WHERE f <> 0),
+      ck AS (SELECT doc_id, seg, f,
+               unnest(${PerceptualHash.duckChunks("f")}) AS ck
+             FROM f)
+      SELECT DISTINCT p.doc_id AS probe_id, p.seg AS probe_seg,
+             c2.doc_id AS match_id, c2.seg AS match_seg,
+             CAST(bit_count(xor(p.f, c2.f)) AS BIGINT) AS hamming
+      FROM ck p JOIN ck c2 ON p.ck = c2.ck
+      WHERE p.doc_id % 10 = 0 AND c2.doc_id % 10 <> 0
+        AND bit_count(xor(p.f, c2.f)) <= 6"""
+    }),
+
     // ---- classifier eval metrics -------------------------------------------
     // MCC + Brier + ECE for the q87/q114 quality classifier: the
     // single-number scorecard (balance-robust accuracy, proper score,

@@ -698,20 +698,24 @@ object ScaleSmoke {
         time("chi_square 10x")(noop(
           graft.operators.Stats.chiSquare(o10,
             "o_orderpriority", "o_orderstatus")))),
-      // segment phash on the SALTED corpus (disjoint sub-corpora, pair
-      // rate constant): per-segment hashing is one pass over the bytes,
-      // candidates stay 7-bit-chunk-bucketed
+      // segment phash, FIXED 500-doc probe batch vs the 1x->10x stored
+      // corpus (segmentPhashProbe): the admission path whose cost tracks
+      // the batch. The former all-pairs row was OUTPUT-bound, not
+      // plan-bound: dHash collapses low-entropy text bytes into few
+      // gradient classes, so stored-vs-stored pairs grow ~quadratically
+      // in corpus size under ANY salt (45x pairs with suffix salting,
+      // ~100x with full alphabet permutation — measured round 14); the
+      // pair operator's plan is unchanged and mm_segment_dedup still
+      // oracle-checks it at every sf.
       {
         import graft.operators.Multimodal
         def bin(df: DataFrame): DataFrame =
           df.select(col("doc_id"), col("text").cast("binary").as("media"))
-        ("segment_phash", time("segment_phash 1x") {
-          val r = Multimodal.segmentPhashPairs(bin(d1), "doc_id", "media", 4, 6)
-          noop(r); r.unpersist()
-        }, time("segment_phash 10x") {
-          val r = Multimodal.segmentPhashPairs(bin(d10salt), "doc_id", "media", 4, 6)
-          noop(r); r.unpersist()
-        })
+        val probe = bin(d1.filter(col("doc_id") < 500))
+        def sp(corpus: DataFrame, tag: String): Double =
+          time(s"segment_probe $tag")(noop(Multimodal.segmentPhashProbe(
+            bin(corpus), probe, "doc_id", "media", 4, 6)))
+        ("segment_probe_batch", sp(d1, "1x"), sp(d10salt, "10x"))
       },
       // HITS on 10x edges (10x customers, shared suppliers): the two
       // per-round join+aggregate passes must track the edge list

@@ -131,7 +131,23 @@ class PlanGuardSpec extends AnyFunSuite {
     // the recall audit's exact baseline: bounded query set (vec_id < 20)
     // scored brute-force against the corpus at full and truncated dims —
     // sim_topk's labeled all-pairs shape, twice
-    "sim_truncation_recall" -> "bounded query set, exact baselines (2 dims)")
+    "sim_truncation_recall" -> "bounded query set, exact baselines (2 dims)",
+    // the 1-row pooled tie aggregate crossed onto the k-row group-pair
+    // table — q113_mutual_info's 1-row-total shape
+    "q170_dunn_fdr" -> "1-row tie totals x k-row group pairs",
+    // the 1-row confusion aggregate crossed onto the 1-row ECE aggregate
+    "q175_eval_metrics" -> "1-row confusion x 1-row calibration gap",
+    // the 1-row cohort totals crossed onto the duration-grain risk table
+    // (kaplanMeier's own shape, already exercised by q93)
+    "q176_logrank" -> "1-row cohort totals x duration-grain risk table",
+    "q177_nelson_aalen" -> "1-row subject total x duration-grain risk table",
+    // the 1-row pooled total (and the two 1-row moment aggregates)
+    // crossed onto the bounded k x d grid / 1-row JT mass
+    "q178_anderson_darling" -> "1-row total x bounded k x d grid",
+    "q179_jonckheere" -> "1-row moment aggregates x 1-row JT mass",
+    // the bounded per-label corpus counts joined as the ideal-set size:
+    // sim_knn_label's broadcast corpus shape over the vec_id < 50 queries
+    "sim_rank_eval" -> "bounded query set x per-label corpus counts")
 
   test("no query plans a cartesian product or an unlisted nested-loop join") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
