@@ -1531,8 +1531,10 @@ object Stats {
     * exact integers (numerator squared as a mirrored double — it passes
     * 2⁶³ immediately), micro-rounded THEN summed in DECIMAL(38,0).
     * Terms whose denominator ≤ 0 (a single distinct value carrying the
-    * whole pool) are skipped, the standard treatment. The closing
-    * `A² = S·(N−1)/N` is one mirrored double. The raw A²ₐₖₙ is
+    * whole pool) are skipped, the standard treatment. Each summed term
+    * is N× the textbook `(h_j/N)·…` weight, so the closing
+    * `A² = S·(N−1)/N²` carries the missing 1/N along with the (N−1)/N
+    * factor — one mirrored double. The raw A²ₐₖₙ is
     * reported un-standardized (the σ_N normalization tables are a
     * driver-side lookup, not an engine shape). Degenerate: < 2 groups
     * or < 2 values → NULL.
@@ -1594,7 +1596,7 @@ object Stats {
         lit(nValues).as("n_values"), expr(
         s"""CASE WHEN $nGroups < 2 OR $nValues < 2 OR n IS NULL
           |  THEN CAST(NULL AS BIGINT)
-          |ELSE CAST(round(CAST(s_micro AS DOUBLE) * (n - 1) / n)
+          |ELSE CAST(round(CAST(s_micro AS DOUBLE) * (n - 1) / n / n)
           |  AS BIGINT)
           |END""".stripMargin).as("a2_micro")), pv, groups)
   }
@@ -1911,7 +1913,7 @@ object Stats {
         wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("ng", sum(col("c")).over(
         Window.partitionBy(col("g"))))
-      .filter(col("cum") * 2 >= col("ng") + 1)
+      .filter(col("cum") * 2 >= col("ng"))
       .groupBy(col("g")).agg(min(col("v")).as("med"))
     val per = cells.join(med, Seq("g"))
       .withColumn("z", abs(col("v") - col("med")))

@@ -719,8 +719,12 @@ object TimeSeries {
     * [[theilSen]] `maxSpanDays` gate because one group's span is exactly
     * the partition that would blow up), then one symmetric union and an
     * argmin struct-min per window (deterministic tie: smallest
-    * neighbor). Nothing is row-count-grain. Output: (grp, d, win_start,
-    * p_dist, nn_idx) for every window start day d at index win_start. */
+    * neighbor), LEFT-joined back onto the full window list so a window
+    * with no non-trivial neighbor (a group whose span yields fewer than
+    * `excl + 2` windows) still gets its row, with NULL p_dist/nn_idx —
+    * "no neighbor" must read differently from "no window". Nothing is
+    * row-count-grain. Output: (grp, d, win_start, p_dist, nn_idx) for
+    * EVERY window start day d at index win_start. */
   def matrixProfile(events: DataFrame, grpCol: String, tsCol: String,
       m: Int, exclusion: Int = -1, maxSpanDays: Int = 2000): DataFrame = {
     require(m >= 2, s"window m must be >= 2, got $m")
@@ -765,12 +769,13 @@ object TimeSeries {
     val sym = ordered.select(col("grp"), col("i"), col("j"), col("dist"))
       .union(ordered.select(col("grp"), col("j").as("i"),
         col("i").as("j"), col("dist")))
-    sym.groupBy(col("grp"), col("i"))
+    val prof = sym.groupBy(col("grp"), col("i"))
       .agg(min(struct(col("dist"), col("j"))).as("nn"))
       .select(col("grp"), col("i").as("win_start"),
         col("nn.dist").as("p_dist"), col("nn.j").as("nn_idx"))
-      .join(idx.select(col("grp"), col("rn").as("win_start"), col("d")),
-        Seq("grp", "win_start"))
+    idx.filter(col("rn") <= col("n") - (m - 1))
+      .select(col("grp"), col("rn").as("win_start"), col("d"))
+      .join(prof, Seq("grp", "win_start"), "left")
       .select(col("grp"), col("d"), col("win_start"), col("p_dist"),
         col("nn_idx"))
   }
@@ -808,7 +813,7 @@ object TimeSeries {
       .withColumn("cum", sum(col("c")).over(
         wgv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("nd", sum(col("c")).over(Window.partitionBy(col("grp"))))
-      .filter(col("cum") * 2 >= col("nd") + 1)
+      .filter(col("cum") * 2 >= col("nd"))
       .groupBy(col("grp")).agg(min(col("x")).as("med"))
     val signed = daily.join(med, Seq("grp"))
       .filter(col("x") =!= col("med"))

@@ -177,7 +177,7 @@ object Round14b {
                 CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS ng
               FROM cells),
         med AS (SELECT g, min(v) AS med FROM cum
-              WHERE cm * 2 >= ng + 1 GROUP BY 1),
+              WHERE cm * 2 >= ng GROUP BY 1),
         per AS (SELECT cells.g, CAST(sum(c) AS BIGINT) AS ng,
                 CAST(sum(c * abs(v - med)) AS BIGINT) AS sg,
                 sum(CAST(c AS HUGEINT) * abs(v - med) * abs(v - med)) AS qg
@@ -950,7 +950,7 @@ object Round14b {
         SELECT n, n_groups, n_values,
           CASE WHEN n_groups < 2 OR n_values < 2 OR n IS NULL
             THEN CAST(NULL AS BIGINT)
-          ELSE CAST(round(CAST(s_micro AS DOUBLE) * (n - 1) / n)
+          ELSE CAST(round(CAST(s_micro AS DOUBLE) * (n - 1) / n / n)
             AS BIGINT)
           END AS a2_micro
         FROM agg CROSS JOIN gc CROSS JOIN vc""")),
@@ -994,10 +994,11 @@ object Round14b {
                   row_number() OVER (PARTITION BY grp, i
                     ORDER BY dist, j) AS rk
                 FROM sym)
-        SELECT p.grp, idx.d, p.i AS win_start, p.dist AS p_dist,
+        SELECT idx.grp, idx.d, idx.rn AS win_start, p.dist AS p_dist,
                p.j AS nn_idx
-        FROM prof p JOIN idx ON idx.grp = p.grp AND idx.rn = p.i
-        WHERE rk = 1""")),
+        FROM idx LEFT JOIN prof p
+          ON p.grp = idx.grp AND p.i = idx.rn AND p.rk = 1
+        WHERE idx.rn <= idx.n - 6""")),
 
     // ---- runs test ---------------------------------------------------------
     // is each type's above/below-median daily pattern random in time?
@@ -1024,7 +1025,7 @@ object Round14b {
                 CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS nd
               FROM vg),
         med AS (SELECT grp, min(x) AS med FROM cum
-              WHERE cm * 2 >= nd + 1 GROUP BY 1),
+              WHERE cm * 2 >= nd GROUP BY 1),
         sgn AS (SELECT daily.grp, d,
                 CASE WHEN x > med THEN 1 ELSE -1 END AS s
               FROM daily JOIN med ON daily.grp = med.grp

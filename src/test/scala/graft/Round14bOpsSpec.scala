@@ -59,6 +59,20 @@ class Round14bOpsSpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("f_micro") === expectF)
   }
 
+  test("brownForsythe: even-sized group uses the LOWER median (2nd of 4)") {
+    // g=a: 1,3,5,9 -> lower median 3 (NOT 5): z = [2,0,2,6]; S_a = 10, Q_a = 44
+    // g=b: 0,4 -> lower median 0: z = [0,4]; S_b = 4, Q_b = 16
+    val df = Seq(("a", 1L), ("a", 3L), ("a", 5L), ("a", 9L),
+      ("b", 0L), ("b", 4L)).toDF("g", "v")
+    val r = Stats.brownForsythe(df, "g", "v", valScale = 1.0).collect()(0)
+    assert(r.getAs[Long]("n") === 6L)
+    val tAll = math.round(1e6 * 100.0 / 4) + math.round(1e6 * 16.0 / 2)
+    val ssb = tAll / 1e6 - 14.0 * 14 / 6
+    val ssw = 60.0 - tAll / 1e6
+    assert(r.getAs[Long]("f_micro") ===
+      math.round(1e6 * (ssb / 1.0) / (ssw / 4.0)))
+  }
+
   test("brownForsythe: single group and zero within-variance degenerate to NULL") {
     val one = Seq(("a", 1L), ("a", 5L)).toDF("g", "v")
     val r1 = Stats.brownForsythe(one, "g", "v", valScale = 1.0).collect()(0)
@@ -165,6 +179,19 @@ class Round14bOpsSpec extends AnyFunSuite {
     assert(spikeWins.map(byWin).min > flatMax)
   }
 
+  test("matrixProfile: neighbor-less windows emit NULL profile, not no row") {
+    // 4-day span, m=3, exclusion 1 -> 2 windows but a non-trivial pair
+    // needs j > i+1: neither window has a neighbor; both rows must still
+    // appear, with NULL p_dist/nn_idx ("no neighbor" != "no window")
+    val ev = Tables14b.dailyEvents(spark, "g" -> Seq(1, 2, 3, 4))
+    val rows = TimeSeries.matrixProfile(ev, "event_type", "ts", 3)
+      .orderBy("win_start").collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("win_start")).toSeq === Seq(1L, 2L))
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("p_dist"))
+      && r.isNullAt(r.fieldIndex("nn_idx"))))
+  }
+
   test("matrixProfile: maxSpanDays gate fails loud") {
     val ev = Tables14b.dailyEvents(spark, "g" -> Seq.fill(12)(1))
     val e = intercept[IllegalArgumentException] {
@@ -176,24 +203,27 @@ class Round14bOpsSpec extends AnyFunSuite {
   // ---- runs test -----------------------------------------------------------
 
   test("runsTest: hand-computed runs and z over a 6-day series") {
-    // counts 1,5,2,6,3,7 -> lower median 5 drops day 2; signs -,-,+,-,+
+    // counts 1,5,2,6,3,7; 6 days even -> LOWER median 3 (the 3rd order
+    // statistic, not the 4th) drops day 5; signs -,+,-,+,+
     val ev = Tables14b.dailyEvents(spark, "g" -> Seq(1, 5, 2, 6, 3, 7))
     val r = TimeSeries.runsTest(ev, "event_type", "ts").collect()
     assert(r.length === 1)
     assert(r(0).getAs[Long]("n_days") === 5L)
-    assert(r(0).getAs[Long]("n_plus") === 2L)
-    assert(r(0).getAs[Long]("n_minus") === 3L)
+    assert(r(0).getAs[Long]("n_plus") === 3L)
+    assert(r(0).getAs[Long]("n_minus") === 2L)
     assert(r(0).getAs[Long]("n_runs") === 4L)
-    val mu = 2.0 * 2 * 3 / 5 + 1.0
-    val sd = math.sqrt(2.0 * 2 * 3 * (2.0 * 2 * 3 - 5) / (25.0 * 4))
+    val mu = 2.0 * 3 * 2 / 5 + 1.0
+    val sd = math.sqrt(2.0 * 3 * 2 * (2.0 * 3 * 2 - 5) / (25.0 * 4))
     assert(r(0).getAs[Long]("z_micro") === math.round(1e6 * (4.0 - mu) / sd))
   }
 
   test("runsTest: one-sided series degenerates to NULL z") {
-    // all surviving days below the median -> n_plus = 0
+    // counts 5,1,5,1,5,1 -> lower median 1 (cum 3 of 6 lands on x=1);
+    // every surviving day is above it -> n_minus = 0, sigma = 0
     val ev = Tables14b.dailyEvents(spark, "g" -> Seq(5, 1, 5, 1, 5, 1))
     val r = TimeSeries.runsTest(ev, "event_type", "ts").collect()(0)
-    assert(r.getAs[Long]("n_plus") === 0L)
+    assert(r.getAs[Long]("n_plus") === 3L)
+    assert(r.getAs[Long]("n_minus") === 0L)
     assert(r.isNullAt(r.fieldIndex("z_micro")))
   }
 
@@ -201,8 +231,9 @@ class Round14bOpsSpec extends AnyFunSuite {
 
   test("andersonDarlingK: hand-computed midrank terms on a 4-row pool") {
     // a: {1,2}, b: {2,3}; doubled units: B2 = [1,4,7], group M2s worked
-    // by hand -> per-(g,j) micro terms 666667/2000000/666667 twice,
-    // S = 6666668, A2 = S*(N-1)/N = S*3/4
+    // by hand -> per-(g,j) micro terms 666667/2000000/666667 twice
+    // (each N x the textbook h_j/N-weighted term), S = 6666668,
+    // A2 = S*(N-1)/N^2 = S*3/16 -> the published A2akN = 1.25
     val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
       .toDF("g", "v")
     val r = Stats.andersonDarlingK(df, "g", "v", valScale = 1.0)
@@ -210,7 +241,8 @@ class Round14bOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n") === 4L)
     assert(r.getAs[Long]("n_groups") === 2L)
     assert(r.getAs[Long]("n_values") === 3L)
-    assert(r.getAs[Long]("a2_micro") === math.round(6666668.0 * 3 / 4))
+    assert(r.getAs[Long]("a2_micro") === math.round(6666668.0 * 3 / 16))
+    assert(r.getAs[Long]("a2_micro") === 1250000L)
   }
 
   test("andersonDarlingK: single group / single value degenerate to NULL") {
