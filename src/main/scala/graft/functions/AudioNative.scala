@@ -6,12 +6,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 
-/** Native evaluator for the PCM WAV signal-statistics decode
-  * ([[graft.operators.MediaCodec.decodeWavStats]]): binary payload → the
-  * eight-long stats vector `[n_frames, channels, sum_abs, sum_sq,
-  * max_abs, zero_crossings, silence_frames, clip_frames]`, NULL for
-  * anything that is not a canonical PCM16 WAV — callers branch on the
-  * NULL the way the other decode seams degrade to the byte-span path.
+/** Native evaluator for the audio signal-statistics decode
+  * ([[graft.operators.MediaCodec.decodeAudioStats]] — canonical PCM16
+  * WAV, or 16-bit FLAC via [[graft.operators.FlacCodec]]): binary
+  * payload → the eight-long stats vector `[n_frames, channels, sum_abs,
+  * sum_sq, max_abs, zero_crossings, silence_frames, clip_frames]`, NULL
+  * for anything that decodes as neither — callers branch on the NULL the
+  * way the other decode seams degrade to the byte-span path.
   *
   * One tight JVM pass over the sample bytes (the [[PhashNative]]
   * rationale: a HOF formulation would re-walk the byte string per
@@ -38,7 +39,7 @@ object AudioNative {
     }
     override protected def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
-      graft.operators.MediaCodec.decodeWavStats(bytes) match {
+      graft.operators.MediaCodec.decodeAudioStats(bytes) match {
         case Some(stats) =>
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
             stats.map(Long.box).toArray[Any])

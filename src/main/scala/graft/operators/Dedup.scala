@@ -1012,4 +1012,37 @@ object Dedup {
             .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString))
           .as("scrubbed_hash"))
   }
+
+  /** Per-source remediation ROLLUP of [[exactSpanScrub]] — the corpus-
+    * scale readout a scrub run is judged by (the mix-report companion
+    * the Gopher gate has): for each `srcCol` bucket, document and token
+    * totals, tokens removed, documents touched at all, and documents
+    * scrubbed to nothing. Rides the per-doc scrub output (one extra
+    * vocabulary-free aggregate over the doc-grain frame + a doc-grain
+    * source join) — cost is the scrub itself at any scale.
+    *
+    * Output: one row per source — (source, n_docs, tokens_total,
+    * tokens_removed, docs_affected, docs_fully_scrubbed,
+    * removed_frac_micro = round(1e6·removed/total)). */
+  def exactSpanReport(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, k: Int, minOcc: Long = 2L): DataFrame = {
+    val per = exactSpanScrub(docs, idCol, textCol, k, minOcc)
+    val src = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(srcCol).as("source"))
+    per.join(src, Seq("id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(col("n_dup_tokens")).as("tokens_removed"),
+        sum(when(col("n_dup_tokens") > 0, 1L).otherwise(0L))
+          .as("docs_affected"),
+        sum(when(col("n_dup_tokens") === col("n_tokens"), 1L).otherwise(0L))
+          .as("docs_fully_scrubbed"))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        col("tokens_removed"), col("docs_affected"),
+        col("docs_fully_scrubbed"),
+        expr("CAST(round(1e6 * tokens_removed / tokens_total) AS BIGINT)")
+          .as("removed_frac_micro"))
+  }
 }

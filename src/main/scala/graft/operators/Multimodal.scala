@@ -827,13 +827,27 @@ object MediaCodec {
       zc, silence, clip))
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Audio stats over WAV OR FLAC: FLAC payloads decode through
+    * [[FlacCodec]] and re-enter as canonical PCM16 WAV, so the eight-long
+    * stats contract (and every gate built on it) is one implementation.
+    * 16-bit FLAC only — the WAV path's own PCM16 contract. */
+  def decodeAudioStats(bytes: Array[Byte]): Option[Array[Long]] =
+    decodeWavStats(bytes).orElse(
+      FlacCodec.flacToWav(bytes).flatMap(decodeWavStats))
+
+  /** [[decodeWavEnvelope]] over WAV OR FLAC — the volume-invariant
+    * perceptual envelope with the FLAC door of [[decodeAudioStats]]. */
+  def decodeAudioEnvelope(bytes: Array[Byte]): Option[Array[Byte]] =
+    decodeWavEnvelope(bytes).orElse(
+      FlacCodec.flacToWav(bytes).flatMap(decodeWavEnvelope))
+
   /** Feature vector: REAL signal statistics when the payload decodes —
-    * image grid lumas (PNG/JPEG via ImageIO) or the PCM WAV amplitude
+    * image grid lumas (PNG/JPEG via ImageIO) or the WAV/FLAC amplitude
     * envelope — folded into `dim` lanes (same fold as the stub, over
     * decoded intensity instead of raw container bytes);
     * [[decodeStub]] otherwise. */
   def decode(bytes: Array[Byte], dim: Int): Array[Float] =
-    decodeImageGrid(bytes).orElse(decodeWavEnvelope(bytes)) match {
+    decodeImageGrid(bytes).orElse(decodeAudioEnvelope(bytes)) match {
       case Some(grid) =>
         val out = new Array[Float](dim)
         var i = 0
@@ -847,8 +861,9 @@ object MediaCodec {
 
   /** STUB for formats with no in-JDK decode path — now ONLY true
     * inter-frame video codecs (H.264/VP9/AV1; this container ships no
-    * media libraries): images, PCM WAV, animated GIF, and MJPEG-AVI all
-    * have REAL decodes above. Deterministic fake features: a rolling
+    * media libraries): images, PCM WAV, FLAC ([[FlacCodec]]), animated
+    * GIF, and MJPEG-AVI all have REAL decodes. Deterministic fake
+    * features: a rolling
     * byte hash folded into `dim` float lanes. A real implementation
     * would decode and run an encoder here. */
   def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {

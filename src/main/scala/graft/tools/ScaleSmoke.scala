@@ -1004,6 +1004,27 @@ object ScaleSmoke {
         ev10t.unpersist(false)
         r
       },
+      // unigram-LM tokenizer training (round 15): the corpus pays one
+      // distributed word-count aggregate; candidate seeding and the EM
+      // rounds run on the maxWords-capped collected table — 10x corpus
+      // should move only the first aggregate (ratio well under 10)
+      {
+        import graft.operators.UnigramLm
+        def ul(d: DataFrame, tag: String): Double =
+          time(s"unigram_lm $tag")(noop(
+            UnigramLm.train(d, "text", UnigramLm.Params())))
+        ("unigram_lm", ul(d1, "1x"), ul(d10salt, "10x"))
+      },
+      // exact-span scrub rollup (round 15): the per-doc scrub (gram
+      // hashes -> occurrence count -> bounded coverage explode ->
+      // anti-join) plus one doc-grain source aggregate — corpus-linear
+      // on the salted corpus (constant duplication rate)
+      {
+        def sr(d: DataFrame, tag: String): Double =
+          time(s"span_report $tag")(noop(
+            Dedup.exactSpanReport(d, "doc_id", "text", "source", k = 6)))
+        ("span_report", sr(d1, "1x"), sr(d10salt, "10x"))
+      },
       // audio envelope fingerprint (round 14b): SQL construct + REAL PCM
       // WAV decode + native dHash — embarrassingly parallel scan
       {
