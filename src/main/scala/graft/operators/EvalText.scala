@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-generation evaluation metrics — the n-gram-overlap half of the
+  * eval family next to [[Classifier.evalMetrics]]' scoring half: corpus
+  * BLEU (Papineni et al. 2002) and per-document ROUGE-N recall (Lin
+  * 2004), the two numbers every generation/summarization eval reports.
+  *
+  * Scale shape: candidate and reference token tables (one corpus scan
+  * each), n-gram construction by per-document `lead` windows (document-
+  * grain partitions — no corpus-grain window), clipped-count matching by
+  * one (id, gram) equi-join per n, then map-side-combinable aggregates.
+  * Everything is an exact integer until the single closing mirrored
+  * double (brevity penalty × geometric mean for BLEU, one ratio for
+  * ROUGE), micro-rounded at scale 0 — the established discipline.
+  *
+  * No smoothing: a zero n-gram match at any order zeroes corpus BLEU
+  * (the textbook definition; smoothed variants exist but their additive
+  * constants are convention-dependent, and the integer match/total
+  * columns are emitted alongside so any smoothing is a driver-side
+  * readout away).
+  */
+object EvalText {
+
+  /** (id, pos, w) token table for one side, positions re-ranked dense
+    * so n-grams ride consecutive positions. */
+  private def toks(pairs: DataFrame, idCol: String, textCol: String) = {
+    import org.apache.spark.sql.expressions.Window
+    pairs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("p0", "w")))
+      .filter(col("w") =!= "")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("p0"))).cast("long"))
+      .select(col("id"), col("pos"), col("w"))
+  }
+
+  /** (id, gram, c) n-gram counts from a token table: per-document lead
+    * window, grams joined with U+001F so token boundaries are exact. */
+  private def gramCounts(t: DataFrame, n: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = (0 until n).map(k =>
+      if (k == 0) col("w") else lead(col("w"), k).over(w))
+    t.select(col("id"), concat_ws("\u001f", parts: _*).as("g"),
+        parts.last.isNotNull.as("full"))
+      .filter(col("full"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Corpus BLEU-`maxN`: one row —
+    * (n_pairs, cand_len, ref_len, m1, t1, …, m{maxN}, t{maxN},
+    * bleu_micro). `m_n` = Σ clipped n-gram matches, `t_n` = Σ candidate
+    * n-gram counts; `bleu_micro = round(1e6 · BP · (Π m_n/t_n)^(1/maxN))`,
+    * 0 when any order has zero matches. */
+  def corpusBleu(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN in [1,6], got $maxN")
+    val cand = toks(pairs, idCol, candCol).persist()
+    val ref = toks(pairs, idCol, refCol).persist()
+    val lens = cand.groupBy().agg(count(lit(1)).as("cand_len"))
+      .crossJoin(ref.groupBy().agg(count(lit(1)).as("ref_len")))
+      .crossJoin(pairs.select(col(idCol)).distinct()
+        .agg(count(lit(1)).as("n_pairs")))
+    val perN = (1 to maxN).map { n =>
+      val cg = gramCounts(cand, n)
+      val rg = gramCounts(ref, n)
+      // clipped matches ride the INNER join (Spark's least() skips
+      // nulls, so a left join would count unmatched grams at full c);
+      // totals aggregate the candidate side alone
+      cg.join(rg.withColumnRenamed("c", "cr"), Seq("id", "g"))
+        .agg(coalesce(sum(least(col("c"), col("cr"))), lit(0L)).as(s"m$n"))
+        .crossJoin(cg.agg(coalesce(sum(col("c")), lit(0L)).as(s"t$n")))
+    }
+    val joined = perN.foldLeft(lens)((acc, d) => acc.crossJoin(d))
+    val zeroGuard = (1 to maxN)
+      .map(n => s"m$n = 0 OR t$n = 0").mkString(" OR ")
+    val prod = (1 to maxN)
+      .map(n => s"CAST(m$n AS DOUBLE) / t$n")
+      .mkString(" * ")
+    val out = joined.select(
+      (Seq(col("n_pairs"), col("cand_len"), col("ref_len")) ++
+        (1 to maxN).flatMap(n => Seq(col(s"m$n"), col(s"t$n"))) :+
+        expr(
+          s"""CASE WHEN $zeroGuard OR cand_len = 0 THEN CAST(0 AS BIGINT)
+             |ELSE CAST(round(1e6
+             |  * (CASE WHEN cand_len >= ref_len THEN 1.0D
+             |     ELSE exp(1.0D - CAST(ref_len AS DOUBLE) / cand_len) END)
+             |  * power($prod, 1.0D / $maxN)) AS BIGINT)
+             |END""".stripMargin).as("bleu_micro")): _*)
+    val materialized = out.localCheckpoint()
+    cand.unpersist(); ref.unpersist()
+    materialized
+  }
+
+  /** Per-document ROUGE-N recall: (id, m, ref_grams, rouge_micro =
+    * round(1e6 · m/ref_grams); NULL when the reference has no n-grams).
+    * Documents whose candidate shares nothing still get their row —
+    * "no overlap" reads 0, "no reference" reads NULL. */
+  def rougeRecall(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 6, s"n in [1,6], got $n")
+    val cg = gramCounts(toks(pairs, idCol, candCol), n)
+    val rg = gramCounts(toks(pairs, idCol, refCol), n)
+    val m = cg.join(rg.withColumnRenamed("c", "cr"), Seq("id", "g"))
+      .groupBy(col("id"))
+      .agg(sum(least(col("c"), col("cr"))).as("m0"))
+    pairs.select(col(idCol).as("id")).distinct()
+      .join(rg.groupBy(col("id")).agg(sum(col("c")).as("ref_grams")),
+        Seq("id"), "left")
+      .join(m, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("m0"), lit(0L)).as("m"),
+        coalesce(col("ref_grams"), lit(0L)).as("ref_grams"),
+        expr("""CASE WHEN coalesce(ref_grams, 0) = 0
+               |  THEN CAST(NULL AS BIGINT)
+               |ELSE CAST(round(1e6 * coalesce(m0, 0) / ref_grams)
+               |  AS BIGINT) END""".stripMargin).as("rouge_micro"))
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB replicas. `pairsCte` must define `pairs(id, cand, ref)`;
+  // the closing double expression is generated from the SAME fragment
+  // as the Spark side so the IEEE op order matches exactly.
+  // ------------------------------------------------------------------
+
+  /** Token + n-gram CTEs for one side (`cand`/`ref` column of pairs):
+    * defines `{side}t(id, pos, w)` and `{side}g{n}(id, g, c)`. */
+  private def sideCtes(side: String, ns: Seq[Int]): String = {
+    val tok =
+      s"""${side}t AS MATERIALIZED (
+         |  SELECT id, CAST(row_number() OVER (PARTITION BY id ORDER BY i)
+         |    AS BIGINT) AS pos, w
+         |  FROM (SELECT id, t.i AS i, ws[CAST(t.i AS INT)] AS w
+         |        FROM (SELECT id, string_split($side, ' ') AS ws FROM pairs),
+         |             unnest(range(1, len(ws) + 1)) AS t(i))
+         |  WHERE w <> '')""".stripMargin
+    val grams = ns.map { n =>
+      val g = (0 until n).map {
+        case 0 => "w"
+        case k => s"lead(w, $k) OVER (PARTITION BY id ORDER BY pos)"
+      }.mkString(" || chr(31) || ")
+      val full = if (n == 1) "TRUE"
+        else s"lead(w, ${n - 1}) OVER (PARTITION BY id ORDER BY pos) IS NOT NULL"
+      s"""${side}g$n AS MATERIALIZED (
+         |  SELECT id, g, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT id, $g AS g, $full AS is_full FROM ${side}t)
+         |  WHERE is_full GROUP BY 1, 2)""".stripMargin
+    }
+    (tok +: grams).mkString(",\n")
+  }
+
+  /** DuckDB replica of [[corpusBleu]]. */
+  def bleuOracleSql(pairsCte: String, maxN: Int = 4): String = {
+    val mt = (1 to maxN).map { n =>
+      s"""mt$n AS (SELECT
+         |  (SELECT CAST(coalesce(sum(least(a.c, b.c)), 0) AS BIGINT)
+         |   FROM cg$n a JOIN rg$n b ON b.id = a.id AND b.g = a.g) AS m$n,
+         |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM cg$n) AS t$n)"""
+        .stripMargin
+    }.mkString(",\n")
+    val zeroGuard = (1 to maxN).map(n => s"m$n = 0 OR t$n = 0")
+      .mkString(" OR ")
+    val prod = (1 to maxN).map(n => s"CAST(m$n AS DOUBLE) / t$n")
+      .mkString(" * ")
+    val mtList = (1 to maxN).map(n => s"mt$n").mkString(" CROSS JOIN ")
+    val cols = (1 to maxN).map(n => s"m$n, t$n").mkString(", ")
+    s"""WITH $pairsCte,
+       |${sideCtes("cand", 1 to maxN).replace("candg", "cg")},
+       |${sideCtes("ref", 1 to maxN).replace("refg", "rg")},
+       |lens AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM candt) AS cand_len,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM reft) AS ref_len,
+       |  (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM pairs) AS n_pairs),
+       |$mt
+       |SELECT n_pairs, cand_len, ref_len, $cols,
+       |  CASE WHEN $zeroGuard OR cand_len = 0 THEN CAST(0 AS BIGINT)
+       |  ELSE CAST(round(1e6
+       |    * (CASE WHEN cand_len >= ref_len THEN 1.0
+       |       ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END)
+       |    * power($prod, 1.0 / $maxN)) AS BIGINT)
+       |  END AS bleu_micro
+       |FROM lens CROSS JOIN $mtList""".stripMargin
+  }
+
+  /** DuckDB replica of [[rougeRecall]]. */
+  def rougeOracleSql(pairsCte: String, n: Int = 2): String =
+    s"""WITH $pairsCte,
+       |${sideCtes("cand", Seq(n)).replace(s"candg$n", "cg")},
+       |${sideCtes("ref", Seq(n)).replace(s"refg$n", "rg")},
+       |m AS (SELECT a.id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS m0
+       |      FROM cg a JOIN rg b ON b.id = a.id AND b.g = a.g GROUP BY 1),
+       |rgt AS (SELECT id, CAST(sum(c) AS BIGINT) AS ref_grams
+       |        FROM rg GROUP BY 1)
+       |SELECT p.id, coalesce(m.m0, 0) AS m,
+       |       coalesce(rgt.ref_grams, 0) AS ref_grams,
+       |  CASE WHEN coalesce(rgt.ref_grams, 0) = 0 THEN CAST(NULL AS BIGINT)
+       |  ELSE CAST(round(1e6 * coalesce(m.m0, 0) / rgt.ref_grams) AS BIGINT)
+       |  END AS rouge_micro
+       |FROM (SELECT DISTINCT id FROM pairs) p
+       |LEFT JOIN rgt ON rgt.id = p.id
+       |LEFT JOIN m ON m.id = p.id""".stripMargin
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.{AudioNative, HashExprs => H}
-import graft.operators.{Dedup, FlacCodec, UnigramLm}
+import graft.operators.{Dedup, EvalText, FlacCodec, UnigramLm}
 
 /** Round-15 queries:
   *  - text_unigram_lm: SentencePiece-style unigram-LM tokenizer training
@@ -78,6 +78,27 @@ object Round15 {
        |          AS n_dup_tokens
        |      FROM ws LEFT JOIN kept ON ws.id = kept.id)""".stripMargin
   }
+
+  /** Constructed candidate/reference pairs for the generation-eval
+    * metrics: reference = the document text, candidate = the text with
+    * every 7th word dropped (a deterministic "lossy paraphrase" with
+    * known structure). Spark's filter-HOF index is 0-based, DuckDB's
+    * list_filter index is 1-based — the two predicates below are the
+    * same set. */
+  private val evalPairsSpark =
+    "array_join(filter(split(text, ' '), (x, i) -> (i + 1) % 7 != 0), ' ')"
+  private val evalPairsCte =
+    """pairs AS MATERIALIZED (
+      |  SELECT doc_id AS id,
+      |         array_to_string(list_filter(string_split(text, ' '),
+      |           (x, i) -> i % 7 <> 0), ' ') AS cand,
+      |         text AS ref
+      |  FROM documents WHERE doc_id < 300)""".stripMargin
+
+  private def evalPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.ts(s, d, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id").as("id"), expr(evalPairsSpark).as("cand"),
+        col("text").as("ref"))
 
   val defs: Seq[Q] = Seq(
 
@@ -166,7 +187,21 @@ object Round15 {
             FROM sl GROUP BY 1)
       SELECT doc_id, n_frames, channels, sum_abs, sum_sq, max_abs,
              zero_crossings, silence_frames, clip_frames
-      FROM d JOIN st USING (cls)"""))
+      FROM d JOIN st USING (cls)""")),
+
+    // ---- generation-eval metrics --------------------------------------
+    // corpus BLEU-4 of the lossy paraphrase against its source: clipped
+    // n-gram precisions + brevity penalty, every count exact until the
+    // one closing mirrored double
+    Q("text_bleu", (s, d) =>
+      EvalText.corpusBleu(evalPairs(s, d), "id", "cand", "ref"),
+      Some(EvalText.bleuOracleSql(evalPairsCte))),
+
+    // per-document ROUGE-2 recall of the same pairs — which documents
+    // lose the most bigram content to the paraphrase?
+    Q("text_rouge", (s, d) =>
+      EvalText.rougeRecall(evalPairs(s, d), "id", "cand", "ref", n = 2),
+      Some(EvalText.rougeOracleSql(evalPairsCte, n = 2)))
   )
 
   /** Formula-generated FLAC payload classes (mono PCM16, 1200 frames) —

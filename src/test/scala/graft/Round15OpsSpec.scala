@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, UnigramLm}
+import graft.operators.{Dedup, EvalText, UnigramLm}
 
 /** Round-15 operators: hand-computed references for the unigram-LM
   * tokenizer trainer (candidate seeding, Viterbi DP with the encoded-key
@@ -91,6 +91,54 @@ class Round15OpsSpec extends AnyFunSuite {
       r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq ===
       Seq(("s1", 2L, 18L, 12L, 2L, 0L, 666667L),
           ("s2", 1L, 9L, 0L, 0L, 0L, 0L)))
+  }
+
+  // ---- BLEU / ROUGE -----------------------------------------------------
+
+  test("corpusBleu: hand-counted clipped n-grams, BP and geometric mean") {
+    // cand "a b c d e g" vs ref "a b c d e f g":
+    // 1-grams 6/6, 2-grams 4/5 (cat: ab,bc,cd,de,eg; 'eg' missing),
+    // 3-grams 3/4, 4-grams 2/3; BP = exp(1 - 7/6)
+    val pairs = Seq((1L, "a b c d e g", "a b c d e f g"))
+      .toDF("id", "cand", "ref")
+    val r = EvalText.corpusBleu(pairs, "id", "cand", "ref").collect()(0)
+    assert((r.getAs[Long]("cand_len"), r.getAs[Long]("ref_len")) === (6L, 7L))
+    assert((r.getAs[Long]("m1"), r.getAs[Long]("t1")) === (6L, 6L))
+    assert((r.getAs[Long]("m2"), r.getAs[Long]("t2")) === (4L, 5L))
+    assert((r.getAs[Long]("m3"), r.getAs[Long]("t3")) === (3L, 4L))
+    assert((r.getAs[Long]("m4"), r.getAs[Long]("t4")) === (2L, 3L))
+    // same left-assoc op order as the generated SQL fragment
+    val p = 6.0 / 6 * 4 / 5 * 3 / 4 * 2 / 3
+    val expected = math.round(1e6 * math.exp(1.0 - 7.0 / 6)
+      * math.pow(p, 1.0 / 4))
+    assert(r.getAs[Long]("bleu_micro") === expected)
+  }
+
+  test("corpusBleu: corpus pooling clips per pair; zero order zeroes BLEU") {
+    // pair 1: cand 'a a' vs ref 'a' -> clipped m1 = min(2,1) = 1, t1 = 2
+    // pair 2: cand 'b' vs ref 'b b' -> m1 = 1, t1 = 1
+    val pairs = Seq((1L, "a a", "a"), (2L, "b", "b b"))
+      .toDF("id", "cand", "ref")
+    val r = EvalText.corpusBleu(pairs, "id", "cand", "ref").collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 2L)
+    assert((r.getAs[Long]("m1"), r.getAs[Long]("t1")) === (2L, 3L))
+    assert(r.getAs[Long]("m2") === 0L) // 'a a' bigram absent from ref 'a'
+    assert(r.getAs[Long]("bleu_micro") === 0L)
+  }
+
+  test("rougeRecall: per-doc recall, zero-overlap and empty-reference rows") {
+    val pairs = Seq(
+      (1L, "a b c d e g", "a b c d e f g"),
+      (2L, "p q", "x y"),
+      (3L, "x y", "")).toDF("id", "cand", "ref")
+    val rows = EvalText.rougeRecall(pairs, "id", "cand", "ref", n = 2)
+      .orderBy("id").collect()
+    assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[Long]("m"),
+      r.getAs[Long]("ref_grams"))).toSeq ===
+      Seq((1L, 4L, 6L), (2L, 0L, 1L), (3L, 0L, 0L)))
+    assert(rows(0).getAs[Long]("rouge_micro") === 666667L)
+    assert(rows(1).getAs[Long]("rouge_micro") === 0L)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("rouge_micro")))
   }
 
   test("exactSpanReport: fully duplicated doc counts as scrubbed to nothing") {
