@@ -20,7 +20,11 @@ import graft.operators.{Dedup, EvalText, FlacCodec, UnigramLm}
   *    subframes all exercised) and the oracle recomputes the eight
   *    stats from the generating formulas, so a decode bug anywhere in
   *    the bitstream walk breaks the hash (the SyntheticGif
-  *    construct→decode→oracle discipline).
+  *    construct→decode→oracle discipline);
+  *  - text_bleu / text_rouge: corpus BLEU-4 and per-document ROUGE-2
+  *    recall over a deterministic lossy-paraphrase construction — the
+  *    generation-eval pair next to q175's classifier metrics
+  *    ([[EvalText]]).
   */
 object Round15 {
 
