@@ -42,18 +42,20 @@ object PhashNative {
   /** Decodable payloads → their REAL 63-cell perceptual grid: PNG/JPEG
     * via the 9×7 grayscale grid
     * ([[graft.operators.MediaCodec.decodeImageGrid]], JDK ImageIO), PCM
-    * WAV via the 63-window amplitude envelope
-    * ([[graft.operators.MediaCodec.decodeWavEnvelope]], volume-invariant);
+    * WAV or FLAC via the 63-window amplitude envelope
+    * ([[graft.operators.MediaCodec.decodeAudioEnvelope]] — WAV first,
+    * then the [[graft.operators.FlacCodec]] door; volume-invariant);
     * anything else passes through unchanged. Composed as
     * `dhash56(imageGridOrRaw(b))` this gives a true image dHash for real
-    * images, a true audio difference-hash for real PCM audio (63 grid
-    * bytes = one byte per cell, so the byte-span grid IS the signal
+    * images, a true audio difference-hash for real PCM/FLAC audio (63
+    * grid bytes = one byte per cell, so the byte-span grid IS the signal
     * grid), and the byte-span fingerprint for other payloads — the
     * production pipeline downstream is identical in all three cases.
     * Note the decoded branches are not DuckDB-replayable (no codec
-    * there); oracle queries run on non-media payloads, and the decoded
-    * paths are pinned by MultimodalSpec's hand-computed PNG and WAV
-    * fingerprints. */
+    * there); oracle queries run on non-media payloads or recompute the
+    * envelope from the generating formula, and the decoded paths are
+    * pinned by MultimodalSpec's hand-computed PNG and WAV fingerprints
+    * plus FlacCodecSpec's FLAC≡WAV envelope identity. */
   def imageGridOrRaw(bin: Column): Column =
     GraftColumnBridge.column(ImageGridOrRaw(GraftColumnBridge.expression(bin)))
 
@@ -105,7 +107,7 @@ object PhashNative {
     override protected def nullSafeEval(input: Any): Any = {
       val bytes = input.asInstanceOf[Array[Byte]]
       graft.operators.MediaCodec.decodeImageGrid(bytes)
-        .orElse(graft.operators.MediaCodec.decodeWavEnvelope(bytes))
+        .orElse(graft.operators.MediaCodec.decodeAudioEnvelope(bytes))
         .getOrElse(bytes)
     }
     override protected def withNewChildInternal(c: Expression) = copy(c)

@@ -92,7 +92,7 @@ object Round14b {
     * from [[wavClassSample]] FIRST PRINCIPLES (|m| per cell → ·255 div
     * max → dHash bits) — the oracle half of the real decodeWavEnvelope
     * path. Yields CTEs ending in `efp(doc_id, fp)`. */
-  private val duckEnvelopeFpCtes: String =
+  private[graft] val duckEnvelopeFpCtes: String =
     s"""es AS (SELECT doc_id, CAST(t.range AS BIGINT) AS f,
        |        abs(${wavClassSample("CAST(t.range AS BIGINT)")}) AS a
        |      FROM documents CROSS JOIN range(63) t),

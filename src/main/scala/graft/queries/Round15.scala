@@ -205,8 +205,62 @@ object Round15 {
     // lose the most bigram content to the paraphrase?
     Q("text_rouge", (s, d) =>
       EvalText.rougeRecall(evalPairs(s, d), "id", "cand", "ref", n = 2),
-      Some(EvalText.rougeOracleSql(evalPairsCte, n = 2)))
+      Some(EvalText.rougeOracleSql(evalPairsCte, n = 2))),
+
+    // ---- FLAC through the perceptual envelope / dedup family ----------
+    // the FLAC twin of mm_audio_envelope: the SAME 40-class x 2-gain
+    // signal formula, but carried as FLAC bitstreams (Scala-encoded
+    // shared constants) instead of SQL-built WAVs — the oracle is the
+    // IDENTICAL first-principles envelope recomputation, so the hash
+    // proves the lossless decode reproduces the WAV path bit-for-bit.
+    Q("mm_flac_envelope", (s, d) =>
+      Tables.ts(s, d, "documents")
+        .select(col("doc_id"), flacClassMedia.as("media"))
+        .select(col("doc_id"), graft.functions.PhashNative.dhash56(
+          graft.functions.PhashNative.imageGridOrRaw(col("media")))
+          .as("fp")),
+      Some(s"""
+        WITH ${Round14b.duckEnvelopeFpCtes}
+        SELECT doc_id, fp FROM efp""")),
+
+    // volume-invariant dedup over FLAC payloads: class at x1 and x16
+    // gain collapses to one fingerprint (gain cancels exactly in the
+    // integer envelope normalization), grouped class-grain.
+    Q("mm_flac_dedup", (s, d) =>
+      Tables.ts(s, d, "documents")
+        .select(col("doc_id"), flacClassMedia.as("media"))
+        .select(col("doc_id"), graft.functions.PhashNative.dhash56(
+          graft.functions.PhashNative.imageGridOrRaw(col("media")))
+          .as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"))
+        .filter(col("n_docs") >= 2L),
+      Some(s"""
+        WITH ${Round14b.duckEnvelopeFpCtes}
+        SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(min(doc_id) AS BIGINT) AS rep_doc
+        FROM efp GROUP BY 1 HAVING count(*) >= 2"""))
   )
+
+  /** The 80 distinct FLAC payloads of the audio-class family (40 signal
+    * classes × {×1, ×16} gain), encoded ONCE driver-side with the
+    * spec-conforming encoder — the same samples Round14b's
+    * `wavClassSample` formula generates, so the first-principles
+    * envelope oracle is shared verbatim. 63 mono frames at block size
+    * 16 → 4 frames per stream incl a 15-sample tail. */
+  private lazy val flacClassPayloads: IndexedSeq[Array[Byte]] =
+    for (cls <- 0 until 40; gain <- Seq(1, 16)) yield {
+      val samples = Array.tabulate(63)(i =>
+        ((cls * 53 + i * 997) % 3001 - 1500) * gain)
+      FlacCodec.encodeFlac(samples, 1, 8000, 16)
+    }
+
+  /** Payload lookup column mirroring `wavClassSample`'s doc_id keying:
+    * class = doc_id % 40, ×16 gain when doc_id % 7 = 0. */
+  private def flacClassMedia =
+    element_at(array(flacClassPayloads.map(lit(_)): _*),
+      ((col("doc_id") % 40) * 2
+        + when(col("doc_id") % 7 === 0, 1).otherwise(0) + 1).cast("int"))
 
   /** Formula-generated FLAC payload classes (mono PCM16, 1200 frames) —
     * the ONE definition both the Spark-side encoder input and the

@@ -181,6 +181,18 @@ class FlacCodecSpec extends AnyFunSuite {
       MediaCodec.decodeWavStats(wav).get.toSeq)
   }
 
+  test("FLAC and WAV carriers of one signal share one envelope; gain cancels") {
+    val samples = Array.tabulate(63)(i => (3 * 53 + i * 997) % 3001 - 1500)
+    val flac = FlacCodec.encodeFlac(samples, 1, 8000, 16)
+    val wav = FlacCodec.flacToWav(flac).get
+    assert(MediaCodec.decodeAudioEnvelope(flac).get.toSeq ===
+      MediaCodec.decodeWavEnvelope(wav).get.toSeq)
+    // x16 amplification cancels exactly in the integer normalization
+    val flac16 = FlacCodec.encodeFlac(samples.map(_ * 16), 1, 8000, 16)
+    assert(MediaCodec.decodeAudioEnvelope(flac16).get.toSeq ===
+      MediaCodec.decodeAudioEnvelope(flac).get.toSeq)
+  }
+
   // ---- malformed inputs ---------------------------------------------------
 
   test("malformed: non-FLAC, truncated, and bit-flipped streams -> None") {
