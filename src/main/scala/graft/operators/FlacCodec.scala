@@ -150,6 +150,7 @@ object FlacCodec {
     var channels = 0
     var bps = 0
     var rate = 0
+    var totalSamples = 0L // 36-bit STREAMINFO field; 0 = unknown
     var first = true
     while (!last) {
       if (off + 4 > bytes.length) return None
@@ -166,19 +167,29 @@ object FlacCodec {
           ((bytes(b + 12) & 0xff) >> 4)
         channels = ((bytes(b + 12) >> 1) & 0x07) + 1
         bps = (((bytes(b + 12) & 0x01) << 4) | ((bytes(b + 13) & 0xff) >> 4)) + 1
+        totalSamples = ((bytes(b + 13) & 0x0f).toLong << 32) |
+          ((bytes(b + 14) & 0xffL) << 24) | ((bytes(b + 15) & 0xffL) << 16) |
+          ((bytes(b + 16) & 0xffL) << 8) | (bytes(b + 17) & 0xffL)
       }
       first = false
       off += 4 + len
     }
     if (channels < 1 || bps < 4 || off > bytes.length) return None
 
-    val out = new java.io.ByteArrayOutputStream() // packed little-endian ints
+    val out = new java.io.ByteArrayOutputStream() // packed big-endian ints
     val sink = new java.io.DataOutputStream(out)
     var nTotal = 0
-    while (off < bytes.length) {
+    var perCh = 0L // samples per channel decoded so far
+    // Stop once STREAMINFO's total-samples count is reached (tolerates
+    // appended trailers like ID3v1); with an unknown total (0), tolerate
+    // trailing non-sync bytes after at least one good frame.
+    import scala.util.control.Breaks.{break, breakable}
+    breakable { while (off < bytes.length && (totalSamples == 0L || perCh < totalSamples)) {
       val br = new BitReader(bytes, off)
       // frame header --------------------------------------------------
-      if (br.readBits(14) != 0x3ffe) return None // sync
+      if (br.readBits(14) != 0x3ffe) { // sync
+        if (nTotal > 0) break() else return None
+      }
       if (br.readBit() != 0) return None         // reserved
       br.readBit()                               // blocking strategy
       val bsCode = br.readBits(4).toInt
@@ -191,7 +202,9 @@ object FlacCodec {
       var follow = 0
       var l = lead
       while ((l & 0x80) != 0 && follow < 7) { follow += 1; l <<= 1 }
-      if (follow == 1 || follow == 7) return None
+      // follow == 7 (6 continuation bytes) is valid for variable-blocksize
+      // streams with sample numbers >= 2^31; only follow == 1 is malformed.
+      if (follow == 1) return None
       var i = 1
       while (i < follow) {
         if ((br.readBits(8).toInt & 0xc0) != 0x80) return None
@@ -352,8 +365,9 @@ object FlacCodec {
         t += 1
       }
       nTotal += blockSize * channels
+      perCh += blockSize
       off = br.byteOff
-    }
+    } }
     if (nTotal == 0) return None
     val packed = out.toByteArray
     val samples = new Array[Int](nTotal)
@@ -421,6 +435,10 @@ object FlacCodec {
     require(channels >= 1 && channels <= 8, "channels in [1,8]")
     require(samples.length % channels == 0, "interleave mismatch")
     require(blockSize >= 16 && blockSize <= 65535, "blockSize in [16,65535]")
+    require(samples.forall(s => s >= -32768 && s <= 32767),
+      "samples must fit PCM16 (this encoder is 16-bit only)")
+    require(sampleRate > 0 && sampleRate < (1 << 20),
+      "sampleRate must fit STREAMINFO's 20-bit field")
     val nFrames = samples.length / channels
     val out = new java.io.ByteArrayOutputStream()
     out.write('f'); out.write('L'); out.write('a'); out.write('C')

@@ -204,4 +204,26 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(FlacCodec.decodeFlacSamples(corrupt).isEmpty) // CRC-16 catches it
     assert(MediaCodec.decodeAudioStats("RIFFjunk".getBytes).isEmpty)
   }
+
+  test("trailing bytes after the last frame (ID3v1-style tag) are tolerated") {
+    val samples = Array.tabulate(64)(i => i * 31)
+    val good = FlacCodec.encodeFlac(samples, 1, 8000, 64)
+    val tag = ("TAG" + "x" * 125).getBytes("US-ASCII") // 128-byte ID3v1 shape
+    val tagged = good ++ tag
+    val dec = FlacCodec.decodeFlacSamples(tagged)
+    assert(dec.isDefined)
+    assert(dec.get.samples.toSeq === FlacCodec.decodeFlacSamples(good).get.samples.toSeq)
+  }
+
+  test("encodeFlac rejects out-of-range samples and sample rates loudly") {
+    intercept[IllegalArgumentException] {
+      FlacCodec.encodeFlac(Array(0, 40000), 1, 8000, 16) // > 16-bit
+    }
+    intercept[IllegalArgumentException] {
+      FlacCodec.encodeFlac(Array(0, -32769), 1, 8000, 16)
+    }
+    intercept[IllegalArgumentException] {
+      FlacCodec.encodeFlac(Array.fill(16)(1), 1, 1 << 20, 16) // 20-bit rate field
+    }
+  }
 }
