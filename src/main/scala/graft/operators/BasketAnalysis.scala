@@ -115,10 +115,28 @@ object BasketAnalysis {
     // `capped` subtree reuses the basket exchange
     val norms = capped.select(explode(col("its")).as("it"))
       .groupBy(col("it")).agg(count(lit(1)).as("n"))
-    // its is sorted ascending, so generated pairs satisfy ia < ib
+    // its is sorted ascending, so generated pairs satisfy ia < ib.
+    // The generated pair stream is ~97% DISTINCT keys (sf0.1: 13.14M
+    // generated, 12.72M distinct), so a map-side partial aggregate gets
+    // ~no reduction while building a hash map over every pair its task
+    // generates — ~1.3 GB across tasks, which crossed the spill threshold
+    // whenever suite heap state tightened execution memory (the r15 q138
+    // blow-up mode: 1074 MB mem-spill + sort fallback + GC at -Xmx4g,
+    // intermittent 10x at 8g under full-suite JVM state). An explicit
+    // hash repartition on the pair key shuffles the RAW pairs (two longs
+    // — same exchange volume as the 97%-unaggregated rows) and runs BOTH
+    // aggregate stages post-exchange, where each task owns ~#pairs/P keys
+    // (~20 MB at P=32): the hash map can no longer outgrow its share of
+    // the pool at any heap state. Explicit numPartitions pins the
+    // exchange against AQE coalescing (64 MB advisory would fold ~200 MB
+    // of pairs to ~3 partitions and re-create the giant maps); at cluster
+    // scale the same session conf carries the configured parallelism.
+    val pairParts = df.sparkSession.conf
+      .getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(200)
     val pairs = capped.filter(size(col("its")) >= 2)
       .select(col("its"), posexplode(col("its")).as(Seq("i", "ia")))
       .select(col("ia"), explode(expr("slice(its, i + 2, size(its))")).as("ib"))
+      .repartition(pairParts, col("ia"), col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
     // norms attach on the UNDIRECTED pair table (half the directed row
     // count; AQE broadcasts the item-grain build side at runtime), and
