@@ -119,6 +119,68 @@ object EvalText {
                |  AS BIGINT) END""".stripMargin).as("rouge_micro"))
   }
 
+  /** [[corpusBleu]] plus a Chen–Cherry method-2 smoothed readout
+    * (`bleu_smooth_micro`): unigram precision stays exact, every higher
+    * order reads (m_n + 1)/(t_n + 1), so a zero match at one order no
+    * longer zeroes the corpus score. A pure readout over the exact
+    * integer m_n/t_n columns corpusBleu already emits — no new scan,
+    * same CTE chain, one more mirrored closing double. */
+  def smoothedBleu(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    val base = corpusBleu(pairs, idCol, candCol, refCol, maxN)
+    base.select(col("*"),
+      expr(bleuSmoothFrag("D", maxN)).as("bleu_smooth_micro"))
+  }
+
+  private def bleuSmoothFrag(d: String, maxN: Int): String = {
+    val prod = (s"CAST(m1 AS DOUBLE) / t1" +:
+      (2 to maxN).map(n => s"((m$n + 1.0$d) / (t$n + 1.0$d))"))
+      .mkString(" * ")
+    s"""CASE WHEN m1 = 0 OR t1 = 0 OR cand_len = 0 THEN CAST(0 AS BIGINT)
+       |ELSE CAST(round(1e6
+       |  * (CASE WHEN cand_len >= ref_len THEN 1.0$d
+       |     ELSE exp(1.0$d - CAST(ref_len AS DOUBLE) / cand_len) END)
+       |  * power($prod, 1.0$d / $maxN)) AS BIGINT)
+       |END""".stripMargin
+  }
+
+  /** Per-document ROUGE-L: (id, lcs, cand_len, ref_len, rl_recall_micro,
+    * rl_f1_micro). LCS over whitespace tokens via the native
+    * [[graft.functions.LcsLength]] kernel (O(len²) per doc, document
+    * grain, embarrassingly parallel). Recall = LCS/ref_len (NULL when the
+    * reference is empty); F1 = harmonic mean of LCS precision and recall
+    * (Lin 2004 uses F-β with β→∞ ≈ recall; both conventions are readouts
+    * of the exact integer columns emitted, F1 is the one mirrored). */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame =
+    pairs.select(col(idCol).as("id"),
+        filter(split(col(candCol), " "), _ =!= "").as("ct"),
+        filter(split(col(refCol), " "), _ =!= "").as("rt"))
+      .select(col("id"),
+        graft.functions.LcsNative.lcsLength(col("ct"), col("rt")).as("lcs"),
+        size(col("ct")).cast("long").as("cand_len"),
+        size(col("rt")).cast("long").as("ref_len"))
+      .select(col("id"), col("lcs"), col("cand_len"), col("ref_len"),
+        expr(rlRecallFrag).as("rl_recall_micro"),
+        expr(rlF1Frag("D")).as("rl_f1_micro"))
+
+  // closing doubles shared fragment-for-fragment with the oracle (the `d`
+  // parameter writes Spark's D literal suffix; bare decimals parse as
+  // DECIMAL in Spark SQL and the derived arithmetic then drifts)
+  private def rlRecallFrag: String =
+    """CASE WHEN ref_len = 0 THEN CAST(NULL AS BIGINT)
+      |ELSE CAST(round(1e6 * CAST(lcs AS DOUBLE) / ref_len) AS BIGINT)
+      |END""".stripMargin
+  private def rlF1Frag(d: String): String =
+    s"""CASE WHEN cand_len = 0 OR ref_len = 0 THEN CAST(NULL AS BIGINT)
+       |WHEN lcs = 0 THEN CAST(0 AS BIGINT)
+       |ELSE CAST(round(1e6
+       |  * (2.0$d * (CAST(lcs AS DOUBLE) / cand_len)
+       |     * (CAST(lcs AS DOUBLE) / ref_len))
+       |  / (CAST(lcs AS DOUBLE) / cand_len + CAST(lcs AS DOUBLE) / ref_len))
+       |  AS BIGINT)
+       |END""".stripMargin
+
   // ------------------------------------------------------------------
   // DuckDB replicas. `pairsCte` must define `pairs(id, cand, ref)`;
   // the closing double expression is generated from the SAME fragment
@@ -152,7 +214,17 @@ object EvalText {
   }
 
   /** DuckDB replica of [[corpusBleu]]. */
-  def bleuOracleSql(pairsCte: String, maxN: Int = 4): String = {
+  def bleuOracleSql(pairsCte: String, maxN: Int = 4): String =
+    bleuOracleCore(pairsCte, maxN, "")
+
+  /** DuckDB replica of [[smoothedBleu]] — the same chain plus the
+    * smoothed readout column. */
+  def smoothedBleuOracleSql(pairsCte: String, maxN: Int = 4): String =
+    bleuOracleCore(pairsCte, maxN,
+      s",\n  ${bleuSmoothFrag("", maxN)} AS bleu_smooth_micro")
+
+  private def bleuOracleCore(pairsCte: String, maxN: Int,
+      extraCols: String): String = {
     val mt = (1 to maxN).map { n =>
       s"""mt$n AS (SELECT
          |  (SELECT CAST(coalesce(sum(least(a.c, b.c)), 0) AS BIGINT)
@@ -180,9 +252,58 @@ object EvalText {
        |    * (CASE WHEN cand_len >= ref_len THEN 1.0
        |       ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END)
        |    * power($prod, 1.0 / $maxN)) AS BIGINT)
-       |  END AS bleu_micro
+       |  END AS bleu_micro$extraCols
        |FROM lens CROSS JOIN $mtList""".stripMargin
   }
+
+  /** DuckDB replica of [[rougeL]]. DuckDB has no LCS function, so the
+    * oracle runs the DP itself as a recursive CTE over candidate
+    * positions, carrying each document's DP row as a LIST with a leading
+    * sentinel (`row[1] = L[i][0] = 0`, `row[j+1] = L[i][j]`). The row
+    * update uses the last-match identity — `L[i][j] = max(L[i-1][j],
+    * L[i-1][mk-1] + 1)` where `mk` is the LARGEST position ≤ j with
+    * `ref[mk] = cand[i]` — which is exact because DP rows are
+    * non-decreasing in j (property-checked against the classic
+    * three-branch DP in EvalTextSpec). Match positions are precomputed
+    * per (doc, candidate position) so each iteration touches only the
+    * few positions where the token actually occurs. */
+  def rougeLOracleSql(pairsCte: String): String =
+    s"""WITH RECURSIVE $pairsCte,
+       |rldocs AS MATERIALIZED (
+       |  SELECT id,
+       |         list_filter(string_split(cand, ' '), x -> x <> '') AS ct,
+       |         list_filter(string_split(ref, ' '), x -> x <> '') AS rt
+       |  FROM pairs),
+       |rldims AS MATERIALIZED (
+       |  SELECT id, len(ct) AS cl, len(rt) AS rl,
+       |    list_transform(range(1, len(ct) + 1), i ->
+       |      list_filter(range(1, len(rt) + 1), k -> rt[k] = ct[i])) AS mpos
+       |  FROM rldocs),
+       |dp AS (
+       |  SELECT id, 0 AS i,
+       |         list_transform(range(0, rl + 1), x -> 0) AS row
+       |  FROM rldims
+       |  UNION ALL
+       |  SELECT dp.id, dp.i + 1,
+       |    list_prepend(0, list_transform(range(1, d.rl + 1), j ->
+       |      CASE WHEN list_max(list_filter(d.mpos[dp.i + 1], p -> p <= j))
+       |             IS NULL
+       |        THEN dp.row[j + 1]
+       |        ELSE greatest(dp.row[j + 1],
+       |          dp.row[list_max(list_filter(d.mpos[dp.i + 1],
+       |            p -> p <= j))] + 1)
+       |      END))
+       |  FROM dp JOIN rldims d ON d.id = dp.id
+       |  WHERE dp.i < d.cl),
+       |fin AS (
+       |  SELECT d.id, CAST(coalesce(list_max(dp.row), 0) AS BIGINT) AS lcs,
+       |         CAST(d.cl AS BIGINT) AS cand_len,
+       |         CAST(d.rl AS BIGINT) AS ref_len
+       |  FROM dp JOIN rldims d ON d.id = dp.id WHERE dp.i = d.cl)
+       |SELECT id, lcs, cand_len, ref_len,
+       |  $rlRecallFrag AS rl_recall_micro,
+       |  ${rlF1Frag("")} AS rl_f1_micro
+       |FROM fin""".stripMargin
 
   /** DuckDB replica of [[rougeRecall]]. */
   def rougeOracleSql(pairsCte: String, n: Int = 2): String =

@@ -91,7 +91,7 @@ object Round15 {
     * same set. */
   private val evalPairsSpark =
     "array_join(filter(split(text, ' '), (x, i) -> (i + 1) % 7 != 0), ' ')"
-  private val evalPairsCte =
+  private[queries] val evalPairsCte =
     """pairs AS MATERIALIZED (
       |  SELECT doc_id AS id,
       |         array_to_string(list_filter(string_split(text, ' '),
@@ -99,7 +99,7 @@ object Round15 {
       |         text AS ref
       |  FROM documents WHERE doc_id < 300)""".stripMargin
 
-  private def evalPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+  private[queries] def evalPairs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.ts(s, d, "documents").filter(col("doc_id") < 300)
       .select(col("doc_id").as("id"), expr(evalPairsSpark).as("cand"),
         col("text").as("ref"))

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.EvalText
+import graft.functions.LcsNative
+
+/** Round-16 operators: hand cases for the LCS kernel and ROUGE-L, a
+  * property check of the last-match identity the DuckDB oracle relies on
+  * against the classic three-branch DP, and the smoothed-BLEU readout. */
+class Round16OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- LCS kernel --------------------------------------------------------
+
+  private def lcsOf(a: Seq[String], b: Seq[String]): Long = {
+    val df = Seq((a, b)).toDF("a", "b")
+    df.select(LcsNative.lcsLength(col("a"), col("b"))).head().getLong(0)
+  }
+
+  test("lcsLength: hand cases") {
+    // classic: LCS("ABCBDAB", "BDCABA") = 4 (BCAB / BDAB / BCBA)
+    assert(lcsOf("A B C B D A B".split(" "), "B D C A B A".split(" ")) === 4L)
+    assert(lcsOf(Seq("x", "y", "z"), Seq("x", "y", "z")) === 3L)
+    assert(lcsOf(Seq("x", "y", "z"), Seq("p", "q")) === 0L)
+    assert(lcsOf(Seq.empty, Seq("a")) === 0L)
+    assert(lcsOf(Seq("a"), Seq.empty) === 0L)
+    // repeated tokens: LCS(aab, abaa) = 3? c=[a,a,b], r=[a,b,a,a]:
+    // "a a" (2) vs "a b" -> a,b = 2... chains: a(1),a(3)->no b after; a(1),b(2)
+    // then nothing; a(1),a(3),a(4) length 3 needs c to have 3 a's (only 2).
+    // c=[a,a,b]: match a->r1, a->r3, b->none after r3; or a->r1,b->r2 then
+    // nothing. Max = 2.
+    assert(lcsOf(Seq("a", "a", "b"), Seq("a", "b", "a", "a")) === 2L)
+  }
+
+  test("lcsLength kernel matches the classic DP on random token arrays " +
+      "(the last-match identity the DuckDB oracle replays)") {
+    def classic(c: Seq[String], r: Seq[String]): Int = {
+      val m = r.length
+      var prev = new Array[Int](m + 1)
+      var cur = new Array[Int](m + 1)
+      for (ci <- c) {
+        var j = 1
+        while (j <= m) {
+          cur(j) = if (ci == r(j - 1)) prev(j - 1) + 1
+            else math.max(cur(j - 1), prev(j))
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        java.util.Arrays.fill(cur, 0)
+      }
+      prev(m)
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val cases = (0 until 200).map { _ =>
+      val c = Seq.fill(rnd.nextInt(13))(vocab(rnd.nextInt(5)))
+      val r = Seq.fill(rnd.nextInt(12) + 1)(vocab(rnd.nextInt(5)))
+      (c, r, classic(c, r).toLong)
+    }
+    val got = cases.map { case (c, r, _) => (c, r) }.toDF("a", "b")
+      .select(LcsNative.lcsLength(col("a"), col("b"))).collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((c, r, want), g) =>
+      assert(g === want, s"c=$c r=$r")
+    }
+  }
+
+  // ---- ROUGE-L -----------------------------------------------------------
+
+  test("rougeL: hand case with recall and F1 micro") {
+    // cand "the cat sat", ref "the cat sat down": LCS=3, P=1, R=3/4.
+    // recall_micro = round(1e6*3/4) = 750000;
+    // F1 = 2*1*(0.75)/(1+0.75) = 6/7 -> round(1e6*6/7) = 857143.
+    val pairs = Seq((1L, "the cat sat", "the cat sat down"),
+      (2L, "", "x y"), // empty candidate: lcs 0, f1 NULL? cand_len=0 -> NULL
+      (3L, "a b", "c d")) // no overlap: lcs 0 -> f1 0, recall 0
+      .toDF("id", "cand", "ref")
+    val rows = EvalText.rougeL(pairs, "id", "cand", "ref")
+      .orderBy("id").collect()
+    assert(rows(0).getLong(1) === 3L) // lcs
+    assert(rows(0).getLong(2) === 3L) // cand_len
+    assert(rows(0).getLong(3) === 4L) // ref_len
+    assert(rows(0).getLong(4) === 750000L)
+    assert(rows(0).getLong(5) === 857143L)
+    assert(rows(1).getLong(1) === 0L)
+    assert(rows(1).isNullAt(5)) // cand_len = 0 -> F1 NULL
+    assert(rows(1).getLong(4) === 0L) // recall 0/2
+    assert(rows(2).getLong(4) === 0L)
+    assert(rows(2).getLong(5) === 0L)
+  }
+
+  // ---- smoothed BLEU -----------------------------------------------------
+
+  test("smoothedBleu: exact unigram precision, add-one higher orders") {
+    // cand = ref = "a b c": m_n = t_n = (3,2,1,0); unsmoothed BLEU = 0
+    // (t4 = 0), smoothed = BP(1) * (1 * 3/3 * 2/2 * 1/1)^... careful:
+    // p1 = 3/3 = 1, p2 = (2+1)/(2+1) = 1, p3 = (1+1)/(1+1) = 1,
+    // p4 = (0+1)/(0+1) = 1 -> smooth = 1e6.
+    val pairs = Seq((1L, "a b c", "a b c")).toDF("id", "cand", "ref")
+    val r = EvalText.smoothedBleu(pairs, "id", "cand", "ref").head()
+    val cols = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getLong(cols("bleu_micro")) === 0L)
+    assert(r.getLong(cols("bleu_smooth_micro")) === 1000000L)
+  }
+
+  test("smoothedBleu: zero unigram matches still zero the smoothed score") {
+    val pairs = Seq((1L, "x y", "a b")).toDF("id", "cand", "ref")
+    val r = EvalText.smoothedBleu(pairs, "id", "cand", "ref").head()
+    val cols = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getLong(cols("bleu_smooth_micro")) === 0L)
+  }
+}
