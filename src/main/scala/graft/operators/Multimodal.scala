@@ -827,19 +827,26 @@ object MediaCodec {
       zc, silence, clip))
   } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Audio stats over WAV OR FLAC: FLAC payloads decode through
-    * [[FlacCodec]] and re-enter as canonical PCM16 WAV, so the eight-long
-    * stats contract (and every gate built on it) is one implementation.
-    * 16-bit FLAC only — the WAV path's own PCM16 contract. */
+  /** Audio stats over WAV, FLAC, G.711 (µ-law/A-law), or IMA ADPCM:
+    * compressed payloads decode through [[FlacCodec]] /
+    * [[CompandedWav]] and re-enter as canonical PCM16 WAV, so the
+    * eight-long stats contract (and every gate built on it) is one
+    * implementation. 16-bit FLAC only — the WAV path's own PCM16
+    * contract. The two `orElse` arms are disjoint by construction: a
+    * RIFF payload with fmt tag 1 takes the PCM door, tags 6/7/17 the
+    * companded door, 'fLaC' magic the FLAC door. */
   def decodeAudioStats(bytes: Array[Byte]): Option[Array[Long]] =
-    decodeWavStats(bytes).orElse(
-      FlacCodec.flacToWav(bytes).flatMap(decodeWavStats))
+    decodeWavStats(bytes)
+      .orElse(FlacCodec.flacToWav(bytes).flatMap(decodeWavStats))
+      .orElse(CompandedWav.toPcm16Wav(bytes).flatMap(decodeWavStats))
 
-  /** [[decodeWavEnvelope]] over WAV OR FLAC — the volume-invariant
-    * perceptual envelope with the FLAC door of [[decodeAudioStats]]. */
+  /** [[decodeWavEnvelope]] over WAV, FLAC, G.711, or IMA ADPCM — the
+    * volume-invariant perceptual envelope with the same compressed-audio
+    * doors as [[decodeAudioStats]]. */
   def decodeAudioEnvelope(bytes: Array[Byte]): Option[Array[Byte]] =
-    decodeWavEnvelope(bytes).orElse(
-      FlacCodec.flacToWav(bytes).flatMap(decodeWavEnvelope))
+    decodeWavEnvelope(bytes)
+      .orElse(FlacCodec.flacToWav(bytes).flatMap(decodeWavEnvelope))
+      .orElse(CompandedWav.toPcm16Wav(bytes).flatMap(decodeWavEnvelope))
 
   /** Feature vector: REAL signal statistics when the payload decodes —
     * image grid lumas (PNG/JPEG via ImageIO) or the WAV/FLAC amplitude

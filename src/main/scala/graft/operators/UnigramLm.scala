@@ -50,13 +50,18 @@ object UnigramLm {
       maxPieceLen: Int = 4,
       maxWords: Int = 4096,
       seedPieces: Int = 512,
-      rounds: Int = 2) {
+      rounds: Int = 2,
+      pruneTo: Int = 0) {
     require(maxWordLen >= 1 && maxWordLen <= 30, "maxWordLen in [1,30]")
     require(maxPieceLen >= 1 && maxPieceLen <= maxWordLen,
       "maxPieceLen in [1,maxWordLen]")
     require(maxWords >= 1, "maxWords >= 1")
     require(seedPieces >= 40, "seedPieces must leave room for singles")
     require(rounds >= 1, "rounds >= 1")
+    // pruneTo = 0 disables the pruning schedule (the fixed-inventory
+    // variant); pruning needs a later round to re-estimate on the shrunk
+    // inventory, so it requires rounds >= 2
+    require(pruneTo == 0 || rounds >= 2, "pruning needs rounds >= 2")
   }
 
   /** The distributed part: distinct `[a-z0-9]+` words of length ≤
@@ -77,6 +82,45 @@ object UnigramLm {
       costs: Map[String, Long],          // final-round smoothed costs
       tot: Long,                         // sum of final counts
       wordToks: Seq[(String, Long)])     // word → final path length
+
+  /** Viterbi DP for one word under a cost table: (total micro cost, path
+    * pieces left-to-right). The DP argmin key `(cost·32 + L)` and the
+    * traceback match the oracle's CTE unrolling exactly. Segmentability
+    * is guaranteed only while every single char of the word has a cost —
+    * true for the full inventory (singles are always seeded and never
+    * pruned), so a finite path always exists. */
+  private def viterbi(w: String, costs: Map[String, Long],
+      maxPieceLen: Int): (Long, List[String]) = {
+    val n = w.length
+    val dpKey = new Array[Long](n + 1)
+    java.util.Arrays.fill(dpKey, -1L)
+    val dpCost = new Array[Long](n + 1)
+    dpCost(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var best = Long.MaxValue
+      var l = 1
+      while (l <= math.min(i, maxPieceLen)) {
+        if (dpKey(i - l) >= 0L || i - l == 0) {
+          costs.get(w.substring(i - l, i)).foreach { c =>
+            val key = (dpCost(i - l) + c) * 32L + l
+            if (key < best) best = key
+          }
+        }
+        l += 1
+      }
+      if (best != Long.MaxValue) { dpKey(i) = best; dpCost(i) = best / 32L }
+      i += 1
+    }
+    var pos = n
+    var path = List.empty[String]
+    while (pos > 0) {
+      val l = (dpKey(pos) % 32L).toInt
+      path = w.substring(pos - l, pos) :: path
+      pos -= l
+    }
+    (dpCost(n), path)
+  }
 
   /** Driver-side training over the collected bounded word table. */
   private def trainCollected(words: Array[(String, Long)], p: Params): Trained = {
@@ -102,58 +146,53 @@ object UnigramLm {
       pc -> math.round(-1e6 * math.log(freq(pc).toDouble / total0))
     }.toMap
 
-    // ---- EM rounds: Viterbi segment -> re-count -> smoothed re-cost
+    // ---- EM rounds: Viterbi segment -> (prune) -> re-count -> re-cost
+    var inv = inventory
     var counts = Map.empty[String, Long]
     var tot = 0L
     var wordToks = Seq.empty[(String, Long)]
-    for (_ <- 1 to p.rounds) {
+    for (r <- 1 to p.rounds) {
       val cnt = scala.collection.mutable.HashMap.empty[String, Long]
       val toks = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val paths = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, List[String], Long)]
       for ((w, wc) <- words) {
-        val n = w.length
-        // dp(i) = min key over L of ((dpCost(i-L) + cost(piece)) * 32 + L)
-        val dpKey = new Array[Long](n + 1)
-        java.util.Arrays.fill(dpKey, -1L)
-        val dpCost = new Array[Long](n + 1)
-        dpCost(0) = 0L
-        var i = 1
-        while (i <= n) {
-          var best = Long.MaxValue
-          var l = 1
-          while (l <= math.min(i, p.maxPieceLen)) {
-            if (dpKey(i - l) >= 0L || i - l == 0) {
-              costs.get(w.substring(i - l, i)).foreach { c =>
-                val key = (dpCost(i - l) + c) * 32L + l
-                if (key < best) best = key
-              }
-            }
-            l += 1
-          }
-          if (best != Long.MaxValue) { dpKey(i) = best; dpCost(i) = best / 32L }
-          i += 1
-        }
-        // traceback (reachability: every seeded single char has a finite
-        // smoothed cost, so dpKey(n) >= 0 always)
-        var pos = n
-        var nToks = 0L
-        while (pos > 0) {
-          val l = (dpKey(pos) % 32L).toInt
-          val piece = w.substring(pos - l, pos)
-          cnt(piece) = cnt.getOrElse(piece, 0L) + wc
-          nToks += 1
-          pos -= l
-        }
-        toks += ((w, nToks))
+        val (c, path) = viterbi(w, costs, p.maxPieceLen)
+        path.foreach(pc => cnt(pc) = cnt.getOrElse(pc, 0L) + wc)
+        toks += ((w, path.length.toLong))
+        if (p.pruneTo > 0 && r < p.rounds) paths += ((w, wc, path, c))
       }
-      counts = inventory.iterator.map(pc => pc -> cnt.getOrElse(pc, 0L)).toMap
+      // ---- pruning schedule (SentencePiece's shrink step, hard-EM
+      // flavored): each multi-char piece's EM-loss contribution is the
+      // wc-weighted increase of its words' best segmentation cost when
+      // the piece is removed — measured under the SAME cost table the
+      // round segmented with, so the oracle can reuse that round's
+      // costed-occurrence table. Singles are never pruned (they are the
+      // segmentability floor); loss >= 0 always (removing an option
+      // cannot improve a min). Keep the pruneTo highest-loss pieces.
+      if (p.pruneTo > 0 && r < p.rounds && inv.size > p.pruneTo) {
+        val loss = scala.collection.mutable.HashMap.empty[String, Long]
+        for ((w, wc, path, orig) <- paths;
+             q <- path.distinct if q.length > 1) {
+          val (alt, _) = viterbi(w, costs - q, p.maxPieceLen)
+          loss(q) = loss.getOrElse(q, 0L) + wc * (alt - orig)
+        }
+        val singles = inv.filter(_.length == 1)
+        val multis = inv.filter(_.length > 1)
+          .sortBy(pc => (-loss.getOrElse(pc, 0L), pc))
+          .take(math.max(0, p.pruneTo - singles.size))
+        inv = singles ++ multis
+      }
+      counts = inv.iterator.map(pc => pc -> cnt.getOrElse(pc, 0L)).toMap
       tot = counts.valuesIterator.sum
-      costs = inventory.iterator.map { pc =>
+      val kNow = inv.size.toLong
+      costs = inv.iterator.map { pc =>
         pc -> math.round(-1e6 *
-          math.log((counts(pc) + 1).toDouble / (tot + k)))
+          math.log((counts(pc) + 1).toDouble / (tot + kNow)))
       }.toMap
       wordToks = toks.toSeq
     }
-    Trained(inventory, counts, costs, tot, wordToks)
+    Trained(inv, counts, costs, tot, wordToks)
   }
 
   private def trained(docs: DataFrame, textCol: String, p: Params): Trained =
@@ -206,9 +245,17 @@ object UnigramLm {
   // referenced CTEs are AS MATERIALIZED (exponential-inlining guard).
   // ------------------------------------------------------------------
 
+  /** Name of the inventory in effect for round `r`'s counting/costing:
+    * the seeded `inv` until a prune has happened, then `inv{j}p` of the
+    * latest prune round j < r. */
+  private def invNameFor(p: Params, r: Int): String =
+    if (p.pruneTo > 0 && r > 1) s"inv${r - 1}p" else "inv"
+
   /** CTE chain shared by both oracle readouts: defines `wt` (capped word
-    * table), `inv` (seeded inventory), and per-round `cost{r}`,
-    * `cnt{r}`, `path{r}` tables, ending after round `p.rounds`. */
+    * table), `inv` (seeded inventory), per-round `cost{r}`, `cnt{r}`,
+    * `path{r}` tables, and — when `p.pruneTo > 0` — the per-round prune
+    * block (`loss{r}`, `inv{r}p`) after every non-final round, ending
+    * after round `p.rounds`. */
   private def oracleCtes(p: Params): String = {
     val L = p.maxPieceLen
     // occurrence grid: one row per (word, end-pos i, piece length l)
@@ -220,10 +267,12 @@ object UnigramLm {
          |       UNNEST(generate_series(1, least(i, $L))) AS u2(l))""".stripMargin
 
     def dpRound(r: Int): String = {
+      val invName = invNameFor(p, r)
+      val pruneAfter = p.pruneTo > 0 && r < p.rounds
       val oc = s"oc$r"
       val costed =
         s"""$oc AS MATERIALIZED (
-           |  SELECT o.word, o.i, o.l, c.cost
+           |  SELECT o.word, o.i, o.l, o.piece, c.cost
            |  FROM occ o JOIN cost${r - 1} c ON c.piece = o.piece)""".stripMargin
       val stages = (1 to p.maxWordLen).map { i =>
         val prevs = (1 to math.min(i, L)).map { l =>
@@ -265,17 +314,86 @@ object UnigramLm {
         s"""cnt$r AS MATERIALIZED (
            |  SELECT i.piece,
            |         CAST(coalesce(sum(w.wc), 0) AS BIGINT) AS cnt
-           |  FROM inv i LEFT JOIN path$r p2 ON p2.piece = i.piece
+           |  FROM $invName i LEFT JOIN path$r p2 ON p2.piece = i.piece
            |       LEFT JOIN wt w ON w.word = p2.word
            |  GROUP BY 1)""".stripMargin
+      // ---- prune block (only between rounds): per-piece EM-loss =
+      // wc-weighted alt-minus-orig DP cost with the piece removed,
+      // measured under THIS round's segmenting costs (so the alt DP
+      // reuses oc$r), keyed (word, rm) through the same stage unroll
+      val pruneBlock = if (!pruneAfter) Seq.empty[String] else {
+        val rm =
+          s"""rm$r AS MATERIALIZED (
+             |  SELECT DISTINCT word, piece AS rm FROM path$r
+             |  WHERE length(piece) > 1)""".stripMargin
+        val aoc =
+          s"""aoc$r AS MATERIALIZED (
+             |  SELECT r2.word, r2.rm, o.i, o.l, o.cost
+             |  FROM rm$r r2 JOIN oc$r o ON o.word = r2.word
+             |  WHERE o.piece <> r2.rm)""".stripMargin
+        val astages = (1 to p.maxWordLen).map { i =>
+          val prevs = (1 to math.min(i, L)).map { l =>
+            if (i - l == 0)
+              s"""SELECT o.word, o.rm, o.cost * 32 + o.l AS key
+                 |    FROM aoc$r o WHERE o.i = $i AND o.l = $l""".stripMargin
+            else
+              s"""SELECT o.word, o.rm, (d.dk // 32 + o.cost) * 32 + o.l AS key
+                 |    FROM aoc$r o JOIN adp${r}_${i - l} d
+                 |      ON d.word = o.word AND d.rm = o.rm
+                 |    WHERE o.i = $i AND o.l = $l""".stripMargin
+          }.mkString("\n    UNION ALL\n    ")
+          s"""adp${r}_$i AS MATERIALIZED (
+             |  SELECT word, rm, min(key) AS dk FROM (
+             |    $prevs)
+             |  GROUP BY 1, 2)""".stripMargin
+        }
+        val aall =
+          s"""aall$r AS MATERIALIZED (
+             |  ${(1 to p.maxWordLen)
+                 .map(i => s"SELECT word, rm, $i AS i, dk FROM adp${r}_$i")
+                 .mkString("\n  UNION ALL\n  ")})""".stripMargin
+        val orig =
+          s"""orig$r AS MATERIALIZED (
+             |  SELECT d.word, d.dk // 32 AS oc
+             |  FROM dpall$r d JOIN wt w2
+             |    ON w2.word = d.word AND d.i = length(w2.word))""".stripMargin
+        val afin =
+          s"""afin$r AS MATERIALIZED (
+             |  SELECT a.word, a.rm, a.dk // 32 AS ac
+             |  FROM aall$r a JOIN wt w2
+             |    ON w2.word = a.word AND a.i = length(w2.word))""".stripMargin
+        val loss =
+          s"""loss$r AS MATERIALIZED (
+             |  SELECT a.rm AS piece,
+             |         CAST(sum(w2.wc * (a.ac - o2.oc)) AS BIGINT) AS loss
+             |  FROM afin$r a JOIN orig$r o2 ON o2.word = a.word
+             |       JOIN wt w2 ON w2.word = a.word
+             |  GROUP BY 1)""".stripMargin
+        val invp =
+          s"""inv${r}p AS MATERIALIZED (
+             |  SELECT piece, freq FROM $invName WHERE length(piece) = 1
+             |  UNION ALL
+             |  SELECT piece, freq FROM (
+             |    SELECT i.piece, i.freq,
+             |           row_number() OVER (ORDER BY coalesce(l.loss, 0) DESC,
+             |                              i.piece) AS rn
+             |    FROM $invName i LEFT JOIN loss$r l ON l.piece = i.piece
+             |    WHERE length(i.piece) > 1)
+             |  WHERE rn <= ${p.pruneTo}
+             |    - (SELECT count(*) FROM $invName WHERE length(piece) = 1))"""
+            .stripMargin
+        Seq(rm, aoc) ++ astages ++ Seq(aall, orig, afin, loss, invp)
+      }
+      val costInv = if (pruneAfter) s"inv${r}p" else invName
       val cost =
         s"""cost$r AS MATERIALIZED (
-           |  SELECT piece, CAST(round(-1e6 * ln((cnt + 1) * 1.0 /
-           |           ((SELECT sum(cnt) FROM cnt$r)
-           |            + (SELECT count(*) FROM inv)))) AS BIGINT) AS cost
-           |  FROM cnt$r)""".stripMargin
-      (Seq(costed) ++ stages ++ Seq(dpAll) ++ tb ++ Seq(path, cnt, cost))
-        .mkString(",\n")
+           |  SELECT i.piece, CAST(round(-1e6 * ln((c.cnt + 1) * 1.0 /
+           |           ((SELECT sum(c2.cnt) FROM $costInv i2
+           |             JOIN cnt$r c2 ON c2.piece = i2.piece)
+           |            + (SELECT count(*) FROM $costInv)))) AS BIGINT) AS cost
+           |  FROM $costInv i JOIN cnt$r c ON c.piece = i.piece)""".stripMargin
+      (Seq(costed) ++ stages ++ Seq(dpAll) ++ tb ++ Seq(path, cnt) ++
+        pruneBlock ++ Seq(cost)).mkString(",\n")
     }
 
     s"""WITH wt AS MATERIALIZED (
@@ -309,11 +427,12 @@ object UnigramLm {
   /** DuckDB replica of [[train]]. */
   def trainOracleSql(p: Params = Params()): String = {
     val r = p.rounds
+    val finalInv = invNameFor(p, r)
     s"""${oracleCtes(p)}
        |SELECT piece, cnt,
        |       CAST(round(1e6 * ln((cnt + 1) * 1.0 /
        |         ((SELECT sum(cnt) FROM cnt$r)
-       |          + (SELECT count(*) FROM inv)))) AS BIGINT) AS logp_micro
+       |          + (SELECT count(*) FROM $finalInv)))) AS BIGINT) AS logp_micro
        |FROM cnt$r WHERE cnt > 0""".stripMargin
   }
 

@@ -110,4 +110,44 @@ class Round16OpsSpec extends AnyFunSuite {
     val cols = r.schema.fieldNames.zipWithIndex.toMap
     assert(r.getLong(cols("bleu_smooth_micro")) === 0L)
   }
+
+  // ---- unigram-LM pruning schedule ---------------------------------------
+
+  test("unigramLm pruning: hand-worked shrink to 5 pieces changes the " +
+      "segmentation vs the fixed-inventory run") {
+    import graft.operators.UnigramLm
+    // Corpus {abab x3, ab x2, cd x1} (Round15OpsSpec's first case).
+    // Fixed-inventory result: (ab, 8, -693147), (cd, 1, -2197225).
+    // With pruneTo = 5 the prune after round 1 keeps singles {a,b,c,d}
+    // plus ONE multi by EM-loss:
+    //   loss(ab) = 3·(3988984−3008154) + 2·(3008154−1504077) = 5950644
+    //     (abab re-segments as aba+b / a+bab at cost0; ab as a+b),
+    //   loss(cd) = 1·(7167038−3583519) = 3583519  ->  ab survives.
+    // Round 2 on {a,b,c,d,ab}: cnt1-restricted tot = 8, k = 5, so
+    // cost1(ab) = round(-1e6·ln(9/13)) = 367725, zero-count singles
+    // 2564949. Paths: abab->[ab,ab], ab->[ab], cd->[c,d].
+    // Final: cnt ab=8, c=1, d=1, tot=10, k=5:
+    //   logp(ab) = round(1e6·ln(9/15))  = -510826,
+    //   logp(c) = logp(d) = round(1e6·ln(2/15)) = -2014903.
+    val P = UnigramLm.Params(maxWordLen = 6, maxPieceLen = 3,
+      maxWords = 10, seedPieces = 40, rounds = 2, pruneTo = 5)
+    val docs = Seq("abab ab abab ab abab cd").toDF("text")
+    val rows = UnigramLm.train(docs, "text", P)
+      .orderBy(desc("cnt"), asc("piece")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq(("ab", 8L, -510826L),
+      ("c", 1L, -2014903L), ("d", 1L, -2014903L)))
+  }
+
+  test("unigramLm pruning: pruneTo >= inventory size is a no-op") {
+    import graft.operators.UnigramLm
+    val base = UnigramLm.Params(maxWordLen = 6, maxPieceLen = 3,
+      maxWords = 10, seedPieces = 40, rounds = 2)
+    val docs = Seq("abab ab abab ab abab cd").toDF("text")
+    val fixed = UnigramLm.train(docs, "text", base).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val noop = UnigramLm.train(docs, "text", base.copy(pruneTo = 1000))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(noop === fixed)
+  }
 }
