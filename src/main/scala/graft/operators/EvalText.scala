@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: candidate and reference token tables (one corpus scan
   * each), n-gram construction by per-document `lead` windows (document-
-  * grain partitions — no corpus-grain window), clipped-count matching by
-  * one (id, gram) equi-join per n, then map-side-combinable aggregates.
+  * grain partitions — no corpus-grain window; BLEU fuses ALL orders into
+  * one windowed pass per side), clipped-count matching by one
+  * (id, n, gram) equi-join, then map-side-combinable aggregates.
   * Everything is an exact integer until the single closing mirrored
   * double (brevity penalty × geometric mean for BLEU, one ratio for
   * ROUGE), micro-rounded at scale 0 — the established discipline.
@@ -49,6 +50,28 @@ object EvalText {
       .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
   }
 
+  /** (id, n, gram, c) counts for ALL orders 1..maxN from ONE pass: a
+    * single per-document window sort computes every lead once, the
+    * (n, gram) pairs ride one Generate, and one aggregate counts them —
+    * vs one sort + one aggregate PER ORDER PER SIDE in the unfused
+    * shape (round-15 text_bleu spent 4.8 s on 8 gram-table scans; the
+    * fused plan pays 2). */
+  private def gramCountsMulti(t: DataFrame, maxN: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until maxN).map(k => lead(col("w"), k).over(w).as(s"w$k"))
+    val base = t.select(col("id") +: col("w").as("w0") +: leads: _*)
+    val gramCols = (1 to maxN).map { n =>
+      val parts = (0 until n).map(k => col(s"w$k"))
+      struct(lit(n).as("n"), concat_ws("\u001f", parts: _*).as("g"),
+        parts.last.isNotNull.as("full"))
+    }
+    base.select(col("id"), explode(array(gramCols: _*)).as("t"))
+      .filter(col("t.full"))
+      .select(col("id"), col("t.n").as("n"), col("t.g").as("g"))
+      .groupBy(col("id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+  }
+
   /** Corpus BLEU-`maxN`: one row —
     * (n_pairs, cand_len, ref_len, m1, t1, …, m{maxN}, t{maxN},
     * bleu_micro). `m_n` = Σ clipped n-gram matches, `t_n` = Σ candidate
@@ -63,17 +86,22 @@ object EvalText {
       .crossJoin(ref.groupBy().agg(count(lit(1)).as("ref_len")))
       .crossJoin(pairs.select(col(idCol)).distinct()
         .agg(count(lit(1)).as("n_pairs")))
-    val perN = (1 to maxN).map { n =>
-      val cg = gramCounts(cand, n)
-      val rg = gramCounts(ref, n)
-      // clipped matches ride the INNER join (Spark's least() skips
-      // nulls, so a left join would count unmatched grams at full c);
-      // totals aggregate the candidate side alone
-      cg.join(rg.withColumnRenamed("c", "cr"), Seq("id", "g"))
-        .agg(coalesce(sum(least(col("c"), col("cr"))), lit(0L)).as(s"m$n"))
-        .crossJoin(cg.agg(coalesce(sum(col("c")), lit(0L)).as(s"t$n")))
-    }
-    val joined = perN.foldLeft(lens)((acc, d) => acc.crossJoin(d))
+    // clipped matches ride the INNER join (Spark's least() skips nulls,
+    // so a left join would count unmatched grams at full c); totals
+    // aggregate the candidate side alone. All orders share one join on
+    // (id, n, g) and pivot to the single output row.
+    val cg = gramCountsMulti(cand, maxN)
+    val rg = gramCountsMulti(ref, maxN)
+    val matches = cg.join(rg.withColumnRenamed("c", "cr"),
+        Seq("id", "n", "g"))
+      .groupBy(col("n")).agg(sum(least(col("c"), col("cr"))).as("m"))
+    val totals = cg.groupBy(col("n")).agg(sum(col("c")).as("t"))
+    val pivotCols = (1 to maxN).flatMap(n => Seq(
+      coalesce(sum(when(col("n") === n, col("m"))), lit(0L)).as(s"m$n"),
+      coalesce(sum(when(col("n") === n, col("t"))), lit(0L)).as(s"t$n")))
+    val perN = totals.join(matches, Seq("n"), "left")
+      .agg(pivotCols.head, pivotCols.tail: _*)
+    val joined = lens.crossJoin(perN)
     val zeroGuard = (1 to maxN)
       .map(n => s"m$n = 0 OR t$n = 0").mkString(" OR ")
     val prod = (1 to maxN)

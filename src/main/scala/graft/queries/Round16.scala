@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.AudioNative
-import graft.operators.{CompandedWav, EvalText, UnigramLm}
+import graft.operators.{Chunking, CompandedWav, EvalText, UnigramLm}
 
 /** Round-16 queries:
   *  - text_rouge_l: per-document ROUGE-L over the same lossy-paraphrase
@@ -120,7 +120,37 @@ object Round16 {
         element_at(col("st"), 7).as("silence_frames"),
         element_at(col("st"), 8).as("clip_frames"))
 
+  /** Shared passage appended to every third document for the CDC query:
+    * long enough (≥ 2×maxLen chars) that gear chunking must emit at
+    * least one full chunk inside it regardless of where the preceding
+    * text leaves the hash state — the resynchronization property under
+    * test. Shared verbatim with the oracle CTE. */
+  private val CdcSlogan =
+    "content defined chunking resynchronizes after any local edit so " +
+      "shared passages collapse to identical chunks wherever they sit " +
+      "in each document"
+
   val defs: Seq[Q] = Seq(
+
+    // ---- content-defined chunking dedup --------------------------------
+    // which documents carry corpus-duplicated passages, and how much of
+    // their content is boilerplate? (the storage-dedup primitive: gear
+    // CDC -> chunk-grain duplicate count -> doc-grain scorecard; the
+    // oracle replays the 64-bit gear walk per character as a recursive
+    // CTE, so the constant, mask, reset, and min/max disciplines are all
+    // hash-checked)
+    Q("dedup_cdc_chunks", (s, d) => {
+      val aug = Tables.ts(s, d, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" " + CdcSlogan))
+            .otherwise(lit(""))).as("aug"))
+      Chunking.cdcDedupReport(aug, "doc_id", "aug")
+    }, Some(Chunking.cdcOracleSql(
+      s"""cdcdocs AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |         text || CASE WHEN doc_id % 3 = 0 THEN ' $CdcSlogan'
+         |                      ELSE '' END AS text
+         |  FROM documents)""".stripMargin))),
 
     // ---- unigram-LM with the SentencePiece pruning schedule ------------
     // which pieces survive when the inventory must shrink 4x, and how do

@@ -740,6 +740,20 @@ object ScaleSmoke {
         val r = Ranking.textrankKeywords(d10salt, "doc_id", "text", 2, 10)
         noop(r)
       }),
+      // item-CF 1x vs 10x under the round-16 repartition-first pair
+      // aggregate (post-exchange hash maps only — the r15 blow-up fix):
+      // pair volume grows with baskets, so the ratio should track the
+      // corpus ~linearly with no memory cliff at either scale
+      {
+        def ui(l: DataFrame): DataFrame =
+          l.select(col("l_orderkey").as("u"), col("l_partkey").as("it"))
+        ("item_cf", time("item_cf 1x")(noop(
+            graft.operators.BasketAnalysis.itemCosine(ui(l1), "u", "it",
+              5, Some(200)))),
+          time("item_cf 10x")(noop(
+            graft.operators.BasketAnalysis.itemCosine(ui(l10), "u", "it",
+              5, Some(200)))))
+      },
       // item-CF with a degenerate 5000-item account: capped runtime must
       // sit at ~the clean run (the assoc_rules_hotcap story — uncapped,
       // the one account alone is C(5000,2) ≈ 12.5M pair rows in one task)

@@ -139,6 +139,73 @@ class Round16OpsSpec extends AnyFunSuite {
       ("c", 1L, -2014903L), ("d", 1L, -2014903L)))
   }
 
+  // ---- content-defined chunking --------------------------------------
+
+  private def gearChunksOf(text: String, maskBits: Int = 5,
+      minLen: Int = 16, maxLen: Int = 64): Seq[String] = {
+    val df = Seq(Tuple1(text)).toDF("t")
+    df.select(graft.functions.GearChunksNative.gearChunks(
+        col("t"), maskBits, minLen, maxLen).as("c"))
+      .head().getSeq[String](0)
+  }
+
+  test("gearChunks: structural invariants (lossless, bounded, deterministic)") {
+    val rnd = new scala.util.Random(11)
+    val texts = (0 until 30).map(_ =>
+      (0 until rnd.nextInt(400)).map(_ => ('a' + rnd.nextInt(27)).toChar)
+        .mkString.replace('{', ' '))
+    texts.foreach { t =>
+      val cs = gearChunksOf(t)
+      assert(cs.mkString === t, "chunks must concatenate to the input")
+      // every chunk except possibly the last obeys [minLen, maxLen]
+      cs.dropRight(1).foreach(c =>
+        assert(c.length >= 16 && c.length <= 64, s"len ${c.length}"))
+      if (cs.nonEmpty) assert(cs.last.length <= 64)
+      assert(gearChunksOf(t) === cs, "deterministic")
+    }
+    assert(gearChunksOf("") === Seq.empty)
+    assert(gearChunksOf("short") === Seq("short")) // below minLen: one tail
+  }
+
+  test("gearChunks: shared suffixes resynchronize to shared chunks") {
+    val shared = "content defined chunking resynchronizes after any " +
+      "local edit so shared passages collapse to identical chunks " +
+      "wherever they sit in each document"
+    val a = gearChunksOf("first prefix of one shape " + shared)
+    val b = gearChunksOf("a completely different and longer preamble here " +
+      shared)
+    val common = a.toSet.intersect(b.toSet)
+    assert(common.nonEmpty,
+      "CDC must emit at least one identical chunk from the shared passage")
+    // and the shared chunks actually come from the shared text
+    common.foreach(c => assert(shared.contains(c)))
+  }
+
+  test("cdcDedupReport: duplicated passage rolls up per document") {
+    import graft.operators.Chunking
+    // NOTE: the shared tail must be VARIED text — a low-entropy run
+    // (e.g. "xxx…yyy…") can avoid every content boundary, forcing
+    // position-dependent maxLen cuts that never resynchronize (real CDC
+    // behavior, pinned here by using natural text instead)
+    val shared = "content defined chunking resynchronizes after any " +
+      "local edit so shared passages collapse to identical chunks " +
+      "wherever they sit in each document"
+    val docs = Seq(
+      (1L, "unique text one " + shared),
+      (2L, "another beginning entirely " + shared),
+      (3L, "no duplication in this one at all, just its own words"))
+      .toDF("id", "text")
+    val rows = Chunking.cdcDedupReport(docs, "id", "text")
+      .orderBy("id").collect()
+    // docs 1 and 2 share chunks from the shared tail; doc 3 shares none
+    assert(rows(0).getLong(3) > 0L, "doc 1 dup_chars")
+    assert(rows(1).getLong(3) > 0L, "doc 2 dup_chars")
+    assert(rows(2).getLong(3) === 0L, "doc 3 dup_chars")
+    // chars_total = full text length (chunking is lossless)
+    assert(rows(2).getLong(2) ===
+      "no duplication in this one at all, just its own words".length.toLong)
+  }
+
   test("unigramLm pruning: pruneTo >= inventory size is a no-op") {
     import graft.operators.UnigramLm
     val base = UnigramLm.Params(maxWordLen = 6, maxPieceLen = 3,
