@@ -1045,4 +1045,97 @@ object Dedup {
         expr("CAST(round(1e6 * tokens_removed / tokens_total) AS BIGINT)")
           .as("removed_frac_micro"))
   }
+
+  /** Benchmark decontamination — the GPT-3/Llama train-test-overlap
+    * step: flag every training document sharing any verbatim `k`-token
+    * gram with a benchmark/eval set. Different problem than the
+    * within-corpus containment family: the reference side is a SMALL
+    * fixed set (benchmarks are kilobytes against a 100 TB corpus), so
+    * the corpus pays ONE scan and one broadcast hash join against the
+    * distinct benchmark-gram table — no corpus-side self-join, no
+    * candidate generation, trivially linear at any corpus size. Grams
+    * here join on exact TEXT (U+001F-joined tokens — oracle-exact);
+    * a 100 TB deployment would broadcast 64-bit gram hashes instead,
+    * same plan shape, small false-positive rate to re-verify.
+    *
+    * Output: one row per corpus doc — (id, grams_total, grams_matched
+    * over DISTINCT doc grams, contaminated 0/1). Docs with < k tokens
+    * have no grams and read clean. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def grams(df: DataFrame, idc: Option[String], tc: String): DataFrame = {
+      val base = idc.map(c => df.select(col(c).as("id"), col(tc).as("t")))
+        .getOrElse(df.select(monotonically_increasing_id().as("id"),
+          col(tc).as("t")))
+      val toks = base
+        .select(col("id"), posexplode(split(col("t"), " ")).as(Seq("p", "w")))
+        .filter(col("w") =!= "")
+      val w = Window.partitionBy(col("id")).orderBy(col("p"))
+      val parts = (0 until k).map(i =>
+        if (i == 0) col("w") else lead(col("w"), i).over(w))
+      toks.select(col("id"), concat_ws("\u001f", parts: _*).as("g"),
+          parts.last.isNotNull.as("full"))
+        .filter(col("full")).select(col("id"), col("g"))
+    }
+    val bg = grams(bench, None, benchTextCol).select(col("g")).distinct()
+      .withColumn("hit", lit(1L))
+    val cg = grams(corpus, Some(idCol), textCol).distinct()
+    val per = cg.join(broadcast(bg), Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("grams_total"),
+        count(col("hit")).as("grams_matched"))
+    corpus.select(col(idCol).as("id")).distinct()
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("grams_total"), lit(0L)).as("grams_total"),
+        coalesce(col("grams_matched"), lit(0L)).as("grams_matched"),
+        when(coalesce(col("grams_matched"), lit(0L)) > 0L, 1L)
+          .otherwise(0L).as("contaminated"))
+  }
+
+  /** DuckDB replica of [[decontaminate]]. `corpusCte` must define
+    * `dcorpus(id, text)`, `benchCte` must define `dbench(text)`. */
+  def decontaminateOracleSql(corpusCte: String, benchCte: String,
+      k: Int): String = {
+    def gramSel(src: String, hasId: Boolean): String = {
+      val idSel = if (hasId) "id" else "CAST(row_number() OVER () AS BIGINT) AS id"
+      val idCol = "id"
+      val g = (0 until k).map {
+        case 0 => "w"
+        case i => s"lead(w, $i) OVER (PARTITION BY $idCol ORDER BY pos)"
+      }.mkString(" || chr(31) || ")
+      val full =
+        s"lead(w, ${k - 1}) OVER (PARTITION BY $idCol ORDER BY pos) IS NOT NULL"
+      s"""SELECT id, g FROM (
+         |  SELECT $idCol, $g AS g, $full AS is_full
+         |  FROM (
+         |    SELECT id, CAST(row_number() OVER (PARTITION BY id ORDER BY i)
+         |      AS BIGINT) AS pos, w
+         |    FROM (SELECT id, t.i AS i, ws[CAST(t.i AS INT)] AS w
+         |          FROM (SELECT $idSel, string_split(text, ' ') AS ws
+         |                FROM $src),
+         |               unnest(range(1, len(ws) + 1)) AS t(i))
+         |    WHERE w <> ''))
+         |WHERE is_full""".stripMargin
+    }
+    s"""WITH $corpusCte,
+       |$benchCte,
+       |bgr AS MATERIALIZED (
+       |  SELECT DISTINCT g FROM (${gramSel("dbench", hasId = false)})),
+       |cgr AS MATERIALIZED (
+       |  SELECT DISTINCT id, g FROM (${gramSel("dcorpus", hasId = true)})),
+       |per AS (
+       |  SELECT c.id, CAST(count(*) AS BIGINT) AS grams_total,
+       |         CAST(count(b.g) AS BIGINT) AS grams_matched
+       |  FROM cgr c LEFT JOIN bgr b ON b.g = c.g
+       |  GROUP BY 1)
+       |SELECT d.id,
+       |  CAST(coalesce(p.grams_total, 0) AS BIGINT) AS grams_total,
+       |  CAST(coalesce(p.grams_matched, 0) AS BIGINT) AS grams_matched,
+       |  CAST(CASE WHEN coalesce(p.grams_matched, 0) > 0 THEN 1 ELSE 0 END
+       |    AS BIGINT) AS contaminated
+       |FROM (SELECT DISTINCT id FROM dcorpus) d
+       |LEFT JOIN per p ON p.id = d.id""".stripMargin
+  }
 }

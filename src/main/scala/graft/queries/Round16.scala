@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.AudioNative
-import graft.operators.{Chunking, CompandedWav, EvalText, UnigramLm}
+import graft.operators.{Chunking, CompandedWav, Dedup, EvalText, UnigramLm}
 
 /** Round-16 queries:
   *  - text_rouge_l: per-document ROUGE-L over the same lossy-paraphrase
@@ -130,6 +130,12 @@ object Round16 {
       "shared passages collapse to identical chunks wherever they sit " +
       "in each document"
 
+  /** 11-token canary planted in the benchmark set and in every 9th
+    * corpus doc for the decontamination query — long enough to contain
+    * four 8-grams. Shared verbatim with both oracle CTEs. */
+  private val DecontCanary =
+    "canary alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
   val defs: Seq[Q] = Seq(
 
     // ---- content-defined chunking dedup --------------------------------
@@ -151,6 +157,33 @@ object Round16 {
          |         text || CASE WHEN doc_id % 3 = 0 THEN ' $CdcSlogan'
          |                      ELSE '' END AS text
          |  FROM documents)""".stripMargin))),
+
+    // ---- benchmark decontamination --------------------------------------
+    // which training docs leak benchmark content? (the GPT-3/Llama
+    // train-test-overlap step): every 50th doc plays the benchmark set,
+    // an 11-token canary is planted in the benchmark AND in every 9th
+    // remaining doc, and any doc sharing a verbatim 8-gram with the
+    // benchmark flags contaminated — natural overlap counts too
+    Q("dedup_decontaminate", (s, d) => {
+      val canary = DecontCanary
+      val all = Tables.ts(s, d, "documents")
+      val bench = all.filter(col("doc_id") % 50 === 0)
+        .select(concat(col("text"), lit(" " + canary)).as("btext"))
+      val corpus = all.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 9 === 0, lit(" " + canary))
+            .otherwise(lit(""))).as("ctext"))
+      Dedup.decontaminate(corpus, "doc_id", "ctext", bench, "btext", k = 8)
+    }, Some(Dedup.decontaminateOracleSql(
+      s"""dcorpus AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |         text || CASE WHEN doc_id % 9 = 0 THEN ' $DecontCanary'
+         |                      ELSE '' END AS text
+         |  FROM documents WHERE doc_id % 50 <> 0)""".stripMargin,
+      s"""dbench AS MATERIALIZED (
+         |  SELECT text || ' $DecontCanary' AS text
+         |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin,
+      k = 8))),
 
     // ---- unigram-LM with the SentencePiece pruning schedule ------------
     // which pieces survive when the inventory must shrink 4x, and how do

@@ -206,6 +206,39 @@ class Round16OpsSpec extends AnyFunSuite {
       "no duplication in this one at all, just its own words".length.toLong)
   }
 
+  // ---- benchmark decontamination ---------------------------------------
+
+  test("decontaminate: hand-counted gram overlap against a benchmark set") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens -> 7 4-grams, 3 shared
+      (2L, "totally different words here nothing shared at all ok"),
+      (3L, "x y")) // below k -> no grams, clean
+      .toDF("id", "text")
+    val bench = Seq(Tuple1("c d e f g h")).toDF("btext") // 3 4-grams
+    val rows = Dedup.decontaminate(corpus, "id", "text", bench, "btext",
+      k = 4).orderBy("id").collect()
+    assert(rows(0).getLong(1) === 7L) // grams_total
+    assert(rows(0).getLong(2) === 3L) // grams_matched
+    assert(rows(0).getLong(3) === 1L) // contaminated
+    assert(rows(1).getLong(1) === 6L)
+    assert(rows(1).getLong(2) === 0L)
+    assert(rows(1).getLong(3) === 0L)
+    assert(rows(2).getLong(1) === 0L)
+    assert(rows(2).getLong(3) === 0L)
+  }
+
+  test("decontaminate: repeated gram within one doc counts once") {
+    import graft.operators.Dedup
+    val corpus = Seq((1L, "p q r s p q r s")).toDF("id", "text")
+    val bench = Seq(Tuple1("p q r s")).toDF("btext")
+    val r = Dedup.decontaminate(corpus, "id", "text", bench, "btext", k = 4)
+      .head()
+    // 5 gram positions but "p q r s" occurs twice -> 4 DISTINCT grams
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 1L)
+  }
+
   test("unigramLm pruning: pruneTo >= inventory size is a no-op") {
     import graft.operators.UnigramLm
     val base = UnigramLm.Params(maxWordLen = 6, maxPieceLen = 3,
