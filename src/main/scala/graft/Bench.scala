@@ -545,20 +545,25 @@ object Bench {
         "exceeds the ~2000-char driver capture window — shrink the budget")
     def fmt3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Per-entry contamination flag (round 16, VERDICT r15 #6): an entry is
-    // `suspect` when either of its two nearest calibration probes read
-    // above the quiet band (0.07-0.15 s on this host class; threshold
-    // 0.18 splits it cleanly from the contaminated r15 official probes at
-    // 0.19-0.26). A judge or driver can then filter contaminated entries
-    // mechanically — the r15 official artifact's six hot probes would have
-    // flagged the q160/q59d/q135 family automatically.
+    // `suspect` when its calibration neighborhood shows a SUSTAINED hot
+    // window — BOTH nearest probes above the quiet band (0.07-0.15 s on
+    // this host class; threshold 0.18 splits it from the contaminated r15
+    // official probes at 0.19-0.26, whose six consecutive hot probes
+    // would have flagged the q160/q59d/q135 family mechanically) — or a
+    // severe single probe (> 0.3, a 2x-degraded host no single blip
+    // produces). One marginal blip (0.20 on an otherwise 0.09-0.12
+    // series) flags nothing: the first quiet r16 full run had exactly
+    // that shape and a single-probe rule flagged 75/324 quiet entries.
     val suspectCal = 0.18
+    val severeCal = 0.30
     val probes: Seq[(Int, Double)] =
       ((-1, calFirst) +: calSeries.toSeq) :+ (names.size + 1, calLast)
     def entrySuspect(idx: Int): Boolean = {
       // nearest probe on each side (probe at index i runs BEFORE entry i)
       val prevNear = probes.filter(_._1 <= idx).maxBy(_._1)._2
       val nextNear = probes.filter(_._1 > idx).minBy(_._1)._2
-      math.max(prevNear, nextNear) > suspectCal
+      (math.min(prevNear, nextNear) > suspectCal) ||
+        (math.max(prevNear, nextNear) > severeCal)
     }
     val idxOf: Map[String, Int] =
       names.zipWithIndex.toMap + ("loader_singer_ingest" -> names.size)

@@ -1046,10 +1046,12 @@ object Dedup {
           .as("removed_frac_micro"))
   }
 
-  /** Benchmark decontamination — the GPT-3/Llama train-test-overlap
-    * step: flag every training document sharing any verbatim `k`-token
-    * gram with a benchmark/eval set. Different problem than the
-    * within-corpus containment family: the reference side is a SMALL
+  /** Exact-verbatim k-gram decontamination — the overlap MECHANISM the
+    * published GPT-3/Llama recipes use (verbatim n-token grams),
+    * complementing the shingle-HASH screen of the 5-arg
+    * [[decontaminate]] overload above (round-5's `text_decontaminate`):
+    * flag every training document sharing any verbatim `k`-token gram
+    * with a benchmark/eval set. The reference side is a SMALL
     * fixed set (benchmarks are kilobytes against a 100 TB corpus), so
     * the corpus pays ONE scan and one broadcast hash join against the
     * distinct benchmark-gram table — no corpus-side self-join, no
