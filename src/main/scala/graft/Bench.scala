@@ -66,6 +66,14 @@ object Bench {
       // entries, so this can never invalidate a live plan)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // round 16: unload accumulated streaming state-store providers —
+      // the maintenance task's per-interval work grows with every
+      // streaming entry's leftover providers and is the prime suspect
+      // for the recurring late-suite streaming drift (q71 3.2 s isolated
+      // vs 15-26 s in runs 2/3 of the r16 close, unchanged code, zero
+      // spill). Safe between entries: the next streaming query reloads
+      // lazily from its own checkpoint.
+      org.apache.spark.sql.GraftStreamingInternals.stopStateStores()
     }
 
     // Per-rep spill + peak-execution-memory forensics (round 16): q138's
