@@ -508,6 +508,33 @@ object Bench {
       case QPrefix(p) => p
       case _ => n
     }
+    // Per-entry contamination flag (round 16, VERDICT r15 #6): an entry is
+    // `suspect` when its calibration neighborhood shows a SUSTAINED hot
+    // window — BOTH nearest probes above the quiet band (0.07-0.15 s on
+    // this host class; threshold 0.18 splits it from the contaminated r15
+    // official probes at 0.19-0.26, whose six consecutive hot probes
+    // would have flagged the q160/q59d/q135 family mechanically) — or a
+    // severe single probe (> 0.3, a 2x-degraded host no single blip
+    // produces). One marginal blip (0.20 on an otherwise 0.09-0.12
+    // series) flags nothing: the first quiet r16 full run had exactly
+    // that shape and a single-probe rule flagged 75/324 quiet entries.
+    val suspectCal = 0.18
+    val severeCal = 0.30
+    val probes: Seq[(Int, Double)] =
+      ((-1, calFirst) +: calSeries.toSeq) :+ (names.size + 1, calLast)
+    def entrySuspect(idx: Int): Boolean = {
+      // nearest probe on each side (probe at index i runs BEFORE entry i)
+      val prevNear = probes.filter(_._1 <= idx).maxBy(_._1)._2
+      val nextNear = probes.filter(_._1 > idx).minBy(_._1)._2
+      (math.min(prevNear, nextNear) > suspectCal) ||
+        (math.max(prevNear, nextNear) > severeCal)
+    }
+    val idxOf: Map[String, Int] =
+      names.zipWithIndex.toMap + ("loader_singer_ingest" -> names.size)
+    val suspects = all.filter(e => entrySuspect(idxOf(e.name))).map(_.name)
+    if (suspects.nonEmpty)
+      System.err.println(s"[bench] ${suspects.size} entries flagged suspect (hot calibration window): ${suspects.take(12).mkString(", ")}")
+    val maxSpillMb = all.flatMap(_.spillMb).foldLeft(0.0)(math.max)
     val failed = all.collect { case e if e.secs < 0 => s""""${e.name}"""" }
     // any failure poisons the headline number (-1 sentinel, JSON-safe) so a
     // partially broken build can never look faster than a working one
@@ -538,7 +565,16 @@ object Bench {
     // are every `calEvery` entries of the sorted name list, reconstructable)
     // — ~6 bytes per probe against the 2000-char capture window
     val calPart = s""""cal":[${calSeries.map(c => fmt(c._2)).mkString(",")}],"""
-    val head = s"""{"metric":"total","value":${fmt(total)},"first":${fmt(totalFirst)},"unit":"sec","calibration_first":${fmt(calFirst)},"calibration_last":${fmt(calLast)},$calPart$failedPart"qdrop":DDD,"queries":{"""
+    // self-adjudication on the OFFICIAL line (round 17, VERDICT r16 #1):
+    // the per-entry suspect flags and spill forensics previously lived only
+    // in the committed full map + stderr, so three straight contaminated
+    // driver runs carried bare numbers. The stdout line now names its own
+    // contaminated entries (short keys, capped at 20 — `nsuspect` always
+    // carries the true count) and the max spill across all reps. Quiet
+    // host cost: ~45 chars ("nsuspect":0,"suspects":[],"max_spill_mb":0).
+    val suspectsPart =
+      s""""nsuspect":${suspects.size},"suspects":[${suspects.take(20).map(s => s""""${shortKey(s)}"""").mkString(",")}],"max_spill_mb":${fmt(maxSpillMb)},"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"first":${fmt(totalFirst)},"unit":"sec","calibration_first":${fmt(calFirst)},"calibration_last":${fmt(calLast)},$calPart$suspectsPart$failedPart"qdrop":DDD,"queries":{"""
     val tailFixed = s"""},"sf":"$sfDir"}"""
     var used = head.length + tailFixed.length
     val kept = ordered.takeWhile { s =>
@@ -552,32 +588,6 @@ object Bench {
       System.err.println(s"[bench] WARNING stdout line ${json.length} chars " +
         "exceeds the ~2000-char driver capture window — shrink the budget")
     def fmt3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // Per-entry contamination flag (round 16, VERDICT r15 #6): an entry is
-    // `suspect` when its calibration neighborhood shows a SUSTAINED hot
-    // window — BOTH nearest probes above the quiet band (0.07-0.15 s on
-    // this host class; threshold 0.18 splits it from the contaminated r15
-    // official probes at 0.19-0.26, whose six consecutive hot probes
-    // would have flagged the q160/q59d/q135 family mechanically) — or a
-    // severe single probe (> 0.3, a 2x-degraded host no single blip
-    // produces). One marginal blip (0.20 on an otherwise 0.09-0.12
-    // series) flags nothing: the first quiet r16 full run had exactly
-    // that shape and a single-probe rule flagged 75/324 quiet entries.
-    val suspectCal = 0.18
-    val severeCal = 0.30
-    val probes: Seq[(Int, Double)] =
-      ((-1, calFirst) +: calSeries.toSeq) :+ (names.size + 1, calLast)
-    def entrySuspect(idx: Int): Boolean = {
-      // nearest probe on each side (probe at index i runs BEFORE entry i)
-      val prevNear = probes.filter(_._1 <= idx).maxBy(_._1)._2
-      val nextNear = probes.filter(_._1 > idx).minBy(_._1)._2
-      (math.min(prevNear, nextNear) > suspectCal) ||
-        (math.max(prevNear, nextNear) > severeCal)
-    }
-    val idxOf: Map[String, Int] =
-      names.zipWithIndex.toMap + ("loader_singer_ingest" -> names.size)
-    val suspects = all.filter(e => entrySuspect(idxOf(e.name))).map(_.name)
-    if (suspects.nonEmpty)
-      System.err.println(s"[bench] ${suspects.size} entries flagged suspect (hot calibration window): ${suspects.take(12).mkString(", ")}")
     def fmt1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val fullEntries = all.map { e =>
       val reps = e.reps.map(fmt3).mkString("[", ",", "]")

@@ -15,7 +15,7 @@ object SparkEntry {
       Extensions.defs ++ MultimodalQueries.defs ++ ScaleOps.defs ++
       Surface.defs ++ Curation.defs ++ Pipeline.defs ++ Round10.defs ++
       Round11.defs ++ Round12.defs ++ Round13.defs ++ Round14.defs ++
-      Round14b.defs ++ Round15.defs ++ Round16.defs
+      Round14b.defs ++ Round15.defs ++ Round16.defs ++ Round17.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

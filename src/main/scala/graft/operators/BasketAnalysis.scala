@@ -132,7 +132,8 @@ object BasketAnalysis {
     // of pairs to ~3 partitions and re-create the giant maps); at cluster
     // scale the same session conf carries the configured parallelism.
     val pairParts = df.sparkSession.conf
-      .getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(200)
+      .getOption("spark.sql.shuffle.partitions")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(200)
     val pairs = capped.filter(size(col("its")) >= 2)
       .select(col("its"), posexplode(col("its")).as(Seq("i", "ia")))
       .select(col("ia"), explode(expr("slice(its, i + 2, size(its))")).as("ib"))

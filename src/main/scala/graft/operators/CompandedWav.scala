@@ -1,19 +1,21 @@
 package graft.operators
 
-/** Companded / block-compressed WAV decode — the second and third
-  * compressed-audio doors next to [[FlacCodec]]: G.711 µ-law (WAV format
-  * tag 7) and A-law (tag 6) companding, and IMA/DVI ADPCM (tag 17).
+/** Companded / block-compressed WAV decode — the compressed-audio doors
+  * next to [[FlacCodec]]: G.711 µ-law (WAV format tag 7) and A-law
+  * (tag 6) companding, IMA/DVI ADPCM (tag 17), and MS-ADPCM (tag 2).
   * Like the FLAC door, every decoder re-emits canonical PCM16 WAV so the
   * whole audio operator family (stats, perceptual envelope, dedup,
   * streaming gate) takes these containers through one `orElse` in
   * `MediaCodec.decodeAudioStats` / `decodeAudioEnvelope`.
   *
-  * All three codecs are fully spec-bounded (no entropy coding, no
+  * All four codecs are fully spec-bounded (no entropy coding, no
   * inter-frame prediction): the G.711 expansions are the classic CCITT
   * segment tables (the Sun `g711.c` reference arithmetic, public since
-  * the 80s), and IMA ADPCM is the 89-entry step table + 3-bit index
-  * walk of the IMA/DVI spec — so, unlike the H.264/VP9/AV1 seam, these
-  * are honestly reimplementable and now implemented.
+  * the 80s), IMA ADPCM is the 89-entry step table + 3-bit index walk of
+  * the IMA/DVI spec, and MS-ADPCM is the 7-coefficient linear predictor
+  * + 16-entry delta adaptation of the public RIFF spec — so, unlike the
+  * H.264/VP9/AV1 seam, these are honestly reimplementable and now
+  * implemented.
   *
   * Encoders exist for constructed test payloads (spec round-trips and
   * the mm_* oracle queries). The decode map and the ADPCM state walk are
@@ -114,6 +116,44 @@ object CompandedWav {
       else math.min(32767, pred + diff)
     val i = math.min(88, math.max(0, stepIdx + IndexTable(nibble & 7)))
     (p, i)
+  }
+
+  // ---------------------------------------------------------- MS ADPCM
+
+  /** MS-ADPCM canonical coefficient pairs (the 7 predictor classes every
+    * known encoder writes into the fmt extension; the decoder validates
+    * the block predictor index against this built-in set). */
+  val MsCoefs: Array[(Int, Int)] = Array(
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208),
+    (392, -232))
+
+  /** MS-ADPCM adaptation table (16 entries, indexed by the UNSIGNED
+    * nibble). */
+  val MsAdaptTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230,
+    230, 230)
+
+  /** C-style truncating division by 256 (toward zero — Scala's `/`;
+    * mirrored in the oracle as `(a - (a % 256)) // 256`, exact because
+    * DuckDB's `%` is C-signed and the adjusted numerator divides
+    * evenly). */
+  @inline private def div256(a: Int): Int = a / 256
+
+  /** One MS-ADPCM decode step: state (sample1, sample2, delta) × nibble
+    * → (predicted sample = new sample1, new sample2 = old sample1, new
+    * delta). The spec walk: linear prediction from the coefficient pair,
+    * signed-nibble scale by delta, PCM16 clamp, then delta adaptation
+    * with the spec's 16 floor — plus a 32767 ceiling, since delta is an
+    * s16 container quantity and an unbounded int (the ffmpeg behavior)
+    * overflows on adversarial nibble streams real encoders never emit;
+    * the clamp keeps the state machine total and exactly mirrorable. */
+  def msStep(s1: Int, s2: Int, delta: Int, coef1: Int, coef2: Int,
+      nibble: Int): (Int, Int, Int) = {
+    val sn = if (nibble >= 8) nibble - 16 else nibble
+    val pred0 = div256(s1 * coef1 + s2 * coef2) + sn * delta
+    val pred = math.min(32767, math.max(-32768, pred0))
+    val d = math.min(32767, math.max(16, div256(MsAdaptTable(nibble) * delta)))
+    (pred, s1, d)
   }
 
   // ------------------------------------------------------ WAV plumbing
@@ -217,6 +257,9 @@ object CompandedWav {
         case 17 =>
           if (f.bits != 4 || f.blockAlign < 4 * f.channels) None
           else decodeImaData(bytes, f).map(pcm16Wav(_, f.channels, f.rate))
+        case 2 =>
+          if (f.bits != 4 || f.blockAlign < 7 * f.channels + 1) None
+          else decodeMsData(bytes, f).map(pcm16Wav(_, f.channels, f.rate))
         case _ => None
       }
     }
@@ -276,9 +319,80 @@ object CompandedWav {
         }
         g += 1
       }
-      // mono tail: groups not divisible by channel rotation only happens
-      // when c == 1 handled above; leftover (<4) bytes in a partial final
-      // block are padding and ignored
+      // Truncated final rotation (groups % c != 0 — only possible when
+      // c > 1, on a short final block): flush just the channels that
+      // decoded, frame-major, so their samples aren't silently dropped.
+      // The interleave collapses to the populated channels at stream
+      // end; leftover (<4) bytes in a partial block are padding.
+      val rem = groups % c
+      if (rem != 0) {
+        var k = 0
+        while (k < 8) {
+          var ch3 = 0
+          while (ch3 < rem) { out += frame(k * c + ch3); ch3 += 1 }
+          k += 1
+        }
+      }
+      blockStart += f.blockAlign
+    }
+    if (out.isEmpty) None
+    else {
+      val limit =
+        if (f.factSamples >= 0) math.min(out.length.toLong,
+          f.factSamples * c).toInt
+        else out.length
+      Some(out.take(limit).toArray)
+    }
+  }
+
+  /** MS-ADPCM block walk (WAV format tag 2): per block, a per-channel
+    * header — 1 byte predictor-class index (validated against
+    * [[MsCoefs]]), s16le initial delta, s16le sample1, s16le sample2 —
+    * then 4-bit codes packed HIGH NIBBLE FIRST (the opposite of IMA),
+    * channels rotating per nibble. Each block emits sample2 first, then
+    * sample1, then the decoded stream (so every nibble is one complete
+    * interleaved sample — no frame buffering, and a truncated block
+    * loses nothing). A `fact` chunk truncates to the authoritative
+    * per-channel count. */
+  private def decodeMsData(bytes: Array[Byte], f: Fmt): Option[Array[Int]] = {
+    val c = f.channels
+    val hdr = 7 * c
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var blockStart = 0
+    def s16(o: Int): Int =
+      ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+    while (blockStart + hdr <= f.dataLen) {
+      val base = f.dataOff + blockStart
+      val blockLen = math.min(f.blockAlign, f.dataLen - blockStart)
+      val coef1 = new Array[Int](c); val coef2 = new Array[Int](c)
+      val delta = new Array[Int](c)
+      val s1 = new Array[Int](c); val s2 = new Array[Int](c)
+      var ch = 0
+      while (ch < c) {
+        val p = bytes(base + ch) & 0xff
+        if (p >= MsCoefs.length) return None // unknown predictor class
+        coef1(ch) = MsCoefs(p)._1; coef2(ch) = MsCoefs(p)._2
+        delta(ch) = s16(base + c + 2 * ch)
+        s1(ch) = s16(base + 3 * c + 2 * ch)
+        s2(ch) = s16(base + 5 * c + 2 * ch)
+        ch += 1
+      }
+      var e = 0
+      while (e < c) { out += s2(e); e += 1 }
+      e = 0
+      while (e < c) { out += s1(e); e += 1 }
+      val nibCount = (blockLen - hdr) * 2
+      var k = 0
+      while (k < nibCount) {
+        val by = bytes(base + hdr + k / 2) & 0xff
+        val nib = if (k % 2 == 0) (by >> 4) & 0x0f else by & 0x0f
+        val ch2 = k % c
+        val st = msStep(s1(ch2), s2(ch2), delta(ch2), coef1(ch2),
+          coef2(ch2), nib)
+        s1(ch2) = st._1; s2(ch2) = st._2; delta(ch2) = st._3
+        out += st._1
+        k += 1
+      }
       blockStart += f.blockAlign
     }
     if (out.isEmpty) None
@@ -399,6 +513,37 @@ object CompandedWav {
     val wav = imaWavFromNibbles(samples(0), 0, nibbles, rate)
     // patch fact to the true sample count (header + real nibbles)
     patchFact(wav, samples.length.toLong)
+  }
+
+  /** Mono MS-ADPCM WAV from an explicit block header + nibble stream —
+    * the constructed-payload door whose oracle replays [[msStep]] as a
+    * recursive CTE. One block holds everything; nibbles pack HIGH
+    * nibble first. Emits 2 + nibbles.length samples (sample2, sample1,
+    * then the decoded stream). */
+  def msWavFromNibbles(predIdx: Int, delta0: Int, sample1: Int,
+      sample2: Int, nibbles: Array[Int], rate: Int): Array[Byte] = {
+    require(predIdx >= 0 && predIdx < MsCoefs.length, "predictor class")
+    require(delta0 >= -32768 && delta0 <= 32767, "delta0 s16")
+    require(sample1 >= -32768 && sample1 <= 32767, "sample1 PCM16")
+    require(sample2 >= -32768 && sample2 <= 32767, "sample2 PCM16")
+    require(nibbles.length % 2 == 0, "nibbles in whole bytes")
+    require(nibbles.forall(n => n >= 0 && n <= 15), "nibbles 4-bit")
+    val payload = new Array[Byte](7 + nibbles.length / 2)
+    payload(0) = predIdx.toByte
+    payload(1) = (delta0 & 0xff).toByte
+    payload(2) = ((delta0 >> 8) & 0xff).toByte
+    payload(3) = (sample1 & 0xff).toByte
+    payload(4) = ((sample1 >> 8) & 0xff).toByte
+    payload(5) = (sample2 & 0xff).toByte
+    payload(6) = ((sample2 >> 8) & 0xff).toByte
+    var i = 0
+    while (i < nibbles.length / 2) {
+      payload(7 + i) =
+        (((nibbles(2 * i) & 0x0f) << 4) | (nibbles(2 * i + 1) & 0x0f)).toByte
+      i += 1
+    }
+    wavContainer(2, 1, rate, payload.length, 4, 2L + nibbles.length,
+      payload)
   }
 
   private def patchFact(wav: Array[Byte], samples: Long): Array[Byte] = {

@@ -209,6 +209,97 @@ object EvalText {
        |  AS BIGINT)
        |END""".stripMargin
 
+  /** (id, pos, w) CHARACTER table for one side: whitespace removed
+    * first (the chrF convention — char n-grams never span or contain
+    * the token separator), then one char per row. Positions come from
+    * the split index directly (no gaps to re-rank, unlike [[toks]]). */
+  private def chars(pairs: DataFrame, idCol: String, textCol: String) =
+    pairs.select(col(idCol).as("id"),
+        posexplode(split(translate(col(textCol), " ", ""), "")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .select(col("id"), col("pos").cast("long").as("pos"), col("w"))
+
+  private def chrfTriples(pfx: String, maxN: Int): Seq[(String, String, String)] =
+    (1 to maxN).map(n => (s"${pfx}m$n", s"${pfx}t$n", s"${pfx}r$n"))
+
+  /** The chrF F-β readout over (match, cand-total, ref-total) column
+    * triples: per-order precision/recall read 0 when their denominator
+    * is 0 (Popović 2015's convention for absent orders), arithmetic
+    * mean over orders, F-β with β² recall weighting. Shared
+    * fragment-for-fragment with the oracle (`d` writes Spark's D
+    * suffix) so the IEEE op order matches exactly. */
+  private def chrfFrag(d: String, triples: Seq[(String, String, String)],
+      beta: Double): String = {
+    val nOrders = triples.size
+    val b2 = beta * beta
+    val ps = triples.map { case (m, t, _) =>
+      s"(CASE WHEN $t > 0 THEN CAST($m AS DOUBLE) / $t ELSE 0.0$d END)"
+    }.mkString(" + ")
+    val rs = triples.map { case (m, _, r) =>
+      s"(CASE WHEN $r > 0 THEN CAST($m AS DOUBLE) / $r ELSE 0.0$d END)"
+    }.mkString(" + ")
+    s"""CASE WHEN ($ps) = 0.0$d OR ($rs) = 0.0$d THEN CAST(0 AS BIGINT)
+       |ELSE CAST(round(1e6
+       |  * (1.0$d + $b2$d) * (($ps) / $nOrders) * (($rs) / $nOrders)
+       |  / ($b2$d * (($ps) / $nOrders) + (($rs) / $nOrders))) AS BIGINT)
+       |END""".stripMargin
+  }
+
+  /** Corpus chrF (Popović 2015) and chrF++ (Popović 2017) in one row:
+    * (n_pairs, cm1..cm{charN}, ct1.., cr1.., wm1..wm{wordN}, wt1..,
+    * wr1.., chrf_micro, chrf_pp_micro). `cm/ct/cr` are the corpus-summed
+    * clipped char-n-gram matches / candidate totals / reference totals
+    * per order (whitespace removed before char grams); `wm/wt/wr` the
+    * same at word grain. chrF averages the char orders' precision and
+    * recall and closes with F-β (β=2, recall-weighted); chrF++ extends
+    * the average with the word orders. Every count is an exact integer
+    * until the closing mirrored double — zero-denominator orders
+    * contribute 0 (the sacrebleu epsilon conventions differ by
+    * implementation; this one is documented and mirrored exactly).
+    *
+    * Scale shape: identical to [[corpusBleu]] — per-document windows,
+    * one (id, n, gram) equi-join per grain, map-side-combinable sums to
+    * ~30 scalars. Char tables are ~5× the word-token row count and ride
+    * the same document-grain partitioning. */
+  def chrF(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, charN: Int = 6, wordN: Int = 2,
+      beta: Double = 2.0): DataFrame = {
+    require(charN >= 1 && charN <= 8, s"charN in [1,8], got $charN")
+    require(wordN >= 1 && wordN <= 4, s"wordN in [1,4], got $wordN")
+    val candC = chars(pairs, idCol, candCol).persist()
+    val refC = chars(pairs, idCol, refCol).persist()
+    val candW = toks(pairs, idCol, candCol).persist()
+    val refW = toks(pairs, idCol, refCol).persist()
+    def stats(cand: DataFrame, ref: DataFrame, maxN: Int, pfx: String) = {
+      val cg = gramCountsMulti(cand, maxN)
+      val rg = gramCountsMulti(ref, maxN)
+      val matches = cg.join(rg.withColumnRenamed("c", "c2"),
+          Seq("id", "n", "g"))
+        .groupBy(col("n")).agg(sum(least(col("c"), col("c2"))).as("m"))
+      val totals = cg.groupBy(col("n")).agg(sum(col("c")).as("t"))
+        .join(rg.groupBy(col("n")).agg(sum(col("c")).as("r")),
+          Seq("n"), "full")
+      val pivotCols = (1 to maxN).flatMap(n => Seq(
+        coalesce(sum(when(col("n") === n, col("m"))), lit(0L)).as(s"${pfx}m$n"),
+        coalesce(sum(when(col("n") === n, col("t"))), lit(0L)).as(s"${pfx}t$n"),
+        coalesce(sum(when(col("n") === n, col("r"))), lit(0L)).as(s"${pfx}r$n")))
+      totals.join(matches, Seq("n"), "left")
+        .agg(pivotCols.head, pivotCols.tail: _*)
+    }
+    val lens = pairs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_pairs"))
+    val joined = lens
+      .crossJoin(stats(candC, refC, charN, "c"))
+      .crossJoin(stats(candW, refW, wordN, "w"))
+    val out = joined.select(col("*"),
+      expr(chrfFrag("D", chrfTriples("c", charN), beta)).as("chrf_micro"),
+      expr(chrfFrag("D", chrfTriples("c", charN) ++ chrfTriples("w", wordN),
+        beta)).as("chrf_pp_micro"))
+    val materialized = out.localCheckpoint()
+    candC.unpersist(); refC.unpersist(); candW.unpersist(); refW.unpersist()
+    materialized
+  }
+
   // ------------------------------------------------------------------
   // DuckDB replicas. `pairsCte` must define `pairs(id, cand, ref)`;
   // the closing double expression is generated from the SAME fragment
@@ -217,13 +308,20 @@ object EvalText {
 
   /** Token + n-gram CTEs for one side (`cand`/`ref` column of pairs):
     * defines `{side}t(id, pos, w)` and `{side}g{n}(id, g, c)`. */
-  private def sideCtes(side: String, ns: Seq[Int]): String = {
+  private def sideCtes(side: String, ns: Seq[Int]): String =
+    sideCtesOver(side, ns, s"string_split($side, ' ')")
+
+  /** The same CTE chain over an arbitrary token-list expression (word
+    * split for BLEU/ROUGE, char split for chrF): defines
+    * `{pfx}t(id, pos, w)` and `{pfx}g{n}(id, g, c)`. */
+  private def sideCtesOver(pfx: String, ns: Seq[Int],
+      listExpr: String): String = {
     val tok =
-      s"""${side}t AS MATERIALIZED (
+      s"""${pfx}t AS MATERIALIZED (
          |  SELECT id, CAST(row_number() OVER (PARTITION BY id ORDER BY i)
          |    AS BIGINT) AS pos, w
          |  FROM (SELECT id, t.i AS i, ws[CAST(t.i AS INT)] AS w
-         |        FROM (SELECT id, string_split($side, ' ') AS ws FROM pairs),
+         |        FROM (SELECT id, $listExpr AS ws FROM pairs),
          |             unnest(range(1, len(ws) + 1)) AS t(i))
          |  WHERE w <> '')""".stripMargin
     val grams = ns.map { n =>
@@ -233,9 +331,9 @@ object EvalText {
       }.mkString(" || chr(31) || ")
       val full = if (n == 1) "TRUE"
         else s"lead(w, ${n - 1}) OVER (PARTITION BY id ORDER BY pos) IS NOT NULL"
-      s"""${side}g$n AS MATERIALIZED (
+      s"""${pfx}g$n AS MATERIALIZED (
          |  SELECT id, g, CAST(count(*) AS BIGINT) AS c
-         |  FROM (SELECT id, $g AS g, $full AS is_full FROM ${side}t)
+         |  FROM (SELECT id, $g AS g, $full AS is_full FROM ${pfx}t)
          |  WHERE is_full GROUP BY 1, 2)""".stripMargin
     }
     (tok +: grams).mkString(",\n")
@@ -332,6 +430,47 @@ object EvalText {
        |  $rlRecallFrag AS rl_recall_micro,
        |  ${rlF1Frag("")} AS rl_f1_micro
        |FROM fin""".stripMargin
+
+  /** DuckDB replica of [[chrF]]: the BLEU oracle's scalar-subquery
+    * match/total pattern over FOUR gram-table chains (candidate/reference
+    * × char/word grain), closing with the SAME F-β fragment as the
+    * Spark side. */
+  def chrfOracleSql(pairsCte: String, charN: Int = 6, wordN: Int = 2,
+      beta: Double = 2.0): String = {
+    def charList(c: String) = s"string_split(replace($c, ' ', ''), '')"
+    def wordList(c: String) = s"string_split($c, ' ')"
+    val sides = Seq(
+      sideCtesOver("cc", 1 to charN, charList("cand")),
+      sideCtesOver("rc", 1 to charN, charList("ref")),
+      sideCtesOver("cw", 1 to wordN, wordList("cand")),
+      sideCtesOver("rw", 1 to wordN, wordList("ref"))).mkString(",\n")
+    val grains = Seq(("c", "cc", "rc", charN), ("w", "cw", "rw", wordN))
+    val mt = grains.flatMap { case (pfx, cs, rfs, maxN) =>
+      (1 to maxN).map { n =>
+        s"""${pfx}mt$n AS (SELECT
+           |  (SELECT CAST(coalesce(sum(least(a.c, b.c)), 0) AS BIGINT)
+           |   FROM ${cs}g$n a JOIN ${rfs}g$n b ON b.id = a.id AND b.g = a.g) AS ${pfx}m$n,
+           |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ${cs}g$n) AS ${pfx}t$n,
+           |  (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM ${rfs}g$n) AS ${pfx}r$n)"""
+          .stripMargin
+      }
+    }.mkString(",\n")
+    val mtList = grains.flatMap { case (pfx, _, _, maxN) =>
+      (1 to maxN).map(n => s"${pfx}mt$n") }.mkString(" CROSS JOIN ")
+    val cols = grains.flatMap { case (pfx, _, _, maxN) =>
+      (1 to maxN).map(n => s"${pfx}m$n, ${pfx}t$n, ${pfx}r$n") }
+      .mkString(", ")
+    s"""WITH $pairsCte,
+       |$sides,
+       |lens AS (SELECT
+       |  (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM pairs) AS n_pairs),
+       |$mt
+       |SELECT n_pairs, $cols,
+       |  ${chrfFrag("", chrfTriples("c", charN), beta)} AS chrf_micro,
+       |  ${chrfFrag("", chrfTriples("c", charN) ++ chrfTriples("w", wordN),
+            beta)} AS chrf_pp_micro
+       |FROM lens CROSS JOIN $mtList""".stripMargin
+  }
 
   /** DuckDB replica of [[rougeRecall]]. */
   def rougeOracleSql(pairsCte: String, n: Int = 2): String =

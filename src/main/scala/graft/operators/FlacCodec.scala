@@ -188,7 +188,15 @@ object FlacCodec {
       val br = new BitReader(bytes, off)
       // frame header --------------------------------------------------
       if (br.readBits(14) != 0x3ffe) { // sync
-        if (nTotal > 0) break() else return None
+        // Known-length streams stop via the sample count above, so a
+        // mismatch here after good frames is a trailer — break. With an
+        // UNKNOWN total (STREAMINFO total-samples == 0), only accept the
+        // tail as trailing non-audio bytes when it can't plausibly start
+        // a frame: ID3v1-sized (<=128 B) or not 0xFF-prefixed. A long
+        // 0xFF-led tail is mid-stream corruption -> reject the decode.
+        if (nTotal > 0 && (totalSamples != 0L ||
+            bytes.length - off <= 128 || (bytes(off) & 0xff) != 0xff)) break()
+        else return None
       }
       if (br.readBit() != 0) return None         // reserved
       br.readBit()                               // blocking strategy

@@ -38,17 +38,17 @@ object Round16 {
   /** IMA-ADPCM nibble formulas per class: silence drift, up/down
     * alternation, full nibble sweep, pseudo-random — plus per-class
     * initial (predictor, step index). */
-  private def imaNibble(cls: Int, i: Long): Int = cls match {
+  private[queries] def imaNibble(cls: Int, i: Long): Int = cls match {
     case 0 => 0
     case 1 => if (i % 2L == 0L) 4 else 12
     case 2 => (i % 16L).toInt
     case _ => ((i * 2654435761L) % 16L).toInt
   }
-  private val imaNibbleSql =
+  private[queries] val imaNibbleSql =
     """CASE cls WHEN 0 THEN 0
       |     WHEN 1 THEN CASE WHEN j % 2 = 0 THEN 4 ELSE 12 END
       |     WHEN 2 THEN j % 16 ELSE (j * 2654435761) % 16 END""".stripMargin
-  private val ImaN = 1200
+  private[queries] val ImaN = 1200
 
   /** µ-law/A-law expansion, closed form over byte `b` (the Sun g711.c
     * arithmetic the Scala tables implement — any table drift breaks the
@@ -81,7 +81,7 @@ object Round16 {
   /** The eight-stat SQL readout over a per-(cls, position) sample table
     * `sl(cls, i, m, pm)` joined back to docs — shared by both new audio
     * queries (the mm_flac_stats shape). */
-  private def audioStatsReadout(docFilter: String): String =
+  private[queries] def audioStatsReadout(docFilter: String): String =
     s"""st AS (SELECT cls,
        |        CAST(count(*) AS BIGINT) AS n_frames,
        |        CAST(1 AS BIGINT) AS channels,
@@ -103,7 +103,7 @@ object Round16 {
 
   /** Spark side shared by the audio-door queries: payload per class by
     * doc_id, the native stats expression, eight named columns. */
-  private def audioStatsQuery(s: org.apache.spark.sql.SparkSession,
+  private[queries] def audioStatsQuery(s: org.apache.spark.sql.SparkSession,
       d: String, payloads: Seq[Array[Byte]]) =
     Tables.ts(s, d, "documents").filter(col("doc_id") < 400)
       .select(col("doc_id"),

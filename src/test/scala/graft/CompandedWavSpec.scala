@@ -123,6 +123,90 @@ class CompandedWavSpec extends AnyFunSuite {
     assert(env.get.toSeq === MediaCodec.decodeWavEnvelope(pcm).get.toSeq)
   }
 
+  // ---- MS ADPCM (tag 2) ---------------------------------------------------
+
+  /** Raw RIFF builder for formats wavContainer doesn't construct in the
+    * needed shape (no fact chunk, multi-channel). */
+  private def rawWav(tag: Int, channels: Int, blockAlign: Int, bits: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val total = 4 + (8 + 16) + (8 + payload.length)
+    val out = new Array[Byte](8 + total)
+    def w32(o: Int, v: Long): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def w16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tg(o: Int, s: String): Unit =
+      (0 until 4).foreach(i => out(o + i) = s.charAt(i).toByte)
+    tg(0, "RIFF"); w32(4, total.toLong); tg(8, "WAVE")
+    tg(12, "fmt "); w32(16, 16L); w16(20, tag); w16(22, channels)
+    w32(24, 8000L); w32(28, 8000L); w16(32, blockAlign); w16(34, bits)
+    tg(36, "data"); w32(40, payload.length.toLong)
+    System.arraycopy(payload, 0, out, 44, payload.length)
+    out
+  }
+
+  test("msStep hand-walk: prediction, clamps, truncating division") {
+    // coef (256,0): pb = s1; nib 3 scales delta up from the 16 floor
+    assert(CompandedWav.msStep(100, 50, 16, 256, 0, 3) === (148, 100, 16))
+    // nib 9 = -7; delta adapts 614*16/256 = 38
+    assert(CompandedWav.msStep(148, 100, 16, 256, 0, 9) === (36, 148, 38))
+    // truncation TOWARD ZERO: 1*460 + 3*(-208) = -164 -> pb = 0 (floor
+    // division would give -1 and drift the whole downstream walk)
+    assert(CompandedWav.msStep(1, 3, 16, 460, -208, 0) === (0, 1, 16))
+    // predictor rails and the delta ceiling
+    assert(CompandedWav.msStep(32767, 32767, 32767, 512, -256, 7) ===
+      (32767, 32767, 32767))
+    assert(CompandedWav.msStep(-32768, 0, 32767, 256, 0, 8)._1 === -32768)
+  }
+
+  test("msWavFromNibbles decodes sample2, sample1, then the nibble walk") {
+    val wav = CompandedWav.msWavFromNibbles(0, 16, 100, 50,
+      Array(3, 9), 8000)
+    assert(CompandedWav.toPcm16Wav(wav).map(pcmSamples) ===
+      Some(Seq(50, 100, 148, 36)))
+    // the truncating-division case end-to-end (coef pair 460/-208)
+    val wav2 = CompandedWav.msWavFromNibbles(5, 16, 1, 3, Array(0, 0), 8000)
+    assert(CompandedWav.toPcm16Wav(wav2).map(pcmSamples) ===
+      Some(Seq(3, 1, 0, 0)))
+  }
+
+  test("MS-ADPCM stereo: per-channel headers, nibbles rotate channels") {
+    // ch0 pred-class 0 (256,0) delta 16 s1 100 s2 50;
+    // ch1 pred-class 2 (0,0)  delta 20 s1 200 s2 150
+    val payload = Array[Int](
+      0, 2, 16, 0, 20, 0, 100, 0, 200, 0, 50, 0, 150, 0,
+      0x31, 0x9f).map(_.toByte)
+    val wav = rawWav(2, 2, 16, 4, payload)
+    // nibbles (high first): 3 -> ch0, 1 -> ch1, 9 -> ch0, 15 -> ch1
+    // ch0: as the mono hand-walk (148 then 36)
+    // ch1: pb = 0 always; +1*20 = 20 (delta -> 17); then -1*17 = -17
+    assert(CompandedWav.toPcm16Wav(wav).map(pcmSamples) ===
+      Some(Seq(50, 150, 100, 200, 148, 20, 36, -17)))
+  }
+
+  test("MS-ADPCM unknown predictor class degrades to None") {
+    val wav = CompandedWav.msWavFromNibbles(0, 16, 0, 0, Array(0, 0), 8000)
+    val dataStart = 12 + 8 + 18 + 8 + 4 + 8 // riff+fmt+fact+data hdr
+    wav(dataStart) = 7 // only classes 0..6 exist
+    assert(CompandedWav.toPcm16Wav(wav).isEmpty)
+  }
+
+  test("IMA stereo partial final rotation flushes the decoded channels") {
+    // c=2, blockAlign 20: header 8 B + 12 data B = 3 groups — ch0, ch1,
+    // ch0 again. The trailing odd group must flush its 8 ch0 samples
+    // (all-zero nibbles keep each channel's predictor flat).
+    val payload = new Array[Byte](20)
+    payload(4) = 0xe8.toByte; payload(5) = 0x03 // ch1 pred = 1000
+    val wav = rawWav(17, 2, 20, 4, payload)
+    val got = CompandedWav.toPcm16Wav(wav).map(pcmSamples)
+    val interleaved = (0 until 8).flatMap(_ => Seq(0, 1000))
+    assert(got === Some(Seq(0, 1000) ++ interleaved ++ Seq.fill(8)(0)))
+  }
+
   test("malformed companded payloads degrade to None") {
     assert(CompandedWav.toPcm16Wav("not a wav".getBytes).isEmpty)
     assert(CompandedWav.toPcm16Wav(null).isEmpty)
