@@ -1245,6 +1245,203 @@ object Similarity {
       .toDF("dim_idx", "pc_x1e6")
   }
 
+  /** Floored division for possibly-negative `a` over positive `b`, written
+    * as `(a - nonneg_mod(a, b)) / b` so the DuckDB oracle can replay it
+    * textually (`(a - ((a % b + b) % b)) // b`): both engines' `%` follows
+    * the dividend sign, the subtraction makes the quotient exact, and the
+    * final division never rounds. Spark's `div`/BigInt `/` truncation vs
+    * DuckDB's `//` floor therefore cannot diverge. */
+  private def floorDivBI(a: BigInt, b: BigInt): BigInt =
+    (a - (((a % b) + b) % b)) / b
+
+  /** Exact integer sqrt with the shared one-step correction: both engines
+    * start from `floor(sqrt(double(x)))` — off by at most 1 for x ≤ 2^52,
+    * since the double conversion is exact and sqrt is correctly rounded —
+    * then apply the SAME single CASE adjustment, so a half-ulp landing on
+    * either side of an integer boundary cannot split the engines. */
+  private def isqrtCorrected(x: BigInt): BigInt = {
+    val r = BigInt(math.sqrt(x.toDouble).toLong)
+    if (r * r > x) r - 1
+    else if ((r + 1) * (r + 1) <= x) r + 1
+    else r
+  }
+
+  /** OPQ-lite learned rotation (Ge et al., CVPR 2013, the parametric
+    * recipe): the full dim×dim rotation whose rows are the principal
+    * directions of the UNCENTERED second-moment matrix, obtained by power
+    * iteration + Hotelling deflation — run entirely on the driver over the
+    * bounded dim×dim moment matrix, the [[pcaPower]]/q87 broadcast-literal
+    * pattern taken one step further: the corpus pays exactly ONE scan
+    * (2080 map-side-combined DECIMAL sums for dim 64), and every
+    * subsequent eigen-round is driver-side BigInt arithmetic on that
+    * 64×64 table — zero additional scans at ANY corpus size, vs
+    * `rounds`-scans-per-component for data-side iteration.
+    *
+    * Uncentered on purpose: PQ ranks by cosine over unit-normalized
+    * vectors, and an orthogonal rotation of RAW vectors preserves cosine
+    * geometry exactly — centering would shift the origin and change the
+    * ranking target. Bit-reproducible end to end: grid integers
+    * (round(x·10⁶)), DECIMAL(38,0) cross-row sums, BigInt power rounds
+    * with [[pcaPower]]'s renormalization `((t+m)·s)//m − s`, rows
+    * L2-normalized to the grid through [[isqrtCorrected]], deflation
+    * `S ← S − fd(fd(uSu·uᵢ, uᵀu)·uⱼ, uᵀu)` in two floored stages (keeps
+    * every oracle-side intermediate within HUGEINT at sf ≤ 0.1 — audit:
+    * |uSu·uᵢ| ≤ (Σ|u|)²·maxS·10⁶ ≈ 2.5·10³⁷ < 1.7·10³⁸ at N = 1500;
+    * driver-side BigInt is unbounded, so 100-TB corpora only ever stress
+    * the DECIMAL(38,0) moment sums, exact to ~10²⁵ rows). Rank-deficient
+    * corpora (N < dim) deflate trailing components to a zero matrix; the
+    * m = 0 guard then keeps the uniform start vector — deterministic, and
+    * harmless downstream since trailing directions carry no energy.
+    *
+    * Returns the rotation rows in decreasing-eigenvalue order, each on the
+    * 10⁶ grid with unit(ish) L2 norm. */
+  def opqRotation(emb: DataFrame, vecCol: String, dim: Int,
+      powerRounds: Int = 3, scale: Long = 1000000L): Array[Array[Long]] = {
+    require(dim > 0 && powerRounds >= 1 && scale > 0)
+    val xa = emb.select(
+      expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * $scale.0) AS BIGINT))")
+        .as("xa"))
+    val mom = xa
+      .select(col("xa"), posexplode(col("xa")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("xa")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xj"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .collect()
+    val S = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim) S(i)(j) = BigInt(0)
+    mom.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val v = BigInt(r.getDecimal(2).toBigInteger)
+      S(i)(j) = v; S(j)(i) = v
+    }
+    val R = Array.ofDim[Array[Long]](dim)
+    val sc = BigInt(scale)
+    // Projection-deflation (orthogonal iteration), NOT Hotelling matrix
+    // deflation: the iterate is Gram-Schmidt-projected against every
+    // ACCEPTED row inside each power round, on the CONSTANT moment
+    // matrix. Matrix deflation with a non-eigenvector (unavoidable when
+    // eigenvalues are close and `powerRounds` small) leaves cross-terms
+    // that later components re-discover; a post-hoc GS then holds only a
+    // tiny residual whose floor-div bias normalizes into duplicate
+    // all-ones-ish junk rows (observed: two bit-identical rows
+    // scrambling half the corpus energy). In-loop projection keeps the
+    // iterate in the uncovered subspace, where the matvec always finds
+    // real energy — rows come out orthogonal unconditionally. Classical
+    // (not modified) GS, so the oracle evaluates all projections in one
+    // list expression over the accumulated rows.
+    def gs(k: Int, v: Array[BigInt]): Array[BigInt] = {
+      val prev = (0 until k).map(l => R(l).map(BigInt(_)))
+      val nns = prev.map(ul => ul.map(x => x * x).sum)
+      val dots = prev.map(ul => (0 until dim).map(i => v(i) * ul(i)).sum)
+      Array.tabulate(dim)(i => v(i) - (0 until k).map(l =>
+        if (nns(l) == 0) BigInt(0)
+        else floorDivBI(dots(l) * prev(l)(i), nns(l))).sum)
+    }
+    for (k <- 0 until dim) {
+      // per-component deterministic start: a SHARED start would converge
+      // to the SAME direction for every component of a degenerate
+      // (noise-floor) eigenspace, leaving nothing for the projection to
+      // keep; the integer form is replayed verbatim by the oracle
+      var w = Array.tabulate(dim)(i =>
+        BigInt((k.toLong * dim + i) * 2654435761L % 1000003L - 500000L))
+      for (_ <- 1 to powerRounds) {
+        val g = gs(k, w)
+        val t = Array.tabulate(dim)(i =>
+          (0 until dim).map(j => S(i)(j) * g(j)).sum)
+        val m = t.map(_.abs).max
+        // nonneg operands: BigInt truncation == floor == DuckDB `//`
+        w = if (m == 0) g else t.map(ti => ((ti + m) * sc) / m - sc)
+      }
+      val g = gs(k, w)
+      val ssq = g.map(x => x * x).sum
+      val u =
+        if (ssq == 0) g // fully covered: zero row, carries no energy
+        else { val l2 = isqrtCorrected(ssq); g.map(gi => floorDivBI(gi * sc, l2)) }
+      R(k) = u.map(_.toLong)
+    }
+    R
+  }
+
+  /** Apply a grid rotation as a plan literal: out[j] = Σᵢ R[j][i]·x[i] on
+    * the integer grid (|out| ≤ dim·10⁶·2·10⁶ ≈ 1.3·10¹⁴ < 2⁵³, so the
+    * LONG→DOUBLE widening is exact), then narrowed to FLOAT because the
+    * downstream PQ machinery's native [[vecDot]] takes `array<float>`.
+    * The narrowing is the ONE rounding step and it is engine-parity-safe:
+    * both sides round the identical exact double to nearest-even float
+    * (oracle: `CAST(CAST(… AS DOUBLE) AS REAL)`), and its 2⁻²⁴ relative
+    * error sits an order below the 10⁻⁶ unit-normalized grid the PQ build
+    * re-quantizes to. The unit-normalization also absorbs the 10⁶·10⁶
+    * grid scaling wholesale. One codegen'd projection per row — no
+    * shuffle, no UDF. */
+  private def applyRotation(df: DataFrame, idCol: String, vecCol: String,
+      rot: Array[Array[Long]]): DataFrame = {
+    val dim = rot.length
+    val xs = df.select(col(idCol) +: (1 to dim).map(i =>
+      round(element_at(col(vecCol), i).cast("double") * lit(1e6))
+        .cast("long").as(s"__x$i")): _*)
+    val rotated = array((0 until dim).map { j =>
+      (1 to dim).map(i => col(s"__x$i") * lit(rot(j)(i - 1))).reduce(_ + _)
+        .cast("double").cast("float")
+    }: _*)
+    xs.select(col(idCol), rotated.as(vecCol))
+  }
+
+  /** OPQ-lite index build: [[opqRotation]]'s learned rotation applied
+    * before [[buildPqIndex]]'s block split, with eigenvalue-allocation-lite
+    * dimension assignment — component c lands at output position so that
+    * block b holds components {b, b+subspaces, b+2·subspaces, …}
+    * (round-robin), spreading the high-variance directions one per block
+    * instead of letting block 0 hoard the top eight. On correlated
+    * corpora each block then quantizes one dominant direction plus tail
+    * energy — the published reason OPQ recall beats plain PQ when raw
+    * dimensions are correlated across block boundaries.
+    *
+    * Persists `dir/rotation` (j, i, r) next to the PQ artifacts; the
+    * rotation is part of the frozen quantizer contract exactly like the
+    * codebooks — [[queryOpqIndex]] replays it over queries, and an
+    * [[appendPqIndex]]-style batch append stays valid because rotation is
+    * per-row and corpus-independent once learned. */
+  def buildOpqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dir: String, subspaces: Int = 8, codebook: Int = 16, iters: Int = 2,
+      scale: Long = 1000000L, powerRounds: Int = 3): Unit = {
+    val spark = emb.sparkSession
+    val dimRow = emb.select(max(size(col(vecCol)))).collect()(0)
+    require(!dimRow.isNullAt(0),
+      s"buildOpqIndex: corpus is empty or $vecCol is all-null")
+    val dim = dimRow.getInt(0)
+    require(dim % subspaces == 0,
+      s"round-robin allocation needs subspaces | dim; got $subspaces, $dim")
+    val bw = dim / subspaces
+    val eigen = opqRotation(emb, vecCol, dim, powerRounds, scale)
+    // position p (block p/bw, slot p%bw) takes component (p%bw)·subspaces + p/bw
+    val rot = Array.tabulate(dim)(p => eigen((p % bw) * subspaces + p / bw))
+    import spark.implicits._
+    rot.zipWithIndex.flatMap { case (row, j) =>
+      row.zipWithIndex.map { case (r, i) => (j, i, r) }
+    }.toSeq.toDF("j", "i", "r")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+    buildPqIndex(applyRotation(emb, idCol, vecCol, rot), idCol, vecCol,
+      dir, subspaces, codebook, iters, scale)
+  }
+
+  /** Top-k search against a [[buildOpqIndex]] index: read the persisted
+    * rotation (dim² rows — driver-literal sized), rotate the queries the
+    * same way the corpus was rotated at build, then [[queryPqIndex]]
+    * verbatim — ADC over the code table, zero raw-vector I/O. */
+  def queryOpqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val rows = spark.read.parquet(s"$dir/rotation")
+      .select(col("j"), col("i"), col("r")).collect()
+    val dim = rows.map(_.getInt(0)).max + 1
+    val rot = Array.ofDim[Long](dim, dim)
+    rows.foreach(r => rot(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    queryPqIndex(spark, dir, applyRotation(queries, idCol, vecCol, rot),
+      idCol, vecCol, k)
+  }
+
   /** Dimension-truncation recall audit (the Matryoshka question): if
     * retrieval kept only the FIRST `dims` coordinates of every embedding —
     * half the index bytes, half the ADC work — what fraction of the

@@ -90,7 +90,9 @@ object Curation {
     * training slice (TRUE for full-corpus training; `id < 1000` for the
     * append-lifecycle entry, whose codebooks froze at build time); code
     * ASSIGNMENT and ADC scoring always run corpus-wide. */
-  private def pqIndexOracle(trainWhere: String): String = {
+  private[queries] def pqIndexOracle(trainWhere: String,
+      srcSql: String = "SELECT vec_id AS id, embedding AS v FROM embeddings",
+      preCtes: String = ""): String = {
     val blocks = 8; val bw = 8; val codebook = 16
     val sqd8 = (x: String, c: String) =>
       s"list_sum(list_transform(range(1, ${bw + 1}), j -> ($x[j] - $c[j]) * ($x[j] - $c[j])))"
@@ -107,10 +109,12 @@ object Curation {
          |  FROM a$i a CROSS JOIN range(1, ${bw + 1}) t(i) GROUP BY 1, 2, 3)
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
+    val withClause =
+      if (preCtes.isEmpty) "WITH" else s"WITH RECURSIVE\n$preCtes,"
     s"""
-    |WITH e AS (SELECT vec_id AS id, embedding AS v,
-    |      SQRT(${V.duckDot("embedding", "embedding")}) AS nrm
-    |    FROM embeddings),
+    |$withClause e AS (SELECT id, v,
+    |      SQRT(${V.duckDot("v", "v")}) AS nrm
+    |    FROM ($srcSql)),
     |q AS (SELECT id, v, nrm FROM e WHERE id % 10 = 0),
     |s AS (SELECT id, b.blk AS block,
     |    list_transform(range(1, ${bw + 1}),

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.{CompandedWav, EvalText, Wordpiece}
+import graft.operators.{CompandedWav, EvalText, Similarity, Wordpiece}
 
 /** Round-17 queries:
   *  - text_chrf: corpus chrF + chrF++ over the same lossy-paraphrase
@@ -15,7 +15,15 @@ import graft.operators.{CompandedWav, EvalText, Wordpiece}
   *    CompandedWav door — the oracle replays the coefficient-pair
   *    predictor recursion per class, so every one of the 1200 state
   *    transitions (truncating division, both clamps, delta adaptation)
-  *    must match the Scala decoder exactly.
+  *    must match the Scala decoder exactly;
+  *  - sim_opq_index: OPQ-lite — [[graft.operators.Similarity.pcaPower]]'s
+  *    discipline composed into the persisted-PQ lifecycle as a full-rank
+  *    learned rotation (driver-side power iteration with in-loop
+  *    Gram-Schmidt projection-deflation over the one-scan dim×dim moment
+  *    matrix) plus round-robin eigenvalue allocation; the oracle replays
+  *    the eigen loop as a 64-step recursive CTE carrying the accumulated
+  *    rotation rows as LIST state, then runs the unchanged PQ replay over
+  *    the rotated vectors.
   */
 object Round17 {
 
@@ -24,6 +32,119 @@ object Round17 {
     * sample2 — shared with the oracle's `cf` VALUES row by row. */
   private val MsPred = Array(0, 1, 3, 5)
   private val MsDelta0 = Array(16, 32, 50, 100)
+
+  /** sim_opq_index's rotation replay: mirrors
+    * [[graft.operators.Similarity.opqRotation]] constant for constant as
+    * recursive-CTE state — ONE single-row step per component carrying
+    * only the accumulated rotation rows (`racc`); the 64×64 moment
+    * matrix (`sm`, row-major HUGEINT list) is CONSTANT (projection-
+    * deflation — no matrix mutation) and re-joined from `mom` each step.
+    * Inside each step the three power rounds each apply the classical
+    * Gram-Schmidt projection against all accepted rows (one list
+    * expression over `racc` — the reason the Scala side uses classical,
+    * not modified, GS) before the matvec, and the final iterate is
+    * projected once more and L2-normalized through the isqrt-corrected
+    * integer sqrt. Every floored division of a possibly-negative
+    * numerator uses the shared `(a - ((a % b + b) % b)) // b` form (`%`
+    * follows the dividend sign in both engines; the final division is
+    * exact); nonneg renormalizations use the `((t + m) * s) // m - s`
+    * form — the [[Curation]] pcaPower discipline. `rote` then applies
+    * the round-robin-permuted rows (position p takes component
+    * (p%8)*8 + p//8) to the grid vectors and hands exact-integer-valued
+    * REALs to the unchanged PQ replay tail. */
+  private def opqPreCtes: String = {
+    val dim = 64; val sc = 1000000L
+    def fd(a: String, b: String) =
+      s"(($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
+    val carry = "k, racc, sm, nns"
+    // GS projection: two levels (dots against accepted rows, then the
+    // corrected iterate); g comes out as a HUGEINT list
+    def gsLevels(wname: String, gname: String, inner: String): String =
+      s"""SELECT $carry,
+        |  list_transform(range(0, $dim), i ->
+        |    CAST($wname[i + 1] AS HUGEINT) - coalesce(
+        |      list_sum(list_transform(range(0, k), l ->
+        |        CASE WHEN nns[l + 1] = 0 THEN CAST(0 AS HUGEINT)
+        |             ELSE ${fd(s"pds[l + 1] * racc[l * $dim + i + 1]",
+                           "nns[l + 1]")} END)),
+        |      CAST(0 AS HUGEINT))) AS $gname
+        |FROM (
+        |  SELECT $carry, $wname,
+        |    list_transform(range(0, k), l -> list_sum(
+        |      list_transform(range(0, $dim), j ->
+        |        CAST($wname[j + 1] AS HUGEINT)
+        |          * racc[l * $dim + j + 1]))) AS pds
+        |  FROM ($inner))""".stripMargin
+    val base = s"""SELECT k, racc, sm,
+      |  list_transform(range(0, k), l -> list_sum(
+      |    list_transform(range(0, $dim), j ->
+      |      CAST(racc[l * $dim + j + 1] AS HUGEINT)
+      |        * racc[l * $dim + j + 1]))) AS nns,
+      |  list_transform(range(0, $dim), i ->
+      |    CAST((k * $dim + i) * 2654435761 % 1000003 - 500000 AS BIGINT)) AS w0
+      |FROM est, mom WHERE k < $dim""".stripMargin
+    // three power rounds: GS-project the iterate, matvec on the constant
+    // moment matrix, renormalize to the grid (m = 0 keeps the projection)
+    val rounds = (1 to 3).foldLeft(base) { (inner, r) =>
+      val w = if (r == 1) "w0" else s"w${r - 1}"
+      s"""SELECT $carry,
+        |  CASE WHEN m$r = 0 THEN list_transform(g$r, x -> CAST(x AS BIGINT))
+        |       ELSE list_transform(t$r,
+        |         x -> CAST(((x + m$r) * $sc) // m$r - $sc AS BIGINT)) END AS w$r
+        |FROM (
+        |  SELECT $carry, g$r, t$r,
+        |    list_max(list_transform(t$r, x -> abs(x))) AS m$r
+        |  FROM (
+        |    SELECT $carry, g$r,
+        |      list_transform(range(0, $dim), i -> list_sum(
+        |        list_transform(range(0, $dim),
+        |          j -> sm[i * $dim + j + 1] * g$r[j + 1]))) AS t$r
+        |    FROM (
+        |${gsLevels(w, s"g$r", inner)})))""".stripMargin
+    }
+    s"""xg AS (SELECT vec_id AS id,
+      |    list_transform(range(1, ${dim + 1}), i ->
+      |      CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+      |        * $sc.0) AS BIGINT)) AS xa
+      |  FROM embeddings),
+      |mom AS (SELECT list(s ORDER BY i, j) AS sm FROM (
+      |  SELECT t.i AS i, u.j AS j,
+      |    sum(CAST(xg.xa[CAST(t.i AS INT)] AS HUGEINT)
+      |        * xg.xa[CAST(u.j AS INT)]) AS s
+      |  FROM xg, range(1, ${dim + 1}) t(i), range(1, ${dim + 1}) u(j)
+      |  GROUP BY 1, 2)),
+      |est(k, racc) AS (
+      |  SELECT 0, CAST([] AS BIGINT[])
+      |  UNION ALL
+      |  SELECT k + 1, racc || u
+      |  FROM (
+      |    SELECT $carry,
+      |      CASE WHEN ssq = 0
+      |           THEN list_transform(g, x -> CAST(x AS BIGINT))
+      |           ELSE list_transform(g, x ->
+      |             CAST(${fd(s"x * $sc", "rc")} AS BIGINT)) END AS u
+      |    FROM (
+      |      SELECT $carry, g, ssq,
+      |        CASE WHEN r0 * r0 > ssq THEN r0 - 1
+      |             WHEN (r0 + 1) * (r0 + 1) <= ssq THEN r0 + 1
+      |             ELSE r0 END AS rc
+      |      FROM (
+      |        SELECT $carry, g, ssq,
+      |          CAST(floor(sqrt(CAST(ssq AS DOUBLE))) AS BIGINT) AS r0
+      |        FROM (
+      |          SELECT $carry, g,
+      |            list_sum(list_transform(g, x -> x * x)) AS ssq
+      |          FROM (
+      |${gsLevels("w3", "g", rounds)})))))
+      |  ),
+      |rfin AS (SELECT racc FROM est WHERE k = $dim),
+      |rote AS (SELECT x.id AS id,
+      |    list_transform(range(0, $dim), p -> CAST(CAST(list_sum(
+      |      list_transform(range(0, $dim), i ->
+      |        CAST(r.racc[((p % 8) * 8 + p // 8) * $dim + i + 1] AS HUGEINT)
+      |          * x.xa[i + 1])) AS DOUBLE) AS REAL)) AS v
+      |  FROM xg x, rfin r)""".stripMargin
+  }
 
   val defs: Seq[Q] = Seq(
 
@@ -92,6 +213,26 @@ object Round17 {
     Q("text_wordpiece", (s, d) =>
       Wordpiece.train(Tables.ts(s, d, "documents"), "text", merges = 8),
       Some(Wordpiece.trainOracleSql(8))),
+
+    // ---- OPQ-lite: learned rotation before the PQ block split ----------
+    // pcaPower composed into the PQ lifecycle: full-rank power-iteration +
+    // deflation rotation learned from ONE corpus scan (the bounded dim×dim
+    // moment matrix), eigenvalue-allocation-lite round-robin dimension
+    // assignment, then the unchanged persisted-PQ build/query. The oracle
+    // replays the entire pipeline — the eigen loop as a 64-step recursive
+    // CTE, then the sim_pq_index Lloyd/ADC tail over rotated vectors.
+    Q("sim_opq_index", (s, d) =>
+      ScaleOps.withAqeOff(s) { ScaleOps.withShufflePartitions(s, 8) {
+        val dir = java.nio.file.Files.createTempDirectory("opq-index")
+        dir.toFile.deleteOnExit()
+        val e = Tables.t(s, d, "embeddings")
+        Similarity.buildOpqIndex(e, "vec_id", "embedding", dir.toString)
+        Similarity.queryOpqIndex(s, dir.toString,
+          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          k = 10)
+      } },
+      Some(Curation.pqIndexOracle("TRUE", "SELECT id, v FROM rote",
+        opqPreCtes))),
 
     // ---- chrF / chrF++ -------------------------------------------------
     // the third metric of the generation-eval triple: character-n-gram

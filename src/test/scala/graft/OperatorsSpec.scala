@@ -296,6 +296,86 @@ class OperatorsSpec extends AnyFunSuite {
     assert(answers(dirA) === answers(dirU))
   }
 
+  test("opq index: recall@10 >= plain PQ on correlated dims; build is bit-deterministic") {
+    import spark.implicits._
+    // correlated fixture — the regime OPQ exists for (Ge et al. §1:
+    // structured descriptors whose correlated dims STRADDLE the naive
+    // block boundaries): 8 equal-scale latents, latent k loading a
+    // triangular profile on the 8 dims centered on the block-k/k+1
+    // boundary (disjoint bands, wrap at 64), plus small independent
+    // noise. Each naive block then sees the halves of TWO latents —
+    // 16 codes over a 2-D correlated slice (~4 levels per direction) —
+    // while the learned rotation concentrates each latent into one
+    // coordinate and round-robin hands each block exactly one strong
+    // direction: 16 codes on ~1-D (16 levels). Deterministic (no RNG).
+    val dim = 64; val nVec = 400
+    def frac(seed: Long): Double = {
+      // splitmix64 finalizer: a LINEAR hash (seed*c mod p) makes every
+      // latent a linear function of id - near-perfectly correlated
+      var x = seed + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x = x ^ (x >>> 31)
+      (x >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val profile = Array(1.0, 2.0, 3.0, 4.0, 4.0, 3.0, 2.0, 1.0)
+    val fixture = (0 until nVec).map { id =>
+      val z = Array.tabulate(8)(k => frac(id * 31L + k * 977L) * 2.0)
+      val v = Array.tabulate(dim) { d =>
+        val load = (0 until 8).map { k =>
+          val off = ((d - (8 * k + 4)) % dim + dim) % dim
+          if (off < 8) profile(off) / 4.0 * z(k) * (1.0 - 0.05 * k)
+          else 0.0
+        }.sum
+        (load + 0.05 * frac(id * 64L + d + 977L)).toFloat
+      }
+      (id.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = fixture.filter(col("vec_id") < 25)
+    val truth = Similarity.bruteForceTopK(queries, fixture, "vec_id",
+        "embedding", 10, broadcastCorpus = true)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dirP = java.nio.file.Files.createTempDirectory("opq-plain").toString
+    val dirO = java.nio.file.Files.createTempDirectory("opq-rot").toString
+    Similarity.buildPqIndex(fixture, "vec_id", "embedding", dirP)
+    Similarity.buildOpqIndex(fixture, "vec_id", "embedding", dirO)
+    def recall(hits: Set[(Long, Long)]): Double =
+      truth.count(hits.contains).toDouble / truth.size
+    val pqR = recall(Similarity.queryPqIndex(spark, dirP, queries,
+      "vec_id", "embedding", 10).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val opqR = recall(Similarity.queryOpqIndex(spark, dirO, queries,
+      "vec_id", "embedding", 10).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(opqR >= pqR,
+      s"OPQ recall@10 $opqR should be >= plain PQ $pqR on correlated dims")
+    assert(opqR > 0.5, s"OPQ recall@10 $opqR implausibly low")
+    // learned rows are grid-unit and near-orthogonal (top 8 checked: the
+    // strong-eigenvalue components power iteration converges hardest on)
+    val rot = Similarity.opqRotation(fixture, "embedding", dim)
+    for (k <- 0 until 8) {
+      val nk = math.sqrt(rot(k).map(x => x * x).sum.toDouble)
+      assert(math.abs(nk / 1e6 - 1.0) < 0.01, s"row $k norm $nk off-unit")
+      for (l <- 0 until k) {
+        val nl = math.sqrt(rot(l).map(x => x * x).sum.toDouble)
+        val cos = rot(k).zip(rot(l)).map { case (a, b) =>
+          a.toDouble * b }.sum / (nk * nl)
+        assert(math.abs(cos) < 0.05, s"rows $l,$k not orthogonal: $cos")
+      }
+    }
+    // bit-determinism: rebuilding under a different physical partitioning
+    // reproduces rotation and codes byte-for-byte (integer sums are
+    // partition-order-free; everything downstream is driver BigInt)
+    val dirO2 = java.nio.file.Files.createTempDirectory("opq-rot2").toString
+    Similarity.buildOpqIndex(fixture.repartition(7), "vec_id", "embedding",
+      dirO2)
+    def slurp(dir: String, part: String) =
+      spark.read.parquet(s"$dir/$part").collect().map(_.toString).toSet
+    assert(slurp(dirO, "rotation") === slurp(dirO2, "rotation"))
+    assert(slurp(dirO, "codes") === slurp(dirO2, "codes"))
+  }
+
   test("diverseSample: per-cluster quota holds and selection is partitioning-invariant") {
     import graft.operators.Sampling
     val s1 = Sampling.diverseSample(emb, "vec_id", "embedding", 8, 2, 5)
