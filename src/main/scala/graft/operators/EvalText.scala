@@ -209,6 +209,32 @@ object EvalText {
        |  AS BIGINT)
        |END""".stripMargin
 
+  /** Per-document TER (translation edit rate, Snover et al. 2006, the
+    * shift-less variant — word-level Levenshtein over reference length;
+    * the phrase-shift search is NP-hard and every large-scale TER
+    * implementation approximates it, this one documents edit-only):
+    * (id, edits, cand_len, ref_len, ter_micro). Distance via the native
+    * [[graft.functions.WordEditDistance]] kernel — document grain,
+    * embarrassingly parallel, O(len²) per doc. TER = edits/ref_len (can
+    * exceed 1; NULL when the reference is empty), micro-scaled. */
+  def ter(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame =
+    pairs.select(col(idCol).as("id"),
+        filter(split(col(candCol), " "), _ =!= "").as("ct"),
+        filter(split(col(refCol), " "), _ =!= "").as("rt"))
+      .select(col("id"),
+        graft.functions.EditDistNative.wordEditDistance(col("ct"), col("rt"))
+          .as("edits"),
+        size(col("ct")).cast("long").as("cand_len"),
+        size(col("rt")).cast("long").as("ref_len"))
+      .select(col("id"), col("edits"), col("cand_len"), col("ref_len"),
+        expr(terFrag).as("ter_micro"))
+
+  private def terFrag: String =
+    """CASE WHEN ref_len = 0 THEN CAST(NULL AS BIGINT)
+      |ELSE CAST(round(1e6 * CAST(edits AS DOUBLE) / ref_len) AS BIGINT)
+      |END""".stripMargin
+
   /** (id, pos, w) CHARACTER table for one side: whitespace removed
     * first (the chrF convention — char n-grams never span or contain
     * the token separator), then one char per row. Positions come from
@@ -429,6 +455,51 @@ object EvalText {
        |SELECT id, lcs, cand_len, ref_len,
        |  $rlRecallFrag AS rl_recall_micro,
        |  ${rlF1Frag("")} AS rl_f1_micro
+       |FROM fin""".stripMargin
+
+  /** DuckDB replica of [[ter]]. DuckDB's `levenshtein` is character-level,
+    * so the oracle runs the word-level DP itself as a recursive CTE at
+    * (doc, ref-position) grain — rows, not lists, because the serial
+    * in-row dependence D[i][j-1] is eliminated by the prefix-min identity
+    * `D[i][j] = j + min_{k≤j}(A[k] − k)` with
+    * `A[k] = min(D[i-1][k] + 1, D[i-1][k-1] + cost_ik)` (`A[0] = i`),
+    * which a running-min window over the previous DP row evaluates in
+    * O(1) amortized per cell — total O(n·m) per doc, the [[rougeLOracleSql]]
+    * cost class. Docs whose candidate is exhausted drop out of the
+    * recursion; `fin` reads each doc's row at (i = cand_len, j = ref_len). */
+  def terOracleSql(pairsCte: String): String =
+    s"""WITH RECURSIVE $pairsCte,
+       |tdocs AS MATERIALIZED (
+       |  SELECT id,
+       |         list_filter(string_split(cand, ' '), x -> x <> '') AS ct,
+       |         list_filter(string_split(ref, ' '), x -> x <> '') AS rt
+       |  FROM pairs),
+       |tdims AS MATERIALIZED (
+       |  SELECT id, len(ct) AS cl, len(rt) AS rl, ct, rt FROM tdocs),
+       |dp AS (
+       |  SELECT id, 0 AS i, CAST(r.j AS INT) AS j, CAST(r.j AS INT) AS d
+       |  FROM tdims, unnest(range(0, rl + 1)) AS r(j)
+       |  UNION ALL
+       |  SELECT id, i + 1, j,
+       |    j + min(a - j) OVER (PARTITION BY id ORDER BY j
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |  FROM (
+       |    SELECT dp.id, dp.i, dp.j,
+       |      CASE WHEN dp.j = 0 THEN dp.d + 1
+       |        ELSE least(dp.d + 1,
+       |          lag(dp.d) OVER (PARTITION BY dp.id ORDER BY dp.j)
+       |            + CASE WHEN d.ct[dp.i + 1] = d.rt[dp.j] THEN 0 ELSE 1 END)
+       |        END AS a
+       |    FROM dp JOIN tdims d ON d.id = dp.id
+       |    WHERE dp.i < d.cl)),
+       |fin AS (
+       |  SELECT d.id, CAST(dp.d AS BIGINT) AS edits,
+       |         CAST(d.cl AS BIGINT) AS cand_len,
+       |         CAST(d.rl AS BIGINT) AS ref_len
+       |  FROM dp JOIN tdims d ON d.id = dp.id
+       |  WHERE dp.i = d.cl AND dp.j = d.rl)
+       |SELECT id, edits, cand_len, ref_len,
+       |  $terFrag AS ter_micro
        |FROM fin""".stripMargin
 
   /** DuckDB replica of [[chrF]]: the BLEU oracle's scalar-subquery

@@ -1426,21 +1426,40 @@ object Similarity {
       dir, subspaces, codebook, iters, scale)
   }
 
+  private def readRotation(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Long]] = {
+    val rows = spark.read.parquet(s"$dir/rotation")
+      .select(col("j"), col("i"), col("r")).collect()
+    val dim = rows.map(_.getInt(0)).max + 1
+    val rot = Array.ofDim[Long](dim, dim)
+    rows.foreach(r => rot(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    rot
+  }
+
+  /** Append a batch of NEW vectors to a [[buildOpqIndex]] index: the
+    * persisted rotation joins the codebooks in the frozen quantizer
+    * contract (both learned at build, both corpus-independent afterward),
+    * so the batch pays one driver-literal rotation + [[appendPqIndex]]'s
+    * broadcast-codebook argmin — cost tracks the BATCH. Append-then-query
+    * equals a one-shot build trained (rotation AND codebooks) on the
+    * original slice, the [[appendPqIndex]] equality, asserted via the
+    * sim_opq_append oracle which learns its replayed rotation from the
+    * build slice only. */
+  def appendOpqIndex(emb: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit =
+    appendPqIndex(applyRotation(emb, idCol, vecCol,
+      readRotation(emb.sparkSession, dir)), idCol, vecCol, dir)
+
   /** Top-k search against a [[buildOpqIndex]] index: read the persisted
     * rotation (dim² rows — driver-literal sized), rotate the queries the
     * same way the corpus was rotated at build, then [[queryPqIndex]]
     * verbatim — ADC over the code table, zero raw-vector I/O. */
   def queryOpqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int): DataFrame = {
-    val rows = spark.read.parquet(s"$dir/rotation")
-      .select(col("j"), col("i"), col("r")).collect()
-    val dim = rows.map(_.getInt(0)).max + 1
-    val rot = Array.ofDim[Long](dim, dim)
-    rows.foreach(r => rot(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-    queryPqIndex(spark, dir, applyRotation(queries, idCol, vecCol, rot),
+      k: Int): DataFrame =
+    queryPqIndex(spark, dir,
+      applyRotation(queries, idCol, vecCol, readRotation(spark, dir)),
       idCol, vecCol, k)
-  }
 
   /** Dimension-truncation recall audit (the Matryoshka question): if
     * retrieval kept only the FIRST `dims` coordinates of every embedding —

@@ -23,7 +23,14 @@ import graft.operators.{CompandedWav, EvalText, Similarity, Wordpiece}
   *    matrix) plus round-robin eigenvalue allocation; the oracle replays
   *    the eigen loop as a 64-step recursive CTE carrying the accumulated
   *    rotation rows as LIST state, then runs the unchanged PQ replay over
-  *    the rotated vectors.
+  *    the rotated vectors;
+  *  - sim_opq_append: the OPQ append lifecycle — rotation + codebooks as
+  *    the frozen quantizer contract, the oracle learning its replayed
+  *    rotation from the build slice only;
+  *  - text_ter: shift-less TER (word-level Levenshtein / ref length) via
+  *    the native [[graft.functions.WordEditDistance]] kernel, completing
+  *    the BLEU/ROUGE/chrF/TER eval quartet; the oracle replays the DP at
+  *    (doc, ref-pos) grain via the prefix-min identity.
   */
 object Round17 {
 
@@ -52,7 +59,7 @@ object Round17 {
     * the round-robin-permuted rows (position p takes component
     * (p%8)*8 + p//8) to the grid vectors and hands exact-integer-valued
     * REALs to the unchanged PQ replay tail. */
-  private def opqPreCtes: String = {
+  private def opqPreCtes(momWhere: String = "TRUE"): String = {
     val dim = 64; val sc = 1000000L
     def fd(a: String, b: String) =
       s"(($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
@@ -111,7 +118,8 @@ object Round17 {
       |  SELECT t.i AS i, u.j AS j,
       |    sum(CAST(xg.xa[CAST(t.i AS INT)] AS HUGEINT)
       |        * xg.xa[CAST(u.j AS INT)]) AS s
-      |  FROM xg, range(1, ${dim + 1}) t(i), range(1, ${dim + 1}) u(j)
+      |  FROM (SELECT * FROM xg WHERE $momWhere) xg,
+      |       range(1, ${dim + 1}) t(i), range(1, ${dim + 1}) u(j)
       |  GROUP BY 1, 2)),
       |est(k, racc) AS (
       |  SELECT 0, CAST([] AS BIGINT[])
@@ -232,7 +240,44 @@ object Round17 {
           k = 10)
       } },
       Some(Curation.pqIndexOracle("TRUE", "SELECT id, v FROM rote",
-        opqPreCtes))),
+        opqPreCtes()))),
+
+    // OPQ index APPEND lifecycle: rotation + codebooks are BOTH part of
+    // the frozen quantizer contract learned at build — the oracle learns
+    // its replayed rotation from the build slice only (momWhere) and
+    // trains its Lloyd CTEs on id < 1000, then assigns codes and scores
+    // ADC corpus-wide, so append-then-query must equal the one-shot
+    // pinned-train build (the sim_pq_append discipline, rotation
+    // included).
+    Q("sim_opq_append", (s, d) =>
+      ScaleOps.withAqeOff(s) { ScaleOps.withShufflePartitions(s, 8) {
+        val dir = java.nio.file.Files.createTempDirectory("opq-append")
+        dir.toFile.deleteOnExit()
+        val e = Tables.t(s, d, "embeddings")
+        Similarity.buildOpqIndex(e.filter(col("vec_id") < 1000), "vec_id",
+          "embedding", dir.toString)
+        Similarity.appendOpqIndex(
+          e.filter(col("vec_id") >= 1000 && col("vec_id") % 2 === 0),
+          "vec_id", "embedding", dir.toString)
+        Similarity.appendOpqIndex(
+          e.filter(col("vec_id") >= 1000 && col("vec_id") % 2 === 1),
+          "vec_id", "embedding", dir.toString)
+        Similarity.queryOpqIndex(s, dir.toString,
+          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          k = 10)
+      } },
+      Some(Curation.pqIndexOracle("id < 1000", "SELECT id, v FROM rote",
+        opqPreCtes("id < 1000")))),
+
+    // ---- TER (translation edit rate, shift-less) -----------------------
+    // the fourth standard generation-eval metric next to BLEU/ROUGE/chrF:
+    // word-level Levenshtein over reference length via the native
+    // WordEditDistance kernel; the oracle replays the DP at (doc, ref-pos)
+    // grain using the prefix-min identity + running-min window (the
+    // serial in-row dependence never exists in SQL)
+    Q("text_ter", (s, d) =>
+      EvalText.ter(Round15.evalPairs(s, d), "id", "cand", "ref"),
+      Some(EvalText.terOracleSql(Round15.evalPairsCte))),
 
     // ---- chrF / chrF++ -------------------------------------------------
     // the third metric of the generation-eval triple: character-n-gram

@@ -867,6 +867,16 @@ object ScaleSmoke {
           graft.operators.Similarity.dimStats(e1, "embedding"))),
         time("dim_stats 10x")(noop(
           graft.operators.Similarity.dimStats(e10, "embedding")))),
+      // OPQ rotation learning: ONE corpus scan (the dim-pair moment
+      // aggregate, map-side combined to 2080 keys) + a corpus-size-
+      // INDEPENDENT driver BigInt eigen loop — cost must track the scan;
+      // the fixed 64-component iteration amortizes at 10x
+      ("opq_rotation", time("opq_rotation 1x") {
+          graft.operators.Similarity.opqRotation(e1, "embedding", 64); ()
+        },
+        time("opq_rotation 10x") {
+          graft.operators.Similarity.opqRotation(e10, "embedding", 64); ()
+        }),
       // per-session state bounded to maxLen rows before the collect
       ("top_paths", time("top_paths 1x")(noop(
           EventAnalytics.topPaths(

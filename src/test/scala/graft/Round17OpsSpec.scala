@@ -137,4 +137,58 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(Wordpiece.segmentWord("abz", units) === None)
     assert(Wordpiece.segmentWord("a", units) === Some(Seq("a")))
   }
+
+  // ---- TER (word-level edit distance) -----------------------------------
+
+  test("ter: hand cases through the operator") {
+    val pairs = Seq(
+      (1L, "a b c", "a x c"),      // one substitution
+      (2L, "a b c d", "a b c"),    // one deletion from candidate
+      (3L, "a c", "a b c"),        // one insertion into candidate
+      (4L, "x y z", "a b c"),      // all substitutions
+      (5L, "a b", "a b"),          // exact
+      (6L, "", "a b"),             // empty candidate: rl edits
+      (7L, "a b", "")              // empty reference: cl edits, TER NULL
+    ).toDF("id", "cand", "ref")
+    val out = EvalText.ter(pairs, "id", "cand", "ref").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out(1L) === ((1L, 333333L)))
+    assert(out(2L) === ((1L, 333333L)))
+    assert(out(3L) === ((1L, 333333L)))
+    assert(out(4L) === ((3L, 1000000L)))
+    assert(out(5L) === ((0L, 0L)))
+    assert(out(6L) === ((2L, 1000000L)))
+    assert(out(7L) === ((2L, -1L)))   // NULL ter on empty reference
+  }
+
+  test("ter kernel: property check against the classic three-branch DP") {
+    import graft.functions.EditDistImpl
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def naive(a: Seq[String], b: Seq[String]): Long = {
+      val n = a.length; val m = b.length
+      val dp = Array.tabulate(n + 1, m + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to n; j <- 1 to m)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(n)(m).toLong
+    }
+    def arr(xs: Seq[String]): ArrayData =
+      ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray)
+    // deterministic pseudo-random token sequences over a narrow vocab
+    // (narrow => plenty of matches, the DP's interesting regime)
+    val vocab = Vector("a", "b", "c", "d")
+    def seqOf(seed: Int): Seq[String] = {
+      val len = (seed * 2654435761L >>> 28).toInt % 9
+      (0 until len).map(i =>
+        vocab((((seed * 31 + i) * 2654435761L) >>> 30).toInt % 4))
+    }
+    for (s <- 0 until 60) {
+      val (a, b) = (seqOf(s), seqOf(s + 1000))
+      assert(EditDistImpl.dist(arr(a), arr(b)) === naive(a, b),
+        s"mismatch on $a vs $b")
+    }
+  }
 }
