@@ -1377,15 +1377,22 @@ object Similarity {
     * shuffle, no UDF. */
   private def applyRotation(df: DataFrame, idCol: String, vecCol: String,
       rot: Array[Array[Long]]): DataFrame = {
-    val dim = rot.length
-    val xs = df.select(col(idCol) +: (1 to dim).map(i =>
-      round(element_at(col(vecCol), i).cast("double") * lit(1e6))
-        .cast("long").as(s"__x$i")): _*)
-    val rotated = array((0 until dim).map { j =>
-      (1 to dim).map(i => col(s"__x$i") * lit(rot(j)(i - 1))).reduce(_ + _)
-        .cast("double").cast("float")
-    }: _*)
-    xs.select(col(idCol), rotated.as(vecCol))
+    // grid-integerize ONCE into an array (same round/cast chain the
+    // KMeans.scaledVectors discipline uses, element order unchanged), then
+    // one native matvec per row. The previous expression-tree form — an
+    // `array(...)` of dim per-output sums over dim extracted columns —
+    // inlined dim² ≈ 4096 multiply-adds into one generated projection,
+    // which exceeds Janino's method limits: every plan paid a ~6-8 s
+    // FAILED whole-stage compile (ERROR CodeGenerator) and then ran
+    // interpreted. The kernel is bit-identical (exact long products,
+    // left-to-right sum, LONG→DOUBLE→FLOAT close) and one static call
+    // site — see [[graft.functions.MatVecImpl]]; oracle unchanged.
+    val xs = df.select(col(idCol),
+      transform(col(vecCol),
+        x => round(x.cast("double") * lit(1e6)).cast("long")).as("__xs"))
+    xs.select(col(idCol),
+      graft.functions.MatVecNative.rotateMatVec(col("__xs"),
+        typedLit(rot.map(_.toSeq).toSeq)).as(vecCol))
   }
 
   /** OPQ-lite index build: [[opqRotation]]'s learned rotation applied
