@@ -80,27 +80,38 @@ object EvalText {
   def corpusBleu(pairs: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 6, s"maxN in [1,6], got $maxN")
-    val cand = toks(pairs, idCol, candCol).persist()
-    val ref = toks(pairs, idCol, refCol).persist()
-    val lens = cand.groupBy().agg(count(lit(1)).as("cand_len"))
-      .crossJoin(ref.groupBy().agg(count(lit(1)).as("ref_len")))
-      .crossJoin(pairs.select(col(idCol)).distinct()
+    // dense token arrays once per side (the sequences toks() exploded),
+    // then BOTH sides ride one side-tagged native-kernel gram stream into
+    // ONE (id, n, g) aggregate; least(c, cr) per row reproduces the old
+    // inner join's clipped-match sum (a gram absent on either side
+    // contributes 0), so the per-side aggregates, the (id, n, g)
+    // equi-join, the totals aggregate and their joins all collapse into
+    // one map-side-combined aggregate plus a single-row pivot — and no
+    // window sort exists at any scale (the windowed form's per-id
+    // exchange was also AQE-coalesced to single tasks at eval-panel
+    // size). Token lengths read sum(size(arr)) — same counts toks() gave.
+    val base = pairs.select(col(idCol).as("id"),
+      filter(split(col(candCol), " "), w => w =!= "").as("ca"),
+      filter(split(col(refCol), " "), w => w =!= "").as("ra")).persist()
+    val lens = base.agg(
+        coalesce(sum(size(col("ca"))), lit(0L)).cast("long").as("cand_len"),
+        coalesce(sum(size(col("ra"))), lit(0L)).cast("long").as("ref_len"))
+      .crossJoin(base.select(col("id")).distinct()
         .agg(count(lit(1)).as("n_pairs")))
-    // clipped matches ride the INNER join (Spark's least() skips nulls,
-    // so a left join would count unmatched grams at full c); totals
-    // aggregate the candidate side alone. All orders share one join on
-    // (id, n, g) and pivot to the single output row.
-    val cg = gramCountsMulti(cand, maxN)
-    val rg = gramCountsMulti(ref, maxN)
-    val matches = cg.join(rg.withColumnRenamed("c", "cr"),
-        Seq("id", "n", "g"))
-      .groupBy(col("n")).agg(sum(least(col("c"), col("cr"))).as("m"))
-    val totals = cg.groupBy(col("n")).agg(sum(col("c")).as("t"))
+    def side(arrCol: String, tag: Int) = base.select(col("id"),
+      lit(tag).as("side"),
+      explode(graft.functions.NgramsNative.ngramsAll(col(arrCol), maxN))
+        .as("t"))
+    val both = side("ca", 0).unionByName(side("ra", 1))
+      .select(col("id"), col("t.n").as("n"), col("t.g").as("g"), col("side"))
+      .groupBy(col("id"), col("n"), col("g"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cr"))
     val pivotCols = (1 to maxN).flatMap(n => Seq(
-      coalesce(sum(when(col("n") === n, col("m"))), lit(0L)).as(s"m$n"),
-      coalesce(sum(when(col("n") === n, col("t"))), lit(0L)).as(s"t$n")))
-    val perN = totals.join(matches, Seq("n"), "left")
-      .agg(pivotCols.head, pivotCols.tail: _*)
+      coalesce(sum(when(col("n") === n, least(col("c"), col("cr")))),
+        lit(0L)).as(s"m$n"),
+      coalesce(sum(when(col("n") === n, col("c"))), lit(0L)).as(s"t$n")))
+    val perN = both.agg(pivotCols.head, pivotCols.tail: _*)
     val joined = lens.crossJoin(perN)
     val zeroGuard = (1 to maxN)
       .map(n => s"m$n = 0 OR t$n = 0").mkString(" OR ")
@@ -118,7 +129,7 @@ object EvalText {
              |  * power($prod, 1.0D / $maxN)) AS BIGINT)
              |END""".stripMargin).as("bleu_micro")): _*)
     val materialized = out.localCheckpoint()
-    cand.unpersist(); ref.unpersist()
+    base.unpersist()
     materialized
   }
 
@@ -235,15 +246,33 @@ object EvalText {
       |ELSE CAST(round(1e6 * CAST(edits AS DOUBLE) / ref_len) AS BIGINT)
       |END""".stripMargin
 
-  /** (id, pos, w) CHARACTER table for one side: whitespace removed
-    * first (the chrF convention — char n-grams never span or contain
-    * the token separator), then one char per row. Positions come from
-    * the split index directly (no gaps to re-rank, unlike [[toks]]). */
-  private def chars(pairs: DataFrame, idCol: String, textCol: String) =
-    pairs.select(col(idCol).as("id"),
-        posexplode(split(translate(col(textCol), " ", ""), "")).as(Seq("pos", "w")))
-      .filter(col("w") =!= "")
-      .select(col("id"), col("pos").cast("long").as("pos"), col("w"))
+  /** (id, n, gram, c) counts for ALL orders 1..maxN built from a per-row
+    * token ARRAY — the window-free [[gramCountsMulti]]: gram construction
+    * is a per-row array expression riding the (spread) scan partitioning,
+    * and the ONLY exchange is the map-side-combined count aggregate.
+    *
+    * Why: the windowed form's `Window.partitionBy(id)` exchange carries
+    * few BYTES at eval-panel sizes, so AQE coalesces it to ONE partition
+    * — and then the expensive part (per-token lead projection, ×maxN
+    * explode, partial aggregation) runs in a single task (measured: the
+    * four 1-task stages held ~5 s of text_chrf's 6.3 s). Building grams
+    * from the token array needs no sort and no pre-aggregate exchange at
+    * ANY scale. Gram keys are byte-identical (same U+001F join of the
+    * same dense token sequence), so counts — and every downstream corpus
+    * sum — are unchanged.
+    *
+    * `arr` must be the DENSE token array (empties already filtered). */
+  private def gramCountsMultiArr(rows: DataFrame, maxN: Int) = {
+    // all orders' grams from ONE native per-row kernel (an earlier HOF
+    // transform/slice/concat_ws form paid interpreted-expression overhead
+    // per GRAM - ~2.5 s per gram branch at the eval panel, measured);
+    // gram bytes identical, see NgramsImpl
+    rows.select(col("id"),
+        explode(graft.functions.NgramsNative.ngramsAll(col("arr"), maxN))
+          .as("t"))
+      .select(col("id"), col("t.n").as("n"), col("t.g").as("g"))
+      .groupBy(col("id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+  }
 
   private def chrfTriples(pfx: String, maxN: Int): Seq[(String, String, String)] =
     (1 to maxN).map(n => (s"${pfx}m$n", s"${pfx}t$n", s"${pfx}r$n"))
@@ -292,37 +321,56 @@ object EvalText {
       beta: Double = 2.0): DataFrame = {
     require(charN >= 1 && charN <= 8, s"charN in [1,8], got $charN")
     require(wordN >= 1 && wordN <= 4, s"wordN in [1,4], got $wordN")
-    val candC = chars(pairs, idCol, candCol).persist()
-    val refC = chars(pairs, idCol, refCol).persist()
-    val candW = toks(pairs, idCol, candCol).persist()
-    val refW = toks(pairs, idCol, refCol).persist()
-    def stats(cand: DataFrame, ref: DataFrame, maxN: Int, pfx: String) = {
-      val cg = gramCountsMulti(cand, maxN)
-      val rg = gramCountsMulti(ref, maxN)
-      val matches = cg.join(rg.withColumnRenamed("c", "c2"),
-          Seq("id", "n", "g"))
-        .groupBy(col("n")).agg(sum(least(col("c"), col("c2"))).as("m"))
-      val totals = cg.groupBy(col("n")).agg(sum(col("c")).as("t"))
-        .join(rg.groupBy(col("n")).agg(sum(col("c")).as("r")),
-          Seq("n"), "full")
+    // dense token arrays per grain (same sequences chars()/toks() emitted
+    // as exploded rows), cached once: the four gram branches and the
+    // n_pairs aggregate all read this 1-row-per-pair frame instead of
+    // four exploded-and-persisted token tables — and gram construction
+    // goes through the window-free [[gramCountsMultiArr]] (the windowed
+    // form's per-id exchange carried so few bytes at eval-panel size that
+    // AQE coalesced it to ONE partition, serializing the expensive
+    // explode/aggregate work into single tasks — 4 × ~1-3 s of the
+    // measured entry).
+    def charArr(c: String) =
+      filter(split(translate(col(c), " ", ""), ""), w => w =!= "")
+    def wordArr(c: String) = filter(split(col(c), " "), w => w =!= "")
+    val base = pairs.select(col(idCol).as("id"),
+      charArr(candCol).as("cand_c"), charArr(refCol).as("ref_c"),
+      wordArr(candCol).as("cand_w"), wordArr(refCol).as("ref_w")).persist()
+    def stats(candArr: String, refArr: String, maxN: Int, pfx: String) = {
+      // BOTH sides ride one side-tagged gram stream into ONE (id, n, g)
+      // aggregate; the clipped match then reads least(c, cr) per row —
+      // a gram absent on either side contributes least(..) = 0, exactly
+      // the old inner join's sum — so the separate per-side aggregates,
+      // the (id, n, g) equi-join and the totals full-join all collapse
+      // into one map-side-combined aggregate plus a single-row pivot.
+      def side(arrCol: String, tag: Int) = base.select(col("id"),
+        lit(tag).as("side"),
+        explode(graft.functions.NgramsNative.ngramsAll(col(arrCol), maxN))
+          .as("t"))
+      val both = side(candArr, 0).unionByName(side(refArr, 1))
+        .select(col("id"), col("t.n").as("n"), col("t.g").as("g"),
+          col("side"))
+        .groupBy(col("id"), col("n"), col("g"))
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("cr"))
       val pivotCols = (1 to maxN).flatMap(n => Seq(
-        coalesce(sum(when(col("n") === n, col("m"))), lit(0L)).as(s"${pfx}m$n"),
-        coalesce(sum(when(col("n") === n, col("t"))), lit(0L)).as(s"${pfx}t$n"),
-        coalesce(sum(when(col("n") === n, col("r"))), lit(0L)).as(s"${pfx}r$n")))
-      totals.join(matches, Seq("n"), "left")
-        .agg(pivotCols.head, pivotCols.tail: _*)
+        coalesce(sum(when(col("n") === n, least(col("c"), col("cr")))),
+          lit(0L)).as(s"${pfx}m$n"),
+        coalesce(sum(when(col("n") === n, col("c"))), lit(0L)).as(s"${pfx}t$n"),
+        coalesce(sum(when(col("n") === n, col("cr"))), lit(0L)).as(s"${pfx}r$n")))
+      both.agg(pivotCols.head, pivotCols.tail: _*)
     }
-    val lens = pairs.select(col(idCol)).distinct()
+    val lens = base.select(col("id")).distinct()
       .agg(count(lit(1)).as("n_pairs"))
     val joined = lens
-      .crossJoin(stats(candC, refC, charN, "c"))
-      .crossJoin(stats(candW, refW, wordN, "w"))
+      .crossJoin(stats("cand_c", "ref_c", charN, "c"))
+      .crossJoin(stats("cand_w", "ref_w", wordN, "w"))
     val out = joined.select(col("*"),
       expr(chrfFrag("D", chrfTriples("c", charN), beta)).as("chrf_micro"),
       expr(chrfFrag("D", chrfTriples("c", charN) ++ chrfTriples("w", wordN),
         beta)).as("chrf_pp_micro"))
     val materialized = out.localCheckpoint()
-    candC.unpersist(); refC.unpersist(); candW.unpersist(); refW.unpersist()
+    base.unpersist()
     materialized
   }
 

@@ -931,10 +931,12 @@ object Similarity {
         trainMaxRows, codebook)
     val (codes, cents, fittedCkpts) = fitBlocks(corpus, train, idCol,
       vecCol, bounds, codebook, iters, scale)
-    spark.range(1).select(lit(dim).as("dim"),
-        lit(subspaces).as("subspaces"), lit(codebook).as("codebook"),
-        lit(scale).as("scale"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    // geometry sidecar: four scalars the driver already holds — a plain
+    // file write/read instead of a 1-row parquet ROUND-TRIP that cost one
+    // Spark job at build and one collect-job per append/query session
+    // (the persisted-PQ lifecycle entries are job-count-bound: ~30 tiny
+    // sequential jobs per rep)
+    writePqMeta(dir, dim, subspaces, codebook, scale)
     cents.write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
     fittedCkpts.foreach(Checkpoints.release)
@@ -954,19 +956,23 @@ object Similarity {
   def appendPqIndex(emb: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
     val spark = emb.sparkSession
-    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
-    val dim = meta.getAs[Int]("dim")
-    val subspaces = meta.getAs[Int]("subspaces")
-    val codebook = meta.getAs[Int]("codebook")
-    val scale = meta.getAs[Long]("scale")
+    val (dim, subspaces, codebook, scale) = readPqMeta(dir)
     val bounds = sliceBounds(dim, subspaces)
     val cents = spark.read.parquet(s"$dir/codebooks")
       .select(col("block"), col("code").as("cid"), col("cs"))
     val exploded = (0 until subspaces).map { b =>
       normSlice(emb, idCol, vecCol, bounds, b).withColumn("block", lit(b))
     }.reduce(_ unionByName _)
+    // static packing envelope: normSlice components are unit-normalized
+    // (|vb| <= 1 => grid |xs| <= scale) and the frozen centroids are
+    // means of such rows, so (width, scale, scale) bounds every distance
+    // WITHOUT the two per-append stats scans the data-derived envelope
+    // paid (the packing choice only selects long vs DECIMAL — the
+    // assigned codes are identical either way, and ANSI mode would fail
+    // loud if the bound were ever violated)
+    val width = (1 until bounds.size).map(b => bounds(b) - bounds(b - 1)).max
     KMeans.assignGroupedFrozen(exploded, cents, "block", "id", "vb",
-        codebook, scale)
+        codebook, scale, envelopeHint = Some((width, scale, scale)))
       .select(col("id"), col("block"), col("cluster").as("code"))
       .write.mode("append").parquet(s"$dir/codes")
   }
@@ -981,10 +987,8 @@ object Similarity {
   def queryPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
-    val bounds = sliceBounds(meta.getAs[Int]("dim"),
-      meta.getAs[Int]("subspaces"))
-    val scale = meta.getAs[Long]("scale")
+    val (dim, subspaces, _, scale) = readPqMeta(dir)
+    val bounds = sliceBounds(dim, subspaces)
     val cents = spark.read.parquet(s"$dir/codebooks")
     val table = adcTable(queries.select(col(idCol), col(vecCol)), cents,
       idCol, vecCol, bounds, scale)

@@ -285,8 +285,15 @@ object Round17 {
     // weighting; chrF++ extends the average with word 1/2-grams. Every
     // per-order match/total is an exact corpus integer; both closing
     // doubles share the fragment with the oracle.
+    // 4 MB advisory scope: the gram-count exchanges carry few BYTES at
+    // eval-panel size but heavy per-row aggregate/join work, so default
+    // byte-sized AQE coalescing serialized the match/total stages into
+    // 1-3 tasks (measured ~2.5 s single-task stages). No-op at scale —
+    // coalescing only merges below-advisory partitions, never splits.
     Q("text_chrf", (s, d) =>
-      EvalText.chrF(Round15.evalPairs(s, d), "id", "cand", "ref"),
+      ScaleOps.withAdvisoryPartitionSize(s, 4L << 20) {
+        EvalText.chrF(Round15.evalPairs(s, d), "id", "cand", "ref")
+      },
       Some(EvalText.chrfOracleSql(Round15.evalPairsCte)))
   )
 }

@@ -52,6 +52,27 @@ object ScaleOps {
     try f finally s.conf.set(key, before)
   }
 
+  /** Scope `spark.sql.adaptive.advisoryPartitionSizeInBytes` around an
+    * eagerly-materializing operator call: AQE sizes post-shuffle
+    * partitions by BYTES, so a CPU-dense, byte-light exchange (short
+    * gram/count rows that each cost real per-row work downstream) gets
+    * coalesced to one or two tasks and the expensive stage runs serial.
+    * A smaller advisory tells AQE this stage's rows are compute-bound —
+    * the per-stage sizing a tuned cluster job sets anyway. Scale-safe by
+    * construction: coalescing only ever MERGES below-advisory partitions
+    * (never splits), so on big-data stages whose partitions already
+    * exceed the advisory this is a no-op. Restored before returning. */
+  private[graft] def withAdvisoryPartitionSize[T](
+      s: org.apache.spark.sql.SparkSession, bytes: Long)(f: => T): T = {
+    val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val before = s.conf.getOption(key)
+    s.conf.set(key, bytes.toString)
+    try f finally before match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Temp dir for a query-local persisted index. The returned frame may
     * still READ from the dir when the caller materializes it, so eager
     * deletion inside the lambda is only legal when the result no longer
