@@ -129,28 +129,44 @@ object KMeans {
     * packing envelope covers BOTH sides (batch vectors and the frozen
     * centroids): a small appended batch must not shrink the overflow
     * bound below what centroids trained on a wider corpus can reach.
+    * `envelopeHint = Some((dim, spanEmb, spanCent))` supplies a static
+    * upper bound on (vector width, max |component| of the scaled batch,
+    * max |component| of the centroids) and skips the two per-call driver
+    * stats scans — safe whenever the caller can prove the bound (e.g.
+    * unit-normalized slices: every scaled component is ≤ scale, and the
+    * frozen centroids are means of such rows). The envelope only selects
+    * long vs DECIMAL packing; the assigned codes are identical either
+    * way (both orderings are lexicographic in (dist, cid)), and ANSI
+    * mode fails loud on overflow if a hint were ever wrong.
     * Returns (groupCol, id, cluster). */
   def assignGroupedFrozen(emb: DataFrame, cents: DataFrame,
       groupCol: String, idCol: String, vecCol: String, k: Int,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      envelopeHint: Option[(Int, Long, Long)] = None): DataFrame = {
     require(k > 0 && k < TieRadix, s"need 0 < k < $TieRadix, got $k")
     val scaled = emb.select(col(groupCol), col(idCol).cast("long").as("id"),
       expr(s"transform($vecCol, v -> CAST(round(CAST(v AS DOUBLE) * $scale.0) AS BIGINT))")
         .as("xs"))
     val radix = math.max(java.lang.Long.highestOneBit(math.max(k - 1, 1)) * 2, 2L)
-    val rowS = scaled.select(max(size(col("xs"))),
-      max(expr("array_max(transform(xs, x -> abs(x)))"))).first()
-    val rowC = cents.select(max(size(col("cs"))),
-      max(expr("array_max(transform(cs, x -> abs(x)))"))).first()
-    val p =
-      if (rowS.isNullAt(0) || rowS.isNullAt(1) || rowC.isNullAt(1))
-        Packing(useLong = false, radix, 0)
-      else {
-        val dim = math.max(rowS.getInt(0), rowC.getInt(0))
-        val span = BigInt(rowS.getLong(1)) + BigInt(rowC.getLong(1))
+    val p = envelopeHint match {
+      case Some((dim, spanEmb, spanCent)) =>
+        val span = BigInt(spanEmb) + BigInt(spanCent)
         val bound = BigInt(dim) * span.pow(2) * radix + k
         Packing(bound < BigInt(Long.MaxValue), radix, dim)
-      }
+      case None =>
+        val rowS = scaled.select(max(size(col("xs"))),
+          max(expr("array_max(transform(xs, x -> abs(x)))"))).first()
+        val rowC = cents.select(max(size(col("cs"))),
+          max(expr("array_max(transform(cs, x -> abs(x)))"))).first()
+        if (rowS.isNullAt(0) || rowS.isNullAt(1) || rowC.isNullAt(1))
+          Packing(useLong = false, radix, 0)
+        else {
+          val dim = math.max(rowS.getInt(0), rowC.getInt(0))
+          val span = BigInt(rowS.getLong(1)) + BigInt(rowC.getLong(1))
+          val bound = BigInt(dim) * span.pow(2) * radix + k
+          Packing(bound < BigInt(Long.MaxValue), radix, dim)
+        }
+    }
     val dist = VecSqDist.vecSqDistLong(col("xs"), col("cs"))
     val (packed, unpack) =
       if (p.useLong)

@@ -897,8 +897,8 @@ object Similarity {
   /** Persist a PQ index for [[queryPqIndex]] — the compression analog of
     * [[buildIvfIndex]]'s lifecycle: `dir/codebooks` holds the per-block
     * integer centroids (block, code, cs), `dir/codes` the per-vector
-    * compressed codes (id, block, code), `dir/meta` the geometry
-    * (dim, subspaces, codebook, scale). Codebook training and full-corpus
+    * compressed codes (id, block, code), the `dir/meta.txt` sidecar the
+    * geometry (dim, subspaces, codebook, scale). Codebook training and full-corpus
     * code assignment — the expensive passes — are paid ONCE at build; a
     * later query session reads the broadcast-sized codebooks and pays ADC
     * only (|corpus|·subspaces code lookups, zero raw-vector I/O — the
@@ -911,6 +911,31 @@ object Similarity {
     * corpus reproduces the incremental index only when it trains on the
     * ORIGINAL build slice, since appended codebooks are frozen);
     * assignment always covers the full build slice. */
+  /** Geometry sidecar for the persisted-PQ lifecycle: four driver-held
+    * scalars as one plain text line under `dir/meta.txt` — replaces the
+    * 1-row parquet round-trip that cost a Spark job at build plus a
+    * collect-job per append/query session. Index dirs are local paths
+    * (the lifecycle queries build under `Files.createTempDirectory`). */
+  private def writePqMeta(dir: String, dim: Int, subspaces: Int,
+      codebook: Int, scale: Long): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    java.nio.file.Files.write(p.resolve("meta.txt"),
+      s"$dim $subspaces $codebook $scale".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Read back [[writePqMeta]]'s sidecar: (dim, subspaces, codebook,
+    * scale). */
+  private def readPqMeta(dir: String): (Int, Int, Int, Long) = {
+    val line = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "meta.txt")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    val parts = line.split("\\s+")
+    require(parts.length == 4, s"malformed PQ meta sidecar in $dir: '$line'")
+    (parts(0).toInt, parts(1).toInt, parts(2).toInt, parts(3).toLong)
+  }
+
   def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String,
       dir: String, subspaces: Int = 8, codebook: Int = 16, iters: Int = 2,
       scale: Long = 1000000L, trainMaxRows: Long = 0L,
