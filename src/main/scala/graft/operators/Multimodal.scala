@@ -349,30 +349,42 @@ object Multimodal {
     * (near-zero motion = a still shipped as video; a spike = a cut
     * boundary for segment sampling). Grids come from the same decode
     * seam as [[videoFramePhashes]]; the distance is exact integer
-    * arithmetic over the 63 unsigned cell bytes (hex + conv per cell —
-    * HOF over a fixed 63-element sequence, no UDF), and the consecutive
-    * pairing is one self-join on (id, frame_idx + 1) — frame-grain,
-    * bounded by `maxFrames` per payload, no shuffle wider than the
-    * payload id. Single-frame payloads contribute no rows.
+    * arithmetic over the 63 unsigned cell bytes (hex + conv per cell,
+    * no UDF), and the consecutive pairing zips each payload's OWN grid
+    * array (decode once, no join, no shuffle) — frame-grain, bounded by
+    * `maxFrames` per payload. Single-frame payloads contribute no rows.
     * Output: (id, frame_a, frame_b = frame_a + 1, motion_l1). */
   def videoFrameMotion(df: DataFrame, idCol: String, binCol: String,
       maxFrames: Int = 32): DataFrame = {
     require(maxFrames > 0, s"maxFrames must be > 0, got $maxFrames")
-    val grids = df.select(col(idCol).as("id"), col(binCol).as("b"))
-      .filter(col("b").isNotNull && length(col("b")) > 0)
-      .select(col("id"), posexplode(
-        graft.functions.PhashNative.videoFrameGrids(col("b"), maxFrames)))
-      .select(col("id"), col("pos").cast("long").as("k"),
-        hex(col("col")).as("hx"))
+    // consecutive pairing WITHOUT the round-14 self-join on
+    // (id, frame_idx + 1): the join re-evaluated the full payload decode
+    // on BOTH sides (the decode dominates — synthesis + GIF LZW per
+    // frame) and paid an exchange; pairing frames of ONE row's grid
+    // array instead decodes each payload once and never shuffles —
+    // identical (id, frame_a, frame_b, motion_l1) rows.
+    // Deliberately NO .filter on the payload/grids: predicate pushdown
+    // substitutes the filter's aliases, so a size/length guard lands in
+    // the stage BELOW the spread exchange with the whole synthesis+decode
+    // expression inlined — a serial single-task re-decode of the corpus
+    // (measured: most of the entry). The CASE inside the generator keeps
+    // the semantics (null/empty/single-frame payloads emit no rows) while
+    // everything expensive stays in the parallel post-exchange stage.
+    val grids = df.select(col(idCol).as("id"),
+        graft.functions.PhashNative.videoFrameGrids(col(binCol), maxFrames)
+          .as("g"))
+      .select(col("id"), posexplode(expr(
+        """CASE WHEN size(g) >= 2 THEN
+          |  transform(sequence(0, size(g) - 2),
+          |    i -> struct(hex(g[i]) AS a_hx, hex(g[i + 1]) AS b_hx))
+          |ELSE CAST(array() AS ARRAY<STRUCT<a_hx: STRING, b_hx: STRING>>)
+          |END""".stripMargin)))
     val l1 = (0 until PerceptualHash.Cells).map { c =>
-      s"abs(${byteAt("a_hx", (c + 1).toString)} - ${byteAt("b_hx", (c + 1).toString)})"
+      s"abs(${byteAt("col.a_hx", (c + 1).toString)} - ${byteAt("col.b_hx", (c + 1).toString)})"
     }.mkString(" + ")
-    grids.select(col("id"), col("k"), col("hx").as("a_hx"))
-      .join(grids.select(col("id"), (col("k") - 1L).as("k"),
-        col("hx").as("b_hx")), Seq("id", "k"))
-      .select(col("id"), col("k").as("frame_a"),
-        (col("k") + 1L).as("frame_b"), expr(s"CAST($l1 AS BIGINT)")
-          .as("motion_l1"))
+    grids.select(col("id"), col("pos").cast("long").as("frame_a"),
+      (col("pos") + 1).cast("long").as("frame_b"),
+      expr(s"CAST($l1 AS BIGINT)").as("motion_l1"))
   }
 
   /** Frame-level perceptual near-dup ACROSS payloads and WITHIN one (the
