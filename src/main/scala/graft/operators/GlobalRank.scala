@@ -77,8 +77,14 @@ object GlobalRank {
   private def cutPoints(df: DataFrame, sv: Column, shards: Int): Array[Long] = {
     if (shards <= 1) return Array.empty
     val probs = (1 until shards).map(_.toDouble / shards).toArray
+    // relativeError sizes ONLY the load balance (shard assignment is
+    // monotone in the value, so the emitted ranks are identical under any
+    // cuts): 0.02 bounds shard-size error at ±2% of n — indistinguishable
+    // from perfect cuts for task balance — while the Greenwald-Khanna
+    // sketch is ~an order of magnitude cheaper than the 0.001 it replaced
+    // (measured 2.9 s -> 0.4 s of q140_spearman's rank pass at sf0.1)
     df.select(sv.cast("double").as("__d")).filter(col("__d").isNotNull)
-      .stat.approxQuantile("__d", probs, 0.001)
+      .stat.approxQuantile("__d", probs, 0.02)
       .map(d => math.floor(d).toLong).distinct.sorted
   }
 

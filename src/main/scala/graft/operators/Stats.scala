@@ -700,6 +700,10 @@ object Stats {
     * so an (almost-)continuous metric needs no compactness cap here.
     * Input: (v: long, t: rows at v). Output: + (dr). */
   private def doubledMidranks(pv: DataFrame,
+      knownCount: Long = -1L): DataFrame = doubledMidranksProbe(pv, knownCount)
+
+  /** [[doubledMidranks]] exposed for the dev-only PerfProbe harness. */
+  private[graft] def doubledMidranksProbe(pv: DataFrame,
       knownCount: Long = -1L): DataFrame = {
     val (cum, _) = GlobalRank.withCumSum(pv, col("v"), asc = true,
       col("v"), col("t"), "cumt", knownCount)
@@ -725,36 +729,46 @@ object Stats {
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(round(col(xCol) * xScale).cast("long").as("x"),
         round(col(yCol) * yScale).cast("long").as("y"))
-    // the value-grain count tables feed the rank machinery's three scans
-    // — cached, released by finalized
+    // x-side value grain first (the bounded-cardinality side in every
+    // in-repo use): its ranks broadcast back onto the rows, so the row
+    // grain is NEVER joined against the near-row-grain y-rank table —
+    // the round-11 formulation paid a 600k ⋈ 583k sort-merge join at
+    // sf0.1 for exactly that. Instead ONE aggregate folds the rows to y
+    // grain carrying the x-rank sum: Σ_rows dr_x·dr_y =
+    // Σ_y dr_y·(Σ_{rows at y} dr_x), exact integer algebra, so every
+    // moment after the fold is a y-grain (or x-grain) sum and the only
+    // row-grain work left is the broadcast join + hash aggregate.
     val pvx = base.groupBy(col("x").as("v")).agg(count(lit(1)).as("t"))
       .persist()
-    val pvy = base.groupBy(col("y").as("v")).agg(count(lit(1)).as("t"))
+    val rx = doubledMidranks(pvx, pvx.count()).persist()
+    val pvy = base
+      .join(broadcast(rx.select(col("v").as("x"), col("dr").as("dr_x"))),
+        Seq("x"))
+      .groupBy(col("y").as("v"))
+      .agg(count(lit(1)).as("t"), sum(col("dr_x")).as("sx"))
       .persist()
-    // the counts double as the GlobalRank small-input hint (the cached
-    // value-grain tables are exactly what the rank machinery scans)
-    def ranksOf(c: String, pv: DataFrame): DataFrame =
-      doubledMidranks(pv, pv.count())
-        .select(col("v").as(c), col("dr").as(s"dr_$c"))
+    val ry = doubledMidranks(pvy, pvy.count())
     // the SQUARED-rank moment sums pass 2⁶³ near 2-3·10⁶ rows (dr ≤ 2n,
     // so Σdr² ~ 4n³) — ANSI Spark fails loud there; DECIMAL(38,0) keeps
     // them exact to 10³⁸ rows³ and DuckDB's HUGEINT sums mirror it (the
-    // heapsLaw moment discipline). Per-row products stay in long to 2³¹
-    // rows; the closing expression reads the moments through the same
-    // exact-integer→double conversion either way.
+    // heapsLaw moment discipline). Per-value dr² and per-value rank sums
+    // (sx ≤ 2n·t) stay in long to 2³¹ rows — the round-11 per-row-product
+    // bound; the t/sx multiplier rides the decimal side of each product.
+    // The closing expression reads the moments through the same
+    // exact-integer→double conversion as before.
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    finalized(base.join(ranksOf("x", pvx), Seq("x"))
-      .join(ranksOf("y", pvy), Seq("y"))
-      .agg(count(lit(1)).as("n"), sum(col("dr_x")).as("sa"),
-        sum(col("dr_y")).as("sb"),
-        sum((col("dr_x") * col("dr_y")).cast(dec)).as("sab"),
-        sum((col("dr_x") * col("dr_x")).cast(dec)).as("saa"),
-        sum((col("dr_y") * col("dr_y")).cast(dec)).as("sbb"))
+    val xm = rx.agg(sum(col("t") * col("dr")).as("sa"),
+      sum((col("dr") * col("dr")).cast(dec) * col("t")).as("saa"))
+    val ym = ry.agg(coalesce(sum(col("t")), lit(0L)).as("n"),
+      sum(col("t") * col("dr")).as("sb"),
+      sum((col("dr") * col("dr")).cast(dec) * col("t")).as("sbb"),
+      sum(col("dr").cast(dec) * col("sx")).as("sab"))
+    finalized(ym.crossJoin(xm)
       .select(col("n"), expr(
         """round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
           |  / sqrt((CAST(n AS DOUBLE) * saa - CAST(sa AS DOUBLE) * sa)
           |       * (CAST(n AS DOUBLE) * sbb - CAST(sb AS DOUBLE) * sb)), 6)"""
-          .stripMargin).as("rho")), pvx, pvy)
+          .stripMargin).as("rho")), pvx, rx, pvy)
   }
 
   /** ROC AUC of a score against a binary label, with exact midrank tie
