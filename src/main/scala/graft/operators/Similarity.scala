@@ -44,8 +44,21 @@ object Similarity {
       vecCol: String, k: Int, broadcastCorpus: Boolean = false): DataFrame = {
     // norms are hoisted to one computation per VECTOR (not per pair);
     // cos = dot/(nrm_a*nrm_b) is the identical IEEE op sequence
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("qn"))
+    // broadcast path: ALL the O(|queries|·|corpus|) scoring happens on the
+    // query side's partitions — a small-file scan delivers ONE task and
+    // the whole score matrix runs serial (measured: sim_mnn spent 3.2 of
+    // 3.9 s in that single task). Spread an under-partitioned query side
+    // to the configured shuffle parallelism; the exchange moves |queries|
+    // rows once, strictly dominated by the pairwise compute at any scale.
+    val q =
+      if (broadcastCorpus) {
+        val target =
+          queries.sparkSession.sessionState.conf.numShufflePartitions
+        if (q0.rdd.getNumPartitions >= math.max(2, target / 2)) q0
+        else q0.repartition(target)
+      } else q0
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("cn"))
     val w = Window.partitionBy(col("query_id"))

@@ -307,6 +307,34 @@ object PerfProbe {
         run("hot_uncapped")(
           BasketAnalysis.rules(li.unionByName(hot), "bk", "it", 10, None))
 
+      case "entryjobsfull" =>
+        // per-Spark-JOB timing of one SparkEntry query (args(2) = name):
+        // the instrument for job-count-bound entries (every tiny job's
+        // call site and wall time, plus the gap structure)
+        import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+        val name = args.lift(2).getOrElse(sys.error("need a query name"))
+        val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(js: SparkListenerJobStart): Unit =
+            starts.put(js.jobId, (System.nanoTime(),
+              Option(js.properties.getProperty("callSite.short")).getOrElse("?")))
+          override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+            val (t0, desc) = starts.getOrDefault(je.jobId, (0L, "?"))
+            println(f"[probe] job ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.2f s  $desc")
+          }
+        })
+        (1 to 2).foreach { rep =>
+          println(s"[probe] --- rep $rep")
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[probe] total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+        Thread.sleep(500)
+
       case "spearmansteps" =>
         // phase-level timing of Stats.spearman's pipeline at q140's params
         import org.apache.spark.sql.functions._
