@@ -34,6 +34,19 @@ object Similarity {
     out
   }
 
+  /** Round-robin an under-partitioned input up to the configured shuffle
+    * parallelism (the QueryDef.spread discipline, at operator level): a
+    * small-file scan delivers ONE split, so every per-row-expensive stage
+    * computed on top of it (bucket HOFs, pairwise scoring) runs serial.
+    * The exchange moves each row once — strictly dominated by the per-row
+    * work these call sites feed — and already-parallel inputs pass
+    * through untouched, so cluster-scale scans never pay it. */
+  private def spreadSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
+
   /** Exact top-k: for each row of `queries`, the k nearest corpus rows by
     * cosine (excluding self-matches by id), ranked desc with id tiebreak.
     *
@@ -52,13 +65,7 @@ object Similarity {
     // 3.9 s in that single task). Spread an under-partitioned query side
     // to the configured shuffle parallelism; the exchange moves |queries|
     // rows once, strictly dominated by the pairwise compute at any scale.
-    val q =
-      if (broadcastCorpus) {
-        val target =
-          queries.sparkSession.sessionState.conf.numShufflePartitions
-        if (q0.rdd.getNumPartitions >= math.max(2, target / 2)) q0
-        else q0.repartition(target)
-      } else q0
+    val q = if (broadcastCorpus) spreadSmallScan(q0) else q0
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       sqrt(vecDot(col(vecCol), col(vecCol))).as("cn"))
     val w = Window.partitionBy(col("query_id"))
@@ -150,8 +157,9 @@ object Similarity {
         math.min(24, math.max(4,
           math.ceil(math.log(n.toDouble / 64) / math.log(2)).toInt))
       }
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
+    val e = spreadSmallScan(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm")))
     // persist: bucket ids are consumed by `tables` self-joins, and the
     // materialization barrier keeps the optimizer from inlining the bucket
     // HOF chains into pushed-down isnotnull filters (see Dedup.materialized)
@@ -424,8 +432,9 @@ object Similarity {
         math.min(24, math.max(2,
           math.ceil(math.log(n.toDouble / 64) / math.log(2)).toInt))
       }
-    val e = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-      sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
+    val e = spreadSmallScan(
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm")))
     // persist: band ids feed `tables` self-joins plus two verify joins
     // (and the materialization barrier keeps the HOF bucket chains out of
     // pushed-down filters — see rpLshTopK)

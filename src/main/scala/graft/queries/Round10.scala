@@ -330,12 +330,16 @@ object Round10 {
     // (num_c = 4·m·e_c − d_c² over the common denominator 4m²).
     Q("q135_modularity", (s, d) => {
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = Tables.spread(
-        li.select(col("l_orderkey"), col("l_suppkey").as("id_a"))
-          .join(li.select(col("l_orderkey"), col("l_suppkey").as("id_b")),
-            Seq("l_orderkey"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")))
+      // spread the PROBE side before the self-join, not the join output:
+      // the broadcast join generates the ~1.2M candidate pairs inside the
+      // probe side's (3-split) scan stage, so a post-join spread
+      // parallelized everything except the expensive part
+      val pairs = Tables.spread(li)
+        .select(col("l_orderkey"), col("l_suppkey").as("id_a"))
+        .join(li.select(col("l_orderkey"), col("l_suppkey").as("id_b")),
+          Seq("l_orderkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
       val comms = t(s, d, "supplier")
         .select(col("s_suppkey").as("id"), col("s_nationkey").as("comm"))
       Graph.modularity(pairs, comms)

@@ -73,9 +73,9 @@ object PerfProbe {
           "vec_id", "embedding", 10, candidates = 100, nCells = 8, nprobe = 4,
           trainMaxRows = 1000L))
       case "entryjobs" =>
-        // per-stage timing of one SparkEntry query (args(2) = name)
+        // per-stage timing of SparkEntry queries (args(2) = name[,name...])
         import org.apache.spark.scheduler.SparkListener
-        val name = args.lift(2).getOrElse(sys.error("need a query name"))
+        val names = args.lift(2).getOrElse(sys.error("need a query name"))
         spark.sparkContext.addSparkListener(new SparkListener {
           override def onStageCompleted(
               sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -86,15 +86,17 @@ object PerfProbe {
                 f"tasks=${si.numTasks} ${si.name.take(100)}")
           }
         })
-        (1 to 2).foreach { rep =>
-          println(s"[probe] --- rep $rep")
-          val t0 = System.nanoTime()
-          graft.SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          println(f"[probe] total ${(System.nanoTime() - t0) / 1e9}%.2f s")
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+        names.split(",").foreach { name =>
+          (1 to 2).foreach { rep =>
+            println(s"[probe] --- $name rep $rep")
+            val t0 = System.nanoTime()
+            graft.SparkEntry.queries(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            println(f"[probe] total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+          }
         }
         Thread.sleep(500)
       case "ivfpqjobs" =>
