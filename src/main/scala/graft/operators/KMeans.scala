@@ -240,7 +240,8 @@ object KMeans {
     * checkpoint-backed — the caller owns both ([[Checkpoints.release]]). */
   def fitGroupedSampled(emb: DataFrame, train: DataFrame, groupCol: String,
       idCol: String, vecCol: String, k: Int, iters: Int,
-      scale: Long = 1000000L): (DataFrame, DataFrame) = {
+      scale: Long = 1000000L,
+      envelopeHint: Option[(Int, Long, Long)] = None): (DataFrame, DataFrame) = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
     require(k < TieRadix, s"k must be < $TieRadix for the argmin packing")
     def scaledG(df: DataFrame): DataFrame =
@@ -255,8 +256,20 @@ object KMeans {
       if (sameFrame) scaled
       else scaledG(train).repartition(col(groupCol), col("id")).cache()
     // ONE packing bound from the all-groups envelope: looser than a
-    // per-group bound but still exact (it only selects long vs DECIMAL)
-    val p = packing(scaled, k)
+    // per-group bound but still exact (it only selects long vs DECIMAL).
+    // `envelopeHint = (dim, spanEmb, spanCent)` supplies the bound
+    // statically ([[assignGroupedFrozen]]'s contract: valid whenever the
+    // caller can prove |component| bounds for rows AND centroids — e.g.
+    // unit-normalized slices) and skips the per-call driver stats scan.
+    val p = envelopeHint match {
+      case Some((dim, spanEmb, spanCent)) =>
+        val radix =
+          math.max(java.lang.Long.highestOneBit(math.max(k - 1, 1)) * 2, 2L)
+        val span = BigInt(spanEmb) + BigInt(spanCent)
+        val bound = BigInt(dim) * span.pow(2) * radix + k
+        Packing(bound < BigInt(Long.MaxValue), radix, dim)
+      case None => packing(scaled, k)
+    }
     val seedW = Window.partitionBy(col(groupCol)).orderBy(col("id"))
     var centroids = scaledTrain
       .withColumn("rn", row_number().over(seedW)).filter(col("rn") <= k)

@@ -484,6 +484,25 @@ object Similarity {
           .as("vb"))
   }
 
+  /** Every [[normSlice]] block of every row in ONE scan: (id, block, vb)
+    * via a single posexplode of the array-of-slices. The previous shape —
+    * a `subspaces`-way unionByName of per-block normSlice branches — read
+    * the input (and recomputed the norm) once PER BLOCK and carried a
+    * plan `subspaces`× as wide through the analyzer/optimizer; the rows
+    * are identical (block = array position), and every consumer
+    * aggregates or joins on (block, id), so row order never mattered. */
+  private def explodedSlices(df: DataFrame, idCol: String, vecCol: String,
+      bounds: Seq[Int]): DataFrame = {
+    val slices = (0 until bounds.size - 1).map { b =>
+      val start = bounds(b) + 1 // slice() is 1-based
+      val len = bounds(b + 1) - bounds(b)
+      expr(s"transform(slice(v, $start, $len), x -> CAST(x AS DOUBLE) / nrm)")
+    }
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        sqrt(vecDot(col(vecCol), col(vecCol))).as("nrm"))
+      .select(col("id"), posexplode(array(slices: _*)).as(Seq("block", "vb")))
+  }
+
   /** Deterministic content-hash training sample of ~`maxRows` rows: keep
     * rows whose `xxhash64(id)` lands in the first `ceil(M·maxRows/n)` of
     * M buckets — the same rows regardless of partitioning, task order or
@@ -515,14 +534,18 @@ object Similarity {
   private def fitBlocks(corpus: DataFrame, train: DataFrame, idCol: String,
       vecCol: String, bounds: Seq[Int], codebook: Int, iters: Int,
       scale: Long): (DataFrame, DataFrame, Seq[DataFrame]) = {
-    def exploded(df: DataFrame): DataFrame =
-      (0 until bounds.size - 1).map { b =>
-        normSlice(df, idCol, vecCol, bounds, b).withColumn("block", lit(b))
-      }.reduce(_ unionByName _)
-    val full = exploded(corpus)
-    val trainE = if (train eq corpus) full else exploded(train)
+    val full = explodedSlices(corpus, idCol, vecCol, bounds)
+    val trainE =
+      if (train eq corpus) full
+      else explodedSlices(train, idCol, vecCol, bounds)
+    // static packing envelope (assignGroupedFrozen's append-path argument,
+    // applied at build): slices are unit-normalized (grid |xs| <= scale)
+    // and centroids are floor-means of such rows, so (width, scale, scale)
+    // bounds every distance — skips the per-build packing stats scan
+    val width = (1 until bounds.size).map(b => bounds(b) - bounds(b - 1)).max
     val (asg, cents) = KMeans.fitGroupedSampled(full, trainE, "block",
-      "id", "vb", codebook, iters, scale)
+      "id", "vb", codebook, iters, scale,
+      envelopeHint = Some((width, scale, scale)))
     (asg.select(col("id"), col("block"), col("cluster").as("code")),
       cents.select(col("block"), col("cid").as("code"), col("cs")),
       Seq(asg, cents))
@@ -534,12 +557,10 @@ object Similarity {
     * key and broadcast, so ADC scoring joins are shuffle-free. */
   private def adcTable(queries: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String, bounds: Seq[Int], scale: Long): DataFrame =
-    (0 until bounds.size - 1).map { b =>
-      normSlice(queries, idCol, vecCol, bounds, b)
-        .select(col("id").as("query_id"), lit(b).as("block"),
-          expr(s"transform(vb, x -> CAST(round(x * $scale.0) AS BIGINT))")
-            .as("xs"))
-    }.reduce(_ unionByName _)
+    explodedSlices(queries, idCol, vecCol, bounds)
+      .select(col("id").as("query_id"), col("block"),
+        expr(s"transform(vb, x -> CAST(round(x * $scale.0) AS BIGINT))")
+          .as("xs"))
       .join(broadcast(cents), Seq("block"))
       .select(col("query_id"), col("block"), col("code"),
         graft.functions.VecSqDist.vecSqDistLong(col("xs"), col("cs")).as("pd"))
@@ -961,21 +982,26 @@ object Similarity {
   def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String,
       dir: String, subspaces: Int = 8, codebook: Int = 16, iters: Int = 2,
       scale: Long = 1000000L, trainMaxRows: Long = 0L,
-      trainOn: DataFrame = null): Unit = {
+      trainOn: DataFrame = null,
+      statsHint: Option[(Int, Long)] = None): Unit = {
     val spark = emb.sparkSession
     val corpus = emb.select(col(idCol), col(vecCol)).persist()
-    val statsRow = corpus
-      .select(max(size(col(vecCol))), count(lit(1))).collect()(0)
-    require(!statsRow.isNullAt(0),
-      s"buildPqIndex: corpus is empty or $vecCol is all-null")
-    val dim = statsRow.getInt(0)
+    // (dim, rowCount): from the caller when it already paid the stats scan
+    // (buildOpqIndex collects both alongside its rotation prep), otherwise
+    // one collect here
+    val (dim, nRows) = statsHint.getOrElse {
+      val statsRow = corpus
+        .select(max(size(col(vecCol))), count(lit(1))).collect()(0)
+      require(!statsRow.isNullAt(0),
+        s"buildPqIndex: corpus is empty or $vecCol is all-null")
+      (statsRow.getInt(0), statsRow.getLong(1))
+    }
     require(subspaces > 0 && subspaces <= dim,
       s"need 0 < subspaces <= dim; got $subspaces over dim $dim")
     val bounds = sliceBounds(dim, subspaces)
     val train =
       if (trainOn != null) trainOn.select(col(idCol), col(vecCol))
-      else trainingSample(corpus, idCol, statsRow.getLong(1),
-        trainMaxRows, codebook)
+      else trainingSample(corpus, idCol, nRows, trainMaxRows, codebook)
     val (codes, cents, fittedCkpts) = fitBlocks(corpus, train, idCol,
       vecCol, bounds, codebook, iters, scale)
     // geometry sidecar: four scalars the driver already holds — a plain
@@ -984,7 +1010,9 @@ object Similarity {
     // (the persisted-PQ lifecycle entries are job-count-bound: ~30 tiny
     // sequential jobs per rep)
     writePqMeta(dir, dim, subspaces, codebook, scale)
-    cents.write.mode("overwrite").parquet(s"$dir/codebooks")
+    // the codebook is bounded (subspaces x codebook rows) at ANY corpus
+    // scale — one output file instead of one per shuffle partition
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
     fittedCkpts.foreach(Checkpoints.release)
     corpus.unpersist(false)
@@ -1007,9 +1035,7 @@ object Similarity {
     val bounds = sliceBounds(dim, subspaces)
     val cents = spark.read.parquet(s"$dir/codebooks")
       .select(col("block"), col("code").as("cid"), col("cs"))
-    val exploded = (0 until subspaces).map { b =>
-      normSlice(emb, idCol, vecCol, bounds, b).withColumn("block", lit(b))
-    }.reduce(_ unionByName _)
+    val exploded = explodedSlices(emb, idCol, vecCol, bounds)
     // static packing envelope: normSlice components are unit-normalized
     // (|vb| <= 1 => grid |xs| <= scale) and the frozen centroids are
     // means of such rows, so (width, scale, scale) bounds every distance
@@ -1465,10 +1491,13 @@ object Similarity {
       dir: String, subspaces: Int = 8, codebook: Int = 16, iters: Int = 2,
       scale: Long = 1000000L, powerRounds: Int = 3): Unit = {
     val spark = emb.sparkSession
-    val dimRow = emb.select(max(size(col(vecCol)))).collect()(0)
+    // one stats collect serves the rotation prep AND the PQ build below
+    // (statsHint) — the lifecycle entries are job-count-bound
+    val dimRow = emb.select(max(size(col(vecCol))), count(lit(1))).collect()(0)
     require(!dimRow.isNullAt(0),
       s"buildOpqIndex: corpus is empty or $vecCol is all-null")
     val dim = dimRow.getInt(0)
+    val nRows = dimRow.getLong(1)
     require(dim % subspaces == 0,
       s"round-robin allocation needs subspaces | dim; got $subspaces, $dim")
     val bw = dim / subspaces
@@ -1481,7 +1510,8 @@ object Similarity {
     }.toSeq.toDF("j", "i", "r")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
     buildPqIndex(applyRotation(emb, idCol, vecCol, rot), idCol, vecCol,
-      dir, subspaces, codebook, iters, scale)
+      dir, subspaces, codebook, iters, scale,
+      statsHint = Some((dim, nRows)))
   }
 
   private def readRotation(spark: org.apache.spark.sql.SparkSession,

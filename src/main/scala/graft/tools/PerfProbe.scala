@@ -337,6 +337,54 @@ object PerfProbe {
         }
         Thread.sleep(500)
 
+      case "opqsteps" =>
+        // phase-level timing of the sim_opq_append lifecycle (build /
+        // append x2 / query), plus the build's internal split
+        import graft.operators.Similarity
+        import graft.queries.ScaleOps
+        def time[A](label: String)(body: => A): A = {
+          val t0 = System.nanoTime(); val r = body
+          println(f"[probe] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val e0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        (1 to 2).foreach { rep =>
+          println(s"[probe] --- rep $rep")
+          ScaleOps.withAqeOff(spark) {
+            ScaleOps.withShufflePartitions(spark, 8) {
+              val dir = java.nio.file.Files.createTempDirectory("opq-probe")
+              dir.toFile.deleteOnExit()
+              time("rotation only") {
+                Similarity.opqRotation(
+                  e0.filter(col("vec_id") < 1000).select(col("embedding")),
+                  "embedding", 64)
+              }
+              time("buildOpqIndex") {
+                Similarity.buildOpqIndex(e0.filter(col("vec_id") < 1000),
+                  "vec_id", "embedding", dir.toString)
+              }
+              time("appendOpqIndex A") {
+                Similarity.appendOpqIndex(
+                  e0.filter(col("vec_id") >= 1000 && col("vec_id") % 2 === 0),
+                  "vec_id", "embedding", dir.toString)
+              }
+              time("appendOpqIndex B") {
+                Similarity.appendOpqIndex(
+                  e0.filter(col("vec_id") >= 1000 && col("vec_id") % 2 === 1),
+                  "vec_id", "embedding", dir.toString)
+              }
+              time("queryOpqIndex") {
+                Similarity.queryOpqIndex(spark, dir.toString,
+                  e0.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+                  k = 10)
+                  .write.format("noop").mode("overwrite").save()
+              }
+            }
+          }
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+
       case "spearmansteps" =>
         // phase-level timing of Stats.spearman's pipeline at q140's params
         import org.apache.spark.sql.functions._
