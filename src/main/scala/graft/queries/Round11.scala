@@ -53,9 +53,16 @@ object Round11 {
     // midranks keep ties integer-exact at value grain (the Mann-Whitney
     // machinery), ranks ride the GlobalRank sharded prefix sum, and the
     // closing Pearson-over-ranks is one mirrored double over exact longs.
+    // 4 MB advisory scope (the text_chrf discipline): the y-rank window
+    // exchange carries ~600k NARROW rows (few MB) but the aggregate on
+    // top of it pays 2-4 BigDecimal ops per row, so default byte-sized
+    // AQE coalescing serialized the closing moment aggregate into one
+    // task (~2.7 s of the entry). Merge-only semantics — a no-op at scale.
     Q("q140_spearman", (s, d) =>
-      Stats.spearman(t(s, d, "lineitem"), "l_quantity", "l_extendedprice",
-        xScale = 1.0, yScale = 100.0),
+      ScaleOps.withAdvisoryPartitionSize(s, 4L << 20) {
+        Stats.spearman(t(s, d, "lineitem"), "l_quantity", "l_extendedprice",
+          xScale = 1.0, yScale = 100.0)
+      },
       Some("""
         WITH base AS (SELECT CAST(round(l_quantity * 1.0) AS BIGINT) AS x,
                 CAST(round(l_extendedprice * 100.0) AS BIGINT) AS y

@@ -337,6 +337,48 @@ object PerfProbe {
         }
         Thread.sleep(500)
 
+      case "cfsteps" =>
+        // phase isolation for q138_item_cf: basket agg / pair generation
+        // alone / pair exchange+aggregate / full entry
+        import graft.queries.Tables
+        def time[A](label: String)(body: => A): A = {
+          val t0 = System.nanoTime(); val r = body
+          println(f"[probe] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"))
+        def ui = Tables.spread(
+          o.join(li, o("o_orderkey") === li("l_orderkey"))
+            .select(col("o_custkey").as("u"), col("l_partkey").as("it")))
+        (1 to 2).foreach { rep =>
+          println(s"[probe] --- rep $rep")
+          val baskets = ui
+            .filter(col("u").isNotNull && col("it").isNotNull)
+            .groupBy(col("u"))
+            .agg(array_sort(collect_set(col("it"))).as("its"))
+            .filter(size(col("its")) <= 200)
+          time("baskets noop")(
+            baskets.write.format("noop").mode("overwrite").save())
+          val gen = baskets.filter(size(col("its")) >= 2)
+            .select(col("its"), posexplode(col("its")).as(Seq("i", "ia")))
+            .select(col("ia"),
+              explode(expr("slice(its, i + 2, size(its))")).as("ib"))
+          time("pairs generate noop")(
+            gen.write.format("noop").mode("overwrite").save())
+          time("pairs gen+shuffle+agg")(
+            gen.repartition(32, col("ia"), col("ib"))
+              .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
+              .write.format("noop").mode("overwrite").save())
+          time("full entry")(
+            graft.SparkEntry.queries("q138_item_cf")(spark, sfDir)
+              .write.format("noop").mode("overwrite").save())
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
+
       case "opqsteps" =>
         // phase-level timing of the sim_opq_append lifecycle (build /
         // append x2 / query), plus the build's internal split
