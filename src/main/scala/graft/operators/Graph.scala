@@ -461,9 +461,17 @@ object Graph {
       maxDepth: Int): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).repartition(col("src")).persist()
-    var visited = seeds.select(col("id").cast("long").as("id")).distinct()
+    // visited = lazy UNION of the per-round checkpointed frontiers: each
+    // round pays ONE eager checkpoint (the new frontier — bounded by the
+    // round's discoveries) instead of also re-checkpointing the whole
+    // visited set (an O(|visited|) copy job per round). The union of
+    // checkpointed LogicalRDDs keeps the plan flat, and Checkpoints.release
+    // on the returned union releases every part (release walks ALL
+    // RDD-backed sources of the plan).
+    var frontier = seeds.select(col("id").cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
-    var frontier = visited
+    val parts = scala.collection.mutable.Buffer(frontier)
+    def visited = parts.reduce(_ union _)
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
@@ -473,10 +481,7 @@ object Graph {
         .join(visited.select(col("id")), Seq("id"), "left_anti")
         .withColumn("dist", lit(depth.toLong))
         .localCheckpoint()
-      val merged = visited.union(next).localCheckpoint()
-      Checkpoints.release(visited)
-      Checkpoints.release(frontier)
-      visited = merged
+      parts += next
       frontier = next
     }
     e.unpersist()
@@ -711,10 +716,15 @@ object Graph {
       s"scc: $n nodes exceed maxNodes=$maxNodes — this closure-based SCC " +
         "is for state-machine-grain graphs; decompose or raise the bound")
     // closure: reach(v, u) with v→*u (reflexive); frontier = pairs added
-    // last round, so each round joins only NEW pairs against the edges
-    var reach = nodes.select(col("id").as("v"), col("id").as("u"))
+    // last round, so each round joins only NEW pairs against the edges.
+    // reach = lazy UNION of per-round checkpointed frontiers (the
+    // reachability discipline): one eager checkpoint per round — the fresh
+    // pairs — instead of also re-copying the whole closure each round
+    // (the closure is the LARGEST frame here, O(n·reach) rows).
+    var frontier = nodes.select(col("id").as("v"), col("id").as("u"))
       .localCheckpoint()
-    var frontier = reach
+    val parts = scala.collection.mutable.Buffer(frontier)
+    def reach = parts.reduce(_ union _)
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
@@ -722,20 +732,17 @@ object Graph {
         .select(frontier("v"), e("dst").as("u")).distinct()
       val fresh = grown.join(reach, Seq("v", "u"), "left_anti")
         .localCheckpoint()
-      val merged = reach.union(fresh).localCheckpoint()
-      Checkpoints.release(reach)
-      if (frontier ne merged) Checkpoints.release(frontier)
-      reach = merged
+      parts += fresh
       frontier = fresh
     }
-    val out = reach.as("f")
-      .join(reach.select(col("v").as("u"), col("u").as("v")).as("b"),
+    val closure = reach
+    val out = closure.as("f")
+      .join(closure.select(col("v").as("u"), col("u").as("v")).as("b"),
         Seq("v", "u"))
       .groupBy(col("v").as("id")).agg(min(col("u")).as("scc"))
       .persist()
     out.count()
-    Checkpoints.release(reach)
-    Checkpoints.release(frontier)
+    parts.foreach(Checkpoints.release)
     e.unpersist(false)
     nodes.unpersist(false)
     out
