@@ -503,9 +503,15 @@ object Pipeline {
             .select(col("id_a"), col("id_b"))).distinct()
       // A/B probe (PerfProbe `aa` mode, sf0.1 warm): AQE-on/8 2.0-2.4 s
       // vs the k-core-inherited AQE-off/8 2.6-2.9 s — the wedge join's
-      // bigger intermediate WANTS AQE's runtime coalescing
-      ScaleOps.withShufflePartitions(s, 8) {
-        Graph.adamicAdar(pp, maxDegree = None, topK = 50)
+      // bigger intermediate WANTS AQE's runtime coalescing.
+      // 4 MB advisory (the text_chrf/q140 discipline): the wedge join's
+      // z-keyed exchange is byte-LIGHT but generates the x<y expansion on
+      // top of it — default coalescing folded it to ONE task (measured
+      // 1.3 s serial stage). Merge-only, a no-op at scale.
+      ScaleOps.withAdvisoryPartitionSize(s, 4L << 20) {
+        ScaleOps.withShufflePartitions(s, 8) {
+          Graph.adamicAdar(pp, maxDegree = None, topK = 50)
+        }
       }
     }, Some("""
       WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
