@@ -25,6 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
+  /** Round-robin an under-partitioned input up to the configured shuffle
+    * parallelism (the QueryDef.spread discipline at operator level): a
+    * small-file scan delivers ONE split, and because the blocked pair
+    * join broadcasts the build side at these sizes, the WHOLE pair
+    * expansion + per-pair scorer would run serial inside that single
+    * scan task (measured: one 2.9 s task carrying all of q84's
+    * levenshtein pairs). Already-parallel inputs pass through, so
+    * cluster-scale scans never pay the exchange. */
+  private def spreadSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    else df.repartition(target)
+  }
+
   /** Candidate pairs from `df` sharing `blockKey` with
     * `levenshtein(name_a, name_b) <= maxDist`, `id_a < id_b`.
     * Output: (id_a, id_b, dist). Levenshtein is Spark's codegen'd native
@@ -42,8 +56,8 @@ object Linkage {
           .filter(col("bn") <= cap).drop("bn")
       case None => proj0
     }
-    val a = proj.select(col("id").as("id_a"), col("name").as("name_a"),
-      col("block"))
+    val a = spreadSmallScan(proj.select(col("id").as("id_a"),
+      col("name").as("name_a"), col("block")))
     val b = proj.select(col("id").as("id_b"), col("name").as("name_b"),
       col("block"))
     a.join(b, Seq("block"))
@@ -74,8 +88,8 @@ object Linkage {
           .filter(col("bn") <= cap).drop("bn")
       case None => proj0
     }
-    val a = proj.select(col("id").as("id_a"), col("name").as("name_a"),
-      col("block"))
+    val a = spreadSmallScan(proj.select(col("id").as("id_a"),
+      col("name").as("name_a"), col("block")))
     val b = proj.select(col("id").as("id_b"), col("name").as("name_b"),
       col("block"))
     a.join(b, Seq("block"))
