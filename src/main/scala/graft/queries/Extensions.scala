@@ -449,8 +449,14 @@ object Extensions {
     // source pair, with per-source totals (Jaccard/containment are one
     // division away). Pairs come from each shingle's bounded SOURCE set,
     // never from doc-doc or postings-pair joins — see Dedup.sourceOverlap
+    // 4 MB advisory (the q140/q117 discipline): the distinct (src,
+    // shingle) exchange is byte-light but feeds the collect_set +
+    // nested-transform pair explode — default AQE coalescing folded it
+    // to 3 tasks (measured 0.7-1.9 s stage)
     Q("text_overlap_matrix", (s, d) =>
-      Dedup.sourceOverlap(Tables.ts(s, d, "documents"), "text", "source"),
+      ScaleOps.withAdvisoryPartitionSize(s, 4L << 20) {
+        Dedup.sourceOverlap(Tables.ts(s, d, "documents"), "text", "source")
+      },
       Some(s"""
         |WITH w AS (SELECT source, ${H.duckWordHashes("text")} AS wh FROM documents),
         |sh AS (SELECT source, ${H.duckShingles("wh")} AS sh FROM w),
@@ -885,8 +891,12 @@ object Extensions {
     // more than 3 docs; tokens covered by any hot span vanish, survivors
     // rejoin in order — the cross-doc complement of text_scrub_rare
     Q("text_scrub_boilerplate", (s, d) =>
-      TextAnalysis.scrubBoilerplateSpans(Tables.ts(s, d, "documents"), "doc_id",
-        "text", spanLen = 3, maxDf = 3),
+      // 4 MB advisory: byte-light gram exchanges under CPU-dense span
+      // reassembly coalesced to 1 task (measured 0.5-0.8 s stage)
+      ScaleOps.withAdvisoryPartitionSize(s, 4L << 20) {
+        TextAnalysis.scrubBoilerplateSpans(Tables.ts(s, d, "documents"),
+          "doc_id", "text", spanLen = 3, maxDf = 3)
+      },
       Some("""
         |WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS p FROM dd),
