@@ -35,7 +35,15 @@ object Distribution {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    df.write
+    // repartition on the bucket key first: without it every INPUT task
+    // writes its own file per bucket (tasks x buckets small files — 24
+    // from a 3-split scan at 8 buckets) and write parallelism is pinned
+    // to the scan's split count. Hash-clustered on the bucket columns,
+    // each task owns whole buckets: one file per bucket — the layout the
+    // bucketed join's exchange-free promise is priced for — and the
+    // write parallelizes to numBuckets tasks.
+    df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
